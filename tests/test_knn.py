@@ -1,0 +1,66 @@
+"""Brute-force k-NN (FLAT query path) vs numpy oracle, both strategies."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.functions.distance import DistanceMetric
+from tiledb_vector_search_spark.operators.knn import knn_bruteforce
+
+from tests.conftest import numpy_topk
+
+K = 10
+NQ = 7
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(f"vec_id < {NQ}")
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+    )
+
+
+@pytest.mark.parametrize("strategy", ["expr", "kernel"])
+@pytest.mark.parametrize(
+    "metric", [DistanceMetric.SUM_OF_SQUARES, DistanceMetric.COSINE, DistanceMetric.INNER_PRODUCT]
+)
+def test_knn_matches_numpy(vectors, queries, embeddings_np, strategy, metric):
+    ids, mat = embeddings_np
+    qmat = mat[np.isin(ids, np.arange(NQ))]
+    oracle = numpy_topk(qmat, ids, mat, K, metric.value)
+
+    res = knn_bruteforce(vectors, queries, K, metric, strategy=strategy)
+    got = res.orderBy("query_id", "rank").collect()
+    assert len(got) == NQ * K
+    for r in got:
+        oid, odist = oracle[r.query_id][r.rank - 1]
+        assert r.external_id == oid, (
+            f"q={r.query_id} rank={r.rank}: {r.external_id} != {oid}"
+        )
+        assert r.distance == pytest.approx(odist, rel=1e-9, abs=1e-9)
+
+
+def test_knn_strategies_agree_on_ids(vectors, queries):
+    a = knn_bruteforce(vectors, queries, K, "l2", strategy="expr")
+    b = knn_bruteforce(vectors, queries, K, "l2", strategy="kernel")
+    ra = {(r.query_id, r.rank): r.external_id for r in a.collect()}
+    rb = {(r.query_id, r.rank): r.external_id for r in b.collect()}
+    assert ra == rb
+
+
+def test_knn_expr_plan_has_broadcast(vectors, queries):
+    plan = knn_bruteforce(
+        vectors, queries, K, "sum_of_squares", strategy="expr"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan
