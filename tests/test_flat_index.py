@@ -1,0 +1,157 @@
+"""FlatIndex lifecycle: ingest, query, update/delete, consolidate, time travel.
+
+Scenario structure mirrors the reference's e2e tests
+(``apis/python/test/test_ingestion.py:596-1340`` update/timetravel cases),
+with exact-equality gates — FLAT is deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.indexes import FlatIndex, open_index
+from tiledb_vector_search_spark.indexes.base import Index
+
+from tests.conftest import numpy_topk
+
+K = 5
+NQ = 4
+
+
+@pytest.fixture()
+def source(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+
+
+@pytest.fixture()
+def queries(source):
+    return source.where(f"external_id < {NQ}").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+
+
+def test_ingest_query_exact(spark, tmp_path, source, queries, embeddings_np):
+    ids, mat = embeddings_np
+    idx = FlatIndex.ingest(spark, str(tmp_path / "flat"), source, timestamp=1000)
+    res = idx.query(queries, K).orderBy("query_id", "rank").collect()
+    oracle = numpy_topk(mat[: NQ], ids, mat, K)
+    assert len(res) == NQ * K
+    for r in res:
+        oid, od = oracle[r.query_id][r.rank - 1]
+        assert r.external_id == oid
+        assert r.distance == pytest.approx(od, rel=1e-9, abs=1e-12)
+
+
+def test_open_dispatch(spark, tmp_path, source):
+    uri = str(tmp_path / "flat")
+    FlatIndex.ingest(spark, uri, source, timestamp=1000)
+    idx = open_index(spark, uri)
+    assert isinstance(idx, FlatIndex)
+    assert idx.dimensions == 64
+    assert idx.metric.value == "sum_of_squares"
+
+
+def test_update_delete_overlay(spark, tmp_path, source, queries, embeddings_np):
+    ids, mat = embeddings_np
+    uri = str(tmp_path / "flat")
+    idx = FlatIndex.ingest(spark, uri, source, timestamp=1000)
+
+    # delete the self-match of query 0; update vector 1 to equal query 2
+    idx.delete(0, timestamp=2000)
+    idx.update(1, [float(v) for v in mat[2]], timestamp=3000)
+    idx = open_index(spark, uri)
+
+    res = idx.query(queries, K).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    got0 = {r.external_id for r in by_q[0]}
+    assert 0 not in got0  # deleted
+    # query 2 now has two exact matches: itself and updated id 1
+    top2 = sorted(by_q[2], key=lambda r: r.rank)[:2]
+    assert {r.external_id for r in top2} == {1, 2}
+    assert all(r.distance == pytest.approx(0.0, abs=1e-12) for r in top2)
+
+    # effective size: one delete, update replaces existing id
+    assert idx.size() == len(ids) - 1
+
+
+def test_latest_update_wins(spark, tmp_path, source, embeddings_np):
+    ids, mat = embeddings_np
+    uri = str(tmp_path / "flat")
+    idx = FlatIndex.ingest(spark, uri, source, timestamp=1000)
+    idx.update(7, [float(v) for v in mat[3]], timestamp=2000)
+    idx.delete(7, timestamp=3000)
+    idx = open_index(spark, uri)
+    assert idx.size() == len(ids) - 1
+    # then re-add
+    idx.update(7, [float(v) for v in mat[3]], timestamp=4000)
+    idx = open_index(spark, uri)
+    assert idx.size() == len(ids)
+
+
+def test_time_travel(spark, tmp_path, source, queries, embeddings_np):
+    ids, mat = embeddings_np
+    uri = str(tmp_path / "flat")
+    idx = FlatIndex.ingest(spark, uri, source, timestamp=1000)
+    idx.delete(0, timestamp=2000)
+
+    # open as of before the delete: vector 0 still present
+    as_of = open_index(spark, uri, timestamp=1500)
+    res0 = [r for r in as_of.query(queries, K).collect() if r.query_id == 0]
+    assert any(r.external_id == 0 for r in res0)
+    # and at latest, gone
+    now = open_index(spark, uri)
+    res0 = [r for r in now.query(queries, K).collect() if r.query_id == 0]
+    assert not any(r.external_id == 0 for r in res0)
+
+
+def test_consolidate_updates(spark, tmp_path, source, queries, embeddings_np):
+    ids, mat = embeddings_np
+    uri = str(tmp_path / "flat")
+    idx = FlatIndex.ingest(spark, uri, source, timestamp=1000)
+    idx.delete(0, timestamp=2000)
+    idx.update(1, [float(v) for v in mat[2]], timestamp=2500)
+    before = {
+        (r.query_id, r.rank): r.external_id
+        for r in open_index(spark, uri).query(queries, K).collect()
+    }
+    idx2 = open_index(spark, uri).consolidate_updates(timestamp=5000)
+    assert idx2.base_ts == 5000
+    assert not idx2._has_updates()
+    after = {
+        (r.query_id, r.rank): r.external_id
+        for r in idx2.query(queries, K).collect()
+    }
+    assert before == after
+    # pre-consolidation snapshot still time-travelable
+    old = open_index(spark, uri, timestamp=1200)
+    assert old.base_ts == 1000
+    assert any(
+        r.external_id == 0 for r in old.query(queries, K).collect() if r.query_id == 0
+    )
+
+
+def test_vacuum_and_delete(spark, tmp_path, source):
+    uri = str(tmp_path / "flat")
+    idx = FlatIndex.ingest(spark, uri, source, timestamp=1000)
+    idx.update(1, [0.0] * 64, timestamp=2000)
+    idx2 = open_index(spark, uri).consolidate_updates(timestamp=3000)
+    dropped = idx2.vacuum()
+    assert dropped == [1000]
+    with pytest.raises(ValueError):
+        open_index(spark, uri, timestamp=1500)  # vacuumed away
+    Index.delete_index(spark, uri)
+    with pytest.raises(FileNotFoundError):
+        open_index(spark, uri)
+
+
+def test_query_validation(spark, tmp_path, source):
+    idx = FlatIndex.ingest(spark, str(tmp_path / "flat"), source, timestamp=1000)
+    bad = source.limit(1)  # wrong columns
+    with pytest.raises(ValueError, match="query_id"):
+        idx.query(bad, 3)

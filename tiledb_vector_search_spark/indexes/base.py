@@ -1,0 +1,252 @@
+"""Abstract index: open/query/update/delete/consolidate/time-travel.
+
+Mirrors the reference's ``Index`` ABC (``apis/python/src/tiledb/vector_search/
+index.py:22-177``) and its DML surface (``index.py:418-577``), re-expressed
+as lazy DataFrame plans over :class:`~tiledb_vector_search_spark.storage.
+IndexStorage`.
+
+Query-with-updates semantics (reference ``index.py:352-416``): the reference
+over-fetches 2k from the immutable base, masks ids present in the updates
+log, brute-forces the additions, and re-ranks the union.  Spark can do better
+than the 2k heuristic: the updated ids are *anti-joined out before* top-k, so
+the base branch is exact, then the additions branch unions in and one final
+window re-ranks — a single lazy plan, no thread fork
+(the reference's ``ThreadPoolExecutor`` at ``index.py:356`` becomes two
+branches of one DAG).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.functions.distance import DistanceMetric
+from tiledb_vector_search_spark.schemas import ID_COL, VECTOR_COL
+from tiledb_vector_search_spark.storage import IndexStorage, now_ms
+
+# Consolidate the updates log automatically once it accumulates this many
+# appended batches (reference: >10 update fragments, ``index.py:837-858``).
+MAX_UPDATE_BATCHES = 10
+
+
+class Index:
+    """Base class; concrete indexes implement ``_ingest`` and ``query``."""
+
+    index_type = "BASE"
+
+    def __init__(self, spark: SparkSession, uri: str, timestamp: int | None = None):
+        self.spark = spark
+        self.storage = IndexStorage(spark, uri)
+        if not self.storage.exists():
+            raise FileNotFoundError(f"no index at {uri}")
+        self.meta = self.storage.read_meta()
+        if self.meta.get("index_type") != self.index_type:
+            raise ValueError(
+                f"index at {uri} is {self.meta.get('index_type')}, "
+                f"not {self.index_type}"
+            )
+        self.timestamp = timestamp
+        self.base_ts = self.storage.resolve_base_ts(timestamp)
+        if self.base_ts is None:
+            raise ValueError(f"no ingestion at or before timestamp={timestamp}")
+
+    # -- properties ----------------------------------------------------------
+
+    @property
+    def uri(self) -> str:
+        return self.storage.uri
+
+    @property
+    def metric(self) -> DistanceMetric:
+        return DistanceMetric(self.meta["metric"])
+
+    @property
+    def dimensions(self) -> int:
+        return int(self.meta["dimensions"])
+
+    # -- effective vector set (base ⊖ updated ⊕ additions) --------------------
+
+    def _base_vectors(self) -> DataFrame:
+        return self.storage.read_base(self.base_ts)
+
+    def _updates_window(self) -> tuple[int | None, int | None]:
+        return (self.base_ts, self.timestamp)
+
+    def _has_updates(self) -> bool:
+        lo, hi = self._updates_window()
+        return self.storage.has_updates(lo, hi)
+
+    def _latest_updates(self) -> DataFrame:
+        lo, hi = self._updates_window()
+        return self.storage.read_updates(lo, hi)
+
+    def _additions(self) -> DataFrame:
+        """Non-deleted latest updates → (external_id, vector)."""
+        return (
+            self._latest_updates()
+            .where(~F.col("is_delete"))
+            .select(ID_COL, VECTOR_COL)
+        )
+
+    def _updated_ids(self) -> DataFrame:
+        return self._latest_updates().select(ID_COL)
+
+    def effective_vectors(self) -> DataFrame:
+        """The logical vector set at this index's timestamp.
+
+        base ∖ updated_ids ∪ additions — the anti-join replaces the
+        reference's post-hoc sentinel masking (``index.py:377-385``).
+        """
+        base = self._base_vectors().select(ID_COL, VECTOR_COL)
+        if not self._has_updates():
+            return base
+        return base.join(
+            F.broadcast(self._updated_ids()), ID_COL, "left_anti"
+        ).unionByName(self._additions())
+
+    def size(self) -> int:
+        return self.effective_vectors().count()
+
+    # -- query ---------------------------------------------------------------
+
+    def query(self, queries: DataFrame, k: int, **kw: Any) -> DataFrame:
+        raise NotImplementedError
+
+    def _validate_queries(self, queries: DataFrame) -> None:
+        """Mirror reference validation (``index.py:298-312``)."""
+        cols = dict(queries.dtypes)
+        if "query_id" not in cols or VECTOR_COL not in cols:
+            raise ValueError(
+                f"queries must have (query_id, {VECTOR_COL}); got {list(cols)}"
+            )
+        if not cols[VECTOR_COL].startswith("array<"):
+            raise ValueError(f"{VECTOR_COL} must be an array column")
+
+    # -- DML (reference index.py:418-501) -------------------------------------
+
+    def update(
+        self, external_id: int, vector: list[float], timestamp: int | None = None
+    ) -> None:
+        self.update_batch([(external_id, vector)], timestamp)
+
+    def update_batch(
+        self,
+        rows: list[tuple[int, list[float]]] | DataFrame,
+        timestamp: int | None = None,
+    ) -> None:
+        ts = timestamp if timestamp is not None else now_ms()
+        if isinstance(rows, DataFrame):
+            df = rows.select(
+                F.col(ID_COL).cast("long"),
+                F.col(VECTOR_COL).cast("array<float>"),
+            )
+        else:
+            df = self.spark.createDataFrame(
+                rows, f"{ID_COL} long, {VECTOR_COL} array<float>"
+            )
+        df = df.withColumn("is_delete", F.lit(False)).withColumn("ts", F.lit(ts))
+        self.storage.append_updates(df, ts)
+        self._maybe_auto_consolidate_log()
+
+    def delete(self, external_id: int, timestamp: int | None = None) -> None:
+        self.delete_batch([external_id], timestamp)
+
+    def delete_batch(
+        self, external_ids: list[int], timestamp: int | None = None
+    ) -> None:
+        ts = timestamp if timestamp is not None else now_ms()
+        df = (
+            self.spark.createDataFrame(
+                [(int(i),) for i in external_ids], f"{ID_COL} long"
+            )
+            .withColumn(VECTOR_COL, F.lit(None).cast("array<float>"))
+            .withColumn("is_delete", F.lit(True))
+            .withColumn("ts", F.lit(ts))
+        )
+        self.storage.append_updates(df, ts)
+        self._maybe_auto_consolidate_log()
+
+    def _maybe_auto_consolidate_log(self) -> None:
+        """Compact the updates *log files* (not the index) when fragmented.
+
+        Reference auto-consolidates the updates array at >10 fragments
+        (``index.py:837-858``).  Here we rewrite the log directory into one
+        parquet footprint; latest-wins resolution still happens at read.
+        """
+        meta = self.storage.read_meta()
+        if len(meta["update_batches"]) <= MAX_UPDATE_BATCHES:
+            return
+        raw = self.storage.read_updates_raw().cache()
+        raw.count()
+        import os
+        import shutil
+        import uuid
+
+        tmp = f"{self.storage.updates_path}.tmp.{uuid.uuid4().hex}"
+        raw.coalesce(max(1, raw.count() // 500_000 + 1)).write.parquet(tmp)
+        shutil.rmtree(self.storage.updates_path)
+        os.replace(tmp, self.storage.updates_path)
+        raw.unpersist()
+        meta = self.storage.read_meta()
+        meta["update_batches"] = [max(meta["update_batches"])]
+        self.storage.write_meta(meta)
+
+    # -- consolidation (reference index.py:503-577) ---------------------------
+
+    def consolidate_updates(self, timestamp: int | None = None, **kw: Any):
+        """Fold the updates overlay into a new base snapshot.
+
+        Equivalent to the reference's re-ingest of base∖updated ∪ additions;
+        subclasses re-partition / re-train as needed.  Returns a re-opened
+        index at the new timestamp.
+        """
+        ts = timestamp if timestamp is not None else now_ms()
+        self._write_consolidated(self.effective_vectors(), ts, **kw)
+        self.storage.clear_updates_through(ts)
+        return type(self)(self.spark, self.uri)
+
+    def _write_consolidated(self, vectors: DataFrame, ts: int, **kw: Any) -> None:
+        raise NotImplementedError
+
+    # -- history -------------------------------------------------------------
+
+    def vacuum(self, keep_latest: int = 1) -> list[int]:
+        return self.storage.vacuum(keep_latest)
+
+    def clear_history(self, timestamp: int) -> None:
+        """Drop base snapshots and update batches at or before ``timestamp``
+        (reference ``index.py:626-735``), keeping at least the newest base."""
+        meta = self.storage.read_meta()
+        keep = [e for e in meta["ingestions"] if e["ts"] > timestamp]
+        n_keep = max(1, len(keep))
+        self.storage.vacuum(keep_latest=n_keep)
+        self.storage.clear_updates_through(timestamp)
+
+    @staticmethod
+    def delete_index(spark: SparkSession, uri: str) -> None:
+        IndexStorage(spark, uri).delete_index()
+
+
+def open_index(spark: SparkSession, uri: str, timestamp: int | None = None) -> Index:
+    """Factory dispatching on stored ``index_type`` — reference
+    ``index.py:922-994`` ``open()``."""
+    from tiledb_vector_search_spark.indexes.flat import FlatIndex
+    from tiledb_vector_search_spark.indexes.ivf_flat import IVFFlatIndex
+
+    meta = IndexStorage(spark, uri).read_meta()
+    types: dict[str, type[Index]] = {
+        "FLAT": FlatIndex,
+        "IVF_FLAT": IVFFlatIndex,
+    }
+    try:
+        from tiledb_vector_search_spark.indexes.ivf_pq import IVFPQIndex
+
+        types["IVF_PQ"] = IVFPQIndex
+    except ImportError:
+        pass
+    t = meta.get("index_type")
+    if t not in types:
+        raise ValueError(f"unknown index_type {t!r} at {uri}")
+    return types[t](spark, uri, timestamp)

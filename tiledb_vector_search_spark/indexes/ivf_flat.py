@@ -1,0 +1,305 @@
+"""IVF_FLAT index: k-means partitioned storage + probe-routed search.
+
+Reference: ``apis/python/src/tiledb/vector_search/ivf_flat_index.py`` +
+ingestion DAG (``ingestion.py:2363-3012``) + C++ query kernels
+(``detail/ivf/qv.h``).  Spark-first re-expression (SURVEY §3.1 "Spark
+shape"):
+
+ingest:  ``read → [normalize] → sample → ML KMeans → assign (broadcast
+centroids, Arrow kernel) → write.partitionBy(partition_id)`` — the
+reference's work-item splitting, partial CSR indexes, and consolidation
+stages (``ingest_vectors_udf``/``compute_partition_indexes_udf``/
+``consolidate_partition_udf``) are subsumed by the shuffle service and the
+Parquet directory layout.
+
+query:   routing table (driver numpy over ≤10k centroids) → partition-pruned
+scan (Parquet dir pruning = the CSR offset slice) → per-partition scoring
+against only the queries routed there → partial top-k → final window.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.functions.distance import (
+    DistanceMetric,
+    distance_expr,
+    normalize_expr,
+)
+from tiledb_vector_search_spark.indexes.base import Index
+from tiledb_vector_search_spark.ml.kmeans import (
+    assign_partitions_expr,
+    default_partitions,
+    default_training_sample_size,
+    train_centroids_ml,
+)
+from tiledb_vector_search_spark.operators.knn import (
+    _kernel_distances,
+    knn_bruteforce_expr,
+)
+from tiledb_vector_search_spark.operators.routing import routing_table
+from tiledb_vector_search_spark.operators.topk import topk_window
+from tiledb_vector_search_spark.schemas import (
+    DISTANCE_COL,
+    ID_COL,
+    PARTITION_COL,
+    QUERY_ID_COL,
+    VECTOR_COL,
+)
+from tiledb_vector_search_spark.storage import IndexStorage, now_ms
+
+_SUPPORTED = {
+    DistanceMetric.SUM_OF_SQUARES,
+    DistanceMetric.L2,
+    DistanceMetric.COSINE,
+}
+
+
+class IVFFlatIndex(Index):
+    index_type = "IVF_FLAT"
+
+    # -- build ----------------------------------------------------------------
+
+    @classmethod
+    def ingest(
+        cls,
+        spark: SparkSession,
+        uri: str,
+        source: DataFrame,
+        metric: DistanceMetric | str = DistanceMetric.SUM_OF_SQUARES,
+        partitions: int | None = None,
+        training_sample_size: int | None = None,
+        copy_centroids_from: np.ndarray | None = None,
+        timestamp: int | None = None,
+        id_col: str = ID_COL,
+        vector_col: str = VECTOR_COL,
+        seed: int = 42,
+    ) -> "IVFFlatIndex":
+        """Build the partitioned index (reference ``ingest()`` IVF path).
+
+        ``copy_centroids_from`` mirrors ``copy_centroids_uri``
+        (``ingestion.py:1081-1100``): skip training, reuse given centroids.
+        """
+        metric = DistanceMetric(metric)
+        if metric not in _SUPPORTED:
+            # reference support matrix: ivf_flat_index.py:595-602
+            raise ValueError(f"IVF_FLAT does not support metric {metric.value}")
+        ts = timestamp if timestamp is not None else now_ms()
+
+        vectors = source.select(
+            F.col(id_col).cast("long").alias(ID_COL),
+            F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
+        )
+        if metric is DistanceMetric.COSINE:
+            # normalize at ingest (reference ivf_flat_index.py:254-255)
+            vectors = vectors.withColumn(
+                VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
+            )
+        n = vectors.count()
+        dims = vectors.select(F.size(VECTOR_COL)).first()[0]
+        k = partitions or default_partitions(n)
+
+        if copy_centroids_from is not None:
+            centroids = np.asarray(copy_centroids_from, dtype=np.float64)
+            k = centroids.shape[0]
+        else:
+            sample_size = training_sample_size or default_training_sample_size(n, k)
+            centroids = train_centroids_ml(
+                vectors, k, sample_size, n, seed=seed
+            )
+
+        assigned = assign_partitions_expr(vectors, centroids)
+
+        storage = IndexStorage(spark, uri)
+        if not storage.exists():
+            storage.init_meta(
+                index_type=cls.index_type,
+                metric=metric.value,
+                dimensions=int(dims),
+            )
+        cls._write_snapshot(storage, assigned, centroids, ts, n)
+        return cls(spark, uri)
+
+    @staticmethod
+    def _write_snapshot(
+        storage: IndexStorage,
+        assigned: DataFrame,
+        centroids: np.ndarray,
+        ts: int,
+        base_size: int | None,
+    ) -> None:
+        spark = storage.spark
+        storage.write_base(
+            assigned,
+            ts,
+            partition_by=PARTITION_COL,
+            base_size=base_size,
+            extra_meta={"partitions": int(centroids.shape[0])},
+        )
+        cdf = spark.createDataFrame(
+            [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
+            f"{PARTITION_COL} int, centroid array<double>",
+        )
+        cdf.coalesce(1).write.parquet(storage.centroids_path(ts))
+
+    def _write_consolidated(
+        self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
+    ) -> None:
+        """``consolidate_updates(retrain_index=...)`` (``index.py:503-577``):
+        keep centroids and only re-assign unless retrain requested."""
+        if retrain_index:
+            n = vectors.count()
+            k = kw.get("partitions") or default_partitions(n)
+            centroids = train_centroids_ml(
+                vectors, k, default_training_sample_size(n, k), n
+            )
+        else:
+            centroids = self.centroids()
+        assigned = assign_partitions_expr(vectors, centroids)
+        self._write_snapshot(self.storage, assigned, centroids, ts, None)
+
+    # -- access ---------------------------------------------------------------
+
+    def centroids(self) -> np.ndarray:
+        rows = (
+            self.spark.read.parquet(self.storage.centroids_path(self.base_ts))
+            .orderBy(PARTITION_COL)
+            .collect()
+        )
+        return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+    @property
+    def partitions(self) -> int:
+        for e in reversed(self.meta["ingestions"]):
+            if e["ts"] == self.base_ts:
+                return int(e["partitions"])
+        raise RuntimeError("no ingestion entry for base_ts")
+
+    # -- query ----------------------------------------------------------------
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int | None = None,
+        strategy: str = "kernel",
+        **kw: Any,
+    ) -> DataFrame:
+        """Probe-routed top-k (reference ``ivf_flat_index.py:262-525``).
+
+        Default nprobe = √partitions — the reference's "accuracy close to
+        100%" rule of thumb (``ivf_flat_index.py:215``).
+        """
+        self._validate_queries(queries)
+        nprobe = nprobe or max(1, int(np.sqrt(self.partitions)))
+        metric = self.metric
+
+        q = queries.select(QUERY_ID_COL, VECTOR_COL)
+        if metric is DistanceMetric.COSINE:
+            q = q.withColumn(VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>"))
+        q_rows = q.collect()
+        qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+
+        routing = routing_table(self.spark, qids, qmat, self.centroids(), nprobe)
+        parts = sorted({r.partition_id for r in routing.collect()})
+
+        base = self._base_vectors().where(F.col(PARTITION_COL).isin(parts))
+        if self._has_updates():
+            base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
+
+        if strategy == "expr":
+            scored = (
+                base.join(F.broadcast(routing), PARTITION_COL)
+                .join(
+                    F.broadcast(
+                        q.select(
+                            QUERY_ID_COL, F.col(VECTOR_COL).alias("__qvec")
+                        )
+                    ),
+                    QUERY_ID_COL,
+                )
+                .select(
+                    QUERY_ID_COL,
+                    ID_COL,
+                    distance_expr("__qvec", VECTOR_COL, metric).alias(DISTANCE_COL),
+                )
+            )
+            base_topk = scored
+        elif strategy == "kernel":
+            base_topk = self._kernel_scores(base, qids, qmat, routing, k, metric)
+        else:
+            raise ValueError(f"unknown strategy: {strategy}")
+
+        if self._has_updates():
+            additions = self._additions()
+            if metric is DistanceMetric.COSINE:
+                additions = additions.withColumn(
+                    VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
+                )
+            add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
+            base_topk = base_topk.unionByName(add_scored)
+
+        order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
+        return topk_window(base_topk, [QUERY_ID_COL], order, k)
+
+    def _kernel_scores(
+        self,
+        base: DataFrame,
+        qids: np.ndarray,
+        qmat: np.ndarray,
+        routing: DataFrame,
+        k: int,
+        metric: DistanceMetric,
+    ) -> DataFrame:
+        """Per-partition scoring of only the queries routed to it.
+
+        The reference's ``apply_query`` (``detail/ivf/qv.h:880-1040``): each
+        partition scores its routed query subset.  Here: broadcast (queries,
+        routing map); mapInPandas over the pruned partitioned scan; emit
+        per-batch top-k only, so the final shuffle is O(batches · nq · k).
+        """
+        import pandas as pd
+
+        route_map: dict[int, list[int]] = {}
+        for r in routing.collect():
+            route_map.setdefault(r.partition_id, []).append(r.query_id)
+        qpos = {int(qid): i for i, qid in enumerate(qids)}
+        bc = self.spark.sparkContext.broadcast((qids, qmat, route_map, qpos))
+        kk = k
+
+        def score(batches):
+            qids_l, qmat_l, rmap, qpos_l = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for pid, grp in pdf.groupby(PARTITION_COL):
+                    routed = rmap.get(int(pid))
+                    if not routed:
+                        continue
+                    sub_q = qmat_l[[qpos_l[q] for q in routed]]
+                    ids = grp[ID_COL].to_numpy(dtype=np.int64)
+                    x = np.array(list(grp[VECTOR_COL]), dtype=np.float64)
+                    dmat = _kernel_distances(sub_q, x, metric)
+                    keep = min(kk, dmat.shape[1])
+                    idx = np.argpartition(dmat, keep - 1, axis=1)[:, :keep]
+                    nq = len(routed)
+                    yield pd.DataFrame(
+                        {
+                            QUERY_ID_COL: np.repeat(
+                                np.asarray(routed, dtype=np.int64), keep
+                            ),
+                            ID_COL: ids[idx.ravel()],
+                            DISTANCE_COL: dmat[
+                                np.arange(nq)[:, None], idx
+                            ].ravel(),
+                        }
+                    )
+
+        return base.select(PARTITION_COL, ID_COL, VECTOR_COL).mapInPandas(
+            score, schema=f"{QUERY_ID_COL} long, {ID_COL} long, {DISTANCE_COL} double"
+        )

@@ -1,0 +1,143 @@
+"""K-means training for IVF partitioning.
+
+Reference trains centroids three ways (SURVEY §2.4): centralized sklearn
+KMeans on a ≤1M sample (``ingestion.py:1343-1414``), its own C++ Lloyd's
+(``src/include/index/kmeans.h``), and a hand-rolled distributed 5-iteration
+loop (``ingestion.py:1419-1580``).  Spark-first: ``pyspark.ml.clustering.
+KMeans`` *is* the distributed partial+final aggregation loop the reference
+hand-rolls — k-means|| init, Lloyd iterations as map-side partial sums +
+reduce, all JVM-side.
+
+Also provides a small numpy Lloyd's for PQ sub-space codebooks, where the
+sample is tiny (≤100k × ≤16 dims per subspace) and 256-centroid training is
+a driver-side micro-task (matching the reference's judgment — it trains PQ
+codebooks on the driver too, ``ivf_pq_index.h:559-607``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.schemas import PARTITION_COL, VECTOR_COL
+
+# Reference auto-config constants (``ingestion.py:336-353, 3180-3193``).
+MAX_PARTITIONS = 10_000
+MAX_TRAINING_SAMPLE = 1_000_000
+
+
+def default_partitions(n: int) -> int:
+    """partitions = √n capped at 10k (reference ``ingestion.py:3180-3186``)."""
+    return max(1, min(int(np.sqrt(n)), MAX_PARTITIONS))
+
+
+def default_training_sample_size(n: int, partitions: int) -> int:
+    """min(n, 100·partitions, 1M) (reference ``ingestion.py:350-353``)."""
+    return max(1, min(n, 100 * partitions, MAX_TRAINING_SAMPLE))
+
+
+def train_centroids_ml(
+    vectors: DataFrame,
+    k: int,
+    sample_size: int,
+    total: int,
+    vector_col: str = VECTOR_COL,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spark ML KMeans on a sample → (k, d) float64 centroid matrix.
+
+    maxIter=10 matches the reference's sklearn call
+    (``ingestion.py:1384-1391``).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    frac = min(1.0, (sample_size * 1.2) / max(total, 1))
+    sample = vectors if frac >= 1.0 else vectors.sample(frac, seed=seed)
+    feats = sample.select(
+        array_to_vector(F.col(vector_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=k, maxIter=max_iter, seed=seed, initMode="k-means||"
+    ).fit(feats)
+    return np.array(model.clusterCenters(), dtype=np.float64)
+
+
+def kmeans_numpy(
+    x: np.ndarray,
+    k: int,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Plain Lloyd's with random init for small problems (PQ codebooks).
+
+    Reference analogue: ``sub_kmeans_random_init`` (``kmeans.h:423-615``).
+    """
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    k = min(k, n)
+    centroids = x[rng.choice(n, size=k, replace=False)].astype(np.float64)
+    for _ in range(max_iter):
+        # pairwise sq dists via the BLAS identity
+        d = (
+            np.sum(x * x, axis=1)[:, None]
+            + np.sum(centroids * centroids, axis=1)[None, :]
+            - 2.0 * (x @ centroids.T)
+        )
+        assign = np.argmin(d, axis=1)
+        new = np.zeros_like(centroids)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        np.add.at(new, assign, x)
+        nonempty = counts > 0
+        new[nonempty] /= counts[nonempty, None]
+        # re-seed empty clusters from the farthest points (reference
+        # kmeans.h handles empties by splitting; farthest-point is standard)
+        if (~nonempty).any():
+            far = np.argsort(-d[np.arange(n), assign])
+            new[~nonempty] = x[far[: (~nonempty).sum()]]
+        if np.allclose(new, centroids):
+            centroids = new
+            break
+        centroids = new
+    return centroids
+
+
+def assign_partitions_expr(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vector_col: str = VECTOR_COL,
+    out_col: str = PARTITION_COL,
+) -> DataFrame:
+    """Nearest-centroid assignment as a broadcast numpy kernel.
+
+    Reference ``qv_partition`` (``detail/flat/qv.h:478-523``) /
+    ``kmeans_predict`` (``module.py:540-550``).  Centroids are broadcast
+    (≤10k × dims — always small); assignment runs as an Arrow-batched
+    mapInPandas, emitting the input row plus ``partition_id``.  No shuffle —
+    the downstream ``write.partitionBy`` or ``repartition`` decides that.
+    """
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    cols = vectors.columns
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in vectors.schema.fields
+    )
+    schema += f", {out_col} int"
+
+    def assign(batches):
+        c = bc.value
+        c_sq = np.sum(c * c, axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[vector_col]), dtype=np.float64)
+            d = c_sq[None, :] - 2.0 * (x @ c.T)
+            out = pdf.copy()
+            out[out_col] = np.argmin(d, axis=1).astype(np.int32)
+            yield out
+
+    return vectors.mapInPandas(assign, schema=schema)

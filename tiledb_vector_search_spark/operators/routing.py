@@ -1,0 +1,54 @@
+"""IVF probe routing: query → top-nprobe partitions.
+
+Reference: ``partition_ivf_flat_index`` (``detail/ivf/partition.h:84-153``)
+computes, per query, the ``nprobe`` nearest centroids, producing a
+(partition → queries) multimap that drives partition-pruned search and IO
+locality (``detail/ivf/qv.h:36-50``).
+
+Spark-first: the routing table is a *small DataFrame* (nq × nprobe rows).
+Centroids are tiny (≤10k × dims — reference caps partitions at 10k), so the
+routing computation is a driver-side numpy argpartition; the result is
+broadcast into the partition-pruned join.  The Parquet ``partition_id``
+directory layout makes the pruning a file-listing operation — the Spark
+analogue of the reference's CSR-offset slicing (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+
+def route_queries(
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    centroids: np.ndarray,
+    nprobe: int,
+) -> list[tuple[int, int]]:
+    """(query_id, partition_id) pairs for the nprobe nearest centroids.
+
+    Deterministic: ties broken by partition id (stable argsort on
+    (distance, partition)).
+    """
+    nprobe = min(nprobe, centroids.shape[0])
+    d = (
+        np.sum(qmat * qmat, axis=1)[:, None]
+        + np.sum(centroids * centroids, axis=1)[None, :]
+        - 2.0 * (qmat @ centroids.T)
+    )
+    pairs: list[tuple[int, int]] = []
+    for qi, row in zip(qids, d):
+        top = np.argsort(row, kind="stable")[:nprobe]
+        pairs.extend((int(qi), int(p)) for p in top)
+    return pairs
+
+
+def routing_table(
+    spark: SparkSession,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    centroids: np.ndarray,
+    nprobe: int,
+) -> DataFrame:
+    pairs = route_queries(qids, qmat, centroids, nprobe)
+    return spark.createDataFrame(pairs, "query_id long, partition_id int")
