@@ -1,0 +1,184 @@
+"""Text-analysis and dedup operators: semantics + DuckDB-oracle parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.functions import text as TX
+from tiledb_vector_search_spark.operators import dedup as DD
+
+from tests.oracle_utils import assert_matches_duckdb
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_stable_hash_parity(spark, sf_dir):
+    df = spark.createDataFrame(
+        [("hello world",), ("the quick brown fox",), ("",), ("ümlaut ø",)],
+        "s string",
+    ).select("s", TX.stable_hash64("s", salt="#p3").alias("h"))
+    got = {r.s: r.h for r in df.collect()}
+    for s, h in got.items():
+        d = duckdb.sql(
+            f"select {TX.duckdb_stable_hash64_sql('?', salt='#p3')}",
+            params=[s],
+        ).fetchone()[0]
+        assert h == d, s
+
+
+def test_tokens_and_shingles_parity(spark, sf_dir, docs):
+    sdf = docs.where("doc_id < 30").select(
+        "doc_id",
+        TX.normalize_text("text").alias("norm"),
+        TX.tokens("text").alias("toks"),
+        TX.word_shingles("text", 3).alias("shingles"),
+        TX.doc_fingerprint("text").alias("fp"),
+    )
+    sql = f"""
+        SELECT doc_id,
+               {TX.duckdb_normalize_text_sql('text')} AS norm,
+               {TX.duckdb_tokens_sql('text')} AS toks,
+               {TX.duckdb_word_shingles_sql('text', 3)} AS shingles,
+               {TX.duckdb_doc_fingerprint_sql('text')} AS fp
+        FROM documents WHERE doc_id < 30
+    """
+    # shingle arrays must compare order-insensitively (distinct order may
+    # differ) — sort both sides
+    sdf = sdf.withColumn("shingles", F.array_sort("shingles"))
+    sql = sql.replace("AS shingles", "").replace(
+        f"{TX.duckdb_word_shingles_sql('text', 3)} ",
+        f"list_sort({TX.duckdb_word_shingles_sql('text', 3)}) AS shingles ",
+    )
+    assert_matches_duckdb(sdf, sql, sf_dir := sf_dir, name="shingles")
+
+
+def test_short_text_shingles(spark):
+    df = spark.createDataFrame(
+        [("one",), ("one two",), ("one two three",), ("",)], "text string"
+    )
+    rows = df.select(TX.word_shingles("text", 3).alias("sh")).collect()
+    assert [len(r.sh) for r in rows] == [0, 0, 1, 0]
+
+
+def test_quality_and_lang_parity(spark, sf_dir, docs):
+    feats = TX.quality_features("text")
+    sdf = docs.where("doc_id < 50").select(
+        "doc_id",
+        *[c.alias(n) for n, c in feats.items()],
+        TX.lang_id("text").alias("pred_lang"),
+    )
+    dfeats = TX.duckdb_quality_features_sql("text")
+    cols = ",\n".join(f"{e} AS {n}" for n, e in dfeats.items())
+    sql = f"""
+        SELECT doc_id, {cols}, {TX.duckdb_lang_id_sql('text')} AS pred_lang
+        FROM documents WHERE doc_id < 50
+    """
+    assert_matches_duckdb(sdf, sql, sf_dir, name="quality")
+
+
+def test_lang_id_basic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in that house",),
+            ("el que no se la de un ser",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    assert [r[0] for r in df.select(TX.lang_id("text")).collect()] == [
+        "en",
+        "es",
+        "und",
+    ]
+
+
+def test_exact_and_fingerprint_dedup(spark, docs):
+    # inject controlled duplicates: docs 0-4 copied with shifted ids
+    dup = docs.where("doc_id < 5").withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    # and a token-permuted copy for fingerprint dedup
+    perm = docs.where("doc_id < 3").select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.reverse(F.split(F.col("text"), " "))
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    all_docs = docs.unionByName(dup).unionByName(perm.select(docs.columns))
+    ex = DD.exact_duplicates(all_docs).collect()
+    assert len(ex) == 5
+    assert all(r.dup_count == 2 for r in ex)
+    assert sorted(r.keep_id for r in ex) == [0, 1, 2, 3, 4]
+    fp = DD.fingerprint_duplicates(all_docs).collect()
+    # the tiny synthetic vocabulary (~40 words) yields natural same-token-set
+    # groups too; assert the planted copies are all covered
+    keep_ids = {r.keep_id for r in fp}
+    assert {0, 1, 2, 3, 4} <= keep_ids
+    by_keep = {r.keep_id: r.dup_count for r in fp}
+    assert by_keep[0] >= 3 and by_keep[1] >= 3 and by_keep[2] >= 3  # exact+permuted
+    assert by_keep[3] >= 2 and by_keep[4] >= 2
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    dup = docs.where("doc_id < 5").withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    all_docs = docs.unionByName(dup)
+    found = DD.minhash_dedup(all_docs, threshold=0.99).collect()
+    got = {(r.id_a, r.id_b) for r in found}
+    # identical shingle sets ⇒ identical signatures ⇒ guaranteed candidates
+    assert {(i, i + 100000) for i in range(5)} <= got
+    for r in found:
+        assert r.jaccard >= 0.99
+
+
+def test_simhash_near_duplicates(spark, docs):
+    dup = docs.where("doc_id < 5").withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    all_docs = docs.unionByName(dup)
+    found = DD.simhash_near_duplicates(all_docs, max_hamming=0).collect()
+    got = {(r.id_a, r.id_b) for r in found}
+    assert {(i, i + 100000) for i in range(5)} <= got
+
+
+def test_jaccard_pairs_threshold(spark, docs):
+    """The driver corpus has planted near-dups; exact scan must find them."""
+    pairs = DD.jaccard_pairs(docs.where("doc_id < 100"), threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert {(0, 50), (0, 82), (8, 12), (50, 82)} == got
+    assert all(r.jaccard >= 0.9 for r in pairs)
+
+
+def test_lsh_recovers_exact_jaccard_pairs(spark, docs):
+    """MinHash-LSH candidates ⊇ true high-jaccard pairs on this corpus, and
+    the verified output equals the exact all-pairs result."""
+    sub = docs.where("doc_id < 200")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.jaccard_pairs(sub, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_dedup(sub, threshold=0.9).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0
+
+
+def test_embedding_near_duplicates(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.where("vec_id < 3").withColumn("vec_id", F.col("vec_id") + 100000)
+    found = DD.embedding_near_duplicates(
+        emb.unionByName(dup), threshold=0.999999
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in found}
+    assert {(i, i + 100000) for i in range(3)} <= got

@@ -1,0 +1,236 @@
+"""Text-analysis column functions for LLM-data pipelines.
+
+Beyond the reference's own surface (its text handling is chunk-and-embed,
+``object_readers/directory_reader.py``), these are the operators a 100 TB
+training-data pipeline needs: tokenization, shingling, fingerprinting,
+quality scoring, language ID.  Everything here is a *native Catalyst
+expression* — JVM-side, whole-stage-codegen'd, no Python in the hot path —
+and every function has a DuckDB-SQL twin used by the correctness oracle
+(``duckdb_*_sql``), kept value-identical by construction.
+
+Hashing: cross-engine stable 60-bit integers from md5 hex
+(Spark ``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+``('0x' || substr(md5(x),1,15))::BIGINT``) — murmur/xxhash differ between
+engines, md5 is the portable choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- stable hashing ----------------------------------------------------------
+
+def stable_hash64(col: Column | str, salt: str = "") -> Column:
+    """Deterministic 60-bit int hash, identical in Spark and DuckDB."""
+    s = F.concat(_c(col), F.lit(salt)) if salt else _c(col)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def duckdb_stable_hash64_sql(expr: str, salt: str = "") -> str:
+    s = f"({expr} || '{salt}')" if salt else expr
+    return f"('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+# --- normalization & tokenization -------------------------------------------
+
+def normalize_text(col: Column | str) -> Column:
+    """lowercase, strip non-alphanumerics, collapse whitespace."""
+    x = F.lower(_c(col))
+    x = F.regexp_replace(x, r"[^a-z0-9\s]", "")
+    x = F.regexp_replace(x, r"\s+", " ")
+    return F.trim(x)
+
+
+def duckdb_normalize_text_sql(expr: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace(lower(" + expr + "), "
+        "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def duckdb_tokens_sql(expr: str) -> str:
+    return f"string_split({duckdb_normalize_text_sql(expr)}, ' ')"
+
+
+def token_count_ws(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_regex(col: Column | str) -> Column:
+    """BPE-ish token proxy: count word-piece and punctuation units."""
+    return F.size(
+        F.filter(
+            F.split(_c(col), r"(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+# --- shingles ----------------------------------------------------------------
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text; [] if < n tokens.
+
+    The shingle basis for minhash/Jaccard dedup.
+    """
+    t = tokens(col)
+    # build via transform over 1..size-n+1 (guarded — Spark's sequence()
+    # generates *descending* when start > stop, so empty must be explicit)
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def duckdb_word_shingles_sql(expr: str, n: int = 3) -> str:
+    t = duckdb_tokens_sql(expr)
+    parts = " || ' ' || ".join(f"__t[__i + {j}]" for j in range(n))
+    return (
+        f"(SELECT list_distinct(CASE WHEN len(__t) >= {n} THEN "
+        f"list_transform(range(1, len(__t) - {n - 1} + 1), __i -> {parts}) "
+        f"ELSE [] END) FROM (SELECT {t} AS __t) __sh)"
+    )
+
+
+# --- fingerprinting ----------------------------------------------------------
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """md5 of the sorted distinct token set — an order-insensitive content
+    fingerprint (near-dup under token permutation / duplication)."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col))))
+    )
+
+
+def duckdb_doc_fingerprint_sql(expr: str) -> str:
+    return (
+        f"md5(array_to_string(list_sort(list_distinct("
+        f"{duckdb_tokens_sql(expr)})), ' '))"
+    )
+
+
+# --- quality scoring ---------------------------------------------------------
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be on for with as at by "
+    "it this that"
+).split()
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Length/punctuation/stopword features (the classic quality filters)."""
+    raw = _c(col)
+    t = tokens(col)
+    n_tok = F.size(t)
+    n_chars = F.length(raw)
+    punct = F.length(F.regexp_replace(raw, r"[a-zA-Z0-9\s]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w)))
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_chars,
+        "avg_token_len": F.round(
+            (F.length(F.concat_ws("", t)) / n_tok).cast("double"), 4
+        ),
+        "punct_ratio": F.round((punct / n_chars).cast("double"), 4),
+        "stopword_ratio": F.round((n_stop / n_tok).cast("double"), 4),
+    }
+
+
+def duckdb_quality_features_sql(expr: str) -> dict[str, str]:
+    t = duckdb_tokens_sql(expr)
+    return {
+        "n_tokens": f"len({t})",
+        "n_chars": f"length({expr})",
+        "avg_token_len": (
+            f"round(length(array_to_string({t}, '')) * 1.0 / len({t}), 4)"
+        ),
+        "punct_ratio": (
+            f"round(length(regexp_replace({expr}, '[a-zA-Z0-9\\s]', '', 'g'))"
+            f" * 1.0 / length({expr}), 4)"
+        ),
+        "stopword_ratio": (
+            f"round(len(list_filter({t}, __w -> list_contains("
+            f"{_duckdb_stop_list()}, __w))) * 1.0 / len({t}), 4)"
+        ),
+    }
+
+
+def _duckdb_stop_list() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+# --- language ID -------------------------------------------------------------
+
+# Tiny deterministic function-word profiles.  A real pipeline swaps in
+# fastText/CLD3 via mapInPandas (multimodal pattern); the *operator shape* —
+# profile intersection + argmax — is what matters for the engine.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": "the and of to in is was for with that".split(),
+    "es": "el la de que y en un ser se no".split(),
+    "de": "der die und in den von zu das mit sich".split(),
+    "fr": "le la de et les des en un du que".split(),
+    "it": "il di che la e un a per non sono".split(),
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over per-language function-word hit counts; tie → lexicographic
+    smallest language; no hits → 'und' (undetermined)."""
+    t = F.array_distinct(tokens(col))
+    scores = [
+        (
+            lang,
+            F.size(
+                F.array_intersect(
+                    t, F.array(*[F.lit(w) for w in words])
+                )
+            ),
+        )
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reversed: earlier language wins ties via later when-clause precedence
+    for lang, s in reversed(scores):
+        out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def duckdb_lang_id_sql(expr: str) -> str:
+    t = f"list_distinct({duckdb_tokens_sql(expr)})"
+    score = {
+        lang: (
+            "len(list_filter("
+            + t
+            + ", __w -> list_contains(["
+            + ", ".join(f"'{w}'" for w in words)
+            + "], __w)))"
+        )
+        for lang, words in sorted(LANG_PROFILES.items())
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    clauses = " ".join(
+        f"WHEN {s} = __best THEN '{lang}'" for lang, s in sorted(score.items())
+    )
+    return (
+        f"(SELECT CASE WHEN __best = 0 THEN 'und' {clauses} END "
+        f"FROM (SELECT {best} AS __best) __l)"
+    )
