@@ -1,0 +1,120 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Uses the scale-path physical strategies (numpy kernels, LSH) where they
+exist; the oracle-facing expr variants stay in queries().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def _bench_queries(spark, sf_dir):
+    """name -> zero-arg callable returning a materialized result."""
+    from tiledb_vector_search_spark.operators.knn import knn_bruteforce_kernel
+    from tiledb_vector_search_spark.operators import dedup as DD
+    from tiledb_vector_search_spark.queries import REGISTRY, _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    queries100 = vectors.where("external_id < 100").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    docs = _t(spark, sf_dir, "documents")
+
+    def reg(name):
+        return lambda: REGISTRY[name](spark, sf_dir).collect()
+
+    def knn_kernel():
+        return knn_bruteforce_kernel(vectors, queries100, 10, "l2").collect()
+
+    def ivf_build_and_query():
+        import shutil
+        from tiledb_vector_search_spark.indexes import IVFFlatIndex
+
+        uri = "/tmp/tvs_bench_ivf"
+        if os.path.exists(uri):
+            shutil.rmtree(uri)
+        idx = IVFFlatIndex.ingest(
+            spark, uri + "/idx", vectors, partitions=32, timestamp=1000
+        )
+        return idx.query(queries100, 10, nprobe=8).collect()
+
+    def minhash_lsh_full():
+        return DD.minhash_dedup(docs, num_perm=16, bands=8, threshold=0.9).collect()
+
+    def simhash_full():
+        return DD.simhash_near_duplicates(docs, max_hamming=2).collect()
+
+    def text_quality_full():
+        from tiledb_vector_search_spark.functions import text as TX
+
+        feats = TX.quality_features("text")
+        return docs.select(
+            "doc_id",
+            TX.lang_id("text").alias("lang"),
+            *[c.alias(n) for n, c in feats.items()],
+        ).collect()
+
+    return {
+        "knn_flat_kernel_100q": knn_kernel,
+        "ivf_build_and_query": ivf_build_and_query,
+        "ivf_partition_search": reg("ivf_partition_search"),
+        "dedup_minhash_lsh_full": minhash_lsh_full,
+        "dedup_simhash_full": simhash_full,
+        "dedup_exact_groups": reg("dedup_exact_groups"),
+        "text_quality_full": text_quality_full,
+        "embedding_neardup_cosine": reg("embedding_neardup_cosine"),
+        "tpch_q1_pricing_summary": reg("tpch_q1_pricing_summary"),
+        "revenue_by_nation": reg("revenue_by_nation"),
+        "topk_orders_per_priority": reg("topk_orders_per_priority"),
+        "events_hourly_rollup": reg("events_hourly_rollup"),
+        "user_sessionization": reg("user_sessionization"),
+        "latest_event_per_user": reg("latest_event_per_user"),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from tiledb_vector_search_spark import get_spark
+
+    spark = get_spark(app_name="tvs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/session (exclude startup from per-query numbers)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in _bench_queries(spark, sf_dir).items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

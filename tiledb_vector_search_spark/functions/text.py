@@ -67,14 +67,18 @@ def token_count_ws(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish token proxy: alnum runs or single punctuation marks.  RE2-safe
+# (no lookarounds) so the DuckDB oracle can run the identical pattern.
+TOKEN_REGEX = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
 def token_count_regex(col: Column | str) -> Column:
-    """BPE-ish token proxy: count word-piece and punctuation units."""
-    return F.size(
-        F.filter(
-            F.split(_c(col), r"(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
-            lambda t: F.trim(t) != "",
-        )
-    )
+    """Count of word/punctuation token units under ``TOKEN_REGEX``."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(TOKEN_REGEX), 0))
+
+
+def duckdb_token_count_regex_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))"
 
 
 # --- shingles ----------------------------------------------------------------

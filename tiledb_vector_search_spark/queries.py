@@ -1,0 +1,1068 @@
+"""Driver-facing query inventory: SURVEY §2 operators as (Spark plan, DuckDB oracle) pairs.
+
+Every entry is a named query over the driver's testdata tables; the builder
+returns a DataFrame and (where SQL-expressible) ``ORACLE_SQL[name]`` holds
+ANSI SQL that DuckDB evaluates to the *identical* result — identical down to
+float bits wherever we control the fold order (see
+:mod:`tiledb_vector_search_spark.functions.distance`; Spark
+``zip_with``/``aggregate`` folds and DuckDB list folds are both sequential,
+and all other float outputs are rounded or exact-by-construction decimals).
+
+Determinism rules applied throughout:
+- every ranking has a total order (value, id);
+- every mean/centroid uses an *ordered sequential* fold, not a distributed
+  float sum;
+- money aggregates go through decimal casts (exact, associative);
+- genuinely order-sensitive double sums (avg of many doubles) are rounded.
+
+Cross-engine type alignment: DuckDB window/count/len produce BIGINT, so every
+computed int column on the Spark side is cast to long.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.functions import text as TX
+from tiledb_vector_search_spark.functions.distance import (
+    DistanceMetric,
+    distance_expr,
+    duckdb_distance_sql,
+)
+from tiledb_vector_search_spark.operators import dedup as DD
+from tiledb_vector_search_spark.operators.knn import knn_bruteforce_expr
+from tiledb_vector_search_spark.operators.topk import topk_window
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the events table carries TIMESTAMP(NANOS) parquet, which Spark 4
+        # rejects by default; read ns-as-long and convert (exact: the data
+        # is µs-resolution, so ns→µs truncation is lossless)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Vector search — FLAT (brute force) over the embeddings table
+# =====================================================================
+
+_SSQ = duckdb_distance_sql("q.qv", "e.embedding", DistanceMetric.SUM_OF_SQUARES)
+_L2 = duckdb_distance_sql("q.qv", "e.embedding", DistanceMetric.L2)
+_COS = duckdb_distance_sql("q.qv", "e.embedding", DistanceMetric.COSINE)
+_IP = duckdb_distance_sql("q.qv", "e.embedding", DistanceMetric.INNER_PRODUCT)
+
+_KNN_ORACLE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS external_id, {dist} AS distance
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, external_id, distance, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance {dir}, external_id) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
+def _knn_entry(metric: DistanceMetric):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _t(spark, sf_dir, "embeddings")
+        vectors = emb.select(
+            F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+        )
+        queries = vectors.where("external_id < 10").select(
+            F.col("external_id").alias("query_id"), "vector"
+        )
+        res = knn_bruteforce_expr(vectors, queries, 10, metric)
+        return res.select(
+            "query_id",
+            "external_id",
+            F.col("distance"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    return fn
+
+
+register(
+    "knn_flat_l2", _KNN_ORACLE.format(dist=_L2, dir="ASC")
+)(_knn_entry(DistanceMetric.L2))
+register(
+    "knn_flat_cosine", _KNN_ORACLE.format(dist=_COS, dir="ASC")
+)(_knn_entry(DistanceMetric.COSINE))
+register(
+    "knn_flat_ip", _KNN_ORACLE.format(dist=_IP, dir="DESC")
+)(_knn_entry(DistanceMetric.INNER_PRODUCT))
+
+
+# =====================================================================
+# Deterministic IVF pipeline (centroids → assign → route → search)
+# Reference dataflow: SURVEY §2.9/§2.10, with label-seeded deterministic
+# "k-means E-step" centroids so the oracle can reproduce it exactly.
+# =====================================================================
+
+# ordered sequential per-dimension mean — deterministic across engines
+_CENTROIDS_CTE = """
+dims AS (
+  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS val,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+),
+cdims AS (
+  SELECT label, pos,
+         list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y)
+           / count(*) AS c
+  FROM dims GROUP BY label, pos
+),
+centroids AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM cdims GROUP BY label
+)
+"""
+
+_ASSIGN_CTE = (
+    _CENTROIDS_CTE
+    + """,
+cscored AS (
+  SELECT e.vec_id, e.embedding, c.label AS plabel, """
+    + duckdb_distance_sql("e.embedding", "c.centroid", DistanceMetric.SUM_OF_SQUARES)
+    + """ AS d
+  FROM embeddings e CROSS JOIN centroids c
+),
+assign AS (
+  SELECT vec_id, embedding, plabel, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, plabel) AS rn
+    FROM cscored) WHERE rn = 1
+)
+"""
+)
+
+_ROUTING_CTE = (
+    _CENTROIDS_CTE
+    + """,
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+rscored AS (
+  SELECT q.qid, q.qv, c.label AS plabel, """
+    + duckdb_distance_sql("q.qv", "c.centroid", DistanceMetric.SUM_OF_SQUARES)
+    + """ AS d
+  FROM q CROSS JOIN centroids c
+),
+routing AS (
+  SELECT qid, qv, plabel, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, plabel) AS rank
+    FROM rscored) WHERE rank <= 2
+)
+"""
+)
+
+
+def _label_centroids_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, centroid array<double>) via ordered sequential mean."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    cdims = dims.groupBy("label", "pos").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["val"],
+            )
+            / F.count("*")
+        ).alias("c")
+    )
+    return cdims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def _assign_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, plabel, d): nearest deterministic centroid."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids_df(spark, sf_dir)
+    scored = emb.crossJoin(F.broadcast(cents.select(F.col("label").alias("plabel"), "centroid"))).select(
+        "vec_id",
+        "embedding",
+        "plabel",
+        distance_expr("embedding", "centroid", DistanceMetric.SUM_OF_SQUARES).alias("d"),
+    )
+    return (
+        topk_window(scored, ["vec_id"], [F.col("d").asc(), F.col("plabel").asc()], 1)
+        .drop("rank")
+    )
+
+
+def _routing_df(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
+    """(qid, qv, plabel, rank): top-nprobe centroids per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cents = _label_centroids_df(spark, sf_dir)
+    scored = q.crossJoin(F.broadcast(cents.select(F.col("label").alias("plabel"), "centroid"))).select(
+        "qid",
+        "qv",
+        "plabel",
+        distance_expr("qv", "centroid", DistanceMetric.SUM_OF_SQUARES).alias("d"),
+    )
+    return topk_window(
+        scored, ["qid"], [F.col("d").asc(), F.col("plabel").asc()], nprobe
+    )
+
+
+@register(
+    "cluster_mean_centroids",
+    "WITH "
+    + _CENTROIDS_CTE.strip()
+    + "\nSELECT label, pos, c FROM cdims",
+)
+def cluster_mean_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label per-dimension deterministic mean (k-means E-step shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    return dims.groupBy("label", "pos").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["val"],
+            )
+            / F.count("*")
+        ).alias("c")
+    ).select("label", F.col("pos").cast("long").alias("pos"), "c")
+
+
+@register(
+    "centroid_assign",
+    "WITH " + _ASSIGN_CTE.strip() + "\nSELECT vec_id, plabel, d FROM assign",
+)
+def centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid partition assignment (reference ``qv_partition``)."""
+    return _assign_df(spark, sf_dir).select("vec_id", "plabel", "d")
+
+
+@register(
+    "ivf_probe_routing",
+    "WITH " + _ROUTING_CTE.strip() + "\nSELECT qid AS query_id, plabel AS partition_label, rank FROM routing",
+)
+def ivf_probe_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-nprobe probe routing table (reference ``partition_ivf_flat_index``)."""
+    return _routing_df(spark, sf_dir).select(
+        F.col("qid").alias("query_id"),
+        F.col("plabel").alias("partition_label"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_IVF_SEARCH_ORACLE = (
+    "WITH "
+    + _ASSIGN_CTE.strip()
+    + ","
+    + _ROUTING_CTE.replace(_CENTROIDS_CTE, "").strip().lstrip(",")
+    + """,
+sscored AS (
+  SELECT r.qid AS query_id, a.vec_id AS external_id, """
+    + duckdb_distance_sql("r.qv", "a.embedding", DistanceMetric.SUM_OF_SQUARES)
+    + """ AS distance
+  FROM routing r JOIN assign a ON a.plabel = r.plabel
+)
+SELECT query_id, external_id, distance, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance, external_id) AS rank
+  FROM sscored) WHERE rank <= 5
+"""
+)
+
+
+@register("ivf_partition_search", _IVF_SEARCH_ORACLE)
+def ivf_partition_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end deterministic IVF query: route nprobe=2 → partition-pruned
+    search → top-5.  The full §2.10 pipeline, oracle-checked."""
+    assign = _assign_df(spark, sf_dir).select(
+        F.col("vec_id").alias("external_id"), "embedding", "plabel"
+    )
+    routing = _routing_df(spark, sf_dir).select("qid", "qv", "plabel")
+    scored = routing.join(assign, "plabel").select(
+        F.col("qid").alias("query_id"),
+        "external_id",
+        distance_expr("qv", "embedding", DistanceMetric.SUM_OF_SQUARES).alias(
+            "distance"
+        ),
+    )
+    res = topk_window(
+        scored,
+        ["query_id"],
+        [F.col("distance").asc(), F.col("external_id").asc()],
+        5,
+    )
+    return res.select(
+        "query_id", "external_id", "distance", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "ann_recall_at_k",
+    "WITH "
+    + _ASSIGN_CTE.strip()
+    + ","
+    + _ROUTING_CTE.replace(_CENTROIDS_CTE, "").strip().lstrip(",")
+    + """,
+approx AS (
+  SELECT query_id, external_id FROM (
+    SELECT r.qid AS query_id, a.vec_id AS external_id, row_number() OVER (
+      PARTITION BY r.qid ORDER BY """
+    + duckdb_distance_sql("r.qv", "a.embedding", DistanceMetric.SUM_OF_SQUARES)
+    + """, a.vec_id) AS rank
+    FROM routing r JOIN assign a ON a.plabel = r.plabel) WHERE rank <= 5
+),
+q2 AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+exact AS (
+  SELECT query_id, external_id FROM (
+    SELECT q2.qid AS query_id, e.vec_id AS external_id, row_number() OVER (
+      PARTITION BY q2.qid ORDER BY """
+    + duckdb_distance_sql("q2.qv", "e.embedding", DistanceMetric.SUM_OF_SQUARES)
+    + """, e.vec_id) AS rank
+    FROM q2 CROSS JOIN embeddings e) WHERE rank <= 5
+)
+SELECT e.query_id, count(a.external_id) / 5.0 AS recall
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.external_id = e.external_id
+GROUP BY e.query_id
+""",
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the routed search vs exhaustive top-5 (reference
+    ``accuracy()``, ``common.py:278-313``)."""
+    approx = ivf_partition_search(spark, sf_dir).select("query_id", "external_id")
+    emb = _t(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    queries = vectors.where("external_id < 10").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    exact = knn_bruteforce_expr(
+        vectors, queries, 5, DistanceMetric.SUM_OF_SQUARES
+    ).select("query_id", "external_id")
+    # left join on (query_id, external_id) membership
+    joined = exact.alias("e").join(
+        approx.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.external_id") == F.col("a.external_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("e.query_id").alias("query_id")).agg(
+        (F.count(F.col("a.external_id")) / F.lit(5.0)).alias("recall")
+    )
+
+
+@register(
+    "range_search_l2",
+    """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, """
+    + duckdb_distance_sql("a.embedding", "b.embedding", DistanceMetric.L2)
+    + """ AS distance
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 200 AND b.vec_id < 200
+)
+SELECT id_a, id_b, distance FROM pairs WHERE distance < 1.0
+""",
+)
+def range_search_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs within an L2 radius — the range-query sibling of top-k."""
+    emb = _t(spark, sf_dir, "embeddings").where("vec_id < 200")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            distance_expr("va", "vb", DistanceMetric.L2).alias("distance"),
+        )
+        .where("distance < 1.0")
+    )
+
+
+@register(
+    "embedding_neardup_cosine",
+    """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(("""
+    + duckdb_distance_sql("a.embedding", "b.embedding", DistanceMetric.INNER_PRODUCT)
+    + """) / (sqrt(list_reduce(list_transform(a.embedding::DOUBLE[], x -> x * x), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(b.embedding::DOUBLE[], x -> x * x), (x, y) -> x + y))), 6) AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.99
+""",
+)
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LLM-data dedup modality)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_near_duplicates(emb, threshold=0.99)
+
+
+# =====================================================================
+# Relational surface (TPC-H-ish) — joins, aggregations, windows
+# The reference has none of these as API; our engine gets them from Spark
+# SQL "for free" (SURVEY §2.4 note) and the driver tables exercise them.
+# =====================================================================
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_base_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): decimal sums are exact and
+    order-independent; double avgs rounded."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("sum_base_price"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+SELECT n.n_name, sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way dim join + exact decimal agg; nation/customer are broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "topk_orders_per_priority",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) WHERE rank <= 3
+""",
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k — the §2.5 pattern on relational data."""
+    o = _t(spark, sf_dir, "orders")
+    res = topk_window(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return res.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "label_offsets_prefix_sum",
+    """
+SELECT label, cnt, sum(cnt) OVER (ORDER BY label
+  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS start_offset
+FROM (SELECT label, count(*) AS cnt FROM embeddings GROUP BY label)
+""",
+)
+def label_offsets_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition sizes + exclusive prefix sum — the CSR ``partition_indexes``
+    computation (reference ``compute_indices``, ``detail/ivf/index.h:53-87``)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("label").rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        "label", "cnt", F.sum("cnt").over(w).alias("start_offset")
+    )
+
+
+@register(
+    "customers_with_events",
+    """
+SELECT c_mktsegment, count(*) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+def customers_with_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi-join (reference: lookup-objects-by-id shape, §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+    return (
+        c.join(e, c.c_custkey == e.user_id, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "customers_without_events",
+    """
+SELECT c_mktsegment, count(*) AS n FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+def customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti-join — the updated-ids filter shape (reference
+    ``index.py:377-385``)."""
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+    return (
+        c.join(e, c.c_custkey == e.user_id, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# Events — update-log semantics + streaming-shaped analytics
+# =====================================================================
+
+
+@register(
+    "latest_event_per_user",
+    """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       value AS last_value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins per key — exactly the updates-log resolution rule
+    (reference sparse-fragment newest-wins, ``index.py:792-814``)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, sum(CAST(value AS DECIMAL(10,2))) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch twin of the Structured Streaming path
+    in :mod:`tiledb_vector_search_spark.streaming`)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(10,2)")).alias("total_value"),
+    )
+
+
+@register(
+    "user_sessionization",
+    """
+WITH gaps AS (
+  SELECT user_id, event_id,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+           OR lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM gaps GROUP BY user_id
+""",
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout) via lag window."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    prev = F.lag(ms).over(w)
+    gaps = e.select(
+        "user_id",
+        "event_id",
+        F.when(prev.isNull() | ((ms - prev) > 1800000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "event_score_fusion",
+    """
+SELECT user_id, round(sum(m), 4) AS fused_score, count(*) AS n_types FROM (
+  SELECT user_id, event_type, max(value) AS m FROM events
+  GROUP BY user_id, event_type)
+GROUP BY user_id
+""",
+)
+def event_score_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level max-then-sum fusion — the multi-embedding score fusion
+    shape (reference ``_merge_results_per_query``,
+    ``object_index.py:561-635``)."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.max("value").alias("m"))
+    return per_type.groupBy("user_id").agg(
+        F.round(F.sum("m"), 4).alias("fused_score"),
+        F.count("*").alias("n_types"),
+    )
+
+
+# =====================================================================
+# Documents — dedup + text analysis (LLM-data-pipeline operators)
+# =====================================================================
+
+# planted exact duplicates, expressible identically in both engines
+_DUPED_DOCS_CTE = """
+all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 5
+)
+"""
+
+
+def _duped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(
+        d.where("doc_id < 5").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    "WITH "
+    + _DUPED_DOCS_CTE.strip()
+    + """
+SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_id
+FROM all_docs GROUP BY 1 HAVING count(*) > 1
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (byte-identical) dedup groups over the planted-dup corpus."""
+    return DD.exact_duplicates(_duped_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_fingerprint_groups",
+    f"""
+SELECT {TX.duckdb_doc_fingerprint_sql('text')} AS fingerprint,
+       count(*) AS dup_count, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+)
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set fingerprint dedup — catches permuted/repeated-token copies."""
+    return DD.fingerprint_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_signatures",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest({TX.duckdb_word_shingles_sql('text', 3)}) AS s
+  FROM documents WHERE doc_id < 50
+),
+perms AS (SELECT unnest(range(0, 16)) AS perm)
+SELECT doc_id, perm,
+       min(('0x' || substr(md5(s || '#p' || perm::VARCHAR), 1, 15))::BIGINT)
+         AS min_hash
+FROM sh CROSS JOIN perms GROUP BY doc_id, perm
+""",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-permutation minhash values — the LSH signature computation,
+    hash-for-hash identical to the oracle (salted md5 scheme)."""
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 50")
+    sh = docs.select(
+        "doc_id", F.explode(TX.word_shingles("text", 3)).alias("s")
+    )
+    perms = sh.select(
+        "doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("perm")
+    )
+    hashed = perms.select(
+        "doc_id",
+        F.col("perm").cast("long").alias("perm"),
+        TX.stable_hash64(
+            F.concat(F.col("s"), F.lit("#p"), F.col("perm").cast("string"))
+        ).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("min_hash"))
+
+
+_JACCARD_PAIRS_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {TX.duckdb_word_shingles_sql('text', 3)} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+           AS jaccard
+  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.9
+"""
+
+
+@register("dedup_minhash_lsh", _JACCARD_PAIRS_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LSH dedup pipeline (signatures → bands → candidates → exact
+    verify).  Oracle = exact all-pairs Jaccard: with 16 perms / 8 bands the
+    per-pair miss probability at j≥0.9 is (1−0.9²)⁸ ≈ 1.7e-6, and the exact
+    verification removes all false positives, so LSH output ≡ exact output
+    (pinned by test on this corpus)."""
+    return DD.minhash_dedup(
+        _t(spark, sf_dir, "documents"),
+        num_perm=16,
+        bands=8,
+        threshold=0.9,
+    )
+
+
+def _duckdb_simhash_sql(bits: int = 32) -> str:
+    tok = TX.duckdb_tokens_sql("text")
+    hh = "('0x' || substr(md5(w), 1, 15))::BIGINT"
+    bit_sums = ",\n  ".join(
+        f"sum(CASE WHEN (hh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS w FROM documents),
+h AS (SELECT doc_id, {hh} AS hh FROM tok),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM bits
+"""
+
+
+@register("dedup_simhash", _duckdb_simhash_sql(32))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit simhash per document (bit-majority over token hashes)."""
+    return DD.simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+@register(
+    "lang_id_distribution",
+    f"""
+SELECT {TX.duckdb_lang_id_sql('text')} AS pred_lang, count(*) AS n
+FROM documents GROUP BY 1
+""",
+)
+def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID prediction counts over the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(TX.lang_id("text").alias("pred_lang")).groupBy(
+        "pred_lang"
+    ).agg(F.count("*").alias("n"))
+
+
+def _quality_cols_sql() -> str:
+    feats = TX.duckdb_quality_features_sql("text")
+    return ",\n       ".join(f"{e} AS {n}" for n, e in feats.items())
+
+
+@register(
+    "text_quality_scores",
+    f"""
+SELECT doc_id, {_quality_cols_sql()}
+FROM documents WHERE doc_id < 200
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length/punct/stopword filters)."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 200")
+    feats = TX.quality_features("text")
+    return d.select(
+        "doc_id",
+        *[
+            (c.cast("long") if n in ("n_tokens", "n_chars") else c).alias(n)
+            for n, c in feats.items()
+        ],
+    )
+
+
+@register(
+    "token_counts",
+    f"""
+SELECT doc_id, len({TX.duckdb_tokens_sql('text')}) AS n_ws_tokens,
+       {TX.duckdb_token_count_regex_sql('text')} AS n_regex_tokens
+FROM documents WHERE doc_id < 200
+""",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs regex tokenization counts."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 200")
+    return d.select(
+        "doc_id",
+        TX.token_count_ws("text").cast("long").alias("n_ws_tokens"),
+        TX.token_count_regex("text").cast("long").alias("n_regex_tokens"),
+    )
+
+
+@register(
+    "doc_similarity_topk",
+    f"""
+WITH docs AS (
+  SELECT doc_id, {TX.duckdb_word_shingles_sql('text', 3)} AS sh FROM documents
+),
+q AS (SELECT doc_id, sh FROM docs WHERE doc_id < 5),
+pairs AS (
+  SELECT q.doc_id AS query_doc, d.doc_id AS similar_doc,
+         round(len(list_intersect(q.sh, d.sh)) * 1.0 /
+               (len(q.sh) + len(d.sh) - len(list_intersect(q.sh, d.sh))), 6)
+           AS jaccard
+  FROM q JOIN docs d ON d.doc_id <> q.doc_id
+  WHERE len(q.sh) > 0 AND len(d.sh) > 0
+)
+SELECT query_doc, similar_doc, jaccard, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_doc ORDER BY jaccard DESC, similar_doc) AS rank
+  FROM pairs) WHERE rank <= 3
+""",
+)
+def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar documents per query doc by shingle Jaccard —
+    text-side similarity search."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", TX.word_shingles("text", 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    q = docs.where("doc_id < 5").select(
+        F.col("doc_id").alias("query_doc"), F.col("sh").alias("qsh")
+    )
+    inter = F.size(F.array_intersect("qsh", "sh")).cast("double")
+    union = (F.size("qsh") + F.size("sh") - F.size(F.array_intersect("qsh", "sh"))).cast(
+        "double"
+    )
+    pairs = (
+        q.crossJoin(docs)
+        .where(F.col("doc_id") != F.col("query_doc"))
+        .select(
+            "query_doc",
+            F.col("doc_id").alias("similar_doc"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+    res = topk_window(
+        pairs,
+        ["query_doc"],
+        [F.col("jaccard").desc(), F.col("similar_doc").asc()],
+        3,
+    )
+    return res.select(
+        "query_doc", "similar_doc", "jaccard", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(substr(text, 1, 16)) AS prefix_md5
+FROM documents WHERE doc_id < 200
+""",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column pattern: byte length + prefix hash of the blob.
+    The decode/feature-extract path for real image/audio blobs lives in
+    :mod:`tiledb_vector_search_spark.objects` (stubbed decoders, real
+    plumbing)."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 200")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5(F.substring("text", 1, 16).cast("binary")).alias("prefix_md5"),
+    )
+
+
+# =====================================================================
+# Index lifecycle entries (build real indexes in a scratch dir)
+# =====================================================================
+
+
+def _scratch(name: str) -> str:
+    path = f"/tmp/tvs_entry_{name}"
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    return path
+
+
+@register(
+    "flat_index_lifecycle",
+    """
+WITH eff AS (
+  SELECT vec_id, CASE WHEN vec_id = 1
+    THEN (SELECT embedding FROM embeddings WHERE vec_id = 2)
+    ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id <> 0
+),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS external_id, """
+    + duckdb_distance_sql("q.qv", "e.embedding", DistanceMetric.SUM_OF_SQUARES)
+    + """ AS distance
+  FROM q CROSS JOIN eff e
+)
+SELECT query_id, external_id, distance, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance, external_id) AS rank
+  FROM scored) WHERE rank <= 5
+""",
+)
+def flat_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a FLAT index, delete id 0, upsert id 1 := embedding(2), query.
+    The updates-overlay query plan (base ∖ deleted ∪ additions) is exactly
+    reproduced by the oracle's CASE/filter emulation."""
+    from tiledb_vector_search_spark.indexes import FlatIndex, open_index
+
+    uri = _scratch("flat") + "/idx"
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    idx = FlatIndex.ingest(spark, uri, src, timestamp=1000)
+    idx.delete(0, timestamp=2000)
+    v2 = emb.where("vec_id = 2").select("embedding").first()[0]
+    idx.update(1, [float(x) for x in v2], timestamp=3000)
+    idx = open_index(spark, uri)
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    res = idx.query(queries, 5, strategy="expr")
+    return res.select(
+        "query_id", "external_id", "distance", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register("ivf_index_recall")  # non-SQL-expressible: trained KMeans inside
+def ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a real (Spark ML KMeans) IVF_FLAT index and report per-query
+    recall@10 of nprobe=8 search vs exhaustive — the reference's own
+    correctness measure for trained indexes (recall gate 0.85)."""
+    from tiledb_vector_search_spark.indexes import IVFFlatIndex
+    from tiledb_vector_search_spark.operators.knn import knn_bruteforce_expr
+
+    uri = _scratch("ivf") + "/idx"
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    idx = IVFFlatIndex.ingest(spark, uri, src, partitions=16, timestamp=1000)
+    queries = src.where("external_id < 10").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    approx = idx.query(queries, 10, nprobe=8).select("query_id", "external_id")
+    exact = knn_bruteforce_expr(src, queries, 10).select("query_id", "external_id")
+    joined = exact.alias("e").join(
+        approx.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.external_id") == F.col("a.external_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("e.query_id").alias("query_id")).agg(
+        (F.count(F.col("a.external_id")) / F.lit(10.0)).alias("recall")
+    )
