@@ -53,7 +53,7 @@ def _bench_queries(spark, sf_dir):
         return idx.query(queries100, 10, nprobe=8).collect()
 
     def minhash_lsh_full():
-        return DD.minhash_dedup(docs, num_perm=16, bands=8, threshold=0.9).collect()
+        return DD.minhash_dedup(docs, num_perm=32, bands=8, threshold=0.9).collect()
 
     def simhash_full():
         return DD.simhash_near_duplicates(docs, max_hamming=2).collect()
@@ -76,7 +76,7 @@ def _bench_queries(spark, sf_dir):
         "dedup_simhash_full": simhash_full,
         "dedup_exact_groups": reg("dedup_exact_groups"),
         "text_quality_full": text_quality_full,
-        "embedding_neardup_cosine": reg("embedding_neardup_cosine"),
+        "embedding_neardup_lsh": reg("embedding_neardup_cosine"),
         "tpch_q1_pricing_summary": reg("tpch_q1_pricing_summary"),
         "revenue_by_nation": reg("revenue_by_nation"),
         "topk_orders_per_priority": reg("topk_orders_per_priority"),

@@ -22,7 +22,10 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiledb_vector_search_spark.functions.distance import DistanceMetric
+from tiledb_vector_search_spark.functions.distance import (
+    DistanceMetric,
+    normalize_expr,
+)
 from tiledb_vector_search_spark.schemas import ID_COL, VECTOR_COL
 from tiledb_vector_search_spark.storage import IndexStorage, now_ms
 
@@ -35,6 +38,11 @@ class Index:
     """Base class; concrete indexes implement ``_ingest`` and ``query``."""
 
     index_type = "BASE"
+    # True for index types that store vectors pre-normalized for COSINE
+    # (reference IVFFlatIndex normalizes updates before writing,
+    # ``ivf_flat_index.py:313-325``); FLAT stores raw and scores cosine at
+    # query time, so it stays False.
+    normalize_on_write = False
 
     def __init__(self, spark: SparkSession, uri: str, timestamp: int | None = None):
         self.spark = spark
@@ -146,6 +154,13 @@ class Index:
             df = self.spark.createDataFrame(
                 rows, f"{ID_COL} long, {VECTOR_COL} array<float>"
             )
+        if self.normalize_on_write and self.metric is DistanceMetric.COSINE:
+            # normalize before writing so consolidation assigns the stored
+            # vector to centroids trained on normalized data (reference
+            # ``ivf_flat_index.py:313-325``)
+            df = df.withColumn(
+                VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
+            )
         df = df.withColumn("is_delete", F.lit(False)).withColumn("ts", F.lit(ts))
         self.storage.append_updates(df, ts)
         self._maybe_auto_consolidate_log()
@@ -173,25 +188,17 @@ class Index:
 
         Reference auto-consolidates the updates array at >10 fragments
         (``index.py:837-858``).  Here we rewrite the log directory into one
-        parquet footprint; latest-wins resolution still happens at read.
+        parquet footprint.  Compaction changes file layout only: the logical
+        batch list (``update_batches``) is preserved so timestamped opens
+        still see every batch's updates (each log row keeps its ``ts``), and
+        ``log_compacted_batches`` tracks how many batches the last compaction
+        covered so the trigger doesn't re-fire on every append.
         """
         meta = self.storage.read_meta()
-        if len(meta["update_batches"]) <= MAX_UPDATE_BATCHES:
+        since = len(meta["update_batches"]) - meta.get("log_compacted_batches", 0)
+        if since <= MAX_UPDATE_BATCHES:
             return
-        raw = self.storage.read_updates_raw().cache()
-        raw.count()
-        import os
-        import shutil
-        import uuid
-
-        tmp = f"{self.storage.updates_path}.tmp.{uuid.uuid4().hex}"
-        raw.coalesce(max(1, raw.count() // 500_000 + 1)).write.parquet(tmp)
-        shutil.rmtree(self.storage.updates_path)
-        os.replace(tmp, self.storage.updates_path)
-        raw.unpersist()
-        meta = self.storage.read_meta()
-        meta["update_batches"] = [max(meta["update_batches"])]
-        self.storage.write_meta(meta)
+        self.storage.compact_updates_log()
 
     # -- consolidation (reference index.py:503-577) ---------------------------
 

@@ -40,6 +40,7 @@ from tiledb_vector_search_spark.ml.kmeans import (
 from tiledb_vector_search_spark.operators.knn import (
     _kernel_distances,
     knn_bruteforce_expr,
+    partial_topk_idx,
 )
 from tiledb_vector_search_spark.operators.routing import routing_table
 from tiledb_vector_search_spark.operators.topk import topk_window
@@ -61,6 +62,9 @@ _SUPPORTED = {
 
 class IVFFlatIndex(Index):
     index_type = "IVF_FLAT"
+    # COSINE vectors are stored pre-normalized (ingest and update paths),
+    # mirroring reference ``ivf_flat_index.py:254-255,313-325``
+    normalize_on_write = True
 
     # -- build ----------------------------------------------------------------
 
@@ -236,11 +240,8 @@ class IVFFlatIndex(Index):
             raise ValueError(f"unknown strategy: {strategy}")
 
         if self._has_updates():
+            # additions are already normalized for COSINE (normalize_on_write)
             additions = self._additions()
-            if metric is DistanceMetric.COSINE:
-                additions = additions.withColumn(
-                    VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
-                )
             add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             base_topk = base_topk.unionByName(add_scored)
 
@@ -286,7 +287,7 @@ class IVFFlatIndex(Index):
                     x = np.array(list(grp[VECTOR_COL]), dtype=np.float64)
                     dmat = _kernel_distances(sub_q, x, metric)
                     keep = min(kk, dmat.shape[1])
-                    idx = np.argpartition(dmat, keep - 1, axis=1)[:, :keep]
+                    idx = partial_topk_idx(dmat, ids, keep)
                     nq = len(routed)
                     yield pd.DataFrame(
                         {

@@ -21,6 +21,7 @@ All SQL-expressible pieces are Catalyst expressions with DuckDB twins in
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -30,8 +31,11 @@ from tiledb_vector_search_spark.functions.text import (
     word_shingles,
 )
 
-DEFAULT_NUM_PERM = 16
-DEFAULT_BANDS = 4
+# 32 perms / 8 bands / 4 rows: s-curve midpoint (1/8)^(1/4) ≈ 0.6 — tuned
+# for dedup thresholds ≥ 0.8 (2-row banding's midpoint 0.35 floods the
+# verifier with mid-similarity candidates)
+DEFAULT_NUM_PERM = 32
+DEFAULT_BANDS = 8
 
 
 def exact_duplicates(
@@ -141,6 +145,18 @@ def lsh_candidate_pairs(
     )
 
 
+def _shingle_docs(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingle array) — computed once and shared between the signature
+    and verification stages (the regex normalize + shingle transform is the
+    expensive per-doc expression; recomputing it on both sides of the verify
+    join doubled the dedup cost)."""
+    return df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh")
+    ).where(F.size("__sh") > 0)
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -148,44 +164,44 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard ≥ threshold pairs.
 
     With ``pairs`` given (e.g. LSH candidates) verifies only those — the
-    scale path.  Without, scores all (a < b) pairs — the small-table /
-    oracle path.
+    scale path: the candidate list is tiny relative to the corpus, so it is
+    broadcast and the corpus never shuffles.  Without, scores all (a < b)
+    pairs — the small-table / oracle path.  ``shingled`` lets callers pass a
+    pre-computed (id, shingles) DataFrame to avoid re-tokenizing.
     """
-    docs = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh")
-    ).where(F.size("__sh") > 0)
-    a = docs.select(
-        F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")
+    docs = (
+        shingled
+        if shingled is not None
+        else _shingle_docs(df, text_col, id_col, shingle_n)
     )
-    b = docs.select(
-        F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")
-    )
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     if pairs is not None:
-        cand = pairs.join(F.broadcast(a) if _small(a) else a, "id_a").join(
-            F.broadcast(b) if _small(b) else b, "id_b"
-        )
+        # broadcast the candidate pairs: two broadcast hash joins, zero
+        # shuffle of the (large) shingled corpus
+        cand = a.join(F.broadcast(pairs), "id_a").join(b, "id_b")
     else:
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    # intersection computed once, union derived from it
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast(
-        "double"
-    )
     return (
-        cand.select(
+        cand.withColumn("__i", inter)
+        .select(
             "id_a",
             "id_b",
-            F.round(inter / union, 6).alias("jaccard"),
+            F.round(
+                F.col("__i")
+                / ((F.size("sh_a") + F.size("sh_b")).cast("double") - F.col("__i")),
+                6,
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
-
-
-def _small(df: DataFrame) -> bool:
-    return False  # broadcast decision left to AQE; hook for future stats
 
 
 def minhash_dedup(
@@ -196,14 +212,36 @@ def minhash_dedup(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.8,
     verify: bool = True,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """Full LSH dedup: signatures → band buckets → candidates → verify."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm)
+    """Full LSH dedup: signatures → band buckets → candidates → verify.
+
+    The shingled corpus is computed once and persisted (memory-and-disk) so
+    the signature explode and the verification join both reuse it.
+    """
+    from pyspark import StorageLevel
+
+    shingled = _shingle_docs(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh = shingled.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    mins = [
+        F.min(stable_hash64(F.col("__s"), salt=f"#p{p}")).alias(f"h{p}")
+        for p in range(num_perm)
+    ]
+    sigs = (
+        sh.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("minhash"),
+        )
+    )
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
     if not verify:
         return cand
     return jaccard_pairs(
-        df, cand, text_col, id_col, threshold=threshold
+        df, cand, text_col, id_col, threshold=threshold, shingled=shingled
     )
 
 
@@ -304,11 +342,11 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """(id_a < id_b) pairs with cosine similarity ≥ threshold.
+    """(id_a < id_b) pairs with cosine similarity ≥ threshold — ALL-PAIRS.
 
-    All-pairs form (oracle path).  At scale, route through an IVF index and
-    only compare within probed partitions — see ``IVFFlatIndex`` — or LSH
-    on random hyperplanes (simhash of the embedding sign pattern).
+    O(n²); use only on bounded candidate sets.  This is the within-bucket
+    verifier for :func:`embedding_near_duplicates_lsh`, which is the scale
+    path.
     """
     from tiledb_vector_search_spark.functions.distance import cosine_similarity
 
@@ -324,3 +362,117 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def _hyperplane_band_keys(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    n_planes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band, key): sign-bit LSH band keys via an Arrow/BLAS kernel.
+
+    Vectors are centered on a sampled mean before projection — synthetic and
+    real embedding corpora alike concentrate in a half-space (positive mean
+    component), which would make the raw sign bits heavily correlated and
+    the buckets skewed.  Centering restores ~fair coins for unrelated pairs
+    while near-identical pairs keep near-identical (centered) directions.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows_per_band = n_planes // bands
+    # sampled mean for centering: one bounded read, fine at any scale
+    sample = [
+        r[0]
+        for r in df.select(F.col(vector_col).cast("array<double>")).limit(2000).collect()
+    ]
+    mean = np.mean(np.asarray(sample, dtype=np.float64), axis=0)
+    dims = mean.shape[0]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dims))
+    bc = spark.sparkContext.broadcast((planes, mean))
+
+    def project(batches):
+        planes_l, mean_l = bc.value
+        rpb = rows_per_band
+        nb = bands
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            x = np.array(list(pdf[vector_col]), dtype=np.float64) - mean_l
+            bits = (x @ planes_l.T) > 0  # (n, n_planes)
+            weights = 1 << np.arange(rpb, dtype=np.int64)
+            out_ids, out_band, out_key = [], [], []
+            for b in range(nb):
+                chunk = bits[:, b * rpb : (b + 1) * rpb]
+                keys = chunk @ weights
+                out_ids.append(ids)
+                out_band.append(np.full(len(ids), b, dtype=np.int32))
+                out_key.append(keys.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "band": np.concatenate(out_band),
+                    "key": np.concatenate(out_key),
+                }
+            )
+
+    return df.select(
+        F.col(id_col), F.col(vector_col).cast("array<double>").alias(vector_col)
+    ).mapInPandas(project, schema=f"{id_col} long, band int, key long")
+
+
+def embedding_near_duplicates_lsh(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 64,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Scale-path embedding near-dup: random-hyperplane LSH → banded
+    equi-join → exact cosine verify on candidates only.
+
+    64 planes / 4 bands / 16 rows: an unrelated (centered-orthogonal) pair
+    collides in a band with p = 2⁻¹⁶, so candidates ≈ 4·n²/65536 random hits
+    plus the true near-dups; a pair at cosine 0.9999 has per-bit agreement
+    p ≈ 0.9955 → miss (1−p¹⁶)⁴ ≈ 2e-5.  Exact verification removes all false
+    positives, so at high thresholds output ≡ the all-pairs form (pinned by
+    oracle).  Reference analogue: the IVF bucket-restricted comparison; LSH
+    replaces trained centroids with data-independent hashes.
+    """
+    keys = _hyperplane_band_keys(df, vector_col, id_col, n_planes, bands, seed)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    from tiledb_vector_search_spark.functions.distance import cosine_similarity
+
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
+    verified = (
+        va.join(F.broadcast(cand), "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("va", "vb"), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    return verified

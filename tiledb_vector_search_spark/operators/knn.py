@@ -105,6 +105,25 @@ def _kernel_distances(
     return sq
 
 
+def partial_topk_idx(dmat: np.ndarray, ids: np.ndarray, keep: int) -> np.ndarray:
+    """Deterministic per-row top-``keep`` column indices by (value, id) asc.
+
+    ``argpartition`` gives the O(nb) selection; only rows whose k-th value
+    ties with dropped candidates are re-selected with a lexicographic
+    (value, id) sort, so per-batch survivors always match the global
+    (distance, id) tie-break order the engine documents (and the oracle
+    uses) — ties at the boundary no longer keep an arbitrary id.
+    """
+    nq = dmat.shape[0]
+    idx = np.argpartition(dmat, keep - 1, axis=1)[:, :keep]
+    rows = np.arange(nq)[:, None]
+    kth = dmat[rows, idx].max(axis=1)
+    n_le = (dmat <= kth[:, None]).sum(axis=1)
+    for i in np.flatnonzero(n_le > keep):
+        idx[i] = np.lexsort((ids, dmat[i]))[:keep]
+    return idx
+
+
 def knn_bruteforce_kernel(
     vectors: DataFrame,
     queries: DataFrame,
@@ -140,8 +159,8 @@ def knn_bruteforce_kernel(
             if largest:
                 dmat = -dmat
             keep = min(kk, dmat.shape[1])
-            # argpartition: O(nb) selection per query, then emit only top-k
-            idx = np.argpartition(dmat, keep - 1, axis=1)[:, :keep]
+            # O(nb) selection per query with deterministic (dist, id) ties
+            idx = partial_topk_idx(dmat, ids, keep)
             out_q = np.repeat(qids_l, keep)
             out_i = ids[idx.ravel()]
             out_d = dmat[np.arange(nq)[:, None], idx].ravel()

@@ -398,11 +398,15 @@ WITH pairs AS (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE a.vec_id < 200 AND b.vec_id < 200
 )
-SELECT id_a, id_b, distance FROM pairs WHERE distance < 1.0
+SELECT id_a, id_b, distance FROM pairs WHERE distance < 1.2
 """,
 )
 def range_search_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs within an L2 radius — the range-query sibling of top-k."""
+    """All pairs within an L2 radius — the range-query sibling of top-k.
+
+    Radius 1.2 sits inside the testdata's organic distance distribution
+    (min pairwise L2 ≈ 1.05) so the oracle compares real values, not 0 = 0.
+    """
     emb = _t(spark, sf_dir, "embeddings").where("vec_id < 200")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -414,28 +418,61 @@ def range_search_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             distance_expr("va", "vb", DistanceMetric.L2).alias("distance"),
         )
-        .where("distance < 1.0")
+        .where("distance < 1.2")
     )
+
+
+# planted near-duplicates: v' = v*1.0005 + 0.001 per element, giving
+# cos(v, v') ≈ 0.99997 — well above threshold 0.99 while the organic corpus
+# tops out at ~0.51.  Double arithmetic is identical in both engines.
+_NEARDUP_VECS_CTE = """
+all_vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.0005 + 0.001) AS embedding
+  FROM embeddings WHERE vec_id < 5
+)
+"""
+
+
+def _neardup_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.where("vec_id < 5").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0005 + 0.001).alias("embedding"),
+    )
+    return emb.unionByName(planted)
 
 
 @register(
     "embedding_neardup_cosine",
-    """
-WITH pairs AS (
+    "WITH "
+    + _NEARDUP_VECS_CTE.strip()
+    + """,
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(("""
     + duckdb_distance_sql("a.embedding", "b.embedding", DistanceMetric.INNER_PRODUCT)
     + """) / (sqrt(list_reduce(list_transform(a.embedding::DOUBLE[], x -> x * x), (x, y) -> x + y))
          * sqrt(list_reduce(list_transform(b.embedding::DOUBLE[], x -> x * x), (x, y) -> x + y))), 6) AS cosine_sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.99
 """,
 )
 def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (LLM-data dedup modality)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return DD.embedding_near_duplicates(emb, threshold=0.99)
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH + exact verify.
+
+    Scale path: sign-bit LSH over centered vectors → banded equi-join →
+    exact cosine only on candidates (sub-quadratic); the DuckDB oracle is the
+    all-pairs form, so this also pins LSH recall = 1.0 on the corpus.
+    """
+    return DD.embedding_near_duplicates_lsh(
+        _neardup_vecs(spark, sf_dir), threshold=0.99
+    )
 
 
 # =====================================================================
@@ -466,14 +503,22 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
+    # final decimal sums cast to DECIMAL(38,x): DuckDB widens sums to
+    # precision 38 while Spark widens to p+10 — align the serialized type
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("sum_base_price"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_base_price"),
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                 "decimal(18,6)"
             )
-        ).alias("sum_disc_price"),
+        )
+        .cast("decimal(38,6)")
+        .alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
@@ -501,7 +546,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -646,7 +693,9 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(10,2)")).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(10,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
     )
 
 
@@ -661,7 +710,8 @@ WITH gaps AS (
            PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_session
   FROM events)
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM gaps GROUP BY user_id
 """,
 )
@@ -809,13 +859,15 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.9
 @register("dedup_minhash_lsh", _JACCARD_PAIRS_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full LSH dedup pipeline (signatures → bands → candidates → exact
-    verify).  Oracle = exact all-pairs Jaccard: with 16 perms / 8 bands the
-    per-pair miss probability at j≥0.9 is (1−0.9²)⁸ ≈ 1.7e-6, and the exact
-    verification removes all false positives, so LSH output ≡ exact output
-    (pinned by test on this corpus)."""
+    verify).  Oracle = exact all-pairs Jaccard.  32 perms / 8 bands / 4 rows
+    puts the s-curve midpoint at (1/8)^(1/4) ≈ 0.6 — candidates ≈ true pairs
+    on this corpus (nothing organic between j=0.5 and j=0.9) instead of the
+    old 2-row banding whose midpoint 0.35 flooded the verifier; per-pair miss
+    at j≥0.9 is (1−0.9⁴)⁸ ≈ 1.9e-4, and exact verification removes all false
+    positives, so LSH output ≡ exact output (pinned by test on this corpus)."""
     return DD.minhash_dedup(
         _t(spark, sf_dir, "documents"),
-        num_perm=16,
+        num_perm=32,
         bands=8,
         threshold=0.9,
     )

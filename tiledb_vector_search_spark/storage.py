@@ -8,7 +8,7 @@ timestamped and reads accept a timestamp for time travel
 (``index.py:115-177``).
 
 Spark-native re-expression (no Delta in this environment, so the versioning
-is explicit and trivially portable to object stores):
+is explicit):
 
 ``uri/``
   ``_index_meta.json``      — group metadata (atomic tmp+rename)
@@ -23,12 +23,17 @@ rule as ``index.py:115-177``); the updates overlay is the log rows with
 ``base_ts < ts <= t``.  Consolidation folds the overlay into a new base
 snapshot at a new timestamp — old snapshots remain queryable until
 ``vacuum``/``clear_history`` (``index.py:579-735``).
+
+Portability: every filesystem operation goes through the Hadoop FileSystem
+API (``spark._jvm.org.apache.hadoop.fs``), so an index URI may live on any
+Hadoop-supported store (local, HDFS, s3a://, gs://, abfs://) — the 100 TB
+deployment target.  No driver-local ``os.path``/``shutil`` on data paths.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import time
 import uuid
 from typing import Any
@@ -39,45 +44,121 @@ from pyspark.sql import functions as F
 from tiledb_vector_search_spark.schemas import ID_COL, UPDATES_SCHEMA
 
 META_FILE = "_index_meta.json"
-STORAGE_VERSION = "spark-0.1"
+STORAGE_VERSION = "spark-0.2"
 
 
 def now_ms() -> int:
     return int(time.time() * 1000)
 
 
+class HadoopFS:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem for one base URI."""
+
+    def __init__(self, spark: SparkSession, uri: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(uri).getFileSystem(self._conf)
+
+    def _p(self, path: str):
+        return self._Path(path)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def is_dir(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p)) and bool(self._fs.getFileStatus(p).isDirectory())
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, content: str) -> None:
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        target = self._p(path)
+        if self._fs.exists(target):
+            self._fs.delete(target, False)
+        if not self._fs.rename(self._p(tmp), target):
+            raise IOError(f"rename {tmp} -> {path} failed")
+
+    def delete(self, path: str, recursive: bool = True) -> bool:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return False
+        return bool(self._fs.delete(p, recursive))
+
+    def rename(self, src: str, dst: str) -> None:
+        dst_p = self._p(dst)
+        if self._fs.exists(dst_p):
+            self._fs.delete(dst_p, True)
+        if not self._fs.rename(self._p(src), dst_p):
+            raise IOError(f"rename {src} -> {dst} failed")
+
+    def listdir(self, path: str) -> list[str]:
+        if not self.exists(path):
+            return []
+        return [
+            s.getPath().getName() for s in self._fs.listStatus(self._p(path))
+        ]
+
+    def count_files(self, path: str, suffix: str | None = None) -> int:
+        """Number of plain files under ``path`` (recursive)."""
+        if not self.exists(path):
+            return 0
+        it = self._fs.listFiles(self._p(path), True)
+        n = 0
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if suffix is None or name.endswith(suffix):
+                n += 1
+        return n
+
+
 class IndexStorage:
-    """Filesystem layout + metadata transactions for one index group."""
+    """Group layout + metadata transactions for one index, via Hadoop FS."""
 
     def __init__(self, spark: SparkSession, uri: str):
         self.spark = spark
         self.uri = uri.rstrip("/")
+        self.fs = HadoopFS(spark, self.uri)
 
     # -- metadata ------------------------------------------------------------
 
     @property
     def meta_path(self) -> str:
-        return os.path.join(self.uri, META_FILE)
+        return posixpath.join(self.uri, META_FILE)
 
     def exists(self) -> bool:
-        return os.path.exists(self.meta_path)
+        return self.fs.exists(self.meta_path)
 
     def read_meta(self) -> dict[str, Any]:
-        with open(self.meta_path) as f:
-            return json.load(f)
+        if not self.exists():
+            raise FileNotFoundError(f"no index at {self.uri}")
+        return json.loads(self.fs.read_text(self.meta_path))
 
     def write_meta(self, meta: dict[str, Any]) -> None:
-        os.makedirs(self.uri, exist_ok=True)
-        tmp = f"{self.meta_path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=2, sort_keys=True)
-        os.replace(tmp, self.meta_path)
+        self.fs.write_text_atomic(
+            self.meta_path, json.dumps(meta, indent=2, sort_keys=True)
+        )
 
     def init_meta(self, **fields: Any) -> dict[str, Any]:
         meta = {
             "storage_version": STORAGE_VERSION,
             "ingestions": [],  # [{ts, base_size, partitions}]
             "update_batches": [],  # ts of each appended updates batch
+            "log_compacted_batches": 0,  # batches covered by last compaction
             **fields,
         }
         self.write_meta(meta)
@@ -86,13 +167,13 @@ class IndexStorage:
     # -- base snapshots ------------------------------------------------------
 
     def base_path(self, ts: int) -> str:
-        return os.path.join(self.uri, "base", f"ts={ts}")
+        return posixpath.join(self.uri, "base", f"ts={ts}")
 
     def centroids_path(self, ts: int) -> str:
-        return os.path.join(self.uri, "centroids", f"ts={ts}")
+        return posixpath.join(self.uri, "centroids", f"ts={ts}")
 
     def aux_path(self, name: str, ts: int) -> str:
-        return os.path.join(self.uri, "aux", name, f"ts={ts}")
+        return posixpath.join(self.uri, "aux", name, f"ts={ts}")
 
     def write_base(
         self,
@@ -129,7 +210,7 @@ class IndexStorage:
 
     @property
     def updates_path(self) -> str:
-        return os.path.join(self.uri, "updates")
+        return posixpath.join(self.uri, "updates")
 
     def append_updates(self, df: DataFrame, ts: int) -> None:
         df.write.mode("append").parquet(self.updates_path)
@@ -170,6 +251,26 @@ class IndexStorage:
             .drop("__rn")
         )
 
+    def compact_updates_log(self) -> None:
+        """Rewrite the log directory into a small file footprint.
+
+        Physical-layout change only: every row keeps its ``ts`` and the
+        logical ``update_batches`` list is preserved, so timestamped opens
+        (< max ts) still see exactly the batches in their window.
+        """
+        meta = self.read_meta()
+        if not meta["update_batches"]:
+            return
+        raw = self.read_updates_raw().cache()
+        n = raw.count()
+        tmp = f"{self.updates_path}.tmp.{uuid.uuid4().hex}"
+        raw.coalesce(max(1, n // 500_000 + 1)).write.parquet(tmp)
+        raw.unpersist()
+        self.fs.rename(tmp, self.updates_path)
+        meta = self.read_meta()
+        meta["log_compacted_batches"] = len(meta["update_batches"])
+        self.write_meta(meta)
+
     def clear_updates_through(self, ts: int) -> None:
         """Drop consolidated updates ≤ ts (rewrite the log without them)."""
         meta = self.read_meta()
@@ -182,15 +283,13 @@ class IndexStorage:
         tmp = f"{self.updates_path}.tmp.{uuid.uuid4().hex}"
         if keep is not None and remaining:
             keep.write.parquet(tmp)
-        import shutil
-
-        if os.path.exists(self.updates_path):
-            shutil.rmtree(self.updates_path)
+        self.fs.delete(self.updates_path)
         if keep is not None and remaining:
-            os.replace(tmp, self.updates_path)
+            self.fs.rename(tmp, self.updates_path)
         if keep is not None:
             keep.unpersist()
         meta["update_batches"] = remaining
+        meta["log_compacted_batches"] = 0
         self.write_meta(meta)
 
     # -- history management --------------------------------------------------
@@ -201,31 +300,19 @@ class IndexStorage:
         Reference: fragment consolidation + vacuum (``index.py:579-598``,
         ``ingestion.py:3014-3063``).
         """
-        import shutil
-
         meta = self.read_meta()
         if len(meta["ingestions"]) <= keep_latest:
             return []
         drop = meta["ingestions"][:-keep_latest]
+        aux_names = self.fs.listdir(posixpath.join(self.uri, "aux"))
         for e in drop:
-            for p in (
-                self.base_path(e["ts"]),
-                self.centroids_path(e["ts"]),
-            ):
-                if os.path.exists(p):
-                    shutil.rmtree(p)
-            aux_root = os.path.join(self.uri, "aux")
-            if os.path.isdir(aux_root):
-                for name in os.listdir(aux_root):
-                    p = self.aux_path(name, e["ts"])
-                    if os.path.exists(p):
-                        shutil.rmtree(p)
+            self.fs.delete(self.base_path(e["ts"]))
+            self.fs.delete(self.centroids_path(e["ts"]))
+            for name in aux_names:
+                self.fs.delete(self.aux_path(name, e["ts"]))
         meta["ingestions"] = meta["ingestions"][-keep_latest:]
         self.write_meta(meta)
         return [e["ts"] for e in drop]
 
     def delete_index(self) -> None:
-        import shutil
-
-        if os.path.exists(self.uri):
-            shutil.rmtree(self.uri)
+        self.fs.delete(self.uri)
