@@ -83,24 +83,34 @@ def duckdb_token_count_regex_sql(expr: str) -> str:
 
 # --- shingles ----------------------------------------------------------------
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text; [] if < n tokens.
+def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams from an ALREADY-MATERIALIZED token array column.
 
-    The shingle basis for minhash/Jaccard dedup.
+    Operators should project ``tokens()`` to a column behind an exchange and
+    use this form: Catalyst cannot eliminate common subexpressions across
+    higher-order-function lambda boundaries, so referencing the ``tokens()``
+    expression tree inside the transform re-runs the regex normalization per
+    shingle — ~100× per row.  Referencing a bound attribute is free.
     """
-    t = tokens(col)
-    # build via transform over 1..size-n+1 (guarded — Spark's sequence()
-    # generates *descending* when start > stop, so empty must be explicit)
+    t = _c(tok_col)
+    # guarded — Spark's sequence() generates *descending* when start > stop,
+    # so the empty case must be explicit
     idx = F.when(
         F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(n)]
-        ),
-    )
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(t, i, F.lit(n)), " "))
     return F.array_distinct(sh)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text; [] if < n tokens.
+
+    The shingle basis for minhash/Jaccard dedup.  Single-expression form for
+    oracle-facing queries on bounded inputs; hot paths should use
+    :func:`shingles_from_tokens` on a materialized token column instead (see
+    its docstring for why).
+    """
+    return shingles_from_tokens(tokens(col), n)
 
 
 def duckdb_word_shingles_sql(expr: str, n: int = 3) -> str:

@@ -1,0 +1,447 @@
+"""IVF_PQ index: coarse IVF partitioning + product-quantized codes.
+
+Reference: ``apis/python/src/tiledb/vector_search/ivf_pq_index.py`` (API,
+``k_factor`` re-rank at ``:121-163``) and ``src/include/index/ivf_pq_index.h``
+(training ``:535-595``, asymmetric distance ``:597-690``).  The reference
+chunks each raw vector into ``num_subspaces`` pieces and stores, per piece,
+the index of the nearest of 256 per-subspace "cluster centroids"; queries
+score codes with per-query lookup tables (asymmetric distance), optionally
+re-ranking ``k_factor·k`` coarse candidates against the original vectors.
+
+Spark-first physical design:
+
+- codes live in a ``binary`` column (``num_subspaces`` uint8 bytes per row)
+  beside the original ``vector`` column in the same partitioned Parquet
+  snapshot.  Parquet is columnar, so the coarse scan reads ONLY
+  (external_id, code) — for 64-dim float32 vectors that is a 32× IO
+  reduction, which is the entire point of PQ at 100 TB — while the re-rank
+  stage reads (external_id, vector) just for the candidate ids.
+- the ADC lookup tables (nq × num_subspaces × 256 float64) are built on the
+  driver from the broadcast codebooks and shipped with the routing map to a
+  ``mapInPandas`` kernel; scoring is a vectorized numpy gather+sum.
+- per-batch partial top-(k·k_factor) with the deterministic (distance, id)
+  tie-break, final window merge, then an optional exact re-rank join — the
+  same two-stage DataFrame shape as the reference's
+  ``preload_k_factor_vectors`` path.
+
+Metric support: SUM_OF_SQUARES / L2 only (reference ``ivf_pq_index.py``
+support matrix; PQ tables are squared-distance sums).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.functions.distance import (
+    DistanceMetric,
+    distance_expr,
+)
+from tiledb_vector_search_spark.indexes.base import Index
+from tiledb_vector_search_spark.ml.kmeans import (
+    assign_partitions_expr,
+    default_partitions,
+    default_training_sample_size,
+    kmeans_numpy,
+    train_centroids_ml,
+)
+from tiledb_vector_search_spark.operators.knn import (
+    knn_bruteforce_expr,
+    partial_topk_idx,
+)
+from tiledb_vector_search_spark.operators.routing import routing_table
+from tiledb_vector_search_spark.operators.topk import topk_window
+from tiledb_vector_search_spark.schemas import (
+    DISTANCE_COL,
+    ID_COL,
+    PARTITION_COL,
+    QUERY_ID_COL,
+    VECTOR_COL,
+)
+from tiledb_vector_search_spark.storage import IndexStorage, now_ms
+
+_SUPPORTED = {DistanceMetric.SUM_OF_SQUARES, DistanceMetric.L2}
+
+CODE_COL = "code"
+PQ_CODEBOOK_AUX = "pq_codebooks"
+PQ_BITS = 8  # 256 codes per subspace (reference ivf_pq_index.h:212-217)
+PQ_TRAIN_MAX = 100_000
+
+
+def _encode_kernel(df: DataFrame, codebooks: np.ndarray, vector_col: str) -> DataFrame:
+    """Append a ``code`` binary column: nearest codebook entry per subspace.
+
+    Reference ``ivf_pq_index.h:559-595`` (flat_encode over subspaces).
+    ``codebooks``: (num_subspaces, n_codes, sub_dim) float64.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema += f", {CODE_COL} binary"
+
+    def encode(batches):
+        cb = bc.value
+        m, n_codes, sub_dim = cb.shape
+        cb_sq = np.sum(cb * cb, axis=2)  # (m, n_codes)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[vector_col]), dtype=np.float64)
+            n = x.shape[0]
+            codes = np.empty((n, m), dtype=np.uint8)
+            for j in range(m):
+                sub = x[:, j * sub_dim : (j + 1) * sub_dim]
+                # ||sub - c||² argmin via the BLAS identity (x² terms constant)
+                d = cb_sq[j][None, :] - 2.0 * (sub @ cb[j].T)
+                codes[:, j] = np.argmin(d, axis=1)
+            out = pdf.copy()
+            out[CODE_COL] = [codes[i].tobytes() for i in range(n)]
+            yield out
+
+    return df.mapInPandas(encode, schema=schema)
+
+
+def train_pq_codebooks(
+    sample: np.ndarray, num_subspaces: int, n_codes: int = 256, seed: int = 42
+) -> np.ndarray:
+    """Per-subspace k-means codebooks on a training sample.
+
+    Reference ``sub_kmeans_random_init`` driver (``ivf_pq_index.h:559-607``,
+    ``kmeans.h:423-615``): the sample is small (≤100k) and each subproblem is
+    256 centroids over ``dims/num_subspaces`` dims — a driver-side
+    numpy micro-task, as the reference itself judges.
+    Returns (num_subspaces, n_codes, sub_dim); padded with zeros if the
+    sample has fewer than ``n_codes`` distinct points.
+    """
+    dims = sample.shape[1]
+    sub_dim = dims // num_subspaces
+    out = np.zeros((num_subspaces, n_codes, sub_dim), dtype=np.float64)
+    for j in range(num_subspaces):
+        sub = sample[:, j * sub_dim : (j + 1) * sub_dim]
+        cb = kmeans_numpy(sub, n_codes, seed=seed + j)
+        out[j, : cb.shape[0]] = cb
+        if cb.shape[0] < n_codes:
+            # duplicate the last centroid so unused codes never win argmin
+            out[j, cb.shape[0] :] = cb[-1]
+    return out
+
+
+class IVFPQIndex(Index):
+    index_type = "IVF_PQ"
+
+    # -- build ----------------------------------------------------------------
+
+    @classmethod
+    def ingest(
+        cls,
+        spark: SparkSession,
+        uri: str,
+        source: DataFrame,
+        metric: DistanceMetric | str = DistanceMetric.SUM_OF_SQUARES,
+        partitions: int | None = None,
+        num_subspaces: int = 8,
+        training_sample_size: int | None = None,
+        copy_centroids_from: np.ndarray | None = None,
+        timestamp: int | None = None,
+        id_col: str = ID_COL,
+        vector_col: str = VECTOR_COL,
+        seed: int = 42,
+    ) -> "IVFPQIndex":
+        metric = DistanceMetric(metric)
+        if metric not in _SUPPORTED:
+            # reference support matrix: ivf_pq_index.py:212-218
+            raise ValueError(f"IVF_PQ does not support metric {metric.value}")
+        ts = timestamp if timestamp is not None else now_ms()
+
+        vectors = source.select(
+            F.col(id_col).cast("long").alias(ID_COL),
+            F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
+        )
+        n = vectors.count()
+        dims = int(vectors.select(F.size(VECTOR_COL)).first()[0])
+        if dims % num_subspaces != 0:
+            # reference validation: ivf_pq_index.py:204-210
+            raise ValueError(
+                f"dimensions ({dims}) must be divisible by "
+                f"num_subspaces ({num_subspaces})"
+            )
+        k = partitions or default_partitions(n)
+
+        if copy_centroids_from is not None:
+            centroids = np.asarray(copy_centroids_from, dtype=np.float64)
+            k = centroids.shape[0]
+        else:
+            sample_size = training_sample_size or default_training_sample_size(n, k)
+            centroids = train_centroids_ml(vectors, k, sample_size, n, seed=seed)
+
+        # PQ training sample: bounded driver-side read
+        frac = min(1.0, (PQ_TRAIN_MAX * 1.2) / max(n, 1))
+        srows = (
+            vectors.sample(frac, seed=seed).limit(PQ_TRAIN_MAX).collect()
+            if frac < 1.0
+            else vectors.limit(PQ_TRAIN_MAX).collect()
+        )
+        sample = np.array([r[VECTOR_COL] for r in srows], dtype=np.float64)
+        codebooks = train_pq_codebooks(sample, num_subspaces, seed=seed)
+
+        assigned = assign_partitions_expr(vectors, centroids)
+        encoded = _encode_kernel(assigned, codebooks, VECTOR_COL)
+
+        storage = IndexStorage(spark, uri)
+        if not storage.exists():
+            storage.init_meta(
+                index_type=cls.index_type,
+                metric=metric.value,
+                dimensions=dims,
+                num_subspaces=num_subspaces,
+            )
+        cls._write_snapshot(storage, encoded, centroids, codebooks, ts, n)
+        return cls(spark, uri)
+
+    @staticmethod
+    def _write_snapshot(
+        storage: IndexStorage,
+        encoded: DataFrame,
+        centroids: np.ndarray,
+        codebooks: np.ndarray,
+        ts: int,
+        base_size: int | None,
+    ) -> None:
+        spark = storage.spark
+        storage.write_base(
+            encoded,
+            ts,
+            partition_by=PARTITION_COL,
+            base_size=base_size,
+            extra_meta={"partitions": int(centroids.shape[0])},
+        )
+        cdf = spark.createDataFrame(
+            [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
+            f"{PARTITION_COL} int, centroid array<double>",
+        )
+        cdf.coalesce(1).write.parquet(storage.centroids_path(ts))
+        m, n_codes, sub_dim = codebooks.shape
+        rows = [
+            (int(j), int(c), [float(v) for v in codebooks[j, c]])
+            for j in range(m)
+            for c in range(n_codes)
+        ]
+        spark.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>"
+        ).coalesce(1).write.parquet(storage.aux_path(PQ_CODEBOOK_AUX, ts))
+
+    def _write_consolidated(
+        self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
+    ) -> None:
+        """Re-assign + re-encode; reuse centroids/codebooks unless retrain."""
+        if retrain_index:
+            n = vectors.count()
+            k = kw.get("partitions") or default_partitions(n)
+            centroids = train_centroids_ml(
+                vectors, k, default_training_sample_size(n, k), n
+            )
+            srows = vectors.limit(PQ_TRAIN_MAX).collect()
+            sample = np.array([r[VECTOR_COL] for r in srows], dtype=np.float64)
+            codebooks = train_pq_codebooks(sample, self.num_subspaces)
+        else:
+            centroids = self.centroids()
+            codebooks = self.codebooks()
+        assigned = assign_partitions_expr(
+            vectors.select(ID_COL, VECTOR_COL), centroids
+        )
+        encoded = _encode_kernel(assigned, codebooks, VECTOR_COL)
+        self._write_snapshot(self.storage, encoded, centroids, codebooks, ts, None)
+
+    # -- access ---------------------------------------------------------------
+
+    @property
+    def num_subspaces(self) -> int:
+        return int(self.meta["num_subspaces"])
+
+    def centroids(self) -> np.ndarray:
+        rows = (
+            self.spark.read.parquet(self.storage.centroids_path(self.base_ts))
+            .orderBy(PARTITION_COL)
+            .collect()
+        )
+        return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+    def codebooks(self) -> np.ndarray:
+        """(num_subspaces, 256, sub_dim) from the aux table."""
+        rows = (
+            self.spark.read.parquet(
+                self.storage.aux_path(PQ_CODEBOOK_AUX, self.base_ts)
+            )
+            .orderBy("subspace", "code")
+            .collect()
+        )
+        m = self.num_subspaces
+        n_codes = len(rows) // m
+        sub_dim = len(rows[0]["centroid"])
+        out = np.empty((m, n_codes, sub_dim), dtype=np.float64)
+        for r in rows:
+            out[r["subspace"], r["code"]] = r["centroid"]
+        return out
+
+    @property
+    def partitions(self) -> int:
+        for e in reversed(self.meta["ingestions"]):
+            if e["ts"] == self.base_ts:
+                return int(e["partitions"])
+        raise RuntimeError("no ingestion entry for base_ts")
+
+    # -- query ----------------------------------------------------------------
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int | None = None,
+        k_factor: float = 1.0,
+        **kw: Any,
+    ) -> DataFrame:
+        """ADC scan over codes → optional exact re-rank (reference
+        ``ivf_pq_index.py:121-163``).
+
+        ``k_factor=1`` returns ADC (approximate) distances, like the
+        reference; ``k_factor>1`` fetches ``k_factor·k`` coarse candidates
+        and re-scores them exactly against the original vectors.
+        """
+        self._validate_queries(queries)
+        nprobe = nprobe or max(1, int(np.sqrt(self.partitions)))
+        metric = self.metric
+        coarse_k = max(k, int(math.ceil(k * k_factor)))
+
+        q = queries.select(QUERY_ID_COL, VECTOR_COL)
+        q_rows = q.collect()
+        qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+
+        routing = routing_table(self.spark, qids, qmat, self.centroids(), nprobe)
+        parts = sorted({r.partition_id for r in routing.collect()})
+        base = self._base_vectors().where(F.col(PARTITION_COL).isin(parts))
+        if self._has_updates():
+            base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
+
+        coarse = self._adc_scores(base, qids, qmat, routing, coarse_k)
+        order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
+        coarse_topk = topk_window(coarse, [QUERY_ID_COL], order, coarse_k).drop(
+            "rank"
+        )
+
+        if k_factor > 1.0:
+            # exact re-rank join: candidates are tiny (nq·k·k_factor) —
+            # broadcast them against the vector column of the pruned scan
+            cand = coarse_topk.select(QUERY_ID_COL, ID_COL)
+            vecs = self._base_vectors().select(ID_COL, VECTOR_COL)
+            qv = q.select(QUERY_ID_COL, F.col(VECTOR_COL).alias("__qvec"))
+            reranked = (
+                vecs.join(F.broadcast(cand), ID_COL)
+                .join(F.broadcast(qv), QUERY_ID_COL)
+                .select(
+                    QUERY_ID_COL,
+                    ID_COL,
+                    distance_expr("__qvec", VECTOR_COL, metric).alias(
+                        DISTANCE_COL
+                    ),
+                )
+            )
+            result = reranked
+        else:
+            if metric is DistanceMetric.L2:
+                coarse_topk = coarse_topk.withColumn(
+                    DISTANCE_COL, F.sqrt(F.col(DISTANCE_COL))
+                )
+            result = coarse_topk
+
+        if self._has_updates():
+            add_scored = knn_bruteforce_expr(self._additions(), q, k, metric).drop(
+                "rank"
+            )
+            result = result.unionByName(add_scored)
+
+        return topk_window(result, [QUERY_ID_COL], order, k)
+
+    def _adc_scores(
+        self,
+        base: DataFrame,
+        qids: np.ndarray,
+        qmat: np.ndarray,
+        routing: DataFrame,
+        coarse_k: int,
+    ) -> DataFrame:
+        """Asymmetric-distance scan: per-query lookup tables over codes.
+
+        Reference ``sub_distance_asymmetric`` + table builder
+        (``ivf_pq_index.h:627-690``) — table[q, j, c] = ‖q_sub_j − cb[j,c]‖²;
+        vector distance ≈ Σ_j table[q, j, code_j].  Reads only the
+        (partition_id, external_id, code) columns.
+        """
+        import pandas as pd
+
+        cb = self.codebooks()  # (m, 256, sub_dim)
+        m, n_codes, sub_dim = cb.shape
+        nq = qmat.shape[0]
+        tables = np.empty((nq, m, n_codes), dtype=np.float64)
+        for j in range(m):
+            qs = qmat[:, j * sub_dim : (j + 1) * sub_dim]  # (nq, sub_dim)
+            # ‖qs − c‖² for all codes
+            tables[:, j, :] = (
+                np.sum(qs * qs, axis=1)[:, None]
+                + np.sum(cb[j] * cb[j], axis=1)[None, :]
+                - 2.0 * (qs @ cb[j].T)
+            )
+        np.maximum(tables, 0.0, out=tables)
+
+        route_map: dict[int, list[int]] = {}
+        for r in routing.collect():
+            route_map.setdefault(r.partition_id, []).append(r.query_id)
+        qpos = {int(qid): i for i, qid in enumerate(qids)}
+        bc = self.spark.sparkContext.broadcast((qids, tables, route_map, qpos))
+        kk = coarse_k
+        mm = m
+
+        def score(batches):
+            qids_l, tables_l, rmap, qpos_l = bc.value
+            arange_m = np.arange(mm)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for pid, grp in pdf.groupby(PARTITION_COL):
+                    routed = rmap.get(int(pid))
+                    if not routed:
+                        continue
+                    ids = grp[ID_COL].to_numpy(dtype=np.int64)
+                    codes = np.frombuffer(
+                        b"".join(grp[CODE_COL]), dtype=np.uint8
+                    ).reshape(len(ids), mm)
+                    keep = min(kk, len(ids))
+                    dmat = np.empty((len(routed), len(ids)))
+                    for qi, qid in enumerate(routed):
+                        t = tables_l[qpos_l[qid]]  # (m, 256)
+                        dmat[qi] = t[arange_m[None, :], codes].sum(axis=1)
+                    idx = partial_topk_idx(dmat, ids, keep)
+                    yield pd.DataFrame(
+                        {
+                            QUERY_ID_COL: np.repeat(
+                                np.asarray(routed, dtype=np.int64), keep
+                            ),
+                            ID_COL: ids[idx.ravel()],
+                            DISTANCE_COL: dmat[
+                                np.arange(len(routed))[:, None], idx
+                            ].ravel(),
+                        }
+                    )
+
+        return base.select(PARTITION_COL, ID_COL, CODE_COL).mapInPandas(
+            score,
+            schema=f"{QUERY_ID_COL} long, {ID_COL} long, {DISTANCE_COL} double",
+        )

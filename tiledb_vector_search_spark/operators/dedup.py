@@ -80,11 +80,48 @@ def minhash_signatures(
     Docs with fewer than ``shingle_n`` tokens get no signature (dropped,
     like the reference drops empty vectors).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
+    sh = _shingle_docs(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode("__sh").alias("__s")
     )
     mins = [
         F.min(stable_hash64(F.col("__s"), salt=f"#p{p}")).alias(f"h{p}")
+        for p in range(num_perm)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("minhash"),
+    )
+
+
+_MERSENNE_P = 2_147_483_647  # 2^31 − 1
+
+
+def _affine_minhash_signatures(
+    shingled: DataFrame,
+    id_col: str,
+    num_perm: int,
+    seed: int = 0xD0C5,
+) -> DataFrame:
+    """(id, minhash array<long>) via ONE base hash + affine permutations.
+
+    The classic universal-hash minhash family: h_p(s) = (a_p·h(s) + b_p)
+    mod (2³¹−1), with h = xxhash64 folded into [0, 2³¹−1).  One cheap
+    JVM-native hash per shingle instead of ``num_perm`` md5s — internal to
+    the dedup pipeline (the oracle pins the *verified pair* output, and the
+    salted-md5 family stays available as :func:`minhash_signatures` for the
+    oracle-reproducible signature surface).
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE_P, size=num_perm)
+    b = rng.integers(0, _MERSENNE_P, size=num_perm)
+    sh = shingled.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    h = F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P))
+    sh = sh.select(F.col(id_col), h.alias("__h"))
+    mins = [
+        F.min(
+            F.pmod(F.lit(int(a[p])) * F.col("__h") + F.lit(int(b[p])), F.lit(_MERSENNE_P))
+        ).alias(f"h{p}")
         for p in range(num_perm)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
@@ -149,12 +186,36 @@ def _shingle_docs(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
     """(id, shingle array) — computed once and shared between the signature
-    and verification stages (the regex normalize + shingle transform is the
-    expensive per-doc expression; recomputing it on both sides of the verify
-    join doubled the dedup cost)."""
-    return df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh")
-    ).where(F.size("__sh") > 0)
+    and verification stages.
+
+    The token array is projected FIRST and materialized through a
+    ``repartition(id)`` exchange: (a) the exchange pins the token regex to
+    one evaluation per row (Catalyst can't CSE the expression into the
+    shingle lambda, see ``shingles_from_tokens``), (b) it restores
+    parallelism when the corpus arrives as few large files, and (c) hash
+    partitioning by id satisfies the downstream signature ``groupBy(id)``
+    requirement, so the heavy explode→min aggregation runs map-side with no
+    further shuffle.
+    """
+    from tiledb_vector_search_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    # the ≥n-tokens filter is equivalent to "has ≥1 shingle" and sits BEFORE
+    # the exchange: filtering on size(shingles) after the projection would be
+    # pushed below the exchange by Catalyst and drag the whole shingle
+    # expression (with its per-lambda token recomputation) into the scan stage
+    toks = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .where(F.size("__t") >= shingle_n)
+        .repartition(target, F.col(id_col))
+    )
+    return toks.select(
+        F.col(id_col), shingles_from_tokens("__t", shingle_n).alias("__sh")
+    )
 
 
 def jaccard_pairs(
@@ -224,19 +285,7 @@ def minhash_dedup(
     shingled = _shingle_docs(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sh = shingled.select(F.col(id_col), F.explode("__sh").alias("__s"))
-    mins = [
-        F.min(stable_hash64(F.col("__s"), salt=f"#p{p}")).alias(f"h{p}")
-        for p in range(num_perm)
-    ]
-    sigs = (
-        sh.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("minhash"),
-        )
-    )
+    sigs = _affine_minhash_signatures(shingled, id_col, num_perm)
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
     if not verify:
         return cand
@@ -259,6 +308,8 @@ def simhash(
     """
     from tiledb_vector_search_spark.functions.text import tokens
 
+    spark = df.sparkSession
+    df = df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__w")
     ).withColumn("__h", stable_hash64(F.col("__w")))
