@@ -52,6 +52,19 @@ def _bench_queries(spark, sf_dir):
         )
         return idx.query(queries100, 10, nprobe=8).collect()
 
+    def ivf_pq_build_and_query():
+        import shutil
+        from tiledb_vector_search_spark.indexes import IVFPQIndex
+
+        uri = "/tmp/tvs_bench_ivfpq"
+        if os.path.exists(uri):
+            shutil.rmtree(uri)
+        idx = IVFPQIndex.ingest(
+            spark, uri + "/idx", vectors, partitions=32, num_subspaces=8,
+            timestamp=1000,
+        )
+        return idx.query(queries100, 10, nprobe=8, k_factor=4.0).collect()
+
     def minhash_lsh_full():
         return DD.minhash_dedup(docs, num_perm=32, bands=8, threshold=0.9).collect()
 
@@ -72,6 +85,7 @@ def _bench_queries(spark, sf_dir):
         "knn_flat_kernel_100q": knn_kernel,
         "ivf_build_and_query": ivf_build_and_query,
         "ivf_partition_search": reg("ivf_partition_search"),
+        "ivf_pq_build_and_query": ivf_pq_build_and_query,
         "dedup_minhash_lsh_full": minhash_lsh_full,
         "dedup_simhash_full": simhash_full,
         "dedup_exact_groups": reg("dedup_exact_groups"),

@@ -476,6 +476,227 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Deterministic IVF_PQ pipeline: encode → ADC tables → coarse scan →
+# exact re-rank.  Codebooks are the label-seeded deterministic per-subspace
+# means (like cluster_mean_centroids) so the oracle reproduces them exactly;
+# the trained IVFPQIndex uses the same operators with real k-means codebooks
+# (recall-gated in pytest, reference gate 0.75).
+# =====================================================================
+
+_PQ_SUB_DIM = 16  # 64 dims / 4 subspaces
+
+
+def _ordered_fold_sum(pos_col: str, val_col):
+    """Σ values in ``pos_col`` order — deterministic double fold."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col(pos_col), val_col.alias("v")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["v"],
+    )
+
+
+_PQ_ORACLE = """
+WITH dims AS (
+  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS val,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+),
+cb AS (
+  SELECT label AS cl, pos, pos // 16 AS sub,
+         list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y)
+           / count(*) AS c
+  FROM dims GROUP BY label, pos
+),
+ed AS (
+  SELECT d.vec_id, cb.sub, cb.cl,
+         list_reduce(list((d.val - cb.c) * (d.val - cb.c) ORDER BY d.pos),
+                     (x, y) -> x + y) AS dist
+  FROM dims d JOIN cb ON cb.pos = d.pos
+  GROUP BY d.vec_id, cb.sub, cb.cl
+),
+code AS (
+  SELECT vec_id, sub, cl AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, sub ORDER BY dist, cl) AS rn
+    FROM ed) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10),
+qdims AS (
+  SELECT qid, unnest(embedding::DOUBLE[]) AS val,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM q
+),
+dtab AS (
+  SELECT qd.qid, cb.sub, cb.cl,
+         list_reduce(list((qd.val - cb.c) * (qd.val - cb.c) ORDER BY qd.pos),
+                     (x, y) -> x + y) AS dist
+  FROM qdims qd JOIN cb ON cb.pos = qd.pos
+  GROUP BY qd.qid, cb.sub, cb.cl
+),
+adist AS (
+  SELECT dt.qid, c.vec_id,
+         list_reduce(list(dt.dist ORDER BY dt.sub), (x, y) -> x + y) AS ad
+  FROM code c JOIN dtab dt ON dt.sub = c.sub AND dt.cl = c.code
+  GROUP BY dt.qid, c.vec_id
+),
+coarse AS (
+  SELECT qid, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+    FROM adist) WHERE rn <= 20
+),
+rerank AS (
+  SELECT co.qid AS query_id, co.vec_id AS external_id, """ + duckdb_distance_sql(
+    "qq.embedding", "e.embedding", DistanceMetric.SUM_OF_SQUARES
+) + """ AS distance
+  FROM coarse co
+  JOIN q qq ON qq.qid = co.qid
+  JOIN embeddings e ON e.vec_id = co.vec_id
+)
+SELECT query_id, external_id, distance, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance, external_id) AS rank
+  FROM rerank) WHERE rank <= 5
+"""
+
+
+@register("pq_adc_rerank", _PQ_ORACLE)
+def pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + asymmetric-distance scan + k_factor re-rank, fully
+    deterministic (label-seeded codebooks).
+
+    Mirrors the reference's IVF_PQ query dataflow
+    (``ivf_pq_index.h:559-690`` encode/tables, ``ivf_pq_index.py:121-163``
+    ``k_factor`` re-rank): 4 subspaces × 16 dims, codebook entries = the
+    deterministic per-label subspace means, coarse top-20 by table-lookup
+    distance, exact top-5 after re-ranking against the original vectors.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    cb = (
+        dims.groupBy("label", "pos")
+        .agg(
+            (_ordered_fold_sum("vec_id", F.col("val")) / F.count("*")).alias("c")
+        )
+        .select(
+            F.col("label").alias("cl"),
+            "pos",
+            (F.col("pos") / _PQ_SUB_DIM).cast("int").alias("sub"),
+            "c",
+        )
+    )
+    # encode: nearest codebook entry per (vector, subspace)
+    ed = (
+        dims.join(cb, "pos")
+        .groupBy("vec_id", "sub", "cl")
+        .agg(
+            _ordered_fold_sum(
+                "pos", (F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))
+            ).alias("dist")
+        )
+    )
+    code = (
+        topk_window(ed, ["vec_id", "sub"], [F.col("dist").asc(), F.col("cl").asc()], 1)
+        .select("vec_id", "sub", F.col("cl").alias("code"))
+    )
+    # per-query ADC lookup tables
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    qdims = q.select(
+        "qid",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    dtab = (
+        qdims.join(cb, "pos")
+        .groupBy("qid", "sub", "cl")
+        .agg(
+            _ordered_fold_sum(
+                "pos", (F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))
+            ).alias("dist")
+        )
+    )
+    dtab2 = dtab.select(
+        "qid",
+        F.col("sub").alias("dsub"),
+        F.col("cl").alias("dcl"),
+        "dist",
+    )
+    adist = (
+        code.join(
+            dtab2,
+            (F.col("dsub") == F.col("sub")) & (F.col("dcl") == F.col("code")),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(_ordered_fold_sum("sub", F.col("dist")).alias("ad"))
+    )
+    coarse = topk_window(
+        adist, ["qid"], [F.col("ad").asc(), F.col("vec_id").asc()], 20
+    ).select("qid", "vec_id")
+    # exact re-rank of the coarse candidates
+    vecs = emb.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("rv"))
+    qv = q.select("qid", F.col("embedding").alias("qvec"))
+    rerank = (
+        coarse.join(qv, "qid")
+        .join(vecs, coarse.vec_id == vecs.rid)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("external_id"),
+            distance_expr("qvec", "rv", DistanceMetric.SUM_OF_SQUARES).alias(
+                "distance"
+            ),
+        )
+    )
+    res = topk_window(
+        rerank,
+        ["query_id"],
+        [F.col("distance").asc(), F.col("external_id").asc()],
+        5,
+    )
+    return res.select(
+        "query_id", "external_id", "distance", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register("ivf_pq_index_recall")  # non-SQL-expressible: trained codebooks
+def ivf_pq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a real IVF_PQ index (trained coarse centroids + PQ codebooks)
+    and report per-query recall@10 of nprobe=8, k_factor=4 search vs
+    exhaustive — the reference's own gate is 0.75
+    (``test_ingestion.py:24``)."""
+    from tiledb_vector_search_spark.indexes import IVFPQIndex
+    from tiledb_vector_search_spark.operators.knn import knn_bruteforce_expr
+
+    uri = _scratch("ivfpq") + "/idx"
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    idx = IVFPQIndex.ingest(
+        spark, uri, src, partitions=16, num_subspaces=8, timestamp=1000
+    )
+    queries = src.where("external_id < 10").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    approx = idx.query(queries, 10, nprobe=8, k_factor=4.0).select(
+        "query_id", "external_id"
+    )
+    exact = knn_bruteforce_expr(src, queries, 10).select("query_id", "external_id")
+    joined = exact.alias("e").join(
+        approx.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.external_id") == F.col("a.external_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("e.query_id").alias("query_id")).agg(
+        (F.count(F.col("a.external_id")) / F.lit(10.0)).alias("recall")
+    )
+
+
+# =====================================================================
 # Relational surface (TPC-H-ish) — joins, aggregations, windows
 # The reference has none of these as API; our engine gets them from Spark
 # SQL "for free" (SURVEY §2.4 note) and the driver tables exercise them.
