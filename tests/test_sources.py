@@ -1,0 +1,120 @@
+"""File-format sources: fvecs/ivecs/bvecs/u8bin/f32bin/u64bin round trips,
+the reference's own siftmicro fvecs corpus, and end-to-end ingest+recall
+(mirrors ``test_backwards_compatibility.py:12-60``, gate 0.85)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.sources import (
+    autodetect_source_type,
+    read_external_ids,
+    read_source_metadata,
+    read_vectors,
+    write_bvecs,
+    write_f32bin,
+    write_fvecs,
+    write_ivecs,
+    write_u8bin,
+    write_u64bin,
+)
+
+SIFTMICRO = "/root/reference/backwards-compatibility-data/siftmicro_base.fvecs"
+
+
+def test_autodetect():
+    assert autodetect_source_type("a/b.fvecs") == "FVEC"
+    assert autodetect_source_type("a/b.ivecs") == "IVEC"
+    assert autodetect_source_type("a/b.bvecs") == "BVEC"
+    assert autodetect_source_type("a/b.u8bin") == "U8BIN"
+    assert autodetect_source_type("a/b.f32bin") == "F32BIN"
+    assert autodetect_source_type("a/b.parquet") == "PARQUET"
+    assert autodetect_source_type("s3://bucket/dir") == "PARQUET"
+
+
+@pytest.mark.parametrize(
+    "writer,ext,dtype",
+    [
+        (write_fvecs, "fvecs", np.float32),
+        (write_ivecs, "ivecs", np.int32),
+        (write_bvecs, "bvecs", np.uint8),
+        (write_u8bin, "u8bin", np.uint8),
+        (write_f32bin, "f32bin", np.float32),
+    ],
+)
+def test_roundtrip(spark, tmp_path, writer, ext, dtype):
+    rng = np.random.default_rng(3)
+    if dtype == np.uint8:
+        data = rng.integers(0, 255, size=(137, 16)).astype(dtype)
+    elif dtype == np.int32:
+        data = rng.integers(-1000, 1000, size=(137, 16)).astype(dtype)
+    else:
+        data = rng.standard_normal((137, 16)).astype(dtype)
+    path = str(tmp_path / f"v.{ext}")
+    writer(path, data)
+
+    size, dims, dt = read_source_metadata(spark, path)
+    assert (size, dims) == (137, 16)
+
+    df = read_vectors(spark, path, chunk_rows=50)  # force multiple chunks
+    rows = df.orderBy("external_id").collect()
+    assert len(rows) == 137
+    got = np.array([r.vector for r in rows], dtype=np.float32)
+    np.testing.assert_array_equal(got, data.astype(np.float32))
+    assert [r.external_id for r in rows] == list(range(137))
+
+
+def test_external_ids_u64bin(spark, tmp_path):
+    rng = np.random.default_rng(4)
+    data = rng.standard_normal((57, 8)).astype(np.float32)
+    ids = (np.arange(57) * 7 + 1000).astype(np.uint64)
+    vpath = str(tmp_path / "v.fvecs")
+    ipath = str(tmp_path / "ids.u64bin")
+    write_fvecs(vpath, data)
+    write_u64bin(ipath, ids)
+
+    df = read_vectors(spark, vpath, external_ids_uri=ipath, chunk_rows=20)
+    rows = df.orderBy("external_id").collect()
+    assert [r.external_id for r in rows] == sorted(int(i) for i in ids)
+
+    ids_df = read_external_ids(spark, ipath, 57)
+    got = {r.pos: r.external_id for r in ids_df.collect()}
+    assert got == {i: int(ids[i]) for i in range(57)}
+
+    implicit = read_external_ids(spark, None, 5)
+    assert {(r.pos, r.external_id) for r in implicit.collect()} == {
+        (i, i) for i in range(5)
+    }
+
+
+def test_siftmicro_metadata(spark):
+    size, dims, dtype = read_source_metadata(spark, SIFTMICRO)
+    assert dims == 128
+    assert size == 100
+    assert dtype == "float32"
+
+
+def test_siftmicro_ingest_recall(spark, tmp_path):
+    """Ingest the reference's own backwards-compat fvecs corpus into IVF_FLAT
+    and gate recall ≥ 0.85 (``test_backwards_compatibility.py:9``)."""
+    from tiledb_vector_search_spark.indexes import IVFFlatIndex
+    from tiledb_vector_search_spark.operators.knn import knn_bruteforce_expr
+
+    src = read_vectors(spark, SIFTMICRO)
+    idx = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "sift"), src, partitions=8, timestamp=1000
+    )
+    queries = src.where("external_id < 20").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    approx = {
+        (r.query_id, r.external_id)
+        for r in idx.query(queries, 10, nprobe=4).collect()
+    }
+    exact = {
+        (r.query_id, r.external_id)
+        for r in knn_bruteforce_expr(src, queries, 10).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.85

@@ -1,0 +1,25 @@
+from tiledb_vector_search_spark.sources.vecs import (
+    autodetect_source_type,
+    read_external_ids,
+    read_source_metadata,
+    read_vectors,
+    write_bvecs,
+    write_f32bin,
+    write_fvecs,
+    write_ivecs,
+    write_u8bin,
+    write_u64bin,
+)
+
+__all__ = [
+    "autodetect_source_type",
+    "read_external_ids",
+    "read_source_metadata",
+    "read_vectors",
+    "write_bvecs",
+    "write_f32bin",
+    "write_fvecs",
+    "write_ivecs",
+    "write_u8bin",
+    "write_u64bin",
+]
