@@ -1,0 +1,251 @@
+"""Object pipeline (§2.11): readers, embeddings, ObjectIndex e2e.
+
+Mirrors the reference's ``test_object_index.py`` / ``test_directory_reader.py``
+shapes with deterministic stand-in embeddings (model deps absent)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.objects import (
+    BytesHistogramEmbedding,
+    DataFrameObjectReader,
+    DirectoryImageReader,
+    DirectoryTextReader,
+    HashingTextEmbedding,
+    ObjectIndex,
+    RandomEmbedding,
+)
+from tiledb_vector_search_spark.objects.object_index import fuse_multi_vector_scores
+from tiledb_vector_search_spark.objects.readers import _split_text
+
+
+# --- readers ------------------------------------------------------------------
+
+
+def test_split_text_chunks_and_overlap():
+    text = "para one is here.\n\npara two is a bit longer than one.\n\nshort."
+    chunks = _split_text(text, chunk_size=30, overlap=5)
+    assert all(len(c) <= 35 for c in chunks)  # chunk + tolerance for joins
+    assert "".join(chunks).count("para one") >= 1
+    assert _split_text("tiny", 100, 10) == ["tiny"]
+    assert _split_text("   ", 100, 10) == []
+    # no separators: hard slices
+    hard = _split_text("x" * 95, 30, 0)
+    assert all(len(c) <= 30 for c in hard)
+    assert "".join(hard) == "x" * 95
+
+
+def test_directory_text_reader(spark, tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text("hello world. " * 200)
+    (d / "b.txt").write_text("short file")
+    (d / "c.bin").write_bytes(b"\x00\x01")  # excluded by glob
+    reader = DirectoryTextReader(str(d), chunk_size=500, chunk_overlap=50)
+    df = reader.read_objects(spark)
+    rows = df.collect()
+    assert set(df.columns) == {"external_id", "text", "file_path", "chunk_index"}
+    paths = {r.file_path.split("/")[-1] for r in rows}
+    assert paths == {"a.txt", "b.txt"}
+    a_chunks = [r for r in rows if r.file_path.endswith("a.txt")]
+    assert len(a_chunks) > 1  # long file got chunked
+    assert len({r.external_id for r in rows}) == len(rows)  # unique ids
+    # by-ids semi-join
+    some = [rows[0].external_id]
+    sub = reader.read_objects_by_external_ids(spark, some).collect()
+    assert [r.external_id for r in sub] == some
+
+
+def test_directory_image_reader_stub(spark, tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "x.png").write_bytes(b"\x89PNG0123456789abcdef")
+    reader = DirectoryImageReader(str(d), glob="*.png")
+    df = reader.read_objects(spark)
+    r = df.first()
+    assert r.n_bytes == 20
+    assert bytes(r.image).startswith(b"\x89PNG")
+    with pytest.raises(NotImplementedError, match="image decoding"):
+        DirectoryImageReader.decode(bytes(r.image))
+
+
+# --- embeddings ---------------------------------------------------------------
+
+
+def test_hashing_embedding_deterministic():
+    emb = HashingTextEmbedding(dims=16)
+    pdf = pd.DataFrame({"text": ["the quick brown fox", "the quick brown fox", "other"]})
+    m = emb.embed(pdf)
+    assert m.shape == (3, 16)
+    np.testing.assert_array_equal(m[0], m[1])
+    assert not np.array_equal(m[0], m[2])
+    assert abs(np.linalg.norm(m[0]) - 1.0) < 1e-5
+
+
+def test_bytes_histogram_embedding():
+    emb = BytesHistogramEmbedding()
+    pdf = pd.DataFrame({"image": [b"\x00\x00\xff", b""]})
+    m = emb.embed(pdf)
+    assert m.shape == (2, 256)
+    assert abs(m[0, 0] - 2 / 3) < 1e-6 and abs(m[0, 255] - 1 / 3) < 1e-6
+    assert m[1].sum() == 0
+
+
+def test_embedding_transform_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "external_id long, text string"
+    )
+    out = HashingTextEmbedding(dims=8).transform(df, ["text"]).collect()
+    assert {r.external_id for r in out} == {1, 2}
+    assert all(len(r.vector) == 8 for r in out)
+
+
+# --- fusion -------------------------------------------------------------------
+
+
+def test_fuse_multi_vector_scores(spark):
+    # query 0 has 2 query vectors; object 10 scores max 0.9+0.8, object 11 0.7+0.1
+    rows = [
+        (0, 0, 10, 0.9),
+        (0, 0, 10, 0.2),
+        (0, 1, 10, 0.8),
+        (0, 0, 11, 0.7),
+        (0, 1, 11, 0.1),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, query_emb_id long, external_id long, score double"
+    )
+    out = {
+        r.external_id: r.score
+        for r in fuse_multi_vector_scores(df, k=2).collect()
+    }
+    assert abs(out[10] - 1.7) < 1e-9
+    assert abs(out[11] - 0.8) < 1e-9
+
+
+# --- ObjectIndex e2e ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def doc_index(spark, sf_dir, tmp_path_factory):
+    uri = str(tmp_path_factory.mktemp("objidx") / "obj")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang", "source"],
+    )
+    emb = HashingTextEmbedding(dims=16)
+    return ObjectIndex.create(
+        spark, uri, reader, emb, index_type="FLAT", timestamp=1000
+    )
+
+
+def test_object_index_roundtrip(spark, doc_index, sf_dir):
+    # re-open from storage: reader/embedding unpickled
+    idx = ObjectIndex(spark, doc_index.uri)
+    assert isinstance(idx.embedding, HashingTextEmbedding)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3).toPandas()
+    res = idx.query(
+        docs.rename(columns={"doc_id": "query_id"})[["query_id", "text"]],
+        k=5,
+        strategy="expr",
+    )
+    rows = res.collect()
+    assert len(rows) == 15
+    # self-match: each query doc should retrieve itself first (distance 0)
+    best = {
+        r.query_id: r.external_id
+        for r in rows
+        if r.rank == 1
+    }
+    assert best == {int(q): int(q) for q in docs["doc_id"]}
+    # metadata attached
+    assert "lang" in res.columns
+
+
+def test_object_index_metadata_filter(spark, doc_index, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2).toPandas()
+    q = docs.rename(columns={"doc_id": "query_id"})[["query_id", "text"]]
+    res = doc_index.query(
+        q, k=5, metadata_array_cond="lang = 'de'", strategy="expr"
+    ).collect()
+    assert len(res) > 0
+    assert all(r.lang == "de" for r in res)
+    assert all(r.rank <= 5 for r in res)
+
+
+def test_object_index_df_filter_fn(spark, doc_index, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1).toPandas()
+    q = docs.rename(columns={"doc_id": "query_id"})[["query_id", "text"]]
+    res = doc_index.query(
+        q,
+        k=3,
+        metadata_df_filter_fn=lambda pdf: pdf["source"] == "src1",
+        strategy="expr",
+    ).collect()
+    assert len(res) > 0
+    assert all(r.source == "src1" for r in res)
+
+
+def test_object_index_return_objects(spark, doc_index, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1).toPandas()
+    q = docs.rename(columns={"doc_id": "query_id"})[["query_id", "text"]]
+    res = doc_index.query(q, k=2, return_objects=True, strategy="expr")
+    assert "text" in res.columns
+    assert res.count() == 2
+
+
+def test_object_index_update_delete(spark, sf_dir, tmp_path):
+    uri = str(tmp_path / "obj2")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang"],
+    )
+    idx = ObjectIndex.create(
+        spark, uri, reader, HashingTextEmbedding(dims=16),
+        index_type="FLAT", timestamp=1000,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.limit(1).toPandas().rename(columns={"doc_id": "query_id"})[
+        ["query_id", "text"]
+    ]
+    qid = int(q["query_id"].iloc[0])
+    idx.delete_objects([qid], timestamp=2000)
+    idx = ObjectIndex(spark, uri)
+    res = idx.query(q, k=3, strategy="expr").collect()
+    assert all(r.external_id != qid for r in res)
+    # upsert it back with different text
+    upd = spark.createDataFrame(
+        [(qid, "totally new text content")], "external_id long, text string"
+    )
+    idx.update_objects(upd, timestamp=3000)
+    idx = ObjectIndex(spark, uri)
+    res2 = idx.query(
+        pd.DataFrame({"query_id": [0], "text": ["totally new text content"]}),
+        k=1,
+        strategy="expr",
+    ).collect()
+    assert res2[0].external_id == qid
+
+
+def test_random_embedding_pipeline(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"obj {i}") for i in range(50)], "external_id long, text string"
+    )
+    reader = DataFrameObjectReader(df=df, payload_cols=["text"])
+    idx = ObjectIndex.create(
+        spark,
+        str(tmp_path / "robj"),
+        reader,
+        RandomEmbedding(dims=8, seed=7),
+        index_type="FLAT",
+        timestamp=1000,
+    )
+    assert idx.index.size() == 50

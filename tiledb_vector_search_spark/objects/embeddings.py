@@ -1,0 +1,146 @@
+"""Object embeddings: per-executor-loaded Arrow-batched embedding kernels.
+
+Reference ABC: ``embeddings/object_embedding.py:8-60`` — ``load()`` once per
+worker, then ``embed(objects, metadata) -> np.ndarray``.  Model impls
+(SentenceTransformers, HF image, ColPali multi-vector, …) are heavyweight
+deps not present here; the ABC contract plus deterministic toy embeddings
+keep the Spark plumbing real and testable.  A real model drops in by
+implementing ``load``/``embed`` — cloudpickle ships the instance to
+executors exactly like the reference ships source code
+(``object_index.py:884-911``).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.schemas import ID_COL, VECTOR_COL
+
+
+class ObjectEmbedding(ABC):
+    """Maps a batch of objects to vectors (reference ``ObjectEmbedding``)."""
+
+    @abstractmethod
+    def dimensions(self) -> int:
+        """Embedding dimensionality."""
+
+    def load(self) -> None:
+        """Load model state — called once per executor python worker before
+        the first ``embed`` (reference ``object_embedding.py:37-43``)."""
+
+    @abstractmethod
+    def embed(self, objects: pd.DataFrame) -> np.ndarray:
+        """(n, dimensions) float32 embedding of a payload batch."""
+
+    # -- Spark plumbing --------------------------------------------------------
+
+    def transform(self, objects: DataFrame, payload_cols: list[str]) -> DataFrame:
+        """(external_id, vector) for every object — an iterator-of-batches
+        ``mapInPandas`` so ``load()`` runs once per worker, not per batch."""
+        emb = self
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            emb.load()
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = emb.embed(pdf[payload_cols])
+                yield pd.DataFrame(
+                    {
+                        ID_COL: pdf[ID_COL].to_numpy(dtype=np.int64),
+                        VECTOR_COL: list(mat.astype(np.float32)),
+                    }
+                )
+
+        return objects.select(ID_COL, *payload_cols).mapInPandas(
+            run, schema=f"{ID_COL} long, {VECTOR_COL} array<float>"
+        )
+
+
+class HashingTextEmbedding(ObjectEmbedding):
+    """Deterministic feature-hashing text embedding (no model weights).
+
+    Tokens are hashed into ``dimensions`` buckets with a signed count
+    (the classic hashing trick), then L2-normalized.  Deterministic across
+    executors and runs — the test/oracle stand-in for SentenceTransformers.
+    """
+
+    def __init__(self, dims: int = 64, text_col: str = "text"):
+        self._dims = dims
+        self.text_col = text_col
+
+    def dimensions(self) -> int:
+        return self._dims
+
+    def embed(self, objects: pd.DataFrame) -> np.ndarray:
+        import hashlib
+
+        out = np.zeros((len(objects), self._dims), dtype=np.float64)
+        for i, text in enumerate(objects[self.text_col]):
+            for tok in str(text).lower().split():
+                h = hashlib.md5(tok.encode()).digest()
+                bucket = int.from_bytes(h[:4], "big") % self._dims
+                sign = 1.0 if h[4] & 1 else -1.0
+                out[i, bucket] += sign
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, norms, out=out, where=norms > 0)
+        return out.astype(np.float32)
+
+
+class BytesHistogramEmbedding(ObjectEmbedding):
+    """Deterministic byte-histogram features for opaque binary payloads.
+
+    The stand-in for image/audio feature extractors (decode stubbed — see
+    ``DirectoryImageReader.decode``): 256-bin byte histogram, L1-normalized.
+    """
+
+    def __init__(self, payload_col: str = "image"):
+        self.payload_col = payload_col
+
+    def dimensions(self) -> int:
+        return 256
+
+    def embed(self, objects: pd.DataFrame) -> np.ndarray:
+        out = np.zeros((len(objects), 256), dtype=np.float64)
+        for i, blob in enumerate(objects[self.payload_col]):
+            arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+            if arr.size:
+                counts = np.bincount(arr, minlength=256)
+                out[i] = counts / arr.size
+        return out.astype(np.float32)
+
+
+class RandomEmbedding(ObjectEmbedding):
+    """Seeded random embedding keyed by external_id (reference
+    ``embeddings/random_embedding.py``) — for pipeline tests."""
+
+    def __init__(self, dims: int = 16, seed: int = 42):
+        self._dims = dims
+        self.seed = seed
+
+    def dimensions(self) -> int:
+        return self._dims
+
+    def transform(self, objects: DataFrame, payload_cols: list[str]) -> DataFrame:
+        dims, seed = self._dims, self.seed
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids = pdf[ID_COL].to_numpy(dtype=np.int64)
+                mat = np.empty((len(ids), dims), dtype=np.float32)
+                for i, eid in enumerate(ids):
+                    mat[i] = np.random.default_rng(seed ^ int(eid)).standard_normal(dims)
+                yield pd.DataFrame({ID_COL: ids, VECTOR_COL: list(mat)})
+
+        return objects.select(ID_COL).mapInPandas(
+            run, schema=f"{ID_COL} long, {VECTOR_COL} array<float>"
+        )
+
+    def embed(self, objects: pd.DataFrame) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError("RandomEmbedding embeds by id via transform")

@@ -1,0 +1,247 @@
+"""ObjectIndex: index + query arbitrary objects through reader + embedding.
+
+Reference: ``object_api/object_index.py:33-1044`` — create/query/update over
+(reader, embedding, vector index, metadata array).  Key semantics mirrored:
+
+- metadata filtering with **over-fetch**: ``fetch_k = min(50·k, size)`` when
+  a filter is present, then post-filter and truncate to k
+  (``object_index.py:451-453,506-523``)
+- metadata predicate strings are a SQL-WHERE subset → ``F.expr`` directly
+  (``object_index.py:315-324``); pandas row-predicate functions supported
+  via an Arrow-batched filter (``:326-333``)
+- multi-vector embeddings fuse scores per (query, object): max over vector
+  pairs, then sum over query vectors (``_merge_results_per_query``,
+  ``:561-635``)
+- reader/embedding instances are cloudpickled into the group — the Spark
+  analogue of the reference's source-code shipping (``:884-911``)
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.indexes import (
+    FlatIndex,
+    IVFFlatIndex,
+    IVFPQIndex,
+    open_index,
+)
+from tiledb_vector_search_spark.objects.embeddings import ObjectEmbedding
+from tiledb_vector_search_spark.objects.readers import ObjectReader
+from tiledb_vector_search_spark.schemas import (
+    DISTANCE_COL,
+    ID_COL,
+    QUERY_ID_COL,
+    VECTOR_COL,
+)
+from tiledb_vector_search_spark.storage import HadoopFS, now_ms
+
+_INDEX_TYPES = {"FLAT": FlatIndex, "IVF_FLAT": IVFFlatIndex, "IVF_PQ": IVFPQIndex}
+OVERFETCH_FACTOR = 50  # reference object_index.py:451-453
+
+
+def fuse_multi_vector_scores(
+    scored: DataFrame,
+    k: int,
+    query_col: str = QUERY_ID_COL,
+    emb_col: str = "query_emb_id",
+    id_col: str = ID_COL,
+) -> DataFrame:
+    """max-per-(query-vector, object) then sum-per-(query, object) fusion.
+
+    Reference ``_merge_results_per_query`` (``object_index.py:561-635``):
+    works on similarity scores (larger = better).  Input needs columns
+    (query_col, emb_col, id_col, score).
+    """
+    per_emb = scored.groupBy(query_col, emb_col, id_col).agg(
+        F.max("score").alias("s")
+    )
+    fused = per_emb.groupBy(query_col, id_col).agg(F.sum("s").alias("score"))
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+class ObjectIndex:
+    """create/open/query an object index (reference ``object_index.py``)."""
+
+    def __init__(self, spark: SparkSession, uri: str, timestamp: int | None = None):
+        self.spark = spark
+        self.uri = uri.rstrip("/")
+        fs = HadoopFS(spark, self.uri)
+        meta = json.loads(fs.read_text(posixpath.join(self.uri, "_object_meta.json")))
+        self.index_type = meta["index_type"]
+        import pickle
+
+        blob = fs.read_bytes(posixpath.join(self.uri, "_objects.pkl"))
+        self.reader, self.embedding = pickle.loads(blob)
+        self.index = open_index(
+            spark, posixpath.join(self.uri, "vector_index"), timestamp
+        )
+
+    # -- build ----------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        uri: str,
+        reader: ObjectReader,
+        embedding: ObjectEmbedding,
+        index_type: str = "IVF_FLAT",
+        timestamp: int | None = None,
+        **ingest_kw: Any,
+    ) -> "ObjectIndex":
+        """read → embed (mapInPandas) → ingest + metadata table.
+
+        Reference ``ObjectIndex.create`` + ``ingest_embeddings_with_driver``
+        (two chained stages of one Spark job here — the embedding output
+        flows straight into the index ingest without materialization).
+        """
+        if index_type not in _INDEX_TYPES:
+            raise ValueError(f"unknown index_type {index_type!r}")
+        ts = timestamp if timestamp is not None else now_ms()
+        uri = uri.rstrip("/")
+        objects = reader.read_objects(spark)
+        vectors = embedding.transform(objects, reader.payload_columns())
+        _INDEX_TYPES[index_type].ingest(
+            spark,
+            posixpath.join(uri, "vector_index"),
+            vectors,
+            timestamp=ts,
+            **ingest_kw,
+        )
+        meta_cols = reader.metadata_attributes()
+        if meta_cols:
+            objects.select(ID_COL, *meta_cols).write.mode("overwrite").parquet(
+                posixpath.join(uri, "object_metadata")
+            )
+        fs = HadoopFS(spark, uri)
+        import pickle
+
+        fs.write_bytes_atomic(
+            posixpath.join(uri, "_objects.pkl"), pickle.dumps((reader, embedding))
+        )
+        fs.write_text_atomic(
+            posixpath.join(uri, "_object_meta.json"),
+            json.dumps({"index_type": index_type, "ts": ts}),
+        )
+        return cls(spark, uri)
+
+    # -- metadata --------------------------------------------------------------
+
+    def metadata(self) -> DataFrame | None:
+        path = posixpath.join(self.uri, "object_metadata")
+        fs = HadoopFS(self.spark, self.uri)
+        if not fs.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    # -- DML -------------------------------------------------------------------
+
+    def update_objects(self, objects: DataFrame, timestamp: int | None = None) -> None:
+        """Embed and upsert objects into the updates log (reference
+        ``update_index`` incremental path)."""
+        vectors = self.embedding.transform(objects, self.reader.payload_columns())
+        self.index.update_batch(vectors, timestamp)
+
+    def delete_objects(self, external_ids: list[int], timestamp: int | None = None) -> None:
+        self.index.delete_batch(external_ids, timestamp)
+
+    # -- query -----------------------------------------------------------------
+
+    def _embed_queries(self, query_objects) -> DataFrame:
+        """Embed query payloads driver-side (queries are small by contract —
+        same asymmetry as the reference, ``object_index.py:433-449``)."""
+        if isinstance(query_objects, DataFrame):
+            pdf = query_objects.toPandas()
+        else:
+            pdf = pd.DataFrame(query_objects)
+        if QUERY_ID_COL not in pdf.columns:
+            pdf[QUERY_ID_COL] = range(len(pdf))
+        self.embedding.load()
+        mat = self.embedding.embed(pdf[self.reader.payload_columns()])
+        rows = [
+            (int(q), [float(x) for x in mat[i]])
+            for i, q in enumerate(pdf[QUERY_ID_COL])
+        ]
+        return self.spark.createDataFrame(
+            rows, f"{QUERY_ID_COL} long, {VECTOR_COL} array<float>"
+        )
+
+    def query(
+        self,
+        query_objects,
+        k: int,
+        metadata_array_cond: str | None = None,
+        metadata_df_filter_fn: Callable[[pd.DataFrame], Any] | None = None,
+        return_objects: bool = False,
+        return_metadata: bool = True,
+        **query_kw: Any,
+    ) -> DataFrame:
+        """Embed → (over-fetched) kNN → metadata filter → top-k → attach.
+
+        ``metadata_array_cond`` is a SQL-WHERE-subset predicate over the
+        metadata columns (reference TileDB query-condition grammar);
+        ``metadata_df_filter_fn`` an arbitrary pandas row predicate.
+        """
+        queries = self._embed_queries(query_objects)
+        filtering = (
+            metadata_array_cond is not None or metadata_df_filter_fn is not None
+        )
+        if filtering and self.metadata() is None:
+            raise ValueError("no metadata table to filter on")
+        fetch_k = k
+        if filtering:
+            fetch_k = min(OVERFETCH_FACTOR * k, self.index.size())
+        res = self.index.query(queries, fetch_k, **query_kw)
+
+        if filtering:
+            res = res.drop("rank")
+            md = self.metadata()
+            res = res.join(md, ID_COL, "left")
+            if metadata_array_cond is not None:
+                res = res.where(F.expr(metadata_array_cond))
+            if metadata_df_filter_fn is not None:
+                schema = res.schema
+
+                def _filt(batches):
+                    for pdf in batches:
+                        yield pdf[metadata_df_filter_fn(pdf)]
+
+                res = res.mapInPandas(_filt, schema=schema)
+            asc = self.index.metric.ascending
+            order = [
+                F.col(DISTANCE_COL).asc() if asc else F.col(DISTANCE_COL).desc(),
+                F.col(ID_COL).asc(),
+            ]
+            w = Window.partitionBy(QUERY_ID_COL).orderBy(*order)
+            res = (
+                res.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+            )
+        elif return_metadata and self.metadata() is not None:
+            res = res.join(self.metadata(), ID_COL, "left")
+
+        if filtering and return_metadata:
+            pass  # metadata already attached by the filter join
+        elif filtering and not return_metadata:
+            md_cols = [c for c in (self.metadata().columns) if c != ID_COL]
+            res = res.drop(*md_cols)
+
+        if return_objects:
+            objs = self.reader.read_objects_by_external_ids(
+                self.spark, res.select(ID_COL).distinct()
+            )
+            res = res.join(objs, ID_COL, "left")
+        return res

@@ -1253,6 +1253,182 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Object pipeline (§2.11): embed → over-fetch → metadata filter → re-rank.
+# Deterministic hashing-trick text embedding expressible in both engines;
+# the trained ObjectIndex path (cloudpickled reader/embedding) is covered
+# by pytest e2e.  Over-fetch semantics mirror object_index.py:451-523:
+# fetch min(50·k, size) by distance FIRST, filter, then truncate to k —
+# including the reference's truncation behavior when the filter is sparse.
+# =====================================================================
+
+_HASH_EMB_DIMS = 16
+_OBJ_FETCH_K = 250  # 50 · k with k=5 (reference fetch_k rule)
+
+_OBJ_EMB_CTE = """
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS b,
+         CASE WHEN ('0x' || substr(md5(t), 9, 2))::BIGINT % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM tok
+),
+vec0 AS (SELECT doc_id, b, sum(s) AS v FROM feat GROUP BY doc_id, b),
+grid AS (
+  SELECT d.doc_id, t.i FROM (SELECT DISTINCT doc_id FROM documents) d,
+       range(0, 16) t(i)
+),
+dense AS (
+  SELECT g.doc_id, g.i AS pos, coalesce(v.v, 0.0) AS v
+  FROM grid g LEFT JOIN vec0 v ON v.doc_id = g.doc_id AND v.b = g.i
+),
+vecarr AS (
+  SELECT doc_id, list(v ORDER BY pos) AS raw FROM dense GROUP BY doc_id
+),
+emb AS (
+  SELECT doc_id,
+         list_transform(raw, x -> CAST(CAST(CASE WHEN nrm = 0 THEN 0.0
+             ELSE x / nrm END AS FLOAT) AS DOUBLE)) AS v
+  FROM (SELECT doc_id, raw,
+               sqrt(list_reduce(list_transform(raw, x -> x * x),
+                                (a, b) -> a + b)) AS nrm
+        FROM vecarr)
+)
+"""
+
+
+def _hashing_embedding_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, v array<double>): deterministic hashing-trick embedding —
+    the Catalyst twin of ``HashingTextEmbedding`` semantics."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("t"),
+    )
+    feat = tok.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % 16).alias(
+            "b"
+        ),
+        F.when(
+            F.conv(F.substring(F.md5("t"), 9, 2), 16, 10).cast("long") % 2 == 1,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("s"),
+    )
+    vec0 = feat.groupBy("doc_id", "b").agg(F.sum("s").alias("v"))
+    raw = vec0.groupBy("doc_id").agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_HASH_EMB_DIMS - 1)),
+            lambda i: F.coalesce(
+                F.element_at(
+                    F.map_from_entries(F.collect_list(F.struct("b", "v"))),
+                    i.cast("long"),
+                ),
+                F.lit(0.0),
+            ),
+        ).alias("raw")
+    )
+    # docs whose every token hashed away can't occur (any token → a bucket),
+    # but docs absent from vec0 (no tokens) get an all-zero row via join
+    all_docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = all_docs.join(raw, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            "raw",
+            F.array_repeat(F.lit(0.0), _HASH_EMB_DIMS),
+        ).alias("raw"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("raw", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    return raw.select(
+        "doc_id",
+        F.transform(
+            "raw",
+            lambda x: F.when(nrm == 0.0, F.lit(0.0))
+            .otherwise(x / nrm)
+            .cast("float")
+            .cast("double"),
+        ).alias("v"),
+    )
+
+
+@register(
+    "object_filtered_search",
+    "WITH "
+    + _OBJ_EMB_CTE.strip()
+    + """,
+q AS (SELECT doc_id AS qid, v AS qv FROM emb WHERE doc_id < 5),
+fetched AS (
+  SELECT qid AS query_id, doc_id AS external_id, distance FROM (
+    SELECT q.qid, e.doc_id, """
+    + duckdb_distance_sql("q.qv", "e.v", DistanceMetric.SUM_OF_SQUARES)
+    + """ AS distance,
+           row_number() OVER (PARTITION BY q.qid ORDER BY """
+    + duckdb_distance_sql("q.qv", "e.v", DistanceMetric.SUM_OF_SQUARES)
+    + """, e.doc_id) AS rn
+    FROM q CROSS JOIN emb e) WHERE rn <= 250
+),
+filtered AS (
+  SELECT f.* FROM fetched f JOIN documents d ON d.doc_id = f.external_id
+  WHERE d.lang = 'en'
+)
+SELECT query_id, external_id, distance, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance, external_id) AS rank
+  FROM filtered) WHERE rank <= 5
+""",
+)
+def object_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered object search with over-fetch (reference
+    ``object_index.py:451-525``): deterministic text embedding → top-250
+    fetch → ``lang = 'en'`` metadata predicate → re-rank to top-5."""
+    emb = _hashing_embedding_df(spark, sf_dir)
+    q = emb.where("doc_id < 5").select(
+        F.col("doc_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = q.crossJoin(emb.select(F.col("doc_id").alias("external_id"), "v")).select(
+        F.col("qid").alias("query_id"),
+        "external_id",
+        distance_expr("qv", "v", DistanceMetric.SUM_OF_SQUARES).alias("distance"),
+    )
+    fetched = topk_window(
+        scored,
+        ["query_id"],
+        [F.col("distance").asc(), F.col("external_id").asc()],
+        _OBJ_FETCH_K,
+    ).drop("rank")
+    meta = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("external_id"), "lang"
+    )
+    filtered = fetched.join(F.broadcast(meta), "external_id").where(
+        "lang = 'en'"
+    )
+    res = topk_window(
+        filtered,
+        ["query_id"],
+        [F.col("distance").asc(), F.col("external_id").asc()],
+        5,
+    )
+    return res.select(
+        "query_id",
+        "external_id",
+        "distance",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# =====================================================================
 # Index lifecycle entries (build real indexes in a scratch dir)
 # =====================================================================
 

@@ -80,10 +80,13 @@ class HadoopFS:
             stream.close()
 
     def write_text_atomic(self, path: str, content: str) -> None:
+        self.write_bytes_atomic(path, content.encode("utf-8"))
+
+    def write_bytes_atomic(self, path: str, content: bytes) -> None:
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"
         out = self._fs.create(self._p(tmp), True)
         try:
-            out.write(bytearray(content.encode("utf-8")))
+            out.write(bytearray(content))
         finally:
             out.close()
         target = self._p(path)
@@ -91,6 +94,15 @@ class HadoopFS:
             self._fs.delete(target, False)
         if not self._fs.rename(self._p(tmp), target):
             raise IOError(f"rename {tmp} -> {path} failed")
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._fs.open(self._p(path))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
 
     def delete(self, path: str, recursive: bool = True) -> bool:
         p = self._p(path)
