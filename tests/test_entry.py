@@ -27,9 +27,9 @@ def test_entry_smoke(spark):
 def test_oracle_coverage():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing, f"oracles without queries: {missing}"
-    # the non-SQL-expressible set is explicit and small
+    # the non-SQL-expressible set is explicit and small (trained models)
     no_oracle = set(QUERIES) - set(ORACLES)
-    assert no_oracle == {"ivf_index_recall"}
+    assert no_oracle == {"ivf_index_recall", "ivf_pq_index_recall"}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

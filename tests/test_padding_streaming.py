@@ -1,0 +1,139 @@
+"""Result padding, dims validation, and streaming updates ingestion."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.indexes import FlatIndex, IVFFlatIndex, open_index
+from tiledb_vector_search_spark.streaming import (
+    hourly_rollup_stream,
+    stream_updates_to_index,
+)
+
+
+@pytest.fixture(scope="module")
+def small_source(spark):
+    rows = [(i, [float(i), float(i + 1), 0.0, 1.0]) for i in range(6)]
+    return spark.createDataFrame(rows, "external_id long, vector array<float>")
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, small_source, tmp_path_factory):
+    uri = str(tmp_path_factory.mktemp("pad") / "flat")
+    return FlatIndex.ingest(spark, uri, small_source, timestamp=1000)
+
+
+def _queries(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "query_id long, vector array<float>"
+    )
+
+
+def test_padding_short_results(spark, small_index):
+    """k > corpus size → exactly k rows per query, null-padded (reference
+    sentinel padding, index.py:346-350; nulls per SURVEY §1.3)."""
+    q = _queries(spark, [[0.0, 0.0, 0.0, 1.0]])
+    res = small_index.query(q, k=10, pad=True, strategy="expr")
+    rows = res.orderBy("rank").collect()
+    assert len(rows) == 10
+    real = [r for r in rows if r.external_id is not None]
+    padded = [r for r in rows if r.external_id is None]
+    assert len(real) == 6 and len(padded) == 4
+    assert all(r.distance is None for r in padded)
+    assert [r.rank for r in rows] == list(range(1, 11))
+
+
+def test_padding_noop_when_full(spark, small_index):
+    q = _queries(spark, [[0.0, 0.0, 0.0, 1.0]])
+    res = small_index.query(q, k=3, pad=True, strategy="expr").collect()
+    assert len(res) == 3
+    assert all(r.external_id is not None for r in res)
+
+
+def test_padding_ivf(spark, small_source, tmp_path):
+    idx = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "ivfpad"), small_source, partitions=2, timestamp=1000
+    )
+    q = _queries(spark, [[0.0, 0.0, 0.0, 1.0]])
+    res = idx.query(q, k=10, nprobe=2, pad=True).collect()
+    assert len(res) == 10
+
+
+def test_dims_validation(spark, small_index):
+    bad = _queries(spark, [[1.0, 2.0]])  # 2 dims vs index's 4
+    with pytest.raises(ValueError, match="dimensions"):
+        small_index.query(bad, 3)
+
+
+def test_stream_updates_to_index(spark, small_source, tmp_path):
+    uri = str(tmp_path / "sidx")
+    FlatIndex.ingest(spark, uri, small_source, timestamp=1000)
+
+    # file-source stream: write two micro-batch files of updates
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    upd1 = spark.createDataFrame(
+        [(100, [9.0, 9.0, 9.0, 9.0], False), (0, None, True)],
+        "external_id long, vector array<float>, is_del boolean",
+    )
+    upd1.write.parquet(str(in_dir / "b1.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "external_id long, vector array<float>, is_del boolean"
+        ).parquet(str(in_dir) + "/*")
+    )
+    qry = stream_updates_to_index(
+        stream,
+        uri,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        delete_col="is_del",
+    )
+    qry.awaitTermination(120)
+
+    idx = open_index(spark, uri)
+    ids = {r.external_id for r in idx.effective_vectors().collect()}
+    assert 100 in ids  # streamed upsert landed
+    assert 0 not in ids  # streamed tombstone applied
+    # streamed updates consolidate like batch DML
+    idx2 = idx.consolidate_updates(timestamp=9000)
+    assert {r.external_id for r in idx2.effective_vectors().collect()} == ids
+
+
+def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
+    rows = [
+        ("2024-01-01 10:05:00", "click", 1.5),
+        ("2024-01-01 10:45:00", "click", 2.5),
+        ("2024-01-01 11:05:00", "view", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = tmp_path / "events"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(str(src))
+    rolled = hourly_rollup_stream(stream)
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.hour), r.event_type): (r.n, float(r.total_value))
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 4.0)
+    assert got[("2024-01-01 11:00:00", "view")] == (1, 3.0)
+
+
+def test_stream_requires_streaming_df(spark, small_source):
+    with pytest.raises(ValueError, match="streaming"):
+        stream_updates_to_index(small_source, "x", "y")
+    with pytest.raises(ValueError, match="streaming"):
+        hourly_rollup_stream(small_source)

@@ -123,7 +123,8 @@ class Index:
         raise NotImplementedError
 
     def _validate_queries(self, queries: DataFrame) -> None:
-        """Mirror reference validation (``index.py:298-312``)."""
+        """Mirror reference validation (``index.py:298-312``): schema shape
+        AND query dimensionality vs the index's stored dimensions."""
         cols = dict(queries.dtypes)
         if "query_id" not in cols or VECTOR_COL not in cols:
             raise ValueError(
@@ -131,6 +132,12 @@ class Index:
             )
         if not cols[VECTOR_COL].startswith("array<"):
             raise ValueError(f"{VECTOR_COL} must be an array column")
+        first = queries.select(F.size(VECTOR_COL).alias("d")).first()
+        if first is not None and int(first["d"]) != self.dimensions:
+            raise ValueError(
+                f"query dimensions ({int(first['d'])}) do not match index "
+                f"dimensions ({self.dimensions})"
+            )
 
     # -- DML (reference index.py:418-501) -------------------------------------
 

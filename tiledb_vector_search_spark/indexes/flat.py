@@ -67,15 +67,23 @@ class FlatIndex(Index):
         queries: DataFrame,
         k: int,
         strategy: str = "kernel",
+        pad: bool = False,
         **kw: Any,
     ) -> DataFrame:
         """Exact top-k: (query_id, external_id, distance, rank).
 
         Reference drives ``query_vq_heap`` over the RAM-resident matrix
         (``flat_index.py:115-147``); here the updates overlay and scan are
-        one lazy plan (see ``Index`` docstring).
+        one lazy plan (see ``Index`` docstring).  ``pad=True`` null-pads
+        short result sets to exactly k rows per query (the reference's
+        sentinel-padding contract, ``index.py:346-350``).
         """
         self._validate_queries(queries)
-        return knn_bruteforce(
+        res = knn_bruteforce(
             self.effective_vectors(), queries, k, self.metric, strategy=strategy
         )
+        if pad:
+            from tiledb_vector_search_spark.operators.topk import pad_to_k
+
+            res = pad_to_k(res, queries, k)
+        return res

@@ -191,6 +191,7 @@ class IVFFlatIndex(Index):
         k: int,
         nprobe: int | None = None,
         strategy: str = "kernel",
+        pad: bool = False,
         **kw: Any,
     ) -> DataFrame:
         """Probe-routed top-k (reference ``ivf_flat_index.py:262-525``).
@@ -246,7 +247,12 @@ class IVFFlatIndex(Index):
             base_topk = base_topk.unionByName(add_scored)
 
         order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
-        return topk_window(base_topk, [QUERY_ID_COL], order, k)
+        res = topk_window(base_topk, [QUERY_ID_COL], order, k)
+        if pad:
+            from tiledb_vector_search_spark.operators.topk import pad_to_k
+
+            res = pad_to_k(res, queries, k)
+        return res
 
     def _kernel_scores(
         self,

@@ -306,6 +306,7 @@ class IVFPQIndex(Index):
         k: int,
         nprobe: int | None = None,
         k_factor: float = 1.0,
+        pad: bool = False,
         **kw: Any,
     ) -> DataFrame:
         """ADC scan over codes → optional exact re-rank (reference
@@ -368,7 +369,12 @@ class IVFPQIndex(Index):
             )
             result = result.unionByName(add_scored)
 
-        return topk_window(result, [QUERY_ID_COL], order, k)
+        res = topk_window(result, [QUERY_ID_COL], order, k)
+        if pad:
+            from tiledb_vector_search_spark.operators.topk import pad_to_k
+
+            res = pad_to_k(res, queries, k)
+        return res
 
     def _adc_scores(
         self,

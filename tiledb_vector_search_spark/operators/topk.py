@@ -44,3 +44,31 @@ def topk_window(
     return df.withColumn(rank_col, F.row_number().over(w)).where(
         F.col(rank_col) <= k
     )
+
+
+def pad_to_k(
+    results: DataFrame,
+    queries: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Guarantee exactly k rows per query, null-padded.
+
+    The reference pads short result sets with sentinel
+    ``(MAX_FLOAT32, MAX_UINT64)`` pairs (``index.py:346-350``,
+    ``ivf_flat_index.py:520-522``); per SURVEY §1.3 the sentinels become
+    SQL nulls.  Implemented as a left join of the (query × rank 1..k) grid —
+    the grid is nq·k rows, always tiny.
+    """
+    grid = (
+        queries.select(query_col)
+        .distinct()
+        .select(
+            query_col,
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias(rank_col),
+        )
+    )
+    value_cols = [c for c in results.columns if c not in (query_col, rank_col)]
+    padded = grid.join(results, [query_col, rank_col], "left")
+    return padded.select(query_col, *value_cols, rank_col)

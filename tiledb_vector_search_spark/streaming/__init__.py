@@ -1,0 +1,6 @@
+from tiledb_vector_search_spark.streaming.updates import (
+    hourly_rollup_stream,
+    stream_updates_to_index,
+)
+
+__all__ = ["stream_updates_to_index", "hourly_rollup_stream"]

@@ -1,0 +1,109 @@
+"""Structured Streaming ingestion into the updates log (+ windowed rollups).
+
+Reference status (SURVEY §2.12): the reference has no streaming engine — its
+nearest analogue is the sparse ``updates`` array receiving upserts plus
+periodic ``consolidate_updates`` (``index.py:503-577``), i.e. an
+incremental-batch pattern.  Spark mapping: a ``readStream`` source feeding
+``foreachBatch`` micro-batches into the same updates log the batch DML path
+writes (``Index.update_batch``), with latest-wins resolution at read
+(``IndexStorage.read_updates``) providing MERGE semantics.  The log's
+auto-compaction and ``consolidate_updates`` then work unchanged — streaming
+and batch DML share one code path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from tiledb_vector_search_spark.schemas import ID_COL, VECTOR_COL
+
+
+def stream_updates_to_index(
+    stream: DataFrame,
+    index_uri: str,
+    checkpoint_dir: str,
+    id_col: str = ID_COL,
+    vector_col: str = VECTOR_COL,
+    delete_col: str | None = None,
+    available_now: bool = True,
+    **trigger_kw: Any,
+) -> StreamingQuery:
+    """``writeStream.foreachBatch`` → upserts/tombstones into the index.
+
+    Each micro-batch becomes one timestamped updates batch (exactly the unit
+    the reference's update fragments model), so time travel sees streaming
+    writes the same way it sees batch DML.  ``delete_col`` (boolean) marks
+    tombstone rows; the rest are upserts.
+
+    ``available_now=True`` drains the available input then stops — the
+    incremental-batch pattern; pass ``processingTime='...'`` via
+    ``trigger_kw`` for continuous micro-batching.
+    """
+    if not stream.isStreaming:
+        raise ValueError("stream_updates_to_index needs a streaming DataFrame")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from tiledb_vector_search_spark.indexes import open_index
+
+        idx = open_index(batch_df.sparkSession, index_uri)
+        if delete_col is not None:
+            deletes = batch_df.where(F.col(delete_col)).select(
+                F.col(id_col).cast("long")
+            )
+            ids = [r[0] for r in deletes.collect()]
+            if ids:
+                idx.delete_batch(ids)
+            batch_df = batch_df.where(~F.col(delete_col))
+        ups = batch_df.select(
+            F.col(id_col).cast("long").alias(ID_COL),
+            F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
+        )
+        if ups.isEmpty():
+            return
+        idx.update_batch(ups)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_kw:
+        writer = writer.trigger(**trigger_kw)
+    return writer.start()
+
+
+def hourly_rollup_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the batch ``events_hourly_rollup`` query: tumbling
+    1-hour window + watermark for late data (SURVEY §2.12 mapping).
+
+    Returns a streaming DataFrame ready for ``writeStream`` (append mode
+    emits a window once the watermark passes its end).
+    """
+    if not events.isStreaming:
+        raise ValueError("hourly_rollup_stream needs a streaming DataFrame")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour").alias("win"), F.col(type_col))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(10,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            F.col(type_col),
+            "n",
+            "total_value",
+        )
+    )
