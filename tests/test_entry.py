@@ -29,7 +29,11 @@ def test_oracle_coverage():
     assert not missing, f"oracles without queries: {missing}"
     # the non-SQL-expressible set is explicit and small (trained models)
     no_oracle = set(QUERIES) - set(ORACLES)
-    assert no_oracle == {"ivf_index_recall", "ivf_pq_index_recall"}
+    assert no_oracle == {
+        "ivf_index_recall",
+        "ivf_pq_index_recall",
+        "vamana_index_recall",
+    }
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

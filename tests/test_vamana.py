@@ -1,0 +1,137 @@
+"""Vamana: graph kernels, sharded index build/query, DML, recall gate.
+
+Mirrors the reference's Vamana coverage (``test_ingestion.py`` VAMANA cases,
+gate 0.85; ``unit_vamana_index.cc`` kernel shapes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.indexes import VamanaIndex, open_index
+from tiledb_vector_search_spark.ml.vamana import (
+    _greedy_search,
+    _robust_prune,
+    build_vamana_graph,
+    medoid_index,
+    search_vamana_graph,
+)
+from tiledb_vector_search_spark.operators.knn import knn_bruteforce_expr
+
+MIN_RECALL = 0.85
+
+
+# --- kernels ------------------------------------------------------------------
+
+
+def test_medoid_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((200, 8))
+    got = medoid_index(x)
+    totals = np.array([np.sum((x - v) ** 2) for v in x])
+    assert got == int(np.argmin(totals))
+
+
+def test_robust_prune_degree_bound():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((100, 4))
+    out = _robust_prune(x, 0, np.arange(100), alpha=1.2, r_max=8)
+    assert len(out) <= 8
+    assert 0 not in out
+    # nearest candidate always kept
+    d = np.sum((x - x[0]) ** 2, axis=1)
+    d[0] = np.inf
+    assert int(np.argmin(d)) in out
+
+
+def test_graph_build_and_exact_search():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((300, 16))
+    adj, med = build_vamana_graph(x, r_max=16, l_build=48)
+    assert len(adj) == 300
+    assert all(len(a) <= 16 for a in adj)
+    assert all(i not in a for i, a in enumerate(adj))
+    # graph search finds the true nearest neighbors for in-corpus queries
+    hits = 0
+    for qi in range(20):
+        vi, vd = search_vamana_graph(x, adj, med, x[qi], 1, l_search=48)
+        hits += int(vi[0] == qi)
+    assert hits >= 19  # self is distance 0; a miss would mean a broken graph
+
+
+def test_greedy_search_visits_sorted():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((50, 4))
+    adj, med = build_vamana_graph(x, r_max=8, l_build=16)
+    vi, vd = _greedy_search(x, adj, med, x[7], 16)
+    assert list(vd) == sorted(vd)
+
+
+# --- index e2e ----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def source(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+
+
+@pytest.fixture(scope="module")
+def vam_index(spark, source, tmp_path_factory):
+    uri = str(tmp_path_factory.mktemp("vam") / "idx")
+    return VamanaIndex.ingest(spark, uri, source, shards=4, timestamp=1000)
+
+
+def test_recall_gate(spark, source, vam_index):
+    queries = source.where("external_id < 20").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    exact = {
+        (r.query_id, r.external_id)
+        for r in knn_bruteforce_expr(source, queries, 10).collect()
+    }
+    approx = {
+        (r.query_id, r.external_id)
+        for r in vam_index.query(queries, 10, nprobe=3).collect()
+    }
+    assert len(approx & exact) / len(exact) >= MIN_RECALL
+
+
+def test_open_dispatch(spark, vam_index):
+    idx = open_index(spark, vam_index.uri)
+    assert isinstance(idx, VamanaIndex)
+    assert idx.partitions == 4
+    assert len(idx.medoids()) == 4
+
+
+def test_delete_update_consolidate(spark, source, tmp_path):
+    uri = str(tmp_path / "vamdml")
+    idx = VamanaIndex.ingest(spark, uri, source, shards=2, timestamp=1000)
+    n0 = idx.size()
+    queries = source.where("external_id < 5").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    idx.delete(2, timestamp=2000)
+    v = source.where("external_id = 3").select("vector").first()[0]
+    idx.update(1000_000, [float(x) for x in v], timestamp=3000)
+    idx = open_index(spark, uri)
+    assert idx.size() == n0  # one deleted, one added
+    res = idx.query(queries, 10, nprobe=2)
+    assert res.where("external_id = 2").count() == 0
+    assert res.where("external_id = 1000000").count() > 0  # addition found
+    idx2 = idx.consolidate_updates(timestamp=4000)
+    res2 = idx2.query(queries, 10, nprobe=2)
+    assert res2.where("external_id = 2").count() == 0
+    assert res2.where("external_id = 1000000").count() > 0  # now in the graph
+    base = idx2._base_vectors()
+    assert "neighbors" in base.columns
+
+
+def test_unsupported_metric(spark, source, tmp_path):
+    with pytest.raises(ValueError, match="does not support"):
+        VamanaIndex.ingest(
+            spark, str(tmp_path / "bad"), source, metric="inner_product"
+        )

@@ -248,18 +248,16 @@ def open_index(spark: SparkSession, uri: str, timestamp: int | None = None) -> I
     ``index.py:922-994`` ``open()``."""
     from tiledb_vector_search_spark.indexes.flat import FlatIndex
     from tiledb_vector_search_spark.indexes.ivf_flat import IVFFlatIndex
+    from tiledb_vector_search_spark.indexes.ivf_pq import IVFPQIndex
+    from tiledb_vector_search_spark.indexes.vamana import VamanaIndex
 
     meta = IndexStorage(spark, uri).read_meta()
     types: dict[str, type[Index]] = {
         "FLAT": FlatIndex,
         "IVF_FLAT": IVFFlatIndex,
+        "IVF_PQ": IVFPQIndex,
+        "VAMANA": VamanaIndex,
     }
-    try:
-        from tiledb_vector_search_spark.indexes.ivf_pq import IVFPQIndex
-
-        types["IVF_PQ"] = IVFPQIndex
-    except ImportError:
-        pass
     t = meta.get("index_type")
     if t not in types:
         raise ValueError(f"unknown index_type {t!r} at {uri}")

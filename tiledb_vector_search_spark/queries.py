@@ -661,6 +661,88 @@ def pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "medoid_exact",
+    """
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, """
+    + duckdb_distance_sql("a.embedding", "b.embedding", DistanceMetric.SUM_OF_SQUARES)
+    + """ AS d
+  FROM s a JOIN s b ON a.vec_id <> b.vec_id
+),
+totals AS (
+  SELECT va AS vec_id,
+         list_reduce(list(d ORDER BY vb), (x, y) -> x + y) AS total
+  FROM pairs GROUP BY va
+)
+SELECT vec_id, round(total, 6) AS total_distance, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY total, vec_id) AS rank
+  FROM totals) WHERE rank <= 5
+""",
+)
+def medoid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact medoid (argmin of summed distances to all others) — the Vamana
+    graph entry point (reference ``vamana_index.h:70-100``).  Emits the 5
+    most-central vectors for a non-trivial oracle comparison."""
+    s = _t(spark, sf_dir, "embeddings").where("vec_id < 200")
+    a = s.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = s.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            distance_expr("ea", "eb", DistanceMetric.SUM_OF_SQUARES).alias("d"),
+        )
+    )
+    totals = pairs.groupBy("va").agg(
+        _ordered_fold_sum("vb", F.col("d")).alias("total")
+    )
+    res = topk_window(
+        totals.select(F.col("va").alias("vec_id"), "total"),
+        [],
+        [F.col("total").asc(), F.col("vec_id").asc()],
+        5,
+    )
+    return res.select(
+        "vec_id",
+        F.round("total", 6).alias("total_distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register("vamana_index_recall")  # non-SQL-expressible: graph build
+def vamana_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a sharded Vamana graph index and report per-query recall@10 of
+    nprobe=3 graph search vs exhaustive (reference gate 0.85,
+    ``test_ingestion.py:23``)."""
+    from tiledb_vector_search_spark.indexes import VamanaIndex
+    from tiledb_vector_search_spark.operators.knn import knn_bruteforce_expr
+
+    uri = _scratch("vamana") + "/idx"
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    idx = VamanaIndex.ingest(spark, uri, src, shards=4, timestamp=1000)
+    queries = src.where("external_id < 10").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    approx = idx.query(queries, 10, nprobe=3).select("query_id", "external_id")
+    exact = knn_bruteforce_expr(src, queries, 10).select("query_id", "external_id")
+    joined = exact.alias("e").join(
+        approx.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.external_id") == F.col("a.external_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("e.query_id").alias("query_id")).agg(
+        (F.count(F.col("a.external_id")) / F.lit(10.0)).alias("recall")
+    )
+
+
 @register("ivf_pq_index_recall")  # non-SQL-expressible: trained codebooks
 def ivf_pq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a real IVF_PQ index (trained coarse centroids + PQ codebooks)
