@@ -153,3 +153,18 @@ def test_partition_pruning_in_plan(spark, ivf_uri, queries):
     df = idx.query(queries.limit(1), 3, nprobe=2, strategy="expr")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [partition_id" in plan, plan
+
+
+def test_join_strategy_matches_kernel(spark, ivf_uri, queries):
+    """The fully distributed large-nq plan (routing by broadcast join, no
+    driver collect) must return the same results as the kernel path."""
+    idx = open_index(spark, ivf_uri)
+    a = {
+        (r.query_id, r.rank, r.external_id)
+        for r in idx.query(queries, 5, nprobe=4, strategy="kernel").collect()
+    }
+    b = {
+        (r.query_id, r.rank, r.external_id)
+        for r in idx.query(queries, 5, nprobe=4, strategy="join").collect()
+    }
+    assert a == b

@@ -9,14 +9,22 @@ kernels, PQ encode/decode).
 
 Public surface (mirrors the reference's ``tiledb.vector_search`` package):
 
-- :mod:`.indexes` — ``FlatIndex``, ``IVFFlatIndex``, ``IVFPQIndex``
-  (reference: ``apis/python/src/tiledb/vector_search/{flat,ivf_flat,ivf_pq}_index.py``)
+- :mod:`.indexes` — ``FlatIndex``, ``IVFFlatIndex``, ``IVFPQIndex``,
+  ``VamanaIndex`` (reference:
+  ``apis/python/src/tiledb/vector_search/{flat,ivf_flat,ivf_pq,vamana}_index.py``)
+- :mod:`.sources` — FVEC/IVEC/BVEC/U8BIN/F32BIN/U64BIN file decoders,
+  format autodetect, header metadata (reference ``ingestion.py:400-1075``)
+- :mod:`.objects` — ObjectReader/ObjectEmbedding ABCs, directory readers,
+  ``ObjectIndex`` with filtered over-fetch queries (reference
+  ``object_api/object_index.py``)
 - :mod:`.operators.knn` — the k-NN plan builders (brute force, IVF-routed)
 - :mod:`.operators.dedup` — LLM-data-pipeline dedup (exact, minhash-LSH,
-  simhash, n-gram jaccard, embedding near-dup)
+  simhash, n-gram jaccard, hyperplane-LSH embedding near-dup)
 - :mod:`.functions` — distance/vector/text column functions
-- :mod:`.storage` — index group storage, updates log, time travel
-  (reference: ``index.py`` timestamp semantics)
+- :mod:`.streaming` — Structured Streaming upserts into the updates log,
+  windowed rollups (SURVEY §2.12 mapping)
+- :mod:`.storage` — index group storage (Hadoop FS portable), updates log,
+  time travel (reference: ``index.py`` timestamp semantics)
 """
 
 from tiledb_vector_search_spark.session import get_spark

@@ -185,19 +185,30 @@ class IVFFlatIndex(Index):
 
     # -- query ----------------------------------------------------------------
 
+    # query batches beyond this route via a distributed join instead of a
+    # driver collect (the reference's "queries are small" contract no longer
+    # holds, e.g. bulk self-join / dataset-vs-dataset search)
+    LARGE_NQ = 4096
+
     def query(
         self,
         queries: DataFrame,
         k: int,
         nprobe: int | None = None,
-        strategy: str = "kernel",
+        strategy: str = "auto",
         pad: bool = False,
         **kw: Any,
     ) -> DataFrame:
         """Probe-routed top-k (reference ``ivf_flat_index.py:262-525``).
 
         Default nprobe = √partitions — the reference's "accuracy close to
-        100%" rule of thumb (``ivf_flat_index.py:215``).
+         100%" rule of thumb (``ivf_flat_index.py:215``).
+
+        Strategies: ``kernel`` (broadcast queries + Arrow/BLAS partial
+        top-k — small query batches), ``expr`` (Catalyst distance
+        expressions, oracle-exact), ``join`` (fully distributed: routing by
+        broadcast-join, no driver collect — large query batches), ``auto``
+        (kernel below LARGE_NQ queries, join above).
         """
         self._validate_queries(queries)
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)))
@@ -206,6 +217,11 @@ class IVFFlatIndex(Index):
         q = queries.select(QUERY_ID_COL, VECTOR_COL)
         if metric is DistanceMetric.COSINE:
             q = q.withColumn(VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>"))
+        if strategy == "auto":
+            nq_bounded = q.limit(self.LARGE_NQ + 1).count()
+            strategy = "join" if nq_bounded > self.LARGE_NQ else "kernel"
+        if strategy == "join":
+            return self._query_join(q, k, nprobe, metric, pad, queries)
         q_rows = q.collect()
         qids = np.array([r[0] for r in q_rows], dtype=np.int64)
         qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -248,6 +264,57 @@ class IVFFlatIndex(Index):
 
         order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
         res = topk_window(base_topk, [QUERY_ID_COL], order, k)
+        if pad:
+            from tiledb_vector_search_spark.operators.topk import pad_to_k
+
+            res = pad_to_k(res, queries, k)
+        return res
+
+    def _query_join(
+        self,
+        q: DataFrame,
+        k: int,
+        nprobe: int,
+        metric: DistanceMetric,
+        pad: bool,
+        queries: DataFrame,
+    ) -> DataFrame:
+        """Fully distributed query plan: no driver materialization.
+
+        routing = queries ⋈ broadcast(centroids) rank ≤ nprobe; scoring =
+        base ⋈ routing (shuffle on partition_id) ⋈ queries (shuffle on
+        query_id) → distance expr → window top-k.  The plan the VERDICT
+        plan-audit asked to make the large-nq default: wall-clock scales
+        with cluster width, not driver memory.
+        """
+        from tiledb_vector_search_spark.operators.routing import routing_table_join
+
+        routing = routing_table_join(
+            q, self.centroids(), nprobe, QUERY_ID_COL, VECTOR_COL
+        )
+        base = self._base_vectors()
+        if self._has_updates():
+            base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
+        scored = (
+            base.select(PARTITION_COL, ID_COL, VECTOR_COL)
+            .join(routing, PARTITION_COL)
+            .join(
+                q.select(QUERY_ID_COL, F.col(VECTOR_COL).alias("__qvec")),
+                QUERY_ID_COL,
+            )
+            .select(
+                QUERY_ID_COL,
+                ID_COL,
+                distance_expr("__qvec", VECTOR_COL, metric).alias(DISTANCE_COL),
+            )
+        )
+        if self._has_updates():
+            add_scored = knn_bruteforce_expr(self._additions(), q, k, metric).drop(
+                "rank"
+            )
+            scored = scored.unionByName(add_scored)
+        order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
+        res = topk_window(scored, [QUERY_ID_COL], order, k)
         if pad:
             from tiledb_vector_search_spark.operators.topk import pad_to_k
 

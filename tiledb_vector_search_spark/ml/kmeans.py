@@ -37,6 +37,14 @@ def default_training_sample_size(n: int, partitions: int) -> int:
     return max(1, min(n, 100 * partitions, MAX_TRAINING_SAMPLE))
 
 
+# below these bounds the sample trains centralized on the driver (the
+# reference's own judgment: centralised_kmeans_udf runs sklearn on a ≤1M
+# sample, ingestion.py:1343-1414); Spark ML's k-means|| rounds cost seconds
+# of JVM scheduling that dwarf the numpy fit on small samples
+CENTRALIZED_SAMPLE_MAX = 100_000
+CENTRALIZED_K_MAX = 1024
+
+
 def train_centroids_ml(
     vectors: DataFrame,
     k: int,
@@ -46,16 +54,24 @@ def train_centroids_ml(
     max_iter: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
-    """Spark ML KMeans on a sample → (k, d) float64 centroid matrix.
+    """KMeans on a sample → (k, d) float64 centroid matrix.
 
-    maxIter=10 matches the reference's sklearn call
-    (``ingestion.py:1384-1391``).
+    Small samples (≤100k rows, k ≤ 1024) train centralized with numpy
+    k-means++ on the driver — exactly the reference's centralized path; the
+    distributed Spark ML form kicks in beyond that.  maxIter=10 matches the
+    reference's sklearn call (``ingestion.py:1384-1391``).
     """
+    frac = min(1.0, (sample_size * 1.2) / max(total, 1))
+    sample = vectors if frac >= 1.0 else vectors.sample(frac, seed=seed)
+
+    if sample_size <= CENTRALIZED_SAMPLE_MAX and k <= CENTRALIZED_K_MAX:
+        rows = sample.select(F.col(vector_col)).limit(sample_size).collect()
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+        return kmeans_numpy(x, k, max_iter=max_iter, seed=seed, init="k-means++")
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    frac = min(1.0, (sample_size * 1.2) / max(total, 1))
-    sample = vectors if frac >= 1.0 else vectors.sample(frac, seed=seed)
     feats = sample.select(
         array_to_vector(F.col(vector_col).cast("array<double>")).alias("features")
     )
@@ -65,20 +81,38 @@ def train_centroids_ml(
     return np.array(model.clusterCenters(), dtype=np.float64)
 
 
+def _kmeans_pp_init(x: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """k-means++ seeding (reference ``kmeans_pp``, ``kmeans.h:72-180``)."""
+    n = x.shape[0]
+    centroids = np.empty((k, x.shape[1]), dtype=np.float64)
+    centroids[0] = x[rng.integers(n)]
+    d2 = np.sum((x - centroids[0]) ** 2, axis=1)
+    for i in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centroids[i] = x[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, np.sum((x - centroids[i]) ** 2, axis=1))
+    return centroids
+
+
 def kmeans_numpy(
     x: np.ndarray,
     k: int,
     max_iter: int = 10,
     seed: int = 42,
+    init: str = "random",
 ) -> np.ndarray:
-    """Plain Lloyd's with random init for small problems (PQ codebooks).
+    """Plain Lloyd's for centralized problems (PQ codebooks, small samples).
 
-    Reference analogue: ``sub_kmeans_random_init`` (``kmeans.h:423-615``).
+    Reference analogue: ``sub_kmeans_random_init`` (``kmeans.h:423-615``)
+    and ``kmeans_pp`` init (``kmeans.h:72-180``).
     """
     rng = np.random.default_rng(seed)
     n = x.shape[0]
     k = min(k, n)
-    centroids = x[rng.choice(n, size=k, replace=False)].astype(np.float64)
+    if init == "k-means++":
+        centroids = _kmeans_pp_init(x, k, rng)
+    else:
+        centroids = x[rng.choice(n, size=k, replace=False)].astype(np.float64)
     for _ in range(max_iter):
         # pairwise sq dists via the BLAS identity
         d = (

@@ -52,3 +52,47 @@ def routing_table(
 ) -> DataFrame:
     pairs = route_queries(qids, qmat, centroids, nprobe)
     return spark.createDataFrame(pairs, "query_id long, partition_id int")
+
+
+def routing_table_join(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    query_id_col: str = "query_id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Distributed routing: queries × broadcast(centroids) → rank ≤ nprobe.
+
+    The scale path when the query batch itself is large (the reference's
+    small-query contract doesn't hold): no driver collect — routing is a
+    broadcast nested-loop + WindowGroupLimit, fully distributed.
+    """
+    from pyspark.sql import functions as F
+
+    from tiledb_vector_search_spark.functions.distance import (
+        DistanceMetric,
+        distance_expr,
+    )
+    from tiledb_vector_search_spark.operators.topk import topk_window
+
+    spark = queries.sparkSession
+    nprobe = min(nprobe, centroids.shape[0])
+    cdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "partition_id int, centroid array<double>",
+    )
+    scored = queries.select(query_id_col, vector_col).crossJoin(
+        F.broadcast(cdf)
+    ).select(
+        query_id_col,
+        "partition_id",
+        distance_expr(vector_col, "centroid", DistanceMetric.SUM_OF_SQUARES).alias(
+            "__d"
+        ),
+    )
+    return topk_window(
+        scored,
+        [query_id_col],
+        [F.col("__d").asc(), F.col("partition_id").asc()],
+        nprobe,
+    ).select(query_id_col, "partition_id")

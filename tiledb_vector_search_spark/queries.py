@@ -662,6 +662,78 @@ def pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparse_coo_scan",
+    """
+WITH dims AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings WHERE vec_id < 50
+),
+coo AS (SELECT vec_id, pos, val FROM dims WHERE pos % 3 <> 0),
+grid AS (
+  SELECT d.vec_id, t.i FROM (SELECT DISTINCT vec_id FROM coo) d,
+       range(0, 64) t(i)
+)
+SELECT g.vec_id, g.i AS pos, coalesce(c.val, 0.0) AS val
+FROM grid g LEFT JOIN coo c ON c.vec_id = g.vec_id AND c.pos = g.i
+""",
+)
+def sparse_coo_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse COO triples → dense vectors (reference TILEDB_SPARSE_ARRAY
+    scan, ``ingestion.py:950-970``): the COO source is the embeddings table
+    with every third position dropped; the operator densifies with 0-fill
+    and the entry re-explodes for value-level comparison."""
+    from tiledb_vector_search_spark.sources import sparse_coo_to_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").where("vec_id < 50")
+    coo = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).where("pos % 3 <> 0")
+    dense = sparse_coo_to_vectors(
+        coo, dims=64, id_col="vec_id", idx_col="pos", val_col="val"
+    )
+    return dense.select(
+        F.col("external_id").alias("vec_id"),
+        F.posexplode("vector").alias("pos", "val"),
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "val")
+
+
+@register(
+    "partitioned_blob_scan",
+    """
+SELECT vec_id AS external_id, unnest(embedding::DOUBLE[]) AS val,
+       generate_subscripts(embedding, 1) - 1 AS pos
+FROM embeddings WHERE label < 3
+""",
+)
+def partitioned_blob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Var-length partition blobs → rows (reference
+    TILEDB_PARTITIONED_ARRAY scan, ``ingestion.py:972-1007``): embeddings
+    are first packed into per-label blobs of parallel (ids, vectors) arrays
+    — the reference's partitioned-object layout — then unpacked by the
+    operator; the round trip must be the identity."""
+    from tiledb_vector_search_spark.sources import partitioned_blobs_to_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").where("label < 3")
+    blobs = emb.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+            lambda s: s["vec_id"],
+        ).alias("external_ids"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+            lambda s: s["embedding"].cast("array<double>"),
+        ).alias("vectors"),
+    )
+    rows = partitioned_blobs_to_vectors(blobs)
+    return rows.select(
+        "external_id",
+        F.posexplode("vector").alias("pos", "val"),
+    ).select("external_id", "val", F.col("pos").cast("long").alias("pos"))
+
+
+@register(
     "medoid_exact",
     """
 WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

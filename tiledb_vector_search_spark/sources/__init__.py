@@ -1,3 +1,7 @@
+from tiledb_vector_search_spark.sources.arrays import (
+    partitioned_blobs_to_vectors,
+    sparse_coo_to_vectors,
+)
 from tiledb_vector_search_spark.sources.vecs import (
     autodetect_source_type,
     read_external_ids,
@@ -12,6 +16,8 @@ from tiledb_vector_search_spark.sources.vecs import (
 )
 
 __all__ = [
+    "sparse_coo_to_vectors",
+    "partitioned_blobs_to_vectors",
     "autodetect_source_type",
     "read_external_ids",
     "read_source_metadata",

@@ -56,7 +56,6 @@ _EXTENSIONS = {
     ".bvecs": "BVEC",
     ".u64bin": "U64BIN",
     ".parquet": "PARQUET",
-    ".csv": "CSV",
 }
 
 DEFAULT_CHUNK_ROWS = 100_000
