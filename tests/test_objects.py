@@ -249,3 +249,32 @@ def test_random_embedding_pipeline(spark, tmp_path):
         timestamp=1000,
     )
     assert idx.index.size() == 50
+
+
+def test_multi_vector_query_fusion(spark, sf_dir, tmp_path):
+    """ColPali-style multi-vector query path: per-vector kNN + max/sum score
+    fusion (reference _merge_results_per_query)."""
+    from tiledb_vector_search_spark.objects.embeddings import HalvesTextEmbedding
+
+    uri = str(tmp_path / "mv")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+    )
+    emb = HalvesTextEmbedding(dims=16)
+    idx = ObjectIndex.create(spark, uri, reader, emb, index_type="FLAT", timestamp=1000)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2).toPandas()
+    q = docs.rename(columns={"doc_id": "query_id"})[["query_id", "text"]]
+    res = idx.query(q, k=5, strategy="expr")
+    rows = res.collect()
+    assert set(res.columns) >= {"query_id", "external_id", "score", "rank"}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {int(x) for x in docs["doc_id"]}
+    for qrows in by_q.values():
+        assert len(qrows) == 5
+        qrows.sort(key=lambda r: r.rank)
+        scores = [r.score for r in qrows]
+        assert scores == sorted(scores, reverse=True)

@@ -243,6 +243,15 @@ class Index:
         IndexStorage(spark, uri).delete_index()
 
 
+def count_and_dims(vectors: DataFrame, vector_col: str = VECTOR_COL) -> tuple[int, int]:
+    """(row count, vector dimensionality) in ONE Spark job — ingest calls
+    this on every path; two separate jobs double the fixed scheduling cost."""
+    row = vectors.agg(
+        F.count("*").alias("n"), F.first(F.size(vector_col)).alias("d")
+    ).first()
+    return int(row["n"]), int(row["d"] or 0)
+
+
 def open_index(spark: SparkSession, uri: str, timestamp: int | None = None) -> Index:
     """Factory dispatching on stored ``index_type`` — reference
     ``index.py:922-994`` ``open()``."""

@@ -46,7 +46,9 @@ class FlatIndex(Index):
             F.col(id_col).cast("long").alias(ID_COL),
             F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
         )
-        dims = vectors.select(F.size(VECTOR_COL)).first()[0]
+        from tiledb_vector_search_spark.indexes.base import count_and_dims
+
+        _, dims = count_and_dims(vectors)
         storage = IndexStorage(spark, uri)
         if not storage.exists():
             storage.init_meta(

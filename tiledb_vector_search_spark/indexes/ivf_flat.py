@@ -30,7 +30,7 @@ from tiledb_vector_search_spark.functions.distance import (
     distance_expr,
     normalize_expr,
 )
-from tiledb_vector_search_spark.indexes.base import Index
+from tiledb_vector_search_spark.indexes.base import Index, count_and_dims
 from tiledb_vector_search_spark.ml.kmeans import (
     assign_partitions_expr,
     default_partitions,
@@ -103,8 +103,7 @@ class IVFFlatIndex(Index):
             vectors = vectors.withColumn(
                 VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
             )
-        n = vectors.count()
-        dims = vectors.select(F.size(VECTOR_COL)).first()[0]
+        n, dims = count_and_dims(vectors)
         k = partitions or default_partitions(n)
 
         if copy_centroids_from is not None:
@@ -169,12 +168,19 @@ class IVFFlatIndex(Index):
     # -- access ---------------------------------------------------------------
 
     def centroids(self) -> np.ndarray:
+        # memoized per open: centroids are immutable for a given base_ts
+        cached = getattr(self, "_centroids_cache", None)
+        if cached is not None:
+            return cached
         rows = (
             self.spark.read.parquet(self.storage.centroids_path(self.base_ts))
             .orderBy(PARTITION_COL)
             .collect()
         )
-        return np.array([r["centroid"] for r in rows], dtype=np.float64)
+        self._centroids_cache = np.array(
+            [r["centroid"] for r in rows], dtype=np.float64
+        )
+        return self._centroids_cache
 
     @property
     def partitions(self) -> int:

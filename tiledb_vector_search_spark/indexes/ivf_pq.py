@@ -41,7 +41,7 @@ from tiledb_vector_search_spark.functions.distance import (
     DistanceMetric,
     distance_expr,
 )
-from tiledb_vector_search_spark.indexes.base import Index
+from tiledb_vector_search_spark.indexes.base import Index, count_and_dims
 from tiledb_vector_search_spark.ml.kmeans import (
     assign_partitions_expr,
     default_partitions,
@@ -165,8 +165,7 @@ class IVFPQIndex(Index):
             F.col(id_col).cast("long").alias(ID_COL),
             F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
         )
-        n = vectors.count()
-        dims = int(vectors.select(F.size(VECTOR_COL)).first()[0])
+        n, dims = count_and_dims(vectors)
         if dims % num_subspaces != 0:
             # reference validation: ivf_pq_index.py:204-210
             raise ValueError(
@@ -267,15 +266,25 @@ class IVFPQIndex(Index):
         return int(self.meta["num_subspaces"])
 
     def centroids(self) -> np.ndarray:
+        # memoized per open: centroids are immutable for a given base_ts
+        cached = getattr(self, "_centroids_cache", None)
+        if cached is not None:
+            return cached
         rows = (
             self.spark.read.parquet(self.storage.centroids_path(self.base_ts))
             .orderBy(PARTITION_COL)
             .collect()
         )
-        return np.array([r["centroid"] for r in rows], dtype=np.float64)
+        self._centroids_cache = np.array(
+            [r["centroid"] for r in rows], dtype=np.float64
+        )
+        return self._centroids_cache
 
     def codebooks(self) -> np.ndarray:
-        """(num_subspaces, 256, sub_dim) from the aux table."""
+        """(num_subspaces, 256, sub_dim) from the aux table (memoized)."""
+        cached = getattr(self, "_codebooks_cache", None)
+        if cached is not None:
+            return cached
         rows = (
             self.spark.read.parquet(
                 self.storage.aux_path(PQ_CODEBOOK_AUX, self.base_ts)
@@ -289,6 +298,7 @@ class IVFPQIndex(Index):
         out = np.empty((m, n_codes, sub_dim), dtype=np.float64)
         for r in rows:
             out[r["subspace"], r["code"]] = r["centroid"]
+        self._codebooks_cache = out
         return out
 
     @property

@@ -33,7 +33,7 @@ from tiledb_vector_search_spark.functions.distance import (
     DistanceMetric,
     normalize_expr,
 )
-from tiledb_vector_search_spark.indexes.base import Index
+from tiledb_vector_search_spark.indexes.base import Index, count_and_dims
 from tiledb_vector_search_spark.ml.kmeans import (
     assign_partitions_expr,
     default_training_sample_size,
@@ -105,8 +105,7 @@ class VamanaIndex(Index):
             vectors = vectors.withColumn(
                 VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
             )
-        n = vectors.count()
-        dims = int(vectors.select(F.size(VECTOR_COL)).first()[0])
+        n, dims = count_and_dims(vectors)
         k = shards or max(1, -(-n // DEFAULT_SHARD_TARGET))
 
         if k == 1:
@@ -225,18 +224,31 @@ class VamanaIndex(Index):
     # -- access ---------------------------------------------------------------
 
     def centroids(self) -> np.ndarray:
+        # memoized per open: centroids are immutable for a given base_ts
+        cached = getattr(self, "_centroids_cache", None)
+        if cached is not None:
+            return cached
         rows = (
             self.spark.read.parquet(self.storage.centroids_path(self.base_ts))
             .orderBy(PARTITION_COL)
             .collect()
         )
-        return np.array([r["centroid"] for r in rows], dtype=np.float64)
+        self._centroids_cache = np.array(
+            [r["centroid"] for r in rows], dtype=np.float64
+        )
+        return self._centroids_cache
 
     def medoids(self) -> dict[int, int]:
+        cached = getattr(self, "_medoids_cache", None)
+        if cached is not None:
+            return cached
         rows = self.spark.read.parquet(
             self.storage.aux_path(MEDOID_AUX, self.base_ts)
         ).collect()
-        return {int(r[PARTITION_COL]): int(r["medoid_id"]) for r in rows}
+        self._medoids_cache = {
+            int(r[PARTITION_COL]): int(r["medoid_id"]) for r in rows
+        }
+        return self._medoids_cache
 
     @property
     def partitions(self) -> int:

@@ -26,6 +26,12 @@ from tiledb_vector_search_spark.schemas import ID_COL, VECTOR_COL
 class ObjectEmbedding(ABC):
     """Maps a batch of objects to vectors (reference ``ObjectEmbedding``)."""
 
+    #: True for embeddings that emit MULTIPLE vectors per object (the
+    #: reference's ColPali path, ``embeddings/colpali_embedding.py``); such
+    #: classes implement :meth:`embed_multi` and queries fuse scores per
+    #: (query, object) — see ``ObjectIndex.query`` / ``_merge_results_per_query``
+    multi_vector = False
+
     @abstractmethod
     def dimensions(self) -> int:
         """Embedding dimensionality."""
@@ -37,6 +43,11 @@ class ObjectEmbedding(ABC):
     @abstractmethod
     def embed(self, objects: pd.DataFrame) -> np.ndarray:
         """(n, dimensions) float32 embedding of a payload batch."""
+
+    def embed_multi(self, objects: pd.DataFrame) -> list[np.ndarray]:
+        """One (m_i, dimensions) matrix per object row (multi-vector
+        embeddings only)."""
+        raise NotImplementedError
 
     # -- Spark plumbing --------------------------------------------------------
 
@@ -114,6 +125,30 @@ class BytesHistogramEmbedding(ObjectEmbedding):
                 counts = np.bincount(arr, minlength=256)
                 out[i] = counts / arr.size
         return out.astype(np.float32)
+
+
+class HalvesTextEmbedding(HashingTextEmbedding):
+    """Deterministic MULTI-VECTOR text embedding: one hashing-trick vector
+    per half of the token stream — the test stand-in for ColPali-style
+    per-patch/multi-vector models."""
+
+    multi_vector = True
+
+    def embed(self, objects: pd.DataFrame) -> np.ndarray:
+        # single-vector view: embed the whole text (used for object ingest
+        # when the index stores one vector per object)
+        return super().embed(objects)
+
+    def embed_multi(self, objects: pd.DataFrame) -> list[np.ndarray]:
+        out: list[np.ndarray] = []
+        for text in objects[self.text_col]:
+            toks = str(text).split()
+            mid = max(1, len(toks) // 2)
+            halves = pd.DataFrame(
+                {self.text_col: [" ".join(toks[:mid]), " ".join(toks[mid:])]}
+            )
+            out.append(super().embed(halves))
+        return out
 
 
 class RandomEmbedding(ObjectEmbedding):

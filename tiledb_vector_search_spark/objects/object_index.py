@@ -195,6 +195,8 @@ class ObjectIndex:
         metadata columns (reference TileDB query-condition grammar);
         ``metadata_df_filter_fn`` an arbitrary pandas row predicate.
         """
+        if self.embedding.multi_vector:
+            return self._query_multi_vector(query_objects, k, **query_kw)
         queries = self._embed_queries(query_objects)
         filtering = (
             metadata_array_cond is not None or metadata_df_filter_fn is not None
@@ -245,3 +247,47 @@ class ObjectIndex:
             )
             res = res.join(objs, ID_COL, "left")
         return res
+
+    def _query_multi_vector(self, query_objects, k: int, **query_kw: Any) -> DataFrame:
+        """Multi-vector query: one kNN per query vector, then score fusion.
+
+        Reference ``_merge_results_per_query`` (``object_index.py:561-635``):
+        each query vector retrieves independently; per (query, object) the
+        best pair score is kept (max), then summed over the query's vectors.
+        Scores are -distance so "larger = better" matches the reference's
+        similarity orientation.  Returns (query_id, external_id, score,
+        rank ≤ k).
+        """
+        if isinstance(query_objects, DataFrame):
+            pdf = query_objects.toPandas()
+        else:
+            pdf = pd.DataFrame(query_objects)
+        if QUERY_ID_COL not in pdf.columns:
+            pdf[QUERY_ID_COL] = range(len(pdf))
+        self.embedding.load()
+        mats = self.embedding.embed_multi(pdf[self.reader.payload_columns()])
+        rows = []
+        pair = 0
+        pair_map = []  # pair id -> (query_id, emb_id)
+        for qi, mat in zip(pdf[QUERY_ID_COL], mats):
+            for ei in range(len(mat)):
+                rows.append((pair, [float(x) for x in mat[ei]]))
+                pair_map.append((pair, int(qi), ei))
+                pair += 1
+        qdf = self.spark.createDataFrame(
+            rows, f"{QUERY_ID_COL} long, {VECTOR_COL} array<float>"
+        )
+        res = self.index.query(qdf, k, **query_kw).drop("rank")
+        pairs_df = self.spark.createDataFrame(
+            pair_map, f"{QUERY_ID_COL} long, __orig_query long, query_emb_id long"
+        )
+        scored = (
+            res.join(F.broadcast(pairs_df), QUERY_ID_COL)
+            .select(
+                F.col("__orig_query").alias(QUERY_ID_COL),
+                "query_emb_id",
+                ID_COL,
+                (-F.col(DISTANCE_COL)).alias("score"),
+            )
+        )
+        return fuse_multi_vector_scores(scored, k)
