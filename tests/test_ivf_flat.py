@@ -168,3 +168,27 @@ def test_join_strategy_matches_kernel(spark, ivf_uri, queries):
         for r in idx.query(queries, 5, nprobe=4, strategy="join").collect()
     }
     assert a == b
+
+
+def test_memory_budget_blocked_query(spark, ivf_uri, queries):
+    """Finite-RAM mode: a tiny budget forces multiple partition groups, and
+    results must equal the unbounded plan exactly."""
+    idx = open_index(spark, ivf_uri)
+    parts = list(range(idx.partitions))
+    groups = idx._partition_groups(parts, memory_budget_mb=1)
+    assert len(groups) >= 1
+    assert [p for g in groups for p in g] == parts
+    # 1 byte budget -> every partition its own group
+    tiny = idx._partition_groups(parts, None)
+    assert tiny == [parts]
+    a = {
+        (r.query_id, r.rank, r.external_id)
+        for r in idx.query(queries, 5, nprobe=4, strategy="expr").collect()
+    }
+    b = {
+        (r.query_id, r.rank, r.external_id)
+        for r in idx.query(
+            queries, 5, nprobe=4, strategy="expr", memory_budget_mb=1
+        ).collect()
+    }
+    assert a == b

@@ -203,6 +203,7 @@ class IVFFlatIndex(Index):
         nprobe: int | None = None,
         strategy: str = "auto",
         pad: bool = False,
+        memory_budget_mb: int | None = None,
         **kw: Any,
     ) -> DataFrame:
         """Probe-routed top-k (reference ``ivf_flat_index.py:262-525``).
@@ -215,6 +216,15 @@ class IVFFlatIndex(Index):
         expressions, oracle-exact), ``join`` (fully distributed: routing by
         broadcast-join, no driver collect — large query batches), ``auto``
         (kernel below LARGE_NQ queries, join above).
+
+        ``memory_budget_mb`` is the finite-RAM mode (reference
+        ``qv_query_heap_finite_ram`` / blocked ``tdb_partitioned_matrix``
+        loads, ``ivf_flat_index.py:279-294``): the probed partitions are
+        processed in groups whose on-disk size fits the budget, each group a
+        separate pruned scan, unioned lazily — bounding the data any single
+        stage touches.  Spark already streams and spills, so this knob is
+        about bounding *working set per stage*, exactly what the reference's
+        ``upper_bound`` does.
         """
         self._validate_queries(queries)
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)))
@@ -234,33 +244,42 @@ class IVFFlatIndex(Index):
 
         routing = routing_table(self.spark, qids, qmat, self.centroids(), nprobe)
         parts = sorted({r.partition_id for r in routing.collect()})
+        part_groups = self._partition_groups(parts, memory_budget_mb)
 
-        base = self._base_vectors().where(F.col(PARTITION_COL).isin(parts))
-        if self._has_updates():
-            base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
-
-        if strategy == "expr":
-            scored = (
-                base.join(F.broadcast(routing), PARTITION_COL)
-                .join(
-                    F.broadcast(
-                        q.select(
-                            QUERY_ID_COL, F.col(VECTOR_COL).alias("__qvec")
-                        )
-                    ),
-                    QUERY_ID_COL,
+        group_topks = []
+        for group in part_groups:
+            base = self._base_vectors().where(F.col(PARTITION_COL).isin(group))
+            if self._has_updates():
+                base = base.join(
+                    F.broadcast(self._updated_ids()), ID_COL, "left_anti"
                 )
-                .select(
-                    QUERY_ID_COL,
-                    ID_COL,
-                    distance_expr("__qvec", VECTOR_COL, metric).alias(DISTANCE_COL),
+            if strategy == "expr":
+                scored = (
+                    base.join(F.broadcast(routing), PARTITION_COL)
+                    .join(
+                        F.broadcast(
+                            q.select(
+                                QUERY_ID_COL, F.col(VECTOR_COL).alias("__qvec")
+                            )
+                        ),
+                        QUERY_ID_COL,
+                    )
+                    .select(
+                        QUERY_ID_COL,
+                        ID_COL,
+                        distance_expr("__qvec", VECTOR_COL, metric).alias(
+                            DISTANCE_COL
+                        ),
+                    )
                 )
-            )
-            base_topk = scored
-        elif strategy == "kernel":
-            base_topk = self._kernel_scores(base, qids, qmat, routing, k, metric)
-        else:
-            raise ValueError(f"unknown strategy: {strategy}")
+            elif strategy == "kernel":
+                scored = self._kernel_scores(base, qids, qmat, routing, k, metric)
+            else:
+                raise ValueError(f"unknown strategy: {strategy}")
+            group_topks.append(scored)
+        base_topk = group_topks[0]
+        for g in group_topks[1:]:
+            base_topk = base_topk.unionByName(g)
 
         if self._has_updates():
             # additions are already normalized for COSINE (normalize_on_write)
@@ -275,6 +294,47 @@ class IVFFlatIndex(Index):
 
             res = pad_to_k(res, queries, k)
         return res
+
+    def _partition_groups(
+        self, parts: list[int], memory_budget_mb: int | None
+    ) -> list[list[int]]:
+        """Split probed partitions into groups fitting the byte budget.
+
+        Sizes come from the partition directories' actual on-disk footprint
+        (Hadoop FS), mirroring the reference's blocked
+        ``tdb_partitioned_matrix`` loads under ``upper_bound``.  A single
+        partition larger than the budget still forms its own group — same
+        behavior as the reference, which loads at least one partition.
+        """
+        if memory_budget_mb is None:
+            return [parts]
+        budget = memory_budget_mb * 1024 * 1024
+        fs = self.storage.fs
+        base = self.storage.base_path(self.base_ts)
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        cur_bytes = 0
+        for p in parts:
+            pdir = f"{base}/{PARTITION_COL}={p}"
+            size = self._dir_bytes(fs, pdir)
+            if cur and cur_bytes + size > budget:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(p)
+            cur_bytes += size
+        if cur:
+            groups.append(cur)
+        return groups
+
+    @staticmethod
+    def _dir_bytes(fs, path: str) -> int:
+        if not fs.exists(path):
+            return 0
+        it = fs._fs.listFiles(fs._p(path), True)
+        total = 0
+        while it.hasNext():
+            total += it.next().getLen()
+        return total
 
     def _query_join(
         self,
