@@ -136,8 +136,12 @@ class IVFFlatIndex(Index):
         base_size: int | None,
     ) -> None:
         spark = storage.spark
+        # shuffle on partition_id before partitionBy: without it every write
+        # task emits a file into every partition directory (quadratic small
+        # files at scale) — this exchange IS the reference's
+        # consolidate_partition_udf (SURVEY §2.9); AQE coalesces the output
         storage.write_base(
-            assigned,
+            assigned.repartition(PARTITION_COL),
             ts,
             partition_by=PARTITION_COL,
             base_size=base_size,

@@ -215,8 +215,10 @@ class IVFPQIndex(Index):
         base_size: int | None,
     ) -> None:
         spark = storage.spark
+        # shuffle on partition_id before partitionBy (see IVFFlatIndex note:
+        # avoids the every-task-writes-every-directory small-files blowup)
         storage.write_base(
-            encoded,
+            encoded.repartition(PARTITION_COL),
             ts,
             partition_by=PARTITION_COL,
             base_size=base_size,
