@@ -178,3 +178,34 @@ def test_pruned_scan_reads_code_column_only(spark, source, pq_index):
     coarse = pq_index._adc_scores(base, qids, qmat, routing, 10)
     plan = coarse._jdf.queryExecution().executedPlan().toString()
     assert "vector" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_encode_kernels_agree(spark):
+    """Standalone encode kernel and the fused assign+encode kernel must
+    produce identical codes for identical codebooks."""
+    import numpy as np
+    from tiledb_vector_search_spark.indexes.ivf_pq import (
+        _encode_kernel,
+        assign_and_encode_kernel,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(40)],
+        "external_id long, vector array<float>",
+    )
+    cb = train_pq_codebooks(x.astype(np.float64), num_subspaces=4, n_codes=16)
+    cents = x[:4].astype(np.float64)
+    a = {
+        r.external_id: bytes(r.code)
+        for r in _encode_kernel(df, cb, "vector").collect()
+    }
+    b = {
+        r.external_id: bytes(r.code)
+        for r in assign_and_encode_kernel(
+            df, cents, cb, "vector", "partition_id"
+        ).collect()
+    }
+    assert a == b

@@ -141,7 +141,7 @@ class IVFFlatIndex(Index):
         # files at scale) — this exchange IS the reference's
         # consolidate_partition_udf (SURVEY §2.9); AQE coalesces the output
         storage.write_base(
-            assigned.repartition(PARTITION_COL),
+            assigned.repartition(PARTITION_COL).sortWithinPartitions(ID_COL),
             ts,
             partition_by=PARTITION_COL,
             base_size=base_size,
