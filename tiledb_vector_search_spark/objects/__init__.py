@@ -12,11 +12,20 @@ ObjectIndex query is one lazy plan: embed → over-fetch kNN → metadata
 filter → re-rank → object materialization semi-join.
 """
 
+from tiledb_vector_search_spark.objects.domain_readers import (
+    Array1DReader,
+    BioImageDirectoryReader,
+    SomaAnnDataReader,
+)
 from tiledb_vector_search_spark.objects.embeddings import (
     BytesHistogramEmbedding,
     HashingTextEmbedding,
+    IdentityEmbedding,
     ObjectEmbedding,
     RandomEmbedding,
+)
+from tiledb_vector_search_spark.objects.embeddings_ingestion import (
+    ingest_embeddings_with_driver,
 )
 from tiledb_vector_search_spark.objects.object_index import ObjectIndex
 from tiledb_vector_search_spark.objects.readers import (
@@ -31,9 +40,14 @@ __all__ = [
     "DataFrameObjectReader",
     "DirectoryTextReader",
     "DirectoryImageReader",
+    "Array1DReader",
+    "SomaAnnDataReader",
+    "BioImageDirectoryReader",
     "ObjectEmbedding",
     "HashingTextEmbedding",
     "BytesHistogramEmbedding",
+    "IdentityEmbedding",
     "RandomEmbedding",
     "ObjectIndex",
+    "ingest_embeddings_with_driver",
 ]

@@ -151,6 +151,32 @@ class HalvesTextEmbedding(HashingTextEmbedding):
         return out
 
 
+class IdentityEmbedding(ObjectEmbedding):
+    """Pass-through for sources whose payload already IS the vector.
+
+    Pairs with ``Array1DReader`` / ``SomaAnnDataReader`` (pre-computed
+    embeddings or expression matrices — the reference's 1-D array reader
+    feeds such vectors straight to ingestion).  ``transform`` is pure
+    Catalyst — no Python worker in the path.
+    """
+
+    def __init__(self, dims: int):
+        self._dims = int(dims)
+
+    def dimensions(self) -> int:
+        return self._dims
+
+    def transform(self, objects: DataFrame, payload_cols: list[str]) -> DataFrame:
+        src = payload_cols[0] if payload_cols else VECTOR_COL
+        return objects.select(
+            ID_COL, F.col(src).cast("array<float>").alias(VECTOR_COL)
+        )
+
+    def embed(self, objects: pd.DataFrame) -> np.ndarray:
+        col = objects.iloc[:, 0]
+        return np.stack([np.asarray(v, dtype=np.float32) for v in col])
+
+
 class RandomEmbedding(ObjectEmbedding):
     """Seeded random embedding keyed by external_id (reference
     ``embeddings/random_embedding.py``) — for pipeline tests."""

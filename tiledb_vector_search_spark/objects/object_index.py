@@ -72,6 +72,35 @@ def fuse_multi_vector_scores(
     )
 
 
+def _write_object_group(
+    spark: SparkSession,
+    uri: str,
+    reader: ObjectReader,
+    embedding: ObjectEmbedding,
+    objects: DataFrame,
+    index_type: str,
+    ts: int,
+) -> None:
+    """Persist the group sidecars: metadata table + pickled reader/embedding
+    (the Spark analogue of the reference's source-code shipping,
+    ``object_index.py:884-911``)."""
+    meta_cols = reader.metadata_attributes()
+    if meta_cols:
+        objects.select(ID_COL, *meta_cols).write.mode("overwrite").parquet(
+            posixpath.join(uri, "object_metadata")
+        )
+    fs = HadoopFS(spark, uri)
+    import pickle
+
+    fs.write_bytes_atomic(
+        posixpath.join(uri, "_objects.pkl"), pickle.dumps((reader, embedding))
+    )
+    fs.write_text_atomic(
+        posixpath.join(uri, "_object_meta.json"),
+        json.dumps({"index_type": index_type, "ts": ts}),
+    )
+
+
 class ObjectIndex:
     """create/open/query an object index (reference ``object_index.py``)."""
 
@@ -121,21 +150,7 @@ class ObjectIndex:
             timestamp=ts,
             **ingest_kw,
         )
-        meta_cols = reader.metadata_attributes()
-        if meta_cols:
-            objects.select(ID_COL, *meta_cols).write.mode("overwrite").parquet(
-                posixpath.join(uri, "object_metadata")
-            )
-        fs = HadoopFS(spark, uri)
-        import pickle
-
-        fs.write_bytes_atomic(
-            posixpath.join(uri, "_objects.pkl"), pickle.dumps((reader, embedding))
-        )
-        fs.write_text_atomic(
-            posixpath.join(uri, "_object_meta.json"),
-            json.dumps({"index_type": index_type, "ts": ts}),
-        )
+        _write_object_group(spark, uri, reader, embedding, objects, index_type, ts)
         return cls(spark, uri)
 
     # -- metadata --------------------------------------------------------------

@@ -225,7 +225,9 @@ class DirectoryImageReader(ObjectReader):
             .select("path", "content", "length")
         )
         return files.select(
-            (F.shiftright(F.xxhash64("path"), 1)).alias(ID_COL),
+            # logical shift: arithmetic >> would keep xxhash64's sign and
+            # produce ids outside the documented [0, 2^63) domain
+            (F.shiftrightunsigned(F.xxhash64("path"), 1)).alias(ID_COL),
             F.col("content").alias("image"),
             F.col("path").alias("file_path"),
             F.col("length").alias("n_bytes"),
