@@ -75,11 +75,19 @@ def _bench_queries(spark, sf_dir):
         from tiledb_vector_search_spark.functions import text as TX
 
         feats = TX.quality_features("text")
-        return docs.select(
-            "doc_id",
-            TX.lang_id("text").alias("lang"),
-            *[c.alias(n) for n, c in feats.items()],
-        ).collect()
+        # sf testdata is a single parquet file → single-task scan; spread the
+        # regex-heavy projection across cores (a real 100 TB input arrives
+        # already split, so this exchange exists only to undo the test
+        # fixture's one-file layout)
+        return (
+            docs.repartition(32)
+            .select(
+                "doc_id",
+                TX.lang_id("text").alias("lang"),
+                *[c.alias(n) for n, c in feats.items()],
+            )
+            .collect()
+        )
 
     return {
         "knn_flat_kernel_100q": knn_kernel,
@@ -107,8 +115,14 @@ def main() -> None:
 
     spark = get_spark(app_name="tvs-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/session (exclude startup from per-query numbers)
+    # warm the JVM/session AND the Python-UDF worker pool (first pandas-UDF
+    # stage pays ~2s of worker spinup; exclude startup from per-query numbers)
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _noop(batches):
+        yield from batches
+
+    spark.range(100).toDF("id").mapInPandas(_noop, "id long").collect()
 
     timings: dict[str, float] = {}
     for name, fn in _bench_queries(spark, sf_dir).items():

@@ -169,13 +169,11 @@ def test_pruned_scan_reads_code_column_only(spark, source, pq_index):
     q_rows = queries.collect()
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    from tiledb_vector_search_spark.operators.routing import routing_table
+    from tiledb_vector_search_spark.operators.routing import route_queries
 
-    routing = routing_table(
-        spark, qids, qmat, pq_index.centroids(), 2
-    )
+    pairs = route_queries(qids, qmat, pq_index.centroids(), 2)
     base = pq_index._base_vectors()
-    coarse = pq_index._adc_scores(base, qids, qmat, routing, 10)
+    coarse = pq_index._adc_scores(base, qids, qmat, pairs, 10)
     plan = coarse._jdf.queryExecution().executedPlan().toString()
     assert "vector" not in plan.split("ReadSchema")[-1][:200]
 

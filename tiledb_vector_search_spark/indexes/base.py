@@ -28,6 +28,7 @@ from tiledb_vector_search_spark.functions.distance import (
 )
 from tiledb_vector_search_spark.schemas import ID_COL, VECTOR_COL
 from tiledb_vector_search_spark.storage import IndexStorage, now_ms
+from tiledb_vector_search_spark.session import small_df
 
 # Consolidate the updates log automatically once it accumulates this many
 # appended batches (reference: >10 update fragments, ``index.py:837-858``).
@@ -158,8 +159,8 @@ class Index:
                 F.col(VECTOR_COL).cast("array<float>"),
             )
         else:
-            df = self.spark.createDataFrame(
-                rows, f"{ID_COL} long, {VECTOR_COL} array<float>"
+            df = small_df(
+                self.spark, rows, f"{ID_COL} long, {VECTOR_COL} array<float>"
             )
         if self.normalize_on_write and self.metric is DistanceMetric.COSINE:
             # normalize before writing so consolidation assigns the stored
@@ -180,8 +181,8 @@ class Index:
     ) -> None:
         ts = timestamp if timestamp is not None else now_ms()
         df = (
-            self.spark.createDataFrame(
-                [(int(i),) for i in external_ids], f"{ID_COL} long"
+            small_df(
+                self.spark, [(int(i),) for i in external_ids], f"{ID_COL} long"
             )
             .withColumn(VECTOR_COL, F.lit(None).cast("array<float>"))
             .withColumn("is_delete", F.lit(True))

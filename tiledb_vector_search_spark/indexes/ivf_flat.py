@@ -42,7 +42,7 @@ from tiledb_vector_search_spark.operators.knn import (
     knn_bruteforce_expr,
     partial_topk_idx,
 )
-from tiledb_vector_search_spark.operators.routing import routing_table
+from tiledb_vector_search_spark.operators.routing import route_queries
 from tiledb_vector_search_spark.operators.topk import topk_window
 from tiledb_vector_search_spark.schemas import (
     DISTANCE_COL,
@@ -52,6 +52,7 @@ from tiledb_vector_search_spark.schemas import (
     VECTOR_COL,
 )
 from tiledb_vector_search_spark.storage import IndexStorage, now_ms
+from tiledb_vector_search_spark.session import small_df
 
 _SUPPORTED = {
     DistanceMetric.SUM_OF_SQUARES,
@@ -147,11 +148,12 @@ class IVFFlatIndex(Index):
             base_size=base_size,
             extra_meta={"partitions": int(centroids.shape[0])},
         )
-        cdf = spark.createDataFrame(
+        cdf = small_df(
+            spark,
             [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
             f"{PARTITION_COL} int, centroid array<double>",
         )
-        cdf.coalesce(1).write.parquet(storage.centroids_path(ts))
+        cdf.write.parquet(storage.centroids_path(ts))
 
     def _write_consolidated(
         self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
@@ -238,16 +240,22 @@ class IVFFlatIndex(Index):
         if metric is DistanceMetric.COSINE:
             q = q.withColumn(VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>"))
         if strategy == "auto":
-            nq_bounded = q.limit(self.LARGE_NQ + 1).count()
-            strategy = "join" if nq_bounded > self.LARGE_NQ else "kernel"
-        if strategy == "join":
+            # one job: the bounded collect doubles as the small-batch fetch
+            q_rows = q.limit(self.LARGE_NQ + 1).collect()
+            if len(q_rows) > self.LARGE_NQ:
+                return self._query_join(q, k, nprobe, metric, pad, queries)
+            strategy = "kernel"
+        elif strategy == "join":
             return self._query_join(q, k, nprobe, metric, pad, queries)
-        q_rows = q.collect()
+        else:
+            q_rows = q.collect()
         qids = np.array([r[0] for r in q_rows], dtype=np.int64)
         qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
 
-        routing = routing_table(self.spark, qids, qmat, self.centroids(), nprobe)
-        parts = sorted({r.partition_id for r in routing.collect()})
+        # routing is a driver-side numpy task (centroids ≤10k) — no Spark
+        # round-trip; a routing DataFrame exists only for the expr join
+        pairs = route_queries(qids, qmat, self.centroids(), nprobe)
+        parts = sorted({p for _, p in pairs})
         part_groups = self._partition_groups(parts, memory_budget_mb)
 
         group_topks = []
@@ -258,6 +266,9 @@ class IVFFlatIndex(Index):
                     F.broadcast(self._updated_ids()), ID_COL, "left_anti"
                 )
             if strategy == "expr":
+                routing = small_df(
+                    self.spark, pairs, f"{QUERY_ID_COL} long, {PARTITION_COL} int"
+                )
                 scored = (
                     base.join(F.broadcast(routing), PARTITION_COL)
                     .join(
@@ -277,7 +288,7 @@ class IVFFlatIndex(Index):
                     )
                 )
             elif strategy == "kernel":
-                scored = self._kernel_scores(base, qids, qmat, routing, k, metric)
+                scored = self._kernel_scores(base, qids, qmat, pairs, k, metric)
             else:
                 raise ValueError(f"unknown strategy: {strategy}")
             group_topks.append(scored)
@@ -396,7 +407,7 @@ class IVFFlatIndex(Index):
         base: DataFrame,
         qids: np.ndarray,
         qmat: np.ndarray,
-        routing: DataFrame,
+        pairs: list[tuple[int, int]],
         k: int,
         metric: DistanceMetric,
     ) -> DataFrame:
@@ -410,8 +421,8 @@ class IVFFlatIndex(Index):
         import pandas as pd
 
         route_map: dict[int, list[int]] = {}
-        for r in routing.collect():
-            route_map.setdefault(r.partition_id, []).append(r.query_id)
+        for qid, pid in pairs:
+            route_map.setdefault(pid, []).append(qid)
         qpos = {int(qid): i for i, qid in enumerate(qids)}
         bc = self.spark.sparkContext.broadcast((qids, qmat, route_map, qpos))
         kk = k

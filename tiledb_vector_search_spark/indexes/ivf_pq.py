@@ -52,7 +52,7 @@ from tiledb_vector_search_spark.operators.knn import (
     knn_bruteforce_expr,
     partial_topk_idx,
 )
-from tiledb_vector_search_spark.operators.routing import routing_table
+from tiledb_vector_search_spark.operators.routing import route_queries
 from tiledb_vector_search_spark.operators.topk import topk_window
 from tiledb_vector_search_spark.schemas import (
     DISTANCE_COL,
@@ -62,6 +62,7 @@ from tiledb_vector_search_spark.schemas import (
     VECTOR_COL,
 )
 from tiledb_vector_search_spark.storage import IndexStorage, now_ms
+from tiledb_vector_search_spark.session import small_df
 
 _SUPPORTED = {DistanceMetric.SUM_OF_SQUARES, DistanceMetric.L2}
 
@@ -271,20 +272,21 @@ class IVFPQIndex(Index):
             base_size=base_size,
             extra_meta={"partitions": int(centroids.shape[0])},
         )
-        cdf = spark.createDataFrame(
+        cdf = small_df(
+            spark,
             [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
             f"{PARTITION_COL} int, centroid array<double>",
         )
-        cdf.coalesce(1).write.parquet(storage.centroids_path(ts))
+        cdf.write.parquet(storage.centroids_path(ts))
         m, n_codes, sub_dim = codebooks.shape
         rows = [
             (int(j), int(c), [float(v) for v in codebooks[j, c]])
             for j in range(m)
             for c in range(n_codes)
         ]
-        spark.createDataFrame(
-            rows, "subspace int, code int, centroid array<double>"
-        ).coalesce(1).write.parquet(storage.aux_path(PQ_CODEBOOK_AUX, ts))
+        small_df(
+            spark, rows, "subspace int, code int, centroid array<double>"
+        ).write.parquet(storage.aux_path(PQ_CODEBOOK_AUX, ts))
 
     def _write_consolidated(
         self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
@@ -388,13 +390,15 @@ class IVFPQIndex(Index):
         qids = np.array([r[0] for r in q_rows], dtype=np.int64)
         qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
 
-        routing = routing_table(self.spark, qids, qmat, self.centroids(), nprobe)
-        parts = sorted({r.partition_id for r in routing.collect()})
+        # routing is a driver-side numpy task (centroids ≤10k) — no Spark
+        # round-trip
+        pairs = route_queries(qids, qmat, self.centroids(), nprobe)
+        parts = sorted({p for _, p in pairs})
         base = self._base_vectors().where(F.col(PARTITION_COL).isin(parts))
         if self._has_updates():
             base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
 
-        coarse = self._adc_scores(base, qids, qmat, routing, coarse_k)
+        coarse = self._adc_scores(base, qids, qmat, pairs, coarse_k)
         order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
         coarse_topk = topk_window(coarse, [QUERY_ID_COL], order, coarse_k).drop(
             "rank"
@@ -443,7 +447,7 @@ class IVFPQIndex(Index):
         base: DataFrame,
         qids: np.ndarray,
         qmat: np.ndarray,
-        routing: DataFrame,
+        pairs: list[tuple[int, int]],
         coarse_k: int,
     ) -> DataFrame:
         """Asymmetric-distance scan: per-query lookup tables over codes.
@@ -470,8 +474,8 @@ class IVFPQIndex(Index):
         np.maximum(tables, 0.0, out=tables)
 
         route_map: dict[int, list[int]] = {}
-        for r in routing.collect():
-            route_map.setdefault(r.partition_id, []).append(r.query_id)
+        for qid, pid in pairs:
+            route_map.setdefault(pid, []).append(qid)
         qpos = {int(qid): i for i, qid in enumerate(qids)}
         bc = self.spark.sparkContext.broadcast((qids, tables, route_map, qpos))
         kk = coarse_k

@@ -48,7 +48,7 @@ from tiledb_vector_search_spark.ml.vamana import (
     search_vamana_graph,
 )
 from tiledb_vector_search_spark.operators.knn import knn_bruteforce_expr
-from tiledb_vector_search_spark.operators.routing import routing_table
+from tiledb_vector_search_spark.operators.routing import route_queries
 from tiledb_vector_search_spark.operators.topk import topk_window
 from tiledb_vector_search_spark.schemas import (
     DISTANCE_COL,
@@ -58,6 +58,7 @@ from tiledb_vector_search_spark.schemas import (
     VECTOR_COL,
 )
 from tiledb_vector_search_spark.storage import IndexStorage, now_ms
+from tiledb_vector_search_spark.session import small_df
 
 _SUPPORTED = {
     DistanceMetric.SUM_OF_SQUARES,
@@ -137,11 +138,12 @@ class VamanaIndex(Index):
             base_size=n,
             extra_meta={"partitions": int(centroids.shape[0])},
         )
-        cdf = spark.createDataFrame(
+        cdf = small_df(
+            spark,
             [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
             f"{PARTITION_COL} int, centroid array<double>",
         )
-        cdf.coalesce(1).write.parquet(storage.centroids_path(ts))
+        cdf.write.parquet(storage.centroids_path(ts))
         medoids.coalesce(1).write.parquet(storage.aux_path(MEDOID_AUX, ts))
         return cls(spark, uri)
 
@@ -214,11 +216,12 @@ class VamanaIndex(Index):
             base_size=n,
             extra_meta={"partitions": int(centroids.shape[0])},
         )
-        cdf = self.spark.createDataFrame(
+        cdf = small_df(
+            self.spark,
             [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
             f"{PARTITION_COL} int, centroid array<double>",
         )
-        cdf.coalesce(1).write.parquet(self.storage.centroids_path(ts))
+        cdf.write.parquet(self.storage.centroids_path(ts))
         medoids.coalesce(1).write.parquet(self.storage.aux_path(MEDOID_AUX, ts))
 
     # -- access ---------------------------------------------------------------
@@ -286,14 +289,14 @@ class VamanaIndex(Index):
         qids = np.array([r[0] for r in q_rows], dtype=np.int64)
         qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
 
-        routing = routing_table(self.spark, qids, qmat, self.centroids(), nprobe)
-        routing_rows = routing.collect()
-        parts = sorted({r.partition_id for r in routing_rows})
+        # routing is a driver-side numpy task — no Spark round-trip
+        pairs = route_queries(qids, qmat, self.centroids(), nprobe)
+        parts = sorted({p for _, p in pairs})
         base = self._base_vectors().where(F.col(PARTITION_COL).isin(parts))
 
         route_map: dict[int, list[int]] = {}
-        for r in routing_rows:
-            route_map.setdefault(r.partition_id, []).append(r.query_id)
+        for qid, pid in pairs:
+            route_map.setdefault(pid, []).append(qid)
         qpos = {int(qid): i for i, qid in enumerate(qids)}
         deleted: set[int] = set()
         if self._has_updates():

@@ -40,6 +40,7 @@ from tiledb_vector_search_spark.schemas import (
     QUERY_ID_COL,
     VECTOR_COL,
 )
+from tiledb_vector_search_spark.session import small_df
 from tiledb_vector_search_spark.storage import HadoopFS, now_ms
 
 _INDEX_TYPES = {"FLAT": FlatIndex, "IVF_FLAT": IVFFlatIndex, "IVF_PQ": IVFPQIndex}
@@ -190,8 +191,8 @@ class ObjectIndex:
             (int(q), [float(x) for x in mat[i]])
             for i, q in enumerate(pdf[QUERY_ID_COL])
         ]
-        return self.spark.createDataFrame(
-            rows, f"{QUERY_ID_COL} long, {VECTOR_COL} array<float>"
+        return small_df(
+            self.spark, rows, f"{QUERY_ID_COL} long, {VECTOR_COL} array<float>"
         )
 
     def query(
@@ -289,12 +290,13 @@ class ObjectIndex:
                 rows.append((pair, [float(x) for x in mat[ei]]))
                 pair_map.append((pair, int(qi), ei))
                 pair += 1
-        qdf = self.spark.createDataFrame(
-            rows, f"{QUERY_ID_COL} long, {VECTOR_COL} array<float>"
+        qdf = small_df(
+            self.spark, rows, f"{QUERY_ID_COL} long, {VECTOR_COL} array<float>"
         )
         res = self.index.query(qdf, k, **query_kw).drop("rank")
-        pairs_df = self.spark.createDataFrame(
-            pair_map, f"{QUERY_ID_COL} long, __orig_query long, query_emb_id long"
+        pairs_df = small_df(
+            self.spark, pair_map,
+            f"{QUERY_ID_COL} long, __orig_query long, query_emb_id long",
         )
         scored = (
             res.join(F.broadcast(pairs_df), QUERY_ID_COL)

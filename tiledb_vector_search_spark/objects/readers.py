@@ -36,7 +36,9 @@ class ObjectReader(ABC):
         """Objects for the given ids — a left-semi join against the source
         (reference ``object_reader.py:94-100``)."""
         if isinstance(ids, list):
-            ids = spark.createDataFrame([(int(i),) for i in ids], f"{ID_COL} long")
+            from tiledb_vector_search_spark.session import small_df
+
+            ids = small_df(spark, [(int(i),) for i in ids], f"{ID_COL} long")
         return self.read_objects(spark).join(
             F.broadcast(ids.select(ID_COL)), ID_COL, "left_semi"
         )

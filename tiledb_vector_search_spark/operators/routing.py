@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
+from tiledb_vector_search_spark.session import small_df
+
 
 def route_queries(
     qids: np.ndarray,
@@ -51,7 +53,7 @@ def routing_table(
     nprobe: int,
 ) -> DataFrame:
     pairs = route_queries(qids, qmat, centroids, nprobe)
-    return spark.createDataFrame(pairs, "query_id long, partition_id int")
+    return small_df(spark, pairs, "query_id long, partition_id int")
 
 
 def routing_table_join(
@@ -77,7 +79,8 @@ def routing_table_join(
 
     spark = queries.sparkSession
     nprobe = min(nprobe, centroids.shape[0])
-    cdf = spark.createDataFrame(
+    cdf = small_df(
+        spark,
         [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
         "partition_id int, centroid array<double>",
     )

@@ -47,3 +47,17 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def small_df(spark: SparkSession, rows: list, schema: str):
+    """Driver-side rows → DataFrame in a SINGLE partition.
+
+    ``spark.createDataFrame(list)`` parallelizes into ``defaultParallelism``
+    slices; any job over it then pays per-slice Python-worker overhead —
+    ~150 ms × 32 slices ≈ 5 s to write a 32-row table on local[32].  Small
+    driver-side tables (centroids, routing, query batches) are always one
+    Arrow batch worth of data, so one slice is both correct and ~10× faster.
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.sparkContext.parallelize(rows, 1).toDF(schema)
