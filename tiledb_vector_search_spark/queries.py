@@ -850,6 +850,39 @@ def ivf_pq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_gate(recall_df: DataFrame, gate: float) -> DataFrame:
+    """Collapse a per-query recall DataFrame to one assertable row.
+
+    The trained-index recall queries are not SQL-expressible (KMeans /
+    graph build inside), so their driver check is rows-only.  This gate
+    form recovers a real driver assertion: the oracle is the CONSTANT row
+    ``(num_queries, recall_ok=true)``, so the hash matches iff the measured
+    mean recall actually clears the reference's gate (0.85 flat/vamana,
+    0.75 PQ — ``test_ingestion.py:23-24``)."""
+    return recall_df.agg(
+        F.count("*").cast("long").alias("num_queries"),
+        (F.avg("recall") >= F.lit(gate)).alias("recall_ok"),
+    )
+
+
+_GATE_ORACLE = "SELECT CAST(10 AS BIGINT) AS num_queries, true AS recall_ok"
+
+
+@register("ivf_index_recall_gate", _GATE_ORACLE)
+def ivf_index_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_gate(ivf_index_recall(spark, sf_dir), 0.85)
+
+
+@register("ivf_pq_index_recall_gate", _GATE_ORACLE)
+def ivf_pq_index_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_gate(ivf_pq_index_recall(spark, sf_dir), 0.75)
+
+
+@register("vamana_index_recall_gate", _GATE_ORACLE)
+def vamana_index_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_gate(vamana_index_recall(spark, sf_dir), 0.85)
+
+
 # =====================================================================
 # Relational surface (TPC-H-ish) — joins, aggregations, windows
 # The reference has none of these as API; our engine gets them from Spark
@@ -1644,8 +1677,10 @@ def flat_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ivf_index_recall")  # non-SQL-expressible: trained KMeans inside
 def ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a real (Spark ML KMeans) IVF_FLAT index and report per-query
-    recall@10 of nprobe=8 search vs exhaustive — the reference's own
-    correctness measure for trained indexes (recall gate 0.85)."""
+    recall@10 vs exhaustive — the reference's own correctness measure for
+    trained indexes (recall gate 0.85).  nprobe=12/16 is sized for the tiny
+    driver corpus (≈30 vectors/partition; the reference's own gate tests run
+    100 vectors/partition and probe 20%, ``test_ingestion.py:177-180``)."""
     from tiledb_vector_search_spark.indexes import IVFFlatIndex
     from tiledb_vector_search_spark.operators.knn import knn_bruteforce_expr
 
@@ -1658,7 +1693,7 @@ def ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = src.where("external_id < 10").select(
         F.col("external_id").alias("query_id"), "vector"
     )
-    approx = idx.query(queries, 10, nprobe=8).select("query_id", "external_id")
+    approx = idx.query(queries, 10, nprobe=12).select("query_id", "external_id")
     exact = knn_bruteforce_expr(src, queries, 10).select("query_id", "external_id")
     joined = exact.alias("e").join(
         approx.alias("a"),
