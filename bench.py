@@ -69,7 +69,9 @@ def _bench_queries(spark, sf_dir):
         return DD.minhash_dedup(docs, num_perm=32, bands=8, threshold=0.9).collect()
 
     def simhash_full():
-        return DD.simhash_near_duplicates(docs, max_hamming=2).collect()
+        return DD.simhash_near_duplicates(
+            docs, max_hamming=2, hash_family="xxhash64"
+        ).collect()
 
     def text_quality_full():
         from tiledb_vector_search_spark.functions import text as TX

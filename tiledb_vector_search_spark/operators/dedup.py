@@ -301,10 +301,17 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Per-doc simhash: bit b set iff Σ_tokens (±1 on token-hash bit b) > 0.
 
     Pure Catalyst: explode tokens → per-bit conditional sums → reassemble.
+
+    ``hash_family``: "md5" is the oracle-reproducible surface
+    (:func:`stable_hash64` has a DuckDB twin); "xxhash64" is the scale path —
+    one JVM-native hash per token instead of an md5 string pipeline (~2×
+    on the signature stage).  Near-dup semantics are hash-family-agnostic;
+    only the md5 form is pinned by the driver oracle.
     """
     from tiledb_vector_search_spark.functions.text import tokens
 
@@ -312,7 +319,15 @@ def simhash(
     df = df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__w")
-    ).withColumn("__h", stable_hash64(F.col("__w")))
+    )
+    if hash_family == "xxhash64":
+        # fold to non-negative so bit b of the Python-visible value matches
+        # shiftright semantics for all 0 <= b < bits <= 62
+        tok = tok.withColumn(
+            "__h", F.abs(F.xxhash64("__w") % F.lit(1 << 62))
+        )
+    else:
+        tok = tok.withColumn("__h", stable_hash64(F.col("__w")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1)
@@ -334,6 +349,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     bits: int = 32,
     max_hamming: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
@@ -341,7 +357,7 @@ def simhash_near_duplicates(
     Scale path: band the hash into (max_hamming+1) chunks; a pair within the
     radius must match exactly on ≥1 chunk (pigeonhole) → equi-join per chunk.
     """
-    s = simhash(df, text_col, id_col, bits)
+    s = simhash(df, text_col, id_col, bits, hash_family=hash_family)
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     banded = s.select(
