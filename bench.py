@@ -65,6 +65,18 @@ def _bench_queries(spark, sf_dir):
         )
         return idx.query(queries100, 10, nprobe=8, k_factor=4.0).collect()
 
+    def vamana_build_and_query():
+        import shutil
+        from tiledb_vector_search_spark.indexes import VamanaIndex
+
+        uri = "/tmp/tvs_bench_vamana"
+        if os.path.exists(uri):
+            shutil.rmtree(uri)
+        idx = VamanaIndex.ingest(
+            spark, uri + "/idx", vectors, shards=8, timestamp=1000
+        )
+        return idx.query(queries100, 10, nprobe=3).collect()
+
     def minhash_lsh_full():
         return DD.minhash_dedup(docs, num_perm=32, bands=8, threshold=0.9).collect()
 
@@ -96,6 +108,7 @@ def _bench_queries(spark, sf_dir):
         "ivf_build_and_query": ivf_build_and_query,
         "ivf_partition_search": reg("ivf_partition_search"),
         "ivf_pq_build_and_query": ivf_pq_build_and_query,
+        "vamana_build_and_query": vamana_build_and_query,
         "dedup_minhash_lsh_full": minhash_lsh_full,
         "dedup_simhash_full": simhash_full,
         "dedup_exact_groups": reg("dedup_exact_groups"),
@@ -126,11 +139,18 @@ def main() -> None:
 
     spark.range(100).toDF("id").mapInPandas(_noop, "id long").collect()
 
+    # min of RUNS full executions per query: single runs swing ±30% from GC
+    # and OS scheduling noise at this tiny SF; min-of-2 reports steady-state
+    # (index builds delete their output first, so every run does full work)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in _bench_queries(spark, sf_dir).items():
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -139,6 +159,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": runs,
                 "sf": float(sf),
             }
         )
