@@ -140,6 +140,43 @@ def duckdb_doc_fingerprint_sql(expr: str) -> str:
     )
 
 
+# Rolling (Rabin-style polynomial) fingerprint parameters.  P fits in 31
+# bits so acc·B + h stays below 2^62 — no overflow in either engine's
+# BIGINT arithmetic (Spark would silently wrap, DuckDB would raise).
+_ROLL_B = 131
+_ROLL_P = 2_147_483_647  # 2^31 − 1
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Order-SENSITIVE content fingerprint: a left-fold polynomial hash
+    acc = (acc·B + h(token)) mod P over the token sequence.
+
+    Complements :func:`doc_fingerprint` (order-insensitive): permuted
+    documents collide there but not here.  Sequential fold → deterministic
+    and exactly reproducible by the DuckDB twin."""
+    h = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"), F.lit(_ROLL_P)
+    )
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * _ROLL_B + h(t), F.lit(_ROLL_P)),
+    )
+
+
+def duckdb_rolling_fingerprint_sql(expr: str) -> str:
+    # hash tokens to BIGINT first so the fold list is homogeneous, then
+    # left-fold with the init value 0 prepended (list_reduce has no init arg)
+    hs = (
+        f"list_transform({duckdb_tokens_sql(expr)}, "
+        f"__t -> ('0x' || substr(md5(__t), 1, 7))::BIGINT % {_ROLL_P})"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {hs}), "
+        f"(__acc, __h) -> (__acc * {_ROLL_B} + __h) % {_ROLL_P})"
+    )
+
+
 # --- quality scoring ---------------------------------------------------------
 
 STOPWORDS = (

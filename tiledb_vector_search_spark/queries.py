@@ -1364,6 +1364,22 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_rolling_fingerprint",
+    f"""
+SELECT doc_id, {TX.duckdb_rolling_fingerprint_sql('text')} AS rolling_fp
+FROM documents WHERE doc_id < 200
+""",
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-style rolling-hash fingerprint per document —
+    complements the order-insensitive md5-token-set ``doc_fingerprint``
+    (permuted docs collide there, not here).  Sequential left fold in both
+    engines, so the oracle pins exact values."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 200")
+    return d.select("doc_id", TX.rolling_fingerprint("text").alias("rolling_fp"))
+
+
+@register(
     "doc_similarity_topk",
     f"""
 WITH docs AS (
@@ -1436,6 +1452,66 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.octet_length("text").cast("long").alias("n_bytes"),
         F.md5(F.substring("text", 1, 16).cast("binary")).alias("prefix_md5"),
+    )
+
+
+_FRAME_OFFSETS = (1, 101, 201, 301)  # 1-based char offsets, 50-char windows
+_FRAME_LEN = 50
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+SELECT doc_id, frame_no, md5(substr(text, frame_off, 50)) AS frame_md5
+FROM documents,
+     (VALUES (0, 1), (1, 101), (2, 201), (3, 301)) AS f(frame_no, frame_off)
+WHERE doc_id < 200
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over an opaque blob column via ``mapInPandas`` — the
+    video/image decode pattern (SURVEY §2.11: decode stubbed, plumbing
+    real): Arrow binary batches in, fixed-offset windows ("frames") out,
+    one feature row per (blob, frame).  The deterministic fake decode
+    (md5 of each window) stands in for a codec so the driver oracle can
+    pin the full pipeline; a real decoder replaces only ``_decode``."""
+    import hashlib
+
+    import pandas as pd
+
+    offsets = _FRAME_OFFSETS
+    flen = _FRAME_LEN
+
+    def _decode(blob: bytes) -> list[str]:
+        # deterministic stand-in for codec + frame hash: md5 of each
+        # fixed-offset window of the decoded stream
+        s = blob.decode("utf-8")
+        return [
+            hashlib.md5(s[off - 1 : off - 1 + flen].encode("utf-8")).hexdigest()
+            for off in offsets
+        ]
+
+    def extract(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, frame_no, frame_md5 = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for i, h in enumerate(_decode(blob)):
+                    ids.append(doc_id)
+                    frame_no.append(i)
+                    frame_md5.append(h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": frame_no, "frame_md5": frame_md5}
+            )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where("doc_id < 200")
+        .select("doc_id", F.col("text").cast("binary").alias("blob"))
+    )
+    return d.mapInPandas(
+        extract, schema="doc_id long, frame_no int, frame_md5 string"
     )
 
 
