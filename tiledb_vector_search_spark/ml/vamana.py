@@ -38,44 +38,54 @@ def _greedy_search(
     entry: int,
     q: np.ndarray,
     l_size: int,
+    x_sq: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Best-first walk: returns (candidate ids sorted by distance, their
     distances) over all VISITED vertices (the robust-prune candidate pool).
 
     Reference ``greedy_search`` (``greedy_search.h:286-491``): maintain a
     beam of the best ``l_size`` vertices; repeatedly expand the closest
-    unexpanded one.
+    unexpanded one.  Vectorized: vertex-indexed bitmaps for membership /
+    expansion, BLAS-identity distances (``x_sq`` precomputable per shard —
+    the build loop runs this once per vertex, so per-call python cost is
+    the build's hot path).
     """
-    d_entry = float(np.sum((x[entry] - q) ** 2))
-    beam_ids = [entry]
-    beam_d = [d_entry]
-    expanded: set[int] = set()
-    in_beam = {entry}
+    if x_sq is None:
+        x_sq = np.einsum("ij,ij->i", x, x)
+    qq = float(q @ q)
+    beam_ids = np.array([entry], dtype=np.int64)
+    beam_d = np.array([x_sq[entry] - 2.0 * float(x[entry] @ q) + qq])
+    in_beam = np.zeros(len(x), dtype=bool)
+    expanded = np.zeros(len(x), dtype=bool)
+    in_beam[entry] = True
     visited_ids: list[int] = []
     visited_d: list[float] = []
     while True:
-        best, best_d = -1, np.inf
-        for i, v in enumerate(beam_ids):
-            if v not in expanded and beam_d[i] < best_d:
-                best, best_d = v, beam_d[i]
-        if best < 0:
+        # first-minimum over beam positions == the reference's scan order
+        masked = np.where(expanded[beam_ids], np.inf, beam_d)
+        b = int(np.argmin(masked))
+        if masked[b] == np.inf:
             break
-        expanded.add(best)
-        visited_ids.append(best)
-        visited_d.append(best_d)
-        nbrs = [v for v in adj[best] if v not in in_beam]
-        if nbrs:
-            nd = np.sum((x[nbrs] - q) ** 2, axis=1)
-            for v, dv in zip(nbrs, nd):
-                beam_ids.append(int(v))
-                beam_d.append(float(dv))
-                in_beam.add(int(v))
-        if len(beam_ids) > l_size:
-            order = np.argsort(np.array(beam_d), kind="stable")[:l_size]
-            keep = set(int(o) for o in order)
-            beam_ids = [beam_ids[i] for i in range(len(beam_ids)) if i in keep]
-            beam_d = [beam_d[i] for i in range(len(beam_d)) if i in keep]
-            in_beam = set(beam_ids)
+        v = int(beam_ids[b])
+        expanded[v] = True
+        visited_ids.append(v)
+        visited_d.append(float(beam_d[b]))
+        nbrs = adj[v]
+        nbrs = nbrs[~in_beam[nbrs]]
+        if nbrs.size:
+            nd = x_sq[nbrs] - 2.0 * (x[nbrs] @ q) + qq
+            in_beam[nbrs] = True
+            beam_ids = np.concatenate([beam_ids, nbrs])
+            beam_d = np.concatenate([beam_d, nd])
+        if beam_ids.size > l_size:
+            # keep the best l_size IN ORIGINAL BEAM ORDER (stable ties),
+            # matching the reference's positional trim
+            keep = np.sort(np.argsort(beam_d, kind="stable")[:l_size])
+            drop_mask = np.ones(beam_ids.size, dtype=bool)
+            drop_mask[keep] = False
+            in_beam[beam_ids[drop_mask]] = False
+            beam_ids = beam_ids[keep]
+            beam_d = beam_d[keep]
     order = np.argsort(np.array(visited_d), kind="stable")
     vi = np.array(visited_ids, dtype=np.int64)[order]
     vd = np.array(visited_d)[order]
@@ -92,25 +102,28 @@ def _robust_prune(
     """Diversity-preserving neighbor selection (reference ``robust_prune``,
     ``vamana_index.h`` build path): greedily keep the closest candidate,
     drop any other candidate that is α-dominated by it."""
-    cand = [int(c) for c in candidates if c != p]
-    if not cand:
+    cand = np.asarray(
+        [int(c) for c in candidates if c != p], dtype=np.int64
+    )
+    if cand.size == 0:
         return np.empty(0, dtype=np.int64)
     cd = np.sum((x[cand] - x[p]) ** 2, axis=1)
     order = np.argsort(cd, kind="stable")
-    cand = [cand[i] for i in order]
+    cand = cand[order]
     cd = cd[order]
     out: list[int] = []
     alive = np.ones(len(cand), dtype=bool)
     for i in range(len(cand)):
         if not alive[i]:
             continue
-        out.append(cand[i])
+        out.append(int(cand[i]))
         if len(out) >= r_max:
             break
-        # kill candidates α-dominated by the newly kept point
-        dk = np.sum((x[cand] - x[cand[i]]) ** 2, axis=1)
-        alive &= ~(alpha * dk <= cd)
         alive[i] = False
+        # kill LIVE candidates α-dominated by the newly kept point
+        live = np.where(alive)[0]
+        dk = np.sum((x[cand[live]] - x[cand[i]]) ** 2, axis=1)
+        alive[live[alpha * dk <= cd[live]]] = False
     return np.asarray(out, dtype=np.int64)
 
 
@@ -138,8 +151,9 @@ def build_vamana_graph(
     if n == 1:
         return [np.empty(0, dtype=np.int64)], 0
     med = medoid_index(x)
+    x_sq = np.einsum("ij,ij->i", x, x)
     for i in rng.permutation(n):
-        visited, _ = _greedy_search(x, adj, med, x[i], l_build)
+        visited, _ = _greedy_search(x, adj, med, x[i], l_build, x_sq=x_sq)
         pool = np.union1d(visited, adj[i])
         adj[i] = _robust_prune(x, int(i), pool, alpha, r_max)
         for j in adj[i]:
