@@ -28,7 +28,30 @@ Public surface (mirrors the reference's ``tiledb.vector_search`` package):
 """
 
 from tiledb_vector_search_spark.session import get_spark
+from tiledb_vector_search_spark.indexes import (
+    FlatIndex,
+    IVFFlatIndex,
+    IVFPQIndex,
+    Index,
+    VamanaIndex,
+    open_index,
+)
+from tiledb_vector_search_spark.ingestion import ingest
+
+# reference UX: ``tvs.open(uri)`` (``from .index import open``)
+open = open_index  # noqa: A001 — intentional, mirrors the reference export
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = [
+    "get_spark",
+    "Index",
+    "FlatIndex",
+    "IVFFlatIndex",
+    "IVFPQIndex",
+    "VamanaIndex",
+    "open",
+    "open_index",
+    "ingest",
+    "__version__",
+]
