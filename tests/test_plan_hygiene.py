@@ -1,0 +1,74 @@
+"""Physical-plan hygiene over the query registry — the 100 TB guardrails.
+
+Asserts, for every cheap-to-plan registry entry, that the executed plan
+contains no Cartesian product and no row-at-a-time Python UDF
+(``BatchEvalPython``).  Arrow-batched ``mapInPandas`` stages
+(``MapInPandas``/``ArrowEvalPython``) are the sanctioned Python path.
+
+Bounded-by-construction exceptions are whitelisted explicitly so any NEW
+all-pairs plan fails review here instead of at 100 TB.
+"""
+
+import pytest
+
+from tiledb_vector_search_spark.queries import REGISTRY
+
+# Entries whose plan legitimately contains a cartesian/nested-loop join,
+# each bounded by construction:
+#   knn_flat_* / doc_similarity_topk / range_search_l2 — a SMALL query set
+#     against the corpus (the brute-force baseline contract; the scale path
+#     is the IVF/LSH variants)
+#   ann_recall_at_k — exhaustive ground truth for 10 queries
+#   embedding_neardup_cosine — the within-bucket all-pairs VERIFIER on a
+#     bounded candidate set (scale path: hyperplane-LSH banding)
+ALLOWED_CARTESIAN = {
+    "knn_flat_l2",
+    "knn_flat_cosine",
+    "knn_flat_ip",
+    "range_search_l2",
+    "ann_recall_at_k",
+    "embedding_neardup_cosine",
+    "doc_similarity_topk",
+}
+
+# BroadcastNestedLoopJoin with a tiny broadcast side is the
+# vectors × centroids scoring pattern — O(n·k) with k ≤ partitions,
+# linear in the big side; the right plan at any scale.
+ALLOWED_BROADCAST_NLJ = {
+    "centroid_assign",
+    "ivf_probe_routing",
+    "ivf_partition_search",
+    "medoid_exact",
+}
+
+# Entries that build an index (or run a full recall harness) as a side
+# effect — planning them is minutes, and their plans are already asserted
+# by dedicated tests (partition pruning, code-column projection).
+_INDEX_BACKED = {
+    "flat_index_lifecycle",
+    "ivf_index_recall",
+    "ivf_index_recall_gate",
+    "ivf_pq_index_recall",
+    "ivf_pq_index_recall_gate",
+    "vamana_index_recall",
+    "vamana_index_recall_gate",
+    "pq_adc_rerank",
+    "object_filtered_search",
+}
+
+_CHEAP = sorted(set(REGISTRY) - _INDEX_BACKED)
+
+
+@pytest.mark.parametrize("name", _CHEAP)
+def test_plan_hygiene(spark, sf_dir, name):
+    df = REGISTRY[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name not in ALLOWED_CARTESIAN:
+        assert "CartesianProduct" not in plan, f"{name}: unbounded all-pairs"
+        if name not in ALLOWED_BROADCAST_NLJ:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name}: non-equi join slipped into the plan"
+            )
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF — use Arrow (mapInPandas) instead"
+    )

@@ -168,12 +168,22 @@ def train_pq_codebooks(
     Returns (num_subspaces, n_codes, sub_dim); padded with zeros if the
     sample has fewer than ``n_codes`` distinct points.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     dims = sample.shape[1]
     sub_dim = dims // num_subspaces
     out = np.zeros((num_subspaces, n_codes, sub_dim), dtype=np.float64)
-    for j in range(num_subspaces):
+
+    def _train(j: int) -> np.ndarray:
         sub = sample[:, j * sub_dim : (j + 1) * sub_dim]
-        cb = kmeans_numpy(sub, n_codes, seed=seed + j)
+        return kmeans_numpy(sub, n_codes, seed=seed + j)
+
+    # subproblems are independent and per-subspace seeded (deterministic
+    # regardless of completion order); BLAS releases the GIL, so threads
+    # give real parallelism on the driver
+    with ThreadPoolExecutor(max_workers=min(num_subspaces, 8)) as ex:
+        books = list(ex.map(_train, range(num_subspaces)))
+    for j, cb in enumerate(books):
         out[j, : cb.shape[0]] = cb
         if cb.shape[0] < n_codes:
             # duplicate the last centroid so unused codes never win argmin
