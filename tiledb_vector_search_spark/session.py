@@ -35,7 +35,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # pure COUNT/MIN/MAX resolve from parquet footers without a scan
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # explicit split size: vector rows are wide (d floats); 128 MB splits
+        # keep per-task Arrow batches comfortably inside executor memory
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
