@@ -192,3 +192,37 @@ def test_memory_budget_blocked_query(spark, ivf_uri, queries):
         ).collect()
     }
     assert a == b
+
+
+def test_skewed_partitions_exact(spark, source, embeddings_np, tmp_path):
+    """Natural IVF skew: force ~all vectors into ONE partition (degenerate
+    copied centroids) and verify full-probe results still equal exhaustive
+    search — the skew-join/AQE path must not change semantics."""
+    ids, mat = embeddings_np
+    dims = mat.shape[1]
+    # one centroid at the data mean, three far outside the data's range:
+    # assignment sends ~everything to partition 0
+    far = np.full((3, dims), 1e6)
+    centroids = np.vstack([mat.mean(axis=0)[None, :], far])
+    uri = str(tmp_path / "skew_idx")
+    idx = IVFFlatIndex.ingest(
+        spark, uri, source, copy_centroids_from=centroids, timestamp=1000
+    )
+    sizes = (
+        idx._base_vectors().groupBy("partition_id").count().collect()
+    )
+    by_part = {r["partition_id"]: r["count"] for r in sizes}
+    assert by_part.get(0, 0) >= 0.99 * len(ids)  # skew actually happened
+    queries = source.where("external_id < 5").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    res = idx.query(queries, K, nprobe=4).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r.query_id, []).append((r.external_id, r.distance))
+    oracle = numpy_topk(mat[:5], ids, mat, K)
+    pos = {int(q): j for j, q in enumerate(ids[:5])}
+    for qid in got:
+        assert [i for i, _ in sorted(got[qid], key=lambda t: (t[1], t[0]))] == [
+            i for i, _ in oracle[pos[qid]]
+        ]
