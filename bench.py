@@ -80,6 +80,9 @@ def _bench_queries(spark, sf_dir):
     def minhash_lsh_full():
         return DD.minhash_dedup(docs, num_perm=32, bands=8, threshold=0.9).collect()
 
+    def ngram_jaccard_full():
+        return DD.ngram_jaccard_dedup(docs, threshold=0.8).collect()
+
     def simhash_full():
         return DD.simhash_near_duplicates(
             docs, max_hamming=2, hash_family="xxhash64"
@@ -110,6 +113,7 @@ def _bench_queries(spark, sf_dir):
         "ivf_pq_build_and_query": ivf_pq_build_and_query,
         "vamana_build_and_query": vamana_build_and_query,
         "dedup_minhash_lsh_full": minhash_lsh_full,
+        "dedup_ngram_jaccard_full": ngram_jaccard_full,
         "dedup_simhash_full": simhash_full,
         "dedup_exact_groups": reg("dedup_exact_groups"),
         "text_quality_full": text_quality_full,

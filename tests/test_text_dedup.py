@@ -174,6 +174,24 @@ def test_lsh_recovers_exact_jaccard_pairs(spark, docs):
     assert len(exact) > 0
 
 
+def test_prefix_filter_equals_exact_all_pairs(spark, docs):
+    """Prefix filtering is LOSSLESS: ngram_jaccard_dedup ≡ exact all-pairs
+    at the same threshold, including full (id_a, id_b, jaccard) values —
+    the stronger claim than LSH's per-corpus equivalence."""
+    sub = docs.where("doc_id < 200")
+    for threshold in (0.7, 0.9):
+        exact = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in DD.jaccard_pairs(sub, threshold=threshold).collect()
+        }
+        pf = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in DD.ngram_jaccard_dedup(sub, threshold=threshold).collect()
+        }
+        assert pf == exact
+    assert len(exact) > 0
+
+
 def test_embedding_near_duplicates(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dup = emb.where("vec_id < 3").withColumn("vec_id", F.col("vec_id") + 100000)

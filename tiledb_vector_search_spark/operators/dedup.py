@@ -294,6 +294,84 @@ def minhash_dedup(
     )
 
 
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard ≥ threshold pairs at scale via prefix filtering.
+
+    The AllPairs/PPJoin candidate scheme (Bayardo et al. WWW'07; Xiao et
+    al. WWW'08): order each doc's shingle set by a global canonical order
+    (document frequency ascending — rarest first), keep only the first
+    ``|S| − ⌈τ·|S|⌉ + 1`` shingles (the *prefix*), and index those.  Any
+    pair with ``J ≥ τ`` must share ≥ ⌈τ·|S|⌉ shingles, so it cannot avoid
+    colliding on both prefixes — the filter is LOSSLESS, and the exact
+    verifier then removes false positives.  Unlike MinHash LSH this returns
+    the exact answer (no probabilistic misses), at the cost of the
+    document-frequency pass.
+
+    Shuffle architecture for 100 TB:
+      1. shingle df pass — one word-count-shaped shuffle on shingle keys;
+      2. rank + prefix — one groupBy(id) (map-side, already partitioned by
+         id from :func:`_shingle_docs`'s exchange);
+      3. candidate join — equi-join on PREFIX shingles only.  Because the
+         canonical order is rarest-first, prefix shingles are the rarest in
+         each doc, so bucket sizes stay near 1 and the join output is
+         ~true-pairs, not n².
+      4. verify — broadcast candidate pairs against the persisted shingled
+         corpus (zero corpus shuffle), same as the LSH verifier.
+
+    Reference parity: the reference has no text dedup; this is part of the
+    LLM-training-data operator set the engine adds on top.
+    """
+    from pyspark import StorageLevel
+
+    shingled = _shingle_docs(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex = shingled.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    freq = ex.groupBy("__s").agg(F.count("*").alias("__df"))
+    # canonical rarest-first per-doc order; (df, shingle) struct sort makes
+    # ties deterministic
+    ranked = (
+        ex.join(freq, "__s")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("__s")))
+            ).alias("__r")
+        )
+    )
+    prefix_len = (
+        F.size("__r") - F.ceil(F.lit(threshold) * F.size("__r")) + 1
+    ).cast("int")
+    # df=1 shingles can never collide — dropping them AFTER the prefix is
+    # taken (order/length unchanged, so still lossless) empties most of the
+    # candidate-join input, since unique shingles dominate real corpora
+    pre = (
+        ranked.select(
+            F.col(id_col),
+            F.explode(F.slice(F.col("__r"), F.lit(1), prefix_len)).alias("__e"),
+        )
+        .where(F.col("__e.__df") > 1)
+        .select(F.col(id_col), F.col("__e.__s").alias("__s"))
+    )
+    a = pre.select(F.col(id_col).alias("id_a"), "__s")
+    b = pre.select(F.col(id_col).alias("id_b"), "__s")
+    cand = (
+        a.join(b, "__s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_pairs(
+        df, cand, text_col, id_col, shingle_n, threshold, shingled=shingled
+    )
+
+
 # --- SimHash ------------------------------------------------------------------
 
 def simhash(

@@ -1248,7 +1248,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("min_hash"))
 
 
-_JACCARD_PAIRS_ORACLE = f"""
+def _jaccard_pairs_oracle(threshold: float) -> str:
+    """Exact all-pairs shingle-Jaccard — the oracle for every sub-quadratic
+    text-dedup strategy (LSH, prefix-filter); O(n²) is fine for DuckDB at
+    the comparison SF."""
+    return f"""
 WITH docs AS (
   SELECT doc_id, {TX.duckdb_word_shingles_sql('text', 3)} AS sh FROM documents
 ),
@@ -1260,8 +1264,11 @@ pairs AS (
   FROM docs a JOIN docs b ON a.doc_id < b.doc_id
   WHERE len(a.sh) > 0 AND len(b.sh) > 0
 )
-SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.9
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 """
+
+
+_JACCARD_PAIRS_ORACLE = _jaccard_pairs_oracle(0.9)
 
 
 @register("dedup_minhash_lsh", _JACCARD_PAIRS_ORACLE)
@@ -1278,6 +1285,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=32,
         bands=8,
         threshold=0.9,
+    )
+
+
+@register("dedup_ngram_jaccard", _jaccard_pairs_oracle(0.8))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact n-gram Jaccard dedup (AllPairs/PPJoin scheme).
+
+    Unlike the MinHash-LSH entry this is EXACT — the rarest-first prefix
+    filter is lossless, so the result must hash-match the all-pairs oracle
+    by construction, while scoring only prefix-colliding candidate pairs
+    (~true pairs, not n²).  Threshold 0.8 exercises a different operating
+    point than the 0.9 LSH entry."""
+    return DD.ngram_jaccard_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.8
     )
 
 
