@@ -137,3 +137,62 @@ def test_stream_requires_streaming_df(spark, small_source):
         stream_updates_to_index(small_source, "x", "y")
     with pytest.raises(ValueError, match="streaming"):
         hourly_rollup_stream(small_source)
+    from tiledb_vector_search_spark.streaming import sessionize_stream
+
+    with pytest.raises(ValueError, match="streaming"):
+        sessionize_stream(small_source)
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: mid-batch gap closes emit in the
+    same batch; idle sessions close via event-time timeout once a later
+    batch advances the watermark; open sessions are never emitted."""
+    from tiledb_vector_search_spark.streaming import sessionize_stream
+
+    schema = "user_id long, ts timestamp"
+    src = tmp_path / "sess"
+    batch1 = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 11:00:00"),
+        (1, "2024-01-01 11:05:00"),
+        (1, "2024-01-01 13:00:00"),
+        (2, "2024-01-01 09:00:00"),
+    ]
+    batch2 = [(3, "2024-01-01 14:00:00")]
+
+    def write(rows, mode):
+        df = spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        df.repartition(1).write.mode(mode).parquet(str(src))
+
+    write(batch1, "overwrite")
+    time.sleep(1.1)  # distinct mtimes → deterministic file→batch order
+    write(batch2, "append")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    assert got == {
+        # user 1: two sessions closed by mid-batch gaps
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+        (1, "2024-01-01 11:00:00", "2024-01-01 11:05:00", 2),
+        # user 2: closed by event-time timeout when batch 2's watermark
+        # (14:00 − 1h = 13:00) passes 09:00 + 30 min
+        (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
+        # user 1's 13:00 session and user 3 remain open → not emitted
+    }

@@ -418,7 +418,10 @@ class IVFPQIndex(Index):
             # exact re-rank join: candidates are tiny (nq·k·k_factor) —
             # broadcast them against the vector column of the pruned scan
             cand = coarse_topk.select(QUERY_ID_COL, ID_COL)
-            vecs = self._base_vectors().select(ID_COL, VECTOR_COL)
+            # candidates all come from probed partitions, so the re-rank
+            # scan reuses the partition-pruned, tombstone-filtered ``base``
+            # rather than re-scanning the full table
+            vecs = base.select(ID_COL, VECTOR_COL)
             qv = q.select(QUERY_ID_COL, F.col(VECTOR_COL).alias("__qvec"))
             reranked = (
                 vecs.join(F.broadcast(cand), ID_COL)

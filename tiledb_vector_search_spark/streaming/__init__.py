@@ -1,6 +1,11 @@
+from tiledb_vector_search_spark.streaming.sessionize import sessionize_stream
 from tiledb_vector_search_spark.streaming.updates import (
     hourly_rollup_stream,
     stream_updates_to_index,
 )
 
-__all__ = ["stream_updates_to_index", "hourly_rollup_stream"]
+__all__ = [
+    "stream_updates_to_index",
+    "hourly_rollup_stream",
+    "sessionize_stream",
+]
