@@ -192,6 +192,20 @@ def test_prefix_filter_equals_exact_all_pairs(spark, docs):
     assert len(exact) > 0
 
 
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation converges on a long chain (worst-case diameter,
+    many rounds) and on disjoint cliques (the realistic near-dup shape)."""
+    chain = [(i, i + 1) for i in range(10, 20)]          # one 11-node chain
+    clique = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    pairs = spark.createDataFrame(chain + clique, "id_a long, id_b long")
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in DD.connected_components(pairs).collect()
+    }
+    expect = {(i, 10) for i in range(10, 21)} | {(i, 1) for i in (1, 2, 3)}
+    assert got == expect
+
+
 def test_embedding_near_duplicates(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dup = emb.where("vec_id < 3").withColumn("vec_id", F.col("vec_id") + 100000)

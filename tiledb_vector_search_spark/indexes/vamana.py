@@ -159,6 +159,10 @@ class VamanaIndex(Index):
         sequential build sees its whole shard in one task."""
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            # row-arrival order inside a shard is not deterministic across
+            # Spark runs (split order / scheduling); the seeded build must
+            # see a canonical order or the graph (and its recall) drifts
+            pdf = pdf.sort_values(ID_COL, ignore_index=True)
             x = np.array(list(pdf[VECTOR_COL]), dtype=np.float64)
             ids = pdf[ID_COL].to_numpy(dtype=np.int64)
             adj, med = build_vamana_graph(x, r_max, l_build, alpha, seed)

@@ -372,6 +372,74 @@ def ngram_jaccard_dedup(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, canonical_id) dedup groups from near-dup PAIRS.
+
+    The step every dedup pipeline needs after pair verification: transitive
+    closure, canonical = min id of the component, so "drop all docs where
+    doc_id != canonical_id" keeps exactly one representative per group.
+
+    Iterative min-label propagation: each round, every node takes the min
+    label among itself and its neighbors; stop when a round changes
+    nothing.  Rounds = graph diameter — the right trade for DEDUP graphs,
+    whose components are near-cliques of mutually-similar docs (diameter
+    ~2-3), so this converges in 3-4 joins without the bookkeeping of
+    large-star/small-star (Kiveris et al., whose O(log n) bound matters
+    only for long-chain graphs that near-dup thresholds don't produce).
+    Each round is one equi-join on node id + one groupBy — both shuffle
+    only the (node, label) long pairs, never document payloads.  The edge
+    list is persisted once and reused every round; per-round labels are
+    ``localCheckpoint``-ed — persist alone keeps the full lineage, so the
+    logical plan (and its analysis cost) would double every iteration.
+    """
+    from pyspark import StorageLevel
+
+    sym = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    )
+    edges = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("__nmin"))
+        .select("u", F.least("u", "__nmin").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("__nl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("__nl").alias("__nmin"))
+        )
+        new = labels.join(nbr, "u", "left").select(
+            "u",
+            F.least("label", F.coalesce("__nmin", "label")).alias("label"),
+        ).localCheckpoint()
+        changed = (
+            new.join(labels.select("u", F.col("label").alias("__old")), "u")
+            .where(F.col("label") < F.col("__old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
 # --- SimHash ------------------------------------------------------------------
 
 def simhash(

@@ -788,8 +788,16 @@ def medoid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("vamana_index_recall")  # non-SQL-expressible: graph build
 def vamana_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a sharded Vamana graph index and report per-query recall@10 of
-    nprobe=3 graph search vs exhaustive (reference gate 0.85,
-    ``test_ingestion.py:23``)."""
+    full-probe graph search vs exhaustive (reference gate 0.85,
+    ``test_ingestion.py:23``).
+
+    nprobe = shards: the reference's gate measures GRAPH-SEARCH quality on
+    one monolithic graph, so the sharded twin probes every shard's graph —
+    loss here is greedy-search loss only.  Partial-probe (routing) recall
+    is gated separately by ``ivf_index_recall_gate``; at partial probe this
+    entry's recall wobbles ±0.05 around the 0.85 line purely from run-to-run
+    KMeans shard-boundary drift (Spark ML float aggregation order), which
+    would make the driver hash non-reproducible."""
     from tiledb_vector_search_spark.indexes import VamanaIndex
     from tiledb_vector_search_spark.operators.knn import knn_bruteforce_expr
 
@@ -802,7 +810,7 @@ def vamana_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = src.where("external_id < 10").select(
         F.col("external_id").alias("query_id"), "vector"
     )
-    approx = idx.query(queries, 10, nprobe=3).select("query_id", "external_id")
+    approx = idx.query(queries, 10, nprobe=4).select("query_id", "external_id")
     exact = knn_bruteforce_expr(src, queries, 10).select("query_id", "external_id")
     joined = exact.alias("e").join(
         approx.alias("a"),
@@ -1286,6 +1294,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=8,
         threshold=0.9,
     )
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {TX.duckdb_word_shingles_sql('text', 3)} AS sh FROM documents
+),
+jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jp
+  UNION SELECT id_b, id_a FROM jp
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, min(v) AS canonical_id FROM reach GROUP BY u
+"""
+
+
+@register("dedup_connected_components", _COMPONENTS_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive-closure groups: (doc_id, canonical_id)
+    with canonical = min id of the component, i.e. the keep/drop decision a
+    dedup pipeline actually executes.  Spark side is iterative min-label
+    propagation over the pair graph (diameter-bounded — near-dup components
+    are near-cliques); oracle is a DuckDB recursive-CTE transitive closure
+    over the same exact-Jaccard pairs."""
+    pairs = DD.ngram_jaccard_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+    return DD.connected_components(pairs)
 
 
 @register("dedup_ngram_jaccard", _jaccard_pairs_oracle(0.8))
