@@ -1,0 +1,77 @@
+"""Deterministic sampling / splitting for reproducible training pipelines.
+
+``df.sample()`` is seed-dependent on partitioning and row order, which a
+100 TB pipeline cannot accept: re-running after a repartition must select
+the SAME documents, and train/test membership must be stable for the life
+of the corpus.  The standard fix is content-keyed hash bucketing: bucket =
+``stable_hash64(key ∥ salt) mod 1e6``, select by bucket range.  Properties:
+
+- reproducible across runs, partitionings, and engines (the md5-based
+  ``stable_hash64`` has an exact DuckDB twin, so splits are
+  oracle-checkable);
+- pure Catalyst filter/projection — no shuffle, no state, vectorized;
+- disjoint-by-construction splits (bucket ranges partition [0, 1e6));
+- adding data never reassigns existing keys (per-key, not per-position).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.functions.text import stable_hash64
+
+_BUCKETS = 1_000_000
+
+
+def _bucket(key_col: str, salt: str) -> Column:
+    return F.pmod(
+        stable_hash64(F.col(key_col).cast("string"), salt=salt), F.lit(_BUCKETS)
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample, stable under re-runs/repartition."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    return df.where(_bucket(key_col, salt) < int(fraction * _BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Adds ``split_col`` assigning each row to a named split.
+
+    ``splits`` maps name → fraction (must sum to ≤ 1; any remainder is
+    labeled ``holdout``).  Assignment is by disjoint bucket range in
+    insertion order, so it is deterministic and exactly reproducible.
+    """
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bucket = _bucket(key_col, salt)
+    expr = None
+    lo = 0
+    for name, frac in splits.items():
+        hi = lo + int(frac * _BUCKETS)
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn(split_col, expr.otherwise("holdout"))
+
+
+def duckdb_bucket_sql(key_expr: str, salt: str) -> str:
+    """DuckDB twin of the bucket expression, for oracle queries."""
+    from tiledb_vector_search_spark.functions.text import (
+        duckdb_stable_hash64_sql,
+    )
+
+    h = duckdb_stable_hash64_sql(f"CAST({key_expr} AS VARCHAR)", salt=salt)
+    # pmod: stable_hash64 is non-negative (60-bit), plain % suffices
+    return f"({h} % {_BUCKETS})"

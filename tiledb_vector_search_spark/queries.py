@@ -1301,6 +1301,72 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "deterministic_split_sample",
+    """
+SELECT doc_id,
+       CASE WHEN __b < 800000 THEN 'train'
+            WHEN __b < 900000 THEN 'valid'
+            WHEN __b < 1000000 THEN 'test'
+            ELSE 'holdout' END AS split
+FROM (SELECT doc_id,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15))::BIGINT
+              % 1000000) AS __b
+      FROM documents)
+""",
+)
+def deterministic_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed 80/10/10 train/valid/test split — the reproducible
+    (engine-independent, repartition-proof) sampling a 100 TB training
+    pipeline needs instead of seed-based ``df.sample``.  Pure Catalyst
+    projection; md5 bucket has an exact DuckDB twin."""
+    from tiledb_vector_search_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+
+
+_QF = TX.duckdb_quality_features_sql("text")
+
+
+@register(
+    "quality_filter_decision",
+    f"""
+SELECT doc_id,
+       CASE WHEN n_tokens < 30 THEN 'too_short'
+            WHEN stopword_ratio < 0.02 THEN 'low_stopword'
+            ELSE 'ok' END AS reason,
+       (n_tokens >= 30 AND stopword_ratio >= 0.02) AS keep
+FROM (SELECT doc_id, {_QF['n_tokens']} AS n_tokens,
+             {_QF['stopword_ratio']} AS stopword_ratio
+      FROM documents)
+""",
+)
+def quality_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style keep/drop decision with the FIRST failing rule as
+    the audit reason — the executable form of a quality filter (keep =
+    every rule passes).  Thresholds chosen to split this corpus
+    non-vacuously (~quarter drops)."""
+    feats = TX.quality_features("text")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("n_tokens") < 30, "too_short")
+        .when(F.col("stopword_ratio") < 0.02, "low_stopword")
+        .otherwise("ok")
+        .alias("reason"),
+        ((F.col("n_tokens") >= 30) & (F.col("stopword_ratio") >= 0.02)).alias(
+            "keep"
+        ),
+    )
+
+
 _COMPONENTS_ORACLE = f"""
 WITH RECURSIVE docs AS (
   SELECT doc_id, {TX.duckdb_word_shingles_sql('text', 3)} AS sh FROM documents
