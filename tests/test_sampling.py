@@ -69,3 +69,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_salted_join_equivalent(spark):
+    """salted_join ≡ plain join on a hot-key fixture, inner and left."""
+    from tiledb_vector_search_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(5000)] + [(k, 0) for k in range(2, 30)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(0, 20)], "k long, attr string"
+    )
+    for how in ("inner", "left"):
+        plain = {
+            (r.k, r.payload, r.attr)
+            for r in big.join(dim, "k", how).collect()
+        }
+        salted = {
+            (r.k, r.payload, r.attr)
+            for r in salted_join(big, dim, "k", how, salt=8).collect()
+        }
+        assert salted == plain
+    import pytest
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, dim, "k", "right")
