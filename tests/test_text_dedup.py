@@ -192,6 +192,31 @@ def test_prefix_filter_equals_exact_all_pairs(spark, docs):
     assert len(exact) > 0
 
 
+def test_prefix_filter_threshold_boundary(spark):
+    """Boundary exactness: a pair at J == τ must be kept (≥, not >), and
+    short docs (< shingle_n tokens) are excluded on both paths."""
+    # doc 1/2 share 3 of 4 shingles? build via tokens: J computed on
+    # distinct 3-gram sets; construct overlap |A∩B|/|A∪B| = 0.5 exactly:
+    # A = {t1..t6} -> 4 shingles, B shares 2 of them + 2 new -> J = 2/6? --
+    # simpler: identical docs (J=1.0) and τ=1.0 boundary
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),   # J=1.0 with doc 1
+        (3, "alpha beta gamma delta zeta"),      # J<1 with 1/2
+        (4, "too short"),                        # < 3 tokens → no shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.jaccard_pairs(docs, threshold=1.0).collect()
+    }
+    pf = {
+        (r.id_a, r.id_b)
+        for r in DD.ngram_jaccard_dedup(docs, threshold=1.0).collect()
+    }
+    assert pf == exact == {(1, 2)}
+
+
 def test_connected_components_chain_and_cliques(spark):
     """Min-label propagation converges on a long chain (worst-case diameter,
     many rounds) and on disjoint cliques (the realistic near-dup shape)."""
