@@ -43,6 +43,8 @@ from tiledb_vector_search_spark.functions.distance import (
 )
 from tiledb_vector_search_spark.indexes.base import Index, count_and_dims
 from tiledb_vector_search_spark.ml.kmeans import (
+    CENTRALIZED_K_MAX,
+    CENTRALIZED_SAMPLE_MAX,
     default_partitions,
     default_training_sample_size,
     kmeans_numpy,
@@ -231,14 +233,10 @@ class IVFPQIndex(Index):
             )
         k = partitions or default_partitions(n)
 
-        if copy_centroids_from is not None:
-            centroids = np.asarray(copy_centroids_from, dtype=np.float64)
-            k = centroids.shape[0]
-        else:
-            sample_size = training_sample_size or default_training_sample_size(n, k)
-            centroids = train_centroids_ml(vectors, k, sample_size, n, seed=seed)
-
-        # PQ training sample: bounded driver-side read
+        # ONE bounded sample scan serves both trainings: PQ codebooks always,
+        # and the coarse centroids whenever the centralized path applies
+        # (sample caps are equal, so the PQ sample is a superset) — saving a
+        # second full-corpus sampling scan, which is real IO at 100 TB.
         frac = min(1.0, (PQ_TRAIN_MAX * 1.2) / max(n, 1))
         srows = (
             vectors.sample(frac, seed=seed).limit(PQ_TRAIN_MAX).collect()
@@ -246,6 +244,26 @@ class IVFPQIndex(Index):
             else vectors.limit(PQ_TRAIN_MAX).collect()
         )
         sample = np.array([r[VECTOR_COL] for r in srows], dtype=np.float64)
+
+        if copy_centroids_from is not None:
+            centroids = np.asarray(copy_centroids_from, dtype=np.float64)
+            k = centroids.shape[0]
+        else:
+            sample_size = training_sample_size or default_training_sample_size(n, k)
+            if (
+                sample_size <= CENTRALIZED_SAMPLE_MAX
+                and k <= CENTRALIZED_K_MAX
+                and len(sample) >= min(sample_size, n)
+            ):
+                centroids = kmeans_numpy(
+                    sample[:sample_size], k, max_iter=10, seed=seed,
+                    init="k-means++",
+                )
+            else:
+                centroids = train_centroids_ml(
+                    vectors, k, sample_size, n, seed=seed
+                )
+
         codebooks = train_pq_codebooks(sample, num_subspaces, seed=seed)
 
         encoded = assign_and_encode_kernel(
