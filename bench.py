@@ -81,7 +81,10 @@ def _bench_queries(spark, sf_dir):
         return DD.minhash_dedup(docs, num_perm=32, bands=8, threshold=0.9).collect()
 
     def ngram_jaccard_full():
-        return DD.ngram_jaccard_dedup(docs, threshold=0.8).collect()
+        # the complete dedup pipeline: exact prefix-filtered pairs →
+        # transitive-closure groups (the keep/drop decision)
+        pairs = DD.ngram_jaccard_dedup(docs, threshold=0.8)
+        return DD.connected_components(pairs).collect()
 
     def simhash_full():
         return DD.simhash_near_duplicates(

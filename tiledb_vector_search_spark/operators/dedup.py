@@ -422,10 +422,12 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("__nl").alias("__nmin"))
         )
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes it — one Spark job per round instead of two
         new = labels.join(nbr, "u", "left").select(
             "u",
             F.least("label", F.coalesce("__nmin", "label")).alias("label"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = (
             new.join(labels.select("u", F.col("label").alias("__old")), "u")
             .where(F.col("label") < F.col("__old"))
