@@ -37,6 +37,17 @@ from tiledb_vector_search_spark.indexes import (
     open_index,
 )
 from tiledb_vector_search_spark.ingestion import ingest
+from tiledb_vector_search_spark.compat import (
+    STORAGE_VERSION,
+    ivf_index,
+    ivf_query,
+    ivf_query_ram,
+    load_as_array,
+    partition_ivf_index,
+    query_vq_heap,
+    query_vq_nth,
+    validate_top_k,
+)
 
 # reference UX: ``tvs.open(uri)`` (``from .index import open``)
 open = open_index  # noqa: A001 — intentional, mirrors the reference export
@@ -53,5 +64,14 @@ __all__ = [
     "open",
     "open_index",
     "ingest",
+    "load_as_array",
+    "query_vq_nth",
+    "query_vq_heap",
+    "ivf_index",
+    "ivf_query",
+    "ivf_query_ram",
+    "partition_ivf_index",
+    "validate_top_k",
+    "STORAGE_VERSION",
     "__version__",
 ]
