@@ -83,3 +83,26 @@ def test_validate_top_k_shapes():
     assert not tvs.validate_top_k(a, np.array([[1, 2], [3, 5]]))
     assert not tvs.validate_top_k(a, np.array([[1, 2]]))
     assert tvs.STORAGE_VERSION
+
+
+def test_utils_vecs_roundtrip(tmp_path):
+    """utils.load_* round-trips the reference's vecs layouts, including the
+    reference's own backwards-compat fvecs corpus when present."""
+    from tiledb_vector_search_spark import utils
+    import os
+
+    rng = np.random.default_rng(3)
+    f = rng.random((20, 8), dtype=np.float32)
+    utils.write_fvecs(str(tmp_path / "a.fvecs"), f)
+    assert (utils.load_fvecs(str(tmp_path / "a.fvecs")) == f).all()
+    iv = rng.integers(0, 1000, (7, 5)).astype(np.int32)
+    utils.write_ivecs(str(tmp_path / "a.ivecs"), iv)
+    assert (utils.load_ivecs(str(tmp_path / "a.ivecs")) == iv).all()
+    b = rng.integers(0, 255, (9, 16)).astype(np.uint8)
+    utils.write_bvecs(str(tmp_path / "a.bvecs"), b)
+    assert (utils.load_bvecs(str(tmp_path / "a.bvecs")) == b).all()
+
+    ref = "/root/reference/backwards-compatibility-data/siftmicro_base.fvecs"
+    if os.path.exists(ref):
+        m = utils.load_fvecs(ref)
+        assert m.shape == (100, 128)
