@@ -15,6 +15,13 @@ def docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
 
+@pytest.fixture(scope="module")
+def docs_with_source(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+
+
 def test_sample_stable_under_repartition(spark, docs):
     a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).collect()}
     b = {
@@ -96,3 +103,24 @@ def test_salted_join_equivalent(spark):
 
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(big, dim, "k", "right")
+
+
+def test_stratified_sample_rates(spark, docs_with_source):
+    from tiledb_vector_search_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    out = stratified_hash_sample(
+        docs_with_source, "doc_id", "source", {"src0": 1.0}, default_fraction=0.0
+    )
+    rows = out.collect()
+    # fraction 1.0 keeps every src0 doc; default 0.0 drops everything else
+    src0_total = docs_with_source.where("source = 'src0'").count()
+    assert len(rows) == src0_total > 0
+    assert all(r.source == "src0" for r in rows)
+    import pytest
+
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_hash_sample(
+            docs_with_source, "doc_id", "source", {"src0": 1.5}
+        )

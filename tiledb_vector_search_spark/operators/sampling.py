@@ -66,6 +66,39 @@ def hash_split(
     return df.withColumn(split_col, expr.otherwise("holdout"))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive.
+
+    A training corpus is rebalanced by sampling each source/language at its
+    own rate (e.g. keep 100% of books, 10% of crawl).  Same hash-bucket
+    determinism as :func:`hash_sample`, with the threshold chosen per
+    stratum; strata not in ``fractions`` get ``default_fraction``.  Still a
+    pure Catalyst filter — no shuffle, no per-stratum passes.
+    """
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
+    bucket = _bucket(key_col, salt)
+    thresh = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        val = F.lit(int(frac * _BUCKETS))
+        thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
+    thresh = (
+        thresh.otherwise(int(default_fraction * _BUCKETS))
+        if thresh is not None
+        else F.lit(int(default_fraction * _BUCKETS))
+    )
+    return df.where(bucket < thresh)
+
+
 def duckdb_bucket_sql(key_expr: str, salt: str) -> str:
     """DuckDB twin of the bucket expression, for oracle queries."""
     from tiledb_vector_search_spark.functions.text import (

@@ -1328,6 +1328,60 @@ def deterministic_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_composition",
+    """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT md5(text)) AS distinct_texts,
+       round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4) AS dup_ratio
+FROM documents GROUP BY source, lang
+""",
+)
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus composition report — docs, volume,
+    exact-dup ratio: the numbers data-mixing decisions are made from.
+    One shuffle on the grouping key; the distinct count rides the same
+    aggregation (partial distinct on md5)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct(F.md5("text")).alias("distinct_texts"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")) / F.count("*"), 4
+        ).alias("dup_ratio"),
+    )
+
+
+@register(
+    "stratified_mix_sample",
+    """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15))::BIGINT
+          % 1000000) AS __b
+  FROM documents)
+WHERE __b < CASE source WHEN 'src0' THEN 1000000
+                        WHEN 'src1' THEN 500000
+                        ELSE 100000 END
+""",
+)
+def stratified_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rebalance: keep 100% of src0, 50% of src1, 10% of the
+    rest — per-stratum deterministic hash sampling in one Catalyst filter
+    (no shuffle, no per-stratum passes)."""
+    from tiledb_vector_search_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_hash_sample(
+        d, "doc_id", "source", {"src0": 1.0, "src1": 0.5},
+        default_fraction=0.1,
+    )
+
+
 _QF = TX.duckdb_quality_features_sql("text")
 
 
