@@ -239,3 +239,73 @@ def test_embedding_near_duplicates(spark, sf_dir):
     ).collect()
     got = {(r.id_a, r.id_b) for r in found}
     assert {(i, i + 100000) for i in range(3)} <= got
+
+
+# --- repetition / PII / decontamination (round-2 late additions) -------------
+
+
+def test_repetition_features_semantics(spark):
+    from tiledb_vector_search_spark.session import small_df
+
+    df = small_df(
+        spark,
+        [
+            (0, "spam spam spam spam"),          # one 2-gram repeated 3x
+            (1, "a b c d e"),                    # all grams unique
+            (2, "x"),                            # too short for any gram
+        ],
+        "doc_id: long, text: string",
+    )
+    feats = TX.repetition_features("text")
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in feats.items()]
+        ).collect()
+    }
+    assert rows[0].top_2gram_frac == 1.0       # "spam spam" is every 2-gram
+    assert rows[0].dup_3gram_frac == 0.5       # 2 occurrences, 1 distinct
+    assert rows[1].top_2gram_frac == 0.25      # 4 unique 2-grams
+    assert rows[1].dup_3gram_frac == 0.0
+    assert rows[2].top_2gram_frac == 0.0       # guard: no grams at all
+    assert rows[2].dup_3gram_frac == 0.0
+
+
+def test_pii_counts_and_redaction(spark):
+    from tiledb_vector_search_spark.session import small_df
+
+    df = small_df(
+        spark,
+        [(0, "mail a.b+c@test.org or bob@x.io, call 555-0199, ip 10.0.0.1 end")],
+        "doc_id: long, text: string",
+    )
+    counts = TX.pii_counts("text")
+    row = df.select(
+        *[c.alias(n) for n, c in counts.items()],
+        TX.redact_pii("text").alias("red"),
+    ).collect()[0]
+    assert (row.n_email, row.n_phone, row.n_ipv4) == (2, 1, 1)
+    assert row.red == "mail [EMAIL] or [EMAIL], call [PHONE], ip [IPV4] end"
+
+
+def test_ngram_overlap_counts_shared_grams(spark):
+    from tiledb_vector_search_spark.operators.decontam import ngram_overlap
+    from tiledb_vector_search_spark.session import small_df
+
+    train = small_df(
+        spark,
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "completely different words here with no overlap at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    ev = small_df(
+        spark,
+        [(100, "quick brown fox jumps high")],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in ngram_overlap(train, ev, n=4, threshold=1).collect()}
+    # shared 4-grams: "quick brown fox jumps" only
+    assert out[0].n_overlap == 1 and out[0].contaminated
+    assert 1 not in out  # zero-overlap docs are absent by design

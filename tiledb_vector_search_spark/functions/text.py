@@ -123,6 +123,29 @@ def duckdb_word_shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def all_word_shingles(col: Column | str, n: int = 2) -> Column:
+    """ALL word n-gram occurrences (order-preserving, duplicates kept).
+
+    Unlike :func:`word_shingles` (distinct — the dedup basis) this keeps
+    multiplicity, which the within-document repetition filters need.
+    """
+    t = tokens(col)
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, F.lit(n)), " "))
+
+
+def duckdb_all_word_shingles_sql(expr: str, n: int = 2) -> str:
+    t = duckdb_tokens_sql(expr)
+    parts = " || ' ' || ".join(f"__t[__i + {j}]" for j in range(n))
+    return (
+        f"(SELECT CASE WHEN len(__t) >= {n} THEN "
+        f"list_transform(range(1, len(__t) - {n - 1} + 1), __i -> {parts}) "
+        f"ELSE [] END FROM (SELECT {t} AS __t) __sh)"
+    )
+
+
 # --- fingerprinting ----------------------------------------------------------
 
 def doc_fingerprint(col: Column | str) -> Column:
@@ -226,6 +249,115 @@ def duckdb_quality_features_sql(expr: str) -> dict[str, str]:
 
 def _duckdb_stop_list() -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+# --- repetition filters (Gopher §A.1-style) ----------------------------------
+
+def repetition_features(col: Column | str) -> dict[str, Column]:
+    """Within-document repetition signals used by Gopher/MassiveText-style
+    quality rules (duplicate n-gram mass → boilerplate / degenerate text).
+
+    - ``top_2gram_frac``: occurrences of the single most frequent 2-gram
+      over all 2-gram occurrences (Gopher gates this at 0.20).
+    - ``dup_3gram_frac``: fraction of 3-gram occurrences that are repeats,
+      i.e. ``1 − distinct/total`` (Gopher's duplicate-n-gram family).
+
+    Single-expression form for oracle-facing bounded queries; Catalyst does
+    not CSE across the lambda boundaries, so the hot-path variant should
+    materialize the shingle arrays first (see ``shingles_from_tokens``).
+    Reference parity: quality filtering sits upstream of the reference's
+    ingestion (it has none in-tree); this is the LLM-pipeline extension.
+    """
+    g2 = all_word_shingles(col, 2)
+    g3 = all_word_shingles(col, 3)
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda g: F.size(F.filter(g2, lambda x: x == g)),
+        )
+    )
+    return {
+        "top_2gram_frac": F.when(
+            F.size(g2) > 0, F.round((top2 / F.size(g2)).cast("double"), 6)
+        ).otherwise(F.lit(0.0)),
+        "dup_3gram_frac": F.when(
+            F.size(g3) > 0,
+            F.round(
+                (
+                    (F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3)
+                ).cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def duckdb_repetition_features_sql(expr: str) -> dict[str, str]:
+    g2 = duckdb_all_word_shingles_sql(expr, 2)
+    g3 = duckdb_all_word_shingles_sql(expr, 3)
+    top2 = (
+        f"list_max(list_transform(list_distinct(__g2), "
+        f"__g -> len(list_filter(__g2, __x -> __x = __g))))"
+    )
+    return {
+        "top_2gram_frac": (
+            f"(SELECT CASE WHEN len(__g2) > 0 THEN "
+            f"round({top2} * 1.0 / len(__g2), 6) ELSE 0.0 END "
+            f"FROM (SELECT {g2} AS __g2) __r2)"
+        ),
+        "dup_3gram_frac": (
+            f"(SELECT CASE WHEN len(__g3) > 0 THEN "
+            f"round((len(__g3) - len(list_distinct(__g3))) * 1.0 / len(__g3), 6) "
+            f"ELSE 0.0 END FROM (SELECT {g3} AS __g3) __r3)"
+        ),
+    }
+
+
+# --- PII detection / redaction -----------------------------------------------
+
+# Patterns written to the common subset of Java regex (Spark) and RE2
+# (DuckDB): no lookaround, `[.]` instead of escaped dots (sidesteps
+# double-escaping differences between the two SQL string layers).
+PII_PATTERNS = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}",
+    "phone": "555-[0-9]{4}",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-document PII hit counts (email / phone / IPv4), JVM-side regex."""
+    raw = _c(col)
+    return {
+        f"n_{name}": F.regexp_count(raw, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def duckdb_pii_counts_sql(expr: str) -> dict[str, str]:
+    return {
+        f"n_{name}": f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT)"
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII span with a typed placeholder (scrub-before-train).
+
+    Replacement order is fixed (email, phone, ipv4) so both engines produce
+    byte-identical output.
+    """
+    out = _c(col)
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def duckdb_redact_pii_sql(expr: str) -> str:
+    out = expr
+    for name, pat in PII_PATTERNS.items():
+        out = f"regexp_replace({out}, '{pat}', '[{name.upper()}]', 'g')"
+    return out
 
 
 # --- language ID -------------------------------------------------------------

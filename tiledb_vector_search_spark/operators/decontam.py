@@ -1,0 +1,62 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark set (the GPT-3/Llama pretraining
+hygiene step — eval answers leaking into training data inflate scores).
+
+Scale posture (100 TB corpus, MB-scale eval set):
+- the eval side reduces to a DISTINCT set of n-gram strings — benchmarks
+  are tiny, so this set is broadcast; the corpus side is a map-only
+  explode + broadcast hash join, no corpus shuffle;
+- the only shuffle is the final per-doc count, which is map-side
+  combinable on ``doc_id`` (grams are already distinct per doc, so the
+  partial aggregate is a plain count).
+
+Reference parity: the reference has no decontamination in-tree; this is
+part of the LLM-training-data extension the engine adds on top of the
+reference's operator set (SURVEY §2's "beyond the reference" block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.functions.text import word_shingles
+
+
+def eval_ngram_set(eval_df: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
+    """Distinct word n-grams over the eval set — the broadcast probe side."""
+    return (
+        eval_df.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_overlap(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    threshold: int = 1,
+) -> DataFrame:
+    """Per-train-doc count of distinct n-grams shared with the eval set.
+
+    Returns ``(id_col, n_overlap, contaminated)`` for docs with ≥1 shared
+    gram; ``contaminated`` applies the count threshold.  ``word_shingles``
+    is distinct-per-doc, so after the explode each (doc, gram) occurs once
+    and the per-doc aggregate is a plain count (map-side combinable).
+    """
+    ev = eval_ngram_set(eval_df, text_col, n)
+    tr = train_df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+        .select(
+            id_col,
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            (F.col("n_overlap") >= threshold).alias("contaminated"),
+        )
+    )

@@ -1571,6 +1571,121 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.rolling_fingerprint("text").alias("rolling_fp"))
 
 
+def _repetition_cols_sql() -> str:
+    feats = TX.duckdb_repetition_features_sql("text")
+    return ",\n       ".join(f"{e} AS {n}" for n, e in feats.items())
+
+
+@register(
+    "text_repetition_scores",
+    f"""
+SELECT doc_id, {_repetition_cols_sql()}
+FROM documents WHERE doc_id < 500
+""",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters: most-frequent-2-gram
+    mass and duplicate-3-gram fraction.  Boilerplate/degenerate-text gate for
+    the LLM-data pipeline (no reference counterpart — pipeline extension)."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 500")
+    feats = TX.repetition_features("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def _pii_augmented_spark() -> F.Column:
+    # testdata carries no PII; plant deterministic doc_id-derived PII spans
+    # (same derivation in the oracle) so the detector is exercised on real
+    # hits, not graded on an all-zeros output.
+    did = F.col("doc_id")
+    return (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+_PII_AUG_SQL = """CASE
+  WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+       || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+  WHEN doc_id % 3 = 1 THEN text || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+  ELSE text END"""
+
+
+def _pii_cols_sql() -> str:
+    cols = TX.duckdb_pii_counts_sql("aug")
+    return ",\n       ".join(f"{e} AS {n}" for n, e in cols.items())
+
+
+@register(
+    "pii_detect_redact",
+    f"""
+WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents WHERE doc_id < 500)
+SELECT doc_id, {_pii_cols_sql()},
+       md5({TX.duckdb_redact_pii_sql('aug')}) AS redacted_md5
+FROM a
+""",
+)
+def pii_detect_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing (email / phone / IPv4 → typed placeholders)
+    over deterministically-planted spans; JVM-side regex only, the
+    pre-training privacy pass of the LLM-data pipeline."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 500")
+    a = d.select("doc_id", _pii_augmented_spark().alias("aug"))
+    counts = TX.pii_counts("aug")
+    return a.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        F.md5(TX.redact_pii("aug").cast("binary")).alias("redacted_md5"),
+    )
+
+
+_DECONTAM_SH = TX.duckdb_word_shingles_sql("text", 4)
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    f"""
+WITH ev AS (SELECT DISTINCT g FROM (
+       SELECT unnest({_DECONTAM_SH}) AS g FROM documents WHERE doc_id % 23 = 0) u),
+     tr AS (SELECT doc_id, unnest({_DECONTAM_SH}) AS g
+            FROM documents WHERE doc_id % 23 <> 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+       count(*) >= 3 AS contaminated
+FROM tr JOIN ev USING (g) GROUP BY doc_id
+""",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 4-gram overlap between the training split
+    and a held-out eval split (doc_id % 23).  Broadcast eval-gram probe, no
+    corpus shuffle except the map-combinable per-doc count — the pretraining
+    hygiene step (GPT-3 §C / Llama style)."""
+    from tiledb_vector_search_spark.operators.decontam import ngram_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_overlap(
+        d.where("doc_id % 23 != 0"), d.where("doc_id % 23 = 0"), n=4, threshold=3
+    )
+
+
 @register(
     "doc_similarity_topk",
     f"""
