@@ -109,6 +109,32 @@ def _bench_queries(spark, sf_dir):
             .collect()
         )
 
+    def decontam_full():
+        from tiledb_vector_search_spark.operators.decontam import ngram_overlap
+
+        return ngram_overlap(
+            docs.where("doc_id % 23 != 0"), docs.where("doc_id % 23 = 0"), n=4
+        ).collect()
+
+    def repetition_full():
+        from tiledb_vector_search_spark.operators.quality import repetition_scores
+
+        # same one-file-fixture spread as text_quality_full
+        return repetition_scores(docs.repartition(32)).collect()
+
+    def pii_redact_full():
+        from tiledb_vector_search_spark.functions import text as TX
+
+        return (
+            docs.repartition(32)
+            .select(
+                "doc_id",
+                F.md5(TX.redact_pii("text").cast("binary")).alias("redacted_md5"),
+                *[c.alias(n) for n, c in TX.pii_counts("text").items()],
+            )
+            .collect()
+        )
+
     return {
         "knn_flat_kernel_100q": knn_kernel,
         "ivf_build_and_query": ivf_build_and_query,
@@ -120,6 +146,9 @@ def _bench_queries(spark, sf_dir):
         "dedup_simhash_full": simhash_full,
         "dedup_exact_groups": reg("dedup_exact_groups"),
         "text_quality_full": text_quality_full,
+        "text_repetition_full": repetition_full,
+        "pii_redact_full": pii_redact_full,
+        "decontaminate_full": decontam_full,
         "embedding_neardup_lsh": reg("embedding_neardup_cosine"),
         "tpch_q1_pricing_summary": reg("tpch_q1_pricing_summary"),
         "revenue_by_nation": reg("revenue_by_nation"),

@@ -309,3 +309,22 @@ def test_ngram_overlap_counts_shared_grams(spark):
     # shared 4-grams: "quick brown fox jumps" only
     assert out[0].n_overlap == 1 and out[0].contaminated
     assert 1 not in out  # zero-overlap docs are absent by design
+
+
+def test_repetition_scores_scale_path_matches_expr(spark, docs):
+    """explode+agg scale path ≡ the per-row array-expression oracle form."""
+    from tiledb_vector_search_spark.operators.quality import repetition_scores
+
+    sub = docs.where("doc_id < 100")
+    feats = TX.repetition_features("text")
+    expr_rows = {
+        r.doc_id: (r.top_2gram_frac, r.dup_3gram_frac)
+        for r in sub.select(
+            "doc_id", *[c.alias(n) for n, c in feats.items()]
+        ).collect()
+    }
+    scale_rows = {
+        r.doc_id: (r.top_2gram_frac, r.dup_3gram_frac)
+        for r in repetition_scores(sub).collect()
+    }
+    assert expr_rows == scale_rows

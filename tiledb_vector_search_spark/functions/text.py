@@ -123,17 +123,26 @@ def duckdb_word_shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def all_shingles_from_tokens(tok_col: Column | str, n: int = 2) -> Column:
+    """ALL n-gram occurrences from a MATERIALIZED token array (multiplicity
+    kept — the repetition filters need it; same CSE caveat as
+    :func:`shingles_from_tokens`)."""
+    t = _c(tok_col)
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, F.lit(n)), " "))
+
+
 def all_word_shingles(col: Column | str, n: int = 2) -> Column:
     """ALL word n-gram occurrences (order-preserving, duplicates kept).
 
     Unlike :func:`word_shingles` (distinct — the dedup basis) this keeps
     multiplicity, which the within-document repetition filters need.
+    Single-expression form; hot paths materialize tokens first and use
+    :func:`all_shingles_from_tokens`.
     """
-    t = tokens(col)
-    idx = F.when(
-        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, F.lit(n)), " "))
+    return all_shingles_from_tokens(tokens(col), n)
 
 
 def duckdb_all_word_shingles_sql(expr: str, n: int = 2) -> str:

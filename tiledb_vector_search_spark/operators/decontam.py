@@ -20,15 +20,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tiledb_vector_search_spark.functions.text import word_shingles
+from tiledb_vector_search_spark.functions.text import (
+    shingles_from_tokens,
+    tokens,
+)
+
+
+def _doc_grams(df: DataFrame, id_col: str | None, text_col: str, n: int) -> DataFrame:
+    """Exploded distinct-per-doc n-grams, with the token regex pinned to one
+    evaluation per row behind an exchange (Catalyst can't CSE it into the
+    shingle lambda — the ``_shingle_docs`` pattern from the dedup operators)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    ids = [F.col(id_col)] if id_col else []
+    toks = df.select(*ids, tokens(text_col).alias("__t")).repartition(target)
+    return toks.select(
+        *ids, F.explode(shingles_from_tokens("__t", n)).alias("gram")
+    )
 
 
 def eval_ngram_set(eval_df: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
     """Distinct word n-grams over the eval set — the broadcast probe side."""
-    return (
-        eval_df.select(F.explode(word_shingles(text_col, n)).alias("gram"))
-        .distinct()
-    )
+    return _doc_grams(eval_df, None, text_col, n).distinct()
 
 
 def ngram_overlap(
@@ -47,9 +60,7 @@ def ngram_overlap(
     and the per-doc aggregate is a plain count (map-side combinable).
     """
     ev = eval_ngram_set(eval_df, text_col, n)
-    tr = train_df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
-    )
+    tr = _doc_grams(train_df, id_col, text_col, n)
     return (
         tr.join(F.broadcast(ev), "gram")
         .groupBy(id_col)

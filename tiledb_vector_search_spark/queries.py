@@ -1421,6 +1421,84 @@ def quality_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIPE_SH = TX.duckdb_word_shingles_sql("text", 4)
+_PIPE_REP = TX.duckdb_repetition_features_sql("text")
+
+
+@register(
+    "corpus_clean_pipeline",
+    "WITH "
+    + _DUPED_DOCS_CTE.strip()
+    + f""",
+tr AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 23 <> 0),
+ev AS (SELECT DISTINCT g FROM (
+         SELECT unnest({_PIPE_SH}) AS g FROM all_docs WHERE doc_id % 23 = 0) u),
+ov AS (SELECT doc_id, count(*) AS n
+       FROM (SELECT doc_id, unnest({_PIPE_SH}) AS g FROM tr) t
+       JOIN ev USING (g) GROUP BY doc_id),
+base AS (SELECT doc_id,
+                {TX.duckdb_quality_features_sql('text')['n_tokens']} AS n_tokens,
+                {TX.duckdb_quality_features_sql('text')['stopword_ratio']}
+                  AS stopword_ratio,
+                {_PIPE_REP['top_2gram_frac']} AS top2,
+                min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         FROM tr)
+SELECT doc_id, reason, reason = 'ok' AS keep FROM (
+  SELECT base.doc_id,
+         CASE WHEN n_tokens < 30 THEN 'too_short'
+              WHEN stopword_ratio < 0.02 THEN 'low_stopword'
+              WHEN top2 > 0.06 THEN 'repetitive'
+              WHEN base.doc_id <> keep_id THEN 'exact_dup'
+              WHEN coalesce(ov.n, 0) >= 3 THEN 'contaminated'
+              ELSE 'ok' END AS reason
+  FROM base LEFT JOIN ov ON base.doc_id = ov.doc_id) r
+""",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integrated cleaning pass a pretraining corpus goes through, as ONE
+    plan: quality gates (length, stopword ratio), Gopher repetition gate,
+    exact-dedup keep-first decision, and benchmark decontamination — each doc
+    gets a keep/drop verdict with the first failing rule as the audit reason.
+    Runs on the planted-dup corpus (the raw testdata has no byte dups) with
+    the doc_id%23 eval holdout.  One corpus scan feeds everything; the only
+    shuffles are the md5 dedup window and the map-combinable overlap count
+    (eval grams are broadcast)."""
+    from pyspark.sql.window import Window
+
+    from tiledb_vector_search_spark.operators.decontam import ngram_overlap
+
+    all_docs = _duped_docs(spark, sf_dir)
+    tr = all_docs.where("doc_id % 23 != 0")
+    ev = all_docs.where("doc_id % 23 = 0")
+    contam = (
+        ngram_overlap(tr, ev, n=4, threshold=3)
+        .where("contaminated")
+        .select("doc_id", F.lit(True).alias("contam"))
+    )
+    feats = TX.quality_features("text")
+    rep = TX.repetition_features("text")
+    base = tr.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        rep["top_2gram_frac"].alias("top2"),
+        F.md5("text").alias("h"),
+    ).withColumn("keep_id", F.min("doc_id").over(Window.partitionBy("h")))
+    reasoned = base.join(contam, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("n_tokens") < 30, "too_short")
+        .when(F.col("stopword_ratio") < 0.02, "low_stopword")
+        .when(F.col("top2") > 0.06, "repetitive")
+        .when(F.col("doc_id") != F.col("keep_id"), "exact_dup")
+        .when(F.coalesce(F.col("contam"), F.lit(False)), "contaminated")
+        .otherwise("ok")
+        .alias("reason"),
+    )
+    return reasoned.select(
+        "doc_id", "reason", (F.col("reason") == "ok").alias("keep")
+    )
+
+
 _COMPONENTS_ORACLE = f"""
 WITH RECURSIVE docs AS (
   SELECT doc_id, {TX.duckdb_word_shingles_sql('text', 3)} AS sh FROM documents
