@@ -196,3 +196,44 @@ def test_sessionize_stream_stateful(spark, tmp_path):
         (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
         # user 1's 13:00 session and user 3 remain open → not emitted
     }
+
+
+def test_dedup_stream_drops_repeats(spark, tmp_path):
+    from tiledb_vector_search_spark.streaming import dedup_stream
+
+    rows = [
+        ("2024-01-01 10:00:00", 1, "alpha beta"),
+        ("2024-01-01 10:00:30", 2, "alpha beta"),   # byte-identical repeat
+        ("2024-01-01 10:01:00", 3, "gamma delta"),
+        ("2024-01-01 10:01:30", 4, "alpha beta"),   # another repeat
+    ]
+    df = spark.createDataFrame(rows, "ts string, doc_id long, text string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = tmp_path / "docs"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "ts timestamp, doc_id long, text string"
+    ).parquet(str(src))
+    q = (
+        dedup_stream(stream, delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.text for r in spark.sql("SELECT * FROM dedup_stream_test").collect()
+    )
+    assert got == ["alpha beta", "gamma delta"]
+    # the hash key is internal — the output schema is the input schema
+    cols = spark.sql("SELECT * FROM dedup_stream_test").columns
+    assert cols == ["ts", "doc_id", "text"]
+
+
+def test_dedup_stream_requires_streaming_df(spark, small_source):
+    from tiledb_vector_search_spark.streaming import dedup_stream
+
+    with pytest.raises(ValueError, match="streaming"):
+        dedup_stream(small_source)

@@ -1649,6 +1649,92 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.rolling_fingerprint("text").alias("rolling_fp"))
 
 
+@register(
+    "vocab_top_tokens",
+    f"""
+WITH toks AS (SELECT unnest({TX.duckdb_tokens_sql('text')}) AS token FROM documents),
+counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+SELECT token, n, rank FROM (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM counts) r WHERE rank <= 50
+""",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-50 tokens by frequency with a
+    total (count desc, token) order — the first step of vocab/tokenizer
+    construction.  Explode → map-combinable count → global top-k (tiny)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    res = topk_window(counts, [], [F.col("n").desc(), F.col("token").asc()], 50)
+    return res.select(
+        "token", F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_TFIDF_TOKS = TX.duckdb_tokens_sql("text")
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH toks AS (SELECT doc_id, unnest({_TFIDF_TOKS}) AS token
+              FROM documents WHERE doc_id < 300),
+tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token),
+dl AS (SELECT doc_id, sum(c) AS dlen FROM tf GROUP BY doc_id),
+df AS (SELECT token, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY token),
+n AS (SELECT count(*) AS ndocs FROM documents WHERE doc_id < 300),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round((tf.c * 1.0 / dl.dlen) *
+               (ln((n.ndocs + 1.0) / (df.dfreq + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id, token, tfidf, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+  FROM scored) r WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1) —
+    the classic salient-term extraction.  The ranking key is the ROUNDED
+    score in both engines so near-tie ordering is ulp-independent; the
+    vocabulary side (df) is a broadcast join at corpus scale."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 300")
+    ndocs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    dlen = F.sum("c").over(Window.partitionBy("doc_id"))
+    tf = tf.withColumn("dlen", dlen)
+    df_tok = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    scored = tf.join(F.broadcast(df_tok), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            (F.col("c") / F.col("dlen"))
+            * (F.log((F.lit(ndocs) + 1.0) / (F.col("dfreq") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+    res = topk_window(
+        scored, ["doc_id"], [F.col("tfidf").desc(), F.col("token").asc()], 3
+    )
+    return res.select(
+        "doc_id", "token", "tfidf", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _repetition_cols_sql() -> str:
     feats = TX.duckdb_repetition_features_sql("text")
     return ",\n       ".join(f"{e} AS {n}" for n, e in feats.items())

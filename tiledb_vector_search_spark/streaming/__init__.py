@@ -1,3 +1,4 @@
+from tiledb_vector_search_spark.streaming.dedup import dedup_stream
 from tiledb_vector_search_spark.streaming.sessionize import sessionize_stream
 from tiledb_vector_search_spark.streaming.updates import (
     hourly_rollup_stream,
@@ -8,4 +9,5 @@ __all__ = [
     "stream_updates_to_index",
     "hourly_rollup_stream",
     "sessionize_stream",
+    "dedup_stream",
 ]
