@@ -109,6 +109,27 @@ def _bench_queries(spark, sf_dir):
             .collect()
         )
 
+    def unigram_logprob_full():
+        from tiledb_vector_search_spark.functions import text as TX
+
+        spread = docs.repartition(32)
+        vocab = (
+            spread.select(F.explode(TX.tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("c"))
+        )
+        tot = vocab.agg(F.sum("c").alias("total"))
+        lp = vocab.crossJoin(F.broadcast(tot)).select(
+            "token", (F.log(F.col("c") / F.col("total"))).alias("lnp")
+        )
+        return (
+            spread.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+            .join(F.broadcast(lp), "token")
+            .groupBy("doc_id")
+            .agg((-F.avg("lnp")).alias("avg_neg_logprob"))
+            .collect()
+        )
+
     def decontam_full():
         from tiledb_vector_search_spark.operators.decontam import ngram_overlap
 
@@ -147,6 +168,7 @@ def _bench_queries(spark, sf_dir):
         "dedup_exact_groups": reg("dedup_exact_groups"),
         "text_quality_full": text_quality_full,
         "text_repetition_full": repetition_full,
+        "unigram_logprob_full": unigram_logprob_full,
         "pii_redact_full": pii_redact_full,
         "decontaminate_full": decontam_full,
         "embedding_neardup_lsh": reg("embedding_neardup_cosine"),

@@ -39,6 +39,9 @@ ALLOWED_BROADCAST_NLJ = {
     "ivf_probe_routing",
     "ivf_partition_search",
     "medoid_exact",
+    # corpus-total scalar (one broadcast row) joined onto the vocab —
+    # O(|vocab|) work, constant at any corpus scale
+    "unigram_logprob_score",
 }
 
 # Entries that build an index (or run a full recall harness) as a side

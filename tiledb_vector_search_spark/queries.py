@@ -1735,6 +1735,57 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unigram_logprob_score",
+    f"""
+WITH toks AS (SELECT unnest({_TFIDF_TOKS}) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT sum(c) AS total FROM vocab),
+lp AS (SELECT token,
+              CAST(round(ln(c * 1.0 / tot.total), 9) AS DECIMAL(18,9)) AS lnp
+       FROM vocab CROSS JOIN tot),
+dt AS (SELECT doc_id, unnest({_TFIDF_TOKS}) AS token
+       FROM documents WHERE doc_id < 300)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-(CAST(sum(lnp) AS DOUBLE)) / count(*), 6) AS avg_neg_logprob
+FROM dt JOIN lp USING (token) GROUP BY doc_id
+""",
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (CCNet/KenLM-style, unigram LM): per
+    document, the mean negative log-probability of its tokens under the
+    corpus unigram distribution.  Log-probs are quantized to DECIMAL(18,9)
+    BEFORE the distributed sum — exact and associative, so the fold order
+    doesn't matter and the oracle matches bit-for-bit.  The LM side (vocab →
+    lnp) is corpus-wide counts reduced to a tiny broadcast table."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = vocab.agg(F.sum("c").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(F.log(F.col("c") / F.col("total")), 9)
+        .cast("decimal(18,9)")
+        .alias("lnp"),
+    )
+    dt = d.where("doc_id < 300").select(
+        "doc_id", F.explode(TX.tokens("text")).alias("token")
+    )
+    return (
+        dt.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                -(F.sum("lnp").cast("double")) / F.count("*"), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def _repetition_cols_sql() -> str:
     feats = TX.duckdb_repetition_features_sql("text")
     return ",\n       ".join(f"{e} AS {n}" for n, e in feats.items())
