@@ -328,3 +328,63 @@ def test_repetition_scores_scale_path_matches_expr(spark, docs):
         for r in repetition_scores(sub).collect()
     }
     assert expr_rows == scale_rows
+
+
+def test_pii_redaction_cross_engine_parity_and_idempotence(spark):
+    """The PII regexes live in two dialects (Java regex / RE2) — pin their
+    behavior on adversarial inputs: adjacency, subdomains, pattern overlap
+    (a phone-shaped local part consumed by the email rule first), and
+    confirm redaction is idempotent and leaves zero residual hits."""
+    from tiledb_vector_search_spark.session import small_df
+
+    cases = [
+        "plain text no pii at all",
+        "a@b.co x@y.org.uk end",                       # minimal + subdomain
+        "(bob@x.io),c@d.net!",                          # punctuation adjacency
+        "555-0123@corp.example phone-as-local-part",    # email rule wins
+        "call 555-0000 555-9999",                       # two phones
+        "ip 1.2.3.4 and 255.255.255.255 borders",
+        "overlap 10.0.0.1a@b.cd tail",                  # ip glued to email
+        "no@tld no@ dot@.com",                          # near-misses
+        "[EMAIL] [PHONE] [IPV4] placeholders survive",
+        "x 555-12345 long-digit run",                   # phone + extra digit
+    ]
+    rows = [(i, s) for i, s in enumerate(cases)]
+    df = small_df(spark, rows, "id: long, text: string")
+    counts = TX.pii_counts("text")
+    got = {
+        r.id: (r.red, r.red2, r.n_email, r.n_phone, r.n_ipv4)
+        for r in df.select(
+            "id",
+            TX.redact_pii("text").alias("red"),
+            TX.redact_pii(TX.redact_pii("text")).alias("red2"),
+            *[c.alias(n) for n, c in counts.items()],
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT id, {TX.duckdb_redact_pii_sql('text')} FROM t"
+        ).fetchall()
+    }
+    dcounts = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT id, "
+            + ", ".join(TX.duckdb_pii_counts_sql("text").values())
+            + " FROM t"
+        ).fetchall()
+    }
+    for i, s in rows:
+        red, red2, ne, np_, ni = got[i]
+        assert red == duck[i], f"case {i} ({s!r}): {red!r} != {duck[i]!r}"
+        assert (ne, np_, ni) == dcounts[i], f"case {i} counts diverge"
+        assert red2 == red, f"case {i}: redaction not idempotent"
+    # redacted text carries no residual hits anywhere
+    residual = df.select(
+        TX.redact_pii("text").alias("red")
+    ).select(*[c.alias(n) for n, c in TX.pii_counts("red").items()]).collect()
+    assert all(r.n_email == 0 and r.n_phone == 0 and r.n_ipv4 == 0 for r in residual)
