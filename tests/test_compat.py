@@ -106,3 +106,58 @@ def test_utils_vecs_roundtrip(tmp_path):
     if os.path.exists(ref):
         m = utils.load_fvecs(ref)
         assert m.shape == (100, 128)
+
+
+def test_reference_root_export_parity():
+    """Every name the reference exports from its package root resolves here
+    (reference ``__init__.py:31-54`` __all__), so reference scripts
+    import-and-run unchanged."""
+    import tiledb_vector_search_spark as m
+
+    ref_all = [
+        "Index", "FlatIndex", "IVFFlatIndex", "VamanaIndex", "IVFPQIndex",
+        "Mode", "open", "load_as_array", "load_as_matrix", "ingest",
+        "query_vq_nth", "query_vq_heap", "ivf_query", "ivf_query_ram",
+        "validate_top_k", "ivf_index", "ivf_index_tdb", "array_to_matrix",
+        "partition_ivf_index", "utils", "STORAGE_VERSION", "storage_formats",
+    ]
+    missing = [n for n in ref_all if not hasattr(m, n)]
+    assert not missing, f"reference exports unresolved: {missing}"
+    # the storage_formats table covers the current version with the
+    # reference's key set where the concept carries over
+    fmt = m.storage_formats[m.STORAGE_VERSION]
+    assert fmt["SUPPORT_TIMETRAVEL"] is True
+    assert m.Mode.LOCAL.name == "LOCAL"
+
+
+def test_matrix_shims(spark, arrays):
+    src, _, mat = arrays
+    import tiledb_vector_search_spark as m
+
+    fm = m.array_to_matrix(mat.astype(np.float32))
+    assert fm.flags["F_CONTIGUOUS"] and (fm == mat).all()
+    with pytest.raises(TypeError):
+        m.array_to_matrix(mat.astype(np.float16))
+    # load_as_matrix = the (dims x n) col-major form of load_as_array
+    lm = m.load_as_matrix(src, size=50)
+    assert lm.shape == (mat.shape[1], 50) and lm.flags["F_CONTIGUOUS"]
+    assert (lm.T == mat[:50]).all()
+
+
+def test_ivf_index_tdb_from_stored_fvecs(spark, tmp_path):
+    """URI-in/URI-out build path: write an fvecs corpus, build an IVF index
+    straight from the file, query it."""
+    import tiledb_vector_search_spark as m
+
+    rng = np.random.default_rng(11)
+    base = rng.random((120, 8), dtype=np.float32)
+    src = str(tmp_path / "base.fvecs")
+    m.utils.write_fvecs(src, base)
+    idx = m.ivf_index_tdb(
+        spark, str(tmp_path / "idx"), src, partitions=4, timestamp=100
+    )
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in base[7]])], "query_id long, vector array<float>"
+    )
+    res = idx.query(q, k=1, nprobe=4).collect()
+    assert res[0].external_id == 7

@@ -37,15 +37,21 @@ from tiledb_vector_search_spark.indexes import (
     open_index,
 )
 from tiledb_vector_search_spark.ingestion import ingest
+from tiledb_vector_search_spark import utils
 from tiledb_vector_search_spark.compat import (
     STORAGE_VERSION,
+    Mode,
+    array_to_matrix,
     ivf_index,
+    ivf_index_tdb,
     ivf_query,
     ivf_query_ram,
     load_as_array,
+    load_as_matrix,
     partition_ivf_index,
     query_vq_heap,
     query_vq_nth,
+    storage_formats,
     validate_top_k,
 )
 
@@ -65,13 +71,19 @@ __all__ = [
     "open_index",
     "ingest",
     "load_as_array",
+    "load_as_matrix",
+    "array_to_matrix",
     "query_vq_nth",
     "query_vq_heap",
     "ivf_index",
+    "ivf_index_tdb",
     "ivf_query",
     "ivf_query_ram",
     "partition_ivf_index",
     "validate_top_k",
+    "Mode",
+    "utils",
     "STORAGE_VERSION",
+    "storage_formats",
     "__version__",
 ]

@@ -9,14 +9,20 @@ existing machinery — numpy for the driver-side array forms (the reference's
 matrices are in-RAM objects too), the distributed DataFrame plans for
 everything index-shaped.
 
-Intentionally NOT re-exported: ``Mode`` (cloud-DAG scheduling — Spark's
-scheduler replaces it), ``array_to_matrix``/``load_as_matrix`` (Arrow and
-numpy subsume the col-major matrix classes; ``load_as_array`` returns the
-numpy form directly), ``ivf_index_tdb`` (TileDB-array-specific variant).
+Import-parity shims (so reference scripts import-and-run unchanged):
+``Mode`` (cloud-DAG scheduling enum — accepted, Spark's scheduler replaces
+the DAG; LOCAL ≡ this process, REALTIME/BATCH ≡ cluster deploy choices),
+``load_as_matrix``/``array_to_matrix`` (the reference's col-major Matrix
+class ↔ Fortran-order numpy; Arrow subsumes the zero-copy role),
+``ivf_index_tdb`` (stored-source IVF build: URI in, URI out), and
+``storage_formats`` (layout-name/feature table keyed by storage version,
+describing THIS engine's parquet layout — ``storage_formats.py:3-48``
+shape parity).
 """
 
 from __future__ import annotations
 
+import enum
 from typing import Any
 
 import numpy as np
@@ -31,15 +37,54 @@ from tiledb_vector_search_spark.storage import STORAGE_VERSION  # noqa: F401
 
 __all__ = [
     "load_as_array",
+    "load_as_matrix",
+    "array_to_matrix",
     "query_vq_nth",
     "query_vq_heap",
     "ivf_query",
     "ivf_query_ram",
     "ivf_index",
+    "ivf_index_tdb",
     "partition_ivf_index",
     "validate_top_k",
+    "Mode",
     "STORAGE_VERSION",
+    "storage_formats",
 ]
+
+
+class Mode(enum.Enum):
+    """Execution-mode enum accepted for reference signature parity
+    (``tiledb.cloud.dag.Mode`` — LOCAL / REALTIME / BATCH).  The reference
+    uses it to pick a cloud-DAG scheduler; here every plan is a Spark job,
+    so LOCAL means this session and REALTIME/BATCH are deployment choices
+    of the cluster the session points at.  APIs accept and record it; no
+    code path branches on it."""
+
+    LOCAL = "LOCAL"
+    REALTIME = "REALTIME"
+    BATCH = "BATCH"
+
+
+# Layout-name/feature table for THIS engine's parquet group layout, shape-
+# compatible with reference ``storage_formats.py:3-48`` (keys preserved
+# where the concept carries over; values name our artifacts).
+storage_formats: dict[str, dict[str, Any]] = {
+    STORAGE_VERSION: {
+        "CENTROIDS_ARRAY_NAME": "centroids.parquet",
+        "INDEX_ARRAY_NAME": "meta.json",
+        "IDS_ARRAY_NAME": "base.parquet:id",
+        "PARTS_ARRAY_NAME": "base.parquet:vector",
+        "INPUT_VECTORS_ARRAY_NAME": "source",
+        "TRAINING_INPUT_VECTORS_ARRAY_NAME": "training_sample",
+        "EXTERNAL_IDS_ARRAY_NAME": "base.parquet:id",
+        "PARTIAL_WRITE_ARRAY_DIR": "_tmp",
+        "DEFAULT_ATTR_FILTERS": "snappy",
+        "UPDATES_ARRAY_NAME": "updates",
+        "OBJECT_METADATA_ARRAY_NAME": "object_metadata.parquet",
+        "SUPPORT_TIMETRAVEL": True,
+    }
+}
 
 
 def load_as_array(
@@ -67,6 +112,48 @@ def load_as_array(
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     return ids, mat
+
+
+def load_as_matrix(
+    path: str,
+    spark: SparkSession | None = None,
+    size: int | None = None,
+    **_: Any,
+) -> np.ndarray:
+    """Reference ``load_as_matrix`` (``module.py:10-57``) — the col-major
+    Matrix form: (dims × n) Fortran-order ndarray (each column one vector).
+    ``load_as_array`` is the row-major (ids, matrix) form."""
+    _, mat = load_as_array(path, spark=spark, size=size)
+    return np.asfortranarray(mat.T)
+
+
+def array_to_matrix(array: np.ndarray) -> np.ndarray:
+    """Reference ``array_to_matrix`` (``module.py:493-505``) — numpy →
+    col-major Matrix handle for the C++ kernels.  Arrow/numpy subsume the
+    class here; this validates the same dtype set and returns the
+    Fortran-order view the kernels would have received."""
+    supported = (np.float32, np.float64, np.uint8, np.int8, np.int32, np.uint64)
+    if not any(array.dtype == np.dtype(t) for t in supported):
+        raise TypeError(f"Unsupported dtype {array.dtype}")
+    return np.asfortranarray(array)
+
+
+def ivf_index_tdb(
+    spark: SparkSession,
+    uri: str,
+    db_uri: str,
+    partitions: int | None = None,
+    **kw: Any,
+):
+    """Stored-source IVF build (reference ``ivf_index_tdb``,
+    ``module.py:166-230`` — URIs in, index out): reads the vectors from
+    ``db_uri`` (parquet, or any format ``sources`` autodetects) and
+    delegates to :func:`ivf_index`."""
+    from tiledb_vector_search_spark.sources.vecs import read_vectors
+
+    external_ids_uri = kw.pop("external_ids_uri", None)
+    source = read_vectors(spark, db_uri, external_ids_uri=external_ids_uri)
+    return ivf_index(spark, uri, source, partitions=partitions, **kw)
 
 
 def _vq(db: np.ndarray, db_ids: np.ndarray, q: np.ndarray, k: int):
