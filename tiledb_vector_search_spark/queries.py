@@ -1807,6 +1807,24 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
 
+@register(
+    "text_repetition_scores_scale",
+    f"""
+SELECT doc_id, {_repetition_cols_sql()}
+FROM documents WHERE doc_id < 500
+""",
+)
+def text_repetition_scores_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION repetition path (explode + two-level map-combinable
+    aggregation, linear in corpus size) gated against the same oracle as the
+    per-row expression form — the driver checks the plan users actually run
+    at scale."""
+    from tiledb_vector_search_spark.operators.quality import repetition_scores
+
+    d = _t(spark, sf_dir, "documents").where("doc_id < 500")
+    return repetition_scores(d)
+
+
 def _pii_augmented_spark() -> F.Column:
     # testdata carries no PII; plant deterministic doc_id-derived PII spans
     # (same derivation in the oracle) so the detector is exercised on real
