@@ -1110,9 +1110,14 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup (batch twin of the Structured Streaming path
     in :mod:`tiledb_vector_search_spark.streaming`)."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(
+    # events.ts is TIMESTAMP_NTZ and date_trunc coerces NTZ->LTZ through the
+    # session timezone; rebuild the hour-truncation from field extraction so
+    # the result stays NTZ and is session-timezone-invariant.
+    hour = F.make_timestamp_ntz(
+        F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts"),
+        F.lit(0), F.lit(0),
+    )
+    return e.groupBy(hour.alias("hour"), "event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(10,2)"))
         .cast("decimal(38,2)")
@@ -1142,7 +1147,10 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
+    # events.ts is TIMESTAMP_NTZ; unix_millis requires TIMESTAMP.  The cast
+    # shifts by the session zone, but only differences matter here, so the
+    # shift cancels and the gap test is timezone-invariant.
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
     prev = F.lag(ms).over(w)
     gaps = e.select(
         "user_id",
