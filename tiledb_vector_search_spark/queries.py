@@ -907,9 +907,9 @@ def vamana_index_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_discount), 4) AS avg_disc,
        count(*) AS count_order
@@ -924,21 +924,24 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
-    # final decimal sums cast to DECIMAL(38,x): DuckDB widens sums to
-    # precision 38 while Spark widens to p+10 — align the serialized type
+    # sums accumulate in exact decimal, but the OUTPUT projection is DOUBLE
+    # on both engines: the driver's DuckDB->pandas path degrades DECIMAL to
+    # float64 while Spark serializes Decimal, so a decimal output type can
+    # never hash-match even when values are identical.  Exact-decimal ->
+    # double conversion is deterministic on both engines.
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("sum_qty"),
         F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("sum_base_price"),
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                 "decimal(18,6)"
             )
         )
-        .cast("decimal(38,6)")
+        .cast("double")
         .alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -949,7 +952,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "revenue_by_nation",
     """
-SELECT n.n_name, sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS revenue,
+SELECT n.n_name, CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
        count(*) AS n_orders
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -968,7 +971,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_orders"),
         )
@@ -1102,7 +1105,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly_rollup",
     """
 SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*) AS n, sum(CAST(value AS DECIMAL(10,2))) AS total_value
+       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -1120,7 +1123,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(hour.alias("hour"), "event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(10,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("total_value"),
     )
 
@@ -1148,8 +1151,10 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # events.ts is TIMESTAMP_NTZ; unix_millis requires TIMESTAMP.  The cast
-    # shifts by the session zone, but only differences matter here, so the
-    # shift cancels and the gap test is timezone-invariant.
+    # shifts by the session zone; with a fixed-offset session zone (we pin
+    # spark.sql.session.timeZone=UTC in session.py) the shift is constant,
+    # so the gap differences are unaffected.  A DST-bearing session zone
+    # would not have this property.
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     prev = F.lag(ms).over(w)
     gaps = e.select(
