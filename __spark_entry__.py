@@ -1,11 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship query (the deterministic IVF
-route-and-search pipeline) at sf0.001.  ``queries()`` exposes the full
-SURVEY §2 inventory from :mod:`tiledb_vector_search_spark.queries`;
-``oracle_sql()`` the matching DuckDB SQL (every entry except the
-trained-KMeans recall check, which is not SQL-expressible and gets the
-driver's rows-only check).
+route-and-search pipeline) at sf0.001.  ``queries()`` exposes the
+CURATED driver-verification set from
+:mod:`tiledb_vector_search_spark.queries`; ``oracle_sql()`` the matching
+DuckDB SQL for every exported entry.
+
+The driver verifies only the FIRST 50 ``queries()`` entries, so the
+exported REGISTRY is capped at exactly 50 canonical components (every
+index/DML/LLM flagship, each with an oracle).  Pure regression-twins of
+driver-verified entries live in ``FULL_REGISTRY`` and get the identical
+oracle comparison in pytest (tests/test_entry.py) instead of a driver
+CORRECTNESS row.
 """
 
 from __future__ import annotations

@@ -11,10 +11,18 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
+from tiledb_vector_search_spark.queries import (
+    DRIVER_WINDOW,
+    FULL_ORACLE_SQL,
+    FULL_REGISTRY,
+)
+
 from tests.oracle_utils import assert_matches_duckdb
 
-QUERIES = entry_mod.queries()
-ORACLES = entry_mod.oracle_sql()
+# pytest sweeps the FULL registry (driver-visible + demoted twins) so
+# demotion out of the driver's 50-entry window never loses coverage.
+QUERIES = FULL_REGISTRY
+ORACLES = FULL_ORACLE_SQL
 
 
 def test_entry_smoke(spark):
@@ -24,10 +32,35 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"query_id", "external_id", "distance", "rank"}
 
 
+def test_driver_window_curated():
+    """The driver verifies only the first 50 queries() entries; keep the
+    exported set exactly at the cap with an oracle for every entry."""
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert len(q) == DRIVER_WINDOW
+    assert set(o) == set(q), f"driver entries without oracle: {set(q) - set(o)}"
+    flagships = {
+        "flat_index_lifecycle",
+        "pii_detect_redact",
+        "decontaminate_ngram_overlap",
+        "object_filtered_search",
+        "multimodal_binary_meta",
+        "multimodal_frame_sample",
+        "doc_similarity_topk",
+        "ivf_index_recall_gate",
+        "ivf_pq_index_recall_gate",
+        "vamana_index_recall_gate",
+        "dedup_minhash_lsh",
+        "corpus_clean_pipeline",
+    }
+    assert flagships <= set(q), f"flagships outside window: {flagships - set(q)}"
+
+
 def test_oracle_coverage():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing, f"oracles without queries: {missing}"
-    # the non-SQL-expressible set is explicit and small (trained models)
+    # the non-SQL-expressible set is explicit and small (trained models);
+    # all three are pytest-only — their driver rows are the *_gate entries
     no_oracle = set(QUERIES) - set(ORACLES)
     assert no_oracle == {
         "ivf_index_recall",

@@ -11,7 +11,7 @@ all-pairs plan fails review here instead of at 100 TB.
 
 import pytest
 
-from tiledb_vector_search_spark.queries import REGISTRY
+from tiledb_vector_search_spark.queries import FULL_REGISTRY as REGISTRY
 
 # Entries whose plan legitimately contains a cartesian/nested-loop join,
 # each bounded by construction:
