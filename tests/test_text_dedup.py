@@ -388,3 +388,89 @@ def test_pii_redaction_cross_engine_parity_and_idempotence(spark):
         TX.redact_pii("text").alias("red")
     ).select(*[c.alias(n) for n, c in TX.pii_counts("red").items()]).collect()
     assert all(r.n_email == 0 and r.n_phone == 0 and r.n_ipv4 == 0 for r in residual)
+
+
+# --- round-3: size-gated candidate broadcasts + sampled LSH centering --------
+
+
+def test_candidate_broadcast_gate_degrades_to_shuffle_join(spark, docs):
+    """Over the pair limit the verify join must NOT broadcast the candidate
+    set (a forced broadcast OOMs at 100 TB candidate volumes); results stay
+    identical to the broadcast path."""
+    import tiledb_vector_search_spark.operators.dedup as DDm
+
+    sigs = DD.minhash_signatures(docs)
+    cand = DD.lsh_candidate_pairs(sigs)
+    baseline = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.jaccard_pairs(docs, cand, threshold=0.5).collect()
+    }
+    assert baseline, "planted duplicates must produce candidate pairs"
+
+    old_limit = DDm.BROADCAST_PAIR_LIMIT
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        DDm.BROADCAST_PAIR_LIMIT = 0
+        # disable Catalyst's own size-based broadcast so the plan shows the
+        # non-hinted strategy deterministically at test scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        verified = DD.jaccard_pairs(docs, cand, threshold=0.5)
+        plan = verified._jdf.queryExecution().executedPlan().toString()
+        # the two VERIFY joins (on id_a / id_b) must be shuffled, not
+        # broadcast; the bounded band-bucket join inside candidate
+        # generation keeps its hint and is allowed to broadcast
+        assert "BroadcastHashJoin [id_a" not in plan, plan
+        assert "BroadcastHashJoin [id_b" not in plan, plan
+        assert "SortMergeJoin [id_a" in plan or "ShuffledHashJoin [id_a" in plan, plan
+        got = {(r.id_a, r.id_b, r.jaccard) for r in verified.collect()}
+    finally:
+        DDm.BROADCAST_PAIR_LIMIT = old_limit
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert got == baseline
+
+
+def test_candidate_broadcast_kept_when_small(spark, docs):
+    """Under the limit the hint stays: corpus side never shuffles."""
+    sigs = DD.minhash_signatures(docs)
+    cand = DD.lsh_candidate_pairs(sigs)
+    verified = DD.jaccard_pairs(docs, cand, threshold=0.5)
+    plan = verified._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_centering_mean_unbiased_on_sorted_corpus(spark):
+    """A label-sorted corpus whose head partitions live in a different
+    half-space must not bias the LSH centering mean: the seeded random
+    sample estimates the GLOBAL mean, where limit(2000) would return the
+    head-cluster mean."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    dims = 16
+    # head cluster at +10 on every axis (first in sort order), tail at -10:
+    # global mean ~0, head-only mean ~+10
+    head = rng.normal(10.0, 1.0, (2000, dims))
+    tail = rng.normal(-10.0, 1.0, (2000, dims))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(4000, dtype=np.int64),
+            "embedding": list(np.vstack([head, tail])),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8, "vec_id").sortWithinPartitions("vec_id")
+    # file-order head bias needs ordered partitions; coalesce keeps order
+    df = spark.createDataFrame(pdf).coalesce(4)
+    mean = DD._centering_mean(df, "embedding", seed=7)
+    err = float(np.abs(mean).max())
+    assert err < 2.0, f"centering mean biased: max|mean|={err}"
+    # the buckets the mean feeds stay bounded: no (band,key) bucket captures
+    # a whole half-space-offset corpus once centered
+    offset_corpus = pdf.copy()
+    offset_corpus["embedding"] = list(rng.normal(0, 1, (4000, dims)) + 25.0)
+    odf = spark.createDataFrame(offset_corpus).coalesce(4)
+    keys = DD._hyperplane_band_keys(
+        odf, "embedding", "vec_id", n_planes=32, bands=4, seed=7
+    )
+    sizes = keys.groupBy("band", "key").count().collect()
+    assert max(r["count"] for r in sizes) < 4000 * 0.2

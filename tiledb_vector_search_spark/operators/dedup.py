@@ -218,6 +218,28 @@ def _shingle_docs(
     )
 
 
+# Candidate-pair sets above this row count are NOT broadcast: on a web-scale
+# corpus near-dup candidates are routinely billions of rows, and a forced
+# broadcast OOMs the driver/executors regardless of AQE.  1M (id_a, id_b)
+# pairs ≈ 16 MB raw — comfortably under executor broadcast budgets.
+BROADCAST_PAIR_LIMIT = 1_000_000
+
+
+def _gated_pairs(pairs: DataFrame, limit: int | None = None) -> DataFrame:
+    """Return ``pairs`` wrapped in a broadcast hint only when provably small.
+
+    The pair set is persisted and counted first: it is consumed by the
+    verify join immediately after, so the materialization is not wasted
+    work, and the count decides broadcast (corpus never shuffles) vs a
+    plain shuffled equi-join (AQE picks the strategy).
+    """
+    from pyspark import StorageLevel
+
+    limit = BROADCAST_PAIR_LIMIT if limit is None else limit
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    return F.broadcast(pairs) if pairs.count() <= limit else pairs
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -243,9 +265,9 @@ def jaccard_pairs(
     a = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     if pairs is not None:
-        # broadcast the candidate pairs: two broadcast hash joins, zero
-        # shuffle of the (large) shingled corpus
-        cand = a.join(F.broadcast(pairs), "id_a").join(b, "id_b")
+        # small candidate set: two broadcast hash joins, zero shuffle of
+        # the (large) shingled corpus; large: shuffled equi-join via AQE
+        cand = a.join(_gated_pairs(pairs), "id_a").join(b, "id_b")
     else:
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     # intersection computed once, union derived from it
@@ -579,6 +601,23 @@ def embedding_near_duplicates(
     )
 
 
+def _centering_mean(df: DataFrame, vector_col: str, seed: int) -> "np.ndarray":
+    """Global-mean estimate from a seeded RANDOM sample (~2000 rows).
+
+    ``limit()`` would take the first partitions in file order, so a corpus
+    sorted by source/label yields a biased mean and skewed LSH buckets;
+    ``sample()`` draws from every partition.  The count is one
+    column-pruned pass; the sample stays bounded at any corpus size.
+    """
+    n = df.count()
+    frac = min(1.0, 2000.0 / max(n, 1))
+    vecs = df.select(F.col(vector_col).cast("array<double>"))
+    sample = [r[0] for r in vecs.sample(fraction=frac, seed=seed).collect()]
+    if not sample:  # tiny or unlucky sample — fall back to a direct read
+        sample = [r[0] for r in vecs.limit(2000).collect()]
+    return np.mean(np.asarray(sample, dtype=np.float64), axis=0)
+
+
 def _hyperplane_band_keys(
     df: DataFrame,
     vector_col: str,
@@ -599,12 +638,7 @@ def _hyperplane_band_keys(
 
     spark = df.sparkSession
     rows_per_band = n_planes // bands
-    # sampled mean for centering: one bounded read, fine at any scale
-    sample = [
-        r[0]
-        for r in df.select(F.col(vector_col).cast("array<double>")).limit(2000).collect()
-    ]
-    mean = np.mean(np.asarray(sample, dtype=np.float64), axis=0)
+    mean = _centering_mean(df, vector_col, seed)
     dims = mean.shape[0]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dims))
@@ -681,7 +715,7 @@ def embedding_near_duplicates_lsh(
     va = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
     verified = (
-        va.join(F.broadcast(cand), "id_a")
+        va.join(_gated_pairs(cand), "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
