@@ -156,28 +156,32 @@ def _bench_queries(spark, sf_dir):
             .collect()
         )
 
+    # ORDERED light -> heavy: the cheap relational/text queries run BEFORE
+    # the index builds and dedup pipelines, so their numbers never inherit
+    # JVM heap/GC pressure accumulated by the heavy groups (BENCH_r02's
+    # 3-4x phantom regressions on tpch_q1 etc. were exactly that).
     return {
-        "knn_flat_kernel_100q": knn_kernel,
-        "ivf_build_and_query": ivf_build_and_query,
-        "ivf_partition_search": reg("ivf_partition_search"),
-        "ivf_pq_build_and_query": ivf_pq_build_and_query,
-        "vamana_build_and_query": vamana_build_and_query,
-        "dedup_minhash_lsh_full": minhash_lsh_full,
-        "dedup_ngram_jaccard_full": ngram_jaccard_full,
-        "dedup_simhash_full": simhash_full,
-        "dedup_exact_groups": reg("dedup_exact_groups"),
-        "text_quality_full": text_quality_full,
-        "text_repetition_full": repetition_full,
-        "unigram_logprob_full": unigram_logprob_full,
-        "pii_redact_full": pii_redact_full,
-        "decontaminate_full": decontam_full,
-        "embedding_neardup_lsh": reg("embedding_neardup_cosine"),
         "tpch_q1_pricing_summary": reg("tpch_q1_pricing_summary"),
         "revenue_by_nation": reg("revenue_by_nation"),
         "topk_orders_per_priority": reg("topk_orders_per_priority"),
         "events_hourly_rollup": reg("events_hourly_rollup"),
         "user_sessionization": reg("user_sessionization"),
         "latest_event_per_user": reg("latest_event_per_user"),
+        "knn_flat_kernel_100q": knn_kernel,
+        "ivf_partition_search": reg("ivf_partition_search"),
+        "text_quality_full": text_quality_full,
+        "text_repetition_full": repetition_full,
+        "pii_redact_full": pii_redact_full,
+        "dedup_exact_groups": reg("dedup_exact_groups"),
+        "embedding_neardup_lsh": reg("embedding_neardup_cosine"),
+        "dedup_simhash_full": simhash_full,
+        "unigram_logprob_full": unigram_logprob_full,
+        "decontaminate_full": decontam_full,
+        "dedup_minhash_lsh_full": minhash_lsh_full,
+        "dedup_ngram_jaccard_full": ngram_jaccard_full,
+        "ivf_build_and_query": ivf_build_and_query,
+        "ivf_pq_build_and_query": ivf_pq_build_and_query,
+        "vamana_build_and_query": vamana_build_and_query,
     }
 
 
@@ -197,18 +201,41 @@ def main() -> None:
 
     spark.range(100).toDF("id").mapInPandas(_noop, "id long").collect()
 
-    # min of RUNS full executions per query: single runs swing ±30% from GC
-    # and OS scheduling noise at this tiny SF; min-of-2 reports steady-state
-    # (index builds delete their output first, so every run does full work)
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    def _quiesce():
+        """Drop accumulated caches and force a full JVM GC so each query's
+        timing starts from comparable heap state — one long-lived local JVM
+        otherwise bleeds GC pressure from heavy groups into later numbers."""
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    # MEDIAN of RUNS executions per query (single runs swing ±30% from GC
+    # and OS scheduling noise at this tiny SF), with min/max dispersion
+    # reported so a non-reproducible number is visible as such.  Cheap
+    # queries get an extra run; heavy pipelines (first run > HEAVY_SEC)
+    # stop at 2 to bound total wall-clock.  Index builds delete their
+    # output first, so every run does full work.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    HEAVY_SEC = 5.0
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, fn in _bench_queries(spark, sf_dir).items():
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(runs):
+            # quiesce per RUN: pipelines persist intermediates (shingles,
+            # candidate pairs) — letting them pile up across runs makes
+            # run 2 measure a different memory regime than run 1
+            _quiesce()
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+            if len(samples) >= (2 if samples[0] > HEAVY_SEC else runs):
+                break
+        samples.sort()
+        med = samples[len(samples) // 2] if len(samples) % 2 else (
+            samples[len(samples) // 2 - 1] + samples[len(samples) // 2]
+        ) / 2
+        timings[name] = round(med, 3)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -217,6 +244,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_min_max": spread,
+                "stat": "median",
                 "runs_per_query": runs,
                 "sf": float(sf),
             }

@@ -207,3 +207,40 @@ def test_encode_kernels_agree(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_join_strategy_matches_kernel(spark, source, pq_index):
+    """The fully distributed large-nq ADC plan (routing join + broadcast
+    codebooks, no driver collect of queries) must rank identically to the
+    driver-table kernel path, both at k_factor=1 and with exact re-rank."""
+    queries = source.where("external_id < 30").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    for kf in (1.0, 3.0):
+        a = {
+            (r.query_id, r.rank, r.external_id)
+            for r in pq_index.query(
+                queries, 5, nprobe=4, k_factor=kf, strategy="kernel"
+            ).collect()
+        }
+        b = {
+            (r.query_id, r.rank, r.external_id)
+            for r in pq_index.query(
+                queries, 5, nprobe=4, k_factor=kf, strategy="join"
+            ).collect()
+        }
+        assert a == b, f"k_factor={kf}"
+
+
+def test_join_strategy_plan_has_no_driver_queries(spark, source, pq_index):
+    """Plan shape of the distributed path: queries enter via a join (scan /
+    exchange), never as a driver-side LocalTableScan of collected rows."""
+    queries = source.where("external_id < 30").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    df = pq_index.query(queries, 5, nprobe=4, strategy="join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the kernel path ships per-query ADC tables via a broadcast python
+    # variable and its plan carries no query-side join; the join path must
+    # show the query scan joined in
+    assert "MapInPandas" in plan or "FlatMapCoGroupsInPandas" in plan, plan

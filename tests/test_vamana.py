@@ -144,3 +144,29 @@ def test_unsupported_metric(spark, source, tmp_path):
         VamanaIndex.ingest(
             spark, str(tmp_path / "bad"), source, metric="inner_product"
         )
+
+
+def test_join_strategy_matches_kernel(spark, source, vam_index):
+    """The distributed cogroup walk (routing join, shard ⨝ routed queries)
+    must return the same ranked results as the driver-broadcast path."""
+    queries = source.where("external_id < 30").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    a = {
+        (r.query_id, r.rank, r.external_id)
+        for r in vam_index.query(queries, 5, nprobe=3, strategy="kernel").collect()
+    }
+    b = {
+        (r.query_id, r.rank, r.external_id)
+        for r in vam_index.query(queries, 5, nprobe=3, strategy="join").collect()
+    }
+    assert a == b
+
+
+def test_join_strategy_plan_is_cogroup(spark, source, vam_index):
+    queries = source.where("external_id < 30").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    df = vam_index.query(queries, 5, nprobe=3, strategy="join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, plan

@@ -392,6 +392,11 @@ class IVFPQIndex(Index):
 
     # -- query ----------------------------------------------------------------
 
+    # query batches beyond this route via a distributed join instead of a
+    # driver collect (same contract as IVFFlatIndex.LARGE_NQ): bulk
+    # dataset-vs-dataset search must not materialize queries on the driver
+    LARGE_NQ = 4096
+
     def query(
         self,
         queries: DataFrame,
@@ -399,6 +404,7 @@ class IVFPQIndex(Index):
         nprobe: int | None = None,
         k_factor: float = 1.0,
         pad: bool = False,
+        strategy: str = "auto",
         **kw: Any,
     ) -> DataFrame:
         """ADC scan over codes → optional exact re-rank (reference
@@ -407,6 +413,12 @@ class IVFPQIndex(Index):
         ``k_factor=1`` returns ADC (approximate) distances, like the
         reference; ``k_factor>1`` fetches ``k_factor·k`` coarse candidates
         and re-scores them exactly against the original vectors.
+
+        Strategies: ``kernel`` (driver-built ADC tables broadcast to a
+        mapInPandas scan — small query batches), ``join`` (fully
+        distributed: routing and ADC scoring keyed by joins, no driver
+        collect — large batches), ``auto`` (kernel below LARGE_NQ, join
+        above).
         """
         self._validate_queries(queries)
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)))
@@ -414,7 +426,17 @@ class IVFPQIndex(Index):
         coarse_k = max(k, int(math.ceil(k * k_factor)))
 
         q = queries.select(QUERY_ID_COL, VECTOR_COL)
-        q_rows = q.collect()
+        if strategy == "auto":
+            # one job: the bounded collect doubles as the small-batch fetch
+            q_rows = q.limit(self.LARGE_NQ + 1).collect()
+            if len(q_rows) > self.LARGE_NQ:
+                return self._query_join(q, k, nprobe, k_factor, pad, queries)
+        elif strategy == "join":
+            return self._query_join(q, k, nprobe, k_factor, pad, queries)
+        elif strategy == "kernel":
+            q_rows = q.collect()
+        else:
+            raise ValueError(f"unknown strategy: {strategy}")
         qids = np.array([r[0] for r in q_rows], dtype=np.int64)
         qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
 
@@ -466,6 +488,125 @@ class IVFPQIndex(Index):
             )
             result = result.unionByName(add_scored)
 
+        res = topk_window(result, [QUERY_ID_COL], order, k)
+        if pad:
+            from tiledb_vector_search_spark.operators.topk import pad_to_k
+
+            res = pad_to_k(res, queries, k)
+        return res
+
+    def _query_join(
+        self,
+        q: DataFrame,
+        k: int,
+        nprobe: int,
+        k_factor: float,
+        pad: bool,
+        queries: DataFrame,
+    ) -> DataFrame:
+        """Fully distributed ADC query plan: no driver materialization.
+
+        routing = queries ⋈ broadcast(centroids) rank ≤ nprobe (the
+        ``routing_table_join`` shape shared with ``IVFFlatIndex``); coarse =
+        codes ⋈ routing ⋈ queries → per-batch ADC kernel with only the
+        BROADCAST CODEBOOKS (m·256·sub_dim — constant size, unlike the
+        per-query ADC tables the kernel path ships) → partial top-k →
+        window merge; re-rank joins stay un-hinted so AQE sizes them (the
+        candidate set is nq·k·k_factor — unbounded at bulk nq).
+        """
+        import pandas as pd
+
+        from tiledb_vector_search_spark.operators.routing import (
+            routing_table_join,
+        )
+
+        metric = self.metric
+        coarse_k = max(k, int(math.ceil(k * k_factor)))
+        routing = routing_table_join(
+            q, self.centroids(), nprobe, QUERY_ID_COL, VECTOR_COL
+        )
+        base = self._base_vectors()
+        if self._has_updates():
+            base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
+
+        bc = self.spark.sparkContext.broadcast(self.codebooks())
+        kk = coarse_k
+
+        joined = (
+            base.select(PARTITION_COL, ID_COL, CODE_COL)
+            .join(routing, PARTITION_COL)
+            .join(
+                q.select(QUERY_ID_COL, F.col(VECTOR_COL).alias("__qvec")),
+                QUERY_ID_COL,
+            )
+        )
+
+        def score(batches):
+            cb = bc.value
+            m, _n_codes, sub_dim = cb.shape
+            arange_m = np.arange(m)
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                ids = pdf[ID_COL].to_numpy(dtype=np.int64)
+                qids = pdf[QUERY_ID_COL].to_numpy(dtype=np.int64)
+                codes = np.frombuffer(
+                    b"".join(pdf[CODE_COL]), dtype=np.uint8
+                ).reshape(n, m)
+                qv = np.array(list(pdf["__qvec"]), dtype=np.float64).reshape(
+                    n, m, sub_dim
+                )
+                # direct per-row gather — no per-query table build, so cost
+                # is n·dims flops regardless of how many distinct queries
+                # land in the batch
+                diff = qv - cb[arange_m[None, :], codes]
+                dist = np.einsum("nms,nms->n", diff, diff)
+                out = pd.DataFrame(
+                    {QUERY_ID_COL: qids, ID_COL: ids, DISTANCE_COL: dist}
+                )
+                # per-batch partial top-k bounds the window-merge shuffle at
+                # O(batches · queries-in-batch · coarse_k)
+                out = out.sort_values(
+                    [QUERY_ID_COL, DISTANCE_COL, ID_COL], kind="mergesort"
+                )
+                yield out.groupby(QUERY_ID_COL, sort=False).head(kk)
+
+        coarse = joined.mapInPandas(
+            score,
+            schema=f"{QUERY_ID_COL} long, {ID_COL} long, {DISTANCE_COL} double",
+        )
+        order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
+        coarse_topk = topk_window(coarse, [QUERY_ID_COL], order, coarse_k).drop(
+            "rank"
+        )
+
+        if k_factor > 1.0:
+            cand = coarse_topk.select(QUERY_ID_COL, ID_COL)
+            vecs = base.select(ID_COL, VECTOR_COL)
+            qv = q.select(QUERY_ID_COL, F.col(VECTOR_COL).alias("__qvec"))
+            result = (
+                vecs.join(cand, ID_COL)
+                .join(qv, QUERY_ID_COL)
+                .select(
+                    QUERY_ID_COL,
+                    ID_COL,
+                    distance_expr("__qvec", VECTOR_COL, metric).alias(
+                        DISTANCE_COL
+                    ),
+                )
+            )
+        else:
+            if metric is DistanceMetric.L2:
+                coarse_topk = coarse_topk.withColumn(
+                    DISTANCE_COL, F.sqrt(F.col(DISTANCE_COL))
+                )
+            result = coarse_topk
+
+        if self._has_updates():
+            result = result.unionByName(
+                knn_bruteforce_expr(self._additions(), q, k, metric).drop("rank")
+            )
         res = topk_window(result, [QUERY_ID_COL], order, k)
         if pad:
             from tiledb_vector_search_spark.operators.topk import pad_to_k

@@ -266,6 +266,10 @@ class VamanaIndex(Index):
 
     # -- query ----------------------------------------------------------------
 
+    # query batches beyond this route via a distributed cogroup instead of
+    # a driver collect (same contract as IVFFlatIndex.LARGE_NQ)
+    LARGE_NQ = 4096
+
     def query(
         self,
         queries: DataFrame,
@@ -273,6 +277,7 @@ class VamanaIndex(Index):
         nprobe: int | None = None,
         l_search: int | None = None,
         pad: bool = False,
+        strategy: str = "auto",
         **kw: Any,
     ) -> DataFrame:
         """Route to nprobe shards → per-shard graph walk → merge top-k.
@@ -280,6 +285,11 @@ class VamanaIndex(Index):
         Reference ``query`` (``vamana_index.py:92-130``): greedy best-first
         from the medoid with beam ``l_search`` (default ``max(k, 100)``-ish;
         we default to ``max(2k, 50)``).
+
+        Strategies: ``kernel`` (driver-collected queries broadcast with the
+        routing map — small batches), ``join`` (fully distributed: routing
+        join + shard⨝queries cogroup, no driver collect — large batches),
+        ``auto`` (kernel below LARGE_NQ, join above).
         """
         self._validate_queries(queries)
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)) + 1)
@@ -289,7 +299,17 @@ class VamanaIndex(Index):
         q = queries.select(QUERY_ID_COL, VECTOR_COL)
         if metric is DistanceMetric.COSINE:
             q = q.withColumn(VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>"))
-        q_rows = q.collect()
+        if strategy == "auto":
+            # one job: the bounded collect doubles as the small-batch fetch
+            q_rows = q.limit(self.LARGE_NQ + 1).collect()
+            if len(q_rows) > self.LARGE_NQ:
+                return self._query_join(q, k, nprobe, l_search, metric, pad, queries)
+        elif strategy == "join":
+            return self._query_join(q, k, nprobe, l_search, metric, pad, queries)
+        elif strategy == "kernel":
+            q_rows = q.collect()
+        else:
+            raise ValueError(f"unknown strategy: {strategy}")
         qids = np.array([r[0] for r in q_rows], dtype=np.int64)
         qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
 
@@ -369,6 +389,100 @@ class VamanaIndex(Index):
         if self._has_updates():
             additions = self._additions()
             add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
+            scored = scored.unionByName(add_scored)
+        order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
+        res = topk_window(scored, [QUERY_ID_COL], order, k)
+        if pad:
+            from tiledb_vector_search_spark.operators.topk import pad_to_k
+
+            res = pad_to_k(res, queries, k)
+        return res
+
+    def _query_join(
+        self,
+        q: DataFrame,
+        k: int,
+        nprobe: int,
+        l_search: int,
+        metric: DistanceMetric,
+        pad: bool,
+        queries: DataFrame,
+    ) -> DataFrame:
+        """Fully distributed graph query: no driver materialization.
+
+        routing = queries ⋈ broadcast(centroids) rank ≤ nprobe
+        (``routing_table_join``); each shard's graph COGROUPs with the
+        queries routed to it, so the per-query walk state lives on the
+        executor that holds the shard — the only driver-sized artifacts
+        shipped are the medoid map and the (bounded) tombstone set.
+        """
+        from tiledb_vector_search_spark.operators.routing import (
+            routing_table_join,
+        )
+
+        routing = routing_table_join(
+            q, self.centroids(), nprobe, QUERY_ID_COL, VECTOR_COL
+        )
+        routed_q = routing.join(
+            q.select(QUERY_ID_COL, F.col(VECTOR_COL).alias("__qvec")),
+            QUERY_ID_COL,
+        ).select(PARTITION_COL, QUERY_ID_COL, "__qvec")
+
+        deleted: set[int] = set()
+        if self._has_updates():
+            deleted = {int(r[0]) for r in self._updated_ids().collect()}
+        medoids = self.medoids()
+        bc = self.spark.sparkContext.broadcast((deleted, medoids))
+        kk, ls = k, l_search
+
+        def walk2(graph_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+            dele, meds = bc.value
+            empty = pd.DataFrame({QUERY_ID_COL: [], ID_COL: [], DISTANCE_COL: []})
+            if len(graph_pdf) == 0 or len(q_pdf) == 0:
+                return empty
+            pid = int(graph_pdf[PARTITION_COL].iloc[0])
+            ids = graph_pdf[ID_COL].to_numpy(dtype=np.int64)
+            x = np.array(list(graph_pdf[VECTOR_COL]), dtype=np.float64)
+            pos = {int(e): i for i, e in enumerate(ids)}
+            adj = [
+                np.array([pos[n] for n in nbrs if n in pos], dtype=np.int64)
+                for nbrs in graph_pdf["neighbors"]
+            ]
+            med_id = meds.get(pid)
+            med = pos.get(med_id, 0) if med_id is not None else 0
+            eff_k = kk + sum(1 for e in ids if int(e) in dele)
+            out_q, out_i, out_d = [], [], []
+            for qid, qv in zip(q_pdf[QUERY_ID_COL], q_pdf["__qvec"]):
+                qvec = np.asarray(qv, dtype=np.float64)
+                vi, vd = search_vamana_graph(x, adj, med, qvec, eff_k, ls)
+                for p, dv in zip(vi, vd):
+                    eid = int(ids[p])
+                    if eid in dele:
+                        continue
+                    out_q.append(int(qid))
+                    out_i.append(eid)
+                    out_d.append(float(dv))
+            return pd.DataFrame(
+                {QUERY_ID_COL: out_q, ID_COL: out_i, DISTANCE_COL: out_d}
+            )
+
+        schema = f"{QUERY_ID_COL} long, {ID_COL} long, {DISTANCE_COL} double"
+        scored = (
+            self._base_vectors()
+            .select(PARTITION_COL, ID_COL, VECTOR_COL, "neighbors")
+            .groupBy(PARTITION_COL)
+            .cogroup(routed_q.groupBy(PARTITION_COL))
+            .applyInPandas(walk2, schema)
+        )
+        # same metric rescale + additions overlay + merge as the kernel path
+        if metric is DistanceMetric.L2:
+            scored = scored.withColumn(DISTANCE_COL, F.sqrt(F.col(DISTANCE_COL)))
+        elif metric is DistanceMetric.COSINE:
+            scored = scored.withColumn(DISTANCE_COL, F.col(DISTANCE_COL) / 2.0)
+        if self._has_updates():
+            add_scored = knn_bruteforce_expr(self._additions(), q, k, metric).drop(
+                "rank"
+            )
             scored = scored.unionByName(add_scored)
         order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
         res = topk_window(scored, [QUERY_ID_COL], order, k)
