@@ -57,6 +57,7 @@ _INDEX_BACKED = {
     "vamana_index_recall_gate",
     "pq_adc_rerank",
     "object_filtered_search",
+    "knn_flat_u8",
 }
 
 _CHEAP = sorted(set(REGISTRY) - _INDEX_BACKED)

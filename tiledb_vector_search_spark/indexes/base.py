@@ -75,6 +75,12 @@ class Index:
     def dimensions(self) -> int:
         return int(self.meta["dimensions"])
 
+    @property
+    def vector_dtype(self) -> str:
+        """Stored vector element type: float32 (array column) or uint8/int8
+        (packed binary column; reference dispatch ``module.py:114-121``)."""
+        return self.meta.get("vector_dtype", "float32")
+
     # -- effective vector set (base ⊖ updated ⊕ additions) --------------------
 
     def _base_vectors(self) -> DataFrame:
@@ -107,10 +113,22 @@ class Index:
 
         base ∖ updated_ids ∪ additions — the anti-join replaces the
         reference's post-hoc sentinel masking (``index.py:377-385``).
+
+        For byte-dtype indexes with updates, the base is promoted to
+        ``array<float>`` so it unions with the float-typed updates log (u8/
+        i8 values are exactly representable); without updates the packed
+        binary column flows straight to the byte-aware kernels.
         """
         base = self._base_vectors().select(ID_COL, VECTOR_COL)
         if not self._has_updates():
             return base
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype,
+            unpack_vectors,
+        )
+
+        if is_byte_dtype(self.vector_dtype):
+            base = unpack_vectors(base, self.vector_dtype, VECTOR_COL)
         return base.join(
             F.broadcast(self._updated_ids()), ID_COL, "left_anti"
         ).unionByName(self._additions())
@@ -246,9 +264,17 @@ class Index:
 
 def count_and_dims(vectors: DataFrame, vector_col: str = VECTOR_COL) -> tuple[int, int]:
     """(row count, vector dimensionality) in ONE Spark job — ingest calls
-    this on every path; two separate jobs double the fixed scheduling cost."""
+    this on every path; two separate jobs double the fixed scheduling cost.
+
+    Packed byte vectors (``binary`` column) report length-in-bytes, which
+    equals dims at 1 byte/element."""
+    dims_expr = (
+        F.length(vector_col)
+        if dict(vectors.dtypes)[vector_col] == "binary"
+        else F.size(vector_col)
+    )
     row = vectors.agg(
-        F.count("*").alias("n"), F.first(F.size(vector_col)).alias("d")
+        F.count("*").alias("n"), F.first(dims_expr).alias("d")
     ).first()
     return int(row["n"]), int(row["d"] or 0)
 

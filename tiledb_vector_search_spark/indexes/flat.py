@@ -35,17 +35,37 @@ class FlatIndex(Index):
         timestamp: int | None = None,
         id_col: str = ID_COL,
         vector_col: str = VECTOR_COL,
+        vector_dtype: str = "float32",
     ) -> "FlatIndex":
         """Create + ingest (reference ``ingest_flat``, ``ingestion.py:1582-1684``).
 
         One distributed write; no sampling/training stage.
+        ``vector_dtype="uint8"|"int8"`` stores the vectors as a packed
+        ``binary`` column (1 byte/element — the reference's native u8/i8
+        dispatch, ``module.py:114-121``; bigann is u8), decoded to float
+        only inside the query kernels.
         """
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype,
+            pack_vectors,
+        )
+
         metric = DistanceMetric(metric)
         ts = timestamp if timestamp is not None else now_ms()
-        vectors = source.select(
-            F.col(id_col).cast("long").alias(ID_COL),
-            F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
-        )
+        if is_byte_dtype(vector_dtype):
+            vectors = pack_vectors(
+                source.select(
+                    F.col(id_col).cast("long").alias(ID_COL),
+                    F.col(vector_col).alias(VECTOR_COL),
+                ),
+                vector_dtype,
+                VECTOR_COL,
+            )
+        else:
+            vectors = source.select(
+                F.col(id_col).cast("long").alias(ID_COL),
+                F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
+            )
         from tiledb_vector_search_spark.indexes.base import count_and_dims
 
         _, dims = count_and_dims(vectors)
@@ -55,11 +75,23 @@ class FlatIndex(Index):
                 index_type=cls.index_type,
                 metric=metric.value,
                 dimensions=int(dims),
+                vector_dtype=vector_dtype,
             )
         storage.write_base(vectors, ts, base_size=None)
         return cls(spark, uri)
 
     def _write_consolidated(self, vectors: DataFrame, ts: int, **kw: Any) -> None:
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype,
+            pack_vectors,
+        )
+
+        # consolidation may arrive float-promoted (updates overlay); re-pack
+        # so the snapshot keeps the declared storage dtype
+        if is_byte_dtype(self.vector_dtype) and dict(vectors.dtypes).get(
+            VECTOR_COL, ""
+        ).startswith("array"):
+            vectors = pack_vectors(vectors, self.vector_dtype, VECTOR_COL)
         self.storage.write_base(vectors, ts)
 
     # -- query ----------------------------------------------------------------
@@ -80,10 +112,26 @@ class FlatIndex(Index):
         short result sets to exactly k rows per query (the reference's
         sentinel-padding contract, ``index.py:346-350``).
         """
-        self._validate_queries(queries)
-        res = knn_bruteforce(
-            self.effective_vectors(), queries, k, self.metric, strategy=strategy
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype,
+            unpack_vectors,
         )
+
+        self._validate_queries(queries)
+        vecs = self.effective_vectors()
+        # the effective set is float-typed when updates promoted it; packed
+        # binary only on the no-updates fast path
+        stored_is_binary = dict(vecs.dtypes)[VECTOR_COL] == "binary"
+        if stored_is_binary and strategy == "kernel":
+            res = knn_bruteforce(
+                vecs, queries, k, self.metric, strategy="kernel",
+                vector_dtype=self.vector_dtype,
+            )
+        else:
+            if stored_is_binary:
+                # expr path needs an array column — explicit promotion
+                vecs = unpack_vectors(vecs, self.vector_dtype, VECTOR_COL)
+            res = knn_bruteforce(vecs, queries, k, self.metric, strategy=strategy)
         if pad:
             from tiledb_vector_search_spark.operators.topk import pad_to_k
 

@@ -83,22 +83,47 @@ class IVFFlatIndex(Index):
         id_col: str = ID_COL,
         vector_col: str = VECTOR_COL,
         seed: int = 42,
+        vector_dtype: str = "float32",
     ) -> "IVFFlatIndex":
         """Build the partitioned index (reference ``ingest()`` IVF path).
 
         ``copy_centroids_from`` mirrors ``copy_centroids_uri``
         (``ingestion.py:1081-1100``): skip training, reuse given centroids.
+
+        ``vector_dtype="uint8"|"int8"`` stores packed ``binary`` vectors
+        (reference u8/i8 dispatch ``module.py:114-121``); centroids train on
+        a pre-sampled decoded subset, assignment decodes in-kernel — the
+        full corpus is never promoted to float storage.
         """
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype,
+            pack_vectors,
+            unpack_vectors,
+        )
+
         metric = DistanceMetric(metric)
         if metric not in _SUPPORTED:
             # reference support matrix: ivf_flat_index.py:595-602
             raise ValueError(f"IVF_FLAT does not support metric {metric.value}")
+        byte_vectors = is_byte_dtype(vector_dtype)
+        if byte_vectors and metric is DistanceMetric.COSINE:
+            raise ValueError("byte vector_dtype requires an un-normalized metric")
         ts = timestamp if timestamp is not None else now_ms()
 
-        vectors = source.select(
-            F.col(id_col).cast("long").alias(ID_COL),
-            F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
-        )
+        if byte_vectors:
+            vectors = pack_vectors(
+                source.select(
+                    F.col(id_col).cast("long").alias(ID_COL),
+                    F.col(vector_col).alias(VECTOR_COL),
+                ),
+                vector_dtype,
+                VECTOR_COL,
+            )
+        else:
+            vectors = source.select(
+                F.col(id_col).cast("long").alias(ID_COL),
+                F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
+            )
         if metric is DistanceMetric.COSINE:
             # normalize at ingest (reference ivf_flat_index.py:254-255)
             vectors = vectors.withColumn(
@@ -112,11 +137,23 @@ class IVFFlatIndex(Index):
             k = centroids.shape[0]
         else:
             sample_size = training_sample_size or default_training_sample_size(n, k)
-            centroids = train_centroids_ml(
-                vectors, k, sample_size, n, seed=seed
-            )
+            if byte_vectors:
+                # sample the PACKED column first (cheap scan), decode only
+                # the sampled rows for training
+                frac = min(1.0, (sample_size * 1.2) / max(n, 1))
+                pre = vectors if frac >= 1.0 else vectors.sample(frac, seed=seed)
+                centroids = train_centroids_ml(
+                    unpack_vectors(pre, vector_dtype, VECTOR_COL),
+                    k, sample_size, sample_size, seed=seed,
+                )
+            else:
+                centroids = train_centroids_ml(
+                    vectors, k, sample_size, n, seed=seed
+                )
 
-        assigned = assign_partitions_expr(vectors, centroids)
+        assigned = assign_partitions_expr(
+            vectors, centroids, vector_dtype=vector_dtype
+        )
 
         storage = IndexStorage(spark, uri)
         if not storage.exists():
@@ -124,6 +161,7 @@ class IVFFlatIndex(Index):
                 index_type=cls.index_type,
                 metric=metric.value,
                 dimensions=int(dims),
+                vector_dtype=vector_dtype,
             )
         cls._write_snapshot(storage, assigned, centroids, ts, n)
         return cls(spark, uri)
@@ -161,14 +199,35 @@ class IVFFlatIndex(Index):
         """``consolidate_updates(retrain_index=...)`` (``index.py:503-577``):
         keep centroids and only re-assign unless retrain requested."""
         if retrain_index:
+            from tiledb_vector_search_spark.functions.dtypes import (
+                is_byte_dtype as _is_byte,
+                unpack_vectors as _unpack,
+            )
+
+            train_src = vectors
+            if dict(vectors.dtypes).get(VECTOR_COL) == "binary":
+                train_src = _unpack(vectors, self.vector_dtype, VECTOR_COL)
             n = vectors.count()
             k = kw.get("partitions") or default_partitions(n)
             centroids = train_centroids_ml(
-                vectors, k, default_training_sample_size(n, k), n
+                train_src, k, default_training_sample_size(n, k), n
             )
         else:
             centroids = self.centroids()
-        assigned = assign_partitions_expr(vectors, centroids)
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype,
+            pack_vectors,
+        )
+
+        # consolidation may arrive float-promoted (updates overlay); re-pack
+        # so the snapshot keeps the declared storage dtype
+        if is_byte_dtype(self.vector_dtype) and dict(vectors.dtypes).get(
+            VECTOR_COL, ""
+        ).startswith("array"):
+            vectors = pack_vectors(vectors, self.vector_dtype, VECTOR_COL)
+        assigned = assign_partitions_expr(
+            vectors, centroids, vector_dtype=self.vector_dtype
+        )
         self._write_snapshot(self.storage, assigned, centroids, ts, None)
 
     # -- access ---------------------------------------------------------------
@@ -258,9 +317,17 @@ class IVFFlatIndex(Index):
         parts = sorted({p for _, p in pairs})
         part_groups = self._partition_groups(parts, memory_budget_mb)
 
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype as _is_byte,
+            unpack_vectors as _unpack,
+        )
+
         group_topks = []
         for group in part_groups:
             base = self._base_vectors().where(F.col(PARTITION_COL).isin(group))
+            if strategy == "expr" and _is_byte(self.vector_dtype):
+                # Catalyst distance exprs need an array column
+                base = _unpack(base, self.vector_dtype, VECTOR_COL)
             if self._has_updates():
                 base = base.join(
                     F.broadcast(self._updated_ids()), ID_COL, "left_anti"
@@ -370,10 +437,17 @@ class IVFFlatIndex(Index):
         """
         from tiledb_vector_search_spark.operators.routing import routing_table_join
 
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype as _is_byte,
+            unpack_vectors as _unpack,
+        )
+
         routing = routing_table_join(
             q, self.centroids(), nprobe, QUERY_ID_COL, VECTOR_COL
         )
         base = self._base_vectors()
+        if _is_byte(self.vector_dtype):
+            base = _unpack(base, self.vector_dtype, VECTOR_COL)
         if self._has_updates():
             base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
         scored = (
@@ -426,8 +500,11 @@ class IVFFlatIndex(Index):
         qpos = {int(qid): i for i, qid in enumerate(qids)}
         bc = self.spark.sparkContext.broadcast((qids, qmat, route_map, qpos))
         kk = k
+        vdtype = self.vector_dtype
 
         def score(batches):
+            from tiledb_vector_search_spark.functions.dtypes import decode_matrix
+
             qids_l, qmat_l, rmap, qpos_l = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
@@ -438,7 +515,7 @@ class IVFFlatIndex(Index):
                         continue
                     sub_q = qmat_l[[qpos_l[q] for q in routed]]
                     ids = grp[ID_COL].to_numpy(dtype=np.int64)
-                    x = np.array(list(grp[VECTOR_COL]), dtype=np.float64)
+                    x = decode_matrix(grp[VECTOR_COL], vdtype)
                     dmat = _kernel_distances(sub_q, x, metric)
                     keep = min(kk, dmat.shape[1])
                     idx = partial_topk_idx(dmat, ids, keep)

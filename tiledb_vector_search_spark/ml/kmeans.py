@@ -143,6 +143,7 @@ def assign_partitions_expr(
     centroids: np.ndarray,
     vector_col: str = VECTOR_COL,
     out_col: str = PARTITION_COL,
+    vector_dtype: str = "float32",
 ) -> DataFrame:
     """Nearest-centroid assignment as a broadcast numpy kernel.
 
@@ -163,12 +164,14 @@ def assign_partitions_expr(
     schema += f", {out_col} int"
 
     def assign(batches):
+        from tiledb_vector_search_spark.functions.dtypes import decode_matrix
+
         c = bc.value
         c_sq = np.sum(c * c, axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.array(list(pdf[vector_col]), dtype=np.float64)
+            x = decode_matrix(pdf[vector_col], vector_dtype)
             d = c_sq[None, :] - 2.0 * (x @ c.T)
             out = pdf.copy()
             out[out_col] = np.argmin(d, axis=1).astype(np.int32)

@@ -131,12 +131,15 @@ def knn_bruteforce_kernel(
     metric: DistanceMetric | str = DistanceMetric.SUM_OF_SQUARES,
     id_col: str = ID_COL,
     vector_col: str = VECTOR_COL,
+    vector_dtype: str = "float32",
 ) -> DataFrame:
     """Scale-path brute-force k-NN: numpy kernel + partial top-k per batch.
 
     The queries (small by contract — same asymmetry the reference exploits
     by holding them in registers, ``detail/flat/qv.h``) are collected and
-    broadcast; vectors stream through ``mapInPandas``.
+    broadcast; vectors stream through ``mapInPandas``.  ``vector_dtype``
+    byte variants decode a packed ``binary`` vector column in the kernel
+    (reference u8/i8 dispatch ``module.py:114-121``).
     """
     metric = DistanceMetric(metric)
     q_rows = queries.select(QUERY_ID_COL, VECTOR_COL).collect()
@@ -148,13 +151,15 @@ def knn_bruteforce_kernel(
     kk = k
 
     def score_batches(batches):
+        from tiledb_vector_search_spark.functions.dtypes import decode_matrix
+
         qids_l, qmat_l = bc.value
         nq = len(qids_l)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            xmat = np.array(list(pdf[vector_col]), dtype=np.float64)
+            xmat = decode_matrix(pdf[vector_col], vector_dtype)
             dmat = _kernel_distances(qmat_l, xmat, metric)
             if largest:
                 dmat = -dmat

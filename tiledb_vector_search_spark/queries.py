@@ -1345,6 +1345,7 @@ FROM (SELECT doc_id,
               % 1000000) AS __b
       FROM documents)
 """,
+    driver=False,  # pytest-only twin; corpus_composition + stratified_mix_sample driver-verify the hash-bucket sampler
 )
 def deterministic_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-keyed 80/10/10 train/valid/test split — the reproducible
@@ -2353,4 +2354,61 @@ def ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(F.col("e.query_id").alias("query_id")).agg(
         (F.count(F.col("a.external_id")) / F.lit(10.0)).alias("recall")
+    )
+
+
+_U8_QUANT_DUCK = (
+    "list_transform(embedding, e -> "
+    "LEAST(255, GREATEST(0, FLOOR(e * 32) + 128))::DOUBLE)"
+)
+
+_U8_KNN_ORACLE = (
+    f"""
+WITH qz AS (
+  SELECT vec_id, {_U8_QUANT_DUCK} AS v FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM qz WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid AS query_id, z.vec_id AS external_id, """
+    + duckdb_distance_sql("q.qv", "z.v", DistanceMetric.SUM_OF_SQUARES)
+    + """ AS distance
+  FROM q CROSS JOIN qz z
+)
+SELECT query_id, external_id, distance, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance, external_id) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+)
+
+
+@register("knn_flat_u8", _U8_KNN_ORACLE)
+def knn_flat_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uint8 vector dtype e2e: embeddings quantized to u8, ingested as a
+    PACKED BINARY column (1 byte/element — the reference's native u8
+    dispatch, ``module.py:114-121``; bigann-style corpora), queried through
+    the byte-decoding kernel.  Distances on integral values are exact in
+    float64 on both engines, so the oracle matches bit-for-bit."""
+    from tiledb_vector_search_spark.indexes import FlatIndex
+
+    uri = _scratch("u8flat") + "/idx"
+    emb = _t(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding",
+        lambda e: F.least(
+            F.lit(255.0), F.greatest(F.lit(0.0), F.floor(e * 32) + 128)
+        ),
+    ).cast("array<double>")
+    src = emb.select(F.col("vec_id").alias("external_id"), quant.alias("vector"))
+    idx = FlatIndex.ingest(spark, uri, src, vector_dtype="uint8", timestamp=1000)
+    queries = src.where("external_id < 10").select(
+        F.col("external_id").alias("query_id"),
+        F.col("vector").cast("array<float>").alias("vector"),
+    )
+    res = idx.query(queries, 10, strategy="kernel")
+    return res.select(
+        "query_id",
+        "external_id",
+        "distance",
+        F.col("rank").cast("long").alias("rank"),
     )
