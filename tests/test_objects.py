@@ -278,3 +278,79 @@ def test_multi_vector_query_fusion(spark, sf_dir, tmp_path):
         qrows.sort(key=lambda r: r.rank)
         scores = [r.score for r in qrows]
         assert scores == sorted(scores, reverse=True)
+
+
+# --- round-3: real netpbm codec + image reader decode ------------------------
+
+
+def test_pnm_codec_roundtrip():
+    import numpy as np
+
+    from tiledb_vector_search_spark.objects import codecs as C
+
+    rng = np.random.default_rng(0)
+    gray = rng.integers(0, 256, (7, 11)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (5, 4, 3)).astype(np.uint8)
+    for img in (gray, rgb):
+        dec, pos = C.decode_pnm(C.encode_pnm(img))
+        assert pos == len(C.encode_pnm(img))
+        assert (dec == img).all()
+    # comment-bearing header (real netpbm tooling emits these)
+    blob = b"P5\n# made by test\n3 2\n255\n" + bytes(range(6))
+    dec, _ = C.decode_pnm(blob)
+    assert dec.shape == (2, 3) and dec.ravel().tolist() == list(range(6))
+    # zero-width frame (empty payload) is legal in the stream contract
+    empty = C.encode_pnm(np.zeros((1, 0), dtype=np.uint8))
+    dec, _ = C.decode_pnm(empty)
+    assert dec.shape == (1, 0)
+
+
+def test_pnm_stream_sampling():
+    import numpy as np
+
+    from tiledb_vector_search_spark.objects import codecs as C
+
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 256, (4, 6)).astype(np.uint8) for _ in range(10)]
+    stream = b"".join(C.encode_pnm(f) for f in frames)
+    out = C.decode_pnm_stream(stream)
+    assert len(out) == 10 and all((a == b).all() for a, b in zip(out, frames))
+    sampled = C.sample_pnm_frames(stream, every_n=3)
+    assert len(sampled) == 4  # frames 0, 3, 6, 9
+    assert all((s == frames[i]).all() for s, i in zip(sampled, (0, 3, 6, 9)))
+
+
+def test_pnm_codec_rejects_garbage():
+    import pytest as _pytest
+
+    from tiledb_vector_search_spark.objects import codecs as C
+
+    for blob in (b"JFIF....", b"P5\n3 2\n255", b"P6\n2 2\n255\n\x00\x00"):
+        with _pytest.raises(ValueError):
+            C.decode_pnm(blob)
+
+
+def test_directory_image_reader_decodes_real_pgm_files(spark, tmp_path):
+    """FULLY real image e2e: write valid .pgm files to disk, scan them with
+    the binaryFile reader, decode with the netpbm parser, extract features
+    — no stubs anywhere on this path."""
+    import numpy as np
+
+    from tiledb_vector_search_spark.objects import codecs as C
+    from tiledb_vector_search_spark.objects.readers import DirectoryImageReader
+
+    rng = np.random.default_rng(2)
+    imgs = {}
+    for i in range(5):
+        img = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+        (tmp_path / f"img_{i}.pgm").write_bytes(C.encode_pnm(img))
+        imgs[f"img_{i}.pgm"] = img
+    reader = DirectoryImageReader(str(tmp_path), glob="*.pgm")
+    df = reader.read_objects(spark)
+    rows = df.collect()
+    assert len(rows) == 5
+    for r in rows:
+        name = r.file_path.rsplit("/", 1)[-1]
+        decoded = DirectoryImageReader.decode(bytes(r.image))
+        assert (decoded == imgs[name]).all()
+        assert r.n_bytes == len(C.encode_pnm(imgs[name]))

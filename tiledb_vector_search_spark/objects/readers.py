@@ -17,6 +17,7 @@ from __future__ import annotations
 from abc import ABC, abstractmethod
 from typing import Iterator
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -237,12 +238,30 @@ class DirectoryImageReader(ObjectReader):
 
     @staticmethod
     def decode(image_bytes: bytes):
-        """Decode to an RGB array — STUB: image codecs (PIL/opencv) are not
-        installed in this environment.  Wire a real decoder here when they
-        are."""
+        """Decode to a pixel array.
+
+        PIL when installed (import-try — the reference's decoder,
+        ``directory_reader.py:507-643``); binary netpbm (PGM/PPM) always,
+        via the dependency-free parser in
+        :mod:`tiledb_vector_search_spark.objects.codecs`.  Other codecs
+        (jpeg/png without PIL) raise.
+        """
+        try:
+            import io
+
+            from PIL import Image  # type: ignore
+
+            return np.asarray(Image.open(io.BytesIO(image_bytes)).convert("RGB"))
+        except ImportError:
+            pass
+        if image_bytes[:2] in (b"P5", b"P6"):
+            from tiledb_vector_search_spark.objects.codecs import decode_pnm
+
+            return decode_pnm(image_bytes)[0]
         raise NotImplementedError(
-            "image decoding requires PIL/opencv, not available in this "
-            "environment; use BytesHistogramEmbedding for byte-level features"
+            "decoding this codec requires PIL/opencv (not installed); "
+            "netpbm (P5/P6) decodes natively, or use "
+            "BytesHistogramEmbedding for byte-level features"
         )
 
     def metadata_attributes(self) -> list[str]:

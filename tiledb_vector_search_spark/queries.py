@@ -25,6 +25,7 @@ import os
 import shutil
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2044,27 +2045,25 @@ WHERE doc_id < 200
 """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling over an opaque blob column via ``mapInPandas`` — the
-    video/image decode pattern (SURVEY §2.11: decode stubbed, plumbing
-    real): Arrow binary batches in, fixed-offset windows ("frames") out,
-    one feature row per (blob, frame).  The deterministic fake decode
-    (md5 of each window) stands in for a codec so the driver oracle can
-    pin the full pipeline; a real decoder replaces only ``_decode``."""
+    """Frame-sampling over an opaque video blob via ``mapInPandas``, with a
+    REAL codec round-trip: each document's byte windows become 1-row PGM
+    frames in a concatenated binary-PNM stream (the layout ffmpeg's
+    ``image2pipe -vcodec pnm`` emits), the stream is parsed back by the
+    dependency-free netpbm decoder in
+    :mod:`tiledb_vector_search_spark.objects.codecs`, and each decoded
+    frame's pixel bytes are hashed.  The oracle pins the pipeline because
+    encode→decode is lossless: decoded pixels ≡ the original windows."""
     import hashlib
 
     import pandas as pd
 
+    from tiledb_vector_search_spark.objects.codecs import (
+        decode_pnm_stream,
+        encode_pnm,
+    )
+
     offsets = _FRAME_OFFSETS
     flen = _FRAME_LEN
-
-    def _decode(blob: bytes) -> list[str]:
-        # deterministic stand-in for codec + frame hash: md5 of each
-        # fixed-offset window of the decoded stream
-        s = blob.decode("utf-8")
-        return [
-            hashlib.md5(s[off - 1 : off - 1 + flen].encode("utf-8")).hexdigest()
-            for off in offsets
-        ]
 
     def extract(batches):
         for pdf in batches:
@@ -2072,10 +2071,22 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             ids, frame_no, frame_md5 = [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                for i, h in enumerate(_decode(blob)):
+                s = blob.decode("utf-8")
+                # encode: one grayscale 1×len frame per window -> PNM stream
+                stream = b"".join(
+                    encode_pnm(
+                        np.frombuffer(
+                            s[off - 1 : off - 1 + flen].encode("utf-8"),
+                            dtype=np.uint8,
+                        ).reshape(1, -1)
+                    )
+                    for off in offsets
+                )
+                # decode: REAL parser splits the stream back into frames
+                for i, frame in enumerate(decode_pnm_stream(stream)):
                     ids.append(doc_id)
                     frame_no.append(i)
-                    frame_md5.append(h)
+                    frame_md5.append(hashlib.md5(frame.tobytes()).hexdigest())
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_no": frame_no, "frame_md5": frame_md5}
             )
