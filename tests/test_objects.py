@@ -60,7 +60,7 @@ def test_directory_text_reader(spark, tmp_path):
     assert [r.external_id for r in sub] == some
 
 
-def test_directory_image_reader_stub(spark, tmp_path):
+def test_directory_image_reader_png_without_pil(spark, tmp_path):
     d = tmp_path / "imgs"
     d.mkdir()
     (d / "x.png").write_bytes(b"\x89PNG0123456789abcdef")
@@ -69,8 +69,13 @@ def test_directory_image_reader_stub(spark, tmp_path):
     r = df.first()
     assert r.n_bytes == 20
     assert bytes(r.image).startswith(b"\x89PNG")
-    with pytest.raises(NotImplementedError, match="image decoding"):
-        DirectoryImageReader.decode(bytes(r.image))
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        # no PIL and not netpbm -> a clear unsupported-codec error (netpbm
+        # decodes natively; see test_directory_image_reader_decodes_real_pgm_files)
+        with pytest.raises(NotImplementedError, match="PIL"):
+            DirectoryImageReader.decode(bytes(r.image))
 
 
 # --- embeddings ---------------------------------------------------------------
@@ -354,3 +359,63 @@ def test_directory_image_reader_decodes_real_pgm_files(spark, tmp_path):
         decoded = DirectoryImageReader.decode(bytes(r.image))
         assert (decoded == imgs[name]).all()
         assert r.n_bytes == len(C.encode_pnm(imgs[name]))
+
+
+def _st_available():
+    try:
+        import sentence_transformers  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_sentence_transformers_pickles_without_weights():
+    """The executor-shipping contract: cloudpickle carries config only; the
+    model loads lazily per worker.  Runs with or without the optional dep."""
+    import pickle
+
+    from tiledb_vector_search_spark.objects.embeddings import (
+        SentenceTransformersEmbedding,
+    )
+
+    emb = SentenceTransformersEmbedding("some-model", dimensions=128)
+    emb._model = object()  # simulate a loaded (unpicklable-ish) model
+    clone = pickle.loads(pickle.dumps(emb))
+    assert clone._model is None
+    assert clone.model_name_or_path == "some-model"
+    assert clone.dimensions() == 128
+
+
+@pytest.mark.skipif(
+    _st_available(), reason="dep installed; the missing-dep message untestable"
+)
+def test_sentence_transformers_missing_dep_message():
+    from tiledb_vector_search_spark.objects.embeddings import (
+        SentenceTransformersEmbedding,
+    )
+
+    with pytest.raises(ImportError, match="sentence-transformers"):
+        SentenceTransformersEmbedding().load()
+
+
+@pytest.mark.skipif(
+    not _st_available(), reason="sentence-transformers not installed"
+)
+def test_sentence_transformers_real_model_contract(spark):
+    """Contract e2e with the real model (skipped offline): transform() runs
+    load() once per worker and yields (external_id, float32 vector) rows of
+    the declared dimensionality."""
+    from tiledb_vector_search_spark.objects.embeddings import (
+        SentenceTransformersEmbedding,
+    )
+    from tiledb_vector_search_spark.session import small_df
+
+    emb = SentenceTransformersEmbedding()
+    df = small_df(
+        spark,
+        [(1, "hello world"), (2, "vector search on spark")],
+        "external_id long, text string",
+    )
+    out = emb.transform(df, ["text"]).collect()
+    assert len(out) == 2
+    assert all(len(r.vector) == emb.dimensions() for r in out)

@@ -23,6 +23,7 @@ from tiledb_vector_search_spark.objects.embeddings import (
     IdentityEmbedding,
     ObjectEmbedding,
     RandomEmbedding,
+    SentenceTransformersEmbedding,
 )
 from tiledb_vector_search_spark.objects.embeddings_ingestion import (
     ingest_embeddings_with_driver,
@@ -48,6 +49,7 @@ __all__ = [
     "BytesHistogramEmbedding",
     "IdentityEmbedding",
     "RandomEmbedding",
+    "SentenceTransformersEmbedding",
     "ObjectIndex",
     "ingest_embeddings_with_driver",
 ]

@@ -74,6 +74,67 @@ class ObjectEmbedding(ABC):
         )
 
 
+class SentenceTransformersEmbedding(ObjectEmbedding):
+    """REAL text-embedding model via sentence-transformers (optional dep).
+
+    Mirrors the reference ``SentenceTransformersEmbedding``
+    (``embeddings/sentence_transformers_embedding.py``): the model name is
+    cloudpickled to executors, the heavyweight model object is NOT — it is
+    constructed lazily in :meth:`load`, which the ``transform`` iterator
+    contract calls exactly once per executor python worker before the
+    first batch.  When sentence-transformers is not installed (this
+    environment), :meth:`load` raises ImportError with the install hint;
+    the deterministic :class:`HashingTextEmbedding` is the drop-in
+    stand-in.
+    """
+
+    def __init__(
+        self,
+        model_name_or_path: str = "all-MiniLM-L6-v2",
+        dimensions: int = 384,
+        text_col: str = "text",
+    ):
+        self.model_name_or_path = model_name_or_path
+        self._dims = int(dimensions)
+        self.text_col = text_col
+        self._model = None  # never pickled with weights; see __getstate__
+
+    def dimensions(self) -> int:
+        return self._dims
+
+    def load(self) -> None:
+        if self._model is not None:
+            return
+        try:
+            from sentence_transformers import SentenceTransformer  # type: ignore
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "SentenceTransformersEmbedding requires the optional "
+                "'sentence-transformers' package (pip install "
+                "sentence-transformers); use HashingTextEmbedding as a "
+                "deterministic offline stand-in"
+            ) from exc
+        self._model = SentenceTransformer(self.model_name_or_path)
+
+    def embed(self, objects: pd.DataFrame) -> np.ndarray:
+        if self._model is None:
+            # direct-call path (no transform()): honor the load-once contract
+            self.load()
+        out = self._model.encode(
+            [str(t) for t in objects[self.text_col]],
+            convert_to_numpy=True,
+            normalize_embeddings=False,
+        )
+        return np.asarray(out, dtype=np.float32)
+
+    def __getstate__(self):
+        # ship config only — executors re-load() the model locally, exactly
+        # like the reference re-instantiates from serialized init kwargs
+        state = self.__dict__.copy()
+        state["_model"] = None
+        return state
+
+
 class HashingTextEmbedding(ObjectEmbedding):
     """Deterministic feature-hashing text embedding (no model weights).
 
