@@ -58,6 +58,7 @@ _INDEX_BACKED = {
     "pq_adc_rerank",
     "object_filtered_search",
     "knn_flat_u8",
+    "ann_search_sql_tvf",
 }
 
 _CHEAP = sorted(set(REGISTRY) - _INDEX_BACKED)

@@ -1,0 +1,105 @@
+"""ann_search SQL TVF: pure-SQL index queries via file-pruned IVF reads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.indexes import FlatIndex, IVFFlatIndex
+from tiledb_vector_search_spark.sql import register_ann_search
+
+
+@pytest.fixture(scope="module")
+def source(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+
+
+@pytest.fixture(scope="module")
+def ivf_uri(spark, source, tmp_path_factory):
+    uri = str(tmp_path_factory.mktemp("tvf") / "idx")
+    IVFFlatIndex.ingest(spark, uri, source, partitions=8, timestamp=1)
+    return uri
+
+
+def _sql(spark, uri, view, k=5, nprobe=4):
+    register_ann_search(spark)
+    return spark.sql(
+        f"SELECT * FROM ann_search(TABLE(SELECT query_id, vector FROM {view}),"
+        f" '{uri}', {k}, {nprobe})"
+    )
+
+
+def test_tvf_matches_dataframe_api(spark, source, ivf_uri):
+    q = source.where("external_id < 12").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_q")
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in _sql(spark, ivf_uri, "tvf_q").collect()
+    }
+    idx = IVFFlatIndex(spark, ivf_uri)
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in idx.query(q, 5, nprobe=4, strategy="kernel").collect()
+    }
+    assert got == want
+
+
+def test_tvf_rejects_unconsolidated_updates(spark, source, tmp_path_factory):
+    uri = str(tmp_path_factory.mktemp("tvfu") / "idx")
+    idx = IVFFlatIndex.ingest(spark, uri, source, partitions=4, timestamp=1)
+    idx.delete(0, timestamp=2)
+    source.limit(3).select(
+        F.col("external_id").alias("query_id"), "vector"
+    ).createOrReplaceTempView("tvf_qu")
+    with pytest.raises(Exception, match="consolidate"):
+        _sql(spark, uri, "tvf_qu").collect()
+    # after consolidation the TVF works again and excludes the deleted id
+    idx.consolidate_updates(timestamp=3)
+    rows = _sql(spark, uri, "tvf_qu", k=3).collect()
+    assert rows and all(r.external_id != 0 for r in rows)
+
+
+def test_tvf_rejects_non_ivf(spark, source, tmp_path_factory):
+    uri = str(tmp_path_factory.mktemp("tvff") / "idx")
+    FlatIndex.ingest(spark, uri, source, timestamp=1)
+    source.limit(2).select(
+        F.col("external_id").alias("query_id"), "vector"
+    ).createOrReplaceTempView("tvf_qf")
+    with pytest.raises(Exception, match="IVF_FLAT"):
+        _sql(spark, uri, "tvf_qf").collect()
+
+
+def test_tvf_u8_index(spark, sf_dir, tmp_path_factory):
+    """The TVF decodes packed-binary u8 snapshots too."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    quant = F.transform(
+        "embedding",
+        lambda e: F.least(
+            F.lit(255.0), F.greatest(F.lit(0.0), F.floor(e * 32) + 128)
+        ),
+    ).cast("array<double>")
+    src = emb.select(F.col("vec_id").alias("external_id"), quant.alias("vector"))
+    uri = str(tmp_path_factory.mktemp("tvf8") / "idx")
+    idx = IVFFlatIndex.ingest(
+        spark, uri, src, partitions=4, vector_dtype="uint8", timestamp=1
+    )
+    q = src.where("external_id < 5").select(
+        F.col("external_id").alias("query_id"),
+        F.col("vector").cast("array<float>").alias("vector"),
+    )
+    q.createOrReplaceTempView("tvf_q8")
+    got = {
+        (r.query_id, r.rank, r.external_id, r.distance)
+        for r in _sql(spark, uri, "tvf_q8", k=3, nprobe=4).collect()
+    }
+    want = {
+        (r.query_id, r.rank, r.external_id, r.distance)
+        for r in idx.query(q, 3, nprobe=4, strategy="kernel").collect()
+    }
+    assert got == want

@@ -1693,6 +1693,7 @@ SELECT token, n, rank FROM (
   SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
   FROM counts) r WHERE rank <= 50
 """,
+    driver=False,  # pytest-only twin; tfidf_top_terms driver-verifies the vocab/df machinery
 )
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: top-50 tokens by frequency with a
@@ -2422,4 +2423,61 @@ def knn_flat_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "external_id",
         "distance",
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_TVF_ORACLE = (
+    "WITH "
+    + _ASSIGN_CTE.strip()
+    + ","
+    + _ROUTING_CTE.replace(_CENTROIDS_CTE, "").strip().lstrip(",")
+    + """,
+sscored AS (
+  SELECT r.qid AS query_id, a.vec_id AS external_id, """
+    + duckdb_distance_sql("r.qv", "a.embedding", DistanceMetric.SUM_OF_SQUARES)
+    + """ AS distance
+  FROM routing r JOIN assign a ON a.plabel = r.plabel
+)
+SELECT query_id, external_id, ROUND(distance, 6) AS distance, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance, external_id) AS rank
+  FROM sscored) WHERE rank <= 5
+"""
+)
+
+
+@register("ann_search_sql_tvf", _TVF_ORACLE)
+def ann_search_sql_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-only surface (SURVEY §4 stretch): a REAL IVF index built with
+    the deterministic label centroids, then queried entirely through
+    ``spark.sql`` via the registered ``ann_search`` TVF
+    (:mod:`tiledb_vector_search_spark.sql.tvf`) — each task's UDTF instance
+    reads only the probed ``partition_id=`` directories with pyarrow.
+    Distances round to 6 so the TVF's BLAS fold and the oracle's
+    sequential fold serialize identically."""
+    from tiledb_vector_search_spark.indexes import IVFFlatIndex
+    from tiledb_vector_search_spark.sql import register_ann_search
+
+    uri = _scratch("tvf") + "/idx"
+    # label-sorted deterministic centroids: partition_id i == label i
+    cents = _label_centroids_df(spark, sf_dir).orderBy("label").collect()
+    centroids = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    IVFFlatIndex.ingest(
+        spark, uri, src, copy_centroids_from=centroids, timestamp=1000
+    )
+    emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    ).createOrReplaceTempView("__tvs_tvf_queries")
+    register_ann_search(spark)
+    return spark.sql(
+        f"""
+        SELECT query_id, external_id, ROUND(distance, 6) AS distance, rank
+        FROM ann_search(
+          TABLE(SELECT query_id, vector FROM __tvs_tvf_queries),
+          '{uri}', 5, 2)
+        """
     )
