@@ -191,6 +191,32 @@ class Index:
         self.storage.append_updates(df, ts)
         self._maybe_auto_consolidate_log()
 
+    def merge_batch(self, rows: DataFrame, timestamp: int | None = None) -> None:
+        """MERGE-style mixed upsert/tombstone batch — fully distributed.
+
+        ``rows``: (external_id, vector, is_delete); tombstone rows carry a
+        null vector.  One timestamped updates batch, no driver round-trip —
+        the unit the streaming ``foreachBatch`` writer appends (a
+        driver-side ``collect()`` of delete ids would bound throughput by
+        batch size)."""
+        ts = timestamp if timestamp is not None else now_ms()
+        df = rows.select(
+            F.col(ID_COL).cast("long"),
+            F.col(VECTOR_COL).cast("array<float>"),
+            F.col("is_delete").cast("boolean"),
+        )
+        if self.normalize_on_write and self.metric is DistanceMetric.COSINE:
+            df = df.withColumn(
+                VECTOR_COL,
+                F.when(
+                    ~F.col("is_delete"),
+                    normalize_expr(VECTOR_COL).cast("array<float>"),
+                ),
+            )
+        df = df.withColumn("ts", F.lit(ts))
+        self.storage.append_updates(df, ts)
+        self._maybe_auto_consolidate_log()
+
     def delete(self, external_id: int, timestamp: int | None = None) -> None:
         self.delete_batch([external_id], timestamp)
 

@@ -50,21 +50,25 @@ def stream_updates_to_index(
         from tiledb_vector_search_spark.indexes import open_index
 
         idx = open_index(batch_df.sparkSession, index_uri)
+        # ONE mixed upsert/tombstone updates batch per micro-batch, written
+        # distributed via merge_batch — no driver collect of delete ids
         if delete_col is not None:
-            deletes = batch_df.where(F.col(delete_col)).select(
-                F.col(id_col).cast("long")
+            merged = batch_df.select(
+                F.col(id_col).cast("long").alias(ID_COL),
+                F.when(
+                    ~F.col(delete_col), F.col(vector_col).cast("array<float>")
+                ).alias(VECTOR_COL),
+                F.col(delete_col).cast("boolean").alias("is_delete"),
             )
-            ids = [r[0] for r in deletes.collect()]
-            if ids:
-                idx.delete_batch(ids)
-            batch_df = batch_df.where(~F.col(delete_col))
-        ups = batch_df.select(
-            F.col(id_col).cast("long").alias(ID_COL),
-            F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
-        )
-        if ups.isEmpty():
+        else:
+            merged = batch_df.select(
+                F.col(id_col).cast("long").alias(ID_COL),
+                F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
+                F.lit(False).alias("is_delete"),
+            )
+        if merged.isEmpty():
             return
-        idx.update_batch(ups)
+        idx.merge_batch(merged)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
