@@ -474,3 +474,41 @@ def test_centering_mean_unbiased_on_sorted_corpus(spark):
     )
     sizes = keys.groupBy("band", "key").count().collect()
     assert max(r["count"] for r in sizes) < 4000 * 0.2
+
+
+def test_line_frequencies_and_boilerplate_strip(spark):
+    from tiledb_vector_search_spark.session import small_df
+
+    df = small_df(
+        spark,
+        [
+            (1, "BANNER\nalpha\nBANNER\nunique one"),
+            (2, "BANNER\nbeta"),
+            (3, "  BANNER  \ngamma\n\n"),
+            (4, "BANNER"),
+        ],
+        "doc_id long, text string",
+    )
+    freq = {r.line: r.n_docs for r in DD.line_frequencies(df).collect()}
+    # distinct per doc: doc 1's two BANNER lines count once
+    assert freq["BANNER"] == 4
+    assert freq["alpha"] == 1
+    out = {r.doc_id: r.text for r in DD.strip_boilerplate_lines(df, 2).collect()}
+    assert out[1] == "alpha\nunique one"
+    assert out[2] == "beta"
+    # whitespace-trimmed match removed; empty lines preserved (trailing
+    # "\n\n" splits into two empty lines, both kept)
+    assert out[3] == "gamma\n\n"
+    # all-boilerplate doc keeps an empty text row (length-filter downstream)
+    assert out[4] == ""
+
+
+def test_boilerplate_entry_matches_oracle(spark, sf_dir):
+    from tiledb_vector_search_spark.queries import FULL_ORACLE_SQL, FULL_REGISTRY
+
+    assert_matches_duckdb(
+        FULL_REGISTRY["boilerplate_line_removal"](spark, sf_dir),
+        FULL_ORACLE_SQL["boilerplate_line_removal"],
+        sf_dir,
+        "boilerplate_line_removal",
+    )

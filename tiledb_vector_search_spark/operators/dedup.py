@@ -725,3 +725,70 @@ def embedding_near_duplicates_lsh(
         .where(F.col("cosine_sim") >= threshold)
     )
     return verified
+
+
+# --- line-level dedup (C4/Dolma-style boilerplate removal) -------------------
+
+
+def line_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(line, n_docs): how many DISTINCT documents contain each trimmed,
+    non-empty line.  The heavy-hitter profile that identifies boilerplate
+    (cookie banners, nav menus) in C4/Dolma-style cleaning.
+
+    One explode + one (line, doc) distinct + one count shuffle — linear in
+    corpus size; the line key is the natural shuffle key at any scale.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__raw"),
+    ).select(F.col(id_col), F.trim("__raw").alias("line"))
+    return (
+        lines.where(F.col("line") != "")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove lines appearing in ≥ ``min_docs`` documents; reassemble docs.
+
+    posexplode keeps line order stable through the anti-join; the
+    boilerplate side is the df ≥ threshold heavy-hitter set — NOT hinted
+    broadcast (its size is corpus-dependent; AQE decides).  Returns
+    (id, text) with surviving lines re-joined by newline; docs whose every
+    line was boilerplate keep an empty text (they remain addressable for a
+    downstream length filter, matching the quality-pipeline contract).
+    """
+    boiler = line_frequencies(df, text_col, id_col).where(
+        F.col("n_docs") >= min_docs
+    ).select(F.col("line").alias("__bline"))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "__raw"),
+    ).withColumn("__t", F.trim("__raw"))
+    kept = lines.join(
+        boiler, (F.col("__t") == F.col("__bline")) & (F.col("__t") != ""), "left_anti"
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__raw"))),
+                lambda s: s["__raw"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    # docs whose every line was boilerplate keep an empty text row
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .select(F.col(id_col), F.coalesce(text_col, F.lit("")).alias(text_col))
+    )

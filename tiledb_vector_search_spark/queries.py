@@ -2481,3 +2481,51 @@ def ann_search_sql_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
           '{uri}', 5, 2)
         """
     )
+
+
+_LINED_DOCS_CTE = """
+lined AS (
+  SELECT doc_id, concat_ws(chr(10),
+    'SHARED COOKIE BANNER', substr(text, 1, 40),
+    'doc-' || CAST(doc_id AS VARCHAR), substr(text, 41, 40)) AS text
+  FROM documents WHERE doc_id < 300
+)
+"""
+
+_BOILERPLATE_ORACLE = (
+    "WITH "
+    + _LINED_DOCS_CTE.strip()
+    + """,
+freq AS (
+  SELECT line, count(*) AS n FROM (
+    SELECT DISTINCT doc_id, trim(l.x) AS line
+    FROM lined, unnest(string_split(text, chr(10))) AS l(x))
+  WHERE line <> '' GROUP BY line),
+b AS (SELECT coalesce(list(line), []) AS bl FROM freq WHERE n >= 2)
+SELECT doc_id, array_to_string(
+  list_filter(string_split(text, chr(10)),
+              x -> trim(x) = '' OR NOT list_contains(b.bl, trim(x))),
+  chr(10)) AS text
+FROM lined, b
+"""
+)
+
+
+@register("boilerplate_line_removal", _BOILERPLATE_ORACLE, driver=False)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style line-level dedup: lines appearing in ≥2 documents
+    (the shared banner, plus any window shared by planted duplicate docs)
+    are stripped; order of surviving lines is preserved.  pytest-registry
+    entry (driver window full at 50) with a full DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 300")
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("SHARED COOKIE BANNER"),
+            F.substring("text", 1, 40),
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")),
+            F.substring("text", 41, 40),
+        ).alias("text"),
+    )
+    return DD.strip_boilerplate_lines(lined, min_docs=2)
