@@ -50,3 +50,33 @@ def test_ingest_dispatch_and_open(spark, source, tmp_path):
 def test_ingest_unknown_type(spark, source, tmp_path):
     with pytest.raises(ValueError, match="unknown index_type"):
         tvs.ingest(spark, str(tmp_path / "x"), source, index_type="HNSW")
+
+
+def test_storage_version_guard(spark, tmp_path):
+    """Older supported layouts open; unknown/newer versions fail with a
+    clear upgrade message (reference test_backwards_compatibility shape)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tiledb_vector_search_spark.indexes import FlatIndex, open_index
+
+    uri = str(tmp_path / "idx")
+    src = spark.range(20).select(
+        F.col("id").alias("external_id"),
+        F.array(*[F.rand(seed=7) for _ in range(4)]).cast("array<float>").alias("vector"),
+    )
+    FlatIndex.ingest(spark, uri, src, timestamp=1)
+    from tiledb_vector_search_spark.storage import IndexStorage
+
+    st = IndexStorage(spark, uri)
+    meta = st.read_meta()
+
+    meta["storage_version"] = "spark-0.1"
+    st.write_meta(meta)  # through the FS API so the CRC sidecar stays valid
+    assert open_index(spark, uri).size() == 20  # older layout still opens
+
+    meta["storage_version"] = "spark-99"
+    st.write_meta(meta)
+    with pytest.raises(ValueError, match="storage_version"):
+        open_index(spark, uri)

@@ -45,6 +45,11 @@ from tiledb_vector_search_spark.schemas import ID_COL, UPDATES_SCHEMA
 
 META_FILE = "_index_meta.json"
 STORAGE_VERSION = "spark-0.2"
+# every layout this reader understands (reference analogue:
+# ``storage_formats.py:3-48`` keeps one entry per released layout and
+# ``test_backwards_compatibility.py`` reads them all).  spark-0.1 wrote the
+# same parquet group shape; 0.2 added optional meta fields only.
+SUPPORTED_STORAGE_VERSIONS = {"spark-0.1", "spark-0.2"}
 
 
 def now_ms() -> int:
@@ -158,7 +163,15 @@ class IndexStorage:
     def read_meta(self) -> dict[str, Any]:
         if not self.exists():
             raise FileNotFoundError(f"no index at {self.uri}")
-        return json.loads(self.fs.read_text(self.meta_path))
+        meta = json.loads(self.fs.read_text(self.meta_path))
+        ver = meta.get("storage_version")
+        if ver not in SUPPORTED_STORAGE_VERSIONS:
+            raise ValueError(
+                f"index at {self.uri} has storage_version {ver!r}; this "
+                f"build reads {sorted(SUPPORTED_STORAGE_VERSIONS)} — "
+                "upgrade the library to open newer layouts"
+            )
+        return meta
 
     def write_meta(self, meta: dict[str, Any]) -> None:
         self.fs.write_text_atomic(
