@@ -81,10 +81,8 @@ def search_index_files(
 
     cent_tb = _read_parquet_dir(posixpath.join(uri, "centroids", f"ts={ts}"))
     order = np.argsort(cent_tb.column("partition_id").to_numpy())
-    centroids = np.array(
-        [cent_tb.column("centroid").to_pylist()[i] for i in order],
-        dtype=np.float64,
-    )
+    cent_rows = cent_tb.column("centroid").to_pylist()
+    centroids = np.array([cent_rows[i] for i in order], dtype=np.float64)
 
     # route: per query the nprobe nearest centroids, ties by partition id
     d = (
