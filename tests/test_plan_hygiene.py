@@ -28,7 +28,8 @@ ALLOWED_CARTESIAN = {
     "range_search_l2",
     "ann_recall_at_k",
     "embedding_neardup_cosine",
-    "doc_similarity_topk",
+    # doc_similarity_topk no longer needs the whitelist: round 3 replaced
+    # its bounded crossJoin with the inverted-index sparse-Jaccard plan
 }
 
 # BroadcastNestedLoopJoin with a tiny broadcast side is the

@@ -512,3 +512,43 @@ def test_boilerplate_entry_matches_oracle(spark, sf_dir):
         sf_dir,
         "boilerplate_line_removal",
     )
+
+
+def test_jaccard_topk_sparse_equals_dense(spark, docs):
+    """The inverted-index sparse plan returns exactly the dense
+    (crossJoin) result restricted to nonzero-overlap pairs."""
+    sub = docs.where("doc_id < 150")
+    sparse = {
+        (r.query_doc, r.rank, r.similar_doc, r.jaccard)
+        for r in DD.jaccard_topk_sparse(sub, query_ids=[0, 1, 2], k=3).collect()
+    }
+    # dense reference: array_intersect on materialized shingle arrays
+    sh = sub.select("doc_id", TX.word_shingles("text", 3).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    q = sh.where("doc_id < 3").select(
+        F.col("doc_id").alias("query_doc"), F.col("sh").alias("qsh")
+    )
+    inter = F.size(F.array_intersect("qsh", "sh")).cast("double")
+    union = (F.size("qsh") + F.size("sh")).cast("double") - inter
+    pairs = (
+        q.crossJoin(sh)
+        .where((F.col("doc_id") != F.col("query_doc")) & (inter > 0))
+        .select(
+            "query_doc",
+            F.col("doc_id").alias("similar_doc"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+    from tiledb_vector_search_spark.operators.topk import topk_window
+
+    dense = {
+        (r.query_doc, r.rank, r.similar_doc, r.jaccard)
+        for r in topk_window(
+            pairs,
+            ["query_doc"],
+            [F.col("jaccard").desc(), F.col("similar_doc").asc()],
+            3,
+        ).collect()
+    }
+    assert sparse == dense and len(sparse) == 9

@@ -792,3 +792,70 @@ def strip_boilerplate_lines(
         .join(reassembled, id_col, "left")
         .select(F.col(id_col), F.coalesce(text_col, F.lit("")).alias(text_col))
     )
+
+
+def jaccard_topk_sparse(
+    docs: DataFrame,
+    query_ids,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Top-k NONZERO shingle-Jaccard neighbors per query doc, with no
+    cross join: the classic inverted-index sparse-similarity plan.
+
+    corpus → (doc, shingle) postings; queries join the postings on the
+    SHINGLE key; |A∩B| is an integer count per (query, doc) group, so
+    Jaccard is an exact rational — identical regardless of aggregation
+    order (oracle-stable).  Shuffles carry (shingle) then (query, doc)
+    keys — linear in total postings; pairs sharing no shingle never
+    materialize.  ``query_ids``: collection of ids, or a one-column
+    DataFrame for query sets too large to inline.
+    """
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh")
+    ).where(F.size("__sh") > 0)
+    posts = sh.select(
+        F.col(id_col),
+        F.size("__sh").alias("__n"),
+        F.explode("__sh").alias("__shingle"),
+    )
+    if isinstance(query_ids, DataFrame):
+        qposts = posts.join(
+            query_ids.select(F.col(query_ids.columns[0]).alias(id_col)), id_col
+        )
+    else:
+        qposts = posts.where(F.col(id_col).isin(list(query_ids)))
+    qposts = qposts.select(
+        F.col(id_col).alias("query_doc"),
+        F.col("__n").alias("__nq"),
+        "__shingle",
+    )
+    inter = (
+        qposts.join(posts, "__shingle")
+        .where(F.col(id_col) != F.col("query_doc"))
+        .groupBy("query_doc", F.col(id_col).alias("similar_doc"))
+        .agg(
+            F.count("*").alias("__i"),
+            F.first("__nq").alias("__nq"),
+            F.first("__n").alias("__nb"),
+        )
+    )
+    scored = inter.select(
+        "query_doc",
+        "similar_doc",
+        F.round(
+            F.col("__i").cast("double")
+            / (F.col("__nq") + F.col("__nb") - F.col("__i")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+    from tiledb_vector_search_spark.operators.topk import topk_window
+
+    return topk_window(
+        scored,
+        ["query_doc"],
+        [F.col("jaccard").desc(), F.col("similar_doc").asc()],
+        k,
+    )

@@ -1970,6 +1970,7 @@ pairs AS (
            AS jaccard
   FROM q JOIN docs d ON d.doc_id <> q.doc_id
   WHERE len(q.sh) > 0 AND len(d.sh) > 0
+    AND len(list_intersect(q.sh, d.sh)) > 0
 )
 SELECT query_doc, similar_doc, jaccard, rank FROM (
   SELECT *, row_number() OVER (
@@ -1978,34 +1979,14 @@ SELECT query_doc, similar_doc, jaccard, rank FROM (
 """,
 )
 def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 most-similar documents per query doc by shingle Jaccard —
-    text-side similarity search."""
+    """Top-3 most-similar documents per query doc by shingle Jaccard, via
+    the INVERTED-INDEX sparse plan (:func:`DD.jaccard_topk_sparse`) — no
+    cross join: postings join on the shingle key, |A∩B| is an integer
+    count, so the result is oracle-exact AND the plan scales linearly in
+    postings (pairs sharing no shingle never materialize; the oracle
+    filters those too)."""
     d = _t(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", TX.word_shingles("text", 3).alias("sh")
-    ).where(F.size("sh") > 0)
-    q = docs.where("doc_id < 5").select(
-        F.col("doc_id").alias("query_doc"), F.col("sh").alias("qsh")
-    )
-    inter = F.size(F.array_intersect("qsh", "sh")).cast("double")
-    union = (F.size("qsh") + F.size("sh") - F.size(F.array_intersect("qsh", "sh"))).cast(
-        "double"
-    )
-    pairs = (
-        q.crossJoin(docs)
-        .where(F.col("doc_id") != F.col("query_doc"))
-        .select(
-            "query_doc",
-            F.col("doc_id").alias("similar_doc"),
-            F.round(inter / union, 6).alias("jaccard"),
-        )
-    )
-    res = topk_window(
-        pairs,
-        ["query_doc"],
-        [F.col("jaccard").desc(), F.col("similar_doc").asc()],
-        3,
-    )
+    res = DD.jaccard_topk_sparse(d, query_ids=range(5), k=3)
     return res.select(
         "query_doc", "similar_doc", "jaccard", F.col("rank").cast("long").alias("rank")
     )
