@@ -419,3 +419,54 @@ def test_sentence_transformers_real_model_contract(spark):
     out = emb.transform(df, ["text"]).collect()
     assert len(out) == 2
     assert all(len(r.vector) == emb.dimensions() for r in out)
+
+
+def test_wav_codec_roundtrip_and_features():
+    import numpy as np
+
+    from tiledb_vector_search_spark.objects import codecs as C
+
+    t = np.linspace(0, 0.5, 4000, endpoint=False)
+    stereo = np.stack([np.sin(2 * np.pi * 220 * t), np.cos(2 * np.pi * 220 * t)], 1)
+    blob = C.encode_wav(stereo, 8000)
+    x, rate = C.decode_wav(blob)
+    assert rate == 8000 and x.shape == (4000, 2)
+    assert np.abs(x - stereo).max() < 1e-3
+    f = C.wav_features(blob)
+    assert f["channels"] == 2 and abs(f["duration_sec"] - 0.5) < 1e-9
+    for bad in (b"RIFFxxxxWAVE", b"OggS....", C.encode_wav(stereo, 8000)[:30]):
+        with pytest.raises(ValueError):
+            C.decode_wav(bad)
+
+
+def test_audio_feature_extraction_e2e(spark, tmp_path):
+    """Real audio e2e: write PCM .wav files, scan with binaryFile, decode
+    and feature-extract in mapInPandas — no stubs on this path."""
+    import numpy as np
+
+    from tiledb_vector_search_spark.objects import codecs as C
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    truth = {}
+    for i in range(4):
+        sig = rng.normal(0, 0.2, 1000 * (i + 1))
+        (tmp_path / f"clip_{i}.wav").write_bytes(C.encode_wav(sig, 8000))
+        truth[f"clip_{i}.wav"] = len(sig)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(str(tmp_path))
+        .select(
+            F.shiftrightunsigned(F.xxhash64("path"), 1).alias("external_id"),
+            F.col("content").alias("audio"),
+            F.element_at(F.split("path", "/"), -1).alias("name"),
+        )
+    )
+    names = {r.external_id: r.name for r in files.select("external_id", "name").collect()}
+    feats = C.extract_audio_features(files, "audio").collect()
+    assert len(feats) == 4
+    for r in feats:
+        assert r.sample_rate == 8000 and r.channels == 1
+        assert r.n_samples == truth[names[r.external_id]]
+        assert 0.0 < r.rms < 1.0 and 0.0 < r.zero_crossing_rate < 1.0

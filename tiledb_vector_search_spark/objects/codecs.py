@@ -105,3 +105,116 @@ def sample_pnm_frames(blob: bytes, every_n: int = 1) -> list[np.ndarray]:
             pos = data + w * h * _MAGIC_CHANNELS[magic]
         i += 1
     return frames
+
+
+# --- WAV / PCM audio ---------------------------------------------------------
+
+_WAV_FMT_PCM = 1
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV blob → ((n_samples, channels) float64 in [-1, 1],
+    sample_rate).
+
+    Pure-struct RIFF parser (8/16/32-bit integer PCM) — the audio leg of
+    the multimodal decode path, real like the netpbm image/stream codecs
+    (compressed codecs need external libs and raise).
+    """
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        body = pos + 8
+        if body + size > len(blob):
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("malformed WAV fmt chunk")
+            (audio_fmt, channels, rate, _br, _ba, bits) = struct.unpack_from(
+                "<HHIIHH", blob, body
+            )
+            if audio_fmt != _WAV_FMT_PCM:
+                raise ValueError(f"only PCM WAV supported (fmt={audio_fmt})")
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            channels, rate, bits = fmt
+            if bits == 8:  # unsigned
+                x = np.frombuffer(blob, np.uint8, size, body).astype(np.float64)
+                x = (x - 128.0) / 128.0
+            elif bits == 16:
+                x = np.frombuffer(blob, "<i2", size // 2, body).astype(np.float64)
+                x /= 32768.0
+            elif bits == 32:
+                x = np.frombuffer(blob, "<i4", size // 4, body).astype(np.float64)
+                x /= 2147483648.0
+            else:
+                raise ValueError(f"unsupported PCM width {bits}")
+            n = (len(x) // channels) * channels
+            return x[:n].reshape(-1, channels), rate
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no WAV data chunk")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) float64 in [-1, 1] → 16-bit PCM WAV bytes."""
+    import struct
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    pcm = np.clip(np.rint(x * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    channels = x.shape[1]
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        _WAV_FMT_PCM, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def wav_features(blob: bytes) -> dict:
+    """Deterministic audio features: duration, rms, zero-crossing rate —
+    the audio feature-extract stage over an opaque binary column."""
+    x, rate = decode_wav(blob)
+    mono = x.mean(axis=1)
+    n = len(mono)
+    zc = int(np.sum(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(n),
+        "channels": int(x.shape[1]),
+        "duration_sec": float(n / rate) if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(mono * mono))) if n else 0.0,
+        "zero_crossing_rate": float(zc / (n - 1)) if n > 1 else 0.0,
+    }
+
+
+def extract_audio_features(df, blob_col: str = "audio", id_col: str = "external_id"):
+    """(id, sample_rate, n_samples, channels, duration_sec, rms,
+    zero_crossing_rate) for a DataFrame with a WAV binary column — the
+    audio feature-extract stage as an Arrow-batched ``mapInPandas``."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, sample_rate int, n_samples int, channels int, "
+        "duration_sec double, rms double, zero_crossing_rate double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for eid, blob in zip(pdf[id_col], pdf[blob_col]):
+                rows.append({id_col: int(eid), **wav_features(bytes(blob))})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=schema)
