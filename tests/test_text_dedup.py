@@ -552,3 +552,30 @@ def test_jaccard_topk_sparse_equals_dense(spark, docs):
         ).collect()
     }
     assert sparse == dense and len(sparse) == 9
+
+
+def test_embedding_neardup_broadcast_gate(spark, sf_dir):
+    """The embedding near-dup verify join honors the same pair-count gate."""
+    import tiledb_vector_search_spark.operators.dedup as DDm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.where("vec_id < 3").withColumn("vec_id", F.col("vec_id") + 100000)
+    corpus = emb.unionByName(dup)
+    baseline = {
+        (r.id_a, r.id_b)
+        for r in DDm.embedding_near_duplicates_lsh(corpus, threshold=0.999).collect()
+    }
+    assert {(i, i + 100000) for i in range(3)} <= baseline
+    old = DDm.BROADCAST_PAIR_LIMIT
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        DDm.BROADCAST_PAIR_LIMIT = 0
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = DDm.embedding_near_duplicates_lsh(corpus, threshold=0.999)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin [id_a" not in plan, plan
+        got = {(r.id_a, r.id_b) for r in df.collect()}
+    finally:
+        DDm.BROADCAST_PAIR_LIMIT = old
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert got == baseline
