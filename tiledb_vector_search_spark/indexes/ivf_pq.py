@@ -117,6 +117,7 @@ def assign_and_encode_kernel(
     codebooks: np.ndarray,
     vector_col: str,
     partition_col: str,
+    vector_dtype: str = "float32",
 ) -> DataFrame:
     """ONE Arrow pass appending both ``partition_id`` and ``code``.
 
@@ -134,6 +135,8 @@ def assign_and_encode_kernel(
     schema += f", {partition_col} int, {CODE_COL} binary"
 
     def run(batches):
+        from tiledb_vector_search_spark.functions.dtypes import decode_matrix
+
         cents, cb = bc.value
         c_sq = np.sum(cents * cents, axis=1)
         m, n_codes, sub_dim = cb.shape
@@ -141,7 +144,7 @@ def assign_and_encode_kernel(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.array(list(pdf[vector_col]), dtype=np.float64)
+            x = decode_matrix(pdf[vector_col], vector_dtype)
             n = x.shape[0]
             d = c_sq[None, :] - 2.0 * (x @ cents.T)
             assign = np.argmin(d, axis=1).astype(np.int32)
@@ -213,17 +216,34 @@ class IVFPQIndex(Index):
         id_col: str = ID_COL,
         vector_col: str = VECTOR_COL,
         seed: int = 42,
+        vector_dtype: str = "float32",
     ) -> "IVFPQIndex":
+        from tiledb_vector_search_spark.functions.dtypes import (
+            decode_matrix,
+            is_byte_dtype,
+            pack_vectors,
+        )
+
         metric = DistanceMetric(metric)
         if metric not in _SUPPORTED:
             # reference support matrix: ivf_pq_index.py:212-218
             raise ValueError(f"IVF_PQ does not support metric {metric.value}")
         ts = timestamp if timestamp is not None else now_ms()
 
-        vectors = source.select(
-            F.col(id_col).cast("long").alias(ID_COL),
-            F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
-        )
+        if is_byte_dtype(vector_dtype):
+            vectors = pack_vectors(
+                source.select(
+                    F.col(id_col).cast("long").alias(ID_COL),
+                    F.col(vector_col).alias(VECTOR_COL),
+                ),
+                vector_dtype,
+                VECTOR_COL,
+            )
+        else:
+            vectors = source.select(
+                F.col(id_col).cast("long").alias(ID_COL),
+                F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
+            )
         n, dims = count_and_dims(vectors)
         if dims % num_subspaces != 0:
             # reference validation: ivf_pq_index.py:204-210
@@ -243,7 +263,10 @@ class IVFPQIndex(Index):
             if frac < 1.0
             else vectors.limit(PQ_TRAIN_MAX).collect()
         )
-        sample = np.array([r[VECTOR_COL] for r in srows], dtype=np.float64)
+        if is_byte_dtype(vector_dtype):
+            sample = decode_matrix([r[VECTOR_COL] for r in srows], vector_dtype)
+        else:
+            sample = np.array([r[VECTOR_COL] for r in srows], dtype=np.float64)
 
         if copy_centroids_from is not None:
             centroids = np.asarray(copy_centroids_from, dtype=np.float64)
@@ -267,7 +290,8 @@ class IVFPQIndex(Index):
         codebooks = train_pq_codebooks(sample, num_subspaces, seed=seed)
 
         encoded = assign_and_encode_kernel(
-            vectors, centroids, codebooks, VECTOR_COL, PARTITION_COL
+            vectors, centroids, codebooks, VECTOR_COL, PARTITION_COL,
+            vector_dtype=vector_dtype,
         )
 
         storage = IndexStorage(spark, uri)
@@ -277,6 +301,7 @@ class IVFPQIndex(Index):
                 metric=metric.value,
                 dimensions=dims,
                 num_subspaces=num_subspaces,
+                vector_dtype=vector_dtype,
             )
         cls._write_snapshot(storage, encoded, centroids, codebooks, ts, n)
         return cls(spark, uri)
@@ -320,13 +345,25 @@ class IVFPQIndex(Index):
         self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
     ) -> None:
         """Re-assign + re-encode; reuse centroids/codebooks unless retrain."""
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype,
+            pack_vectors,
+        )
+
+        # consolidation may arrive float-promoted (updates overlay); re-pack
+        # so the snapshot keeps the declared storage dtype
+        if is_byte_dtype(self.vector_dtype) and dict(vectors.dtypes).get(
+            VECTOR_COL, ""
+        ).startswith("array"):
+            vectors = pack_vectors(vectors, self.vector_dtype, VECTOR_COL)
         if retrain_index:
+            train_src = self._float_vectors(vectors)
             n = vectors.count()
             k = kw.get("partitions") or default_partitions(n)
             centroids = train_centroids_ml(
-                vectors, k, default_training_sample_size(n, k), n
+                train_src, k, default_training_sample_size(n, k), n
             )
-            srows = vectors.limit(PQ_TRAIN_MAX).collect()
+            srows = train_src.limit(PQ_TRAIN_MAX).collect()
             sample = np.array([r[VECTOR_COL] for r in srows], dtype=np.float64)
             codebooks = train_pq_codebooks(sample, self.num_subspaces)
         else:
@@ -338,6 +375,7 @@ class IVFPQIndex(Index):
             codebooks,
             VECTOR_COL,
             PARTITION_COL,
+            vector_dtype=self.vector_dtype,
         )
         self._write_snapshot(self.storage, encoded, centroids, codebooks, ts, None)
 
@@ -461,7 +499,7 @@ class IVFPQIndex(Index):
             # candidates all come from probed partitions, so the re-rank
             # scan reuses the partition-pruned, tombstone-filtered ``base``
             # rather than re-scanning the full table
-            vecs = base.select(ID_COL, VECTOR_COL)
+            vecs = self._float_vectors(base).select(ID_COL, VECTOR_COL)
             qv = q.select(QUERY_ID_COL, F.col(VECTOR_COL).alias("__qvec"))
             reranked = (
                 vecs.join(F.broadcast(cand), ID_COL)
@@ -583,7 +621,7 @@ class IVFPQIndex(Index):
 
         if k_factor > 1.0:
             cand = coarse_topk.select(QUERY_ID_COL, ID_COL)
-            vecs = base.select(ID_COL, VECTOR_COL)
+            vecs = self._float_vectors(base).select(ID_COL, VECTOR_COL)
             qv = q.select(QUERY_ID_COL, F.col(VECTOR_COL).alias("__qvec"))
             result = (
                 vecs.join(cand, ID_COL)
@@ -613,6 +651,18 @@ class IVFPQIndex(Index):
 
             res = pad_to_k(res, queries, k)
         return res
+
+    def _float_vectors(self, base: DataFrame) -> DataFrame:
+        """Promote a packed-binary vector column for expression-path joins
+        (byte dtypes); float bases pass through."""
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype,
+            unpack_vectors,
+        )
+
+        if is_byte_dtype(self.vector_dtype):
+            return unpack_vectors(base, self.vector_dtype, VECTOR_COL)
+        return base
 
     def _adc_scores(
         self,

@@ -91,17 +91,37 @@ class VamanaIndex(Index):
         id_col: str = ID_COL,
         vector_col: str = VECTOR_COL,
         seed: int = 42,
+        vector_dtype: str = "float32",
     ) -> "VamanaIndex":
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype,
+            pack_vectors,
+            unpack_vectors,
+        )
+
         metric = DistanceMetric(metric)
         if metric not in _SUPPORTED:
             # reference support matrix: vamana_index.py:173-180
             raise ValueError(f"VAMANA does not support metric {metric.value}")
+        byte_vectors = is_byte_dtype(vector_dtype)
+        if byte_vectors and metric is DistanceMetric.COSINE:
+            raise ValueError("byte vector_dtype requires an un-normalized metric")
         ts = timestamp if timestamp is not None else now_ms()
 
-        vectors = source.select(
-            F.col(id_col).cast("long").alias(ID_COL),
-            F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
-        )
+        if byte_vectors:
+            vectors = pack_vectors(
+                source.select(
+                    F.col(id_col).cast("long").alias(ID_COL),
+                    F.col(vector_col).alias(VECTOR_COL),
+                ),
+                vector_dtype,
+                VECTOR_COL,
+            )
+        else:
+            vectors = source.select(
+                F.col(id_col).cast("long").alias(ID_COL),
+                F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
+            )
         if metric is DistanceMetric.COSINE:
             vectors = vectors.withColumn(
                 VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
@@ -113,13 +133,25 @@ class VamanaIndex(Index):
             centroids = np.zeros((1, dims))
             assigned = vectors.withColumn(PARTITION_COL, F.lit(0))
         else:
-            centroids = train_centroids_ml(
-                vectors, k, default_training_sample_size(n, k), n, seed=seed
+            if byte_vectors:
+                # sample the PACKED column first, decode only sampled rows
+                sample_size = default_training_sample_size(n, k)
+                frac = min(1.0, (sample_size * 1.2) / max(n, 1))
+                pre = vectors if frac >= 1.0 else vectors.sample(frac, seed=seed)
+                centroids = train_centroids_ml(
+                    unpack_vectors(pre, vector_dtype, VECTOR_COL),
+                    k, sample_size, sample_size, seed=seed,
+                )
+            else:
+                centroids = train_centroids_ml(
+                    vectors, k, default_training_sample_size(n, k), n, seed=seed
+                )
+            assigned = assign_partitions_expr(
+                vectors, centroids, vector_dtype=vector_dtype
             )
-            assigned = assign_partitions_expr(vectors, centroids)
 
         graphed, medoids = cls._build_graphs(
-            assigned, r_max_degree, l_build, alpha, seed
+            assigned, r_max_degree, l_build, alpha, seed, vector_dtype
         )
 
         storage = IndexStorage(spark, uri)
@@ -130,6 +162,7 @@ class VamanaIndex(Index):
                 dimensions=dims,
                 r_max_degree=r_max_degree,
                 l_build=l_build,
+                vector_dtype=vector_dtype,
             )
         storage.write_base(
             graphed,
@@ -154,16 +187,19 @@ class VamanaIndex(Index):
         l_build: int,
         alpha: float,
         seed: int,
+        vector_dtype: str = "float32",
     ) -> tuple[DataFrame, DataFrame]:
         """Per-shard graph build: groupBy(partition).applyInPandas so each
         sequential build sees its whole shard in one task."""
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            from tiledb_vector_search_spark.functions.dtypes import decode_matrix
+
             # row-arrival order inside a shard is not deterministic across
             # Spark runs (split order / scheduling); the seeded build must
             # see a canonical order or the graph (and its recall) drifts
             pdf = pdf.sort_values(ID_COL, ignore_index=True)
-            x = np.array(list(pdf[VECTOR_COL]), dtype=np.float64)
+            x = decode_matrix(pdf[VECTOR_COL], vector_dtype)
             ids = pdf[ID_COL].to_numpy(dtype=np.int64)
             adj, med = build_vamana_graph(x, r_max, l_build, alpha, seed)
             out = pdf.copy()
@@ -172,8 +208,9 @@ class VamanaIndex(Index):
             out.loc[out.index[med], "is_medoid"] = True
             return out
 
+        vec_type = "binary" if vector_dtype != "float32" else "array<float>"
         schema = (
-            f"{ID_COL} long, {VECTOR_COL} array<float>, {PARTITION_COL} int, "
+            f"{ID_COL} long, {VECTOR_COL} {vec_type}, {PARTITION_COL} int, "
             "neighbors array<long>, is_medoid boolean"
         )
         graphed = assigned.groupBy(PARTITION_COL).applyInPandas(build, schema)
@@ -190,11 +227,26 @@ class VamanaIndex(Index):
     def _write_consolidated(
         self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
     ) -> None:
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype,
+            pack_vectors,
+            unpack_vectors,
+        )
+
+        # consolidation may arrive float-promoted (updates overlay); re-pack
+        # so the snapshot keeps the declared storage dtype
+        if is_byte_dtype(self.vector_dtype) and dict(vectors.dtypes).get(
+            VECTOR_COL, ""
+        ).startswith("array"):
+            vectors = pack_vectors(vectors, self.vector_dtype, VECTOR_COL)
         n = vectors.count()
         k = kw.get("shards") or self.partitions
         if retrain_index:
+            train_src = vectors
+            if is_byte_dtype(self.vector_dtype):
+                train_src = unpack_vectors(vectors, self.vector_dtype, VECTOR_COL)
             centroids = train_centroids_ml(
-                vectors, k, default_training_sample_size(n, k), n
+                train_src, k, default_training_sample_size(n, k), n
             )
         else:
             centroids = self.centroids()
@@ -204,7 +256,8 @@ class VamanaIndex(Index):
             )
         else:
             assigned = assign_partitions_expr(
-                vectors.select(ID_COL, VECTOR_COL), centroids
+                vectors.select(ID_COL, VECTOR_COL), centroids,
+                vector_dtype=self.vector_dtype,
             )
         graphed, medoids = self._build_graphs(
             assigned,
@@ -212,6 +265,7 @@ class VamanaIndex(Index):
             int(self.meta["l_build"]),
             DEFAULT_ALPHA,
             42,
+            self.vector_dtype,
         )
         self.storage.write_base(
             graphed,
@@ -332,6 +386,10 @@ class VamanaIndex(Index):
             (qids, qmat, route_map, qpos, deleted, medoids)
         )
         kk, ls = k, l_search
+        vdtype = self.vector_dtype
+        from tiledb_vector_search_spark.functions.dtypes import (
+            decode_matrix as _decode,
+        )
 
         def walk(pdf: pd.DataFrame) -> pd.DataFrame:
             qids_l, qmat_l, rmap, qpos_l, dele, meds = bc.value
@@ -346,7 +404,7 @@ class VamanaIndex(Index):
                     {QUERY_ID_COL: [], ID_COL: [], DISTANCE_COL: []}
                 )
             ids = pdf[ID_COL].to_numpy(dtype=np.int64)
-            x = np.array(list(pdf[VECTOR_COL]), dtype=np.float64)
+            x = _decode(pdf[VECTOR_COL], vdtype)
             pos = {int(e): i for i, e in enumerate(ids)}
             adj = [
                 np.array(
@@ -434,6 +492,10 @@ class VamanaIndex(Index):
         medoids = self.medoids()
         bc = self.spark.sparkContext.broadcast((deleted, medoids))
         kk, ls = k, l_search
+        vdtype = self.vector_dtype
+        from tiledb_vector_search_spark.functions.dtypes import (
+            decode_matrix as _decode,
+        )
 
         def walk2(graph_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
             dele, meds = bc.value
@@ -442,7 +504,7 @@ class VamanaIndex(Index):
                 return empty
             pid = int(graph_pdf[PARTITION_COL].iloc[0])
             ids = graph_pdf[ID_COL].to_numpy(dtype=np.int64)
-            x = np.array(list(graph_pdf[VECTOR_COL]), dtype=np.float64)
+            x = _decode(graph_pdf[VECTOR_COL], vdtype)
             pos = {int(e): i for i, e in enumerate(ids)}
             adj = [
                 np.array([pos[n] for n in nbrs if n in pos], dtype=np.int64)
