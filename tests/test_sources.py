@@ -118,3 +118,49 @@ def test_siftmicro_ingest_recall(spark, tmp_path):
         for r in knn_bruteforce_expr(src, queries, 10).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.85
+
+
+def test_u8bin_keep_bytes_to_index(spark, tmp_path):
+    """bigann-style chain: U8BIN file -> keep_bytes binary column -> u8
+    index, with no float promotion anywhere; results identical to the
+    promoting read."""
+    import numpy as np
+
+    from tiledb_vector_search_spark.indexes import FlatIndex
+    from tiledb_vector_search_spark.sources import vecs as V
+
+    rng = np.random.default_rng(5)
+    mat = rng.integers(0, 256, size=(200, 16), dtype=np.uint8)
+    path = str(tmp_path / "vecs.u8bin")
+    with open(path, "wb") as fh:
+        import struct
+
+        fh.write(struct.pack("<II", *mat.shape))
+        fh.write(mat.tobytes())
+
+    packed = V.read_vectors(spark, path, "U8BIN", keep_bytes=True)
+    assert dict(packed.dtypes)["vector"] == "binary"
+    rows = {r.external_id: bytes(r.vector) for r in packed.collect()}
+    assert rows[7] == mat[7].tobytes()
+
+    floats = V.read_vectors(spark, path, "U8BIN")
+    a = FlatIndex.ingest(
+        spark, str(tmp_path / "a"), packed, vector_dtype="uint8", timestamp=1
+    )
+    b = FlatIndex.ingest(
+        spark, str(tmp_path / "b"), floats, vector_dtype="uint8", timestamp=1
+    )
+    from pyspark.sql import functions as F
+
+    q = floats.where("external_id < 5").select(
+        F.col("external_id").alias("query_id"),
+        F.col("vector").cast("array<float>").alias("vector"),
+    )
+    ra = {(r.query_id, r.rank, r.external_id, r.distance) for r in a.query(q, 3).collect()}
+    rb = {(r.query_id, r.rank, r.external_id, r.distance) for r in b.query(q, 3).collect()}
+    assert ra == rb and len(ra) == 15
+    # keep_bytes rejects multi-byte formats
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="1-byte"):
+        V.read_vectors(spark, path, "F32BIN", keep_bytes=True)

@@ -84,6 +84,17 @@ def pack_vectors(
     return df.mapInPandas(pack, schema=schema)
 
 
+def ensure_packed(
+    df: DataFrame, vector_dtype: str, vector_col: str = "vector"
+) -> DataFrame:
+    """Pack a numeric-array vector column; pass an already-``binary``
+    column through untouched (e.g. a ``read_vectors(keep_bytes=True)``
+    source — no decode/re-pack cycle)."""
+    if dict(df.dtypes).get(vector_col) == "binary":
+        return df
+    return pack_vectors(df, vector_dtype, vector_col)
+
+
 def unpack_vectors(
     df: DataFrame, vector_dtype: str, vector_col: str = "vector"
 ) -> DataFrame:

@@ -46,6 +46,7 @@ class FlatIndex(Index):
         only inside the query kernels.
         """
         from tiledb_vector_search_spark.functions.dtypes import (
+            ensure_packed,
             is_byte_dtype,
             pack_vectors,
         )
@@ -53,7 +54,7 @@ class FlatIndex(Index):
         metric = DistanceMetric(metric)
         ts = timestamp if timestamp is not None else now_ms()
         if is_byte_dtype(vector_dtype):
-            vectors = pack_vectors(
+            vectors = ensure_packed(
                 source.select(
                     F.col(id_col).cast("long").alias(ID_COL),
                     F.col(vector_col).alias(VECTOR_COL),

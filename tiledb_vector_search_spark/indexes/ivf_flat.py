@@ -96,6 +96,7 @@ class IVFFlatIndex(Index):
         full corpus is never promoted to float storage.
         """
         from tiledb_vector_search_spark.functions.dtypes import (
+            ensure_packed,
             is_byte_dtype,
             pack_vectors,
             unpack_vectors,
@@ -111,7 +112,7 @@ class IVFFlatIndex(Index):
         ts = timestamp if timestamp is not None else now_ms()
 
         if byte_vectors:
-            vectors = pack_vectors(
+            vectors = ensure_packed(
                 source.select(
                     F.col(id_col).cast("long").alias(ID_COL),
                     F.col(vector_col).alias(VECTOR_COL),

@@ -220,6 +220,7 @@ class IVFPQIndex(Index):
     ) -> "IVFPQIndex":
         from tiledb_vector_search_spark.functions.dtypes import (
             decode_matrix,
+            ensure_packed,
             is_byte_dtype,
             pack_vectors,
         )
@@ -231,7 +232,7 @@ class IVFPQIndex(Index):
         ts = timestamp if timestamp is not None else now_ms()
 
         if is_byte_dtype(vector_dtype):
-            vectors = pack_vectors(
+            vectors = ensure_packed(
                 source.select(
                     F.col(id_col).cast("long").alias(ID_COL),
                     F.col(vector_col).alias(VECTOR_COL),

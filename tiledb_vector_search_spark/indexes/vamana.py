@@ -94,6 +94,7 @@ class VamanaIndex(Index):
         vector_dtype: str = "float32",
     ) -> "VamanaIndex":
         from tiledb_vector_search_spark.functions.dtypes import (
+            ensure_packed,
             is_byte_dtype,
             pack_vectors,
             unpack_vectors,
@@ -109,7 +110,7 @@ class VamanaIndex(Index):
         ts = timestamp if timestamp is not None else now_ms()
 
         if byte_vectors:
-            vectors = pack_vectors(
+            vectors = ensure_packed(
                 source.select(
                     F.col(id_col).cast("long").alias(ID_COL),
                     F.col(vector_col).alias(VECTOR_COL),

@@ -118,6 +118,7 @@ def read_vectors(
     source_type: str | None = None,
     external_ids_uri: str | None = None,
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    keep_bytes: bool = False,
 ) -> DataFrame:
     """Distributed decode → ``(external_id long, vector array<float>)``.
 
@@ -125,6 +126,11 @@ def read_vectors(
     mapping — exact).  ``external_ids_uri`` may point to a U64BIN file read
     range-aligned with the vector chunks; otherwise ids are the row
     positions (implicit ``arange``).
+
+    ``keep_bytes=True`` (uint8/int8 formats only) emits the raw payload as
+    a packed ``binary`` vector column instead of promoting — feed it
+    straight to ``ingest(vector_dtype="uint8")`` so a bigann-style corpus
+    stays 1 byte/element from file to index with no decode/re-pack cycle.
     """
     source_type = source_type or autodetect_source_type(source_uri)
     if source_type == "PARQUET":
@@ -137,6 +143,10 @@ def read_vectors(
         raise ValueError(f"unsupported source_type {source_type!r}")
     size, dims, _ = read_source_metadata(spark, source_uri, source_type)
     dtype, per_record_dim = _VEC_FORMATS[source_type]
+    if keep_bytes and dtype.itemsize != 1:
+        raise ValueError(
+            f"keep_bytes requires a 1-byte format; {source_type} is {dtype.name}"
+        )
     if per_record_dim:
         header, record = 0, 4 + dims * dtype.itemsize
     else:
@@ -149,6 +159,7 @@ def read_vectors(
     uri, ids_uri = source_uri, external_ids_uri
     sz, cr, dm = size, chunk_rows, dims
     dt, prd, hdr, rec = dtype, per_record_dim, header, record
+    kb = keep_bytes
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -166,18 +177,20 @@ def read_vectors(
                     mat = arr[:, 4:].copy().view(dt).reshape(nrows, dm)
                 else:
                     mat = np.frombuffer(raw, dtype=dt).reshape(nrows, dm)
-                mat = mat.astype(np.float32)
                 if ids_uri is not None:
                     ids_raw = _read_at(ids_uri, 8 + start * 8, nrows * 8)
                     ids = np.frombuffer(ids_raw, dtype=np.uint64).astype(np.int64)
                 else:
                     ids = np.arange(start, stop, dtype=np.int64)
-                yield pd.DataFrame(
-                    {ID_COL: ids, VECTOR_COL: list(mat)}
-                )
+                if kb:
+                    vec = [mat[i].tobytes() for i in range(nrows)]
+                else:
+                    vec = list(mat.astype(np.float32))
+                yield pd.DataFrame({ID_COL: ids, VECTOR_COL: vec})
 
+    vec_type = "binary" if kb else "array<float>"
     return chunks.mapInPandas(
-        decode, schema=f"{ID_COL} long, {VECTOR_COL} array<float>"
+        decode, schema=f"{ID_COL} long, {VECTOR_COL} {vec_type}"
     )
 
 
