@@ -270,3 +270,32 @@ def test_vamana_u8_matches_float_index(spark, u8_source, tmp_path_factory):
     }
     got = {(qid, eid) for qid, _r, eid in a}
     assert len(got & exact) / len(exact) >= 0.75
+
+
+def test_flat_int8_index(spark, tmp_path):
+    """int8 variant: signed byte storage round-trips through FLAT ingest
+    and the decoding kernel."""
+    import pandas as pd
+
+    rng = np.random.default_rng(4)
+    mat = rng.integers(-128, 128, size=(300, 8)).astype(np.float64)
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {"external_id": np.arange(300, dtype=np.int64), "vector": list(mat)}
+        )
+    )
+    idx = FlatIndex.ingest(
+        spark, str(tmp_path / "i8"), src, vector_dtype="int8", timestamp=1
+    )
+    assert idx.vector_dtype == "int8"
+    row = idx._base_vectors().where("external_id = 5").first()
+    assert np.frombuffer(bytes(row.vector), dtype=np.int8).tolist() == list(
+        mat[5].astype(np.int8)
+    )
+    q = src.where("external_id < 4").select(
+        F.col("external_id").alias("query_id"),
+        F.col("vector").cast("array<float>").alias("vector"),
+    )
+    res = idx.query(q, 3).collect()
+    assert len(res) == 12
+    assert all(r.distance == 0.0 for r in res if r.rank == 1)  # self-match
