@@ -150,11 +150,29 @@ def test_simhash_near_duplicates(spark, docs):
     assert {(i, i + 100000) for i in range(5)} <= got
 
 
-def test_jaccard_pairs_threshold(spark, docs):
-    """The driver corpus has planted near-dups; exact scan must find them."""
-    pairs = DD.jaccard_pairs(docs.where("doc_id < 100"), threshold=0.9).collect()
+def test_jaccard_pairs_threshold(spark, sf_dir, docs):
+    """The driver corpus has planted near-dups; exact scan must find
+    exactly the pairs the DuckDB oracle computes (the planted ids differ
+    per scale factor, so the expectation is derived, not hard-coded)."""
+    pairs = DD.jaccard_pairs(docs, threshold=0.9).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
-    assert {(0, 50), (0, 82), (8, 12), (50, 82)} == got
+    expect = {
+        (a, b)
+        for a, b in duckdb.sql(
+            f"""
+            WITH d AS (
+              SELECT doc_id, {TX.duckdb_word_shingles_sql('text', 3)} AS sh
+              FROM '{sf_dir}/documents.parquet'
+            )
+            SELECT a.doc_id, b.doc_id FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0
+              AND round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+                  >= 0.9
+            """
+        ).fetchall()
+    }
+    assert got == expect and len(got) > 0
     assert all(r.jaccard >= 0.9 for r in pairs)
 
 
