@@ -40,6 +40,31 @@ def _bench_queries(spark, sf_dir):
     def knn_kernel():
         return knn_bruteforce_kernel(vectors, queries100, 10, "l2").collect()
 
+    def knn_u8_build_and_query():
+        """Packed-binary u8 corpus: ingest + 100-query brute force — the
+        byte-dtype scan path (1 byte/element IO)."""
+        import shutil
+        from tiledb_vector_search_spark.indexes import FlatIndex
+
+        uri = "/tmp/tvs_bench_u8"
+        if os.path.exists(uri):
+            shutil.rmtree(uri)
+        quant = F.transform(
+            "vector",
+            lambda e: F.least(
+                F.lit(255.0), F.greatest(F.lit(0.0), F.floor(e * 32) + 128)
+            ),
+        ).cast("array<double>")
+        src = vectors.select("external_id", quant.alias("vector"))
+        idx = FlatIndex.ingest(
+            spark, uri + "/idx", src, vector_dtype="uint8", timestamp=1000
+        )
+        q = src.where("external_id < 100").select(
+            F.col("external_id").alias("query_id"),
+            F.col("vector").cast("array<float>").alias("vector"),
+        )
+        return idx.query(q, 10, strategy="kernel").collect()
+
     def ivf_build_and_query():
         import shutil
         from tiledb_vector_search_spark.indexes import IVFFlatIndex
@@ -168,6 +193,7 @@ def _bench_queries(spark, sf_dir):
         "user_sessionization": reg("user_sessionization"),
         "latest_event_per_user": reg("latest_event_per_user"),
         "knn_flat_kernel_100q": knn_kernel,
+        "knn_u8_build_and_query": knn_u8_build_and_query,
         "ivf_partition_search": reg("ivf_partition_search"),
         "text_quality_full": text_quality_full,
         "text_repetition_full": repetition_full,
