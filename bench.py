@@ -236,26 +236,24 @@ def main() -> None:
 
     # MEDIAN of RUNS executions per query (single runs swing ±30% from GC
     # and OS scheduling noise at this tiny SF), with min/max dispersion
-    # reported so a non-reproducible number is visible as such.  Cheap
-    # queries get an extra run; heavy pipelines (first run > HEAVY_SEC)
-    # stop at 2 to bound total wall-clock.  Index builds delete their
-    # output first, so every run does full work.
+    # reported so a non-reproducible number is visible as such.  EVERY
+    # query gets the full RUNS samples — r3's 2-sample shortcut for heavy
+    # pipelines made the "median" the midpoint of two numbers that could
+    # differ 6×, which printed a phantom regression.  Index builds delete
+    # their output first, so every run does full work.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    HEAVY_SEC = 5.0
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, fn in _bench_queries(spark, sf_dir).items():
         samples: list[float] = []
         for _ in range(runs):
-            # quiesce per RUN: pipelines persist intermediates (shingles,
-            # candidate pairs) — letting them pile up across runs makes
-            # run 2 measure a different memory regime than run 1
+            # quiesce per RUN so each run starts from comparable heap state
+            # (the dedup pipelines now release their own caches, but index
+            # builds and collect buffers still churn the old-gen)
             _quiesce()
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
-            if len(samples) >= (2 if samples[0] > HEAVY_SEC else runs):
-                break
         samples.sort()
         med = samples[len(samples) // 2] if len(samples) % 2 else (
             samples[len(samples) // 2 - 1] + samples[len(samples) // 2]

@@ -70,6 +70,35 @@ def test_pack_rejects_out_of_range(spark):
         pack_vectors(df2, "uint8", "vector").collect()
 
 
+def test_ragged_binary_source_rejected_at_ingest(spark, tmp_path):
+    """A malformed binary source (ragged byte lengths — e.g. truncated rows
+    or a mixed-dtype payload) fails INGEST with a clear message, not later
+    as an opaque kernel reshape error (ADVICE r3)."""
+    from tiledb_vector_search_spark.session import small_df
+
+    df = small_df(
+        spark,
+        [(1, bytearray([1, 2, 3, 4])), (2, bytearray([1, 2, 3, 4, 5, 6, 7, 8]))],
+        "external_id long, vector binary",
+    )
+    with pytest.raises(ValueError, match="ragged vector column"):
+        FlatIndex.ingest(
+            spark, str(tmp_path / "ragged"), df, vector_dtype="uint8"
+        )
+
+
+def test_ragged_array_source_rejected_at_ingest(spark, tmp_path):
+    from tiledb_vector_search_spark.session import small_df
+
+    df = small_df(
+        spark,
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "external_id long, vector array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged vector column"):
+        FlatIndex.ingest(spark, str(tmp_path / "ragged2"), df)
+
+
 def test_int8_pack(spark):
     from tiledb_vector_search_spark.session import small_df
 

@@ -432,7 +432,10 @@ def test_candidate_broadcast_gate_degrades_to_shuffle_join(spark, docs):
         # disable Catalyst's own size-based broadcast so the plan shows the
         # non-hinted strategy deterministically at test scale
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        verified = DD.jaccard_pairs(docs, cand, threshold=0.5)
+        # materialize=False: this test inspects the lazy verify-join plan
+        verified = DD.jaccard_pairs(
+            docs, cand, threshold=0.5, materialize=False
+        )
         plan = verified._jdf.queryExecution().executedPlan().toString()
         # the two VERIFY joins (on id_a / id_b) must be shuffled, not
         # broadcast; the bounded band-bucket join inside candidate
@@ -444,6 +447,7 @@ def test_candidate_broadcast_gate_degrades_to_shuffle_join(spark, docs):
     finally:
         DDm.BROADCAST_PAIR_LIMIT = old_limit
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.catalog.clearCache()  # materialize=False leaves caller-managed caches
     assert got == baseline
 
 
@@ -451,9 +455,10 @@ def test_candidate_broadcast_kept_when_small(spark, docs):
     """Under the limit the hint stays: corpus side never shuffles."""
     sigs = DD.minhash_signatures(docs)
     cand = DD.lsh_candidate_pairs(sigs)
-    verified = DD.jaccard_pairs(docs, cand, threshold=0.5)
+    verified = DD.jaccard_pairs(docs, cand, threshold=0.5, materialize=False)
     plan = verified._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+    spark.catalog.clearCache()
 
 
 def test_centering_mean_unbiased_on_sorted_corpus(spark):
@@ -492,6 +497,30 @@ def test_centering_mean_unbiased_on_sorted_corpus(spark):
     )
     sizes = keys.groupBy("band", "key").count().collect()
     assert max(r["count"] for r in sizes) < 4000 * 0.2
+
+
+def test_centering_mean_single_scan_no_count(spark, monkeypatch):
+    """The mean estimate is ONE bounded mapInPandas scan — no count() pass
+    and no full-corpus collect (VERDICT r3 #4)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(500, dtype=np.int64),
+            "embedding": list(np.random.default_rng(1).normal(3.0, 1.0, (500, 8))),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+
+    def _boom(self):
+        raise AssertionError("_centering_mean must not run a count() pass")
+
+    monkeypatch.setattr(SparkDataFrame, "count", _boom)
+    mean = DD._centering_mean(df, "embedding", seed=7)
+    assert mean.shape == (8,)
+    assert abs(float(mean.mean()) - 3.0) < 0.5
 
 
 def test_line_frequencies_and_boilerplate_strip(spark):

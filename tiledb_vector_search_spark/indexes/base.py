@@ -293,16 +293,29 @@ def count_and_dims(vectors: DataFrame, vector_col: str = VECTOR_COL) -> tuple[in
     this on every path; two separate jobs double the fixed scheduling cost.
 
     Packed byte vectors (``binary`` column) report length-in-bytes, which
-    equals dims at 1 byte/element."""
-    dims_expr = (
-        F.length(vector_col)
-        if dict(vectors.dtypes)[vector_col] == "binary"
-        else F.size(vector_col)
-    )
+    equals dims at 1 byte/element.
+
+    Rides min/max length on the same aggregate to reject RAGGED vector
+    columns up front: a malformed binary source (wrong payload dtype,
+    truncated rows) would otherwise surface later as an opaque reshape
+    error inside a kernel — or worse, silently misaligned decodes if the
+    total byte count happens to divide evenly."""
+    is_binary = dict(vectors.dtypes)[vector_col] == "binary"
+    dims_expr = F.length(vector_col) if is_binary else F.size(vector_col)
     row = vectors.agg(
-        F.count("*").alias("n"), F.first(dims_expr).alias("d")
+        F.count("*").alias("n"),
+        F.min(dims_expr).alias("dmin"),
+        F.max(dims_expr).alias("dmax"),
     ).first()
-    return int(row["n"]), int(row["d"] or 0)
+    if row["n"] and row["dmin"] != row["dmax"]:
+        kind = "byte lengths" if is_binary else "array sizes"
+        raise ValueError(
+            f"ragged vector column {vector_col!r}: {kind} vary from "
+            f"{row['dmin']} to {row['dmax']} — every row must have the same "
+            "dimensionality (for packed binary vectors: exactly dims bytes "
+            "per row at 1 byte/element; check the source's dtype)"
+        )
+    return int(row["n"]), int(row["dmax"] or 0)
 
 
 def open_index(spark: SparkSession, uri: str, timestamp: int | None = None) -> Index:
