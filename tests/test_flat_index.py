@@ -94,6 +94,39 @@ def test_latest_update_wins(spark, tmp_path, source, embeddings_np):
     assert idx.size() == len(ids)
 
 
+def test_merge_batch_same_ts_upsert_beats_tombstone(
+    spark, tmp_path, source, embeddings_np
+):
+    """A single merge_batch micro-batch stamps all rows with ONE ts, so an
+    upsert and a tombstone for the same id tie on ts.  The conflict must
+    resolve deterministically with the upsert winning — the same outcome as
+    issuing the delete first and the upsert at a later ts (ADVICE r3)."""
+    from tiledb_vector_search_spark.session import small_df
+
+    ids, mat = embeddings_np
+    uri = str(tmp_path / "flatmerge")
+    idx = FlatIndex.ingest(spark, uri, source, timestamp=1000)
+    n0 = idx.size()
+
+    vec = [float(v) for v in mat[3]]
+    batch = small_df(
+        spark,
+        [
+            (7, vec, True),  # tombstone id 7 ...
+            (7, vec, False),  # ... and upsert it in the SAME batch
+            (9, None, True),  # plain tombstone
+        ],
+        "external_id long, vector array<float>, is_delete boolean",
+    )
+    idx.merge_batch(batch, timestamp=2000)
+    # determinism: ten reads of the overlay all resolve the same way
+    for _ in range(10):
+        idx = open_index(spark, uri)
+        assert idx.size() == n0 - 1  # id 9 gone; id 7 upserted, not deleted
+        latest = idx._latest_updates().where("external_id = 7").collect()
+        assert len(latest) == 1 and latest[0]["is_delete"] is False
+
+
 def test_time_travel(spark, tmp_path, source, queries, embeddings_np):
     ids, mat = embeddings_np
     uri = str(tmp_path / "flat")

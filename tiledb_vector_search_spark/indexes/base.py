@@ -198,7 +198,12 @@ class Index:
         null vector.  One timestamped updates batch, no driver round-trip —
         the unit the streaming ``foreachBatch`` writer appends (a
         driver-side ``collect()`` of delete ids would bound throughput by
-        batch size)."""
+        batch size).
+
+        If one batch carries BOTH an upsert and a tombstone for the same
+        id, the upsert wins (deterministically — see
+        ``IndexStorage.read_updates``): the same outcome as issuing the
+        delete first and the upsert at a later ts."""
         ts = timestamp if timestamp is not None else now_ms()
         df = rows.select(
             F.col(ID_COL).cast("long"),

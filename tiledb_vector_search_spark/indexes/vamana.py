@@ -325,6 +325,27 @@ class VamanaIndex(Index):
     # a driver collect (same contract as IVFFlatIndex.LARGE_NQ)
     LARGE_NQ = 4096
 
+    def _shard_tombstone_counts(self) -> dict[int, int]:
+        """partition_id → #superseded base ids, via a SMALL aggregate.
+
+        The updates log itself is never collected (with heavy churn it can
+        be millions of rows — a driver-memory bound); only one count per
+        shard reaches the driver.  The walk over-fetches by exactly that
+        count, and its results are tombstone-filtered with a distributed
+        anti-join (the ``ivf_pq.py`` base-side anti-join pattern, applied
+        RESULT-side here because graph connectivity needs tombstoned nodes
+        present during the walk — DiskANN deletes work the same way).
+        """
+        rows = (
+            self._base_vectors()
+            .select(PARTITION_COL, ID_COL)
+            .join(self._updated_ids(), ID_COL, "left_semi")
+            .groupBy(PARTITION_COL)
+            .count()
+            .collect()
+        )
+        return {int(r[0]): int(r[1]) for r in rows}
+
     def query(
         self,
         queries: DataFrame,
@@ -377,14 +398,12 @@ class VamanaIndex(Index):
         for qid, pid in pairs:
             route_map.setdefault(pid, []).append(qid)
         qpos = {int(qid): i for i, qid in enumerate(qids)}
-        deleted: set[int] = set()
-        if self._has_updates():
-            deleted = {
-                int(r[0]) for r in self._updated_ids().collect()
-            }
+        # tombstones are never collected — the walk over-fetches by the
+        # per-shard tombstone COUNT and the results are anti-joined below
+        tombs = self._shard_tombstone_counts() if self._has_updates() else {}
         medoids = self.medoids()
         bc = self.spark.sparkContext.broadcast(
-            (qids, qmat, route_map, qpos, deleted, medoids)
+            (qids, qmat, route_map, qpos, tombs, medoids)
         )
         kk, ls = k, l_search
         vdtype = self.vector_dtype
@@ -393,7 +412,7 @@ class VamanaIndex(Index):
         )
 
         def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-            qids_l, qmat_l, rmap, qpos_l, dele, meds = bc.value
+            qids_l, qmat_l, rmap, qpos_l, tombs_l, meds = bc.value
             if len(pdf) == 0:
                 return pd.DataFrame(
                     {QUERY_ID_COL: [], ID_COL: [], DISTANCE_COL: []}
@@ -416,17 +435,14 @@ class VamanaIndex(Index):
             med_id = meds.get(pid)
             med = pos.get(med_id, 0) if med_id is not None else 0
             out_q, out_i, out_d = [], [], []
-            # over-walk enough to survive deleted-result filtering
-            eff_k = kk + sum(1 for e in ids if int(e) in dele)
+            # over-walk enough to survive the post-walk tombstone anti-join
+            eff_k = kk + tombs_l.get(pid, 0)
             for qid in routed:
                 qv = qmat_l[qpos_l[qid]]
                 vi, vd = search_vamana_graph(x, adj, med, qv, eff_k, ls)
                 for p, dv in zip(vi, vd):
-                    eid = int(ids[p])
-                    if eid in dele:
-                        continue
                     out_q.append(qid)
-                    out_i.append(eid)
+                    out_i.append(int(ids[p]))
                     out_d.append(float(dv))
             return pd.DataFrame(
                 {QUERY_ID_COL: out_q, ID_COL: out_i, DISTANCE_COL: out_d}
@@ -446,6 +462,10 @@ class VamanaIndex(Index):
         elif metric is DistanceMetric.COSINE:
             scored = scored.withColumn(DISTANCE_COL, F.col(DISTANCE_COL) / 2.0)
         if self._has_updates():
+            # distributed tombstone filter (before the additions overlay,
+            # which legitimately re-adds updated ids); AQE picks broadcast
+            # when the updates log is small
+            scored = scored.join(self._updated_ids(), ID_COL, "left_anti")
             additions = self._additions()
             add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             scored = scored.unionByName(add_scored)
@@ -473,7 +493,9 @@ class VamanaIndex(Index):
         (``routing_table_join``); each shard's graph COGROUPs with the
         queries routed to it, so the per-query walk state lives on the
         executor that holds the shard — the only driver-sized artifacts
-        shipped are the medoid map and the (bounded) tombstone set.
+        shipped are the medoid map and the per-shard tombstone COUNTS
+        (one int per shard; the updates log itself is never collected —
+        walk results are anti-joined against it distributively).
         """
         from tiledb_vector_search_spark.operators.routing import (
             routing_table_join,
@@ -487,11 +509,9 @@ class VamanaIndex(Index):
             QUERY_ID_COL,
         ).select(PARTITION_COL, QUERY_ID_COL, "__qvec")
 
-        deleted: set[int] = set()
-        if self._has_updates():
-            deleted = {int(r[0]) for r in self._updated_ids().collect()}
+        tombs = self._shard_tombstone_counts() if self._has_updates() else {}
         medoids = self.medoids()
-        bc = self.spark.sparkContext.broadcast((deleted, medoids))
+        bc = self.spark.sparkContext.broadcast((tombs, medoids))
         kk, ls = k, l_search
         vdtype = self.vector_dtype
         from tiledb_vector_search_spark.functions.dtypes import (
@@ -499,7 +519,7 @@ class VamanaIndex(Index):
         )
 
         def walk2(graph_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
-            dele, meds = bc.value
+            tombs_l, meds = bc.value
             empty = pd.DataFrame({QUERY_ID_COL: [], ID_COL: [], DISTANCE_COL: []})
             if len(graph_pdf) == 0 or len(q_pdf) == 0:
                 return empty
@@ -513,17 +533,14 @@ class VamanaIndex(Index):
             ]
             med_id = meds.get(pid)
             med = pos.get(med_id, 0) if med_id is not None else 0
-            eff_k = kk + sum(1 for e in ids if int(e) in dele)
+            eff_k = kk + tombs_l.get(pid, 0)
             out_q, out_i, out_d = [], [], []
             for qid, qv in zip(q_pdf[QUERY_ID_COL], q_pdf["__qvec"]):
                 qvec = np.asarray(qv, dtype=np.float64)
                 vi, vd = search_vamana_graph(x, adj, med, qvec, eff_k, ls)
                 for p, dv in zip(vi, vd):
-                    eid = int(ids[p])
-                    if eid in dele:
-                        continue
                     out_q.append(int(qid))
-                    out_i.append(eid)
+                    out_i.append(int(ids[p]))
                     out_d.append(float(dv))
             return pd.DataFrame(
                 {QUERY_ID_COL: out_q, ID_COL: out_i, DISTANCE_COL: out_d}
@@ -543,6 +560,8 @@ class VamanaIndex(Index):
         elif metric is DistanceMetric.COSINE:
             scored = scored.withColumn(DISTANCE_COL, F.col(DISTANCE_COL) / 2.0)
         if self._has_updates():
+            # distributed tombstone filter before the additions overlay
+            scored = scored.join(self._updated_ids(), ID_COL, "left_anti")
             add_scored = knn_bruteforce_expr(self._additions(), q, k, metric).drop(
                 "rank"
             )

@@ -41,7 +41,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tiledb_vector_search_spark.schemas import ID_COL, UPDATES_SCHEMA
+from tiledb_vector_search_spark.schemas import ID_COL, UPDATES_SCHEMA, VECTOR_COL
 
 META_FILE = "_index_meta.json"
 STORAGE_VERSION = "spark-0.2"
@@ -263,13 +263,26 @@ class IndexStorage:
         The reference's sparse updates array resolves overlapping fragments
         newest-wins at read (``index.py:792-814``); here that is an explicit
         latest-per-key window.
+
+        Same-``ts`` conflicts resolve DETERMINISTICALLY: a single
+        ``merge_batch`` micro-batch stamps every row with one ts, so an
+        upsert and a tombstone for the same id can tie.  Precedence: the
+        upsert wins (``is_delete`` ascending) — matching the semantics of
+        issuing the delete first and the upsert at a later ts, which is
+        what the equivalent two-call sequence produces.  A final
+        vector-hash key makes the pick stable even if one batch carries
+        two different upserts for the same id.
         """
         df = self.read_updates_raw()
         if lo_exclusive is not None:
             df = df.where(F.col("ts") > lo_exclusive)
         if hi_inclusive is not None:
             df = df.where(F.col("ts") <= hi_inclusive)
-        w = Window.partitionBy(ID_COL).orderBy(F.col("ts").desc())
+        w = Window.partitionBy(ID_COL).orderBy(
+            F.col("ts").desc(),
+            F.col("is_delete").asc(),
+            F.xxhash64(VECTOR_COL).asc_nulls_last(),
+        )
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .where("__rn = 1")
