@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from tiledb_vector_search_spark.indexes import FlatIndex, IVFFlatIndex
+from tiledb_vector_search_spark.indexes import FlatIndex, IVFFlatIndex, IVFPQIndex
 from tiledb_vector_search_spark.sql import register_ann_search
 
 
@@ -25,11 +25,12 @@ def ivf_uri(spark, source, tmp_path_factory):
     return uri
 
 
-def _sql(spark, uri, view, k=5, nprobe=4):
+def _sql(spark, uri, view, k=5, nprobe=4, k_factor=None):
     register_ann_search(spark)
+    kf = "" if k_factor is None else f", CAST({k_factor} AS DOUBLE)"
     return spark.sql(
         f"SELECT * FROM ann_search(TABLE(SELECT query_id, vector FROM {view}),"
-        f" '{uri}', {k}, {nprobe})"
+        f" '{uri}', {k}, {nprobe}{kf})"
     )
 
 
@@ -71,8 +72,61 @@ def test_tvf_rejects_non_ivf(spark, source, tmp_path_factory):
     source.limit(2).select(
         F.col("external_id").alias("query_id"), "vector"
     ).createOrReplaceTempView("tvf_qf")
-    with pytest.raises(Exception, match="IVF_FLAT"):
+    with pytest.raises(Exception, match="IVF_FLAT and IVF_PQ"):
         _sql(spark, uri, "tvf_qf").collect()
+
+
+@pytest.fixture(scope="module")
+def pq_uri(spark, source, tmp_path_factory):
+    uri = str(tmp_path_factory.mktemp("tvfpq") / "idx")
+    IVFPQIndex.ingest(
+        spark, uri, source, partitions=8, num_subspaces=8, timestamp=1
+    )
+    return uri
+
+
+def test_tvf_ivf_pq_adc_matches_dataframe_api(spark, source, pq_uri):
+    """Coarse ADC (k_factor=1): identical to IVFPQIndex.query kernel path."""
+    q = source.where("external_id < 12").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_qpq")
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in _sql(spark, pq_uri, "tvf_qpq").collect()
+    }
+    idx = IVFPQIndex(spark, pq_uri)
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in idx.query(q, 5, nprobe=4, strategy="kernel").collect()
+    }
+    assert got == want
+
+
+def test_tvf_ivf_pq_k_factor_rerank_matches(spark, source, pq_uri):
+    """k_factor>1: exact re-rank from the vector column, same as kernel."""
+    q = source.where("external_id < 8").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_qpq_kf")
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 6))
+        for r in _sql(spark, pq_uri, "tvf_qpq_kf", k=5, nprobe=4, k_factor=4.0).collect()
+    }
+    idx = IVFPQIndex(spark, pq_uri)
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 6))
+        for r in idx.query(q, 5, nprobe=4, k_factor=4.0, strategy="kernel").collect()
+    }
+    assert got == want
+
+
+def test_tvf_k_factor_rejected_for_ivf_flat(spark, source, ivf_uri):
+    source.limit(2).select(
+        F.col("external_id").alias("query_id"), "vector"
+    ).createOrReplaceTempView("tvf_qkf")
+    with pytest.raises(Exception, match="k_factor"):
+        _sql(spark, ivf_uri, "tvf_qkf", k_factor=2.0).collect()
 
 
 def test_tvf_u8_index(spark, sf_dir, tmp_path_factory):

@@ -21,7 +21,12 @@ reads — independent of total corpus size.  Best for small-to-medium query
 batches; bulk dataset-vs-dataset search should use the DataFrame API's
 ``strategy="join"`` plans instead.
 
-Limitations (v1, explicit): local/POSIX index paths (executor-side pyarrow
+Supported index types: IVF_FLAT and IVF_PQ (ADC scan over the packed
+``code`` column — the per-task IO for PQ is nprobe partitions × 1 byte
+per subspace per row — with optional ``k_factor`` exact re-rank reading
+the ``vector`` column only for candidate rows' partitions).
+
+Limitations (explicit): local/POSIX index paths (executor-side pyarrow
 reads), un-consolidated updates are rejected (query through the DataFrame
 API or ``consolidate_updates()`` first), SUM_OF_SQUARES / L2 metrics.
 """
@@ -52,19 +57,14 @@ def _read_parquet_dir(path: str, columns: list[str] | None = None):
     return pa.concat_tables(tables)
 
 
-def search_index_files(
-    uri: str, qids: np.ndarray, qmat: np.ndarray, k: int, nprobe: int
-) -> list[tuple[int, int, float, int]]:
-    """IVF top-k over the on-disk index via pyarrow — no SparkSession.
-
-    Deterministic (distance, external_id) tie-break, identical to the
-    DataFrame query path's contract.
-    """
+def _open_index_meta(uri: str) -> tuple[dict, int, str, str]:
+    """(meta, latest_ts, metric, vector_dtype) with the shared validations."""
     with open(posixpath.join(uri, "_index_meta.json")) as fh:
         meta = json.load(fh)
-    if meta.get("index_type") != "IVF_FLAT":
+    if meta.get("index_type") not in ("IVF_FLAT", "IVF_PQ"):
         raise ValueError(
-            f"ann_search TVF supports IVF_FLAT indexes; got {meta.get('index_type')}"
+            "ann_search TVF supports IVF_FLAT and IVF_PQ indexes; got "
+            f"{meta.get('index_type')}"
         )
     metric = meta.get("metric", "sum_of_squares")
     if metric not in _SUPPORTED_METRICS:
@@ -77,26 +77,88 @@ def search_index_files(
     if not meta.get("ingestions"):
         raise ValueError(f"no ingestions at {uri}")
     ts = meta["ingestions"][-1]["ts"]
-    vector_dtype = meta.get("vector_dtype", "float32")
+    return meta, ts, metric, meta.get("vector_dtype", "float32")
 
+
+def _load_centroids(uri: str, ts: int) -> np.ndarray:
     cent_tb = _read_parquet_dir(posixpath.join(uri, "centroids", f"ts={ts}"))
     order = np.argsort(cent_tb.column("partition_id").to_numpy())
     cent_rows = cent_tb.column("centroid").to_pylist()
-    centroids = np.array([cent_rows[i] for i in order], dtype=np.float64)
+    return np.array([cent_rows[i] for i in order], dtype=np.float64)
 
-    # route: per query the nprobe nearest centroids, ties by partition id
+
+def _route_files(
+    qmat: np.ndarray, centroids: np.ndarray, nprobe: int
+) -> dict[int, list[int]]:
+    """partition_id → [query positions]: per query the nprobe nearest
+    centroids, ties by partition id (same contract as ``route_queries``)."""
     d = (
         np.sum(qmat * qmat, axis=1)[:, None]
         + np.sum(centroids * centroids, axis=1)[None, :]
         - 2.0 * (qmat @ centroids.T)
     )
     nprobe = min(nprobe, centroids.shape[0])
-    base = posixpath.join(uri, "base", f"ts={ts}")
     part_queries: dict[int, list[int]] = {}
-    for qi in range(len(qids)):
+    for qi in range(qmat.shape[0]):
         probes = np.argsort(d[qi], kind="stable")[:nprobe]
         for p in probes:
             part_queries.setdefault(int(p), []).append(qi)
+    return part_queries
+
+
+def _decode_vector_column(tb, vector_dtype: str, n: int) -> np.ndarray:
+    if vector_dtype == "float32":
+        return np.array(tb.column("vector").to_pylist(), dtype=np.float64)
+    raw = np.frombuffer(
+        b"".join(tb.column("vector").to_pylist()),
+        dtype=np.uint8 if vector_dtype == "uint8" else np.int8,
+    )
+    return raw.reshape(n, -1).astype(np.float64)
+
+
+def _finalize(
+    qids: np.ndarray,
+    out: dict[int, list[tuple[float, int]]],
+    k: int,
+    sqrt: bool,
+) -> list[tuple[int, int, float, int]]:
+    results: list[tuple[int, int, float, int]] = []
+    for qi in range(len(qids)):
+        merged = sorted(out[qi])[:k]
+        for rank, (dist, eid) in enumerate(merged, 1):
+            results.append(
+                (int(qids[qi]), eid, float(np.sqrt(dist)) if sqrt else dist, rank)
+            )
+    return results
+
+
+def search_index_files(
+    uri: str,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    k: int,
+    nprobe: int,
+    k_factor: float = 1.0,
+) -> list[tuple[int, int, float, int]]:
+    """IVF / IVF_PQ top-k over the on-disk index via pyarrow — no
+    SparkSession.
+
+    Deterministic (distance, external_id) tie-break, identical to the
+    DataFrame query path's contract.  ``k_factor`` applies to IVF_PQ only
+    (coarse ADC candidates × k_factor, exact re-rank on the ``vector``
+    column of the candidates' partitions).
+    """
+    meta, ts, metric, vector_dtype = _open_index_meta(uri)
+    if meta["index_type"] == "IVF_PQ":
+        return _search_ivf_pq_files(
+            uri, meta, ts, metric, vector_dtype, qids, qmat, k, nprobe, k_factor
+        )
+    if k_factor != 1.0:
+        raise ValueError("k_factor applies to IVF_PQ indexes only")
+
+    centroids = _load_centroids(uri, ts)
+    base = posixpath.join(uri, "base", f"ts={ts}")
+    part_queries = _route_files(qmat, centroids, nprobe)
 
     out: dict[int, list[tuple[float, int]]] = {qi: [] for qi in range(len(qids))}
     for pid, qlist in sorted(part_queries.items()):
@@ -105,14 +167,7 @@ def search_index_files(
             continue  # empty partition: no directory was written
         tb = _read_parquet_dir(pdir, columns=["external_id", "vector"])
         ids = tb.column("external_id").to_numpy()
-        if vector_dtype == "float32":
-            x = np.array(tb.column("vector").to_pylist(), dtype=np.float64)
-        else:
-            raw = np.frombuffer(
-                b"".join(tb.column("vector").to_pylist()),
-                dtype=np.uint8 if vector_dtype == "uint8" else np.int8,
-            )
-            x = raw.reshape(len(ids), -1).astype(np.float64)
+        x = _decode_vector_column(tb, vector_dtype, len(ids))
         sub = qmat[qlist]
         dm = (
             np.sum(sub * sub, axis=1)[:, None]
@@ -125,42 +180,142 @@ def search_index_files(
             idx = np.lexsort((ids, dm[row]))[:keep]
             out[qi].extend((float(dm[row, j]), int(ids[j])) for j in idx)
 
-    results: list[tuple[int, int, float, int]] = []
-    sqrt = metric == "l2"
-    for qi in range(len(qids)):
-        merged = sorted(out[qi])[:k]
-        for rank, (dist, eid) in enumerate(merged, 1):
-            results.append(
-                (int(qids[qi]), eid, float(np.sqrt(dist)) if sqrt else dist, rank)
-            )
-    return results
+    return _finalize(qids, out, k, sqrt=metric == "l2")
+
+
+def _search_ivf_pq_files(
+    uri: str,
+    meta: dict,
+    ts: int,
+    metric: str,
+    vector_dtype: str,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    k: int,
+    nprobe: int,
+    k_factor: float,
+) -> list[tuple[int, int, float, int]]:
+    """ADC scan over the packed ``code`` column + optional exact re-rank.
+
+    Mirrors ``IVFPQIndex.query(strategy="kernel")`` exactly: the same
+    per-query lookup tables (``ivf_pq.py:_adc_scores``), (distance, id)
+    tie-breaks, and metric scaling — pinned by a parity test.  Per-task IO:
+    the coarse pass reads (external_id, code) of probed partitions only —
+    ``num_subspaces`` bytes per row — and the re-rank pass re-reads ONLY
+    the candidate rows' partitions' (external_id, vector).
+    """
+    import math
+
+    m = int(meta["num_subspaces"])
+    centroids = _load_centroids(uri, ts)
+
+    # codebooks aux table → (m, n_codes, sub_dim)
+    cb_tb = _read_parquet_dir(posixpath.join(uri, "aux", "pq_codebooks", f"ts={ts}"))
+    subspace = cb_tb.column("subspace").to_numpy()
+    code = cb_tb.column("code").to_numpy()
+    cents = cb_tb.column("centroid").to_pylist()
+    n_codes = int(code.max()) + 1
+    sub_dim = len(cents[0])
+    cb = np.empty((m, n_codes, sub_dim), dtype=np.float64)
+    for j, c, v in zip(subspace, code, cents):
+        cb[int(j), int(c)] = v
+
+    # per-query ADC tables: table[q, j, c] = ||q_sub_j − cb[j, c]||²
+    nq = qmat.shape[0]
+    tables = np.empty((nq, m, n_codes), dtype=np.float64)
+    for j in range(m):
+        qs = qmat[:, j * sub_dim : (j + 1) * sub_dim]
+        tables[:, j, :] = (
+            np.sum(qs * qs, axis=1)[:, None]
+            + np.sum(cb[j] * cb[j], axis=1)[None, :]
+            - 2.0 * (qs @ cb[j].T)
+        )
+    np.maximum(tables, 0.0, out=tables)
+
+    base = posixpath.join(uri, "base", f"ts={ts}")
+    part_queries = _route_files(qmat, centroids, nprobe)
+    coarse_k = max(k, int(math.ceil(k * k_factor)))
+    arange_m = np.arange(m)
+
+    out: dict[int, list[tuple[float, int]]] = {qi: [] for qi in range(nq)}
+    cand_pids: dict[int, set[int]] = {}  # external_id -> candidate partitions
+    for pid, qlist in sorted(part_queries.items()):
+        pdir = posixpath.join(base, f"partition_id={pid}")
+        if not os.path.isdir(pdir):
+            continue
+        tb = _read_parquet_dir(pdir, columns=["external_id", "code"])
+        ids = tb.column("external_id").to_numpy()
+        codes = np.frombuffer(
+            b"".join(tb.column("code").to_pylist()), dtype=np.uint8
+        ).reshape(len(ids), m)
+        keep = min(coarse_k, len(ids))
+        for qi in qlist:
+            dv = tables[qi][arange_m[None, :], codes].sum(axis=1)
+            idx = np.lexsort((ids, dv))[:keep]
+            out[qi].extend((float(dv[j]), int(ids[j])) for j in idx)
+            for j in idx:
+                cand_pids.setdefault(int(ids[j]), set()).add(pid)
+
+    if k_factor <= 1.0:
+        return _finalize(qids, out, k, sqrt=metric == "l2")
+
+    # exact re-rank: trim to coarse_k per query, then re-score those ids
+    # from the ORIGINAL vectors of just the partitions candidates live in
+    needed: dict[int, set[int]] = {}  # pid -> external ids to load
+    per_q_cand: dict[int, list[int]] = {}
+    for qi in range(nq):
+        cand = [eid for _, eid in sorted(out[qi])[:coarse_k]]
+        per_q_cand[qi] = cand
+        for eid in cand:
+            for pid in cand_pids[eid]:
+                needed.setdefault(pid, set()).add(eid)
+    vec_of: dict[int, np.ndarray] = {}
+    for pid, eids in sorted(needed.items()):
+        pdir = posixpath.join(base, f"partition_id={pid}")
+        tb = _read_parquet_dir(pdir, columns=["external_id", "vector"])
+        ids = tb.column("external_id").to_numpy()
+        x = _decode_vector_column(tb, vector_dtype, len(ids))
+        mask = np.isin(ids, np.fromiter(eids, dtype=np.int64))
+        for eid, vec in zip(ids[mask], x[mask]):
+            vec_of[int(eid)] = vec
+
+    exact: dict[int, list[tuple[float, int]]] = {}
+    for qi in range(nq):
+        qv = qmat[qi]
+        scored = []
+        for eid in set(per_q_cand[qi]):
+            diff = vec_of[eid] - qv
+            scored.append((float(np.dot(diff, diff)), eid))
+        exact[qi] = scored
+    return _finalize(qids, exact, k, sqrt=metric == "l2")
 
 
 class AnnSearchUDTF:
     """Python UDTF: accumulate this task's query slice, search at terminate.
 
-    ``eval`` receives one query row plus the constant (uri, k, nprobe)
-    arguments; ``terminate`` runs one batched file-pruned IVF search so the
-    per-partition IO amortizes over every query in the task.
+    ``eval`` receives one query row plus the constant (uri, k, nprobe
+    [, k_factor]) arguments; ``terminate`` runs one batched file-pruned
+    IVF/IVF_PQ search so the per-partition IO amortizes over every query
+    in the task.
     """
 
     def __init__(self):
         self._qids: list[int] = []
         self._qvecs: list[list[float]] = []
-        self._args: tuple[str, int, int] | None = None
+        self._args: tuple[str, int, int, float] | None = None
 
-    def eval(self, row, uri: str, k: int, nprobe: int):
+    def eval(self, row, uri: str, k: int, nprobe: int, k_factor: float = 1.0):
         self._qids.append(int(row.query_id))
         self._qvecs.append(list(row.vector))
-        self._args = (uri, int(k), int(nprobe))
+        self._args = (uri, int(k), int(nprobe), float(k_factor))
 
     def terminate(self):
         if not self._qids:
             return
-        uri, k, nprobe = self._args
+        uri, k, nprobe, k_factor = self._args
         qids = np.asarray(self._qids, dtype=np.int64)
         qmat = np.asarray(self._qvecs, dtype=np.float64)
-        yield from search_index_files(uri, qids, qmat, k, nprobe)
+        yield from search_index_files(uri, qids, qmat, k, nprobe, k_factor)
 
 
 def register_ann_search(spark, name: str = "ann_search") -> None:
