@@ -1,0 +1,185 @@
+"""Recall-vs-time sweep harness: the quality/latency trade-off CURVE.
+
+Reference analogue: ``local-benchmarks.py:180-274`` publishes ingestion
+and query time *vs recall* sweeps (nprobe / block sweeps) rather than a
+single operating point.  A single-point recall gate cannot see a
+trade-off regression (e.g. an nprobe default drift that keeps the gated
+point green while the rest of the curve collapses); this harness sweeps
+
+    IVF_FLAT    nprobe ∈ {1, 2, 4, 8, 16}
+    IVF_PQ      nprobe ∈ {1, 2, 4, 8, 16} × k_factor ∈ {1, 4}
+    VAMANA      l_search ∈ {20, 50, 100, 200} at full probe
+
+over the driver embeddings table at $SPARK_GRAFT_SF_DIR (default sf0.1),
+measures recall@10 against the exact brute-force kernel, and writes the
+curve to RECALL_CURVE.json.
+
+The single-point gates (IVF ≥ 0.85 full-probe, IVF_PQ ≥ 0.75 with
+re-rank, Vamana ≥ 0.85) are asserted FROM the curve: the process exits
+non-zero if the corresponding swept config misses its gate, so the curve
+artifact and the gate can never disagree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+K = 10
+NQ = 100
+PARTITIONS = 32
+NPROBES = [1, 2, 4, 8, 16, 32]  # 32 = full probe (zero routing loss)
+K_FACTORS = [1.0, 4.0]
+L_SEARCHES = [20, 50, 100, 200]
+
+# the single-point gates the curve must clear — the same FULL-PROBE
+# operating points and margins as the driver registry's *_recall_gate
+# entries (partial-probe points on the curve carry routing loss by design)
+GATES = [
+    # (index, config-predicate, min recall)
+    ("IVF_FLAT", {"nprobe": PARTITIONS}, 0.85),
+    ("IVF_PQ", {"nprobe": PARTITIONS, "k_factor": 4.0}, 0.75),
+    ("VAMANA", {"l_search": 100}, 0.85),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_path = os.environ.get("SPARK_GRAFT_RECALL_OUT", "RECALL_CURVE.json")
+    work = "/tmp/tvs_recall_sweep"
+    shutil.rmtree(work, ignore_errors=True)
+
+    from tiledb_vector_search_spark import get_spark
+    from tiledb_vector_search_spark.indexes import (
+        IVFFlatIndex,
+        IVFPQIndex,
+        VamanaIndex,
+    )
+    from tiledb_vector_search_spark.operators.knn import knn_bruteforce_kernel
+
+    spark = get_spark(app_name="tvs-recall-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vectors = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    queries = vectors.where(f"external_id < {NQ}").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+
+    truth: dict[int, set[int]] = {}
+    for r in knn_bruteforce_kernel(vectors, queries, K, "sum_of_squares").collect():
+        truth.setdefault(int(r.query_id), set()).add(int(r.external_id))
+    denom = sum(len(v) for v in truth.values())
+
+    def recall_and_time(fn) -> tuple[float, float]:
+        t0 = time.perf_counter()
+        rows = fn().collect()
+        sec = time.perf_counter() - t0
+        hits = sum(
+            1 for r in rows if int(r.external_id) in truth.get(int(r.query_id), ())
+        )
+        return hits / denom, sec
+
+    curve: list[dict] = []
+
+    def sweep(index_name: str, config: dict, fn) -> None:
+        recall, sec = recall_and_time(fn)
+        curve.append(
+            {
+                "index": index_name,
+                **config,
+                "recall_at_10": round(recall, 4),
+                "sec": round(sec, 3),
+            }
+        )
+        print(f"{index_name} {config}: recall={recall:.4f} sec={sec:.2f}",
+              file=sys.stderr)
+
+    t_build = {}
+    t0 = time.perf_counter()
+    ivf = IVFFlatIndex.ingest(
+        spark, f"{work}/ivf", vectors, partitions=PARTITIONS, timestamp=1000
+    )
+    t_build["IVF_FLAT"] = round(time.perf_counter() - t0, 3)
+    # untimed warm-up per index: the first query pays Python-worker spinup
+    # and broadcast costs that would otherwise land on one curve point
+    ivf.query(queries, K, nprobe=1).collect()
+    for nprobe in NPROBES:
+        sweep("IVF_FLAT", {"nprobe": nprobe},
+              lambda np_=nprobe: ivf.query(queries, K, nprobe=np_))
+
+    t0 = time.perf_counter()
+    pq = IVFPQIndex.ingest(
+        spark, f"{work}/pq", vectors, partitions=PARTITIONS, num_subspaces=8,
+        timestamp=1000,
+    )
+    t_build["IVF_PQ"] = round(time.perf_counter() - t0, 3)
+    pq.query(queries, K, nprobe=1).collect()
+    for kf in K_FACTORS:
+        for nprobe in NPROBES:
+            sweep(
+                "IVF_PQ", {"nprobe": nprobe, "k_factor": kf},
+                lambda np_=nprobe, kf_=kf: pq.query(
+                    queries, K, nprobe=np_, k_factor=kf_
+                ),
+            )
+
+    t0 = time.perf_counter()
+    vam = VamanaIndex.ingest(
+        spark, f"{work}/vamana", vectors, shards=8, timestamp=1000
+    )
+    t_build["VAMANA"] = round(time.perf_counter() - t0, 3)
+    vam.query(queries, K, nprobe=8, l_search=20).collect()
+    for ls in L_SEARCHES:
+        sweep("VAMANA", {"l_search": ls},
+              lambda ls_=ls: vam.query(queries, K, nprobe=8, l_search=ls_))
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    artifact = {
+        "sf": float(sf),
+        "k": K,
+        "nq": NQ,
+        "build_sec": t_build,
+        "curve": curve,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=2)
+
+    failures = []
+    for index_name, pred, min_recall in GATES:
+        match = [
+            c for c in curve
+            if c["index"] == index_name
+            and all(c.get(k) == v for k, v in pred.items())
+        ]
+        assert match, f"gate config not swept: {index_name} {pred}"
+        if match[0]["recall_at_10"] < min_recall:
+            failures.append((index_name, pred, match[0]["recall_at_10"], min_recall))
+
+    print(json.dumps({
+        "metric": "recall_sweep",
+        "configs": len(curve),
+        "gates_passed": len(GATES) - len(failures),
+        "gates_total": len(GATES),
+        "out": out_path,
+        "sf": float(sf),
+    }))
+    spark.stop()
+    if failures:
+        for idx_name, pred, got, want in failures:
+            print(f"GATE FAIL {idx_name} {pred}: {got} < {want}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
