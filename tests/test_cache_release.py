@@ -74,6 +74,16 @@ def test_embedding_lsh_releases_caches(spark, sf_dir, clean_cache):
     )
 
 
+def test_vamana_ingest_releases_graph_cache(spark, sf_dir, clean_cache, tmp_path):
+    from tiledb_vector_search_spark.indexes import VamanaIndex
+
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    VamanaIndex.ingest(spark, str(tmp_path / "vamcache"), src, shards=2)
+    assert _cache_manager(spark).isEmpty(), "Vamana ingest leaked the graph cache"
+
+
 def test_materialize_false_keeps_lazy_plan(spark, sf_dir, clean_cache):
     """materialize=False returns the un-checkpointed plan (for inspection);
     the candidate persist is then caller-managed."""

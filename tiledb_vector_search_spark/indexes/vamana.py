@@ -66,6 +66,10 @@ _SUPPORTED = {
     DistanceMetric.COSINE,
 }
 MEDOID_AUX = "vamana_medoids"
+OVERLAY_AUX = "vamana_overlay"
+# the overlay graph is an extra pseudo-shard every query probes
+OVERLAY_PID = -1
+DEFAULT_OVERLAY_MAX = 8192
 # shards sized so one graph build is a comfortable single task
 DEFAULT_SHARD_TARGET = 4096
 
@@ -92,6 +96,8 @@ class VamanaIndex(Index):
         vector_col: str = VECTOR_COL,
         seed: int = 42,
         vector_dtype: str = "float32",
+        overlay: bool = False,
+        overlay_max: int = DEFAULT_OVERLAY_MAX,
     ) -> "VamanaIndex":
         from tiledb_vector_search_spark.functions.dtypes import (
             ensure_packed,
@@ -151,7 +157,7 @@ class VamanaIndex(Index):
                 vectors, centroids, vector_dtype=vector_dtype
             )
 
-        graphed, medoids = cls._build_graphs(
+        graphed, medoids, graph_cache = cls._build_graphs(
             assigned, r_max_degree, l_build, alpha, seed, vector_dtype
         )
 
@@ -178,8 +184,98 @@ class VamanaIndex(Index):
             f"{PARTITION_COL} int, centroid array<double>",
         )
         cdf.write.parquet(storage.centroids_path(ts))
+        if overlay and centroids.shape[0] > 1:
+            ov_medoids = cls._write_overlay(
+                storage, assigned, centroids, ts, r_max_degree, l_build,
+                alpha, seed, vector_dtype, overlay_max,
+            )
+            medoids = medoids.unionByName(ov_medoids)
         medoids.coalesce(1).write.parquet(storage.aux_path(MEDOID_AUX, ts))
+        graph_cache.unpersist()
         return cls(spark, uri)
+
+    @classmethod
+    def _write_overlay(
+        cls,
+        storage: IndexStorage,
+        assigned: DataFrame,
+        centroids: np.ndarray,
+        ts: int,
+        r_max: int,
+        l_build: int,
+        alpha: float,
+        seed: int,
+        vector_dtype: str,
+        overlay_max: int,
+    ) -> DataFrame:
+        """Cross-shard edge overlay: one bounded BRIDGE graph over the most
+        boundary-ambiguous vectors of every shard.
+
+        Sharded graphs lose recall exactly where a query's true neighbors
+        sit across a shard boundary (DiskANN's sharded variant overlaps
+        shards for the same reason).  Selection: per row the margin
+        ``d²(second-nearest centroid) − d²(nearest centroid)`` — small
+        margin = near a boundary; the ``overlay_max // shards``
+        smallest-margin rows of each shard (equal per-shard quota, so no
+        shard dominates) form one extra Vamana graph stored as
+        pseudo-shard ``OVERLAY_PID`` that EVERY query probes.  Overlay
+        size is capped, so the added per-query cost is one bounded extra
+        walk regardless of corpus size.  Returns the overlay medoid row
+        to union into the medoids aux table.
+        """
+        from pyspark.sql import Window
+
+        spark = assigned.sparkSession
+        bc = spark.sparkContext.broadcast(centroids)
+        vdtype = vector_dtype
+
+        def margins(batches):
+            from tiledb_vector_search_spark.functions.dtypes import (
+                decode_matrix,
+            )
+
+            cents = bc.value
+            c_sq = np.sum(cents * cents, axis=1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = decode_matrix(pdf[VECTOR_COL], vdtype)
+                # ‖x−c‖² minus the per-row ‖x‖² constant: margins unchanged
+                d = c_sq[None, :] - 2.0 * (x @ cents.T)
+                part = np.partition(d, 1, axis=1)
+                out = pdf.copy()
+                out["__margin"] = part[:, 1] - part[:, 0]
+                yield out
+
+        vec_type = "binary" if vdtype != "float32" else "array<float>"
+        margined = assigned.select(ID_COL, VECTOR_COL, PARTITION_COL).mapInPandas(
+            margins,
+            schema=(
+                f"{ID_COL} long, {VECTOR_COL} {vec_type}, "
+                f"{PARTITION_COL} int, __margin double"
+            ),
+        )
+        quota = max(1, overlay_max // centroids.shape[0])
+        w = Window.partitionBy(PARTITION_COL).orderBy(
+            F.col("__margin").asc(), F.col(ID_COL).asc()
+        )
+        picked = (
+            margined.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= quota)
+            .select(ID_COL, VECTOR_COL)
+            .withColumn(PARTITION_COL, F.lit(OVERLAY_PID).cast("int"))
+        )
+        graphed, medoids, cache = cls._build_graphs(
+            picked, r_max, l_build, alpha, seed, vdtype
+        )
+        graphed.coalesce(1).write.parquet(storage.aux_path(OVERLAY_AUX, ts))
+        out = medoids.collect()
+        cache.unpersist()
+        return small_df(
+            storage.spark,
+            [(int(r[PARTITION_COL]), int(r["medoid_id"])) for r in out],
+            f"{PARTITION_COL} int, medoid_id long",
+        )
 
     @staticmethod
     def _build_graphs(
@@ -218,12 +314,14 @@ class VamanaIndex(Index):
         from pyspark import StorageLevel
 
         # one graph build per shard; cache so the snapshot write and the
-        # medoid extraction don't each re-run the O(n·l·d) construction
-        graphed = graphed.persist(StorageLevel.MEMORY_AND_DISK)
-        medoids = graphed.where("is_medoid").select(
+        # medoid extraction don't each re-run the O(n·l·d) construction.
+        # The HANDLE is returned so the caller unpersists once both writes
+        # have consumed it — cached frames otherwise outlive the ingest.
+        handle = graphed.persist(StorageLevel.MEMORY_AND_DISK)
+        medoids = handle.where("is_medoid").select(
             PARTITION_COL, F.col(ID_COL).alias("medoid_id")
         )
-        return graphed.drop("is_medoid"), medoids
+        return handle.drop("is_medoid"), medoids, handle
 
     def _write_consolidated(
         self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
@@ -260,7 +358,7 @@ class VamanaIndex(Index):
                 vectors.select(ID_COL, VECTOR_COL), centroids,
                 vector_dtype=self.vector_dtype,
             )
-        graphed, medoids = self._build_graphs(
+        graphed, medoids, graph_cache = self._build_graphs(
             assigned,
             int(self.meta["r_max_degree"]),
             int(self.meta["l_build"]),
@@ -281,7 +379,16 @@ class VamanaIndex(Index):
             f"{PARTITION_COL} int, centroid array<double>",
         )
         cdf.write.parquet(self.storage.centroids_path(ts))
+        if self.has_overlay and centroids.shape[0] > 1:
+            # the consolidated snapshot keeps the overlay the old base had
+            ov_medoids = self._write_overlay(
+                self.storage, assigned, centroids, ts,
+                int(self.meta["r_max_degree"]), int(self.meta["l_build"]),
+                DEFAULT_ALPHA, 42, self.vector_dtype, DEFAULT_OVERLAY_MAX,
+            )
+            medoids = medoids.unionByName(ov_medoids)
         medoids.coalesce(1).write.parquet(self.storage.aux_path(MEDOID_AUX, ts))
+        graph_cache.unpersist()
 
     # -- access ---------------------------------------------------------------
 
@@ -318,6 +425,25 @@ class VamanaIndex(Index):
             if e["ts"] == self.base_ts:
                 return int(e["partitions"])
         raise RuntimeError("no ingestion entry for base_ts")
+
+    def _overlay_frame(self) -> DataFrame | None:
+        """The cross-shard bridge graph as pseudo-shard ``OVERLAY_PID``
+        (partition_id, external_id, vector, neighbors), or ``None`` when
+        the index was built without an overlay."""
+        if hasattr(self, "_overlay_cache"):
+            return self._overlay_cache
+        path = self.storage.aux_path(OVERLAY_AUX, self.base_ts)
+        if not self.storage.fs.exists(path):
+            self._overlay_cache = None
+            return None
+        self._overlay_cache = self.spark.read.parquet(path).select(
+            PARTITION_COL, ID_COL, VECTOR_COL, "neighbors"
+        )
+        return self._overlay_cache
+
+    @property
+    def has_overlay(self) -> bool:
+        return self._overlay_frame() is not None
 
     # -- query ----------------------------------------------------------------
 
@@ -397,10 +523,21 @@ class VamanaIndex(Index):
         route_map: dict[int, list[int]] = {}
         for qid, pid in pairs:
             route_map.setdefault(pid, []).append(qid)
+        overlay = self._overlay_frame()
+        if overlay is not None:
+            # the bridge graph is an extra pseudo-shard EVERY query probes
+            base = base.select(
+                PARTITION_COL, ID_COL, VECTOR_COL, "neighbors"
+            ).unionByName(overlay)
+            route_map[OVERLAY_PID] = [int(q) for q in qids]
         qpos = {int(qid): i for i, qid in enumerate(qids)}
         # tombstones are never collected — the walk over-fetches by the
         # per-shard tombstone COUNT and the results are anti-joined below
         tombs = self._shard_tombstone_counts() if self._has_updates() else {}
+        if overlay is not None and tombs:
+            # overlay rows duplicate base rows, so its tombstone exposure is
+            # bounded by the total across shards
+            tombs[OVERLAY_PID] = sum(tombs.values())
         medoids = self.medoids()
         bc = self.spark.sparkContext.broadcast(
             (qids, qmat, route_map, qpos, tombs, medoids)
@@ -454,6 +591,10 @@ class VamanaIndex(Index):
             .groupBy(PARTITION_COL)
             .applyInPandas(walk, schema)
         )
+        if overlay is not None:
+            # a vector found by both its shard walk and the overlay walk
+            # would otherwise occupy two ranks
+            scored = scored.dropDuplicates([QUERY_ID_COL, ID_COL])
         # the walk scores Σ(a−b)²; convert to the index metric's scale so the
         # additions branch (scored with distance_expr) unions consistently:
         # L2 = √sos; for unit vectors cosine distance = sos/2
@@ -508,8 +649,19 @@ class VamanaIndex(Index):
             q.select(QUERY_ID_COL, F.col(VECTOR_COL).alias("__qvec")),
             QUERY_ID_COL,
         ).select(PARTITION_COL, QUERY_ID_COL, "__qvec")
+        overlay = self._overlay_frame()
+        if overlay is not None:
+            routed_q = routed_q.unionByName(
+                q.select(
+                    F.lit(OVERLAY_PID).cast("int").alias(PARTITION_COL),
+                    QUERY_ID_COL,
+                    F.col(VECTOR_COL).alias("__qvec"),
+                )
+            )
 
         tombs = self._shard_tombstone_counts() if self._has_updates() else {}
+        if overlay is not None and tombs:
+            tombs[OVERLAY_PID] = sum(tombs.values())
         medoids = self.medoids()
         bc = self.spark.sparkContext.broadcast((tombs, medoids))
         kk, ls = k, l_search
@@ -547,13 +699,18 @@ class VamanaIndex(Index):
             )
 
         schema = f"{QUERY_ID_COL} long, {ID_COL} long, {DISTANCE_COL} double"
+        graphs = self._base_vectors().select(
+            PARTITION_COL, ID_COL, VECTOR_COL, "neighbors"
+        )
+        if overlay is not None:
+            graphs = graphs.unionByName(overlay)
         scored = (
-            self._base_vectors()
-            .select(PARTITION_COL, ID_COL, VECTOR_COL, "neighbors")
-            .groupBy(PARTITION_COL)
+            graphs.groupBy(PARTITION_COL)
             .cogroup(routed_q.groupBy(PARTITION_COL))
             .applyInPandas(walk2, schema)
         )
+        if overlay is not None:
+            scored = scored.dropDuplicates([QUERY_ID_COL, ID_COL])
         # same metric rescale + additions overlay + merge as the kernel path
         if metric is DistanceMetric.L2:
             scored = scored.withColumn(DISTANCE_COL, F.sqrt(F.col(DISTANCE_COL)))
