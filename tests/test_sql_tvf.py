@@ -66,14 +66,65 @@ def test_tvf_rejects_unconsolidated_updates(spark, source, tmp_path_factory):
     assert rows and all(r.external_id != 0 for r in rows)
 
 
-def test_tvf_rejects_non_ivf(spark, source, tmp_path_factory):
+def test_tvf_flat_matches_dataframe_api(spark, source, tmp_path_factory):
+    """FLAT is SQL-reachable too: brute-force parity with the index."""
     uri = str(tmp_path_factory.mktemp("tvff") / "idx")
+    idx = FlatIndex.ingest(spark, uri, source, timestamp=1)
+    q = source.where("external_id < 8").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_qf")
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in _sql(spark, uri, "tvf_qf", k=5).collect()
+    }
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in idx.query(q, 5, strategy="kernel").collect()
+    }
+    assert got == want
+
+
+def test_tvf_rejects_unknown_index_type(spark, source, tmp_path_factory):
+    import json
+    import os
+
+    uri = str(tmp_path_factory.mktemp("tvfx") / "idx")
     FlatIndex.ingest(spark, uri, source, timestamp=1)
+    meta_path = os.path.join(uri, "_index_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["index_type"] = "OBJECT"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
     source.limit(2).select(
         F.col("external_id").alias("query_id"), "vector"
-    ).createOrReplaceTempView("tvf_qf")
-    with pytest.raises(Exception, match="IVF_FLAT and IVF_PQ"):
-        _sql(spark, uri, "tvf_qf").collect()
+    ).createOrReplaceTempView("tvf_qx")
+    with pytest.raises(Exception, match="FLAT/IVF_FLAT/IVF_PQ/VAMANA"):
+        _sql(spark, uri, "tvf_qx").collect()
+
+
+def test_tvf_vamana_matches_dataframe_api(spark, source, tmp_path_factory):
+    """Vamana is SQL-reachable: same shard walks, same merged ranking —
+    both with and without the cross-shard overlay."""
+    from tiledb_vector_search_spark.indexes import VamanaIndex
+
+    q = source.where("external_id < 10").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_qv")
+    for name, kw in [("plain", {}), ("ov", {"overlay": True, "overlay_max": 64})]:
+        uri = str(tmp_path_factory.mktemp(f"tvfv{name}") / "idx")
+        idx = VamanaIndex.ingest(spark, uri, source, shards=4, timestamp=1, **kw)
+        got = {
+            (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+            for r in _sql(spark, uri, "tvf_qv", k=5, nprobe=2).collect()
+        }
+        want = {
+            (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+            for r in idx.query(q, 5, nprobe=2, strategy="kernel").collect()
+        }
+        assert got == want, name
 
 
 @pytest.fixture(scope="module")

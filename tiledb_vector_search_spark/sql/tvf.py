@@ -21,10 +21,14 @@ reads — independent of total corpus size.  Best for small-to-medium query
 batches; bulk dataset-vs-dataset search should use the DataFrame API's
 ``strategy="join"`` plans instead.
 
-Supported index types: IVF_FLAT and IVF_PQ (ADC scan over the packed
-``code`` column — the per-task IO for PQ is nprobe partitions × 1 byte
-per subspace per row — with optional ``k_factor`` exact re-rank reading
-the ``vector`` column only for candidate rows' partitions).
+Supported index types — the COMPLETE index family is SQL-reachable:
+FLAT (full scan, the brute-force contract), IVF_FLAT (probed partitions
+only), IVF_PQ (ADC scan over the packed ``code`` column — per-task IO is
+nprobe partitions × 1 byte per subspace per row — with optional
+``k_factor`` exact re-rank reading the ``vector`` column only for
+candidate rows' partitions), and VAMANA (per-shard graph walks from the
+stored medoids, including the cross-shard overlay pseudo-shard when the
+index has one).
 
 Limitations (explicit): local/POSIX index paths (executor-side pyarrow
 reads), un-consolidated updates are rejected (query through the DataFrame
@@ -57,14 +61,17 @@ def _read_parquet_dir(path: str, columns: list[str] | None = None):
     return pa.concat_tables(tables)
 
 
+_TVF_INDEX_TYPES = ("FLAT", "IVF_FLAT", "IVF_PQ", "VAMANA")
+
+
 def _open_index_meta(uri: str) -> tuple[dict, int, str, str]:
     """(meta, latest_ts, metric, vector_dtype) with the shared validations."""
     with open(posixpath.join(uri, "_index_meta.json")) as fh:
         meta = json.load(fh)
-    if meta.get("index_type") not in ("IVF_FLAT", "IVF_PQ"):
+    if meta.get("index_type") not in _TVF_INDEX_TYPES:
         raise ValueError(
-            "ann_search TVF supports IVF_FLAT and IVF_PQ indexes; got "
-            f"{meta.get('index_type')}"
+            f"ann_search TVF supports {'/'.join(_TVF_INDEX_TYPES)} indexes; "
+            f"got {meta.get('index_type')}"
         )
     metric = meta.get("metric", "sum_of_squares")
     if metric not in _SUPPORTED_METRICS:
@@ -155,6 +162,12 @@ def search_index_files(
         )
     if k_factor != 1.0:
         raise ValueError("k_factor applies to IVF_PQ indexes only")
+    if meta["index_type"] == "VAMANA":
+        return _search_vamana_files(
+            uri, ts, metric, vector_dtype, qids, qmat, k, nprobe
+        )
+    if meta["index_type"] == "FLAT":
+        return _search_flat_files(uri, ts, metric, vector_dtype, qids, qmat, k)
 
     centroids = _load_centroids(uri, ts)
     base = posixpath.join(uri, "base", f"ts={ts}")
@@ -288,6 +301,118 @@ def _search_ivf_pq_files(
             scored.append((float(np.dot(diff, diff)), eid))
         exact[qi] = scored
     return _finalize(qids, exact, k, sqrt=metric == "l2")
+
+
+def _search_flat_files(
+    uri: str,
+    ts: int,
+    metric: str,
+    vector_dtype: str,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    k: int,
+) -> list[tuple[int, int, float, int]]:
+    """Brute-force scan of the (unpartitioned) FLAT snapshot.
+
+    Per-task IO = the whole corpus — exactly the FLAT contract; the
+    partition-pruned types are the scale path.  ``nprobe`` does not apply.
+    """
+    base = posixpath.join(uri, "base", f"ts={ts}")
+    tb = _read_parquet_dir(base, columns=["external_id", "vector"])
+    ids = tb.column("external_id").to_numpy()
+    x = _decode_vector_column(tb, vector_dtype, len(ids))
+    dm = (
+        np.sum(qmat * qmat, axis=1)[:, None]
+        + np.sum(x * x, axis=1)[None, :]
+        - 2.0 * (qmat @ x.T)
+    )
+    np.maximum(dm, 0.0, out=dm)
+    keep = min(k, dm.shape[1])
+    out: dict[int, list[tuple[float, int]]] = {}
+    for qi in range(len(qids)):
+        idx = np.lexsort((ids, dm[qi]))[:keep]
+        out[qi] = [(float(dm[qi, j]), int(ids[j])) for j in idx]
+    return _finalize(qids, out, k, sqrt=metric == "l2")
+
+
+def _search_vamana_files(
+    uri: str,
+    ts: int,
+    metric: str,
+    vector_dtype: str,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    k: int,
+    nprobe: int,
+) -> list[tuple[int, int, float, int]]:
+    """Sharded Vamana graph walks over the on-disk index — no SparkSession.
+
+    Routes each query to its nprobe nearest shards, walks each shard's
+    graph from its medoid (``ml.vamana.search_vamana_graph`` — the same
+    kernel the DataFrame path runs), walks the cross-shard overlay
+    pseudo-shard when present, and merges with the (distance, id)
+    tie-break.  Per-task IO = probed shard directories only.
+    """
+    from tiledb_vector_search_spark.ml.vamana import search_vamana_graph
+
+    centroids = _load_centroids(uri, ts)
+    med_tb = _read_parquet_dir(posixpath.join(uri, "aux", "vamana_medoids", f"ts={ts}"))
+    medoids = {
+        int(p): int(m)
+        for p, m in zip(
+            med_tb.column("partition_id").to_pylist(),
+            med_tb.column("medoid_id").to_pylist(),
+        )
+    }
+    base = posixpath.join(uri, "base", f"ts={ts}")
+    part_queries = _route_files(qmat, centroids, nprobe)
+    overlay_dir = posixpath.join(uri, "aux", "vamana_overlay", f"ts={ts}")
+    l_search = max(2 * k, 50)  # VamanaIndex.query default
+
+    out: dict[int, list[tuple[float, int]]] = {qi: [] for qi in range(len(qids))}
+
+    def walk_group(tb, pid: int, qlist: list[int]) -> None:
+        ids = tb.column("external_id").to_numpy()
+        x = _decode_vector_column(tb, vector_dtype, len(ids))
+        pos = {int(e): i for i, e in enumerate(ids)}
+        adj = [
+            np.array([pos[n] for n in nbrs if n in pos], dtype=np.int64)
+            for nbrs in tb.column("neighbors").to_pylist()
+        ]
+        med_id = medoids.get(pid)
+        med = pos.get(med_id, 0) if med_id is not None else 0
+        for qi in qlist:
+            vi, vd = search_vamana_graph(
+                x, adj, med, qmat[qi], min(k, len(ids)), l_search
+            )
+            out[qi].extend((float(d), int(ids[p])) for p, d in zip(vi, vd))
+
+    for pid, qlist in sorted(part_queries.items()):
+        pdir = posixpath.join(base, f"partition_id={pid}")
+        if not os.path.isdir(pdir):
+            continue
+        walk_group(
+            _read_parquet_dir(pdir, columns=["external_id", "vector", "neighbors"]),
+            pid,
+            qlist,
+        )
+    if os.path.isdir(overlay_dir):
+        # the bridge graph is probed by EVERY query (pseudo-shard -1)
+        walk_group(
+            _read_parquet_dir(
+                overlay_dir, columns=["external_id", "vector", "neighbors"]
+            ),
+            -1,
+            list(range(len(qids))),
+        )
+        # a vector can surface from both its shard and the overlay
+        for qi in out:
+            best: dict[int, float] = {}
+            for d, eid in out[qi]:
+                if eid not in best or d < best[eid]:
+                    best[eid] = d
+            out[qi] = [(d, eid) for eid, d in best.items()]
+    return _finalize(qids, out, k, sqrt=metric == "l2")
 
 
 class AnnSearchUDTF:
