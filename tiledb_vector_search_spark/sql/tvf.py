@@ -432,7 +432,8 @@ class AnnSearchUDTF:
     def eval(self, row, uri: str, k: int, nprobe: int, k_factor: float = 1.0):
         self._qids.append(int(row.query_id))
         self._qvecs.append(list(row.vector))
-        self._args = (uri, int(k), int(nprobe), float(k_factor))
+        if self._args is None:  # constant per task; store once, not per row
+            self._args = (uri, int(k), int(nprobe), float(k_factor))
 
     def terminate(self):
         if not self._qids:
