@@ -94,8 +94,15 @@ _CHEAP = sorted(set(REGISTRY) - _INDEX_BACKED)
 
 @pytest.mark.parametrize("name", _CHEAP)
 def test_plan_hygiene(spark, sf_dir, name):
-    df = LAZY_VARIANTS.get(name, REGISTRY[name])(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name in LAZY_VARIANTS:
+        # materialize=False leaves caller-managed candidate caches; don't
+        # let them accumulate across the parametrized session
+        df = LAZY_VARIANTS[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        spark.catalog.clearCache()
+    else:
+        df = REGISTRY[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
     if name not in ALLOWED_CARTESIAN:
         assert "CartesianProduct" not in plan, f"{name}: unbounded all-pairs"
         if name not in ALLOWED_BROADCAST_NLJ:
