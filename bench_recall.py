@@ -6,9 +6,11 @@ single operating point.  A single-point recall gate cannot see a
 trade-off regression (e.g. an nprobe default drift that keeps the gated
 point green while the rest of the curve collapses); this harness sweeps
 
-    IVF_FLAT    nprobe ∈ {1, 2, 4, 8, 16}
-    IVF_PQ      nprobe ∈ {1, 2, 4, 8, 16} × k_factor ∈ {1, 4}
-    VAMANA      l_search ∈ {20, 50, 100, 200} at full probe
+    IVF_FLAT        nprobe ∈ {1..32}
+    IVF_PQ          nprobe ∈ {1..32} × k_factor ∈ {1, 4}
+    VAMANA          l_search ∈ {20, 50, 100, 200} at full probe
+    VAMANA ±overlay nprobe ∈ {1, 2, 4} (the boundary-recall regime the
+                    cross-shard overlay exists for)
 
 over the driver embeddings table at $SPARK_GRAFT_SF_DIR (default sf0.1),
 measures recall@10 against the exact brute-force kernel, and writes the
@@ -143,6 +145,23 @@ def main() -> None:
     for ls in L_SEARCHES:
         sweep("VAMANA", {"l_search": ls},
               lambda ls_=ls: vam.query(queries, K, nprobe=8, l_search=ls_))
+    # partial-probe recall with vs without the cross-shard overlay — the
+    # regime the bridge graph exists for (boundary queries at low nprobe)
+    t0 = time.perf_counter()
+    # overlay capped at ~25% of this corpus — the honest operating point
+    # (the default 8192 cap would swallow the whole sf0.1 table and make
+    # the overlay a trivial full copy)
+    vam_ov = VamanaIndex.ingest(
+        spark, f"{work}/vamana_ov", vectors, shards=8, timestamp=1000,
+        overlay=True, overlay_max=512,
+    )
+    t_build["VAMANA_OVERLAY"] = round(time.perf_counter() - t0, 3)
+    vam_ov.query(queries, K, nprobe=1).collect()
+    for nprobe in (1, 2, 4):
+        sweep("VAMANA", {"nprobe": nprobe},
+              lambda np_=nprobe: vam.query(queries, K, nprobe=np_))
+        sweep("VAMANA_OVERLAY", {"nprobe": nprobe},
+              lambda np_=nprobe: vam_ov.query(queries, K, nprobe=np_))
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     artifact = {

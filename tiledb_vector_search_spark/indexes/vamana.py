@@ -243,26 +243,34 @@ class VamanaIndex(Index):
                 # ‖x−c‖² minus the per-row ‖x‖² constant: margins unchanged
                 d = c_sq[None, :] - 2.0 * (x @ cents.T)
                 part = np.partition(d, 1, axis=1)
-                out = pdf.copy()
-                out["__margin"] = part[:, 1] - part[:, 0]
-                yield out
+                yield pd.DataFrame(
+                    {
+                        ID_COL: pdf[ID_COL],
+                        PARTITION_COL: pdf[PARTITION_COL],
+                        "__margin": part[:, 1] - part[:, 0],
+                    }
+                )
 
-        vec_type = "binary" if vdtype != "float32" else "array<float>"
+        # rank a NARROW (id, partition, margin) frame — the per-shard sort
+        # must not shuffle vector payloads at 100 TB — then fetch vectors
+        # for the picked ids with a broadcast semi-join (≤ overlay_max ids,
+        # so the corpus side never shuffles)
         margined = assigned.select(ID_COL, VECTOR_COL, PARTITION_COL).mapInPandas(
             margins,
-            schema=(
-                f"{ID_COL} long, {VECTOR_COL} {vec_type}, "
-                f"{PARTITION_COL} int, __margin double"
-            ),
+            schema=f"{ID_COL} long, {PARTITION_COL} int, __margin double",
         )
         quota = max(1, overlay_max // centroids.shape[0])
         w = Window.partitionBy(PARTITION_COL).orderBy(
             F.col("__margin").asc(), F.col(ID_COL).asc()
         )
-        picked = (
+        picked_ids = (
             margined.withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") <= quota)
-            .select(ID_COL, VECTOR_COL)
+            .select(ID_COL)
+        )
+        picked = (
+            assigned.select(ID_COL, VECTOR_COL)
+            .join(F.broadcast(picked_ids), ID_COL, "left_semi")
             .withColumn(PARTITION_COL, F.lit(OVERLAY_PID).cast("int"))
         )
         graphed, medoids, cache = cls._build_graphs(
