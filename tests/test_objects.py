@@ -205,6 +205,45 @@ def test_object_index_return_objects(spark, doc_index, sf_dir):
     assert res.count() == 2
 
 
+@pytest.mark.parametrize(
+    "index_type,create_kw,query_kw",
+    [
+        ("IVF_FLAT", {"partitions": 4}, {"nprobe": 4}),
+        ("IVF_PQ", {"partitions": 4, "num_subspaces": 4}, {"nprobe": 4, "k_factor": 4.0}),
+        ("VAMANA", {"shards": 2}, {"nprobe": 2}),
+    ],
+)
+def test_object_index_all_backing_types(
+    spark, sf_dir, tmp_path, index_type, create_kw, query_kw
+):
+    """The COMPLETE reference ObjectIndex family (object_index.py:951-994)
+    backs the object surface: self-match retrieval + metadata filtering
+    work on every index type, not just FLAT."""
+    uri = str(tmp_path / f"obj_{index_type.lower()}")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang"],
+    )
+    idx = ObjectIndex.create(
+        spark, uri, reader, HashingTextEmbedding(dims=16),
+        index_type=index_type, timestamp=1000, **create_kw,
+    )
+    assert ObjectIndex(spark, uri).index_type == index_type
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3).toPandas()
+    q = docs.rename(columns={"doc_id": "query_id"})[["query_id", "text"]]
+    rows = idx.query(q, k=5, **query_kw).collect()
+    assert len(rows) == 15
+    # full-probe self-match: every query doc retrieves itself
+    best = {r.query_id: r.external_id for r in rows if r.rank == 1}
+    assert best == {int(d): int(d) for d in docs["doc_id"]}
+    filtered = idx.query(
+        q, k=5, metadata_array_cond="lang = 'de'", **query_kw
+    ).collect()
+    assert filtered and all(r.lang == "de" for r in filtered)
+
+
 def test_object_index_update_delete(spark, sf_dir, tmp_path):
     uri = str(tmp_path / "obj2")
     reader = DataFrameObjectReader(

@@ -30,6 +30,7 @@ from tiledb_vector_search_spark.indexes import (
     FlatIndex,
     IVFFlatIndex,
     IVFPQIndex,
+    VamanaIndex,
     open_index,
 )
 from tiledb_vector_search_spark.objects.embeddings import ObjectEmbedding
@@ -43,7 +44,14 @@ from tiledb_vector_search_spark.schemas import (
 from tiledb_vector_search_spark.session import small_df
 from tiledb_vector_search_spark.storage import HadoopFS, now_ms
 
-_INDEX_TYPES = {"FLAT": FlatIndex, "IVF_FLAT": IVFFlatIndex, "IVF_PQ": IVFPQIndex}
+# the reference's full ObjectIndex family (object_index.py:951-994):
+# FLAT / IVF_FLAT / VAMANA / IVF_PQ
+_INDEX_TYPES = {
+    "FLAT": FlatIndex,
+    "IVF_FLAT": IVFFlatIndex,
+    "IVF_PQ": IVFPQIndex,
+    "VAMANA": VamanaIndex,
+}
 OVERFETCH_FACTOR = 50  # reference object_index.py:451-453
 
 
