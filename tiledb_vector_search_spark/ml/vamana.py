@@ -39,6 +39,7 @@ def _greedy_search(
     q: np.ndarray,
     l_size: int,
     x_sq: np.ndarray | None = None,
+    dq: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Best-first walk: returns (candidate ids sorted by distance, their
     distances) over all VISITED vertices (the robust-prune candidate pool).
@@ -48,13 +49,20 @@ def _greedy_search(
     unexpanded one.  Vectorized: vertex-indexed bitmaps for membership /
     expansion, BLAS-identity distances (``x_sq`` precomputable per shard —
     the build loop runs this once per vertex, so per-call python cost is
-    the build's hot path).
+    the build's hot path).  ``dq`` (optional): the full distance row from
+    ``q`` to every shard vector — the graph BUILD precomputes the shard's
+    pairwise matrix once, turning every expansion's gather+GEMV into a
+    plain gather.
     """
-    if x_sq is None:
-        x_sq = np.einsum("ij,ij->i", x, x)
-    qq = float(q @ q)
+    if dq is None:
+        if x_sq is None:
+            x_sq = np.einsum("ij,ij->i", x, x)
+        qq = float(q @ q)
+        entry_d = x_sq[entry] - 2.0 * float(x[entry] @ q) + qq
+    else:
+        entry_d = dq[entry]
     beam_ids = np.array([entry], dtype=np.int64)
-    beam_d = np.array([x_sq[entry] - 2.0 * float(x[entry] @ q) + qq])
+    beam_d = np.array([entry_d])
     in_beam = np.zeros(len(x), dtype=bool)
     expanded = np.zeros(len(x), dtype=bool)
     in_beam[entry] = True
@@ -73,7 +81,10 @@ def _greedy_search(
         nbrs = adj[v]
         nbrs = nbrs[~in_beam[nbrs]]
         if nbrs.size:
-            nd = x_sq[nbrs] - 2.0 * (x[nbrs] @ q) + qq
+            if dq is None:
+                nd = x_sq[nbrs] - 2.0 * (x[nbrs] @ q) + qq
+            else:
+                nd = dq[nbrs]
             in_beam[nbrs] = True
             beam_ids = np.concatenate([beam_ids, nbrs])
             beam_d = np.concatenate([beam_d, nd])
@@ -98,33 +109,57 @@ def _robust_prune(
     candidates: np.ndarray,
     alpha: float,
     r_max: int,
+    dmat: np.ndarray | None = None,
 ) -> np.ndarray:
     """Diversity-preserving neighbor selection (reference ``robust_prune``,
     ``vamana_index.h`` build path): greedily keep the closest candidate,
-    drop any other candidate that is α-dominated by it."""
-    cand = np.asarray(
-        [int(c) for c in candidates if c != p], dtype=np.int64
-    )
+    drop any other candidate that is α-dominated by it.  ``dmat``: the
+    shard's precomputed pairwise squared-distance matrix (build path) —
+    distance math becomes gathers."""
+    cand = np.asarray(candidates, dtype=np.int64)
+    cand = cand[cand != p]
     if cand.size == 0:
         return np.empty(0, dtype=np.int64)
-    cd = np.sum((x[cand] - x[p]) ** 2, axis=1)
+    if dmat is None:
+        diff = x[cand] - x[p]
+        cd = np.einsum("ij,ij->i", diff, diff)
+    else:
+        cd = dmat[p, cand]
     order = np.argsort(cd, kind="stable")
     cand = cand[order]
     cd = cd[order]
-    out: list[int] = []
-    alive = np.ones(len(cand), dtype=bool)
-    for i in range(len(cand)):
+    c = cand.size
+    # candidate×candidate distances up front (one gather / one small GEMM):
+    # the domination loop is then ONE vectorized mask op per kept point —
+    # this prune runs ~r_max times per vertex (reverse edges), so per-call
+    # overhead is the build's second hot path after the walk
+    if dmat is None:
+        cx = x[cand]
+        csq = np.einsum("ij,ij->i", cx, cx)
+        cc = csq[:, None] + csq[None, :] - 2.0 * (cx @ cx.T)
+    else:
+        cc = dmat[np.ix_(cand, cand)]
+    alive = np.ones(c, dtype=bool)
+    out_mask = np.zeros(c, dtype=bool)
+    kept = 0
+    for i in range(c):
         if not alive[i]:
             continue
-        out.append(int(cand[i]))
-        if len(out) >= r_max:
+        out_mask[i] = True
+        kept += 1
+        if kept >= r_max:
             break
-        alive[i] = False
-        # kill LIVE candidates α-dominated by the newly kept point
-        live = np.where(alive)[0]
-        dk = np.sum((x[cand[live]] - x[cand[i]]) ** 2, axis=1)
-        alive[live[alpha * dk <= cd[live]]] = False
-    return np.asarray(out, dtype=np.int64)
+        # keep only candidates NOT α-dominated by the newly kept point
+        # (cc[i, i] = 0 retires i itself; dead entries stay dead)
+        alive &= alpha * cc[i] > cd
+    return cand[out_mask]
+
+
+# shards up to this size precompute the pairwise squared-distance matrix
+# (float64 n² — 128 MB at 4096, the default shard target) so every build
+# step's distance math is a gather instead of a gather+GEMV; beyond it the
+# build falls back to on-the-fly BLAS rows to bound task memory
+PRECOMPUTE_PAIRWISE_MAX = 4096
 
 
 def build_vamana_graph(
@@ -152,18 +187,31 @@ def build_vamana_graph(
         return [np.empty(0, dtype=np.int64)], 0
     med = medoid_index(x)
     x_sq = np.einsum("ij,ij->i", x, x)
+    dmat = None
+    if n <= PRECOMPUTE_PAIRWISE_MAX:
+        dmat = x_sq[:, None] + x_sq[None, :] - 2.0 * (x @ x.T)
+        np.maximum(dmat, 0.0, out=dmat)
+    # deferred reverse-edge pruning (DiskANN's slack-bound insert): a
+    # reverse edge only triggers a re-prune once the degree overflows
+    # slack·r_max, cutting prune calls ~slack·r_max-fold on the build's
+    # hottest path; the final pass restores the strict r_max bound
+    slack = int(1.5 * r_max)
     for i in rng.permutation(n):
-        visited, _ = _greedy_search(x, adj, med, x[i], l_build, x_sq=x_sq)
+        dq = dmat[i] if dmat is not None else None
+        visited, _ = _greedy_search(x, adj, med, x[i], l_build, x_sq=x_sq, dq=dq)
         pool = np.union1d(visited, adj[i])
-        adj[i] = _robust_prune(x, int(i), pool, alpha, r_max)
+        adj[i] = _robust_prune(x, int(i), pool, alpha, r_max, dmat=dmat)
         for j in adj[i]:
             if i in adj[j]:
                 continue
             merged = np.append(adj[j], i)
-            if len(merged) > r_max:
-                adj[j] = _robust_prune(x, int(j), merged, alpha, r_max)
+            if len(merged) > slack:
+                adj[j] = _robust_prune(x, int(j), merged, alpha, r_max, dmat=dmat)
             else:
                 adj[j] = merged
+    for j in range(n):
+        if len(adj[j]) > r_max:
+            adj[j] = _robust_prune(x, int(j), adj[j], alpha, r_max, dmat=dmat)
     return adj, med
 
 
