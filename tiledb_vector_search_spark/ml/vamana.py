@@ -63,6 +63,9 @@ def _greedy_search(
         entry_d = dq[entry]
     beam_ids = np.array([entry], dtype=np.int64)
     beam_d = np.array([entry_d])
+    # working copy with expanded positions inf'd out: argmin over it IS
+    # "first minimum among unexpanded" — saves a gather+where per expansion
+    beam_m = beam_d.copy()
     in_beam = np.zeros(len(x), dtype=bool)
     expanded = np.zeros(len(x), dtype=bool)
     in_beam[entry] = True
@@ -70,11 +73,11 @@ def _greedy_search(
     visited_d: list[float] = []
     while True:
         # first-minimum over beam positions == the reference's scan order
-        masked = np.where(expanded[beam_ids], np.inf, beam_d)
-        b = int(np.argmin(masked))
-        if masked[b] == np.inf:
+        b = int(np.argmin(beam_m))
+        if beam_m[b] == np.inf:
             break
         v = int(beam_ids[b])
+        beam_m[b] = np.inf
         expanded[v] = True
         visited_ids.append(v)
         visited_d.append(float(beam_d[b]))
@@ -88,6 +91,11 @@ def _greedy_search(
             in_beam[nbrs] = True
             beam_ids = np.concatenate([beam_ids, nbrs])
             beam_d = np.concatenate([beam_d, nd])
+            # a trimmed-then-reinserted vertex that was already expanded
+            # must stay masked or it would be expanded (and visited) twice
+            beam_m = np.concatenate(
+                [beam_m, np.where(expanded[nbrs], np.inf, nd)]
+            )
         if beam_ids.size > l_size:
             # keep the best l_size IN ORIGINAL BEAM ORDER (stable ties),
             # matching the reference's positional trim
@@ -97,6 +105,7 @@ def _greedy_search(
             in_beam[beam_ids[drop_mask]] = False
             beam_ids = beam_ids[keep]
             beam_d = beam_d[keep]
+            beam_m = beam_m[keep]
     order = np.argsort(np.array(visited_d), kind="stable")
     vi = np.array(visited_ids, dtype=np.int64)[order]
     vd = np.array(visited_d)[order]
