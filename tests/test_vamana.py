@@ -215,6 +215,29 @@ def test_overlay_lifts_boundary_recall(spark, source, tmp_path):
     assert a == b
 
 
+def test_overlay_with_byte_vectors(spark, source, tmp_path):
+    """The overlay's margin kernel, bridge build, and walks all run on
+    packed-binary u8 corpora (decode stays kernel-side)."""
+    quant = F.transform(
+        "vector",
+        lambda e: F.least(F.lit(255.0), F.greatest(F.lit(0.0), F.floor(e * 32) + 128)),
+    ).cast("array<double>")
+    src = source.select("external_id", quant.alias("vector"))
+    idx = VamanaIndex.ingest(
+        spark, str(tmp_path / "ovu8"), src, shards=2, timestamp=1000,
+        vector_dtype="uint8", overlay=True, overlay_max=64,
+    )
+    assert idx.has_overlay
+    q = src.where("external_id < 5").select(
+        F.col("external_id").alias("query_id"),
+        F.col("vector").cast("array<float>").alias("vector"),
+    )
+    rows = idx.query(q, 5, nprobe=1).collect()
+    assert len(rows) == 25
+    best = {r.query_id: r.external_id for r in rows if r.rank == 1}
+    assert best == {i: i for i in range(5)}  # self-match through the overlay
+
+
 def test_overlay_survives_dml_and_consolidation(spark, source, tmp_path):
     uri = str(tmp_path / "ovdml")
     idx = VamanaIndex.ingest(
