@@ -87,6 +87,37 @@ def test_ragged_binary_source_rejected_at_ingest(spark, tmp_path):
         )
 
 
+def test_empty_source_trained_types_clear_error_flat_allowed(spark, tmp_path):
+    """Trained index types reject an empty source with a clear message;
+    FLAT legitimately creates empty (the create-then-stream pattern) and
+    queries return no rows."""
+    from tiledb_vector_search_spark.indexes import (
+        IVFFlatIndex,
+        IVFPQIndex,
+        VamanaIndex,
+    )
+    from tiledb_vector_search_spark.session import small_df
+
+    empty = spark.createDataFrame([], "external_id long, vector array<float>")
+    for cls in (IVFFlatIndex, IVFPQIndex, VamanaIndex):
+        with pytest.raises(ValueError, match="empty source"):
+            cls.ingest(spark, str(tmp_path / cls.index_type), empty, timestamp=1)
+    # FLAT-empty needs explicit dimensions (reference create() contract)
+    with pytest.raises(ValueError, match="dimensions"):
+        FlatIndex.ingest(spark, str(tmp_path / "flatx"), empty, timestamp=1)
+    idx = FlatIndex.ingest(
+        spark, str(tmp_path / "flat0"), empty, timestamp=1, dimensions=1
+    )
+    assert idx.size() == 0
+    q = small_df(spark, [(0, [0.0])], "query_id long, vector array<float>")
+    assert idx.query(q, 3).count() == 0
+    # streamed updates make it live
+    idx.update(7, [1.0], timestamp=2)
+    idx = FlatIndex(spark, idx.uri)
+    assert idx.size() == 1
+    assert idx.query(q, 3).count() == 1
+
+
 def test_ragged_array_source_rejected_at_ingest(spark, tmp_path):
     from tiledb_vector_search_spark.session import small_df
 

@@ -36,6 +36,7 @@ class FlatIndex(Index):
         id_col: str = ID_COL,
         vector_col: str = VECTOR_COL,
         vector_dtype: str = "float32",
+        dimensions: int | None = None,
     ) -> "FlatIndex":
         """Create + ingest (reference ``ingest_flat``, ``ingestion.py:1582-1684``).
 
@@ -44,6 +45,11 @@ class FlatIndex(Index):
         ``binary`` column (1 byte/element — the reference's native u8/i8
         dispatch, ``module.py:114-121``; bigann is u8), decoded to float
         only inside the query kernels.
+
+        An EMPTY source is allowed — the create-then-stream pattern (the
+        reference's ``create(uri, dimensions=...)`` without data) — but
+        then ``dimensions`` must be given explicitly so query validation
+        and streamed updates know the vector width.
         """
         from tiledb_vector_search_spark.functions.dtypes import (
             ensure_packed,
@@ -69,7 +75,14 @@ class FlatIndex(Index):
             )
         from tiledb_vector_search_spark.indexes.base import count_and_dims
 
-        _, dims = count_and_dims(vectors)
+        n, dims = count_and_dims(vectors)
+        if n == 0:
+            if dimensions is None:
+                raise ValueError(
+                    "empty source: pass dimensions= so the index knows its "
+                    "vector width (reference create() contract)"
+                )
+            dims = int(dimensions)
         storage = IndexStorage(spark, uri)
         if not storage.exists():
             storage.init_meta(

@@ -131,6 +131,12 @@ class IVFFlatIndex(Index):
                 VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
             )
         n, dims = count_and_dims(vectors)
+        if n == 0:
+            raise ValueError(
+                "cannot train an IVF_FLAT index on an empty source "
+                "(k-means needs data); ingest a FLAT index instead and "
+                "stream updates into it"
+            )
         k = partitions or default_partitions(n)
 
         if copy_centroids_from is not None:

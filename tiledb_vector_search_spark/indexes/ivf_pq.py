@@ -246,6 +246,12 @@ class IVFPQIndex(Index):
                 F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
             )
         n, dims = count_and_dims(vectors)
+        if n == 0:
+            raise ValueError(
+                "cannot train an IVF_PQ index on an empty source "
+                "(k-means and PQ codebooks need data); ingest a FLAT index "
+                "instead and stream updates into it"
+            )
         if dims % num_subspaces != 0:
             # reference validation: ivf_pq_index.py:204-210
             raise ValueError(

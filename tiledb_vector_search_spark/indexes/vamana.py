@@ -134,6 +134,12 @@ class VamanaIndex(Index):
                 VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
             )
         n, dims = count_and_dims(vectors)
+        if n == 0:
+            raise ValueError(
+                "cannot build a VAMANA index on an empty source (graph "
+                "construction needs data); ingest a FLAT index instead and "
+                "stream updates into it"
+            )
         k = shards or max(1, -(-n // DEFAULT_SHARD_TARGET))
 
         if k == 1:
