@@ -118,6 +118,21 @@ def test_empty_source_trained_types_clear_error_flat_allowed(spark, tmp_path):
     assert idx.query(q, 3).count() == 1
 
 
+def test_duplicate_external_ids_rejected_at_ingest(spark, tmp_path):
+    """Duplicate external ids would silently corrupt DML (updates/deletes
+    key on the id) — ingest rejects them with a clear message, on the same
+    single validation job as the count/dims/ragged checks."""
+    from tiledb_vector_search_spark.session import small_df
+
+    df = small_df(
+        spark,
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 6.0])],
+        "external_id long, vector array<double>",
+    )
+    with pytest.raises(ValueError, match="duplicate external ids"):
+        FlatIndex.ingest(spark, str(tmp_path / "dup"), df)
+
+
 def test_ragged_array_source_rejected_at_ingest(spark, tmp_path):
     from tiledb_vector_search_spark.session import small_df
 

@@ -141,9 +141,11 @@ class Index:
     def query(self, queries: DataFrame, k: int, **kw: Any) -> DataFrame:
         raise NotImplementedError
 
-    def _validate_queries(self, queries: DataFrame) -> None:
+    def _validate_queries(self, queries: DataFrame, k: int | None = None) -> None:
         """Mirror reference validation (``index.py:298-312``): schema shape
         AND query dimensionality vs the index's stored dimensions."""
+        if k is not None and k < 1:
+            raise ValueError(f"k must be >= 1; got {k}")
         cols = dict(queries.dtypes)
         if "query_id" not in cols or VECTOR_COL not in cols:
             raise ValueError(
@@ -293,7 +295,12 @@ class Index:
         IndexStorage(spark, uri).delete_index()
 
 
-def count_and_dims(vectors: DataFrame, vector_col: str = VECTOR_COL) -> tuple[int, int]:
+def count_and_dims(
+    vectors: DataFrame,
+    vector_col: str = VECTOR_COL,
+    check_unique_ids: bool = False,
+    id_col: str = ID_COL,
+) -> tuple[int, int]:
     """(row count, vector dimensionality) in ONE Spark job — ingest calls
     this on every path; two separate jobs double the fixed scheduling cost.
 
@@ -304,14 +311,24 @@ def count_and_dims(vectors: DataFrame, vector_col: str = VECTOR_COL) -> tuple[in
     columns up front: a malformed binary source (wrong payload dtype,
     truncated rows) would otherwise surface later as an opaque reshape
     error inside a kernel — or worse, silently misaligned decodes if the
-    total byte count happens to divide evenly."""
+    total byte count happens to divide evenly.
+
+    ``check_unique_ids`` (the ingest paths): ride an exact distinct count
+    of ``id_col`` on the same job and reject duplicate external ids —
+    duplicates would silently corrupt DML (updates/deletes key on the id)
+    and produce duplicate result rows.  One extra partial-agg shuffle of
+    long ids; an honest price for the integrity guarantee at ingest time
+    only (never on the query path)."""
     is_binary = dict(vectors.dtypes)[vector_col] == "binary"
     dims_expr = F.length(vector_col) if is_binary else F.size(vector_col)
-    row = vectors.agg(
+    aggs = [
         F.count("*").alias("n"),
         F.min(dims_expr).alias("dmin"),
         F.max(dims_expr).alias("dmax"),
-    ).first()
+    ]
+    if check_unique_ids:
+        aggs.append(F.count_distinct(F.col(id_col)).alias("nid"))
+    row = vectors.agg(*aggs).first()
     if row["n"] and row["dmin"] != row["dmax"]:
         kind = "byte lengths" if is_binary else "array sizes"
         raise ValueError(
@@ -319,6 +336,13 @@ def count_and_dims(vectors: DataFrame, vector_col: str = VECTOR_COL) -> tuple[in
             f"{row['dmin']} to {row['dmax']} — every row must have the same "
             "dimensionality (for packed binary vectors: exactly dims bytes "
             "per row at 1 byte/element; check the source's dtype)"
+        )
+    if check_unique_ids and row["n"] != row["nid"]:
+        raise ValueError(
+            f"source has duplicate external ids: {row['n']} rows but only "
+            f"{row['nid']} distinct {id_col!r} values — external ids must "
+            "be unique (updates/deletes key on them); deduplicate the "
+            "source first"
         )
     return int(row["n"]), int(row["dmax"] or 0)
 

@@ -75,7 +75,7 @@ class FlatIndex(Index):
             )
         from tiledb_vector_search_spark.indexes.base import count_and_dims
 
-        n, dims = count_and_dims(vectors)
+        n, dims = count_and_dims(vectors, check_unique_ids=True)
         if n == 0:
             if dimensions is None:
                 raise ValueError(
@@ -131,7 +131,7 @@ class FlatIndex(Index):
             unpack_vectors,
         )
 
-        self._validate_queries(queries)
+        self._validate_queries(queries, k)
         vecs = self.effective_vectors()
         # the effective set is float-typed when updates promoted it; packed
         # binary only on the no-updates fast path

@@ -130,7 +130,7 @@ class IVFFlatIndex(Index):
             vectors = vectors.withColumn(
                 VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
             )
-        n, dims = count_and_dims(vectors)
+        n, dims = count_and_dims(vectors, check_unique_ids=True)
         if n == 0:
             raise ValueError(
                 "cannot train an IVF_FLAT index on an empty source "
@@ -298,7 +298,7 @@ class IVFFlatIndex(Index):
         about bounding *working set per stage*, exactly what the reference's
         ``upper_bound`` does.
         """
-        self._validate_queries(queries)
+        self._validate_queries(queries, k)
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)))
         metric = self.metric
 

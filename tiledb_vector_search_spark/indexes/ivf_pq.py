@@ -245,7 +245,7 @@ class IVFPQIndex(Index):
                 F.col(id_col).cast("long").alias(ID_COL),
                 F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
             )
-        n, dims = count_and_dims(vectors)
+        n, dims = count_and_dims(vectors, check_unique_ids=True)
         if n == 0:
             raise ValueError(
                 "cannot train an IVF_PQ index on an empty source "
@@ -465,7 +465,7 @@ class IVFPQIndex(Index):
         collect — large batches), ``auto`` (kernel below LARGE_NQ, join
         above).
         """
-        self._validate_queries(queries)
+        self._validate_queries(queries, k)
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)))
         metric = self.metric
         coarse_k = max(k, int(math.ceil(k * k_factor)))

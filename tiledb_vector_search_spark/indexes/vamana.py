@@ -133,7 +133,7 @@ class VamanaIndex(Index):
             vectors = vectors.withColumn(
                 VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
             )
-        n, dims = count_and_dims(vectors)
+        n, dims = count_and_dims(vectors, check_unique_ids=True)
         if n == 0:
             raise ValueError(
                 "cannot build a VAMANA index on an empty source (graph "
@@ -507,7 +507,7 @@ class VamanaIndex(Index):
         join + shard⨝queries cogroup, no driver collect — large batches),
         ``auto`` (kernel below LARGE_NQ, join above).
         """
-        self._validate_queries(queries)
+        self._validate_queries(queries, k)
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)) + 1)
         l_search = l_search or max(2 * k, 50)
         metric = self.metric
