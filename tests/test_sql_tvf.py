@@ -172,6 +172,39 @@ def test_tvf_ivf_pq_k_factor_rerank_matches(spark, source, pq_uri):
     assert got == want
 
 
+@pytest.mark.parametrize("index_kind", ["FLAT", "IVF_FLAT", "VAMANA"])
+def test_tvf_cosine_matches_dataframe_api(
+    spark, source, tmp_path_factory, index_kind
+):
+    """Cosine-metric indexes are SQL-reachable with kernel-exact parity:
+    FLAT computes cosine over raw vectors; IVF_FLAT/VAMANA store
+    pre-normalized vectors and normalize queries (float32-cast) first."""
+    from tiledb_vector_search_spark.indexes import VamanaIndex
+
+    uri = str(tmp_path_factory.mktemp(f"tvfc{index_kind}") / "idx")
+    kw = {"FLAT": {}, "IVF_FLAT": {"partitions": 4}, "VAMANA": {"shards": 2}}[
+        index_kind
+    ]
+    cls = {"FLAT": FlatIndex, "IVF_FLAT": IVFFlatIndex, "VAMANA": VamanaIndex}[
+        index_kind
+    ]
+    idx = cls.ingest(spark, uri, source, metric="cosine", timestamp=1, **kw)
+    q = source.where("external_id < 8").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_qc")
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in _sql(spark, uri, "tvf_qc", k=5, nprobe=4).collect()
+    }
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in idx.query(q, 5, **({} if index_kind == "FLAT" else {"nprobe": 4}),
+                           strategy="kernel").collect()
+    }
+    assert got == want
+
+
 def test_tvf_k_factor_rejected_for_ivf_flat(spark, source, ivf_uri):
     source.limit(2).select(
         F.col("external_id").alias("query_id"), "vector"

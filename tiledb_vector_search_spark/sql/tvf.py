@@ -46,7 +46,9 @@ import numpy as np
 
 ANN_SEARCH_SCHEMA = "query_id long, external_id long, distance double, rank long"
 
-_SUPPORTED_METRICS = {"sum_of_squares", "l2"}
+# cosine is supported for FLAT / IVF_FLAT / VAMANA (the index types that
+# support it in the DataFrame API); IVF_PQ rejects it at ingest already
+_SUPPORTED_METRICS = {"sum_of_squares", "l2", "cosine"}
 
 
 def _read_parquet_dir(path: str, columns: list[str] | None = None):
@@ -113,6 +115,27 @@ def _route_files(
     return part_queries
 
 
+def _pairwise_distances(qmat: np.ndarray, x: np.ndarray, metric: str) -> np.ndarray:
+    """(nq, nb) distance matrix — cosine matches the engine kernel's
+    1 − ip/(|q||x|) form; sos/l2 use the BLAS identity (l2's sqrt is
+    applied at finalize so per-partition merges compare squared values,
+    same as the DataFrame path)."""
+    if metric == "cosine":
+        ip = qmat @ x.T
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        xn = np.linalg.norm(x, axis=1, keepdims=True)
+        denom = qn @ xn.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return 1.0 - np.where(denom > 0, ip / denom, 0.0)
+    dm = (
+        np.sum(qmat * qmat, axis=1)[:, None]
+        + np.sum(x * x, axis=1)[None, :]
+        - 2.0 * (qmat @ x.T)
+    )
+    np.maximum(dm, 0.0, out=dm)
+    return dm
+
+
 def _decode_vector_column(tb, vector_dtype: str, n: int) -> np.ndarray:
     if vector_dtype == "float32":
         return np.array(tb.column("vector").to_pylist(), dtype=np.float64)
@@ -123,19 +146,32 @@ def _decode_vector_column(tb, vector_dtype: str, n: int) -> np.ndarray:
     return raw.reshape(n, -1).astype(np.float64)
 
 
+def _normalize_queries_f32(qmat: np.ndarray) -> np.ndarray:
+    """Mirror the DataFrame path's query normalization EXACTLY: Catalyst's
+    ``normalize_expr(...).cast("array<float>")`` rounds the normalized
+    components to float32, so the numpy twin must too or parities drift."""
+    norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        normed = np.where(norms > 0, qmat / norms, qmat)
+    return normed.astype(np.float32).astype(np.float64)
+
+
 def _finalize(
     qids: np.ndarray,
     out: dict[int, list[tuple[float, int]]],
     k: int,
-    sqrt: bool,
+    sqrt: bool = False,
+    halve: bool = False,
 ) -> list[tuple[int, int, float, int]]:
     results: list[tuple[int, int, float, int]] = []
     for qi in range(len(qids)):
         merged = sorted(out[qi])[:k]
         for rank, (dist, eid) in enumerate(merged, 1):
-            results.append(
-                (int(qids[qi]), eid, float(np.sqrt(dist)) if sqrt else dist, rank)
-            )
+            if sqrt:
+                dist = float(np.sqrt(dist))
+            elif halve:
+                dist = dist / 2.0
+            results.append((int(qids[qi]), eid, dist, rank))
     return results
 
 
@@ -169,6 +205,10 @@ def search_index_files(
     if meta["index_type"] == "FLAT":
         return _search_flat_files(uri, ts, metric, vector_dtype, qids, qmat, k)
 
+    if metric == "cosine":
+        # the DataFrame path normalizes queries (float32-cast) before
+        # routing and scores 1 − ip/(|q||x|) in the kernel — mirror both
+        qmat = _normalize_queries_f32(qmat)
     centroids = _load_centroids(uri, ts)
     base = posixpath.join(uri, "base", f"ts={ts}")
     part_queries = _route_files(qmat, centroids, nprobe)
@@ -182,12 +222,7 @@ def search_index_files(
         ids = tb.column("external_id").to_numpy()
         x = _decode_vector_column(tb, vector_dtype, len(ids))
         sub = qmat[qlist]
-        dm = (
-            np.sum(sub * sub, axis=1)[:, None]
-            + np.sum(x * x, axis=1)[None, :]
-            - 2.0 * (sub @ x.T)
-        )
-        np.maximum(dm, 0.0, out=dm)
+        dm = _pairwise_distances(sub, x, metric)
         keep = min(k, dm.shape[1])
         for row, qi in enumerate(qlist):
             idx = np.lexsort((ids, dm[row]))[:keep]
@@ -321,12 +356,9 @@ def _search_flat_files(
     tb = _read_parquet_dir(base, columns=["external_id", "vector"])
     ids = tb.column("external_id").to_numpy()
     x = _decode_vector_column(tb, vector_dtype, len(ids))
-    dm = (
-        np.sum(qmat * qmat, axis=1)[:, None]
-        + np.sum(x * x, axis=1)[None, :]
-        - 2.0 * (qmat @ x.T)
-    )
-    np.maximum(dm, 0.0, out=dm)
+    # FLAT stores raw vectors (no normalize-on-write); cosine is computed
+    # directly by the kernel formula, queries NOT pre-normalized
+    dm = _pairwise_distances(qmat, x, metric)
     keep = min(k, dm.shape[1])
     out: dict[int, list[tuple[float, int]]] = {}
     for qi in range(len(qids)):
@@ -355,6 +387,11 @@ def _search_vamana_files(
     """
     from tiledb_vector_search_spark.ml.vamana import search_vamana_graph
 
+    if metric == "cosine":
+        # stored vectors are pre-normalized (normalize_on_write); mirror
+        # the DataFrame path's query normalization, walk in sos space and
+        # halve at finalize (unit vectors: cosine distance = sos/2)
+        qmat = _normalize_queries_f32(qmat)
     centroids = _load_centroids(uri, ts)
     med_tb = _read_parquet_dir(posixpath.join(uri, "aux", "vamana_medoids", f"ts={ts}"))
     medoids = {
@@ -412,7 +449,9 @@ def _search_vamana_files(
                 if eid not in best or d < best[eid]:
                     best[eid] = d
             out[qi] = [(d, eid) for eid, d in best.items()]
-    return _finalize(qids, out, k, sqrt=metric == "l2")
+    return _finalize(
+        qids, out, k, sqrt=metric == "l2", halve=metric == "cosine"
+    )
 
 
 class AnnSearchUDTF:
