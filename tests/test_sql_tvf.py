@@ -205,6 +205,37 @@ def test_tvf_cosine_matches_dataframe_api(
     assert got == want
 
 
+def test_tvf_time_travel(spark, source, tmp_path_factory):
+    """A 6th timestamp argument time-travels to the newest snapshot at or
+    before it — the SQL twin of open_index(timestamp=...).  A historical
+    view from before pending updates stays queryable; the window that
+    contains them is rejected."""
+    uri = str(tmp_path_factory.mktemp("tvftt") / "idx")
+    idx = FlatIndex.ingest(spark, uri, source.where("external_id < 50"), timestamp=1000)
+    idx.delete(0, timestamp=2000)
+    source.where("external_id < 3").select(
+        F.col("external_id").alias("query_id"), "vector"
+    ).createOrReplaceTempView("tvf_qt")
+    register_ann_search(spark)
+
+    def at(ts):
+        return spark.sql(
+            "SELECT * FROM ann_search(TABLE(SELECT * FROM tvf_qt),"
+            f" '{uri}', 3, 1, CAST(1.0 AS DOUBLE), {ts})"
+        ).collect()
+
+    # at ts=1500 (before the delete batch) id 0 is still its own best match
+    assert any(r.external_id == 0 for r in at(1500))
+    # the window containing the un-consolidated delete is rejected
+    with pytest.raises(Exception, match="un-consolidated updates"):
+        at(2500)
+    with pytest.raises(Exception, match="no ingestion at or before"):
+        at(500)
+    # after consolidation the delete is folded in: id 0 gone at ts>=3000
+    idx.consolidate_updates(timestamp=3000)
+    assert all(r.external_id != 0 for r in at(3500))
+
+
 def test_tvf_k_factor_rejected_for_ivf_flat(spark, source, ivf_uri):
     source.limit(2).select(
         F.col("external_id").alias("query_id"), "vector"

@@ -66,8 +66,17 @@ def _read_parquet_dir(path: str, columns: list[str] | None = None):
 _TVF_INDEX_TYPES = ("FLAT", "IVF_FLAT", "IVF_PQ", "VAMANA")
 
 
-def _open_index_meta(uri: str) -> tuple[dict, int, str, str]:
-    """(meta, latest_ts, metric, vector_dtype) with the shared validations."""
+def _open_index_meta(
+    uri: str, timestamp: int | None = None
+) -> tuple[dict, int, str, str]:
+    """(meta, base_ts, metric, vector_dtype) with the shared validations.
+
+    ``timestamp`` time-travels: the newest ingestion ≤ timestamp is read
+    (the DataFrame ``open_index(timestamp=...)`` contract).  Updates are
+    rejected only when they fall INSIDE the requested window (base_ts,
+    timestamp] — a historical view from before the pending updates were
+    appended stays queryable.
+    """
     with open(posixpath.join(uri, "_index_meta.json")) as fh:
         meta = json.load(fh)
     if meta.get("index_type") not in _TVF_INDEX_TYPES:
@@ -78,14 +87,26 @@ def _open_index_meta(uri: str) -> tuple[dict, int, str, str]:
     metric = meta.get("metric", "sum_of_squares")
     if metric not in _SUPPORTED_METRICS:
         raise ValueError(f"ann_search TVF does not support metric {metric}")
-    if meta.get("update_batches"):
-        raise ValueError(
-            "index has un-consolidated updates; run consolidate_updates() "
-            "or query through the DataFrame API"
-        )
     if not meta.get("ingestions"):
         raise ValueError(f"no ingestions at {uri}")
-    ts = meta["ingestions"][-1]["ts"]
+    ings = [
+        e["ts"]
+        for e in meta["ingestions"]
+        if timestamp is None or e["ts"] <= timestamp
+    ]
+    if not ings:
+        raise ValueError(f"no ingestion at or before timestamp {timestamp}")
+    ts = max(ings)
+    pending = [
+        t
+        for t in meta.get("update_batches", [])
+        if t > ts and (timestamp is None or t <= timestamp)
+    ]
+    if pending:
+        raise ValueError(
+            "index has un-consolidated updates in the queried window; run "
+            "consolidate_updates() or query through the DataFrame API"
+        )
     return meta, ts, metric, meta.get("vector_dtype", "float32")
 
 
@@ -182,16 +203,17 @@ def search_index_files(
     k: int,
     nprobe: int,
     k_factor: float = 1.0,
+    timestamp: int | None = None,
 ) -> list[tuple[int, int, float, int]]:
-    """IVF / IVF_PQ top-k over the on-disk index via pyarrow — no
-    SparkSession.
+    """Index top-k over the on-disk index via pyarrow — no SparkSession.
 
     Deterministic (distance, external_id) tie-break, identical to the
     DataFrame query path's contract.  ``k_factor`` applies to IVF_PQ only
     (coarse ADC candidates × k_factor, exact re-rank on the ``vector``
-    column of the candidates' partitions).
+    column of the candidates' partitions).  ``timestamp`` time-travels to
+    the newest snapshot at or before it.
     """
-    meta, ts, metric, vector_dtype = _open_index_meta(uri)
+    meta, ts, metric, vector_dtype = _open_index_meta(uri, timestamp)
     if meta["index_type"] == "IVF_PQ":
         return _search_ivf_pq_files(
             uri, meta, ts, metric, vector_dtype, qids, qmat, k, nprobe, k_factor
@@ -466,21 +488,37 @@ class AnnSearchUDTF:
     def __init__(self):
         self._qids: list[int] = []
         self._qvecs: list[list[float]] = []
-        self._args: tuple[str, int, int, float] | None = None
+        self._args: tuple | None = None
 
-    def eval(self, row, uri: str, k: int, nprobe: int, k_factor: float = 1.0):
+    def eval(
+        self,
+        row,
+        uri: str,
+        k: int,
+        nprobe: int,
+        k_factor: float = 1.0,
+        timestamp: int | None = None,
+    ):
         self._qids.append(int(row.query_id))
         self._qvecs.append(list(row.vector))
         if self._args is None:  # constant per task; store once, not per row
-            self._args = (uri, int(k), int(nprobe), float(k_factor))
+            self._args = (
+                uri,
+                int(k),
+                int(nprobe),
+                float(k_factor),
+                None if timestamp is None else int(timestamp),
+            )
 
     def terminate(self):
         if not self._qids:
             return
-        uri, k, nprobe, k_factor = self._args
+        uri, k, nprobe, k_factor, timestamp = self._args
         qids = np.asarray(self._qids, dtype=np.int64)
         qmat = np.asarray(self._qvecs, dtype=np.float64)
-        yield from search_index_files(uri, qids, qmat, k, nprobe, k_factor)
+        yield from search_index_files(
+            uri, qids, qmat, k, nprobe, k_factor, timestamp
+        )
 
 
 def register_ann_search(spark, name: str = "ann_search") -> None:
