@@ -499,6 +499,24 @@ def test_centering_mean_unbiased_on_sorted_corpus(spark):
     assert max(r["count"] for r in sizes) < 4000 * 0.2
 
 
+def test_dedup_pipelines_degenerate_inputs(spark):
+    """Empty and single-doc corpora produce zero pairs without errors —
+    the eager-checkpoint path must not choke on empty frames."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    one = spark.createDataFrame(
+        [(1, "just one tiny document here")], "doc_id long, text string"
+    )
+    for df in (empty, one):
+        assert DD.minhash_dedup(df, num_perm=8, bands=2).count() == 0
+        assert DD.ngram_jaccard_dedup(df).count() == 0
+    assert (
+        DD.connected_components(
+            spark.createDataFrame([], "id_a long, id_b long")
+        ).count()
+        == 0
+    )
+
+
 def test_centering_mean_single_scan_no_count(spark, monkeypatch):
     """The mean estimate is ONE bounded mapInPandas scan — no count() pass
     and no full-corpus collect (VERDICT r3 #4)."""

@@ -45,6 +45,41 @@ def test_robust_prune_degree_bound():
     assert int(np.argmin(d)) in out
 
 
+def test_robust_prune_properties_hypothesis():
+    """Property contract of the vectorized prune across random shapes and
+    parameters: subset of candidates, no self, degree-bounded, nearest
+    kept, dmat and on-the-fly forms agree."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(2, 60),
+        dims=st.integers(1, 8),
+        r_max=st.integers(1, 16),
+        alpha=st.floats(1.0, 2.0),
+        seed=st.integers(0, 1000),
+    )
+    def check(n, dims, r_max, alpha, seed):
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((n, dims))
+        cand = np.arange(n)
+        out = _robust_prune(x, 0, cand, alpha=alpha, r_max=r_max)
+        assert len(out) <= r_max
+        assert 0 not in out
+        assert set(out.tolist()) <= set(cand.tolist())
+        d = np.sum((x - x[0]) ** 2, axis=1)
+        d[0] = np.inf
+        assert int(np.argmin(d)) in out
+        # precomputed-matrix form selects the same neighbors
+        sq = np.einsum("ij,ij->i", x, x)
+        dmat = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0)
+        out2 = _robust_prune(x, 0, cand, alpha=alpha, r_max=r_max, dmat=dmat)
+        assert out.tolist() == out2.tolist()
+
+    check()
+
+
 def test_graph_build_and_exact_search():
     rng = np.random.default_rng(2)
     x = rng.standard_normal((300, 16))
