@@ -239,12 +239,21 @@ def main() -> None:
     # reported so a non-reproducible number is visible as such.  EVERY
     # query gets the full RUNS samples — r3's 2-sample shortcut for heavy
     # pipelines made the "median" the midpoint of two numbers that could
-    # differ 6×, which printed a phantom regression.  Index builds delete
-    # their output first, so every run does full work.
+    # differ 6×, which printed a phantom regression.  Each query also gets
+    # ONE untimed warm-up run first: the first execution of a pipeline
+    # pays whole-stage-codegen compilation for its unique plan shapes
+    # (measured ~2-3× on the multi-stage dedup pipelines), which is a
+    # per-plan JVM one-off, not a property of the query — the metric is
+    # steady-state.  Index builds delete their output first, so every
+    # timed run does full work.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, fn in _bench_queries(spark, sf_dir).items():
+        if warmup:
+            _quiesce()
+            fn()
         samples: list[float] = []
         for _ in range(runs):
             # quiesce per RUN so each run starts from comparable heap state
