@@ -30,9 +30,13 @@ candidate rows' partitions), and VAMANA (per-shard graph walks from the
 stored medoids, including the cross-shard overlay pseudo-shard when the
 index has one).
 
+Metrics: SUM_OF_SQUARES / L2 / COSINE (cosine for the index types that
+support it in the DataFrame API).  An optional ``timestamp`` argument
+time-travels to the newest snapshot at or before it.
+
 Limitations (explicit): local/POSIX index paths (executor-side pyarrow
-reads), un-consolidated updates are rejected (query through the DataFrame
-API or ``consolidate_updates()`` first), SUM_OF_SQUARES / L2 metrics.
+reads); un-consolidated updates in the queried window are rejected
+(query through the DataFrame API or ``consolidate_updates()`` first).
 """
 
 from __future__ import annotations
