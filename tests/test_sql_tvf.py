@@ -51,19 +51,78 @@ def test_tvf_matches_dataframe_api(spark, source, ivf_uri):
     assert got == want
 
 
-def test_tvf_rejects_unconsolidated_updates(spark, source, tmp_path_factory):
-    uri = str(tmp_path_factory.mktemp("tvfu") / "idx")
-    idx = IVFFlatIndex.ingest(spark, uri, source, partitions=4, timestamp=1)
-    idx.delete(0, timestamp=2)
-    source.limit(3).select(
+@pytest.mark.parametrize("index_kind", ["FLAT", "IVF_FLAT", "IVF_PQ", "VAMANA"])
+def test_tvf_merges_unconsolidated_updates(
+    spark, source, tmp_path_factory, index_kind
+):
+    """The TVF resolves the updates log exactly like the DataFrame path:
+    tombstones drop out, upserts supersede their base copy, brand-new ids
+    appear — parity-pinned per index type on a mixed merge_batch."""
+    from tiledb_vector_search_spark.indexes import VamanaIndex
+
+    uri = str(tmp_path_factory.mktemp(f"tvfu{index_kind}") / "idx")
+    kw = {
+        "FLAT": {},
+        "IVF_FLAT": {"partitions": 4},
+        "IVF_PQ": {"partitions": 4, "num_subspaces": 8},
+        "VAMANA": {"shards": 2},
+    }[index_kind]
+    cls = {
+        "FLAT": FlatIndex,
+        "IVF_FLAT": IVFFlatIndex,
+        "IVF_PQ": IVFPQIndex,
+        "VAMANA": VamanaIndex,
+    }[index_kind]
+    idx = cls.ingest(
+        spark, uri, source.where("external_id < 200"), timestamp=1, **kw
+    )
+    # mixed batch: delete 0-2, move 3-4 far away, insert new ids 9001-9002
+    moved = source.where("external_id IN (3, 4)").select(
+        "external_id",
+        F.transform("vector", lambda v: v + F.lit(100.0))
+        .cast("array<float>")
+        .alias("vector"),
+        F.lit(False).alias("is_delete"),
+    )
+    fresh = source.where("external_id IN (10, 11)").select(
+        (F.col("external_id") + 8991).alias("external_id"),
+        "vector",
+        F.lit(False).alias("is_delete"),
+    )
+    dels = source.where("external_id < 3").select(
+        "external_id",
+        F.lit(None).cast("array<float>").alias("vector"),
+        F.lit(True).alias("is_delete"),
+    )
+    idx.merge_batch(moved.union(fresh).union(dels), timestamp=2)
+
+    q = source.where("external_id < 6").select(
         F.col("external_id").alias("query_id"), "vector"
-    ).createOrReplaceTempView("tvf_qu")
-    with pytest.raises(Exception, match="consolidate"):
-        _sql(spark, uri, "tvf_qu").collect()
-    # after consolidation the TVF works again and excludes the deleted id
-    idx.consolidate_updates(timestamp=3)
-    rows = _sql(spark, uri, "tvf_qu", k=3).collect()
-    assert rows and all(r.external_id != 0 for r in rows)
+    )
+    q.createOrReplaceTempView("tvf_qu")
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 6))
+        for r in _sql(spark, uri, "tvf_qu", k=5).collect()
+    }
+    qkw = {} if index_kind == "FLAT" else {"nprobe": 4}
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 6))
+        for r in idx.query(q, 5, strategy="kernel", **qkw).collect()
+    }
+    assert got == want
+    eids = {e for _, _, e, _ in got}
+    assert not eids & {0, 1, 2}  # tombstones dropped
+    if index_kind in ("FLAT", "IVF_FLAT"):
+        # exact index types at full probe: consolidation must not change
+        # the answer (PQ re-encodes additions — ADC approximation differs
+        # from the merged path's exact addition scores; Vamana rebuilds
+        # the graph — ANN walks may differ)
+        idx.consolidate_updates(timestamp=3)
+        folded = {
+            (r.query_id, r.rank, r.external_id)
+            for r in _sql(spark, uri, "tvf_qu", k=5).collect()
+        }
+        assert folded == {(a, b, c) for a, b, c, _ in got}
 
 
 def test_tvf_flat_matches_dataframe_api(spark, source, tmp_path_factory):
@@ -209,7 +268,7 @@ def test_tvf_time_travel(spark, source, tmp_path_factory):
     """A 6th timestamp argument time-travels to the newest snapshot at or
     before it — the SQL twin of open_index(timestamp=...).  A historical
     view from before pending updates stays queryable; the window that
-    contains them is rejected."""
+    contains them MERGES the updates overlay."""
     uri = str(tmp_path_factory.mktemp("tvftt") / "idx")
     idx = FlatIndex.ingest(spark, uri, source.where("external_id < 50"), timestamp=1000)
     idx.delete(0, timestamp=2000)
@@ -226,14 +285,15 @@ def test_tvf_time_travel(spark, source, tmp_path_factory):
 
     # at ts=1500 (before the delete batch) id 0 is still its own best match
     assert any(r.external_id == 0 for r in at(1500))
-    # the window containing the un-consolidated delete is rejected
-    with pytest.raises(Exception, match="un-consolidated updates"):
-        at(2500)
+    # the window containing the un-consolidated delete merges it: id 0 gone
+    merged = {(r.query_id, r.rank, r.external_id) for r in at(2500)}
+    assert all(e != 0 for _, _, e in merged)
     with pytest.raises(Exception, match="no ingestion at or before"):
         at(500)
-    # after consolidation the delete is folded in: id 0 gone at ts>=3000
+    # after consolidation the folded view agrees with the merged one
     idx.consolidate_updates(timestamp=3000)
-    assert all(r.external_id != 0 for r in at(3500))
+    folded = {(r.query_id, r.rank, r.external_id) for r in at(3500)}
+    assert merged == folded
 
 
 def test_tvf_k_factor_rejected_for_ivf_flat(spark, source, ivf_uri):

@@ -34,9 +34,17 @@ Metrics: SUM_OF_SQUARES / L2 / COSINE (cosine for the index types that
 support it in the DataFrame API).  An optional ``timestamp`` argument
 time-travels to the newest snapshot at or before it.
 
+Un-consolidated updates are MERGED, mirroring the DataFrame path: every
+task reads the updates log (parquet under ``updates/``), resolves
+latest-per-id with the exact ``IndexStorage.read_updates`` precedence
+(ts desc, upsert-over-delete, vector-lexicographic), tombstone-filters
+the base results, and brute-force-scores the additions into the top-k.
+Per-task cost is O(|updates log in window|) extra IO — the same bounded-
+churn assumption as the DataFrame small-batch path; consolidate for
+heavy churn.
+
 Limitations (explicit): local/POSIX index paths (executor-side pyarrow
-reads); un-consolidated updates in the queried window are rejected
-(query through the DataFrame API or ``consolidate_updates()`` first).
+reads).
 """
 
 from __future__ import annotations
@@ -73,13 +81,13 @@ _TVF_INDEX_TYPES = ("FLAT", "IVF_FLAT", "IVF_PQ", "VAMANA")
 def _open_index_meta(
     uri: str, timestamp: int | None = None
 ) -> tuple[dict, int, str, str]:
-    """(meta, base_ts, metric, vector_dtype) with the shared validations.
+    """(meta, base_ts, metric, vector_dtype, has_pending) validations.
 
     ``timestamp`` time-travels: the newest ingestion ≤ timestamp is read
-    (the DataFrame ``open_index(timestamp=...)`` contract).  Updates are
-    rejected only when they fall INSIDE the requested window (base_ts,
-    timestamp] — a historical view from before the pending updates were
-    appended stays queryable.
+    (the DataFrame ``open_index(timestamp=...)`` contract).
+    ``has_pending`` is True when un-consolidated update batches fall
+    INSIDE the requested window (base_ts, timestamp] — the search paths
+    then merge the updates overlay (``_load_updates``).
     """
     with open(posixpath.join(uri, "_index_meta.json")) as fh:
         meta = json.load(fh)
@@ -106,12 +114,7 @@ def _open_index_meta(
         for t in meta.get("update_batches", [])
         if t > ts and (timestamp is None or t <= timestamp)
     ]
-    if pending:
-        raise ValueError(
-            "index has un-consolidated updates in the queried window; run "
-            "consolidate_updates() or query through the DataFrame API"
-        )
-    return meta, ts, metric, meta.get("vector_dtype", "float32")
+    return meta, ts, metric, meta.get("vector_dtype", "float32"), bool(pending)
 
 
 def _load_centroids(uri: str, ts: int) -> np.ndarray:
@@ -119,6 +122,88 @@ def _load_centroids(uri: str, ts: int) -> np.ndarray:
     order = np.argsort(cent_tb.column("partition_id").to_numpy())
     cent_rows = cent_tb.column("centroid").to_pylist()
     return np.array([cent_rows[i] for i in order], dtype=np.float64)
+
+
+def _load_updates(
+    uri: str, base_ts: int, timestamp: int | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Resolved updates overlay in (base_ts, timestamp] —
+    (tombstone_ids, addition_ids, addition_matrix).
+
+    Mirrors ``IndexStorage.read_updates`` EXACTLY: latest row per id by
+    (ts desc, is_delete asc, vector lexicographic asc, nulls last).
+    ``tombstone_ids`` is every updated id (upserts too — their base copy
+    is superseded); additions re-add the upserted ids with new vectors.
+    """
+    empty = np.empty(0, dtype=np.int64)
+    files = sorted(glob.glob(posixpath.join(uri, "updates", "*.parquet")))
+    if not files:
+        return empty, empty, None
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tb = pa.concat_tables(
+        pq.read_table(f, columns=["external_id", "vector", "is_delete", "ts"])
+        for f in files
+    )
+    ids = tb.column("external_id").to_numpy()
+    tss = tb.column("ts").to_numpy()
+    dels = tb.column("is_delete").to_numpy(zero_copy_only=False)
+    vecs = tb.column("vector").to_pylist()
+    in_win = (tss > base_ts) & (
+        np.ones(len(tss), dtype=bool) if timestamp is None else tss <= timestamp
+    )
+    best: dict[int, tuple] = {}  # id -> (ts, is_delete, vec_key, vec)
+    for i in np.flatnonzero(in_win):
+        v = vecs[i]
+        # sort key mirroring (ts desc, is_delete asc, vector asc nulls last)
+        key = (-int(tss[i]), bool(dels[i]), v is None, tuple(v or ()))
+        eid = int(ids[i])
+        cur = best.get(eid)
+        if cur is None or key < cur[0]:
+            best[eid] = (key, bool(dels[i]), v)
+    if not best:
+        return empty, empty, None
+    tomb = np.array(sorted(best), dtype=np.int64)
+    adds = sorted(
+        (eid, v) for eid, (_, d, v) in best.items() if not d
+    )
+    if not adds:
+        return tomb, empty, None
+    add_ids = np.array([e for e, _ in adds], dtype=np.int64)
+    add_mat = np.array([v for _, v in adds], dtype=np.float64)
+    return tomb, add_ids, add_mat
+
+
+def _mask_tombstones(
+    ids: np.ndarray, tomb: np.ndarray
+) -> np.ndarray | None:
+    """Boolean keep-mask over ``ids``, or None when nothing is masked."""
+    if len(tomb) == 0:
+        return None
+    keep = ~np.isin(ids, tomb)
+    return None if keep.all() else keep
+
+
+def _extend_with_additions(
+    out: dict[int, list[tuple[float, int]]],
+    qmat: np.ndarray,
+    add_ids: np.ndarray,
+    add_mat: np.ndarray | None,
+    k: int,
+    metric: str,
+) -> None:
+    """Brute-force-score additions for every query and merge into ``out``
+    — the ``knn_bruteforce_expr(additions) unionByName`` branch of the
+    DataFrame paths.  ``metric`` is the INTERNAL scoring space of the
+    caller (squared for sos/l2 pre-finalize; cosine direct)."""
+    if add_mat is None or len(add_ids) == 0:
+        return
+    dm = _pairwise_distances(qmat, add_mat, metric)
+    keep = min(k, dm.shape[1])
+    for qi in range(qmat.shape[0]):
+        idx = np.lexsort((add_ids, dm[qi]))[:keep]
+        out[qi].extend((float(dm[qi, j]), int(add_ids[j])) for j in idx)
 
 
 def _route_files(
@@ -217,24 +302,33 @@ def search_index_files(
     column of the candidates' partitions).  ``timestamp`` time-travels to
     the newest snapshot at or before it.
     """
-    meta, ts, metric, vector_dtype = _open_index_meta(uri, timestamp)
+    meta, ts, metric, vector_dtype, pending = _open_index_meta(uri, timestamp)
+    upd = (
+        _load_updates(uri, ts, timestamp)
+        if pending
+        else (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), None)
+    )
     if meta["index_type"] == "IVF_PQ":
         return _search_ivf_pq_files(
-            uri, meta, ts, metric, vector_dtype, qids, qmat, k, nprobe, k_factor
+            uri, meta, ts, metric, vector_dtype, qids, qmat, k, nprobe,
+            k_factor, upd,
         )
     if k_factor != 1.0:
         raise ValueError("k_factor applies to IVF_PQ indexes only")
     if meta["index_type"] == "VAMANA":
         return _search_vamana_files(
-            uri, ts, metric, vector_dtype, qids, qmat, k, nprobe
+            uri, ts, metric, vector_dtype, qids, qmat, k, nprobe, upd
         )
     if meta["index_type"] == "FLAT":
-        return _search_flat_files(uri, ts, metric, vector_dtype, qids, qmat, k)
+        return _search_flat_files(
+            uri, ts, metric, vector_dtype, qids, qmat, k, upd
+        )
 
     if metric == "cosine":
         # the DataFrame path normalizes queries (float32-cast) before
         # routing and scores 1 − ip/(|q||x|) in the kernel — mirror both
         qmat = _normalize_queries_f32(qmat)
+    tomb, add_ids, add_mat = upd
     centroids = _load_centroids(uri, ts)
     base = posixpath.join(uri, "base", f"ts={ts}")
     part_queries = _route_files(qmat, centroids, nprobe)
@@ -247,6 +341,11 @@ def search_index_files(
         tb = _read_parquet_dir(pdir, columns=["external_id", "vector"])
         ids = tb.column("external_id").to_numpy()
         x = _decode_vector_column(tb, vector_dtype, len(ids))
+        mask = _mask_tombstones(ids, tomb)
+        if mask is not None:
+            ids, x = ids[mask], x[mask]
+            if len(ids) == 0:
+                continue
         sub = qmat[qlist]
         dm = _pairwise_distances(sub, x, metric)
         keep = min(k, dm.shape[1])
@@ -254,6 +353,11 @@ def search_index_files(
             idx = np.lexsort((ids, dm[row]))[:keep]
             out[qi].extend((float(dm[row, j]), int(ids[j])) for j in idx)
 
+    # additions scored in the same internal space the loop used (sos/l2
+    # stay squared until _finalize's sqrt; cosine is direct) — stored
+    # additions are pre-normalized for cosine (normalize_on_write), and
+    # _pairwise_distances' cosine form is scale-invariant regardless
+    _extend_with_additions(out, qmat, add_ids, add_mat, k, metric)
     return _finalize(qids, out, k, sqrt=metric == "l2")
 
 
@@ -268,6 +372,7 @@ def _search_ivf_pq_files(
     k: int,
     nprobe: int,
     k_factor: float,
+    upd: tuple[np.ndarray, np.ndarray, np.ndarray | None],
 ) -> list[tuple[int, int, float, int]]:
     """ADC scan over the packed ``code`` column + optional exact re-rank.
 
@@ -280,6 +385,7 @@ def _search_ivf_pq_files(
     """
     import math
 
+    tomb, add_ids, add_mat = upd
     m = int(meta["num_subspaces"])
     centroids = _load_centroids(uri, ts)
 
@@ -322,6 +428,11 @@ def _search_ivf_pq_files(
         codes = np.frombuffer(
             b"".join(tb.column("code").to_pylist()), dtype=np.uint8
         ).reshape(len(ids), m)
+        mask = _mask_tombstones(ids, tomb)
+        if mask is not None:
+            ids, codes = ids[mask], codes[mask]
+            if len(ids) == 0:
+                continue
         keep = min(coarse_k, len(ids))
         for qi in qlist:
             dv = tables[qi][arange_m[None, :], codes].sum(axis=1)
@@ -331,6 +442,10 @@ def _search_ivf_pq_files(
                 cand_pids.setdefault(int(ids[j]), set()).add(pid)
 
     if k_factor <= 1.0:
+        # additions are scored EXACTLY (the DataFrame path's
+        # knn_bruteforce_expr branch) and merge with the base's ADC
+        # approximations — identical to IVFPQIndex.query semantics
+        _extend_with_additions(out, qmat, add_ids, add_mat, k, "sum_of_squares")
         return _finalize(qids, out, k, sqrt=metric == "l2")
 
     # exact re-rank: trim to coarse_k per query, then re-score those ids
@@ -361,6 +476,9 @@ def _search_ivf_pq_files(
             diff = vec_of[eid] - qv
             scored.append((float(np.dot(diff, diff)), eid))
         exact[qi] = scored
+    # additions bypass the coarse/re-rank pair entirely — they are exact
+    # from the start (the DataFrame path unions them after the re-rank)
+    _extend_with_additions(exact, qmat, add_ids, add_mat, k, "sum_of_squares")
     return _finalize(qids, exact, k, sqrt=metric == "l2")
 
 
@@ -372,16 +490,31 @@ def _search_flat_files(
     qids: np.ndarray,
     qmat: np.ndarray,
     k: int,
+    upd: tuple[np.ndarray, np.ndarray, np.ndarray | None],
 ) -> list[tuple[int, int, float, int]]:
     """Brute-force scan of the (unpartitioned) FLAT snapshot.
 
     Per-task IO = the whole corpus — exactly the FLAT contract; the
     partition-pruned types are the scale path.  ``nprobe`` does not apply.
+    Updates fold into the scanned set itself (``effective_vectors``
+    semantics: base ∖ updated_ids ∪ additions).
     """
+    tomb, add_ids, add_mat = upd
     base = posixpath.join(uri, "base", f"ts={ts}")
     tb = _read_parquet_dir(base, columns=["external_id", "vector"])
     ids = tb.column("external_id").to_numpy()
     x = _decode_vector_column(tb, vector_dtype, len(ids))
+    mask = _mask_tombstones(ids, tomb)
+    if mask is not None:
+        ids, x = ids[mask], x[mask]
+    if add_mat is not None and len(add_ids):
+        if len(ids) == 0:
+            ids, x = add_ids, add_mat
+        else:
+            ids = np.concatenate([ids, add_ids])
+            x = np.concatenate([x, add_mat], axis=0)
+    if len(ids) == 0:  # fully tombstoned, nothing added
+        return []
     # FLAT stores raw vectors (no normalize-on-write); cosine is computed
     # directly by the kernel formula, queries NOT pre-normalized
     dm = _pairwise_distances(qmat, x, metric)
@@ -402,6 +535,7 @@ def _search_vamana_files(
     qmat: np.ndarray,
     k: int,
     nprobe: int,
+    upd: tuple[np.ndarray, np.ndarray, np.ndarray | None],
 ) -> list[tuple[int, int, float, int]]:
     """Sharded Vamana graph walks over the on-disk index — no SparkSession.
 
@@ -410,6 +544,12 @@ def _search_vamana_files(
     kernel the DataFrame path runs), walks the cross-shard overlay
     pseudo-shard when present, and merges with the (distance, id)
     tie-break.  Per-task IO = probed shard directories only.
+
+    Updates mirror ``VamanaIndex.query``'s lazy-delete contract:
+    tombstoned nodes stay in the graph as WAYPOINTS (removing them would
+    cut connectivity), each shard over-walks by its tombstone overlap,
+    tombstones are dropped from the walk RESULTS, and additions are
+    brute-force-scored into the merge.
     """
     from tiledb_vector_search_spark.ml.vamana import search_vamana_graph
 
@@ -434,6 +574,9 @@ def _search_vamana_files(
 
     out: dict[int, list[tuple[float, int]]] = {qi: [] for qi in range(len(qids))}
 
+    tomb, add_ids, add_mat = upd
+    tomb_set = set(tomb.tolist())
+
     def walk_group(tb, pid: int, qlist: list[int]) -> None:
         ids = tb.column("external_id").to_numpy()
         x = _decode_vector_column(tb, vector_dtype, len(ids))
@@ -444,11 +587,21 @@ def _search_vamana_files(
         ]
         med_id = medoids.get(pid)
         med = pos.get(med_id, 0) if med_id is not None else 0
+        # over-walk past this group's tombstones so k survivors remain
+        # after the result-side filter (the DataFrame path's eff_k; the
+        # kernel widens the beam to max(l_search, eff_k) itself, and the
+        # first k SURVIVORS are invariant to any eff_k ≥ k + overlap)
+        n_tomb = int(np.isin(ids, tomb).sum()) if tomb_set else 0
+        eff_k = k + n_tomb
         for qi in qlist:
             vi, vd = search_vamana_graph(
-                x, adj, med, qmat[qi], min(k, len(ids)), l_search
+                x, adj, med, qmat[qi], eff_k, l_search
             )
-            out[qi].extend((float(d), int(ids[p])) for p, d in zip(vi, vd))
+            out[qi].extend(
+                (float(d), int(ids[p]))
+                for p, d in zip(vi, vd)
+                if int(ids[p]) not in tomb_set
+            )
 
     for pid, qlist in sorted(part_queries.items()):
         pdir = posixpath.join(base, f"partition_id={pid}")
@@ -475,6 +628,9 @@ def _search_vamana_files(
                 if eid not in best or d < best[eid]:
                     best[eid] = d
             out[qi] = [(d, eid) for eid, d in best.items()]
+    # additions merge in the walk's sos space (finalize halves for cosine
+    # — stored additions are pre-normalized, so sos/2 = cosine distance)
+    _extend_with_additions(out, qmat, add_ids, add_mat, k, "sum_of_squares")
     return _finalize(
         qids, out, k, sqrt=metric == "l2", halve=metric == "cosine"
     )

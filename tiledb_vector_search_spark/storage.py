@@ -269,9 +269,13 @@ class IndexStorage:
         upsert and a tombstone for the same id can tie.  Precedence: the
         upsert wins (``is_delete`` ascending) — matching the semantics of
         issuing the delete first and the upsert at a later ts, which is
-        what the equivalent two-call sequence produces.  A final
-        vector-hash key makes the pick stable even if one batch carries
-        two different upserts for the same id.
+        what the equivalent two-call sequence produces.  A final ordering
+        on the vector value itself (Spark arrays compare element-wise
+        lexicographically) makes the pick stable even if one batch
+        carries two different upserts for the same id — and, unlike a
+        hash key, is exactly mirrorable by the SQL TVF's pyarrow/numpy
+        twin (``sql/tvf.py:_load_updates``), which must resolve the log
+        identically.
         """
         df = self.read_updates_raw()
         if lo_exclusive is not None:
@@ -281,7 +285,7 @@ class IndexStorage:
         w = Window.partitionBy(ID_COL).orderBy(
             F.col("ts").desc(),
             F.col("is_delete").asc(),
-            F.xxhash64(VECTOR_COL).asc_nulls_last(),
+            F.col(VECTOR_COL).asc_nulls_last(),
         )
         return (
             df.withColumn("__rn", F.row_number().over(w))
