@@ -332,3 +332,61 @@ def test_tvf_u8_index(spark, sf_dir, tmp_path_factory):
         for r in idx.query(q, 3, nprobe=4, strategy="kernel").collect()
     }
     assert got == want
+
+
+def test_load_updates_mirrors_read_updates_on_randomized_log(
+    spark, tmp_path_factory
+):
+    """The TVF's numpy log resolution must pick the SAME winner per id as
+    IndexStorage.read_updates on an adversarial log: multiple batches,
+    same-ts upsert/tombstone ties, and same-ts dual upserts with
+    different vectors (resolved by vector-lexicographic order)."""
+    import random
+
+    from tiledb_vector_search_spark.indexes import open_index
+    from tiledb_vector_search_spark.session import small_df
+    from tiledb_vector_search_spark.sql.tvf import _load_updates
+
+    rng = random.Random(20260814)
+    dims = 4
+    base = [(i, [float(rng.randint(0, 9)) for _ in range(dims)]) for i in range(20)]
+    uri = str(tmp_path_factory.mktemp("tvflog") / "idx")
+    src = small_df(spark, base, "external_id long, vector array<float>")
+    idx = FlatIndex.ingest(spark, uri, src, timestamp=100)
+
+    for ts in (200, 300, 400):
+        rows = []
+        for _ in range(15):
+            eid = rng.randint(0, 24)  # some ids beyond the base (inserts)
+            if rng.random() < 0.3:
+                rows.append((eid, None, True))
+            else:
+                rows.append(
+                    (eid, [float(rng.randint(0, 9)) for _ in range(dims)], False)
+                )
+        batch = small_df(
+            spark, rows, "external_id long, vector array<float>, is_delete boolean"
+        )
+        idx.merge_batch(batch, timestamp=ts)
+
+    idx = open_index(spark, uri)
+    resolved = {
+        int(r["external_id"]): (bool(r["is_delete"]), r["vector"])
+        for r in idx.storage.read_updates(100, None).collect()
+    }
+    tomb, add_ids, add_mat = _load_updates(uri, 100, None)
+    assert set(tomb.tolist()) == set(resolved)
+    want_adds = {
+        eid: [float(v) for v in vec]
+        for eid, (is_del, vec) in resolved.items()
+        if not is_del
+    }
+    got_adds = (
+        {}
+        if add_mat is None
+        else {
+            int(e): [float(v) for v in add_mat[i]]
+            for i, e in enumerate(add_ids)
+        }
+    )
+    assert got_adds == want_adds
