@@ -390,3 +390,28 @@ def test_load_updates_mirrors_read_updates_on_randomized_log(
         }
     )
     assert got_adds == want_adds
+
+
+def test_tvf_flat_inner_product(spark, source, tmp_path_factory):
+    """INNER_PRODUCT is FLAT-only (the reference's support matrix) — the
+    TVF ranks descending by raw ⟨q,x⟩ with the id tie-break, matching the
+    DataFrame kernel, and merges updates in the same score space."""
+    uri = str(tmp_path_factory.mktemp("tvfip") / "idx")
+    idx = FlatIndex.ingest(
+        spark, uri, source, metric="inner_product", timestamp=1
+    )
+    idx.delete(17, timestamp=2)  # a live tombstone rides the scan too
+    q = source.where("external_id < 6").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_qip")
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in _sql(spark, uri, "tvf_qip", k=5).collect()
+    }
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in idx.query(q, 5, strategy="kernel").collect()
+    }
+    assert got == want
+    assert all(e != 17 for _, _, e, _ in got)

@@ -31,8 +31,9 @@ stored medoids, including the cross-shard overlay pseudo-shard when the
 index has one).
 
 Metrics: SUM_OF_SQUARES / L2 / COSINE (cosine for the index types that
-support it in the DataFrame API).  An optional ``timestamp`` argument
-time-travels to the newest snapshot at or before it.
+support it in the DataFrame API) and INNER_PRODUCT for FLAT — the
+reference's per-index support matrix.  An optional ``timestamp``
+argument time-travels to the newest snapshot at or before it.
 
 Un-consolidated updates are MERGED, mirroring the DataFrame path: every
 task reads the updates log (parquet under ``updates/``), resolves
@@ -59,8 +60,12 @@ import numpy as np
 ANN_SEARCH_SCHEMA = "query_id long, external_id long, distance double, rank long"
 
 # cosine is supported for FLAT / IVF_FLAT / VAMANA (the index types that
-# support it in the DataFrame API); IVF_PQ rejects it at ingest already
+# support it in the DataFrame API); IVF_PQ rejects it at ingest already.
+# inner_product is FLAT-only — the reference support matrix
+# (``flat_index.py:182``: FLAT accepts all four metrics; the partitioned
+# types reject IP at ingest)
 _SUPPORTED_METRICS = {"sum_of_squares", "l2", "cosine"}
+_FLAT_ONLY_METRICS = {"inner_product"}
 
 
 def _read_parquet_dir(path: str, columns: list[str] | None = None):
@@ -97,7 +102,12 @@ def _open_index_meta(
             f"got {meta.get('index_type')}"
         )
     metric = meta.get("metric", "sum_of_squares")
-    if metric not in _SUPPORTED_METRICS:
+    if metric in _FLAT_ONLY_METRICS:
+        if meta.get("index_type") != "FLAT":
+            raise ValueError(
+                f"metric {metric} is FLAT-only in the ann_search TVF"
+            )
+    elif metric not in _SUPPORTED_METRICS:
         raise ValueError(f"ann_search TVF does not support metric {metric}")
     if not meta.get("ingestions"):
         raise ValueError(f"no ingestions at {uri}")
@@ -229,7 +239,10 @@ def _pairwise_distances(qmat: np.ndarray, x: np.ndarray, metric: str) -> np.ndar
     """(nq, nb) distance matrix — cosine matches the engine kernel's
     1 − ip/(|q||x|) form; sos/l2 use the BLAS identity (l2's sqrt is
     applied at finalize so per-partition merges compare squared values,
-    same as the DataFrame path)."""
+    same as the DataFrame path).  inner_product returns NEGATED scores so
+    ascending merge order = best-first; finalize negates back."""
+    if metric == "inner_product":
+        return -(qmat @ x.T)
     if metric == "cosine":
         ip = qmat @ x.T
         qn = np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -272,6 +285,7 @@ def _finalize(
     k: int,
     sqrt: bool = False,
     halve: bool = False,
+    negate: bool = False,
 ) -> list[tuple[int, int, float, int]]:
     results: list[tuple[int, int, float, int]] = []
     for qi in range(len(qids)):
@@ -281,6 +295,8 @@ def _finalize(
                 dist = float(np.sqrt(dist))
             elif halve:
                 dist = dist / 2.0
+            elif negate:  # inner_product: undo the merge-order negation
+                dist = -dist
             results.append((int(qids[qi]), eid, dist, rank))
     return results
 
@@ -516,14 +532,18 @@ def _search_flat_files(
     if len(ids) == 0:  # fully tombstoned, nothing added
         return []
     # FLAT stores raw vectors (no normalize-on-write); cosine is computed
-    # directly by the kernel formula, queries NOT pre-normalized
+    # directly by the kernel formula, queries NOT pre-normalized;
+    # inner_product scores merge negated (best-first) and un-negate at
+    # finalize — the DataFrame path's (distance desc, id asc) ordering
     dm = _pairwise_distances(qmat, x, metric)
     keep = min(k, dm.shape[1])
     out: dict[int, list[tuple[float, int]]] = {}
     for qi in range(len(qids)):
         idx = np.lexsort((ids, dm[qi]))[:keep]
         out[qi] = [(float(dm[qi, j]), int(ids[j])) for j in idx]
-    return _finalize(qids, out, k, sqrt=metric == "l2")
+    return _finalize(
+        qids, out, k, sqrt=metric == "l2", negate=metric == "inner_product"
+    )
 
 
 def _search_vamana_files(
