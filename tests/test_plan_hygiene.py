@@ -70,6 +70,9 @@ ALLOWED_BROADCAST_NLJ = {
     # corpus-total scalar (one broadcast row) joined onto the vocab —
     # O(|vocab|) work, constant at any corpus scale
     "unigram_logprob_score",
+    # (N, avgdl) scalar (one broadcast row) joined onto the matched
+    # postings — same shape as unigram_logprob_score
+    "bm25_ranked_retrieval",
 }
 
 # Entries that build an index (or run a full recall harness) as a side

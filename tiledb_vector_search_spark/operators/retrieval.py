@@ -1,0 +1,164 @@
+"""BM25 ranked retrieval: inverted-index postings join, pure Catalyst.
+
+The classic lexical top-k (Robertson/Spärck Jones; the Lucene "BM25+1"
+idf form) as a Spark-first dataflow — the text-side complement of the
+embedding kNN operators, and the retrieval primitive LLM data pipelines
+use for hard-negative mining, near-duplicate triage, and benchmark
+decontamination at corpus scale.
+
+Reference parity: the reference engine has no lexical retrieval; this is
+part of the LLM-training-data operator set the engine adds on top (the
+``operators/dedup.py`` / ``functions/text.py`` family).
+
+Shuffle architecture for 100 TB:
+  1. postings — one word-count-shaped shuffle keyed on (doc, term) for
+     tf, one keyed on term for df; both map-side combined.
+  2. corpus stats (N, avgdl) — a two-value aggregate broadcast via the
+     cross-join-tiny pattern; never a driver round-trip in the plan.
+  3. query match — query terms are a SMALL exploded frame broadcast onto
+     the postings (hash join on term): the corpus never shuffles for a
+     query batch.
+  4. score — one (query, doc) aggregation bounded by matched postings,
+     then the shared bounded top-k window.
+
+Determinism contract (oracle-exact across engines): per-term partial
+scores are quantized to DECIMAL(18,9) BEFORE the distributed sum — exact
+and associative, so fold order cannot change the total (the
+``unigram_logprob_score`` pattern) — and ranking uses the ROUNDED total,
+so both engines break ties identically on (score desc, doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.functions.text import tokens
+from tiledb_vector_search_spark.operators.topk import topk_window
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _tf_saturation(tf: Column, dl: Column, avgdl: Column, k1: float, b: float) -> Column:
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Top-k documents per query by BM25: (query_id, doc_id, score, rank).
+
+    ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))`` (always positive — the
+    Lucene form), ``tf_sat = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``,
+    score = Σ over DISTINCT query terms of round(idf·tf_sat, 9), reported
+    rounded to 6.  Ties rank by doc_id ascending.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    tf = tok.groupBy(id_col, "__t").agg(F.count("*").alias("__tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
+    # exact-integer corpus stats: avgdl = Σdl / N computed identically in
+    # any engine (single IEEE division of two exact integers)
+    stats = dl.agg(
+        F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl")
+    )
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(tokens(query_text_col))).alias("__t"),
+    ).where(F.col("__t") != "")
+
+    matched = (
+        tf.join(F.broadcast(qterms), "__t")
+        .join(dl, id_col)
+        .join(F.broadcast(dfreq.join(F.broadcast(qterms), "__t").select(
+            "__t", "__df").distinct()), "__t")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    idf = F.log(
+        1.0
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    part = F.round(
+        idf * _tf_saturation(
+            F.col("__tf").cast("double"), F.col("__dl").cast("double"),
+            avgdl, k1, b,
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    scored = (
+        matched.select(query_id_col, id_col, part.alias("__p"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("__p").cast("double"), 6).alias("score"))
+    )
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    return topk_window(scored, [query_id_col], order, k)
+
+
+def duckdb_bm25_topk_sql(
+    docs_table: str,
+    queries_cte: str,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same tokenization, same
+    quantization, same tie-break.  ``queries_cte`` must be a SELECT
+    producing (query_id, query_text)."""
+    from tiledb_vector_search_spark.functions.text import (
+        duckdb_normalize_text_sql,
+    )
+
+    norm_doc = duckdb_normalize_text_sql("text")
+    norm_q = duckdb_normalize_text_sql("query_text")
+    return f"""
+WITH q AS ({queries_cte}),
+tok AS (
+  SELECT {id_col}, unnest(list_filter(string_split({norm_doc}, ' '),
+                                      x -> x <> '')) AS t
+  FROM {docs_table}
+),
+tf AS (SELECT {id_col}, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT {id_col}, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split({norm_q}, ' '),
+                            x -> x <> '')) AS t
+  FROM q
+),
+scored AS (
+  SELECT qt.query_id, tf.{id_col},
+         round(CAST(sum(CAST(round(
+             ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * ({k1} + 1.0))
+             / (tf.tf + {k1} * (1.0 - {b}
+                + {b} * dl.dl / (CAST(stats.sumdl AS DOUBLE)
+                                 / CAST(stats.n AS DOUBLE)))),
+             9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+  FROM tf
+  JOIN qt USING (t)
+  JOIN dl USING ({id_col})
+  JOIN dfreq USING (t)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, {id_col}, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, {id_col}) AS rank
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""

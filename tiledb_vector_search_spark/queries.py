@@ -1252,10 +1252,44 @@ SELECT {TX.duckdb_doc_fingerprint_sql('text')} AS fingerprint,
        count(*) AS dup_count, min(doc_id) AS keep_id
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
+    # demoted to the pytest oracle gate: hash-groupBy twin of
+    # dedup_exact_groups, and doc_rolling_fingerprint covers the
+    # fingerprint function — the driver slot went to bm25_ranked_retrieval
+    driver=False,
 )
 def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set fingerprint dedup — catches permuted/repeated-token copies."""
     return DD.fingerprint_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def _bm25_oracle() -> str:
+    from tiledb_vector_search_spark.operators.retrieval import (
+        duckdb_bm25_topk_sql,
+    )
+
+    return duckdb_bm25_topk_sql(
+        "documents",
+        "SELECT doc_id AS query_id, substr(text, 1, 200) AS query_text "
+        "FROM documents WHERE doc_id < 10",
+        k=10,
+    )
+
+
+@register("bm25_ranked_retrieval", _bm25_oracle())
+def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-k over the corpus (inverted-index postings join —
+    ``operators/retrieval.py``): self-retrieval with 200-char document
+    prefixes as queries, the hard-negative-mining / decontamination-triage
+    shape.  The engine's text-side retrieval complement to embedding kNN;
+    no reference counterpart (the LLM-pipeline operator set)."""
+    from tiledb_vector_search_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.where("doc_id < 10").select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+    return bm25_topk(d, q, k=10)
 
 
 @register(
