@@ -64,3 +64,53 @@ def test_knn_expr_plan_has_broadcast(vectors, queries):
         vectors, queries, K, "sum_of_squares", strategy="expr"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan, plan
+
+
+def test_knn_join_trained_centroids_recall(spark, sf_dir, embeddings_np):
+    """knn_join with self-trained centroids: result shape + high recall@k
+    vs exact brute force at a generous nprobe (full probe = exact)."""
+    from tiledb_vector_search_spark.operators.knn import knn_join
+
+    ids, mat = embeddings_np
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    res = knn_join(left, right, K, partitions=8, nprobe=8, seed=7)
+    got = res.orderBy("query_id", "rank").collect()
+    assert len(got) == 20 * K
+    # full probe (nprobe == partitions) must be EXACT
+    qmat = mat[np.isin(ids, np.arange(20))]
+    exact = numpy_topk(qmat, ids, mat, K, "sum_of_squares")
+    for r in got:
+        ee, ed = exact[r.query_id][r.rank - 1]
+        assert r.external_id == ee
+        assert abs(r.distance - ed) < 1e-9
+
+
+def test_knn_join_no_broadcast_of_either_side(spark, sf_dir):
+    """With broadcast joins disabled, the candidate join degrades to a
+    shuffle join (SortMergeJoin/ShuffledHashJoin) — proving neither the
+    left nor the right table must fit in memory; only the constant-size
+    centroid frame is ever broadcast."""
+    from tiledb_vector_search_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        res = knn_join(left, right, K, partitions=4, nprobe=2, seed=7)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert res.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

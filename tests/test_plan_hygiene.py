@@ -73,6 +73,9 @@ ALLOWED_BROADCAST_NLJ = {
     # (N, avgdl) scalar (one broadcast row) joined onto the matched
     # postings — same shape as unigram_logprob_score
     "bm25_ranked_retrieval",
+    # constant-size centroid table (≤10k rows) broadcast for routing —
+    # same shape as centroid_assign / ivf_partition_search
+    "embedding_knn_join",
 }
 
 # Entries that build an index (or run a full recall harness) as a side

@@ -195,3 +195,118 @@ def knn_bruteforce(
     if strategy == "kernel":
         return knn_bruteforce_kernel(vectors, queries, k, metric, **kw)
     raise ValueError(f"unknown strategy: {strategy}")
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    centroids: np.ndarray | None = None,
+    nprobe: int = 4,
+    partitions: int | None = None,
+    metric: DistanceMetric | str = DistanceMetric.SUM_OF_SQUARES,
+    left_id_col: str = QUERY_ID_COL,
+    right_id_col: str = ID_COL,
+    vector_col: str = VECTOR_COL,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN JOIN of two LARGE vector tables — no index build,
+    neither side broadcast, no driver-side query collect.
+
+    The dataset-vs-dataset primitive (near-duplicate mining between two
+    corpora, retrieval-augmented labeling, cross-snapshot diffing) that
+    the per-index query paths don't cover: ``Index.query`` assumes a
+    built index and the FLAT kernels broadcast the query batch, both
+    wrong when BOTH sides are corpus-sized.
+
+    Dataflow (shared IVF routing, the ``detail/ivf/qv.h`` partition
+    cogroup re-expressed as an equi-join):
+
+      1. centroids — caller-provided, or k-means on a bounded RIGHT
+         sample (driver-side numpy over ≤100k rows; the ingest path's
+         trainer).  Always ≤10k × dims — the only broadcast anywhere.
+      2. right → ``assign_partitions_expr``: nearest-centroid partition
+         id via an Arrow-batched kernel, NO shuffle.
+      3. left → top-``nprobe`` centroid ranks via broadcast distance +
+         bounded window (one shuffle on ``left_id_col``); the vector
+         column rides along so no second left-side join is needed.
+      4. candidate scoring — a plain equi-join on ``partition_id`` that
+         AQE shuffles (skew-aware); per-pair distance in whole-stage
+         codegen; bounded top-k window per left row.
+
+    At 100×: shuffle volume is |left|·nprobe + |right| rows keyed by
+    partition id — never |left|·|right| — and partition skew degrades to
+    AQE's split-skew-join, not a straggler.  Returns (left_id, right_id,
+    distance, rank ≤ k) with the engine's (distance, id) tie-break.
+    """
+    metric = DistanceMetric(metric)
+    if centroids is None:
+        from tiledb_vector_search_spark.ml.kmeans import (
+            default_partitions,
+            default_training_sample_size,
+            kmeans_numpy,
+        )
+
+        n = right.count()
+        parts = partitions or default_partitions(n)
+        sample_n = default_training_sample_size(n, parts)
+        frac = min(1.0, (1.2 * sample_n) / max(n, 1))
+        rows = (
+            right.select(vector_col)
+            .sample(fraction=frac, seed=seed)
+            .limit(sample_n)
+            .collect()
+        )
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+        centroids = kmeans_numpy(x, min(parts, len(x)), seed=seed)
+
+    from tiledb_vector_search_spark.ml.kmeans import assign_partitions_expr
+    from tiledb_vector_search_spark.session import small_df
+
+    spark = left.sparkSession
+    assigned = assign_partitions_expr(
+        right.select(
+            F.col(right_id_col).alias("__rid"),
+            F.col(vector_col).alias("__rvec"),
+        ),
+        centroids,
+        vector_col="__rvec",
+    )
+
+    cdf = small_df(
+        spark,
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "partition_id int, __cent array<double>",
+    )
+    nprobe = min(nprobe, centroids.shape[0])
+    routed = (
+        left.select(
+            F.col(left_id_col).alias("__lid"),
+            F.col(vector_col).alias("__lvec"),
+        )
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "__lid",
+            "__lvec",
+            "partition_id",
+            distance_expr(
+                "__lvec", "__cent", DistanceMetric.SUM_OF_SQUARES
+            ).alias("__cd"),
+        )
+    )
+    routed = topk_window(
+        routed,
+        ["__lid"],
+        [F.col("__cd").asc(), F.col("partition_id").asc()],
+        nprobe,
+    ).select("__lid", "__lvec", "partition_id")
+
+    scored = routed.join(assigned, "partition_id").select(
+        F.col("__lid").alias(left_id_col),
+        F.col("__rid").alias(right_id_col),
+        distance_expr("__lvec", "__rvec", metric).alias(DISTANCE_COL),
+    )
+    asc = metric.ascending
+    dist = F.col(DISTANCE_COL)
+    order = [dist.asc() if asc else dist.desc(), F.col(right_id_col).asc()]
+    return topk_window(scored, [left_id_col], order, k)

@@ -1262,6 +1262,61 @@ def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.fingerprint_duplicates(_t(spark, sf_dir, "documents"))
 
 
+_KNN_JOIN_DIST = duckdb_distance_sql(
+    "r.qv", "a.embedding", DistanceMetric.SUM_OF_SQUARES
+)
+_KNN_JOIN_ROUTE_DIST = duckdb_distance_sql(
+    "qj.qv", "c.centroid", DistanceMetric.SUM_OF_SQUARES
+)
+
+
+@register(
+    "embedding_knn_join",
+    "WITH "
+    + _ASSIGN_CTE.strip()
+    + f""",
+qj AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 100),
+rj AS (
+  SELECT qid, qv, plabel FROM (
+    SELECT qj.qid, qj.qv, c.label AS plabel, row_number() OVER (
+      PARTITION BY qj.qid ORDER BY {_KNN_JOIN_ROUTE_DIST}, c.label) AS rn
+    FROM qj CROSS JOIN centroids c) WHERE rn <= 2
+)
+SELECT query_id, external_id, distance, rank FROM (
+  SELECT r.qid AS query_id, a.vec_id AS external_id,
+         {_KNN_JOIN_DIST} AS distance,
+         row_number() OVER (PARTITION BY r.qid
+                            ORDER BY {_KNN_JOIN_DIST}, a.vec_id) AS rank
+  FROM rj r JOIN assign a ON a.plabel = r.plabel) WHERE rank <= 5
+""",
+    # pytest oracle gate: the routed-join SHAPE is driver-verified via
+    # ivf_partition_search; this pins the standalone knn_join operator
+    driver=False,
+)
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-vs-dataset kNN join (``operators/knn.py:knn_join``): 100
+    left rows × full corpus through shared deterministic centroids,
+    nprobe=2 — both sides stay distributed; only centroids broadcast."""
+    from tiledb_vector_search_spark.operators.knn import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        _label_centroids_df(spark, sf_dir).collect(), key=lambda r: r["label"]
+    )
+    centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    left = emb.where("vec_id < 100").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    res = knn_join(left, right, 5, centroids=centroids, nprobe=2)
+    return res.select(
+        "query_id", "external_id", "distance",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _bm25_oracle() -> str:
     from tiledb_vector_search_spark.operators.retrieval import (
         duckdb_bm25_topk_sql,
