@@ -76,6 +76,8 @@ ALLOWED_BROADCAST_NLJ = {
     # constant-size centroid table (≤10k rows) broadcast for routing —
     # same shape as centroid_assign / ivf_partition_search
     "embedding_knn_join",
+    # contains the bm25 branch and its one-row (N, avgdl) broadcast
+    "hybrid_rrf_retrieval",
 }
 
 # Entries that build an index (or run a full recall harness) as a side

@@ -162,3 +162,49 @@ FROM scored
 QUALIFY rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    k0: float = 60.0,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    lists: ``score(d) = Σ_lists 1/(k0 + rank_i(d))`` — the standard
+    hybrid-retrieval merge (BM25 × embedding kNN × near-dup signals)
+    that needs only RANKS, so heterogeneous scoring scales never have to
+    be calibrated against each other.
+
+    Each input is (query_id, doc_id, rank); the fusion is one unionByName
+    + one (query, doc) aggregation + the bounded top-k window — no joins,
+    no broadcast, shuffle keyed on (query, doc).  Per-list reciprocal
+    ranks quantize to DECIMAL(18,9) before the sum (order-independent,
+    oracle-exact); ties rank by doc_id ascending.
+    """
+    parts = [
+        df.select(
+            F.col(query_id_col).alias("__q"),
+            F.col(id_col).alias("__d"),
+            F.round(1.0 / (F.lit(k0) + F.col(rank_col)), 9)
+            .cast("decimal(18,9)")
+            .alias("__rr"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = (
+        u.groupBy("__q", "__d")
+        .agg(F.round(F.sum("__rr").cast("double"), 9).alias("score"))
+        .select(
+            F.col("__q").alias(query_id_col),
+            F.col("__d").alias(id_col),
+            "score",
+        )
+    )
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    return topk_window(scored, [query_id_col], order, k)

@@ -1330,6 +1330,95 @@ def _bm25_oracle() -> str:
     )
 
 
+def _hybrid_rrf_oracle() -> str:
+    from tiledb_vector_search_spark.operators.retrieval import (
+        duckdb_bm25_topk_sql,
+    )
+
+    bm = duckdb_bm25_topk_sql(
+        "documents",
+        "SELECT doc_id AS query_id, substr(text, 1, 200) AS query_text "
+        "FROM documents WHERE doc_id < 5",
+        k=10,
+    )
+    js = f"""
+WITH docs AS (
+  SELECT doc_id, {TX.duckdb_word_shingles_sql('text', 3)} AS sh FROM documents
+),
+qd AS (SELECT doc_id, sh FROM docs WHERE doc_id < 5),
+pairs AS (
+  SELECT qd.doc_id AS query_id, d.doc_id AS doc_id,
+         len(list_intersect(qd.sh, d.sh)) * 1.0 /
+         (len(qd.sh) + len(d.sh) - len(list_intersect(qd.sh, d.sh))) AS j
+  FROM qd JOIN docs d ON d.doc_id <> qd.doc_id
+  WHERE len(qd.sh) > 0 AND len(d.sh) > 0
+    AND len(list_intersect(qd.sh, d.sh)) > 0
+)
+SELECT query_id, doc_id, rank FROM (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY round(j, 6) DESC, doc_id) AS rank
+  FROM pairs) WHERE rank <= 10
+"""
+    return f"""
+WITH bm AS ({bm}),
+js AS ({js}),
+u AS (
+  SELECT query_id, doc_id,
+         CAST(round(1.0 / (60.0 + rank), 9) AS DECIMAL(18,9)) AS rr
+  FROM bm
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(round(1.0 / (60.0 + rank), 9) AS DECIMAL(18,9)) AS rr
+  FROM js
+),
+s AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(rr) AS DOUBLE), 9) AS score
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rank
+FROM s
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    _hybrid_rrf_oracle(),
+    # pytest oracle gate: composes two driver-verified rankers
+    driver=False,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list
+    and the sparse-Jaccard similarity list (``operators/retrieval.py:
+    rrf_fuse``) — rank-only fusion, so the two scoring scales never need
+    calibration.  The modern lexical+similarity hybrid search shape."""
+    from tiledb_vector_search_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.where("doc_id < 5").select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+    bm = bm25_topk(d, q, k=10).select("query_id", "doc_id", "rank")
+    js = DD.jaccard_topk_sparse(d, query_ids=range(5), k=10).select(
+        F.col("query_doc").alias("query_id"),
+        F.col("similar_doc").alias("doc_id"),
+        "rank",
+    )
+    res = rrf_fuse([bm, js], k=5)
+    return res.select(
+        "query_id", "doc_id", "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @register("bm25_ranked_retrieval", _bm25_oracle())
 def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical top-k over the corpus (inverted-index postings join —
