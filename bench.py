@@ -105,6 +105,17 @@ def _bench_queries(spark, sf_dir):
     def minhash_lsh_full():
         return DD.minhash_dedup(docs, num_perm=32, bands=8, threshold=0.9).collect()
 
+    def bm25_full():
+        # lexical top-10 for 100 prefix queries over the full corpus —
+        # the postings-join retrieval path end to end
+        from tiledb_vector_search_spark.operators.retrieval import bm25_topk
+
+        q = docs.where("doc_id < 100").select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 1, 200).alias("query_text"),
+        )
+        return bm25_topk(docs, q, k=10).collect()
+
     def ngram_jaccard_full():
         # the complete dedup pipeline: exact prefix-filtered pairs →
         # transitive-closure groups (the keep/drop decision)
@@ -203,6 +214,7 @@ def _bench_queries(spark, sf_dir):
         "dedup_simhash_full": simhash_full,
         "unigram_logprob_full": unigram_logprob_full,
         "decontaminate_full": decontam_full,
+        "bm25_retrieval_100q": bm25_full,
         "dedup_minhash_lsh_full": minhash_lsh_full,
         "dedup_ngram_jaccard_full": ngram_jaccard_full,
         "ivf_build_and_query": ivf_build_and_query,

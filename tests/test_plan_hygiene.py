@@ -38,7 +38,46 @@ LAZY_VARIANTS = {
     "dedup_connected_components": lambda spark, sf: DD.ngram_jaccard_dedup(
         _t(spark, sf, "documents"), threshold=0.8, materialize=False
     ),
+    "bm25_ranked_retrieval": lambda spark, sf: _bm25_lazy(spark, sf),
+    "hybrid_rrf_retrieval": lambda spark, sf: _hybrid_lazy(spark, sf),
 }
+
+
+def _bm25_queries(spark, sf, n):
+    from pyspark.sql import functions as F
+
+    d = _t(spark, sf, "documents")
+    return d, d.where(f"doc_id < {n}").select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+
+
+def _bm25_lazy(spark, sf):
+    from tiledb_vector_search_spark.operators.retrieval import bm25_topk
+
+    d, q = _bm25_queries(spark, sf, 10)
+    return bm25_topk(d, q, k=10, materialize=False)
+
+
+def _hybrid_lazy(spark, sf):
+    from pyspark.sql import functions as F
+
+    from tiledb_vector_search_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    d, q = _bm25_queries(spark, sf, 5)
+    bm = bm25_topk(d, q, k=10, materialize=False).select(
+        "query_id", "doc_id", "rank"
+    )
+    js = DD.jaccard_topk_sparse(d, query_ids=range(5), k=10).select(
+        F.col("query_doc").alias("query_id"),
+        F.col("similar_doc").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([bm, js], k=5)
 
 # Entries whose plan legitimately contains a cartesian/nested-loop join,
 # each bounded by construction:

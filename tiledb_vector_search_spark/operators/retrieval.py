@@ -54,6 +54,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k documents per query by BM25: (query_id, doc_id, score, rank).
 
@@ -61,9 +62,20 @@ def bm25_topk(
     Lucene form), ``tf_sat = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``,
     score = Σ over DISTINCT query terms of round(idf·tf_sat, 9), reported
     rounded to 6.  Ties rank by doc_id ascending.
+
+    The postings frame feeds FOUR plan branches (dl, stats, df, match) —
+    without a cache Spark recomputes the tokenize+count for each, the
+    dominant cost.  ``materialize`` (default) persists postings, eagerly
+    materializes the (tiny) top-k result, and releases the cache before
+    returning — the dedup pipelines' session-hygiene contract.  Pass
+    ``False`` for the lazy plan (plan inspection; caller manages reuse).
     """
+    from pyspark import StorageLevel
+
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
     tf = tok.groupBy(id_col, "__t").agg(F.count("*").alias("__tf"))
+    if materialize:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dl = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
     # exact-integer corpus stats: avgdl = Σdl / N computed identically in
     # any engine (single IEEE division of two exact integers)
@@ -77,11 +89,20 @@ def bm25_topk(
         F.explode(F.array_distinct(tokens(query_text_col))).alias("__t"),
     ).where(F.col("__t") != "")
 
-    matched = (
-        tf.join(F.broadcast(qterms), "__t")
+    # The per-(term, doc) partial idf·tf_sat is QUERY-INDEPENDENT, so it
+    # is computed ONCE on the query-restricted postings (|postings ∩
+    # query terms| rows) and only the precomputed decimal rides the
+    # (query, term, doc) expansion — on common terms that's ~|queries|×
+    # less ln/division work than scoring per matched row.  Query-side
+    # joins are UN-hinted: AQE broadcasts the small term frame at
+    # runtime, and a corpus-sized query batch degrades to a shuffle join
+    # instead of a forced-broadcast OOM (the dedup candidate-gate
+    # lesson).  Only the one-row stats frame is hinted.
+    qt_distinct = qterms.select("__t").distinct()
+    post = (
+        tf.join(qt_distinct, "__t")
         .join(dl, id_col)
-        .join(F.broadcast(dfreq.join(F.broadcast(qterms), "__t").select(
-            "__t", "__df").distinct()), "__t")
+        .join(dfreq.join(qt_distinct, "__t"), "__t")
         .crossJoin(F.broadcast(stats))
     )
     avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
@@ -96,13 +117,21 @@ def bm25_topk(
         ),
         9,
     ).cast("decimal(18,9)")
+    part_df = post.select(F.col(id_col), "__t", part.alias("__p"))
     scored = (
-        matched.select(query_id_col, id_col, part.alias("__p"))
+        part_df.join(qterms, "__t")
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum("__p").cast("double"), 6).alias("score"))
     )
     order = [F.col("score").desc(), F.col(id_col).asc()]
-    return topk_window(scored, [query_id_col], order, k)
+    res = topk_window(scored, [query_id_col], order, k)
+    if materialize:
+        from tiledb_vector_search_spark.operators.dedup import (
+            _materialize_and_release,
+        )
+
+        return _materialize_and_release(res, tf)
+    return res
 
 
 def duckdb_bm25_topk_sql(
