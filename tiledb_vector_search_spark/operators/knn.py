@@ -238,6 +238,12 @@ def knn_join(
     partition id — never |left|·|right| — and partition skew degrades to
     AQE's split-skew-join, not a straggler.  Returns (left_id, right_id,
     distance, rank ≤ k) with the engine's (distance, id) tie-break.
+
+    Routing always uses squared-L2 against the centroids (the IVF
+    contract).  For COSINE/INNER_PRODUCT metrics pre-normalize both
+    sides (and train centroids on normalized vectors) so nearest-by-sos
+    routing agrees with the scoring metric — the same normalize-on-write
+    discipline the cosine index types apply at ingest.
     """
     metric = DistanceMetric(metric)
     if centroids is None:

@@ -213,6 +213,8 @@ def rrf_fuse(
     ranks quantize to DECIMAL(18,9) before the sum (order-independent,
     oracle-exact); ties rank by doc_id ascending.
     """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     parts = [
         df.select(
             F.col(query_id_col).alias("__q"),
