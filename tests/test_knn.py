@@ -79,16 +79,19 @@ def test_knn_join_trained_centroids_recall(spark, sf_dir, embeddings_np):
     right = emb.select(
         F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
     )
-    res = knn_join(left, right, K, partitions=8, nprobe=8, seed=7)
-    got = res.orderBy("query_id", "rank").collect()
-    assert len(got) == 20 * K
-    # full probe (nprobe == partitions) must be EXACT
-    qmat = mat[np.isin(ids, np.arange(20))]
-    exact = numpy_topk(qmat, ids, mat, K, "sum_of_squares")
-    for r in got:
-        ee, ed = exact[r.query_id][r.rank - 1]
-        assert r.external_id == ee
-        assert abs(r.distance - ed) < 1e-9
+    for strategy in ("kernel", "expr"):
+        res = knn_join(
+            left, right, K, partitions=8, nprobe=8, seed=7, strategy=strategy
+        )
+        got = res.orderBy("query_id", "rank").collect()
+        assert len(got) == 20 * K, strategy
+        # full probe (nprobe == partitions) must be EXACT
+        qmat = mat[np.isin(ids, np.arange(20))]
+        exact = numpy_topk(qmat, ids, mat, K, "sum_of_squares")
+        for r in got:
+            ee, ed = exact[r.query_id][r.rank - 1]
+            assert r.external_id == ee, strategy
+            assert abs(r.distance - ed) < 1e-9, strategy
 
 
 def test_knn_join_no_broadcast_of_either_side(spark, sf_dir):
@@ -108,9 +111,19 @@ def test_knn_join_no_broadcast_of_either_side(spark, sf_dir):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        res = knn_join(left, right, K, partitions=4, nprobe=2, seed=7)
+        res = knn_join(
+            left, right, K, partitions=4, nprobe=2, seed=7, strategy="expr"
+        )
         plan = res._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         assert res.count() > 0
+        # kernel strategy: the candidate stage is a COGROUP (one Arrow
+        # task per partition), no join of the two big sides at all
+        resk = knn_join(
+            left, right, K, partitions=4, nprobe=2, seed=7, strategy="kernel"
+        )
+        plank = resk._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapCoGroupsInPandas" in plank
+        assert resk.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -1310,7 +1310,9 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = emb.select(
         F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
     )
-    res = knn_join(left, right, 5, centroids=centroids, nprobe=2)
+    res = knn_join(
+        left, right, 5, centroids=centroids, nprobe=2, strategy="expr"
+    )
     return res.select(
         "query_id", "external_id", "distance",
         F.col("rank").cast("long").alias("rank"),
