@@ -152,17 +152,30 @@ def _load_updates(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tb = pa.concat_tables(
-        pq.read_table(f, columns=["external_id", "vector", "is_delete", "ts"])
-        for f in files
-    )
+    # window filter pushed into the parquet read: each batch file's ts is
+    # a constant column, so row-group statistics prune whole out-of-window
+    # batches without decoding them — at heavy churn the task reads only
+    # the log slice it needs
+    filters = [("ts", ">", base_ts)]
+    if timestamp is not None:
+        filters.append(("ts", "<=", timestamp))
+    tables = []
+    for f in files:
+        t = pq.read_table(
+            f,
+            columns=["external_id", "vector", "is_delete", "ts"],
+            filters=filters,
+        )
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        return empty, empty, None
+    tb = pa.concat_tables(tables)
     ids = tb.column("external_id").to_numpy()
     tss = tb.column("ts").to_numpy()
     dels = tb.column("is_delete").to_numpy(zero_copy_only=False)
     vecs = tb.column("vector").to_pylist()
-    in_win = (tss > base_ts) & (
-        np.ones(len(tss), dtype=bool) if timestamp is None else tss <= timestamp
-    )
+    in_win = np.ones(len(tss), dtype=bool)
     best: dict[int, tuple] = {}  # id -> (ts, is_delete, vec_key, vec)
     for i in np.flatnonzero(in_win):
         v = vecs[i]
