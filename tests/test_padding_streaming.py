@@ -237,3 +237,66 @@ def test_dedup_stream_requires_streaming_df(spark, small_source):
 
     with pytest.raises(ValueError, match="streaming"):
         dedup_stream(small_source)
+
+
+def test_stream_search_index(spark, small_source, small_index, tmp_path):
+    """A query STREAM searched per micro-batch: results match the batch
+    query path exactly, and a mid-stream index update is visible at the
+    next micro-batch boundary."""
+    from tiledb_vector_search_spark.streaming import stream_search_index
+
+    uri = small_index.storage.uri
+    in_dir = tmp_path / "qin"
+    in_dir.mkdir()
+    q1 = spark.createDataFrame(
+        [(0, [0.0, 1.0, 0.0, 1.0]), (1, [5.0, 6.0, 0.0, 1.0])],
+        "query_id long, vector array<float>",
+    )
+    q1.write.parquet(str(in_dir / "b1.parquet"))
+    stream = spark.readStream.schema(
+        "query_id long, vector array<float>"
+    ).parquet(str(in_dir) + "/*")
+
+    got: dict[int, list] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = df.collect()
+
+    qry = stream_search_index(
+        stream,
+        uri,
+        k=3,
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "qckpt"),
+    )
+    qry.awaitTermination(120)
+
+    rows = [r for rs in got.values() for r in rs]
+    assert len(rows) == 2 * 3
+    want = {
+        (r.query_id, r.rank, r.external_id)
+        for r in small_index.query(q1, 3).collect()
+    }
+    assert {(r.query_id, r.rank, r.external_id) for r in rows} == want
+
+    # second micro-batch sees a new upsert at the batch boundary
+    small_index.update(500, [40.0, 40.0, 40.0, 40.0], timestamp=5000)
+    q2 = spark.createDataFrame(
+        [(2, [40.0, 40.0, 40.0, 40.0])], "query_id long, vector array<float>"
+    )
+    q2.write.parquet(str(in_dir / "b2.parquet"))
+    got.clear()
+    qry2 = stream_search_index(
+        stream, uri, k=1, sink=sink,
+        checkpoint_dir=str(tmp_path / "qckpt"),
+    )
+    qry2.awaitTermination(120)
+    rows = [r for rs in got.values() for r in rs]
+    assert [r.external_id for r in rows] == [500]  # the fresh upsert wins
+
+
+def test_stream_search_rejects_batch_frame(spark, small_source):
+    from tiledb_vector_search_spark.streaming import stream_search_index
+
+    with pytest.raises(ValueError, match="streaming"):
+        stream_search_index(small_source, "x", 3, sink=lambda df, b: None)

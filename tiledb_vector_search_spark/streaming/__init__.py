@@ -1,4 +1,5 @@
 from tiledb_vector_search_spark.streaming.dedup import dedup_stream
+from tiledb_vector_search_spark.streaming.search import stream_search_index
 from tiledb_vector_search_spark.streaming.sessionize import sessionize_stream
 from tiledb_vector_search_spark.streaming.updates import (
     hourly_rollup_stream,
@@ -7,6 +8,7 @@ from tiledb_vector_search_spark.streaming.updates import (
 
 __all__ = [
     "stream_updates_to_index",
+    "stream_search_index",
     "hourly_rollup_stream",
     "sessionize_stream",
     "dedup_stream",
