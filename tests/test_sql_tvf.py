@@ -415,3 +415,38 @@ def test_tvf_flat_inner_product(spark, source, tmp_path_factory):
     }
     assert got == want
     assert all(e != 17 for _, _, e, _ in got)
+
+
+def test_tvf_u8_index_with_updates(spark, sf_dir, tmp_path_factory):
+    """Packed-binary u8 base + float updates log: the TVF decodes bytes
+    for the base and merges the float additions, matching the DataFrame
+    path's promote-on-updates contract."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    quant = F.transform(
+        "embedding",
+        lambda e: F.least(
+            F.lit(255.0), F.greatest(F.lit(0.0), F.floor(e * 32) + 128)
+        ),
+    ).cast("array<double>")
+    src = emb.select(F.col("vec_id").alias("external_id"), quant.alias("vector"))
+    uri = str(tmp_path_factory.mktemp("tvf8u") / "idx")
+    idx = IVFFlatIndex.ingest(
+        spark, uri, src, partitions=4, vector_dtype="uint8", timestamp=1
+    )
+    idx.delete(0, timestamp=2)
+    idx.update(9000, [128.0] * 64, timestamp=3)
+    q = src.where("external_id < 5").select(
+        F.col("external_id").alias("query_id"),
+        F.col("vector").cast("array<float>").alias("vector"),
+    )
+    q.createOrReplaceTempView("tvf_q8u")
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 6))
+        for r in _sql(spark, uri, "tvf_q8u", k=3, nprobe=4).collect()
+    }
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 6))
+        for r in idx.query(q, 3, nprobe=4, strategy="kernel").collect()
+    }
+    assert got == want
+    assert all(e != 0 for _, _, e, _ in got)
