@@ -644,3 +644,29 @@ def test_embedding_neardup_broadcast_gate(spark, sf_dir):
         DDm.BROADCAST_PAIR_LIMIT = old
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
     assert got == baseline
+
+
+def test_ngram_jaccard_exact_threshold_boundary(spark):
+    """A pair whose Jaccard is EXACTLY the threshold must survive the
+    prefix/length/positional filters (losslessness at the float
+    boundary): 0.8·35 = 28.000000000000004 in doubles, so a naive ceil
+    over-tightens every τ-derived bound and silently drops the pair."""
+    from tiledb_vector_search_spark.operators.dedup import (
+        jaccard_pairs,
+        ngram_jaccard_dedup,
+    )
+
+    # doc 0's 3-shingle set (28 shingles = 30 words) fully contained in
+    # doc 1's (35 shingles = 37 words): J = 28/35 = 0.8 exactly
+    words = [f"w{i:02d}" for i in range(30)]
+    extra = [f"x{i}" for i in range(7)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words)), (1, " ".join(words + extra))],
+        "doc_id long, text string",
+    )
+    exact = jaccard_pairs(docs, threshold=0.8).collect()
+    assert len(exact) == 1 and abs(exact[0]["jaccard"] - 0.8) < 1e-9
+    filtered = ngram_jaccard_dedup(docs, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b) for r in filtered] == [(0, 1)], (
+        "exactly-at-threshold pair dropped by the candidate filters"
+    )

@@ -37,6 +37,12 @@ from tiledb_vector_search_spark.functions.text import (
 DEFAULT_NUM_PERM = 32
 DEFAULT_BANDS = 8
 
+# ε slack for τ-derived integer bounds: double noise on τ·n is ≤ a few
+# ulps (~1e-13 at realistic set sizes); 1e-9 over-admits at most the
+# exactly-at-threshold boundary candidates, which the exact verifier
+# rescreens — losslessness is preserved by construction
+_TAU_EPS = 1e-9
+
 
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -432,8 +438,18 @@ def ngram_jaccard_dedup(
             ).alias("__r")
         )
     )
+    # FLOAT-BOUNDARY SAFETY (applies to every τ-derived bound below): the
+    # real bounds are integers compared against exact rationals like
+    # τ·|S|, but double arithmetic can land an ulp HIGH (0.8·35 =
+    # 28.000000000000004), and a ceil of that drops exactly-at-threshold
+    # true pairs — a silent losslessness violation.  Every bound therefore
+    # subtracts _TAU_EPS before the ceil/comparison: at worst the filter
+    # admits one extra candidate (the exact verifier removes it); it can
+    # never exclude a true pair.
     prefix_len = (
-        F.size("__r") - F.ceil(F.lit(threshold) * F.size("__r")) + 1
+        F.size("__r")
+        - F.ceil(F.lit(threshold) * F.size("__r") - F.lit(_TAU_EPS))
+        + 1
     ).cast("int")
     # df=1 shingles can never collide — dropping them AFTER the prefix is
     # taken (order/length unchanged, so still lossless) empties most of the
@@ -463,20 +479,29 @@ def ngram_jaccard_dedup(
         F.col("__p").alias("__pb"),
         "__s",
     )
-    # α = minimum required overlap for J ≥ τ at these set sizes
-    alpha = F.ceil(
+    # α = minimum required overlap for J ≥ τ at these set sizes; the
+    # integer bound m satisfies m ≥ ⌈x⌉ ⟺ m ≥ x, so compare the ε-relaxed
+    # real directly (no ceil — see FLOAT-BOUNDARY SAFETY above)
+    alpha = (
         F.lit(threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb"))
+        - F.lit(_TAU_EPS)
     )
     cand = (
         a.join(b, "__s")
         .where(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("__na") >= F.ceil(F.lit(threshold) * F.col("__nb")))
-            & (F.col("__nb") >= F.ceil(F.lit(threshold) * F.col("__na")))
+            & (
+                F.col("__na").cast("double")
+                >= F.lit(threshold) * F.col("__nb") - F.lit(_TAU_EPS)
+            )
+            & (
+                F.col("__nb").cast("double")
+                >= F.lit(threshold) * F.col("__na") - F.lit(_TAU_EPS)
+            )
             & (
                 F.least(
                     F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
-                )
+                ).cast("double")
                 >= alpha
             )
         )

@@ -242,9 +242,13 @@ def knn_join(
          reproducible doubles (the DuckDB-oracle path).
 
     At 100×: shuffle volume is |left|·nprobe + |right| rows keyed by
-    partition id — never |left|·|right| — and partition skew degrades to
-    AQE's split-skew-join, not a straggler.  Returns (left_id, right_id,
-    distance, rank ≤ k) with the engine's (distance, id) tie-break.
+    partition id — never |left|·|right|.  Skew: the ``expr`` join gets
+    AQE's split-skew-join; the ``kernel`` cogroup's task unit is one
+    whole IVF cell (AQE cannot sub-split a cogroup), so a hot cell is a
+    straggler there — bound cell sizes by raising ``partitions`` (cells
+    scale ~n/partitions), or use ``strategy="expr"`` for heavily
+    clustered corpora.  Returns (left_id, right_id, distance, rank ≤ k)
+    with the engine's (distance, id) tie-break.
 
     Routing always uses squared-L2 against the centroids (the IVF
     contract).  For COSINE/INNER_PRODUCT metrics pre-normalize both

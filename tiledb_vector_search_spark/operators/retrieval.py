@@ -72,7 +72,12 @@ def bm25_topk(
     """
     from pyspark import StorageLevel
 
-    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    # drop empty tokens: F.split on a text that normalizes to "" yields
+    # [""], which would count phantom docs into N/avgdl — the DuckDB twin
+    # filters them (list_filter), so Spark must too or stats diverge
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).where(F.col("__t") != "")
     tf = tok.groupBy(id_col, "__t").agg(F.count("*").alias("__tf"))
     if materialize:
         tf = tf.persist(StorageLevel.MEMORY_AND_DISK)

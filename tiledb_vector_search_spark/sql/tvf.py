@@ -175,9 +175,8 @@ def _load_updates(
     tss = tb.column("ts").to_numpy()
     dels = tb.column("is_delete").to_numpy(zero_copy_only=False)
     vecs = tb.column("vector").to_pylist()
-    in_win = np.ones(len(tss), dtype=bool)
     best: dict[int, tuple] = {}  # id -> (ts, is_delete, vec_key, vec)
-    for i in np.flatnonzero(in_win):
+    for i in range(len(tss)):
         v = vecs[i]
         # sort key mirroring (ts desc, is_delete asc, vector asc nulls last)
         key = (-int(tss[i]), bool(dels[i]), v is None, tuple(v or ()))
