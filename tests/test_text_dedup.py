@@ -670,3 +670,39 @@ def test_ngram_jaccard_exact_threshold_boundary(spark):
     assert [(r.id_a, r.id_b) for r in filtered] == [(0, 1)], (
         "exactly-at-threshold pair dropped by the candidate filters"
     )
+
+
+def test_ngram_jaccard_lossless_on_randomized_corpora(spark):
+    """Differential losslessness: on seeded random corpora with heavy
+    shingle overlap and assorted thresholds (including awkward floats
+    like 0.7), the prefix+length+positional filter pipeline returns
+    EXACTLY the brute-force all-pairs answer."""
+    import random
+
+    from tiledb_vector_search_spark.operators.dedup import (
+        jaccard_pairs,
+        ngram_jaccard_dedup,
+    )
+
+    for seed, tau in [(1, 0.7), (2, 0.8), (3, 0.5)]:
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(40)]  # tiny vocab → dense overlap
+        docs = []
+        base = [rng.choice(vocab) for _ in range(20)]
+        for i in range(24):
+            words = list(base)
+            for _ in range(rng.randint(0, 8)):  # perturb
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            if rng.random() < 0.3:
+                words += [rng.choice(vocab) for _ in range(rng.randint(1, 5))]
+            docs.append((i, " ".join(words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        want = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in jaccard_pairs(df, threshold=tau).collect()
+        }
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_dedup(df, threshold=tau).collect()
+        }
+        assert got == want, (seed, tau, want - got, got - want)
