@@ -118,6 +118,42 @@ def test_empty_source_trained_types_clear_error_flat_allowed(spark, tmp_path):
     assert idx.query(q, 3).count() == 1
 
 
+def test_declared_dimensions_cross_checked_against_source(spark, tmp_path):
+    """An explicit dimensions= that disagrees with the data is an error,
+    not silently ignored — catches a mis-typed binary payload (int16
+    bytes packed as u8 give a UNIFORM 2x byte length that the ragged
+    check cannot see, but a declared width can)."""
+    import numpy as np
+
+    from tiledb_vector_search_spark.session import small_df
+
+    # an "int16 payload" masquerading as a u8 source: 4 int16 values ->
+    # 8 bytes/row, uniform across rows, so only the declared width trips
+    rows = [
+        (i, bytes(np.arange(4, dtype=np.int16).tobytes())) for i in range(3)
+    ]
+    df = small_df(spark, rows, "external_id long, vector binary")
+    with pytest.raises(ValueError, match="8 elements wide"):
+        FlatIndex.ingest(
+            spark,
+            str(tmp_path / "flatmis"),
+            df,
+            timestamp=1,
+            vector_dtype="uint8",
+            dimensions=4,
+        )
+    # a matching declaration passes through untouched
+    idx = FlatIndex.ingest(
+        spark,
+        str(tmp_path / "flatok"),
+        df,
+        timestamp=1,
+        vector_dtype="uint8",
+        dimensions=8,
+    )
+    assert idx.dimensions == 8
+
+
 def test_duplicate_external_ids_rejected_at_ingest(spark, tmp_path):
     """Duplicate external ids would silently corrupt DML (updates/deletes
     key on the id) — ingest rejects them with a clear message, on the same

@@ -83,6 +83,16 @@ class FlatIndex(Index):
                     "vector width (reference create() contract)"
                 )
             dims = int(dimensions)
+        elif dimensions is not None and dims != int(dimensions):
+            # a declared width that disagrees with the data catches a
+            # mis-typed binary payload (e.g. int16 bytes read as u8 give a
+            # uniform 2x byte length the ragged check can't see)
+            raise ValueError(
+                f"dimensions={int(dimensions)} but the source's vectors are "
+                f"{dims} elements wide ({dims} bytes/row for packed "
+                f"{vector_dtype!r} at 1 byte/element) — for byte dtypes, "
+                "check the source payload really is 1-byte integers"
+            )
         storage = IndexStorage(spark, uri)
         if not storage.exists():
             storage.init_meta(
