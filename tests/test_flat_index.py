@@ -188,3 +188,36 @@ def test_query_validation(spark, tmp_path, source):
     bad = source.limit(1)  # wrong columns
     with pytest.raises(ValueError, match="query_id"):
         idx.query(bad, 3)
+
+
+def test_allowed_ids_pushdown_exact(spark, tmp_path, sf_dir, embeddings_np):
+    """FLAT + allowed_ids == numpy brute force over the allowed subset
+    (both kernel and expr strategies)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import numpy_topk
+
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    idx = FlatIndex.ingest(spark, str(tmp_path / "flat_allowed"), src, timestamp=1)
+    ids, mat = embeddings_np
+    allowed_mask = ids % 5 == 1
+    a_ids, a_mat = ids[allowed_mask], mat[allowed_mask]
+    allowed_df = spark.createDataFrame(
+        [(int(i),) for i in a_ids], "external_id long"
+    )
+    queries = src.where("external_id < 5").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    oracle = numpy_topk(mat[:5], a_ids, a_mat, 4)
+    for strategy in ("kernel", "expr"):
+        res = idx.query(
+            queries, 4, strategy=strategy, allowed_ids=allowed_df
+        ).collect()
+        got = {}
+        for r in res:
+            got.setdefault(r.query_id, []).append((r.rank, r.external_id))
+        for qid in range(5):
+            want = [i for i, _ in oracle[qid]]
+            assert [i for _, i in sorted(got[qid])] == want

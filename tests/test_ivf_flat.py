@@ -226,3 +226,49 @@ def test_skewed_partitions_exact(spark, source, embeddings_np, tmp_path):
         assert [i for i, _ in sorted(got[qid], key=lambda t: (t[1], t[0]))] == [
             i for i, _ in oracle[pos[qid]]
         ]
+
+
+@pytest.mark.parametrize("strategy", ["expr", "kernel", "join"])
+def test_allowed_ids_pushdown_exact(
+    spark, ivf_uri, queries, embeddings_np, strategy
+):
+    """Full-probe + allowed_ids == numpy brute force over ONLY the allowed
+    subset — filtered search as a pre-scoring semi-join, not a post-filter
+    over-fetch, so exactly k survivors per query regardless of filter
+    selectivity."""
+    ids, mat = embeddings_np
+    allowed_mask = ids % 3 == 0  # keep 1/3 of the corpus
+    a_ids, a_mat = ids[allowed_mask], mat[allowed_mask]
+    idx = IVFFlatIndex(spark, ivf_uri)
+    allowed_df = spark.createDataFrame(
+        [(int(i),) for i in a_ids], "external_id long"
+    )
+    res = idx.query(
+        queries, K, nprobe=16, strategy=strategy, allowed_ids=allowed_df
+    ).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r.query_id, []).append((r.rank, r.external_id))
+    oracle = numpy_topk(mat[:NQ], a_ids, a_mat, K)
+    assert set(got) == set(range(NQ))
+    for qid, pairs in got.items():
+        want = [i for i, _ in oracle[qid]]
+        assert [i for _, i in sorted(pairs)] == want
+
+
+def test_allowed_ids_applies_to_additions(spark, tmp_path, source, queries):
+    """Updates-log additions obey the allowed set too: an added vector at
+    distance 0 from a query must NOT surface when outside allowed_ids."""
+    uri = str(tmp_path / "ivf_allowed")
+    idx = IVFFlatIndex.ingest(spark, uri, source, partitions=4, timestamp=1000)
+    qrow = queries.limit(1).collect()[0]
+    idx.update(990001, list(qrow.vector), timestamp=2000)  # exact dup of q
+    idx = IVFFlatIndex(spark, uri)
+    allowed_df = source.select("external_id")  # base only — excludes 990001
+    res = idx.query(
+        queries.limit(1), 3, nprobe=4, allowed_ids=allowed_df
+    ).collect()
+    assert 990001 not in {r.external_id for r in res}
+    # without the restriction the addition dominates at distance 0
+    res_all = idx.query(queries.limit(1), 3, nprobe=4).collect()
+    assert 990001 in {r.external_id for r in res_all}

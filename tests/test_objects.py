@@ -509,3 +509,80 @@ def test_audio_feature_extraction_e2e(spark, tmp_path):
         assert r.sample_rate == 8000 and r.channels == 1
         assert r.n_samples == truth[names[r.external_id]]
         assert 0.0 < r.rms < 1.0 and 0.0 < r.zero_crossing_rate < 1.0
+
+
+# --- filtered-search pushdown -------------------------------------------------
+
+
+def test_filter_pushdown_matches_overfetch_when_overfetch_exact(
+    spark, doc_index, sf_dir
+):
+    """At this scale fetch_k = min(50k, size) covers the whole corpus, so
+    the over-fetch path is exact — pushdown must return the identical
+    (query, id, rank) set (same top-k among the allowed vectors)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3).toPandas()
+    q = docs.rename(columns={"doc_id": "query_id"})[["query_id", "text"]]
+    kw = dict(k=5, metadata_array_cond="lang = 'de'", strategy="expr")
+    over = doc_index.query(q, **kw).collect()
+    push = doc_index.query(q, filter_pushdown=True, **kw).collect()
+    key = lambda rows: sorted((r.query_id, r.external_id, r.rank) for r in rows)
+    assert key(push) == key(over)
+    assert all(r.lang == "de" for r in push)
+
+
+def test_filter_pushdown_survives_selective_filter(
+    spark, doc_index, sf_dir, monkeypatch
+):
+    """The over-fetch heuristic's failure mode: a selective filter eats the
+    whole fetched neighborhood and fewer than k rows survive.  Pushdown is
+    immune — it scores ONLY allowed vectors, so every query still gets its
+    full k.  Simulated by shrinking OVERFETCH_FACTOR to 1 (equivalent to a
+    filter 50x more selective at production fetch_k)."""
+    import tiledb_vector_search_spark.objects.object_index as oi
+
+    monkeypatch.setattr(oi, "OVERFETCH_FACTOR", 1)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2).toPandas()
+    q = docs.rename(columns={"doc_id": "query_id"})[["query_id", "text"]]
+    kw = dict(k=5, metadata_array_cond="lang = 'de'", strategy="expr")
+    over = doc_index.query(q, **kw).collect()
+    push = doc_index.query(q, filter_pushdown=True, **kw).collect()
+    # fetch_k == k and the self-match (lang != 'de' for some queries) plus
+    # other-language neighbors crowd out allowed rows
+    assert len(over) < 2 * 5
+    assert len(push) == 2 * 5
+    assert all(r.lang == "de" for r in push)
+    # pushdown's per-query rank is dense 1..k
+    ranks = {}
+    for r in push:
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in ranks.values())
+
+
+def test_filter_pushdown_df_filter_fn_and_errors(spark, doc_index, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1).toPandas()
+    q = docs.rename(columns={"doc_id": "query_id"})[["query_id", "text"]]
+    res = doc_index.query(
+        q,
+        k=3,
+        metadata_df_filter_fn=lambda pdf: pdf["source"] == "src1",
+        filter_pushdown=True,
+        strategy="expr",
+    ).collect()
+    assert len(res) == 3 and all(r.source == "src1" for r in res)
+    with pytest.raises(ValueError, match="needs metadata_array_cond"):
+        doc_index.query(q, k=3, filter_pushdown=True)
+    # graph indexes keep the over-fetch path
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang"],
+    )
+    vam = ObjectIndex.create(
+        spark, str(tmp_path / "objvam"), reader, HashingTextEmbedding(dims=16),
+        index_type="VAMANA", timestamp=1000, shards=2,
+    )
+    with pytest.raises(ValueError, match="over-fetch"):
+        vam.query(
+            q, k=3, metadata_array_cond="lang = 'de'", filter_pushdown=True
+        )

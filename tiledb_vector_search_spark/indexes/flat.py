@@ -126,6 +126,7 @@ class FlatIndex(Index):
         k: int,
         strategy: str = "kernel",
         pad: bool = False,
+        allowed_ids: DataFrame | None = None,
         **kw: Any,
     ) -> DataFrame:
         """Exact top-k: (query_id, external_id, distance, rank).
@@ -135,6 +136,14 @@ class FlatIndex(Index):
         one lazy plan (see ``Index`` docstring).  ``pad=True`` null-pads
         short result sets to exactly k rows per query (the reference's
         sentinel-padding contract, ``index.py:346-350``).
+
+        ``allowed_ids`` (a DataFrame with an ``external_id`` column)
+        restricts the searchable set BEFORE scoring — the filtered-search
+        pushdown path.  Exact top-k among the allowed set: no over-fetch
+        factor to guess, no risk of fewer than k survivors (contrast the
+        reference's ``fetch_k`` heuristic, ``object_index.py:451-453``).
+        The semi-join is un-hinted so AQE broadcasts a small allowed set
+        and shuffles a large one.
         """
         from tiledb_vector_search_spark.functions.dtypes import (
             is_byte_dtype,
@@ -143,6 +152,12 @@ class FlatIndex(Index):
 
         self._validate_queries(queries, k)
         vecs = self.effective_vectors()
+        if allowed_ids is not None:
+            vecs = vecs.join(
+                allowed_ids.select(F.col(ID_COL).cast("long").alias(ID_COL)),
+                ID_COL,
+                "left_semi",
+            )
         # the effective set is float-typed when updates promoted it; packed
         # binary only on the no-updates fast path
         stored_is_binary = dict(vecs.dtypes)[VECTOR_COL] == "binary"

@@ -276,6 +276,7 @@ class IVFFlatIndex(Index):
         strategy: str = "auto",
         pad: bool = False,
         memory_budget_mb: int | None = None,
+        allowed_ids: DataFrame | None = None,
         **kw: Any,
     ) -> DataFrame:
         """Probe-routed top-k (reference ``ivf_flat_index.py:262-525``).
@@ -297,8 +298,20 @@ class IVFFlatIndex(Index):
         stage touches.  Spark already streams and spills, so this knob is
         about bounding *working set per stage*, exactly what the reference's
         ``upper_bound`` does.
+
+        ``allowed_ids`` (DataFrame with ``external_id``) restricts the
+        searchable set BEFORE scoring — filtered-search pushdown.  Probed
+        partitions are scanned as usual (partition pruning still applies),
+        then semi-joined on the allowed set, so the top-k is exact among
+        the allowed vectors in the probed partitions — no over-fetch
+        heuristic.  Un-hinted semi-join: AQE broadcasts small allowed
+        sets, shuffles large ones.
         """
         self._validate_queries(queries, k)
+        if allowed_ids is not None:
+            allowed_ids = allowed_ids.select(
+                F.col(ID_COL).cast("long").alias(ID_COL)
+            )
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)))
         metric = self.metric
 
@@ -309,10 +322,14 @@ class IVFFlatIndex(Index):
             # one job: the bounded collect doubles as the small-batch fetch
             q_rows = q.limit(self.LARGE_NQ + 1).collect()
             if len(q_rows) > self.LARGE_NQ:
-                return self._query_join(q, k, nprobe, metric, pad, queries)
+                return self._query_join(
+                    q, k, nprobe, metric, pad, queries, allowed_ids
+                )
             strategy = "kernel"
         elif strategy == "join":
-            return self._query_join(q, k, nprobe, metric, pad, queries)
+            return self._query_join(
+                q, k, nprobe, metric, pad, queries, allowed_ids
+            )
         else:
             q_rows = q.collect()
         qids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -339,6 +356,8 @@ class IVFFlatIndex(Index):
                 base = base.join(
                     F.broadcast(self._updated_ids()), ID_COL, "left_anti"
                 )
+            if allowed_ids is not None:
+                base = base.join(allowed_ids, ID_COL, "left_semi")
             if strategy == "expr":
                 routing = small_df(
                     self.spark, pairs, f"{QUERY_ID_COL} long, {PARTITION_COL} int"
@@ -373,6 +392,8 @@ class IVFFlatIndex(Index):
         if self._has_updates():
             # additions are already normalized for COSINE (normalize_on_write)
             additions = self._additions()
+            if allowed_ids is not None:
+                additions = additions.join(allowed_ids, ID_COL, "left_semi")
             add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             base_topk = base_topk.unionByName(add_scored)
 
@@ -433,6 +454,7 @@ class IVFFlatIndex(Index):
         metric: DistanceMetric,
         pad: bool,
         queries: DataFrame,
+        allowed_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Fully distributed query plan: no driver materialization.
 
@@ -457,6 +479,8 @@ class IVFFlatIndex(Index):
             base = _unpack(base, self.vector_dtype, VECTOR_COL)
         if self._has_updates():
             base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
+        if allowed_ids is not None:
+            base = base.join(allowed_ids, ID_COL, "left_semi")
         scored = (
             base.select(PARTITION_COL, ID_COL, VECTOR_COL)
             .join(routing, PARTITION_COL)
@@ -471,9 +495,10 @@ class IVFFlatIndex(Index):
             )
         )
         if self._has_updates():
-            add_scored = knn_bruteforce_expr(self._additions(), q, k, metric).drop(
-                "rank"
-            )
+            additions = self._additions()
+            if allowed_ids is not None:
+                additions = additions.join(allowed_ids, ID_COL, "left_semi")
+            add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             scored = scored.unionByName(add_scored)
         order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
         res = topk_window(scored, [QUERY_ID_COL], order, k)

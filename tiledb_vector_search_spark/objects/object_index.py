@@ -211,6 +211,7 @@ class ObjectIndex:
         metadata_df_filter_fn: Callable[[pd.DataFrame], Any] | None = None,
         return_objects: bool = False,
         return_metadata: bool = True,
+        filter_pushdown: bool = False,
         **query_kw: Any,
     ) -> DataFrame:
         """Embed → (over-fetched) kNN → metadata filter → top-k → attach.
@@ -218,6 +219,15 @@ class ObjectIndex:
         ``metadata_array_cond`` is a SQL-WHERE-subset predicate over the
         metadata columns (reference TileDB query-condition grammar);
         ``metadata_df_filter_fn`` an arbitrary pandas row predicate.
+
+        ``filter_pushdown=True`` evaluates the metadata predicate on the
+        metadata table FIRST and restricts the index scan to the allowed
+        ids (semi-join before scoring) — exact top-k among the filtered
+        set, instead of the reference's ``fetch_k = 50·k`` over-fetch
+        (``object_index.py:451-453``), which silently returns fewer than
+        k rows when the filter keeps less than ~1/50 of the neighborhood.
+        Supported on FLAT and IVF_FLAT backing indexes (graph/PQ walks
+        change recall semantics under a pre-filter; they keep over-fetch).
         """
         if self.embedding.multi_vector:
             return self._query_multi_vector(query_objects, k, **query_kw)
@@ -227,6 +237,40 @@ class ObjectIndex:
         )
         if filtering and self.metadata() is None:
             raise ValueError("no metadata table to filter on")
+        if filter_pushdown:
+            if not filtering:
+                raise ValueError(
+                    "filter_pushdown=True needs metadata_array_cond or "
+                    "metadata_df_filter_fn"
+                )
+            if self.index.index_type not in ("FLAT", "IVF_FLAT"):
+                raise ValueError(
+                    "filter_pushdown supports FLAT and IVF_FLAT backing "
+                    f"indexes; {self.index.index_type} uses the over-fetch "
+                    "path (pass filter_pushdown=False)"
+                )
+            md = self.metadata()
+            if metadata_array_cond is not None:
+                md = md.where(F.expr(metadata_array_cond))
+            if metadata_df_filter_fn is not None:
+                md_schema = md.schema
+
+                def _pre_filt(batches):
+                    for pdf in batches:
+                        yield pdf[metadata_df_filter_fn(pdf)]
+
+                md = md.mapInPandas(_pre_filt, schema=md_schema)
+            res = self.index.query(
+                queries, k, allowed_ids=md.select(ID_COL), **query_kw
+            )
+            if return_metadata:
+                res = res.join(self.metadata(), ID_COL, "left")
+            if return_objects:
+                objs = self.reader.read_objects_by_external_ids(
+                    self.spark, res.select(ID_COL).distinct()
+                )
+                res = res.join(objs, ID_COL, "left")
+            return res
         fetch_k = k
         if filtering:
             fetch_k = min(OVERFETCH_FACTOR * k, self.index.size())
