@@ -244,3 +244,43 @@ def test_join_strategy_plan_has_no_driver_queries(spark, source, pq_index):
     # variable and its plan carries no query-side join; the join path must
     # show the query scan joined in
     assert "MapInPandas" in plan or "FlatMapCoGroupsInPandas" in plan, plan
+
+
+@pytest.mark.parametrize("strategy", ["kernel", "join"])
+@pytest.mark.parametrize("k_factor", [1.0, 4.0])
+def test_allowed_ids_pushdown(
+    spark, pq_index, source, embeddings_np, strategy, k_factor
+):
+    """Filtered-search pushdown on IVF_PQ: full-probe + allowed_ids +
+    re-rank == numpy brute force over ONLY the allowed subset (re-rank
+    makes distances exact; ADC-only asserts filter membership and
+    per-query cardinality — exactly k survivors regardless of filter
+    selectivity)."""
+    from tests.conftest import numpy_topk
+
+    k, nq = 5, 5
+    ids, mat = embeddings_np
+    allowed_mask = ids % 3 == 0
+    a_ids, a_mat = ids[allowed_mask], mat[allowed_mask]
+    allowed_df = spark.createDataFrame(
+        [(int(i),) for i in a_ids], "external_id long"
+    )
+    queries = source.where(f"external_id < {nq}").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    res = pq_index.query(
+        queries, k, nprobe=pq_index.partitions, strategy=strategy,
+        k_factor=k_factor, allowed_ids=allowed_df,
+    ).collect()
+    allowed_set = set(int(i) for i in a_ids)
+    got = {}
+    for r in res:
+        assert r.external_id in allowed_set
+        got.setdefault(r.query_id, []).append((r.rank, r.external_id))
+    assert set(got) == set(range(nq))
+    assert all(len(v) == k for v in got.values())
+    if k_factor > 1.0:
+        oracle = numpy_topk(mat[:nq], a_ids, a_mat, k)
+        for qid, pairs in got.items():
+            want = [i for i, _ in oracle[qid]]
+            assert [i for _, i in sorted(pairs)] == want

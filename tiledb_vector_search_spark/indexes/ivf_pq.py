@@ -450,10 +450,17 @@ class IVFPQIndex(Index):
         k_factor: float = 1.0,
         pad: bool = False,
         strategy: str = "auto",
+        allowed_ids: DataFrame | None = None,
         **kw: Any,
     ) -> DataFrame:
         """ADC scan over codes → optional exact re-rank (reference
         ``ivf_pq_index.py:121-163``).
+
+        ``allowed_ids`` (DataFrame with ``external_id``) = filtered-search
+        pushdown: the probed-partition code scan is semi-joined on the
+        allowed set BEFORE ADC scoring, so coarse candidates (and the
+        re-rank) never leave the filter — same contract as IVF_FLAT;
+        safe here because scoring is a partition scan, not a graph walk.
 
         ``k_factor=1`` returns ADC (approximate) distances, like the
         reference; ``k_factor>1`` fetches ``k_factor·k`` coarse candidates
@@ -475,9 +482,13 @@ class IVFPQIndex(Index):
             # one job: the bounded collect doubles as the small-batch fetch
             q_rows = q.limit(self.LARGE_NQ + 1).collect()
             if len(q_rows) > self.LARGE_NQ:
-                return self._query_join(q, k, nprobe, k_factor, pad, queries)
+                return self._query_join(
+                    q, k, nprobe, k_factor, pad, queries, allowed_ids
+                )
         elif strategy == "join":
-            return self._query_join(q, k, nprobe, k_factor, pad, queries)
+            return self._query_join(
+                q, k, nprobe, k_factor, pad, queries, allowed_ids
+            )
         elif strategy == "kernel":
             q_rows = q.collect()
         else:
@@ -492,6 +503,11 @@ class IVFPQIndex(Index):
         base = self._base_vectors().where(F.col(PARTITION_COL).isin(parts))
         if self._has_updates():
             base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
+        if allowed_ids is not None:
+            allowed_ids = allowed_ids.select(
+                F.col(ID_COL).cast("long").alias(ID_COL)
+            )
+            base = base.join(allowed_ids, ID_COL, "left_semi")
 
         coarse = self._adc_scores(base, qids, qmat, pairs, coarse_k)
         order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
@@ -528,9 +544,10 @@ class IVFPQIndex(Index):
             result = coarse_topk
 
         if self._has_updates():
-            add_scored = knn_bruteforce_expr(self._additions(), q, k, metric).drop(
-                "rank"
-            )
+            additions = self._additions()
+            if allowed_ids is not None:
+                additions = additions.join(allowed_ids, ID_COL, "left_semi")
+            add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             result = result.unionByName(add_scored)
 
         res = topk_window(result, [QUERY_ID_COL], order, k)
@@ -548,6 +565,7 @@ class IVFPQIndex(Index):
         k_factor: float,
         pad: bool,
         queries: DataFrame,
+        allowed_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Fully distributed ADC query plan: no driver materialization.
 
@@ -573,6 +591,11 @@ class IVFPQIndex(Index):
         base = self._base_vectors()
         if self._has_updates():
             base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
+        if allowed_ids is not None:
+            allowed_ids = allowed_ids.select(
+                F.col(ID_COL).cast("long").alias(ID_COL)
+            )
+            base = base.join(allowed_ids, ID_COL, "left_semi")
 
         bc = self.spark.sparkContext.broadcast(self.codebooks())
         kk = coarse_k
@@ -649,8 +672,11 @@ class IVFPQIndex(Index):
             result = coarse_topk
 
         if self._has_updates():
+            additions = self._additions()
+            if allowed_ids is not None:
+                additions = additions.join(allowed_ids, ID_COL, "left_semi")
             result = result.unionByName(
-                knn_bruteforce_expr(self._additions(), q, k, metric).drop("rank")
+                knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             )
         res = topk_window(result, [QUERY_ID_COL], order, k)
         if pad:

@@ -226,8 +226,9 @@ class ObjectIndex:
         set, instead of the reference's ``fetch_k = 50·k`` over-fetch
         (``object_index.py:451-453``), which silently returns fewer than
         k rows when the filter keeps less than ~1/50 of the neighborhood.
-        Supported on FLAT and IVF_FLAT backing indexes (graph/PQ walks
-        change recall semantics under a pre-filter; they keep over-fetch).
+        Supported on FLAT, IVF_FLAT, and IVF_PQ backing indexes — all
+        partition-scan scorers; a graph walk (VAMANA) changes recall
+        semantics under a pre-filter, so it keeps over-fetch.
         """
         if self.embedding.multi_vector:
             return self._query_multi_vector(query_objects, k, **query_kw)
@@ -243,9 +244,9 @@ class ObjectIndex:
                     "filter_pushdown=True needs metadata_array_cond or "
                     "metadata_df_filter_fn"
                 )
-            if self.index.index_type not in ("FLAT", "IVF_FLAT"):
+            if self.index.index_type not in ("FLAT", "IVF_FLAT", "IVF_PQ"):
                 raise ValueError(
-                    "filter_pushdown supports FLAT and IVF_FLAT backing "
+                    "filter_pushdown supports FLAT/IVF_FLAT/IVF_PQ backing "
                     f"indexes; {self.index.index_type} uses the over-fetch "
                     "path (pass filter_pushdown=False)"
                 )
