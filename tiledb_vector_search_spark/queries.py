@@ -2690,3 +2690,47 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return DD.strip_boilerplate_lines(lined, min_docs=2)
+
+
+# =====================================================================
+# Sequence packing — greedy token-budget binning for training sequences
+# =====================================================================
+
+_PACK_L, _PACK_SHARDS = 512, 4
+
+_PACKING_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT CAST(h % {_PACK_SHARDS} AS INT) AS shard, doc_id, tc,
+         ROW_NUMBER() OVER (PARTITION BY h % {_PACK_SHARDS} ORDER BY doc_id) AS rn
+  FROM (SELECT doc_id,
+               {TX.duckdb_stable_hash64_sql("CAST(doc_id AS VARCHAR)")} AS h,
+               CAST({TX.duckdb_token_count_regex_sql('text')} AS BIGINT) AS tc
+        FROM documents)
+),
+pack AS (
+  SELECT shard, doc_id, tc, rn, CAST(0 AS BIGINT) AS seq, tc AS acc
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.shard, b.doc_id, b.tc, b.rn,
+         CASE WHEN p.acc + b.tc <= {_PACK_L} THEN p.seq ELSE p.seq + 1 END,
+         CASE WHEN p.acc + b.tc <= {_PACK_L} THEN p.acc + b.tc ELSE b.tc END
+  FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1
+)
+SELECT shard, doc_id, tc AS n_tokens, seq FROM pack
+"""
+
+
+@register("sequence_packing", _PACKING_ORACLE, driver=False)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy no-split packing of documents into ≤512-token training
+    sequences over 4 hash shards (operators/packing.py).  The DuckDB
+    oracle replays the exact greedy recurrence as a recursive CTE —
+    engine-to-engine reproducibility of the packing, not just the
+    counts.  pytest-registry entry (driver window full at 50)."""
+    from tiledb_vector_search_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        max_tokens=_PACK_L,
+        num_shards=_PACK_SHARDS,
+    )
