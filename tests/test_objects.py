@@ -586,3 +586,74 @@ def test_filter_pushdown_df_filter_fn_and_errors(spark, doc_index, sf_dir, tmp_p
         vam.query(
             q, k=3, metadata_array_cond="lang = 'de'", filter_pushdown=True
         )
+
+
+def test_metadata_follows_object_dml(spark, sf_dir, tmp_path):
+    """Reference parity (embeddings_ingestion.py:331-333): DML upserts the
+    object METADATA too, so filters see new/updated objects — merge-on-
+    read updates log, time travel, and copy-on-write consolidation."""
+    import posixpath
+
+    from tiledb_vector_search_spark.storage import HadoopFS
+
+    uri = str(tmp_path / "objmd")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang", "source"],
+    )
+    idx = ObjectIndex.create(
+        spark, uri, reader, HashingTextEmbedding(dims=16),
+        index_type="FLAT", timestamp=1000,
+    )
+    n0 = idx.metadata().count()
+    # new object arrives with metadata
+    upd = spark.createDataFrame(
+        [(900001, "completely fresh text", "zz", "srcX")],
+        "external_id long, text string, lang string, source string",
+    )
+    idx.update_objects(upd, timestamp=2000)
+    idx = ObjectIndex(spark, uri)
+    md = {r.external_id: r for r in idx.metadata().collect()}
+    assert len(md) == n0 + 1
+    assert md[900001].lang == "zz" and md[900001].source == "srcX"
+    # the metadata filter finds the NEW object, on both filter paths
+    q = pd.DataFrame({"query_id": [0], "text": ["completely fresh text"]})
+    for push in (False, True):
+        res = idx.query(
+            q, k=1, metadata_array_cond="lang = 'zz'",
+            filter_pushdown=push, strategy="expr",
+        ).collect()
+        assert [r.external_id for r in res] == [900001], f"pushdown={push}"
+    # upsert the same id WITHOUT metadata columns -> NULLs (new version
+    # declared no metadata)
+    upd2 = spark.createDataFrame(
+        [(900001, "newer text")], "external_id long, text string"
+    )
+    idx.update_objects(upd2, timestamp=3000)
+    idx = ObjectIndex(spark, uri)
+    row = idx.metadata().where(f"external_id = 900001").collect()[0]
+    assert row.lang is None and row.source is None
+    # delete removes the metadata row
+    victim = int(next(iter(k for k in md if k != 900001)))
+    idx.delete_objects([victim], timestamp=4000)
+    idx = ObjectIndex(spark, uri)
+    assert idx.metadata().where(f"external_id = {victim}").count() == 0
+    # time travel: before the delete the victim exists, before the first
+    # update 900001 does not
+    at2500 = ObjectIndex(spark, uri, timestamp=2500)
+    assert at2500.metadata().where(f"external_id = {victim}").count() == 1
+    assert (
+        at2500.metadata().where("external_id = 900001").collect()[0].lang
+        == "zz"
+    )
+    at1500 = ObjectIndex(spark, uri, timestamp=1500)
+    assert at1500.metadata().where("external_id = 900001").count() == 0
+    # consolidation folds the log and preserves the logical table
+    before = sorted(map(tuple, ObjectIndex(spark, uri).metadata().collect()))
+    ObjectIndex(spark, uri).consolidate_object_metadata()
+    idx = ObjectIndex(spark, uri)
+    fs = HadoopFS(spark, uri)
+    assert not fs.exists(posixpath.join(uri, "object_metadata_updates"))
+    assert sorted(map(tuple, idx.metadata().collect())) == before

@@ -53,6 +53,7 @@ _INDEX_TYPES = {
     "VAMANA": VamanaIndex,
 }
 OVERFETCH_FACTOR = 50  # reference object_index.py:451-453
+METADATA_UPDATES_DIR = "object_metadata_updates"
 
 
 def fuse_multi_vector_scores(
@@ -116,6 +117,7 @@ class ObjectIndex:
     def __init__(self, spark: SparkSession, uri: str, timestamp: int | None = None):
         self.spark = spark
         self.uri = uri.rstrip("/")
+        self._open_ts = timestamp
         fs = HadoopFS(spark, self.uri)
         meta = json.loads(fs.read_text(posixpath.join(self.uri, "_object_meta.json")))
         self.index_type = meta["index_type"]
@@ -165,22 +167,107 @@ class ObjectIndex:
     # -- metadata --------------------------------------------------------------
 
     def metadata(self) -> DataFrame | None:
+        """The logical metadata table: base ∖ updated ids ∪ latest upserts.
+
+        DML writes land in an append-only ``object_metadata_updates`` log
+        (one timestamped batch per call — the reference's sparse-array
+        upsert keyed on external_id, ``embeddings_ingestion.py:331-333``);
+        reads merge latest-per-id with the same precedence as the vector
+        updates log (ts desc, upsert over delete at equal ts).  No
+        full-table rewrite per batch — the copy-on-write fold happens
+        only in :meth:`consolidate_object_metadata`.
+        """
         path = posixpath.join(self.uri, "object_metadata")
         fs = HadoopFS(self.spark, self.uri)
         if not fs.exists(path):
             return None
-        return self.spark.read.parquet(path)
+        base = self.spark.read.parquet(path)
+        upath = posixpath.join(self.uri, METADATA_UPDATES_DIR)
+        if not fs.exists(upath):
+            return base
+        upd = self.spark.read.parquet(upath)
+        if self._open_ts is not None:
+            upd = upd.where(F.col("ts") <= F.lit(int(self._open_ts)))
+        w = Window.partitionBy(ID_COL).orderBy(
+            F.col("ts").desc(), F.col("is_delete").asc()
+        )
+        latest = (
+            upd.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        survivors = latest.where(~F.col("is_delete")).drop("ts", "is_delete")
+        return base.join(
+            latest.select(ID_COL), ID_COL, "left_anti"
+        ).unionByName(survivors)
 
     # -- DML -------------------------------------------------------------------
 
     def update_objects(self, objects: DataFrame, timestamp: int | None = None) -> None:
         """Embed and upsert objects into the updates log (reference
-        ``update_index`` incremental path)."""
+        ``update_index`` incremental path) — INCLUDING their metadata,
+        which the reference's ingestion upserts into the metadata array
+        (``embeddings_ingestion.py:331-333``).  Metadata columns absent
+        from the update frame upsert as NULL (the caller declared no
+        metadata for the new version)."""
+        ts = timestamp if timestamp is not None else now_ms()
         vectors = self.embedding.transform(objects, self.reader.payload_columns())
-        self.index.update_batch(vectors, timestamp)
+        self.index.update_batch(vectors, ts)
+        self._append_metadata_updates(objects, ts, is_delete=False)
 
     def delete_objects(self, external_ids: list[int], timestamp: int | None = None) -> None:
-        self.index.delete_batch(external_ids, timestamp)
+        ts = timestamp if timestamp is not None else now_ms()
+        self.index.delete_batch(external_ids, ts)
+        ids = self.spark.createDataFrame(
+            [(int(i),) for i in external_ids], f"{ID_COL} long"
+        )
+        self._append_metadata_updates(ids, ts, is_delete=True)
+
+    def _append_metadata_updates(
+        self, df: DataFrame, ts: int, is_delete: bool
+    ) -> None:
+        """One timestamped parquet batch in the metadata updates log;
+        columns conform to the base metadata schema (absent → NULL)."""
+        base = self.metadata()
+        if base is None:
+            return
+        base_fields = {
+            f.name: f.dataType for f in base.schema.fields if f.name != ID_COL
+        }
+        cols = [F.col(ID_COL).cast("long").alias(ID_COL)]
+        for name, dtype in base_fields.items():
+            src = (
+                F.col(name).cast(dtype)
+                if name in df.columns
+                else F.lit(None).cast(dtype)
+            )
+            cols.append(src.alias(name))
+        out = (
+            df.select(*cols)
+            .withColumn("ts", F.lit(int(ts)))
+            .withColumn("is_delete", F.lit(bool(is_delete)))
+        )
+        out.write.mode("append").parquet(
+            posixpath.join(self.uri, METADATA_UPDATES_DIR)
+        )
+
+    def consolidate_object_metadata(self) -> None:
+        """Fold the metadata updates log into the base table (the
+        copy-on-write compaction; one distributed rewrite, then the log
+        is dropped)."""
+        fs = HadoopFS(self.spark, self.uri)
+        upath = posixpath.join(self.uri, METADATA_UPDATES_DIR)
+        if not fs.exists(upath):
+            return
+        merged = self.metadata()
+        if merged is None:
+            return
+        tmp = posixpath.join(self.uri, "object_metadata__new")
+        merged.write.mode("overwrite").parquet(tmp)
+        old = posixpath.join(self.uri, "object_metadata")
+        fs.delete(old)
+        fs.rename(tmp, old)
+        fs.delete(upath)
 
     # -- query -----------------------------------------------------------------
 
