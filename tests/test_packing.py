@@ -93,3 +93,48 @@ def test_validation(spark, docs):
         pack_sequences(docs, max_tokens=0, num_shards=2)
     with pytest.raises(ValueError, match="num_shards"):
         pack_sequences(docs, max_tokens=10, num_shards=0)
+
+
+# --- differential property test ----------------------------------------------
+
+
+def _py_greedy(pairs, cap):
+    """Reference greedy packer: (doc_id, n_tokens) sorted by id."""
+    out, seq, acc = {}, -1, 0
+    for doc_id, n in sorted(pairs):
+        if seq < 0 or acc + n > cap:
+            seq, acc = seq + 1, n
+        else:
+            acc += n
+        out[doc_id] = seq
+    return out
+
+
+def test_differential_random_corpora(spark):
+    """Randomized (token_count, cap) corpora: the distributed packer
+    equals the sequential reference greedy per shard, including oversize
+    docs and cap-boundary exact fits."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(5):
+        cap = rng.choice([16, 64, 257])
+        n = rng.randrange(1, 120)
+        rows = [
+            # include exact-fit (== cap), tiny, and oversize counts
+            (i, rng.choice([1, 2, cap - 1, cap, cap + 1, rng.randrange(1, 3 * cap)]))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        packed = pack_sequences(
+            df, max_tokens=cap, num_shards=3, token_count_col=F.col("n_tokens")
+        ).collect()
+        by_shard = {}
+        for r in packed:
+            by_shard.setdefault(r.shard, []).append((r.doc_id, r.n_tokens))
+        assert sum(len(v) for v in by_shard.values()) == n
+        got = {r.doc_id: (r.shard, r.seq) for r in packed}
+        for shard, pairs in by_shard.items():
+            want = _py_greedy(pairs, cap)
+            for doc_id, seq in want.items():
+                assert got[doc_id] == (shard, seq), (trial, cap, doc_id)
