@@ -706,3 +706,63 @@ def test_ngram_jaccard_lossless_on_randomized_corpora(spark):
             for r in ngram_jaccard_dedup(df, threshold=tau).collect()
         }
         assert got == want, (seed, tau, want - got, got - want)
+
+
+# --- duplicate-span detection -------------------------------------------------
+
+
+def test_duplicate_spans_planted(spark):
+    """A 10-token run shared by two docs is flagged at exactly its token
+    positions in each; the non-sharing doc is absent; stripping excises
+    precisely the shared tokens."""
+    from tiledb_vector_search_spark.operators.dedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"unique one text starts here {shared} and then one ends differently now"),
+        (2, f"totally different opening words {shared} closing remarks are not the same"),
+        (3, "no duplication in this document at all just singular content words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {(r.doc_id, r.span_start, r.span_end)
+             for r in duplicate_spans(df, n=4, min_docs=2).collect()}
+    # doc 1: 5 prefix tokens -> shared occupies 6..15; doc 2: 4 prefix
+    assert spans == {(1, 6, 15), (2, 5, 14)}
+    clean = {r.doc_id: r.text
+             for r in strip_duplicate_spans(
+                 df, duplicate_spans(df, n=4, min_docs=2)).collect()}
+    assert clean[1] == "unique one text starts here and then one ends differently now"
+    assert clean[2] == "totally different opening words closing remarks are not the same"
+    assert clean[3] == rows[2][1]  # already-normalized text passes through
+
+
+def test_duplicate_spans_merge_and_min_docs(spark):
+    """Two shared runs separated by one unique token merge into separate
+    spans; raising min_docs above the sharing count empties the result."""
+    from tiledb_vector_search_spark.operators.dedup import duplicate_spans
+
+    a = "red green blue cyan"      # shared run 1 (4 tokens)
+    b = "one two three four"       # shared run 2
+    rows = [
+        (1, f"{a} xx {b}"),
+        (2, f"{a} yy {b}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, n=4, min_docs=2).collect()
+    )
+    # runs sit at 1..4 and 6..9 in both docs — NOT merged across the gap
+    assert got == [(1, 1, 4), (1, 6, 9), (2, 1, 4), (2, 6, 9)]
+    assert duplicate_spans(df, n=4, min_docs=3).count() == 0
+    # overlapping grams merge: make the two runs adjacent (no gap token)
+    rows2 = [(1, f"{a} {b}"), (2, f"{a} {b}")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df2, n=4, min_docs=2).collect()
+    )
+    assert got2 == [(1, 1, 8), (2, 1, 8)]

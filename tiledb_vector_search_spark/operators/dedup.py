@@ -22,7 +22,7 @@ All SQL-expressible pieces are Catalyst expressions with DuckDB twins in
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tiledb_vector_search_spark.functions.text import (
@@ -1012,4 +1012,128 @@ def jaccard_topk_sparse(
         ["query_doc"],
         [F.col("jaccard").desc(), F.col("similar_doc").asc()],
         k,
+    )
+
+
+# --- exact duplicate-span detection ------------------------------------------
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end): maximal token spans whose every
+    length-``n`` gram also appears in ≥ ``min_docs`` documents.
+
+    Substring-level exact dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): full-document dedup misses a
+    boilerplate paragraph shared across otherwise-distinct pages; this
+    flags the shared REGION inside each document, token-positioned, so a
+    cleaning pass can excise exactly it (`strip_duplicate_spans`).
+
+    Spark shape (100 TB): tokens materialize once behind the projection;
+    the exploded frame carries (id, pos, gram-hash long) — 24 bytes per
+    corpus token, never the text.  Cross-corpus frequency is ONE
+    hash-aggregate on the 64-bit gram hash; positions of frequent grams
+    come back via an un-hinted semi-join (AQE broadcasts when the
+    frequent-gram set is small — the normal case); interval merging is a
+    per-document window (running-max end, gap-flag cumsum — no UDF).
+    Suffix arrays (the paper's tool) need a global sort of every suffix;
+    the n-gram postings formulation reaches the same duplicated-span set
+    for spans ≥ n with shuffles that are all hash-partitioned.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1; got {n}")
+    from tiledb_vector_search_spark.functions.text import (
+        stable_hash64,
+        tokens,
+    )
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
+    )
+    idx = F.when(
+        F.size("__t") >= n, F.sequence(F.lit(1), F.size("__t") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    stable_hash64(
+                        F.array_join(F.slice("__t", i, n), " ")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    dup_hashes = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = grams.join(dup_hashes, "h", "left_semi")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "__new", F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0)
+    ).withColumn("__grp", F.sum("__new").over(w))
+    return (
+        flagged.groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+        )
+        .drop("__grp")
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the flagged token spans from each document's text.
+
+    Token-level reconstruction: documents re-tokenize with the same
+    normalizer, tokens covered by any span drop, survivors re-join with
+    single spaces.  Documents with no flagged span pass through with
+    their NORMALIZED token text (the operation is defined on the token
+    stream, not raw bytes — same contract as the boilerplate remover).
+    """
+    from tiledb_vector_search_spark.functions.text import tokens
+
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).join(per_doc, id_col, "left")
+    kept = F.filter(
+        F.transform(
+            F.col("__t"), lambda x, i: F.struct((i + 1).alias("p"), x.alias("x"))
+        ),
+        lambda s: ~F.coalesce(
+            F.exists(
+                "__spans",
+                lambda sp: (s["p"] >= sp["span_start"])
+                & (s["p"] <= sp["span_end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return toks.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["x"]), " ").alias(text_col),
     )

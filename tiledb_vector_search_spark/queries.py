@@ -2734,3 +2734,71 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_tokens=_PACK_L,
         num_shards=_PACK_SHARDS,
     )
+
+
+# =====================================================================
+# Exact duplicate-span detection (substring-level dedup)
+# =====================================================================
+
+_SPAN_N = 4
+_SPAN_HASH = TX.duckdb_stable_hash64_sql(
+    f"array_to_string(list_slice(t, __i, __i + {_SPAN_N - 1}), ' ')"
+)
+
+_DUP_SPANS_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         substr(text, 1, 60) ||
+         ' common shared segment phrase here right now ' ||
+         substr(text, 61, 60) AS text
+  FROM documents WHERE doc_id < 200
+),
+tk AS (SELECT doc_id, {TX.duckdb_tokens_sql('text')} AS t FROM planted),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= {_SPAN_N}
+                THEN range(1, len(t) - {_SPAN_N - 1} + 1) ELSE [] END) AS pos,
+         unnest(CASE WHEN len(t) >= {_SPAN_N}
+                THEN list_transform(range(1, len(t) - {_SPAN_N - 1} + 1),
+                                    __i -> {_SPAN_HASH}) ELSE [] END) AS h
+  FROM tk),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+fl AS (
+  SELECT doc_id, pos,
+         max(pos + {_SPAN_N - 1}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM hits),
+gr AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM fl)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SPAN_N - 1} AS BIGINT) AS span_end
+FROM gr GROUP BY doc_id, grp
+"""
+
+
+@register("dedup_duplicate_spans", _DUP_SPANS_ORACLE, driver=False)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. duplicated-span family):
+    token spans whose 4-grams recur across ≥2 docs, interval-merged per
+    doc.  A shared segment is planted mid-document in 200 real docs (the
+    table's planted full-doc dup pairs contribute larger spans too).
+    pytest-registry entry (driver window full at 50)."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 200")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit(" common shared segment phrase here right now "),
+            F.substring("text", 61, 60),
+        ).alias("text"),
+    )
+    return DD.duplicate_spans(planted, n=_SPAN_N, min_docs=2).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
