@@ -80,3 +80,33 @@ def test_storage_version_guard(spark, tmp_path):
     st.write_meta(meta)
     with pytest.raises(ValueError, match="storage_version"):
         open_index(spark, uri)
+
+
+def test_describe_operational_snapshot(spark, sf_dir, tmp_path):
+    """describe(): identity + size + updates debt + partition balance,
+    honoring the open timestamp."""
+    from pyspark.sql import functions as F
+
+    from tiledb_vector_search_spark.indexes import FlatIndex, IVFFlatIndex
+
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    uri = str(tmp_path / "desc")
+    IVFFlatIndex.ingest(spark, uri, src, partitions=8, timestamp=1000)
+    idx = IVFFlatIndex(spark, uri)
+    idx.update(987654, [0.0] * 64, timestamp=2000)
+    d = IVFFlatIndex(spark, uri).describe()
+    assert d["index_type"] == "IVF_FLAT" and d["partitions"] == 8
+    assert d["pending_update_batches"] == 1
+    assert d["size"] == src.count() + 1
+    assert d["partition_rows_min"] <= d["partition_rows_mean"] <= d["partition_rows_max"]
+    assert d["partition_skew"] >= 1.0
+    # time travel: before the update there is no log debt
+    d0 = IVFFlatIndex(spark, uri, timestamp=1500).describe()
+    assert d0["pending_update_batches"] == 0 and d0["size"] == src.count()
+    # FLAT has no partition stats
+    furi = str(tmp_path / "descf")
+    FlatIndex.ingest(spark, furi, src, timestamp=1000)
+    df = FlatIndex(spark, furi).describe()
+    assert "partition_rows_max" not in df and df["size"] == src.count()

@@ -81,6 +81,60 @@ class Index:
         (packed binary column; reference dispatch ``module.py:114-121``)."""
         return self.meta.get("vector_dtype", "float32")
 
+    def describe(self) -> dict[str, Any]:
+        """Operational snapshot: identity, logical size, updates-log debt,
+        and (per index type) partition balance — the numbers an operator
+        needs before pointing a 1000-executor job at the index.  ONE
+        Spark job over the base (a partition-column aggregate) plus the
+        already-loaded meta; the updates log is counted only if present.
+        """
+        lo, hi = self._updates_window()
+        pending = [
+            int(ts)
+            for ts in self.meta.get("update_batches", [])
+            if (lo is None or ts > lo) and (hi is None or ts <= hi)
+        ]
+        out: dict[str, Any] = {
+            "uri": self.uri,
+            "index_type": self.index_type,
+            "metric": self.metric.value,
+            "dimensions": self.dimensions,
+            "vector_dtype": self.vector_dtype,
+            "base_ts": self.base_ts,
+            "opened_at": self.timestamp,
+            "size": self.size(),
+            "pending_update_batches": len(pending),
+        }
+        out.update(self._describe_extra())
+        return out
+
+    def _describe_extra(self) -> dict[str, Any]:
+        return {}
+
+    def _partition_balance(self, partition_col: str) -> dict[str, Any]:
+        """min/mean/max rows per storage partition + skew = max/mean (the
+        straggler multiplier a probe-routed scan pays on the hot shard)."""
+        row = (
+            self._base_vectors()
+            .groupBy(partition_col)
+            .count()
+            .agg(
+                F.count("*").alias("nparts"),
+                F.min("count").alias("pmin"),
+                F.avg("count").alias("pavg"),
+                F.max("count").alias("pmax"),
+            )
+            .first()
+        )
+        if not row or not row["nparts"]:
+            return {}
+        return {
+            "partition_rows_min": int(row["pmin"]),
+            "partition_rows_mean": round(float(row["pavg"]), 1),
+            "partition_rows_max": int(row["pmax"]),
+            "partition_skew": round(row["pmax"] / row["pavg"], 3),
+        }
+
     # -- effective vector set (base ⊖ updated ⊕ additions) --------------------
 
     def _base_vectors(self) -> DataFrame:

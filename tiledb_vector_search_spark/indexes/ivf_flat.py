@@ -67,6 +67,10 @@ class IVFFlatIndex(Index):
     # mirroring reference ``ivf_flat_index.py:254-255,313-325``
     normalize_on_write = True
 
+
+    def _describe_extra(self):
+        return {"partitions": self.partitions, **self._partition_balance(PARTITION_COL)}
+
     # -- build ----------------------------------------------------------------
 
     @classmethod

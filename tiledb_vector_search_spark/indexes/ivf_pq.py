@@ -199,6 +199,14 @@ def train_pq_codebooks(
 class IVFPQIndex(Index):
     index_type = "IVF_PQ"
 
+
+    def _describe_extra(self):
+        return {
+            "partitions": self.partitions,
+            "num_subspaces": self.num_subspaces,
+            **self._partition_balance(PARTITION_COL),
+        }
+
     # -- build ----------------------------------------------------------------
 
     @classmethod

@@ -78,6 +78,15 @@ class VamanaIndex(Index):
     index_type = "VAMANA"
     normalize_on_write = True
 
+
+    def _describe_extra(self):
+        bal = self._partition_balance(PARTITION_COL)
+        bal["shards"] = self.partitions
+        bal["has_overlay"] = self.storage.fs.exists(
+            self.storage.aux_path(OVERLAY_AUX, self.base_ts)
+        )
+        return bal
+
     # -- build ----------------------------------------------------------------
 
     @classmethod
