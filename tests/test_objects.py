@@ -657,3 +657,12 @@ def test_metadata_follows_object_dml(spark, sf_dir, tmp_path):
     fs = HadoopFS(spark, uri)
     assert not fs.exists(posixpath.join(uri, "object_metadata_updates"))
     assert sorted(map(tuple, idx.metadata().collect())) == before
+
+
+def test_object_index_describe(spark, doc_index):
+    d = doc_index.describe()
+    assert d["index_type"] == "FLAT"
+    assert d["reader"] == "DataFrameObjectReader"
+    assert d["embedding"] == "HashingTextEmbedding"
+    assert d["metadata_rows"] == d["size"] > 0
+    assert d["metadata_updates_pending"] is False

@@ -201,6 +201,21 @@ class ObjectIndex:
             latest.select(ID_COL), ID_COL, "left_anti"
         ).unionByName(survivors)
 
+    def describe(self) -> dict[str, Any]:
+        """Vector-index snapshot (:meth:`Index.describe`) plus the object
+        layer: reader/embedding classes, metadata row count, and metadata
+        updates-log presence."""
+        out = self.index.describe()
+        out["object_index_type"] = self.index_type
+        out["reader"] = type(self.reader).__name__
+        out["embedding"] = type(self.embedding).__name__
+        md = self.metadata()
+        out["metadata_rows"] = md.count() if md is not None else 0
+        out["metadata_updates_pending"] = HadoopFS(self.spark, self.uri).exists(
+            posixpath.join(self.uri, METADATA_UPDATES_DIR)
+        )
+        return out
+
     # -- DML -------------------------------------------------------------------
 
     def update_objects(self, objects: DataFrame, timestamp: int | None = None) -> None:
