@@ -766,3 +766,52 @@ def test_duplicate_spans_merge_and_min_docs(spark):
         for r in duplicate_spans(df2, n=4, min_docs=2).collect()
     )
     assert got2 == [(1, 1, 8), (2, 1, 8)]
+
+
+def test_duplicate_spans_differential_random(spark):
+    """Random small-vocab corpora (heavy gram collisions): the
+    distributed detector equals a sequential reference that hashes the
+    same normalized token grams and merges intervals."""
+    import random
+
+    def py_spans(docs, n, min_docs):
+        toks = {d: t.split() for d, t in docs}
+        grams = {}
+        for d, t in toks.items():
+            for p in range(len(t) - n + 1):
+                grams.setdefault(tuple(t[p : p + n]), set()).add(d)
+        dup = {g for g, ds in grams.items() if len(ds) >= min_docs}
+        out = []
+        for d, t in toks.items():
+            hits = sorted(
+                p + 1 for p in range(len(t) - n + 1)
+                if tuple(t[p : p + n]) in dup
+            )
+            cur = None
+            for p in hits:
+                if cur and p <= cur[1] + 1:
+                    cur[1] = max(cur[1], p + n - 1)
+                else:
+                    if cur:
+                        out.append((d, cur[0], cur[1]))
+                    cur = [p, p + n - 1]
+            if cur:
+                out.append((d, cur[0], cur[1]))
+        return sorted(out)
+
+    from tiledb_vector_search_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(4):
+        n = rng.choice([2, 3])
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(n, 40))))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicate_spans(df, n=n, min_docs=2).collect()
+        )
+        assert got == py_spans(docs, n, 2), (trial, n)
