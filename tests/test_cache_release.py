@@ -95,3 +95,15 @@ def test_materialize_false_keeps_lazy_plan(spark, sf_dir, clean_cache):
     # the lazy form still shows the verify join, not a checkpoint scan
     assert "Scan ExistingRDD" not in plan
     assert not _cache_manager(spark).isEmpty()  # caller-managed caches live
+
+
+def test_cross_corpus_dedup_releases_caches(spark, sf_dir, clean_cache):
+    docs = _docs(spark, sf_dir)
+    out = DD.minhash_dedup_against(
+        docs.where("doc_id >= 100"), docs.where("doc_id < 100"),
+        num_perm=16, bands=8, threshold=0.8,
+    )
+    out.count()
+    assert _cache_manager(spark).isEmpty(), (
+        "minhash_dedup_against leaked cached frames"
+    )

@@ -815,3 +815,36 @@ def test_duplicate_spans_differential_random(spark):
             for r in duplicate_spans(df, n=n, min_docs=2).collect()
         )
         assert got == py_spans(docs, n, 2), (trial, n)
+
+
+def test_cross_corpus_dedup_planted(spark, sf_dir):
+    """New docs that near-copy reference docs are flagged against the
+    RIGHT reference id; fresh docs are not; new↔new duplicates are NOT
+    paired (the asymmetric contract); overlapping id spaces are safe."""
+    from pyspark.sql import functions as F
+
+    from tiledb_vector_search_spark.operators.dedup import minhash_dedup_against
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.where("doc_id < 50")
+    # two identical new docs (a new-new dup) + 5 perturbed ref copies,
+    # REUSING ref's id range to prove id spaces are independent
+    copy = docs.where("doc_id = 60").select(F.lit(0).alias("doc_id"), "text")
+    copy2 = docs.where("doc_id = 60").select(F.lit(1).alias("doc_id"), "text")
+    perturbed = docs.where("doc_id < 5").select(
+        (F.col("doc_id") + 10).alias("doc_id"),
+        F.concat("text", F.lit(" qq ww")).alias("text"),
+    )
+    new = copy.unionByName(copy2).unionByName(perturbed)
+    out = minhash_dedup_against(
+        new, ref, num_perm=32, bands=16, threshold=0.7
+    ).collect()
+    got = {(r.new_id, r.ref_id) for r in out}
+    assert {(i + 10, i) for i in range(5)} <= got
+    # the new-new identical pair must NOT appear (0/1 vs each other),
+    # and doc 60's copies must not match any ref id unless organically dup
+    assert all(nid not in (0, 1) or rid != nid for nid, rid in got)
+    for nid, rid, j in [(r.new_id, r.ref_id, r.jaccard) for r in out]:
+        assert j >= 0.7

@@ -137,20 +137,12 @@ def _affine_minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    num_perm: int = DEFAULT_NUM_PERM,
-    bands: int = DEFAULT_BANDS,
+def _band_keys(
+    signatures: DataFrame, id_col: str, num_perm: int, bands: int
 ) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket.
-
-    Band key = md5 of the band's slice of the signature; the self-join is an
-    equi-join on (band, bucket) — shuffle on small keys, quadratic blowup
-    only within buckets (the LSH contract).
-    """
+    """(id, band, bucket): md5 bucket key per signature band slice."""
     rows_per_band = num_perm // bands
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -172,6 +164,21 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket.
+
+    Band key = md5 of the band's slice of the signature; the self-join is an
+    equi-join on (band, bucket) — shuffle on small keys, quadratic blowup
+    only within buckets (the LSH contract).
+    """
+    banded = _band_keys(signatures, id_col, num_perm, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -1137,3 +1144,74 @@ def strip_duplicate_spans(
         F.col(id_col),
         F.array_join(F.transform(kept, lambda s: s["x"]), " ").alias(text_col),
     )
+
+
+# --- cross-corpus dedup -------------------------------------------------------
+
+
+def minhash_dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """(new_id, ref_id, jaccard): new documents near-duplicating a
+    REFERENCE corpus — the incremental-crawl dedup step ("drop anything
+    already in the training set"), which within-corpus ``minhash_dedup``
+    cannot express (it would also pair new↔new).
+
+    Same machinery, asymmetric join: both corpora shingle → sign → band
+    once; candidates are a (band, bucket) equi-join of NEW band keys
+    against REF band keys (shuffle on small md5 keys; bucket-local
+    blowup only — the LSH contract), verified by exact shingle-Jaccard.
+    At 100 TB the reference side's signatures/bands are computed once
+    and reusable across crawl increments (they're a deterministic
+    function of the text), so steady-state cost is proportional to the
+    NEW increment, not the accumulated corpus.
+
+    Id spaces may overlap freely (the two frames are distinct tables; no
+    ``id < id`` ordering is applied).
+    """
+    from pyspark import StorageLevel
+
+    sh_new = _shingle_docs(new_df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_ref = _shingle_docs(ref_df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    b_new = _band_keys(
+        _affine_minhash_signatures(sh_new, id_col, num_perm), id_col, num_perm, bands
+    ).select(F.col(id_col).alias("new_id"), "band", "bucket")
+    b_ref = _band_keys(
+        _affine_minhash_signatures(sh_ref, id_col, num_perm), id_col, num_perm, bands
+    ).select(F.col(id_col).alias("ref_id"), "band", "bucket")
+    cand = b_new.join(b_ref, ["band", "bucket"]).select("new_id", "ref_id").distinct()
+    gated, handle = _gated_pairs(cand.withColumnRenamed("new_id", "id_a")
+                                     .withColumnRenamed("ref_id", "id_b"))
+    a = sh_new.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh_ref.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    out = (
+        a.join(gated, "id_a")
+        .join(b, "id_b")
+        .withColumn("__i", inter)
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("ref_id"),
+            F.round(
+                F.col("__i")
+                / ((F.size("sh_a") + F.size("sh_b")).cast("double") - F.col("__i")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    if materialize:
+        out = _materialize_and_release(out, handle, sh_new, sh_ref)
+    return out

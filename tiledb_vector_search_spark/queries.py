@@ -2802,3 +2802,54 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_start").cast("long").alias("span_start"),
         F.col("span_end").cast("long").alias("span_end"),
     )
+
+
+# =====================================================================
+# Cross-corpus dedup — new crawl vs existing training corpus
+# =====================================================================
+
+_CROSS_DEDUP_ORACLE = f"""
+WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+newc AS (
+  SELECT doc_id + 100000 AS doc_id, text || ' zq wq xq' AS text
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text
+  FROM documents WHERE doc_id >= 150 AND doc_id < 250
+),
+ra AS (SELECT doc_id, {TX.duckdb_word_shingles_sql('text', 3)} AS sh FROM ref),
+na AS (SELECT doc_id, {TX.duckdb_word_shingles_sql('text', 3)} AS sh FROM newc),
+pairs AS (
+  SELECT n.doc_id AS new_id, r.doc_id AS ref_id,
+         round(len(list_intersect(n.sh, r.sh)) * 1.0 /
+               (len(n.sh) + len(r.sh) - len(list_intersect(n.sh, r.sh))), 6)
+           AS jaccard
+  FROM na n JOIN ra r ON len(n.sh) > 0 AND len(r.sh) > 0
+)
+SELECT new_id, ref_id, jaccard FROM pairs WHERE jaccard >= 0.7
+"""
+
+
+@register("dedup_cross_corpus", _CROSS_DEDUP_ORACLE, driver=False)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: LSH-flag NEW documents near-duplicating a
+    REFERENCE corpus (`minhash_dedup_against`).  The new corpus plants 20
+    perturbed copies of ref docs plus 100 disjoint docs; oracle = exact
+    A×B shingle-Jaccard.  32 perms / 16 bands (2-row s-curve midpoint
+    0.25) so per-pair miss at j≥0.7 is ~2e-5 and LSH output ≡ exact.
+    pytest-registry entry (driver window full at 50)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where("doc_id < 150")
+    new = (
+        docs.where("doc_id < 20")
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zq wq xq")).alias("text"),
+        )
+        .unionByName(
+            docs.where("doc_id >= 150 AND doc_id < 250").select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return DD.minhash_dedup_against(new, ref, num_perm=32, bands=16, threshold=0.7)
