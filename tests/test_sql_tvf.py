@@ -450,3 +450,120 @@ def test_tvf_u8_index_with_updates(spark, sf_dir, tmp_path_factory):
     }
     assert got == want
     assert all(e != 0 for _, _, e, _ in got)
+
+
+def test_tvf_allowed_ids_filtered_search(spark, source, ivf_uri, tmp_path):
+    """The 7th argument (an ids parquet) = filtered-search pushdown from
+    pure SQL — parity with the DataFrame allowed_ids semi-join on
+    IVF_FLAT, with the updates-log additions obeying the filter too."""
+    register_ann_search(spark)
+    allowed_path = str(tmp_path / "allowed.parquet")
+    source.where("external_id % 3 = 0").select("external_id").write.parquet(
+        allowed_path
+    )
+    q = source.where("external_id < 8").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_q_allowed")
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 6))
+        for r in spark.sql(
+            f"SELECT * FROM ann_search(TABLE(SELECT * FROM tvf_q_allowed), "
+            f"'{ivf_uri}', 5, 8, CAST(1.0 AS DOUBLE), CAST(NULL AS BIGINT), "
+            f"'{allowed_path}')"
+        ).collect()
+    }
+    idx = IVFFlatIndex(spark, ivf_uri)
+    allowed_df = source.where("external_id % 3 = 0").select("external_id")
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 6))
+        for r in idx.query(q, 5, nprobe=8, allowed_ids=allowed_df).collect()
+    }
+    assert got == want and len(got) == 8 * 5
+    assert all(eid % 3 == 0 for (_, _, eid, _) in got)
+
+
+def test_tvf_allowed_ids_filters_additions(spark, source, tmp_path):
+    """An addition at distance 0 outside the allowed set must not surface
+    through the TVF's updates merge."""
+    register_ann_search(spark)
+    uri = str(tmp_path / "tvfadd")
+    IVFFlatIndex.ingest(spark, uri, source, partitions=4, timestamp=1)
+    idx = IVFFlatIndex(spark, uri)
+    qrow = source.where("external_id = 0").collect()[0]
+    idx.update(990001, list(qrow.vector), timestamp=2)
+    allowed_path = str(tmp_path / "allow2.parquet")
+    source.select("external_id").write.parquet(allowed_path)  # base only
+    spark.createDataFrame(
+        [(0, list(qrow.vector))], "query_id long, vector array<float>"
+    ).createOrReplaceTempView("tvf_q_add")
+    rows = spark.sql(
+        f"SELECT * FROM ann_search(TABLE(SELECT * FROM tvf_q_add), "
+        f"'{uri}', 3, 4, CAST(1.0 AS DOUBLE), CAST(NULL AS BIGINT), "
+        f"'{allowed_path}')"
+    ).collect()
+    assert 990001 not in {r.external_id for r in rows} and len(rows) == 3
+    # without the filter the addition wins at distance 0
+    rows2 = spark.sql(
+        f"SELECT * FROM ann_search(TABLE(SELECT * FROM tvf_q_add), "
+        f"'{uri}', 3, 4)"
+    ).collect()
+    assert 990001 in {r.external_id for r in rows2}
+
+
+def test_tvf_allowed_ids_rejected_for_vamana(spark, source, tmp_path):
+    from tiledb_vector_search_spark.indexes import VamanaIndex
+
+    register_ann_search(spark)
+    uri = str(tmp_path / "tvfvam")
+    VamanaIndex.ingest(spark, uri, source, shards=2, timestamp=1)
+    allowed_path = str(tmp_path / "allow3.parquet")
+    source.select("external_id").limit(10).write.parquet(allowed_path)
+    spark.createDataFrame(
+        [(0, [0.0] * 64)], "query_id long, vector array<float>"
+    ).createOrReplaceTempView("tvf_q_vam")
+    with pytest.raises(Exception, match="over-fetch"):
+        spark.sql(
+            f"SELECT * FROM ann_search(TABLE(SELECT * FROM tvf_q_vam), "
+            f"'{uri}', 3, 2, CAST(1.0 AS DOUBLE), CAST(NULL AS BIGINT), "
+            f"'{allowed_path}')"
+        ).collect()
+
+
+@pytest.mark.parametrize("index_kind", ["flat", "pq"])
+def test_tvf_allowed_ids_flat_and_pq(spark, source, tmp_path, index_kind):
+    register_ann_search(spark)
+    uri = str(tmp_path / f"tvfal_{index_kind}")
+    if index_kind == "flat":
+        FlatIndex.ingest(spark, uri, source, timestamp=1)
+        idx, kw = FlatIndex(spark, uri), {}
+        nprobe, kf = 1, ""
+    else:
+        IVFPQIndex.ingest(spark, uri, source, partitions=4, num_subspaces=8, timestamp=1)
+        idx, kw = IVFPQIndex(spark, uri), {"nprobe": 4, "k_factor": 4.0}
+        nprobe, kf = 4, ", CAST(4.0 AS DOUBLE)"
+    allowed_path = str(tmp_path / f"al_{index_kind}.parquet")
+    source.where("external_id % 2 = 1").select("external_id").write.parquet(
+        allowed_path
+    )
+    q = source.where("external_id < 6").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView(f"tvf_q_{index_kind}")
+    if index_kind == "flat":
+        sql_args = f"'{uri}', 4, {nprobe}, CAST(1.0 AS DOUBLE), CAST(NULL AS BIGINT), '{allowed_path}'"
+    else:
+        sql_args = f"'{uri}', 4, {nprobe}{kf}, CAST(NULL AS BIGINT), '{allowed_path}'"
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 6))
+        for r in spark.sql(
+            f"SELECT * FROM ann_search(TABLE(SELECT * FROM tvf_q_{index_kind}), {sql_args})"
+        ).collect()
+    }
+    allowed_df = source.where("external_id % 2 = 1").select("external_id")
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 6))
+        for r in idx.query(q, 4, allowed_ids=allowed_df, **kw).collect()
+    }
+    assert got == want and len(got) == 6 * 4
+    assert all(eid % 2 == 1 for (_, _, eid, _) in got)

@@ -207,6 +207,24 @@ def _mask_tombstones(
     return None if keep.all() else keep
 
 
+def _keep_mask(
+    ids: np.ndarray, tomb: np.ndarray, allowed: np.ndarray | None
+) -> np.ndarray | None:
+    """Tombstone-exclude ∧ allowed-include keep-mask, or None if total."""
+    keep = np.ones(len(ids), dtype=bool)
+    if len(tomb):
+        keep &= ~np.isin(ids, tomb)
+    if allowed is not None:
+        keep &= np.isin(ids, allowed)
+    return None if keep.all() else keep
+
+
+def _load_allowed(path: str) -> np.ndarray:
+    """external_id column of an ids parquet (file or directory)."""
+    tb = _read_parquet_dir(path, columns=["external_id"])
+    return tb.column("external_id").to_numpy().astype(np.int64)
+
+
 def _extend_with_additions(
     out: dict[int, list[tuple[float, int]]],
     qmat: np.ndarray,
@@ -321,6 +339,7 @@ def search_index_files(
     nprobe: int,
     k_factor: float = 1.0,
     timestamp: int | None = None,
+    allowed_ids_path: str | None = None,
 ) -> list[tuple[int, int, float, int]]:
     """Index top-k over the on-disk index via pyarrow — no SparkSession.
 
@@ -336,10 +355,23 @@ def search_index_files(
         if pending
         else (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), None)
     )
+    allowed = None
+    if allowed_ids_path is not None:
+        if meta["index_type"] == "VAMANA":
+            raise ValueError(
+                "allowed_ids filtering supports FLAT/IVF_FLAT/IVF_PQ; "
+                "VAMANA uses the over-fetch path (a pre-filtered graph "
+                "walk changes recall semantics)"
+            )
+        allowed = _load_allowed(allowed_ids_path)
+        tomb_, add_ids_, add_mat_ = upd
+        if add_mat_ is not None and len(add_ids_):
+            keep = np.isin(add_ids_, allowed)
+            upd = (tomb_, add_ids_[keep], add_mat_[keep])
     if meta["index_type"] == "IVF_PQ":
         return _search_ivf_pq_files(
             uri, meta, ts, metric, vector_dtype, qids, qmat, k, nprobe,
-            k_factor, upd,
+            k_factor, upd, allowed,
         )
     if k_factor != 1.0:
         raise ValueError("k_factor applies to IVF_PQ indexes only")
@@ -349,7 +381,7 @@ def search_index_files(
         )
     if meta["index_type"] == "FLAT":
         return _search_flat_files(
-            uri, ts, metric, vector_dtype, qids, qmat, k, upd
+            uri, ts, metric, vector_dtype, qids, qmat, k, upd, allowed
         )
 
     if metric == "cosine":
@@ -369,7 +401,7 @@ def search_index_files(
         tb = _read_parquet_dir(pdir, columns=["external_id", "vector"])
         ids = tb.column("external_id").to_numpy()
         x = _decode_vector_column(tb, vector_dtype, len(ids))
-        mask = _mask_tombstones(ids, tomb)
+        mask = _keep_mask(ids, tomb, allowed)
         if mask is not None:
             ids, x = ids[mask], x[mask]
             if len(ids) == 0:
@@ -401,6 +433,7 @@ def _search_ivf_pq_files(
     nprobe: int,
     k_factor: float,
     upd: tuple[np.ndarray, np.ndarray, np.ndarray | None],
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, int, float, int]]:
     """ADC scan over the packed ``code`` column + optional exact re-rank.
 
@@ -456,7 +489,7 @@ def _search_ivf_pq_files(
         codes = np.frombuffer(
             b"".join(tb.column("code").to_pylist()), dtype=np.uint8
         ).reshape(len(ids), m)
-        mask = _mask_tombstones(ids, tomb)
+        mask = _keep_mask(ids, tomb, allowed)
         if mask is not None:
             ids, codes = ids[mask], codes[mask]
             if len(ids) == 0:
@@ -519,6 +552,7 @@ def _search_flat_files(
     qmat: np.ndarray,
     k: int,
     upd: tuple[np.ndarray, np.ndarray, np.ndarray | None],
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, int, float, int]]:
     """Brute-force scan of the (unpartitioned) FLAT snapshot.
 
@@ -532,7 +566,7 @@ def _search_flat_files(
     tb = _read_parquet_dir(base, columns=["external_id", "vector"])
     ids = tb.column("external_id").to_numpy()
     x = _decode_vector_column(tb, vector_dtype, len(ids))
-    mask = _mask_tombstones(ids, tomb)
+    mask = _keep_mask(ids, tomb, allowed)
     if mask is not None:
         ids, x = ids[mask], x[mask]
     if add_mat is not None and len(add_ids):
@@ -690,6 +724,7 @@ class AnnSearchUDTF:
         nprobe: int,
         k_factor: float = 1.0,
         timestamp: int | None = None,
+        allowed_ids_path: str | None = None,
     ):
         self._qids.append(int(row.query_id))
         self._qvecs.append(list(row.vector))
@@ -700,16 +735,18 @@ class AnnSearchUDTF:
                 int(nprobe),
                 float(k_factor),
                 None if timestamp is None else int(timestamp),
+                allowed_ids_path,
             )
 
     def terminate(self):
         if not self._qids:
             return
-        uri, k, nprobe, k_factor, timestamp = self._args
+        uri, k, nprobe, k_factor, timestamp, allowed_ids_path = self._args
         qids = np.asarray(self._qids, dtype=np.int64)
         qmat = np.asarray(self._qvecs, dtype=np.float64)
         yield from search_index_files(
-            uri, qids, qmat, k, nprobe, k_factor, timestamp
+            uri, qids, qmat, k, nprobe, k_factor, timestamp,
+            allowed_ids_path,
         )
 
 
