@@ -44,6 +44,13 @@ Per-task cost is O(|updates log in window|) extra IO — the same bounded-
 churn assumption as the DataFrame small-batch path; consolidate for
 heavy churn.
 
+Filtered search: an optional 7th argument names an ids parquet
+(``external_id`` column); base rows and additions outside the set are
+masked BEFORE scoring — the SQL twin of the DataFrame ``allowed_ids``
+semi-join, with the same index-type policy (FLAT/IVF_FLAT/IVF_PQ;
+VAMANA keeps over-fetch).  Per-task cost is one ids-parquet read — use
+the DataFrame path when the allowed set itself is corpus-sized.
+
 Limitations (explicit): local/POSIX index paths (executor-side pyarrow
 reads).
 """
