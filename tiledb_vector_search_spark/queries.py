@@ -2853,3 +2853,70 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return DD.minhash_dedup_against(new, ref, num_perm=32, bands=16, threshold=0.7)
+
+
+_STRIP_SPANS_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         substr(text, 1, 60) ||
+         ' common shared segment phrase here right now ' ||
+         substr(text, 61, 60) AS text
+  FROM documents WHERE doc_id < 200
+),
+tk AS (SELECT doc_id, {TX.duckdb_tokens_sql('text')} AS t FROM planted),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= {_SPAN_N}
+                THEN range(1, len(t) - {_SPAN_N - 1} + 1) ELSE [] END) AS pos,
+         unnest(CASE WHEN len(t) >= {_SPAN_N}
+                THEN list_transform(range(1, len(t) - {_SPAN_N - 1} + 1),
+                                    __i -> {_SPAN_HASH}) ELSE [] END) AS h
+  FROM tk),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+fl AS (
+  SELECT doc_id, pos,
+         max(pos + {_SPAN_N - 1}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM hits),
+gr AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM fl),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_N - 1} AS e
+  FROM gr GROUP BY doc_id, grp),
+toks AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(range(1, len(t) + 1)) AS pos
+  FROM tk),
+kept AS (
+  SELECT tk2.doc_id, tk2.tok, tk2.pos FROM toks tk2
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tk2.doc_id AND tk2.pos BETWEEN s.s AND s.e))
+SELECT d.doc_id,
+       coalesce(array_to_string(list(k.tok ORDER BY k.pos), ' '), '') AS text
+FROM tk d LEFT JOIN kept k ON k.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@register("dedup_strip_spans", _STRIP_SPANS_ORACLE, driver=False)
+def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The excision half of substring-level dedup: re-tokenize, drop
+    tokens covered by any flagged span, re-join — oracle rebuilds the
+    identical cleaned text token-for-token.  pytest-registry entry."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 200")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit(" common shared segment phrase here right now "),
+            F.substring("text", 61, 60),
+        ).alias("text"),
+    )
+    spans = DD.duplicate_spans(planted, n=_SPAN_N, min_docs=2)
+    return DD.strip_duplicate_spans(planted, spans)
