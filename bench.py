@@ -192,6 +192,18 @@ def _bench_queries(spark, sf_dir):
             .collect()
         )
 
+    def sequence_packing_full():
+        """Greedy sequence packing of the full documents table — one
+        narrow shuffle + per-shard scan (operators/packing.py)."""
+        from tiledb_vector_search_spark.operators.packing import pack_sequences
+
+        return pack_sequences(docs, max_tokens=2048, num_shards=32).collect()
+
+    def duplicate_spans_full():
+        """Substring-level dedup over the full documents table: per-token
+        gram explode -> frequency agg -> semi-join -> window merge."""
+        return DD.duplicate_spans(docs, n=8, min_docs=2).collect()
+
     # ORDERED light -> heavy: the cheap relational/text queries run BEFORE
     # the index builds and dedup pipelines, so their numbers never inherit
     # JVM heap/GC pressure accumulated by the heavy groups (BENCH_r02's
@@ -206,6 +218,7 @@ def _bench_queries(spark, sf_dir):
         "knn_flat_kernel_100q": knn_kernel,
         "knn_u8_build_and_query": knn_u8_build_and_query,
         "ivf_partition_search": reg("ivf_partition_search"),
+        "sequence_packing_full": sequence_packing_full,
         "text_quality_full": text_quality_full,
         "text_repetition_full": repetition_full,
         "pii_redact_full": pii_redact_full,
@@ -215,6 +228,7 @@ def _bench_queries(spark, sf_dir):
         "unigram_logprob_full": unigram_logprob_full,
         "decontaminate_full": decontam_full,
         "bm25_retrieval_100q": bm25_full,
+        "dedup_duplicate_spans_full": duplicate_spans_full,
         "dedup_minhash_lsh_full": minhash_lsh_full,
         "dedup_ngram_jaccard_full": ngram_jaccard_full,
         "ivf_build_and_query": ivf_build_and_query,
