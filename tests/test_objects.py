@@ -666,3 +666,16 @@ def test_object_index_describe(spark, doc_index):
     assert d["embedding"] == "HashingTextEmbedding"
     assert d["metadata_rows"] == d["size"] > 0
     assert d["metadata_updates_pending"] is False
+
+
+def test_filter_pushdown_return_flags(spark, doc_index, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1).toPandas()
+    q = docs.rename(columns={"doc_id": "query_id"})[["query_id", "text"]]
+    kw = dict(
+        k=2, metadata_array_cond="lang = 'de'", filter_pushdown=True,
+        strategy="expr",
+    )
+    with_obj = doc_index.query(q, return_objects=True, **kw)
+    assert "text" in with_obj.columns and with_obj.count() == 2
+    no_md = doc_index.query(q, return_metadata=False, **kw)
+    assert "lang" not in no_md.columns and no_md.count() == 2
