@@ -110,3 +110,8 @@ def test_describe_operational_snapshot(spark, sf_dir, tmp_path):
     FlatIndex.ingest(spark, furi, src, timestamp=1000)
     df = FlatIndex(spark, furi).describe()
     assert "partition_rows_max" not in df and df["size"] == src.count()
+    # SAME-handle freshness: update_batch writes to disk without touching
+    # the open-time meta snapshot; describe must still see the new debt
+    assert idx.describe()["pending_update_batches"] == 1
+    idx.update(987655, [0.0] * 64, timestamp=3000)
+    assert idx.describe()["pending_update_batches"] == 2

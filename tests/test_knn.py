@@ -66,6 +66,22 @@ def test_knn_expr_plan_has_broadcast(vectors, queries):
     assert "Broadcast" in plan, plan
 
 
+def test_kernel_refuses_bulk_query_batch(spark, vectors):
+    """The kernel strategy collects queries to the driver — a batch past
+    KERNEL_MAX_NQ must raise with a pointer at the distributed paths."""
+    from tiledb_vector_search_spark.operators.knn import (
+        KERNEL_MAX_NQ,
+        knn_bruteforce_kernel,
+    )
+
+    bulk = spark.range(KERNEL_MAX_NQ + 1).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(0.0), F.lit(1.0)).alias("vector"),
+    )
+    with pytest.raises(ValueError, match="knn_join"):
+        knn_bruteforce_kernel(vectors, bulk, K)
+
+
 def test_knn_join_trained_centroids_recall(spark, sf_dir, embeddings_np):
     """knn_join with self-trained centroids: result shape + high recall@k
     vs exact brute force at a generous nprobe (full probe = exact)."""

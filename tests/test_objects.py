@@ -659,6 +659,121 @@ def test_metadata_follows_object_dml(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, idx.metadata().collect())) == before
 
 
+def test_consolidate_object_metadata_time_travel_refused(spark, sf_dir, tmp_path):
+    """Folding the log through a time-traveled handle would drop batches
+    newer than the open timestamp — the call must refuse, and the newer
+    batch must survive for a latest handle to consolidate."""
+    import posixpath
+
+    from tiledb_vector_search_spark.storage import HadoopFS
+
+    uri = str(tmp_path / "objtt")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang"],
+    )
+    idx = ObjectIndex.create(
+        spark, uri, reader, HashingTextEmbedding(dims=16),
+        index_type="FLAT", timestamp=1000,
+    )
+    upd = spark.createDataFrame(
+        [(900001, "fresh a", "aa"), (900002, "fresh b", "bb")],
+        "external_id long, text string, lang string",
+    )
+    idx.update_objects(upd.where("external_id = 900001"), timestamp=2000)
+    idx.update_objects(upd.where("external_id = 900002"), timestamp=3000)
+    old = ObjectIndex(spark, uri, timestamp=2500)
+    with pytest.raises(ValueError, match="reopen the index"):
+        old.consolidate_object_metadata()
+    # nothing was destroyed: a latest handle still sees BOTH batches
+    latest = ObjectIndex(spark, uri)
+    ids = {r.external_id for r in latest.metadata().collect()}
+    assert {900001, 900002} <= ids
+    latest.consolidate_object_metadata()
+    fs = HadoopFS(spark, uri)
+    assert not fs.exists(posixpath.join(uri, "object_metadata_updates"))
+    assert {900001, 900002} <= {
+        r.external_id for r in ObjectIndex(spark, uri).metadata().collect()
+    }
+
+
+def test_consolidate_object_metadata_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between the two consolidation renames leaves only the
+    __backup table: reads fall back to it, and the next consolidate
+    promotes it back to live."""
+    import posixpath
+
+    from tiledb_vector_search_spark.storage import HadoopFS
+
+    uri = str(tmp_path / "objcrash")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang"],
+    )
+    idx = ObjectIndex.create(
+        spark, uri, reader, HashingTextEmbedding(dims=16),
+        index_type="FLAT", timestamp=1000,
+    )
+    before = sorted(map(tuple, idx.metadata().collect()))
+    fs = HadoopFS(spark, uri)
+    live = posixpath.join(uri, "object_metadata")
+    backup = posixpath.join(uri, "object_metadata__backup")
+    fs.rename(live, backup)  # simulate the crash point after rename #1
+    idx = ObjectIndex(spark, uri)
+    assert sorted(map(tuple, idx.metadata().collect())) == before
+    idx.update_objects(
+        spark.createDataFrame(
+            [(900001, "fresh text", "zz")],
+            "external_id long, text string, lang string",
+        ),
+        timestamp=2000,
+    )
+    idx.consolidate_object_metadata()  # recovers backup, then folds
+    assert fs.exists(live) and not fs.exists(backup)
+    ids = {r.external_id for r in ObjectIndex(spark, uri).metadata().collect()}
+    assert 900001 in ids and len(ids) == len(before) + 1
+
+
+def test_filter_pushdown_defaults_to_full_probe(spark, sf_dir, tmp_path, monkeypatch):
+    """On IVF backings, filter_pushdown without an explicit nprobe probes
+    ALL partitions (the exactness contract); an explicit nprobe wins."""
+    uri = str(tmp_path / "objprobe")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang"],
+    )
+    idx = ObjectIndex.create(
+        spark, uri, reader, HashingTextEmbedding(dims=16),
+        index_type="IVF_FLAT", timestamp=1000, partitions=8,
+    )
+    seen = {}
+    inner = idx.index.query
+
+    def spy(queries, k, **kw):
+        seen.update(kw)
+        return inner(queries, k, **kw)
+
+    monkeypatch.setattr(idx.index, "query", spy)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1).toPandas()
+    q = docs.rename(columns={"doc_id": "query_id"})[["query_id", "text"]]
+    idx.query(
+        q, k=2, metadata_array_cond="lang = 'de'", filter_pushdown=True
+    ).collect()
+    assert seen.get("nprobe") == idx.index.partitions == 8
+    seen.clear()
+    idx.query(
+        q, k=2, metadata_array_cond="lang = 'de'", filter_pushdown=True,
+        nprobe=2,
+    ).collect()
+    assert seen.get("nprobe") == 2
+
+
 def test_object_index_describe(spark, doc_index):
     d = doc_index.describe()
     assert d["index_type"] == "FLAT"

@@ -817,6 +817,71 @@ def test_duplicate_spans_differential_random(spark):
         assert got == py_spans(docs, n, 2), (trial, n)
 
 
+def test_strip_duplicate_spans_custom_id_col(spark):
+    """Non-default id_col works end-to-end: duplicate_spans emits doc_id,
+    strip accepts the caller's id column name on the docs frame."""
+    from tiledb_vector_search_spark.operators.dedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (10, f"left padding words {shared} right side"),
+        (20, f"other prefix tokens {shared} tail words"),
+    ]
+    df = spark.createDataFrame(rows, "page_id long, text string")
+    spans = duplicate_spans(df, n=3, min_docs=2, id_col="page_id")
+    clean = {
+        r.page_id: r.text
+        for r in strip_duplicate_spans(df, spans, id_col="page_id").collect()
+    }
+    assert clean[10] == "left padding words right side"
+    assert clean[20] == "other prefix tokens tail words"
+
+
+def test_strip_duplicate_spans_overlapping_and_many_spans(spark):
+    """Stripping with arbitrary (overlapping, unsorted, adjacent) span
+    frames matches a sequential reference — the gap-slicing form must
+    interval-merge first, and a doc with MANY spans stays correct."""
+    import random
+
+    from tiledb_vector_search_spark.operators.dedup import (
+        strip_duplicate_spans,
+    )
+
+    def py_strip(tokens, spans):
+        drop = set()
+        for s, e in spans:
+            drop.update(range(s, e + 1))
+        return " ".join(
+            t for i, t in enumerate(tokens, start=1) if i not in drop
+        )
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs, span_rows, want = [], [], {}
+    for d in range(8):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(5, 60))]
+        nspans = rng.randrange(0, 12)  # includes the no-span passthrough
+        spans = []
+        for _ in range(nspans):
+            s = rng.randrange(1, len(toks) + 1)
+            e = min(len(toks), s + rng.randrange(0, 6))
+            spans.append((s, e))
+        docs.append((d, " ".join(toks)))
+        span_rows.extend((d, s, e) for s, e in spans)
+        want[d] = py_strip(toks, spans)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans_df = spark.createDataFrame(
+        span_rows or [(0, 99, 99)], "doc_id long, span_start long, span_end long"
+    )
+    got = {
+        r.doc_id: r.text for r in strip_duplicate_spans(df, spans_df).collect()
+    }
+    assert got == want
+
+
 def test_cross_corpus_dedup_planted(spark, sf_dir):
     """New docs that near-copy reference docs are flagged against the
     RIGHT reference id; fresh docs are not; new↔new duplicates are NOT

@@ -89,9 +89,13 @@ class Index:
         already-loaded meta; the updates log is counted only if present.
         """
         lo, hi = self._updates_window()
+        # re-read meta from storage: update_batch() appends to disk without
+        # refreshing the open-time self.meta snapshot, so the cached copy
+        # under-reports log debt on a handle that just wrote updates
+        batches = self.storage.read_meta().get("update_batches", [])
         pending = [
             int(ts)
-            for ts in self.meta.get("update_batches", [])
+            for ts in batches
             if (lo is None or ts > lo) and (hi is None or ts <= hi)
         ]
         out: dict[str, Any] = {

@@ -180,7 +180,14 @@ class ObjectIndex:
         path = posixpath.join(self.uri, "object_metadata")
         fs = HadoopFS(self.spark, self.uri)
         if not fs.exists(path):
-            return None
+            # a consolidation that crashed between its two renames leaves
+            # the table under __backup; read it (recovery promotes it back
+            # on the next consolidate call — reads stay side-effect-free)
+            backup = posixpath.join(self.uri, "object_metadata__backup")
+            if fs.exists(backup):
+                path = backup
+            else:
+                return None
         base = self.spark.read.parquet(path)
         upath = posixpath.join(self.uri, METADATA_UPDATES_DIR)
         if not fs.exists(upath):
@@ -269,8 +276,30 @@ class ObjectIndex:
     def consolidate_object_metadata(self) -> None:
         """Fold the metadata updates log into the base table (the
         copy-on-write compaction; one distributed rewrite, then the log
-        is dropped)."""
+        is dropped).
+
+        Refused on a time-traveled handle: :meth:`metadata` there is the
+        log filtered to ``ts <= open_ts``, so folding it and dropping the
+        log would silently destroy every batch NEWER than the open
+        timestamp — and diverge from the vector index, whose
+        ``consolidate_updates`` only clears batches through its
+        consolidation ts.  Reopen at latest first.
+
+        Crash-safe swap: write new → rename live aside as backup →
+        rename new into place → drop backup → drop the log.  Every crash
+        point leaves either the live table or the backup on disk;
+        :meth:`metadata` falls back to the backup (log intact, so no
+        batch is lost at any crash point).
+        """
+        if self._open_ts is not None:
+            raise ValueError(
+                "consolidate_object_metadata on a time-traveled handle "
+                f"(opened at ts={self._open_ts}) would drop metadata "
+                "updates newer than the open timestamp; reopen the index "
+                "at latest (timestamp=None) and consolidate there"
+            )
         fs = HadoopFS(self.spark, self.uri)
+        self._recover_metadata_backup(fs)
         upath = posixpath.join(self.uri, METADATA_UPDATES_DIR)
         if not fs.exists(upath):
             return
@@ -278,11 +307,26 @@ class ObjectIndex:
         if merged is None:
             return
         tmp = posixpath.join(self.uri, "object_metadata__new")
+        live = posixpath.join(self.uri, "object_metadata")
+        backup = posixpath.join(self.uri, "object_metadata__backup")
         merged.write.mode("overwrite").parquet(tmp)
-        old = posixpath.join(self.uri, "object_metadata")
-        fs.delete(old)
-        fs.rename(tmp, old)
+        fs.rename(live, backup)
+        fs.rename(tmp, live)
+        fs.delete(backup)
         fs.delete(upath)
+
+    def _recover_metadata_backup(self, fs: "HadoopFS") -> str | None:
+        """If a crashed consolidation left only the backup table, promote
+        it back to live; returns the resolved live path (None if no
+        metadata table at all)."""
+        live = posixpath.join(self.uri, "object_metadata")
+        backup = posixpath.join(self.uri, "object_metadata__backup")
+        if fs.exists(live):
+            return live
+        if fs.exists(backup):
+            fs.rename(backup, live)
+            return live
+        return None
 
     # -- query -----------------------------------------------------------------
 
@@ -324,13 +368,19 @@ class ObjectIndex:
 
         ``filter_pushdown=True`` evaluates the metadata predicate on the
         metadata table FIRST and restricts the index scan to the allowed
-        ids (semi-join before scoring) — exact top-k among the filtered
-        set, instead of the reference's ``fetch_k = 50·k`` over-fetch
-        (``object_index.py:451-453``), which silently returns fewer than
-        k rows when the filter keeps less than ~1/50 of the neighborhood.
-        Supported on FLAT, IVF_FLAT, and IVF_PQ backing indexes — all
-        partition-scan scorers; a graph walk (VAMANA) changes recall
-        semantics under a pre-filter, so it keeps over-fetch.
+        ids (semi-join before scoring), instead of the reference's
+        ``fetch_k = 50·k`` over-fetch (``object_index.py:451-453``),
+        which silently returns fewer than k rows when the filter keeps
+        less than ~1/50 of the neighborhood.  On FLAT this is exact
+        top-k among the filtered set.  On IVF_FLAT/IVF_PQ it is exact
+        WITHIN THE PROBED PARTITIONS: survivors of a very selective
+        filter can live in unprobed partitions, so unless the caller
+        passes ``nprobe`` explicitly, pushdown defaults to a FULL probe
+        (nprobe = partitions) — the filter already pruned the scan, and
+        exactness under a selective filter is the point of pushdown.
+        Pass a smaller ``nprobe`` to trade that guarantee for speed.
+        A graph walk (VAMANA) changes recall semantics under a
+        pre-filter, so it keeps over-fetch.
         """
         if self.embedding.multi_vector:
             return self._query_multi_vector(query_objects, k, **query_kw)
@@ -363,6 +413,14 @@ class ObjectIndex:
                         yield pdf[metadata_df_filter_fn(pdf)]
 
                 md = md.mapInPandas(_pre_filt, schema=md_schema)
+            if (
+                self.index.index_type in ("IVF_FLAT", "IVF_PQ")
+                and "nprobe" not in query_kw
+            ):
+                # default to full probe so the "exact among the filtered
+                # set" contract holds even when the filter's survivors
+                # cluster in partitions a sqrt(P) probe would skip
+                query_kw = {**query_kw, "nprobe": self.index.partitions}
             res = self.index.query(
                 queries, k, allowed_ids=md.select(ID_COL), **query_kw
             )

@@ -1118,31 +1118,87 @@ def strip_duplicate_spans(
     single spaces.  Documents with no flagged span pass through with
     their NORMALIZED token text (the operation is defined on the token
     stream, not raw bytes — same contract as the boilerplate remover).
+
+    The spans frame's id column is ``duplicate_spans``'s output name
+    (``doc_id``) OR ``id_col`` — both are accepted.  Spans may overlap
+    (they are interval-merged in-plan first); cost is
+    O(tokens + spans·log spans) per document: the sorted, merged spans
+    partition [1, |tokens|] into kept gaps and survivors come out as
+    array slices — no per-token span membership probe, so a document
+    with thousands of flagged spans stays linear.
     """
     from tiledb_vector_search_spark.functions.text import tokens
 
-    per_doc = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    span_id = id_col if id_col in spans.columns else "doc_id"
+    per_doc = spans.groupBy(F.col(span_id).alias(id_col)).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
     )
-    toks = docs.select(
-        F.col(id_col), tokens(text_col).alias("__t")
-    ).join(per_doc, id_col, "left")
-    kept = F.filter(
-        F.transform(
-            F.col("__t"), lambda x, i: F.struct((i + 1).alias("p"), x.alias("x"))
-        ),
-        lambda s: ~F.coalesce(
-            F.exists(
-                "__spans",
-                lambda sp: (s["p"] >= sp["span_start"])
-                & (s["p"] <= sp["span_end"]),
+    # interval-merge overlapping/adjacent spans (sorted by span_start):
+    # fold keeps the invariant "accumulator is merged and sorted"
+    merged = F.aggregate(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+        lambda acc, sp: F.when(
+            (F.size(acc) > 0)
+            & (sp["span_start"] <= F.element_at(acc, -1)["span_end"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["span_start"].alias("span_start"),
+                        F.greatest(
+                            F.element_at(acc, -1)["span_end"], sp["span_end"]
+                        ).alias("span_end"),
+                    )
+                ),
             ),
-            F.lit(False),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        sp["span_start"].cast("long").alias("span_start"),
+                        sp["span_end"].cast("long").alias("span_end"),
+                    )
+                ),
+            )
         ),
+    )
+    toks = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .join(per_doc, id_col, "left")
+        .withColumn("__m", F.coalesce(merged, F.array()))
+    )
+    # kept gaps between consecutive merged spans: starts = 1 ∪ (end_i + 1),
+    # ends = (start_i − 1) ∪ |tokens|; empty/negative gaps filter out
+    starts = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform(F.col("__m"), lambda sp: sp["span_end"] + 1),
+    )
+    ends = F.concat(
+        F.transform(F.col("__m"), lambda sp: sp["span_start"] - 1),
+        F.array(F.size("__t").cast("long")),
+    )
+    gaps = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        lambda g: g["e"] >= g["s"],
+    )
+    kept = F.flatten(
+        F.transform(
+            gaps,
+            lambda g: F.slice(
+                F.col("__t"),
+                g["s"].cast("int"),
+                (g["e"] - g["s"] + 1).cast("int"),
+            ),
+        )
     )
     return toks.select(
-        F.col(id_col),
-        F.array_join(F.transform(kept, lambda s: s["x"]), " ").alias(text_col),
+        F.col(id_col), F.array_join(kept, " ").alias(text_col)
     )
 
 

@@ -47,6 +47,10 @@ _KNN_PAIR_SCHEMA = (
     f"{QUERY_ID_COL} long, {ID_COL} long, {DISTANCE_COL} double"
 )
 
+# the kernel strategy collects + broadcasts the query batch; this bound
+# keeps that a driver micro-task (same ceiling as the index LARGE_NQ gates)
+KERNEL_MAX_NQ = 4096
+
 
 def _order(metric: DistanceMetric):
     asc = DistanceMetric(metric).ascending
@@ -140,9 +144,25 @@ def knn_bruteforce_kernel(
     broadcast; vectors stream through ``mapInPandas``.  ``vector_dtype``
     byte variants decode a packed ``binary`` vector column in the kernel
     (reference u8/i8 dispatch ``module.py:114-121``).
+
+    The contract is ENFORCED: more than ``KERNEL_MAX_NQ`` queries raises
+    (collecting a corpus-sized batch onto the driver is the
+    anti-pattern) — use ``strategy="join"`` or :func:`knn_join` for bulk
+    dataset-vs-dataset search.
     """
     metric = DistanceMetric(metric)
-    q_rows = queries.select(QUERY_ID_COL, VECTOR_COL).collect()
+    q_rows = (
+        queries.select(QUERY_ID_COL, VECTOR_COL)
+        .limit(KERNEL_MAX_NQ + 1)
+        .collect()
+    )
+    if len(q_rows) > KERNEL_MAX_NQ:
+        raise ValueError(
+            f"knn_bruteforce_kernel collects queries to the driver and is "
+            f"bounded at {KERNEL_MAX_NQ} query vectors; for bulk batches "
+            f'use knn_bruteforce(..., strategy="join") or knn_join '
+            f"(dataset-vs-dataset)"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
     spark = vectors.sparkSession
