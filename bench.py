@@ -23,7 +23,7 @@ def _bench_queries(spark, sf_dir):
     """name -> zero-arg callable returning a materialized result."""
     from tiledb_vector_search_spark.operators.knn import knn_bruteforce_kernel
     from tiledb_vector_search_spark.operators import dedup as DD
-    from tiledb_vector_search_spark.queries import REGISTRY, _t
+    from tiledb_vector_search_spark.queries import FULL_REGISTRY, _t
 
     emb = _t(spark, sf_dir, "embeddings")
     vectors = emb.select(
@@ -35,7 +35,7 @@ def _bench_queries(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
 
     def reg(name):
-        return lambda: REGISTRY[name](spark, sf_dir).collect()
+        return lambda: FULL_REGISTRY[name](spark, sf_dir).collect()
 
     def knn_kernel():
         return knn_bruteforce_kernel(vectors, queries100, 10, "l2").collect()
@@ -105,16 +105,34 @@ def _bench_queries(spark, sf_dir):
     def minhash_lsh_full():
         return DD.minhash_dedup(docs, num_perm=32, bands=8, threshold=0.9).collect()
 
-    def bm25_full():
-        # lexical top-10 for 100 prefix queries over the full corpus —
-        # the postings-join retrieval path end to end
-        from tiledb_vector_search_spark.operators.retrieval import bm25_topk
-
-        q = docs.where("doc_id < 100").select(
+    def _bm25_queries100():
+        return docs.where("doc_id < 100").select(
             F.col("doc_id").alias("query_id"),
             F.substring("text", 1, 200).alias("query_text"),
         )
-        return bm25_topk(docs, q, k=10).collect()
+
+    def bm25_full():
+        # lexical top-10 for 100 prefix queries over the full corpus —
+        # the one-shot postings-join retrieval path end to end
+        from tiledb_vector_search_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(docs, _bm25_queries100(), k=10).collect()
+
+    _bm25_state: dict = {}
+
+    def bm25_artifact_query():
+        """Steady-state BM25: query the PERSISTED postings artifact (built
+        once on the first/warm-up call) — the per-batch cost a serving
+        deployment actually pays; the corpus never re-tokenizes."""
+        import shutil
+        from tiledb_vector_search_spark.operators.retrieval import BM25Index
+
+        if "idx" not in _bm25_state:
+            uri = "/tmp/tvs_bench_bm25_idx"
+            if os.path.exists(uri):
+                shutil.rmtree(uri)
+            _bm25_state["idx"] = BM25Index.build(spark, uri, docs)
+        return _bm25_state["idx"].query(_bm25_queries100(), k=10).collect()
 
     def ngram_jaccard_full():
         # the complete dedup pipeline: exact prefix-filtered pairs →
@@ -228,6 +246,7 @@ def _bench_queries(spark, sf_dir):
         "unigram_logprob_full": unigram_logprob_full,
         "decontaminate_full": decontam_full,
         "bm25_retrieval_100q": bm25_full,
+        "bm25_artifact_query_100q": bm25_artifact_query,
         "dedup_duplicate_spans_full": duplicate_spans_full,
         "dedup_minhash_lsh_full": minhash_lsh_full,
         "dedup_ngram_jaccard_full": ngram_jaccard_full,
@@ -274,12 +293,19 @@ def main() -> None:
     # timed run does full work.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    # multi-branch cached pipelines (bm25: four plan branches off one
+    # persisted postings frame) need TWO warm-ups — the first compiles the
+    # branch codegen, the second stabilizes JIT tiering in those branches;
+    # with one warm-up the first TIMED run still paid ~2x (r4's [3.65,
+    # 8.51] spread on a 4.7s median)
+    extra_warmups = {"bm25_retrieval_100q": 1}
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, fn in _bench_queries(spark, sf_dir).items():
         if warmup:
-            _quiesce()
-            fn()
+            for _ in range(1 + extra_warmups.get(name, 0)):
+                _quiesce()
+                fn()
         samples: list[float] = []
         for _ in range(runs):
             # quiesce per RUN so each run starts from comparable heap state

@@ -1,0 +1,83 @@
+"""BM25 postings artifact: build-once/query-many parity + plan posture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.operators.retrieval import (
+    BM25Index,
+    bm25_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(docs):
+    return docs.where("doc_id < 10").select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+
+
+@pytest.fixture(scope="module")
+def bm25_index(spark, docs, tmp_path_factory):
+    uri = str(tmp_path_factory.mktemp("bm25") / "idx")
+    return BM25Index.build(spark, uri, docs)
+
+
+def test_artifact_matches_one_shot_exactly(spark, docs, queries, bm25_index):
+    """Score-for-score, rank-for-rank identical results from the persisted
+    artifact and the one-shot pipeline (shared quantized scoring tail)."""
+    want = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk(docs, queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_index.query(queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_artifact_query_reads_only_postings(spark, bm25_index):
+    """The query half touches the artifact, not the corpus: its physical
+    plan scans the postings/term-stats parquet and nothing else, and the
+    corpus-global stats are literals (no stats aggregate/cross-join).
+    Queries are an in-memory frame so ANY parquet scan of the corpus
+    would be the query path's doing."""
+    mem_queries = spark.createDataFrame(
+        [(0, "some words to look up"), (1, "another lexical query")],
+        "query_id long, query_text string",
+    )
+    plan = (
+        bm25_index.query(mem_queries, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "postings" in plan and "term_stats" in plan
+    assert "documents.parquet" not in plan
+    # the one-shot plan re-aggregates corpus stats; the artifact plan
+    # must not (N and sum_dl are literals from the meta file)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_artifact_meta_and_reopen(spark, docs, bm25_index, queries):
+    """Reopening by uri reads the committed meta; stats match the corpus."""
+    reopened = BM25Index(spark, bm25_index.uri)
+    n = docs.count()
+    assert reopened.n_docs == n
+    assert reopened.sum_dl > 0
+    got = reopened.query(queries, k=3)
+    assert got.count() == 10 * 3

@@ -30,7 +30,10 @@ so both engines break ties identically on (score desc, doc_id).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import json
+import posixpath
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiledb_vector_search_spark.functions.text import tokens
@@ -39,9 +42,195 @@ from tiledb_vector_search_spark.operators.topk import topk_window
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
 
+BM25_META_FILE = "_bm25_meta.json"
+BM25_POSTINGS_DIR = "postings"
+BM25_DFREQ_DIR = "term_stats"
+
 
 def _tf_saturation(tf: Column, dl: Column, avgdl: Column, k1: float, b: float) -> Column:
     return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def _score_matched_postings(
+    post: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared scoring tail: ``post`` is the query-restricted postings frame
+    carrying (id_col, __t, __tf, __dl, __df, __n, __sumdl); the per-(term,
+    doc) partial is computed ONCE and only the quantized decimal rides the
+    (query, term, doc) expansion.  Identical math in the one-shot and
+    artifact paths — parity is by construction."""
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    idf = F.log(
+        1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    part = F.round(
+        idf * _tf_saturation(
+            F.col("__tf").cast("double"), F.col("__dl").cast("double"),
+            avgdl, k1, b,
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    part_df = post.select(F.col(id_col), "__t", part.alias("__p"))
+    scored = (
+        part_df.join(qterms, "__t")
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("__p").cast("double"), 6).alias("score"))
+    )
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    return topk_window(scored, [query_id_col], order, k)
+
+
+def _explode_query_terms(
+    queries: DataFrame, query_id_col: str, query_text_col: str
+) -> DataFrame:
+    return queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(tokens(query_text_col))).alias("__t"),
+    ).where(F.col("__t") != "")
+
+
+class BM25Index:
+    """Persisted BM25 postings artifact: build once, query many.
+
+    ``bm25_topk`` re-tokenizes the corpus per query batch — right for
+    ad-hoc calls, wrong as the steady state: at 100 TB the postings build
+    is ONE corpus-shaped job whose output is an artifact (exactly the
+    index/centroids split the ANN side has), and a query batch then
+    touches only `|postings ∩ query terms|` rows of it.
+
+    Layout under ``uri``:
+      - ``postings/``  (term, doc_id, tf, dl) — dl denormalized so the
+        query path needs NO doc-length join; parquet, repartitioned by
+        term so a term's posting list is one row-group neighborhood and
+        the query-term hash join prunes cleanly (bucketing-by-term is the
+        cluster upgrade, ``sources/bucketed.py``).
+      - ``term_stats/`` (term, df) — one small frame.
+      - ``_bm25_meta.json`` — N, Σdl, column names (corpus-global scalars
+        become literals in query plans: no stats cross-join at all).
+
+    Scores are bit-identical to :func:`bm25_topk` (same decimal
+    quantization, same tie-break) — pinned by a parity test.
+    """
+
+    def __init__(self, spark: SparkSession, uri: str):
+        from tiledb_vector_search_spark.storage import HadoopFS
+
+        self.spark = spark
+        self.uri = uri.rstrip("/")
+        fs = HadoopFS(spark, self.uri)
+        self.meta = json.loads(
+            fs.read_text(posixpath.join(self.uri, BM25_META_FILE))
+        )
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        uri: str,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_partitions: int | None = None,
+    ) -> "BM25Index":
+        """Tokenize → tf → dl → write (term, doc, tf, dl) + (term, df) + stats.
+
+        One pass over the corpus text; the tf frame feeds dl, df, and the
+        postings write from a single cached intermediate, released before
+        return (the dedup pipelines' session-hygiene contract).
+        """
+        from pyspark import StorageLevel
+
+        from tiledb_vector_search_spark.storage import HadoopFS
+
+        uri = uri.rstrip("/")
+        tok = docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+        ).where(F.col("term") != "")
+        tf = (
+            tok.groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+            stats = dl.agg(
+                F.count("*").alias("n"), F.sum("dl").alias("sumdl")
+            ).first()
+            postings = tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+            if num_partitions:
+                postings = postings.repartition(num_partitions, "term")
+            else:
+                postings = postings.repartition("term")
+            postings.write.mode("overwrite").parquet(
+                posixpath.join(uri, BM25_POSTINGS_DIR)
+            )
+            tf.groupBy("term").agg(F.count("*").alias("df")).write.mode(
+                "overwrite"
+            ).parquet(posixpath.join(uri, BM25_DFREQ_DIR))
+        finally:
+            tf.unpersist()
+        HadoopFS(spark, uri).write_text_atomic(
+            posixpath.join(uri, BM25_META_FILE),
+            json.dumps(
+                {
+                    "n_docs": int(stats["n"] or 0),
+                    "sum_dl": int(stats["sumdl"] or 0),
+                    "id_col": id_col,
+                    "text_col": text_col,
+                }
+            ),
+        )
+        return cls(spark, uri)
+
+    @property
+    def n_docs(self) -> int:
+        return int(self.meta["n_docs"])
+
+    @property
+    def sum_dl(self) -> int:
+        return int(self.meta["sum_dl"])
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        k1: float = DEFAULT_K1,
+        b: float = DEFAULT_B,
+        query_id_col: str = "query_id",
+        query_text_col: str = "query_text",
+    ) -> DataFrame:
+        """Top-k per query FROM THE ARTIFACT: reads only the postings and
+        term-stats rows matching the query terms (predicate reaches the
+        parquet scan via the hash join; corpus text is never touched)."""
+        id_col = self.meta["id_col"]
+        qterms = _explode_query_terms(queries, query_id_col, query_text_col)
+        qt_distinct = qterms.select("__t").distinct()
+        postings = self.spark.read.parquet(
+            posixpath.join(self.uri, BM25_POSTINGS_DIR)
+        ).select(
+            F.col("term").alias("__t"),
+            F.col("doc_id").alias(id_col),
+            F.col("tf").alias("__tf"),
+            F.col("dl").alias("__dl"),
+        )
+        dfreq = self.spark.read.parquet(
+            posixpath.join(self.uri, BM25_DFREQ_DIR)
+        ).select(F.col("term").alias("__t"), F.col("df").alias("__df"))
+        post = (
+            postings.join(qt_distinct, "__t")
+            .join(dfreq.join(qt_distinct, "__t"), "__t")
+            .withColumn("__n", F.lit(self.n_docs))
+            .withColumn("__sumdl", F.lit(self.sum_dl))
+        )
+        return _score_matched_postings(
+            post, qterms, k, k1, b, id_col, query_id_col
+        )
 
 
 def bm25_topk(
@@ -89,10 +278,7 @@ def bm25_topk(
     )
     dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
 
-    qterms = queries.select(
-        F.col(query_id_col),
-        F.explode(F.array_distinct(tokens(query_text_col))).alias("__t"),
-    ).where(F.col("__t") != "")
+    qterms = _explode_query_terms(queries, query_id_col, query_text_col)
 
     # The per-(term, doc) partial idf·tf_sat is QUERY-INDEPENDENT, so it
     # is computed ONCE on the query-restricted postings (|postings ∩
@@ -110,26 +296,9 @@ def bm25_topk(
         .join(dfreq.join(qt_distinct, "__t"), "__t")
         .crossJoin(F.broadcast(stats))
     )
-    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
-    idf = F.log(
-        1.0
-        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    res = _score_matched_postings(
+        post, qterms, k, k1, b, id_col, query_id_col
     )
-    part = F.round(
-        idf * _tf_saturation(
-            F.col("__tf").cast("double"), F.col("__dl").cast("double"),
-            avgdl, k1, b,
-        ),
-        9,
-    ).cast("decimal(18,9)")
-    part_df = post.select(F.col(id_col), "__t", part.alias("__p"))
-    scored = (
-        part_df.join(qterms, "__t")
-        .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("__p").cast("double"), 6).alias("score"))
-    )
-    order = [F.col("score").desc(), F.col(id_col).asc()]
-    res = topk_window(scored, [query_id_col], order, k)
     if materialize:
         from tiledb_vector_search_spark.operators.dedup import (
             _materialize_and_release,

@@ -1069,6 +1069,10 @@ SELECT c_mktsegment, count(*) AS n FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
 GROUP BY c_mktsegment
 """,
+    # demoted to the pytest oracle gate: the anti-join shape is driver-
+    # verified via dedup_exact_groups + flat_index_lifecycle's tombstone
+    # filter — the driver slot went to embedding_knn_join
+    driver=False,
 )
 def customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left anti-join — the updated-ids filter shape (reference
@@ -1097,6 +1101,10 @@ FROM (
     PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1
 """,
+    # demoted to the pytest oracle gate: the latest-wins window shape is
+    # driver-verified via user_sessionization + every ranked top-k query —
+    # the driver slot went to bm25_postings_artifact
+    driver=False,
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins per key — exactly the updates-log resolution rule
@@ -1289,9 +1297,6 @@ SELECT query_id, external_id, distance, rank FROM (
                             ORDER BY {_KNN_JOIN_DIST}, a.vec_id) AS rank
   FROM rj r JOIN assign a ON a.plabel = r.plabel) WHERE rank <= 5
 """,
-    # pytest oracle gate: the routed-join SHAPE is driver-verified via
-    # ivf_partition_search; this pins the standalone knn_join operator
-    driver=False,
 )
 def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-vs-dataset kNN join (``operators/knn.py:knn_join``): 100
@@ -1436,6 +1441,28 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 200).alias("query_text"),
     )
     return bm25_topk(d, q, k=10)
+
+
+@register("bm25_postings_artifact", _bm25_oracle())
+def bm25_postings_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 via the PERSISTED postings artifact (``BM25Index.build`` →
+    ``query``): the steady-state form — the corpus tokenizes once into a
+    (term, doc, tf, dl) parquet artifact and every query batch after
+    that touches only the matched postings rows.  Same oracle as the
+    one-shot ``bm25_ranked_retrieval``; identical scores by construction
+    (shared scoring tail, ``operators/retrieval.py``)."""
+    import tempfile
+
+    from tiledb_vector_search_spark.operators.retrieval import BM25Index
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.where("doc_id < 10").select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+    uri = tempfile.mkdtemp(prefix="bm25_artifact_")
+    idx = BM25Index.build(spark, uri, d)
+    return idx.query(q, k=10)
 
 
 @register(
