@@ -85,7 +85,7 @@ def _bench_queries(spark, sf_dir):
         if os.path.exists(uri):
             shutil.rmtree(uri)
         idx = IVFPQIndex.ingest(
-            spark, uri + "/idx", vectors, partitions=32, num_subspaces=8,
+            spark, uri + "/idx", vectors, partitions=32, num_subspaces=16,
             timestamp=1000,
         )
         return idx.query(queries100, 10, nprobe=8, k_factor=4.0).collect()

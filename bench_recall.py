@@ -16,7 +16,7 @@ over the driver embeddings table at $SPARK_GRAFT_SF_DIR (default sf0.1),
 measures recall@10 against the exact brute-force kernel, and writes the
 curve to RECALL_CURVE.json.
 
-The single-point gates (IVF ≥ 0.85 full-probe, IVF_PQ ≥ 0.75 with
+The single-point gates (IVF ≥ 0.85 full-probe, IVF_PQ ≥ 0.85 with
 re-rank, Vamana ≥ 0.85) are asserted FROM the curve: the process exits
 non-zero if the corresponding swept config misses its gate, so the curve
 artifact and the gate can never disagree.
@@ -48,7 +48,11 @@ L_SEARCHES = [20, 50, 100, 200]
 GATES = [
     # (index, config-predicate, min recall)
     ("IVF_FLAT", {"nprobe": PARTITIONS}, 0.85),
-    ("IVF_PQ", {"nprobe": PARTITIONS, "k_factor": 4.0}, 0.75),
+    # raised from 0.75 after the spark-0.3 residual-encoding switch and
+    # the reference-default 16 subspaces: the sweep point went 0.767 ->
+    # ~0.97, so the gate has margin AND teeth (a regression back to
+    # raw-code/coarse-subspace ADC fails it)
+    ("IVF_PQ", {"nprobe": PARTITIONS, "k_factor": 4.0}, 0.85),
     ("VAMANA", {"l_search": 100}, 0.85),
 ]
 
@@ -122,7 +126,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     pq = IVFPQIndex.ingest(
-        spark, f"{work}/pq", vectors, partitions=PARTITIONS, num_subspaces=8,
+        spark, f"{work}/pq", vectors, partitions=PARTITIONS, num_subspaces=16,
         timestamp=1000,
     )
     t_build["IVF_PQ"] = round(time.perf_counter() - t0, 3)

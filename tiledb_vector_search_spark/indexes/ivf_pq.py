@@ -118,12 +118,21 @@ def assign_and_encode_kernel(
     vector_col: str,
     partition_col: str,
     vector_dtype: str = "float32",
+    residual: bool = False,
 ) -> DataFrame:
     """ONE Arrow pass appending both ``partition_id`` and ``code``.
 
     Fusing coarse assignment and PQ encoding halves the Python-worker
     round-trips over the full vector column — at 100 TB that is one scan of
     the data instead of two.
+
+    ``residual=True`` PQ-encodes ``x − centroid[assign]`` instead of the
+    raw vector (the IVFADC formulation, Jégou et al. 2011): residuals
+    have far less variance than the vectors themselves, so the same
+    8-bit-per-subspace budget quantizes much finer and ADC ranking
+    fidelity — hence recall at a fixed k_factor — rises sharply.  The
+    flag is persisted in index meta; raw encoding remains readable for
+    indexes written before storage spark-0.3.
     """
     import pandas as pd
 
@@ -148,9 +157,10 @@ def assign_and_encode_kernel(
             n = x.shape[0]
             d = c_sq[None, :] - 2.0 * (x @ cents.T)
             assign = np.argmin(d, axis=1).astype(np.int32)
+            enc = x - cents[assign] if residual else x
             codes = np.empty((n, m), dtype=np.uint8)
             for j in range(m):
-                sub = x[:, j * sub_dim : (j + 1) * sub_dim]
+                sub = enc[:, j * sub_dim : (j + 1) * sub_dim]
                 dj = cb_sq[j][None, :] - 2.0 * (sub @ cb[j].T)
                 codes[:, j] = np.argmin(dj, axis=1)
             out = pdf.copy()
@@ -159,6 +169,27 @@ def assign_and_encode_kernel(
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def default_num_subspaces(dims: int) -> int:
+    """Largest divisor of ``dims`` that is ≤ 16 — the reference's default
+    subspace count (``ivf_pq_index.h:309``), relaxed to keep the
+    dims-divisibility contract for dimensions 16 doesn't divide.  More
+    subspaces = finer quantization (sub_dim shrinks), directly buying
+    ADC ranking fidelity at 1 byte/subspace/vector."""
+    for m in range(min(16, dims), 0, -1):
+        if dims % m == 0:
+            return m
+    return 1
+
+
+def _coarse_residuals(sample: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """sample − nearest-centroid (the PQ training input for residual
+    encoding); one BLAS argmin over the ≤100k sample — driver micro-task."""
+    d = np.sum(centroids * centroids, axis=1)[None, :] - 2.0 * (
+        sample @ centroids.T
+    )
+    return sample - centroids[np.argmin(d, axis=1)]
 
 
 def train_pq_codebooks(
@@ -217,7 +248,7 @@ class IVFPQIndex(Index):
         source: DataFrame,
         metric: DistanceMetric | str = DistanceMetric.SUM_OF_SQUARES,
         partitions: int | None = None,
-        num_subspaces: int = 8,
+        num_subspaces: int | None = None,
         training_sample_size: int | None = None,
         copy_centroids_from: np.ndarray | None = None,
         timestamp: int | None = None,
@@ -260,6 +291,10 @@ class IVFPQIndex(Index):
                 "(k-means and PQ codebooks need data); ingest a FLAT index "
                 "instead and stream updates into it"
             )
+        if num_subspaces is None:
+            # reference default: 16 subspaces (ivf_pq_index.h:309), clipped
+            # to a divisor of dims so the chunking contract always holds
+            num_subspaces = default_num_subspaces(dims)
         if dims % num_subspaces != 0:
             # reference validation: ivf_pq_index.py:204-210
             raise ValueError(
@@ -302,11 +337,16 @@ class IVFPQIndex(Index):
                     vectors, k, sample_size, n, seed=seed
                 )
 
-        codebooks = train_pq_codebooks(sample, num_subspaces, seed=seed)
+        # codebooks train on COARSE RESIDUALS (sample − assigned centroid):
+        # per-cell residual distributions are tight around zero, so 256
+        # codes per subspace resolve them far better than the raw vectors
+        codebooks = train_pq_codebooks(
+            _coarse_residuals(sample, centroids), num_subspaces, seed=seed
+        )
 
         encoded = assign_and_encode_kernel(
             vectors, centroids, codebooks, VECTOR_COL, PARTITION_COL,
-            vector_dtype=vector_dtype,
+            vector_dtype=vector_dtype, residual=True,
         )
 
         storage = IndexStorage(spark, uri)
@@ -317,6 +357,7 @@ class IVFPQIndex(Index):
                 dimensions=dims,
                 num_subspaces=num_subspaces,
                 vector_dtype=vector_dtype,
+                pq_residual=True,
             )
         cls._write_snapshot(storage, encoded, centroids, codebooks, ts, n)
         return cls(spark, uri)
@@ -380,7 +421,12 @@ class IVFPQIndex(Index):
             )
             srows = train_src.limit(PQ_TRAIN_MAX).collect()
             sample = np.array([r[VECTOR_COL] for r in srows], dtype=np.float64)
-            codebooks = train_pq_codebooks(sample, self.num_subspaces)
+            codebooks = train_pq_codebooks(
+                _coarse_residuals(sample, centroids)
+                if self.pq_residual
+                else sample,
+                self.num_subspaces,
+            )
         else:
             centroids = self.centroids()
             codebooks = self.codebooks()
@@ -391,6 +437,7 @@ class IVFPQIndex(Index):
             VECTOR_COL,
             PARTITION_COL,
             vector_dtype=self.vector_dtype,
+            residual=self.pq_residual,
         )
         self._write_snapshot(self.storage, encoded, centroids, codebooks, ts, None)
 
@@ -399,6 +446,12 @@ class IVFPQIndex(Index):
     @property
     def num_subspaces(self) -> int:
         return int(self.meta["num_subspaces"])
+
+    @property
+    def pq_residual(self) -> bool:
+        """True when codes quantize coarse residuals (storage spark-0.3+);
+        False for raw-vector codes (pre-0.3 indexes — still readable)."""
+        return bool(self.meta.get("pq_residual", False))
 
     def centroids(self) -> np.ndarray:
         # memoized per open: centroids are immutable for a given base_ts
@@ -605,7 +658,12 @@ class IVFPQIndex(Index):
             )
             base = base.join(allowed_ids, ID_COL, "left_semi")
 
-        bc = self.spark.sparkContext.broadcast(self.codebooks())
+        bc = self.spark.sparkContext.broadcast(
+            (
+                self.codebooks(),
+                self.centroids() if self.pq_residual else None,
+            )
+        )
         kk = coarse_k
 
         joined = (
@@ -618,7 +676,7 @@ class IVFPQIndex(Index):
         )
 
         def score(batches):
-            cb = bc.value
+            cb, cents = bc.value
             m, _n_codes, sub_dim = cb.shape
             arange_m = np.arange(m)
             for pdf in batches:
@@ -630,9 +688,12 @@ class IVFPQIndex(Index):
                 codes = np.frombuffer(
                     b"".join(pdf[CODE_COL]), dtype=np.uint8
                 ).reshape(n, m)
-                qv = np.array(list(pdf["__qvec"]), dtype=np.float64).reshape(
-                    n, m, sub_dim
-                )
+                qv = np.array(list(pdf["__qvec"]), dtype=np.float64)
+                if cents is not None:
+                    # residual codes: the ADC target is (q − centroid[pid])
+                    pids = pdf[PARTITION_COL].to_numpy(dtype=np.int64)
+                    qv = qv - cents[pids]
+                qv = qv.reshape(n, m, sub_dim)
                 # direct per-row gather — no per-query table build, so cost
                 # is n·dims flops regardless of how many distinct queries
                 # land in the batch
@@ -719,34 +780,49 @@ class IVFPQIndex(Index):
         (``ivf_pq_index.h:627-690``) — table[q, j, c] = ‖q_sub_j − cb[j,c]‖²;
         vector distance ≈ Σ_j table[q, j, code_j].  Reads only the
         (partition_id, external_id, code) columns.
+
+        Residual indexes (spark-0.3) shift the table target per probed
+        partition: table[q, pid, j, c] = ‖(q − centroid[pid])_sub_j −
+        cb[j,c]‖², built INSIDE the kernel from the broadcast (queries,
+        centroids, codebooks) — routed·dims·256 flops per partition, so
+        the broadcast stays constant-size instead of nq·nprobe·m·256.
         """
         import pandas as pd
 
         cb = self.codebooks()  # (m, 256, sub_dim)
         m, n_codes, sub_dim = cb.shape
         nq = qmat.shape[0]
-        tables = np.empty((nq, m, n_codes), dtype=np.float64)
-        for j in range(m):
-            qs = qmat[:, j * sub_dim : (j + 1) * sub_dim]  # (nq, sub_dim)
-            # ‖qs − c‖² for all codes
-            tables[:, j, :] = (
-                np.sum(qs * qs, axis=1)[:, None]
-                + np.sum(cb[j] * cb[j], axis=1)[None, :]
-                - 2.0 * (qs @ cb[j].T)
-            )
-        np.maximum(tables, 0.0, out=tables)
+        residual = self.pq_residual
+        cents = self.centroids() if residual else None
 
         route_map: dict[int, list[int]] = {}
         for qid, pid in pairs:
             route_map.setdefault(pid, []).append(qid)
         qpos = {int(qid): i for i, qid in enumerate(qids)}
-        bc = self.spark.sparkContext.broadcast((qids, tables, route_map, qpos))
+        if residual:
+            payload = (qids, qmat, cb, cents, route_map, qpos)
+        else:
+            tables = np.empty((nq, m, n_codes), dtype=np.float64)
+            for j in range(m):
+                qs = qmat[:, j * sub_dim : (j + 1) * sub_dim]  # (nq, sub_dim)
+                # ‖qs − c‖² for all codes
+                tables[:, j, :] = (
+                    np.sum(qs * qs, axis=1)[:, None]
+                    + np.sum(cb[j] * cb[j], axis=1)[None, :]
+                    - 2.0 * (qs @ cb[j].T)
+                )
+            np.maximum(tables, 0.0, out=tables)
+            payload = (qids, tables, None, None, route_map, qpos)
+        bc = self.spark.sparkContext.broadcast(payload)
         kk = coarse_k
         mm = m
+        sd = sub_dim
 
         def score(batches):
-            qids_l, tables_l, rmap, qpos_l = bc.value
+            qids_l, tab_or_q, cb_l, cents_l, rmap, qpos_l = bc.value
             arange_m = np.arange(mm)
+            if cb_l is not None:
+                cb_sq = np.sum(cb_l * cb_l, axis=2)  # (m, 256)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -758,11 +834,28 @@ class IVFPQIndex(Index):
                     codes = np.frombuffer(
                         b"".join(grp[CODE_COL]), dtype=np.uint8
                     ).reshape(len(ids), mm)
+                    rpos = [qpos_l[qid] for qid in routed]
+                    if cb_l is not None:
+                        # residual tables for THIS partition's routed queries
+                        qres = tab_or_q[rpos] - cents_l[int(pid)][None, :]
+                        t_pid = np.empty((len(routed), mm, cb_sq.shape[1]))
+                        for j in range(mm):
+                            qs = qres[:, j * sd : (j + 1) * sd]
+                            t_pid[:, j, :] = (
+                                np.sum(qs * qs, axis=1)[:, None]
+                                + cb_sq[j][None, :]
+                                - 2.0 * (qs @ cb_l[j].T)
+                            )
+                        np.maximum(t_pid, 0.0, out=t_pid)
+                        tabs = t_pid
+                    else:
+                        tabs = tab_or_q[rpos]
                     keep = min(kk, len(ids))
                     dmat = np.empty((len(routed), len(ids)))
-                    for qi, qid in enumerate(routed):
-                        t = tables_l[qpos_l[qid]]  # (m, 256)
-                        dmat[qi] = t[arange_m[None, :], codes].sum(axis=1)
+                    for qi in range(len(routed)):
+                        dmat[qi] = tabs[qi][
+                            arange_m[None, :], codes
+                        ].sum(axis=1)
                     idx = partial_topk_idx(dmat, ids, keep)
                     yield pd.DataFrame(
                         {

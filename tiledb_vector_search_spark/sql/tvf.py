@@ -468,17 +468,29 @@ def _search_ivf_pq_files(
     for j, c, v in zip(subspace, code, cents):
         cb[int(j), int(c)] = v
 
-    # per-query ADC tables: table[q, j, c] = ||q_sub_j − cb[j, c]||²
+    # per-query ADC tables: table[q, j, c] = ||q_sub_j − cb[j, c]||².
+    # residual indexes (meta pq_residual, storage spark-0.3) shift the
+    # target by the probed partition's centroid — tables are then built
+    # per (partition, routed query) inside the partition loop, mirroring
+    # IVFPQIndex._adc_scores exactly.
+    residual = bool(meta.get("pq_residual", False))
     nq = qmat.shape[0]
-    tables = np.empty((nq, m, n_codes), dtype=np.float64)
-    for j in range(m):
-        qs = qmat[:, j * sub_dim : (j + 1) * sub_dim]
-        tables[:, j, :] = (
-            np.sum(qs * qs, axis=1)[:, None]
-            + np.sum(cb[j] * cb[j], axis=1)[None, :]
-            - 2.0 * (qs @ cb[j].T)
-        )
-    np.maximum(tables, 0.0, out=tables)
+    cb_sq = np.sum(cb * cb, axis=2)  # (m, n_codes)
+
+    def _build_tables(q_block: np.ndarray) -> np.ndarray:
+        t = np.empty((q_block.shape[0], m, n_codes), dtype=np.float64)
+        for j in range(m):
+            qs = q_block[:, j * sub_dim : (j + 1) * sub_dim]
+            t[:, j, :] = (
+                np.sum(qs * qs, axis=1)[:, None]
+                + cb_sq[j][None, :]
+                - 2.0 * (qs @ cb[j].T)
+            )
+        np.maximum(t, 0.0, out=t)
+        return t
+
+    if not residual:
+        tables = _build_tables(qmat)
 
     base = posixpath.join(uri, "base", f"ts={ts}")
     part_queries = _route_files(qmat, centroids, nprobe)
@@ -502,8 +514,11 @@ def _search_ivf_pq_files(
             if len(ids) == 0:
                 continue
         keep = min(coarse_k, len(ids))
-        for qi in qlist:
-            dv = tables[qi][arange_m[None, :], codes].sum(axis=1)
+        if residual:
+            pid_tables = _build_tables(qmat[qlist] - centroids[pid][None, :])
+        for i, qi in enumerate(qlist):
+            t = pid_tables[i] if residual else tables[qi]
+            dv = t[arange_m[None, :], codes].sum(axis=1)
             idx = np.lexsort((ids, dv))[:keep]
             out[qi].extend((float(dv[j]), int(ids[j])) for j in idx)
             for j in idx:

@@ -44,12 +44,15 @@ from pyspark.sql import functions as F
 from tiledb_vector_search_spark.schemas import ID_COL, UPDATES_SCHEMA, VECTOR_COL
 
 META_FILE = "_index_meta.json"
-STORAGE_VERSION = "spark-0.2"
+STORAGE_VERSION = "spark-0.3"
 # every layout this reader understands (reference analogue:
 # ``storage_formats.py:3-48`` keeps one entry per released layout and
 # ``test_backwards_compatibility.py`` reads them all).  spark-0.1 wrote the
-# same parquet group shape; 0.2 added optional meta fields only.
-SUPPORTED_STORAGE_VERSIONS = {"spark-0.1", "spark-0.2"}
+# same parquet group shape; 0.2 added optional meta fields only; 0.3
+# switched IVF_PQ to coarse-residual PQ codes (meta flag ``pq_residual``
+# — absent/false in older indexes, which still read via the raw-code
+# scorer).
+SUPPORTED_STORAGE_VERSIONS = {"spark-0.1", "spark-0.2", "spark-0.3"}
 
 
 def now_ms() -> int:
