@@ -110,6 +110,56 @@ def test_knn_join_trained_centroids_recall(spark, sf_dir, embeddings_np):
             assert abs(r.distance - ed) < 1e-9, strategy
 
 
+def test_knn_join_hot_cell_auto_split(spark):
+    """An adversarially clustered corpus (every vector lands in ONE IVF
+    cell) must salt-split that cell and still return exactly the
+    unsalted/expr results — the per-slice partial top-ks merge losslessly
+    in the final window."""
+    import random
+
+    from tiledb_vector_search_spark.operators.knn import (
+        _cell_splits,
+        knn_join,
+    )
+    from tiledb_vector_search_spark.ml.kmeans import assign_partitions_expr
+
+    rng = random.Random(3)
+    # 400 vectors in a tight cluster around (10, 10) + 4 decoys elsewhere;
+    # centroids place cell 0 on the cluster -> hot cell with ~400 rows
+    rows = [
+        (i, [10.0 + rng.uniform(-0.5, 0.5), 10.0 + rng.uniform(-0.5, 0.5)])
+        for i in range(400)
+    ] + [(1000 + j, [float(-10 - j), float(-10 - j)]) for j in range(4)]
+    right = spark.createDataFrame(rows, "external_id long, vector array<float>")
+    left = spark.createDataFrame(
+        rows[:25], "query_id long, vector array<float>"
+    )
+    cents = np.array([[10.0, 10.0], [-11.0, -11.0]])
+
+    assigned = assign_partitions_expr(
+        right.selectExpr("external_id as __rid", "vector as __rvec"),
+        cents,
+        vector_col="__rvec",
+    )
+    splits = _cell_splits(assigned, 64)
+    assert splits.get(0, 0) >= 4, splits  # the hot cell really splits
+
+    def key(df):
+        return sorted(
+            (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+            for r in df.collect()
+        )
+
+    want = key(knn_join(left, right, 5, centroids=cents, nprobe=1,
+                        strategy="expr"))
+    salted = key(knn_join(left, right, 5, centroids=cents, nprobe=1,
+                          strategy="kernel", max_cell_rows=64))
+    unsalted = key(knn_join(left, right, 5, centroids=cents, nprobe=1,
+                            strategy="kernel", max_cell_rows=None))
+    assert salted == want
+    assert unsalted == want
+
+
 def test_knn_join_no_broadcast_of_either_side(spark, sf_dir):
     """With broadcast joins disabled, the candidate join degrades to a
     shuffle join (SortMergeJoin/ShuffledHashJoin) — proving neither the

@@ -217,6 +217,21 @@ def knn_bruteforce(
     raise ValueError(f"unknown strategy: {strategy}")
 
 
+def _cell_splits(
+    assigned: DataFrame, max_cell_rows: int
+) -> dict[int, int]:
+    """partition_id -> number of salt slices for cells whose RIGHT-side
+    row count exceeds ``max_cell_rows``.  ONE aggregate over the assigned
+    frame; the result is bounded by the centroid count (≤10k), so the
+    driver round-trip is a micro-task."""
+    rows = assigned.groupBy("partition_id").count().collect()
+    return {
+        int(r["partition_id"]): -(-int(r["count"]) // max_cell_rows)
+        for r in rows
+        if int(r["count"]) > max_cell_rows
+    }
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -230,6 +245,7 @@ def knn_join(
     vector_col: str = VECTOR_COL,
     seed: int = 42,
     strategy: str = "kernel",
+    max_cell_rows: int | None = 100_000,
 ) -> DataFrame:
     """Approximate kNN JOIN of two LARGE vector tables — no index build,
     neither side broadcast, no driver-side query collect.
@@ -263,12 +279,17 @@ def knn_join(
 
     At 100×: shuffle volume is |left|·nprobe + |right| rows keyed by
     partition id — never |left|·|right|.  Skew: the ``expr`` join gets
-    AQE's split-skew-join; the ``kernel`` cogroup's task unit is one
-    whole IVF cell (AQE cannot sub-split a cogroup), so a hot cell is a
-    straggler there — bound cell sizes by raising ``partitions`` (cells
-    scale ~n/partitions), or use ``strategy="expr"`` for heavily
-    clustered corpora.  Returns (left_id, right_id, distance, rank ≤ k)
-    with the engine's (distance, id) tie-break.
+    AQE's split-skew-join; the ``kernel`` cogroup's task unit is one IVF
+    cell (AQE cannot sub-split a cogroup), so hot cells are AUTO-SPLIT:
+    one bounded aggregate counts right-side rows per cell, any cell over
+    ``max_cell_rows`` is salted into ``ceil(count/max_cell_rows)``
+    slices (right rows hash-salted; that cell's routed left rows
+    replicated across slices), the cogroup keys on (cell, salt), and the
+    existing final top-k window merges the per-slice partials — the
+    ``operators/skew.py`` salting pattern applied in-plan, so a
+    clustered corpus (the common case for embeddings) no longer
+    serializes on one task.  Returns (left_id, right_id, distance,
+    rank ≤ k) with the engine's (distance, id) tie-break.
 
     Routing always uses squared-L2 against the centroids (the IVF
     contract).  For COSINE/INNER_PRODUCT metrics pre-normalize both
@@ -352,6 +373,51 @@ def knn_join(
         largest = not asc
         kk = k
 
+        # hot-cell auto-split (see docstring): salt oversized cells so no
+        # single cogroup task owns a mega-cell.  The detection aggregate
+        # costs one extra pass over the right side's assignment (narrow:
+        # id + partition only); pass max_cell_rows=None to skip it when
+        # the corpus is known to be balanced
+        splits = (
+            _cell_splits(assigned, max_cell_rows) if max_cell_rows else {}
+        )
+        if splits:
+            smap = small_df(
+                spark,
+                [(pid, n) for pid, n in sorted(splits.items())],
+                "partition_id int, __nsplit int",
+            )
+            assigned = (
+                assigned.join(F.broadcast(smap), "partition_id", "left")
+                .withColumn(
+                    "__salt",
+                    F.when(
+                        F.col("__nsplit").isNull(), F.lit(0)
+                    ).otherwise(
+                        F.pmod(F.xxhash64("__rid"), F.col("__nsplit")).cast(
+                            "int"
+                        )
+                    ),
+                )
+                .drop("__nsplit")
+            )
+            routed = (
+                routed.join(F.broadcast(smap), "partition_id", "left")
+                .withColumn(
+                    "__salt",
+                    F.explode(
+                        F.sequence(
+                            F.lit(0),
+                            F.coalesce(F.col("__nsplit"), F.lit(1)) - 1,
+                        )
+                    ),
+                )
+                .drop("__nsplit")
+            )
+            cogroup_keys = ["partition_id", "__salt"]
+        else:
+            cogroup_keys = ["partition_id"]
+
         def score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
             if len(lpdf) == 0 or len(rpdf) == 0:
                 return pd.DataFrame(
@@ -378,8 +444,8 @@ def knn_join(
             )
 
         scored = (
-            routed.groupBy("partition_id")
-            .cogroup(assigned.groupBy("partition_id"))
+            routed.groupBy(*cogroup_keys)
+            .cogroup(assigned.groupBy(*cogroup_keys))
             .applyInPandas(
                 lambda ldf, rdf: score(ldf, rdf),
                 schema=f"__lid long, __rid long, {DISTANCE_COL} double",
