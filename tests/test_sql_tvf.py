@@ -567,3 +567,65 @@ def test_tvf_allowed_ids_flat_and_pq(spark, source, tmp_path, index_kind):
     }
     assert got == want and len(got) == 6 * 4
     assert all(eid % 2 == 1 for (_, _, eid, _) in got)
+
+
+# --- scheme-agnostic index paths ---------------------------------------------
+
+
+def test_resolve_fs_dispatch(tmp_path):
+    """Bare paths -> local fs; file:// URIs -> from_uri resolution;
+    unknown schemes raise with the fsspec hint instead of a glob miss."""
+    from pyarrow import fs as pafs
+
+    from tiledb_vector_search_spark.sql.tvf import _resolve_fs
+
+    fs, p = _resolve_fs(str(tmp_path))
+    assert isinstance(fs, pafs.LocalFileSystem) and p == str(tmp_path)
+    fs2, p2 = _resolve_fs(f"file://{tmp_path}")
+    assert isinstance(fs2, pafs.LocalFileSystem) and p2 == str(tmp_path)
+    with pytest.raises(Exception, match="fsspec|scheme|URI"):
+        _resolve_fs("definitely-not-a-scheme://bucket/idx")
+
+
+def test_tvf_file_scheme_uri_matches_plain_path(spark, source, ivf_uri):
+    """The SQL surface reaches an index through a scheme-qualified URI:
+    every read (meta json, centroids, partition dirs, updates listing)
+    goes through the resolved filesystem, and results are byte-identical
+    to the bare-path form."""
+    q = source.where("external_id < 6").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_q_scheme")
+
+    def run(uri):
+        return sorted(
+            (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+            for r in _sql(spark, uri, "tvf_q_scheme").collect()
+        )
+
+    assert run(f"file://{ivf_uri}") == run(ivf_uri)
+
+
+def test_tvf_file_scheme_with_updates_and_pq(spark, source, pq_uri, tmp_path):
+    """file:// also covers the updates-log listing and the PQ aux reads
+    (the two paths that previously used glob/os.path directly)."""
+    import shutil
+
+    uri = str(tmp_path / "pqcopy")
+    shutil.copytree(pq_uri, uri)
+    idx = IVFPQIndex(spark, uri)
+    idx.delete(3, timestamp=50)
+    q = source.where("external_id < 6").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_q_scheme2")
+
+    def run(u):
+        return sorted(
+            (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+            for r in _sql(spark, u, "tvf_q_scheme2", k_factor=4.0).collect()
+        )
+
+    got = run(f"file://{uri}")
+    assert got == run(uri)
+    assert all(eid != 3 for _, _, eid, _ in got)

@@ -51,15 +51,16 @@ semi-join, with the same index-type policy (FLAT/IVF_FLAT/IVF_PQ;
 VAMANA keeps over-fetch).  Per-task cost is one ids-parquet read — use
 the DataFrame path when the allowed set itself is corpus-sized.
 
-Limitations (explicit): local/POSIX index paths (executor-side pyarrow
-reads).
+Index paths are SCHEME-AGNOSTIC: bare paths read the local filesystem;
+``file://``, ``s3://``, ``gs://``, ``hdfs://`` (any pyarrow-registered
+scheme) resolve via ``pyarrow.fs.FileSystem.from_uri``, with an fsspec
+fallback for schemes pyarrow lacks — so an object-store index (the
+reference's normal deployment) is reachable from pure SQL.
 """
 
 from __future__ import annotations
 
-import glob
 import json
-import os
 import posixpath
 
 import numpy as np
@@ -75,15 +76,76 @@ _SUPPORTED_METRICS = {"sum_of_squares", "l2", "cosine"}
 _FLAT_ONLY_METRICS = {"inner_product"}
 
 
+def _resolve_fs(path: str):
+    """(pyarrow FileSystem, fs-local path) for a possibly scheme-qualified
+    index path.
+
+    Scheme-agnostic by construction: a bare path is the local
+    filesystem; ``file://``, ``s3://``, ``gs://``, ``hdfs://`` (and any
+    other scheme pyarrow registers) resolve via
+    ``pyarrow.fs.FileSystem.from_uri`` — the reference serves indexes
+    from object storage as the default deployment (VFS URIs throughout,
+    e.g. ``object_index.py``), so the SQL surface must too.  Schemes
+    pyarrow doesn't know fall back to fsspec when installed
+    (``PyFileSystem(FSSpecHandler(...))``), else raise with that hint.
+    """
+    from pyarrow import fs as pafs
+
+    if "://" not in path:
+        return pafs.LocalFileSystem(), path
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except Exception as exc:
+        try:
+            import fsspec
+            from pyarrow.fs import FSSpecHandler, PyFileSystem
+        except ImportError:
+            raise ValueError(
+                f"unsupported filesystem scheme in {path!r} ({exc}); "
+                "install fsspec to enable additional schemes"
+            ) from exc
+        fs, fpath = fsspec.core.url_to_fs(path)
+        return PyFileSystem(FSSpecHandler(fs)), fpath
+
+
+def _list_parquet_files(path: str) -> tuple[object, list[str]]:
+    """(filesystem, sorted fs-local parquet paths under ``path``);
+    empty list when the directory does not exist."""
+    from pyarrow import fs as pafs
+
+    fs, p = _resolve_fs(path)
+    infos = fs.get_file_info(pafs.FileSelector(p, allow_not_found=True))
+    return fs, sorted(
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+    )
+
+
+def _is_dir(path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    fs, p = _resolve_fs(path)
+    return fs.get_file_info(p).type == pafs.FileType.Directory
+
+
+def _read_json_file(path: str) -> dict:
+    fs, p = _resolve_fs(path)
+    with fs.open_input_stream(p) as fh:
+        return json.loads(fh.read().decode("utf-8"))
+
+
 def _read_parquet_dir(path: str, columns: list[str] | None = None):
     import pyarrow.parquet as pq
 
-    files = sorted(glob.glob(posixpath.join(path, "*.parquet")))
+    fs, files = _list_parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
     import pyarrow as pa
 
-    tables = [pq.read_table(f, columns=columns) for f in files]
+    tables = [
+        pq.read_table(f, columns=columns, filesystem=fs) for f in files
+    ]
     return pa.concat_tables(tables)
 
 
@@ -101,8 +163,7 @@ def _open_index_meta(
     INSIDE the requested window (base_ts, timestamp] — the search paths
     then merge the updates overlay (``_load_updates``).
     """
-    with open(posixpath.join(uri, "_index_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = _read_json_file(posixpath.join(uri, "_index_meta.json"))
     if meta.get("index_type") not in _TVF_INDEX_TYPES:
         raise ValueError(
             f"ann_search TVF supports {'/'.join(_TVF_INDEX_TYPES)} indexes; "
@@ -153,7 +214,7 @@ def _load_updates(
     is superseded); additions re-add the upserted ids with new vectors.
     """
     empty = np.empty(0, dtype=np.int64)
-    files = sorted(glob.glob(posixpath.join(uri, "updates", "*.parquet")))
+    ufs, files = _list_parquet_files(posixpath.join(uri, "updates"))
     if not files:
         return empty, empty, None
     import pyarrow as pa
@@ -172,6 +233,7 @@ def _load_updates(
             f,
             columns=["external_id", "vector", "is_delete", "ts"],
             filters=filters,
+            filesystem=ufs,
         )
         if t.num_rows:
             tables.append(t)
@@ -403,7 +465,7 @@ def search_index_files(
     out: dict[int, list[tuple[float, int]]] = {qi: [] for qi in range(len(qids))}
     for pid, qlist in sorted(part_queries.items()):
         pdir = posixpath.join(base, f"partition_id={pid}")
-        if not os.path.isdir(pdir):
+        if not _is_dir(pdir):
             continue  # empty partition: no directory was written
         tb = _read_parquet_dir(pdir, columns=["external_id", "vector"])
         ids = tb.column("external_id").to_numpy()
@@ -501,7 +563,7 @@ def _search_ivf_pq_files(
     cand_pids: dict[int, set[int]] = {}  # external_id -> candidate partitions
     for pid, qlist in sorted(part_queries.items()):
         pdir = posixpath.join(base, f"partition_id={pid}")
-        if not os.path.isdir(pdir):
+        if not _is_dir(pdir):
             continue
         tb = _read_parquet_dir(pdir, columns=["external_id", "code"])
         ids = tb.column("external_id").to_numpy()
@@ -693,14 +755,14 @@ def _search_vamana_files(
 
     for pid, qlist in sorted(part_queries.items()):
         pdir = posixpath.join(base, f"partition_id={pid}")
-        if not os.path.isdir(pdir):
+        if not _is_dir(pdir):
             continue
         walk_group(
             _read_parquet_dir(pdir, columns=["external_id", "vector", "neighbors"]),
             pid,
             qlist,
         )
-    if os.path.isdir(overlay_dir):
+    if _is_dir(overlay_dir):
         # the bridge graph is probed by EVERY query (pseudo-shard -1)
         walk_group(
             _read_parquet_dir(
