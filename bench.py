@@ -134,6 +134,63 @@ def _bench_queries(spark, sf_dir):
             _bm25_state["idx"] = BM25Index.build(spark, uri, docs)
         return _bm25_state["idx"].query(_bm25_queries100(), k=10).collect()
 
+    _stream_state: dict = {}
+
+    def streaming_search_8_batches():
+        """End-to-end Structured Streaming search latency: 8 file-source
+        micro-batches of 100 queries each (maxFilesPerTrigger=1) against
+        a prebuilt IVF index, availableNow.  The timed value is the full
+        8-batch run — per-batch latency = value / 8; the index build and
+        the input files are one-time setup on the warm-up call."""
+        import shutil
+        import tempfile
+
+        from tiledb_vector_search_spark.streaming.search import (
+            stream_search_index,
+        )
+
+        if "idx_uri" not in _stream_state:
+            from tiledb_vector_search_spark.indexes import IVFFlatIndex
+
+            root = "/tmp/tvs_bench_stream"
+            if os.path.exists(root):
+                shutil.rmtree(root)
+            os.makedirs(root)
+            IVFFlatIndex.ingest(
+                spark, f"{root}/idx", vectors, partitions=32, timestamp=1000
+            )
+            qsrc = vectors.where("external_id < 100").select(
+                F.col("external_id").alias("query_id"), "vector"
+            )
+            for b in range(8):
+                qsrc.coalesce(1).write.mode("overwrite").parquet(
+                    f"{root}/in/batch={b}"
+                )
+            _stream_state["idx_uri"] = f"{root}/idx"
+            _stream_state["in_glob"] = f"{root}/in/batch=*"
+            _stream_state["schema"] = qsrc.schema
+        collected = []
+        stream = (
+            spark.readStream.schema(_stream_state["schema"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_stream_state["in_glob"])
+        )
+        ckpt = tempfile.mkdtemp(prefix="tvs_stream_ckpt_")
+        sq = stream_search_index(
+            stream,
+            _stream_state["idx_uri"],
+            10,
+            sink=lambda df, bid: collected.append(df.count()),
+            checkpoint_dir=ckpt,
+            query_kwargs={"nprobe": 8},
+        )
+        sq.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        assert len(collected) == 8 and all(c == 1000 for c in collected), (
+            collected
+        )
+        return collected
+
     def ngram_jaccard_full():
         # the complete dedup pipeline: exact prefix-filtered pairs →
         # transitive-closure groups (the keep/drop decision)
@@ -253,6 +310,7 @@ def _bench_queries(spark, sf_dir):
         "ivf_build_and_query": ivf_build_and_query,
         "ivf_pq_build_and_query": ivf_pq_build_and_query,
         "vamana_build_and_query": vamana_build_and_query,
+        "streaming_search_8_batches": streaming_search_8_batches,
     }
 
 
