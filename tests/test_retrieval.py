@@ -73,6 +73,30 @@ def test_artifact_query_reads_only_postings(spark, bm25_index):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_add_documents_matches_fresh_build(spark, docs, queries, tmp_path):
+    """Incremental add over a half corpus == fresh build over the whole
+    corpus, score-for-score (stats deltas + append-only term_stats sum
+    to the same postings state)."""
+    half_a = docs.where("doc_id % 2 = 0")
+    half_b = docs.where("doc_id % 2 = 1")
+    inc = BM25Index.build(spark, str(tmp_path / "inc"), half_a)
+    inc.add_documents(half_b)
+    full = BM25Index.build(spark, str(tmp_path / "full"), docs)
+    assert inc.n_docs == full.n_docs and inc.sum_dl == full.sum_dl
+
+    def key(idx):
+        return [
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in idx.query(queries, k=10)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+
+    assert key(inc) == key(full)
+    # reopening by uri sees the bumped stats
+    assert BM25Index(spark, inc.uri).n_docs == full.n_docs
+
+
 def test_artifact_meta_and_reopen(spark, docs, bm25_index, queries):
     """Reopening by uri reads the committed meta; stats match the corpus."""
     reopened = BM25Index(spark, bm25_index.uri)

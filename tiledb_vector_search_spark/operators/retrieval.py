@@ -196,6 +196,49 @@ class BM25Index:
     def sum_dl(self) -> int:
         return int(self.meta["sum_dl"])
 
+    def add_documents(self, docs: DataFrame) -> None:
+        """Incremental corpus growth: tokenize ONLY the new documents,
+        append their postings and per-term df deltas, bump the corpus
+        stats — the crawl-increment steady state (cost proportional to
+        the increment, like ``minhash_dedup_against``'s reference-corpus
+        reuse; the existing corpus never re-tokenizes).
+
+        ``term_stats`` becomes append-only (df summed per term at query
+        time — one tiny vocab-sized aggregate); new doc ids must not
+        collide with existing ones (same contract as index ingest).
+        Scores after add == scores of a fresh build over the union,
+        pinned by a parity test.
+        """
+        from tiledb_vector_search_spark.storage import HadoopFS
+
+        id_col = self.meta["id_col"]
+        text_col = self.meta["text_col"]
+        tok = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("term"),
+        ).where(F.col("term") != "")
+        tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        stats = dl.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("sumdl")
+        ).first()
+        tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl").repartition(
+            "term"
+        ).write.mode("append").parquet(
+            posixpath.join(self.uri, BM25_POSTINGS_DIR)
+        )
+        tf.groupBy("term").agg(F.count("*").alias("df")).write.mode(
+            "append"
+        ).parquet(posixpath.join(self.uri, BM25_DFREQ_DIR))
+        self.meta = {
+            **self.meta,
+            "n_docs": self.n_docs + int(stats["n"] or 0),
+            "sum_dl": self.sum_dl + int(stats["sumdl"] or 0),
+        }
+        HadoopFS(self.spark, self.uri).write_text_atomic(
+            posixpath.join(self.uri, BM25_META_FILE), json.dumps(self.meta)
+        )
+
     def query(
         self,
         queries: DataFrame,
@@ -219,9 +262,14 @@ class BM25Index:
             F.col("tf").alias("__tf"),
             F.col("dl").alias("__dl"),
         )
-        dfreq = self.spark.read.parquet(
-            posixpath.join(self.uri, BM25_DFREQ_DIR)
-        ).select(F.col("term").alias("__t"), F.col("df").alias("__df"))
+        # term_stats is append-only under add_documents: sum the per-batch
+        # df rows per term (a vocab-sized aggregate; one row per term on a
+        # never-updated index)
+        dfreq = (
+            self.spark.read.parquet(posixpath.join(self.uri, BM25_DFREQ_DIR))
+            .groupBy(F.col("term").alias("__t"))
+            .agg(F.sum("df").alias("__df"))
+        )
         post = (
             postings.join(qt_distinct, "__t")
             .join(dfreq.join(qt_distinct, "__t"), "__t")
