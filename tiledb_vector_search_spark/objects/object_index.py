@@ -322,6 +322,10 @@ class ObjectIndex:
         live = posixpath.join(self.uri, "object_metadata")
         backup = posixpath.join(self.uri, "object_metadata__backup")
         if fs.exists(live):
+            # a crash AFTER the new table landed but before cleanup
+            # leaves a stale backup — drop it so it can't shadow later
+            if fs.exists(backup):
+                fs.delete(backup)
             return live
         if fs.exists(backup):
             fs.rename(backup, live)
