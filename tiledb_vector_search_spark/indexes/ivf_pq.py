@@ -337,20 +337,15 @@ class IVFPQIndex(Index):
                     vectors, k, sample_size, n, seed=seed
                 )
 
-        # codebooks train on COARSE RESIDUALS (sample − assigned centroid):
-        # per-cell residual distributions are tight around zero, so 256
-        # codes per subspace resolve them far better than the raw vectors
-        codebooks = train_pq_codebooks(
-            _coarse_residuals(sample, centroids), num_subspaces, seed=seed
-        )
-
-        encoded = assign_and_encode_kernel(
-            vectors, centroids, codebooks, VECTOR_COL, PARTITION_COL,
-            vector_dtype=vector_dtype, residual=True,
-        )
-
+        # the encoding flavor is an INDEX-WIDE invariant: a fresh index
+        # writes residual codes (spark-0.3), but a new snapshot ingested
+        # onto an existing pre-0.3 index must keep writing raw codes —
+        # its meta (and therefore the scorer dispatch) says raw
         storage = IndexStorage(spark, uri)
-        if not storage.exists():
+        residual = True
+        if storage.exists():
+            residual = bool(storage.read_meta().get("pq_residual", False))
+        else:
             storage.init_meta(
                 index_type=cls.index_type,
                 metric=metric.value,
@@ -359,6 +354,20 @@ class IVFPQIndex(Index):
                 vector_dtype=vector_dtype,
                 pq_residual=True,
             )
+
+        # codebooks train on COARSE RESIDUALS (sample − assigned centroid):
+        # per-cell residual distributions are tight around zero, so 256
+        # codes per subspace resolve them far better than the raw vectors
+        codebooks = train_pq_codebooks(
+            _coarse_residuals(sample, centroids) if residual else sample,
+            num_subspaces,
+            seed=seed,
+        )
+
+        encoded = assign_and_encode_kernel(
+            vectors, centroids, codebooks, VECTOR_COL, PARTITION_COL,
+            vector_dtype=vector_dtype, residual=residual,
+        )
         cls._write_snapshot(storage, encoded, centroids, codebooks, ts, n)
         return cls(spark, uri)
 
