@@ -163,10 +163,14 @@ class BM25Index:
                 F.count("*").alias("n"), F.sum("dl").alias("sumdl")
             ).first()
             postings = tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
-            if num_partitions:
-                postings = postings.repartition(num_partitions, "term")
-            else:
-                postings = postings.repartition("term")
+            # EXPLICIT partition count: `repartition("term")` alone lets
+            # AQE coalesce a small build to ONE output file, and the query
+            # side then runs its whole broadcast-join pipeline (postings
+            # scan → expansion → partial aggregate) in a single task —
+            # measured 3× slower than the one-shot at bench SF.  A fixed
+            # fan-out keeps the scan parallel at any corpus size.
+            nparts = num_partitions or spark.sparkContext.defaultParallelism
+            postings = postings.repartition(nparts, "term")
             postings.write.mode("overwrite").parquet(
                 posixpath.join(uri, BM25_POSTINGS_DIR)
             )
@@ -223,7 +227,7 @@ class BM25Index:
             F.count("*").alias("n"), F.sum("dl").alias("sumdl")
         ).first()
         tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl").repartition(
-            "term"
+            self.spark.sparkContext.defaultParallelism, "term"
         ).write.mode("append").parquet(
             posixpath.join(self.uri, BM25_POSTINGS_DIR)
         )
