@@ -699,6 +699,48 @@ def test_consolidate_object_metadata_time_travel_refused(spark, sf_dir, tmp_path
     }
 
 
+def test_object_consolidate_updates_compacts_both_layers(spark, sf_dir, tmp_path):
+    """One call folds the vector updates log AND the metadata updates
+    log; the logical results (query + metadata) are unchanged, log debt
+    is zero on both layers, and a time-traveled handle is refused."""
+    import posixpath
+
+    from tiledb_vector_search_spark.storage import HadoopFS
+
+    uri = str(tmp_path / "objboth")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang"],
+    )
+    idx = ObjectIndex.create(
+        spark, uri, reader, HashingTextEmbedding(dims=16),
+        index_type="FLAT", timestamp=1000,
+    )
+    idx.update_objects(
+        spark.createDataFrame(
+            [(900001, "brand new text", "zz")],
+            "external_id long, text string, lang string",
+        ),
+        timestamp=2000,
+    )
+    before_md = sorted(map(tuple, ObjectIndex(spark, uri).metadata().collect()))
+    with pytest.raises(ValueError, match="reopen the index"):
+        ObjectIndex(spark, uri, timestamp=1500).consolidate_updates()
+    idx = ObjectIndex(spark, uri)
+    idx.consolidate_updates(timestamp=3000)
+    idx = ObjectIndex(spark, uri)
+    fs = HadoopFS(spark, uri)
+    assert not fs.exists(posixpath.join(uri, "object_metadata_updates"))
+    assert idx.index.describe()["pending_update_batches"] == 0
+    assert sorted(map(tuple, idx.metadata().collect())) == before_md
+    q = pd.DataFrame({"query_id": [0], "text": ["brand new text"]})
+    res = idx.query(q, k=1, metadata_array_cond="lang = 'zz'",
+                    strategy="expr").collect()
+    assert [r.external_id for r in res] == [900001]
+
+
 def test_consolidate_object_metadata_crash_recovery(spark, sf_dir, tmp_path):
     """A crash between the two consolidation renames leaves only the
     __backup table: reads fall back to it, and the next consolidate

@@ -273,6 +273,25 @@ class ObjectIndex:
             posixpath.join(self.uri, METADATA_UPDATES_DIR)
         )
 
+    def consolidate_updates(self, **kw: Any) -> None:
+        """Compact BOTH layers: fold the vector index's updates log into
+        a new base snapshot (``Index.consolidate_updates``) and then fold
+        the object-metadata updates log — one call keeps the two layers'
+        log debt in lockstep (the reference's ingestion consolidates the
+        metadata array alongside the vectors,
+        ``embeddings_ingestion.py:331-333``).  Refused on a
+        time-traveled handle by the same rule as
+        :meth:`consolidate_object_metadata`."""
+        if self._open_ts is not None:
+            raise ValueError(
+                "consolidate_updates on a time-traveled handle (opened at "
+                f"ts={self._open_ts}) would drop updates newer than the "
+                "open timestamp; reopen the index at latest "
+                "(timestamp=None) and consolidate there"
+            )
+        self.index.consolidate_updates(**kw)
+        self.consolidate_object_metadata()
+
     def consolidate_object_metadata(self) -> None:
         """Fold the metadata updates log into the base table (the
         copy-on-write compaction; one distributed rewrite, then the log
