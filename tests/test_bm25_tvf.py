@@ -1,0 +1,99 @@
+"""bm25_search SQL TVF: tokenizer + quantization parity with the engine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.functions.text import tokens
+from tiledb_vector_search_spark.operators.retrieval import BM25Index
+from tiledb_vector_search_spark.sql.bm25_tvf import (
+    _py_tokens,
+    register_bm25_search,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+@pytest.fixture(scope="module")
+def bm25_uri(spark, docs, tmp_path_factory):
+    uri = str(tmp_path_factory.mktemp("bm25tvf") / "idx")
+    BM25Index.build(spark, uri, docs)
+    return uri
+
+
+def _sql(spark, uri, view, k=10):
+    register_bm25_search(spark)
+    return spark.sql(
+        "SELECT * FROM bm25_search(TABLE("
+        f"SELECT query_id, query_text FROM {view}), '{uri}', {k})"
+    )
+
+
+def test_py_tokens_mirrors_catalyst_tokens(spark, docs):
+    """The TVF's Python tokenizer must agree with the Catalyst
+    ``tokens()`` normalizer on the corpus AND on the hostile cases
+    (unicode punctuation, NBSP — Java \\s is ASCII-only — tabs,
+    İ-style case folding, empties)."""
+    crafted = [
+        "Héllo,  WORLD!  123",
+        "tabs\tand\nnewlines",
+        "nbsp\xa0here",
+        "İstanbul",
+        "",
+        None,
+        "---",
+        "a  b   c",
+    ]
+    cdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(crafted)], "i long, text string"
+    )
+    for df in (
+        docs.limit(300).select(F.col("doc_id").alias("i"), "text"),
+        cdf,
+    ):
+        for r in df.select("i", tokens("text").alias("t"), "text").collect():
+            spark_t = [x for x in r.t if x != ""] if r.t is not None else []
+            assert spark_t == _py_tokens(r.text), (r.i, r.text)
+
+
+def test_bm25_tvf_matches_dataframe_api(spark, docs, bm25_uri):
+    """Score-for-score, rank-for-rank parity: the Python-side decimal
+    quantization replays the engine's DECIMAL(18,9)/round-6 contract."""
+    q = docs.where("doc_id < 10").select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+    q.createOrReplaceTempView("bm25_tvf_q")
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in _sql(spark, bm25_uri, "bm25_tvf_q").collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in BM25Index(spark, bm25_uri).query(q, k=10).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bm25_tvf_file_scheme_and_empty_queries(spark, docs, bm25_uri):
+    q = docs.where("doc_id < 3").select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 100).alias("query_text"),
+    )
+    q.createOrReplaceTempView("bm25_tvf_q2")
+    plain = sorted(map(tuple, _sql(spark, bm25_uri, "bm25_tvf_q2").collect()))
+    via_uri = sorted(
+        map(tuple, _sql(spark, f"file://{bm25_uri}", "bm25_tvf_q2").collect())
+    )
+    assert plain == via_uri and len(plain) == 30
+    # a query that normalizes to nothing yields no rows, not an error
+    spark.createDataFrame(
+        [(0, "!!! ---")], "query_id long, query_text string"
+    ).createOrReplaceTempView("bm25_tvf_q3")
+    assert _sql(spark, bm25_uri, "bm25_tvf_q3").count() == 0

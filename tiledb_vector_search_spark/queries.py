@@ -1443,6 +1443,39 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, q, k=10)
 
 
+@register(
+    "bm25_search_sql_tvf",
+    _bm25_oracle(),
+    # pytest oracle gate: the artifact + one-shot twins hold the driver
+    # slots; this pins the pure-SQL lexical surface against the same SQL
+    driver=False,
+)
+def bm25_search_sql_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from PURE SQL (``sql/bm25_tvf.py``): the ``bm25_search``
+    TVF tokenizes each task's query slice in Python (character-class
+    twin of the Catalyst normalizer), reads only the matching postings
+    rows, and replays the engine's decimal quantization — same oracle,
+    same scores, no DataFrame code."""
+    import tempfile
+
+    from tiledb_vector_search_spark.operators.retrieval import BM25Index
+    from tiledb_vector_search_spark.sql.bm25_tvf import register_bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    uri = tempfile.mkdtemp(prefix="bm25_tvf_")
+    BM25Index.build(spark, uri, d)
+    d.where("doc_id < 10").select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    ).createOrReplaceTempView("__bm25_tvf_queries")
+    register_bm25_search(spark)
+    return spark.sql(
+        "SELECT * FROM bm25_search(TABLE("
+        "SELECT query_id, query_text FROM __bm25_tvf_queries), "
+        f"'{uri}', 10)"
+    )
+
+
 @register("bm25_postings_artifact", _bm25_oracle())
 def bm25_postings_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 via the PERSISTED postings artifact (``BM25Index.build`` →
