@@ -217,7 +217,10 @@ def train_pq_codebooks(
     # subproblems are independent and per-subspace seeded (deterministic
     # regardless of completion order); BLAS releases the GIL, so threads
     # give real parallelism on the driver
-    with ThreadPoolExecutor(max_workers=min(num_subspaces, 8)) as ex:
+    import os
+
+    workers = min(num_subspaces, os.cpu_count() or 8)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
         books = list(ex.map(_train, range(num_subspaces)))
     for j, cb in enumerate(books):
         out[j, : cb.shape[0]] = cb
