@@ -134,6 +134,9 @@ _INDEX_BACKED = {
     "object_filtered_search",
     "knn_flat_u8",
     "ann_search_sql_tvf",
+    # artifact-backed SQL TVF: its plan is one BatchEvalPythonUDTF node
+    # by design (the embedded-read model, same as ann_search)
+    "bm25_search_sql_tvf",
 }
 
 _CHEAP = sorted(set(REGISTRY) - _INDEX_BACKED)
