@@ -1,0 +1,86 @@
+"""pHash image near-dup: kernel parity + banding soundness + planted dups."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tiledb_vector_search_spark.objects.codecs import encode_pnm
+from tiledb_vector_search_spark.operators.image_dedup import (
+    image_near_duplicates,
+    phash64,
+    phash64_pixels,
+)
+
+
+def _corpus(n_base: int = 24, seed: int = 7):
+    """(id, pnm_blob) rows: n_base random images; every third one gets a
+    noised near-copy (id+1000) — textured enough that noise is a small
+    perceptual perturbation, not a sign flip of flat coefficients."""
+    rng = np.random.default_rng(seed)
+    rows, pixels = [], {}
+    for i in range(n_base):
+        base = rng.integers(0, 256, size=(24, 24))
+        # smooth gradient + texture so the DCT spectrum has structure
+        gy, gx = np.mgrid[0:24, 0:24]
+        img = ((base * 0.3) + (gx * 5 + gy * 3) * ((i % 5) + 1) * 0.4) % 256
+        img = img.astype(np.uint8)
+        rows.append((i, bytearray(encode_pnm(img))))
+        pixels[i] = img
+        if i % 3 == 0:
+            noise = rng.integers(-6, 7, size=img.shape)
+            near = np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+            rows.append((1000 + i, bytearray(encode_pnm(near))))
+            pixels[1000 + i] = near
+    return rows, pixels
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows, pixels = _corpus()
+    df = spark.createDataFrame(rows, "external_id long, image binary")
+    return df, pixels
+
+
+def test_phash_kernel_matches_reference(spark, images):
+    df, pixels = images
+    got = {r.external_id: r.phash for r in phash64(df).collect()}
+    assert set(got) == set(pixels)
+    for i, pix in pixels.items():
+        assert got[i] == phash64_pixels(pix), i
+
+
+def test_phash_undecodable_blob_yields_null(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(b"not a pnm")), (1, bytearray(encode_pnm(np.zeros((4, 4), dtype=np.uint8))))],
+        "external_id long, image binary",
+    )
+    rows = {r.external_id: r.phash for r in phash64(df).collect()}
+    assert rows[0] is None and rows[1] is not None
+
+
+def test_image_near_duplicates_matches_bruteforce(spark, images):
+    """Banding candidates + hamming verify == all-pairs numpy hamming
+    (pigeonhole soundness on real hashes), and the planted noised copies
+    are found paired with their originals."""
+    df, pixels = images
+    max_h = 8
+    h = {i: phash64_pixels(p) & ((1 << 64) - 1) for i, p in pixels.items()}
+    ids = sorted(h)
+    want = {
+        (a, b, bin(h[a] ^ h[b]).count("1"))
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if bin(h[a] ^ h[b]).count("1") <= max_h
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_near_duplicates(df, max_hamming=max_h).collect()
+    }
+    assert got == want
+    planted = {(i, 1000 + i) for i in pixels if i < 1000 and 1000 + i in pixels}
+    found_pairs = {(a, b) for a, b, _ in got}
+    hit = sum(1 for p in planted if p in found_pairs)
+    assert hit >= int(0.8 * len(planted)), (hit, len(planted))
+    # distinct random images must not all collapse into one dup cluster
+    assert len(found_pairs - planted) < len(planted)

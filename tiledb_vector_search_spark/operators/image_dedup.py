@@ -1,0 +1,164 @@
+"""Perceptual-hash (pHash) image near-duplicate detection.
+
+The image-side member of the dedup family (`operators/dedup.py`): exact
+byte-hash dedup misses re-encoded / slightly-noised copies of the same
+picture, which dominate crawled image corpora.  The classic remedy is a
+64-bit DCT perceptual hash — visually-similar images land within a few
+hamming bits — and then the SAME pigeonhole band-join machinery the
+text simhash path uses.
+
+Reference status: the reference has no image dedup (its object pipeline
+embeds images for ANN); this is part of the LLM-training-data operator
+set the engine adds.  The decode step uses the dependency-free netpbm
+codec (`objects/codecs.py`) — the same import-try seam real JPEG/PNG
+decoding would plug into via PIL.
+
+Spark shape (100 TB): hashing is one `mapInPandas` pass over the binary
+column (decode → 32×32 area-mean resize → 2D DCT-II → top-left 8×8
+sans DC → median threshold), emitting ONE int64 per image — the corpus
+bytes never shuffle.  Candidate generation bands the 64-bit hash into
+``max_hamming+1`` chunks (a pair within the radius must agree exactly
+on ≥1 chunk), equi-joins per chunk, and verifies with
+``bit_count(xor)`` — all-pairs work only inside band buckets, the LSH
+contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PHASH_BITS = 64
+_RESIZE = 32
+_DCT_KEEP = 8
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n × n)."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2)
+    return m * np.sqrt(2.0 / n)
+
+
+def phash64_pixels(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of a grayscale pixel matrix (any shape).
+
+    Area-mean resize to 32×32 → orthonormal 2D DCT-II → top-left 8×8
+    block without the DC term → bit i set iff coefficient i > the
+    median of the 63 AC coefficients.  Deterministic pure-numpy
+    reference shared by the Spark kernel and the tests.
+    """
+    x = np.asarray(pixels, dtype=np.float64)
+    if x.ndim != 2:
+        x = x.reshape(x.shape[0], -1)
+    h, w = x.shape
+    # area-mean resize via bucketed edges (handles any h, w >= 1)
+    re = np.zeros((_RESIZE, _RESIZE), dtype=np.float64)
+    ye = np.linspace(0, h, _RESIZE + 1)
+    xe = np.linspace(0, w, _RESIZE + 1)
+    for r in range(_RESIZE):
+        y0, y1 = int(ye[r]), max(int(ye[r]), int(np.ceil(ye[r + 1])))
+        y1 = min(max(y1, y0 + 1), h)
+        for c in range(_RESIZE):
+            x0, x1 = int(xe[c]), max(int(xe[c]), int(np.ceil(xe[c + 1])))
+            x1 = min(max(x1, x0 + 1), w)
+            re[r, c] = x[y0:y1, x0:x1].mean()
+    d = _dct_matrix(_RESIZE)
+    coef = d @ re @ d.T
+    block = coef[:_DCT_KEEP, :_DCT_KEEP].ravel()[1:]  # drop DC
+    med = np.median(block)
+    bits = block > med
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # map to signed int64 for the LongType column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash64(
+    df: DataFrame, blob_col: str = "image", id_col: str = "external_id"
+) -> DataFrame:
+    """(id, phash): one Arrow pass decoding PNM blobs and hashing.
+
+    Undecodable blobs yield NULL (kept, so callers can audit decode
+    failures) — the dedup join drops them.
+    """
+    from tiledb_vector_search_spark.objects.codecs import decode_pnm
+
+    schema = f"{id_col} long, phash long"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, hashes = [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                ids.append(int(i))
+                try:
+                    pix, _ = decode_pnm(bytes(blob))
+                    hashes.append(phash64_pixels(pix))
+                except Exception:
+                    hashes.append(None)
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=schema)
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    blob_col: str = "image",
+    id_col: str = "external_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming): perceptually-near image
+    pairs via pigeonhole banding over the 64-bit pHash — the text
+    simhash candidate plan applied to the image hash (one equi-join per
+    band chunk; exact ``bit_count(xor)`` verify)."""
+    hashes = phash64(df, blob_col, id_col).where(F.col("phash").isNotNull())
+    chunks = max_hamming + 1
+    chunk_bits = PHASH_BITS // chunks
+    banded = hashes.select(
+        id_col,
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("phash"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "phash", F.col("cc.chunk"), F.col("cc.key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
