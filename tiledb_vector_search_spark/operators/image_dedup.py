@@ -117,48 +117,14 @@ def image_near_duplicates(
     max_hamming: int = 8,
 ) -> DataFrame:
     """(id_a, id_b, hamming ≤ max_hamming): perceptually-near image
-    pairs via pigeonhole banding over the 64-bit pHash — the text
-    simhash candidate plan applied to the image hash (one equi-join per
-    band chunk; exact ``bit_count(xor)`` verify)."""
-    hashes = phash64(df, blob_col, id_col).where(F.col("phash").isNotNull())
-    chunks = max_hamming + 1
-    chunk_bits = PHASH_BITS // chunks
-    banded = hashes.select(
-        id_col,
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("phash"), c * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cc"),
-    ).select(id_col, "phash", F.col("cc.chunk"), F.col("cc.key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.phash").alias("ph_a"),
-            F.col("b.phash").alias("ph_b"),
-        )
-        .distinct()
+    pairs via the shared pigeonhole band-join
+    (:func:`operators.hamming.hamming_near_pairs`) over the 64-bit
+    pHash."""
+    from tiledb_vector_search_spark.operators.hamming import (
+        hamming_near_pairs,
     )
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (
-        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-        .orderBy("id_a", "id_b")
+
+    hashes = phash64(df, blob_col, id_col).where(F.col("phash").isNotNull())
+    return hamming_near_pairs(
+        hashes, PHASH_BITS, max_hamming, id_col=id_col, hash_col="phash"
     )
