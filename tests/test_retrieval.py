@@ -73,6 +73,14 @@ def test_artifact_query_reads_only_postings(spark, bm25_index):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_describe_reports_corpus_and_postings(spark, docs, bm25_index):
+    d = bm25_index.describe()
+    n = docs.count()
+    assert d["n_docs"] == n and d["sum_dl"] > 0
+    assert d["avg_doc_len"] == pytest.approx(d["sum_dl"] / n)
+    assert 0 < d["vocab_size"] <= d["postings_rows"]
+
+
 def test_add_documents_matches_fresh_build(spark, docs, queries, tmp_path):
     """Incremental add over a half corpus == fresh build over the whole
     corpus, score-for-score (stats deltas + append-only term_stats sum

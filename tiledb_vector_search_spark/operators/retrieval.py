@@ -200,6 +200,29 @@ class BM25Index:
     def sum_dl(self) -> int:
         return int(self.meta["sum_dl"])
 
+    def describe(self) -> dict:
+        """Operational snapshot (the lexical twin of ``Index.describe``):
+        corpus stats from meta plus vocabulary size and postings volume —
+        ONE aggregate over the small term-stats table and a metadata-only
+        row count of the postings (parquet footer counts; no data scan)."""
+        vocab = (
+            self.spark.read.parquet(posixpath.join(self.uri, BM25_DFREQ_DIR))
+            .select("term")
+            .distinct()
+            .count()
+        )
+        postings_rows = self.spark.read.parquet(
+            posixpath.join(self.uri, BM25_POSTINGS_DIR)
+        ).count()
+        return {
+            "uri": self.uri,
+            "n_docs": self.n_docs,
+            "sum_dl": self.sum_dl,
+            "avg_doc_len": (self.sum_dl / self.n_docs) if self.n_docs else 0.0,
+            "vocab_size": vocab,
+            "postings_rows": postings_rows,
+        }
+
     def add_documents(self, docs: DataFrame) -> None:
         """Incremental corpus growth: tokenize ONLY the new documents,
         append their postings and per-term df deltas, bump the corpus
