@@ -59,13 +59,17 @@ def test_driver_window_curated():
 def test_oracle_coverage():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing, f"oracles without queries: {missing}"
-    # the non-SQL-expressible set is explicit and small (trained models);
-    # all three are pytest-only — their driver rows are the *_gate entries
+    # the non-SQL-expressible set is explicit and small (trained models +
+    # DCT/FFT perceptual hashes); all are pytest-only with their own
+    # gates — the index recalls via the *_gate driver entries, the
+    # perceptual pair sets via the planted-copy gates below
     no_oracle = set(QUERIES) - set(ORACLES)
     assert no_oracle == {
         "ivf_index_recall",
         "ivf_pq_index_recall",
         "vamana_index_recall",
+        "image_phash_neardup",
+        "audio_fingerprint_neardup",
     }
 
 
@@ -80,3 +84,26 @@ def test_ivf_index_recall_gate(spark, sf_dir):
     assert len(rows) == 10
     avg = sum(r.recall for r in rows) / len(rows)
     assert avg >= 0.85, f"avg recall {avg}"
+
+
+def test_image_phash_neardup_gate(spark, sf_dir):
+    """Every planted +1-pixel copy pairs with its original (hamming ~0);
+    the result is a valid pair set over the synthesized corpus."""
+    rows = QUERIES["image_phash_neardup"](spark, sf_dir).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    planted = [(i, i + 100000) for i in range(0, 150, 5)]
+    hit = [p for p in planted if p in pairs]
+    assert len(hit) == len(planted), (len(hit), len(planted))
+    assert all(pairs[p] <= 1 for p in hit)
+    assert all(r.hamming <= 4 for r in rows)
+
+
+def test_audio_fingerprint_neardup_gate(spark, sf_dir):
+    """Every planted half-gain copy pairs with its original at hamming 0
+    (gain invariance of the log-energy-difference bits)."""
+    rows = QUERIES["audio_fingerprint_neardup"](spark, sf_dir).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    planted = [(i, i + 100000) for i in range(0, 150, 5)]
+    hit = [p for p in planted if p in pairs]
+    assert len(hit) == len(planted), (len(hit), len(planted))
+    assert all(pairs[p] == 0 for p in hit)

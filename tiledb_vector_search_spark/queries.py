@@ -2980,3 +2980,97 @@ def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = DD.duplicate_spans(planted, n=_SPAN_N, min_docs=2)
     return DD.strip_duplicate_spans(planted, spans)
+
+
+# =====================================================================
+# Perceptual dedup (image pHash / audio fingerprint) — non-SQL-
+# expressible (2D DCT / FFT have no DuckDB equivalent), so these carry
+# NO oracle_sql: pytest pins them against pure-numpy references and
+# planted-copy gates (tests/test_image_dedup.py, test_audio_dedup.py,
+# test_entry.py perceptual gates); blobs are built DETERMINISTICALLY
+# from the embeddings table via the real netpbm/WAV codecs.
+# =====================================================================
+
+
+def _perceptual_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(external_id, image): 8×8 grayscale PNM per embedding (vec_id <
+    150), plus a near-copy (+1 on one pixel, id+100000) every 5th."""
+    import pandas as pd
+
+    from tiledb_vector_search_spark.objects.codecs import encode_pnm
+
+    emb = _t(spark, sf_dir, "embeddings").where("vec_id < 150")
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                x = np.asarray(vec, dtype=np.float64).reshape(8, 8)
+                lo, hi = x.min(), x.max()
+                img = ((x - lo) / (hi - lo + 1e-9) * 255).astype(np.uint8)
+                rows.append((int(vid), encode_pnm(img)))
+                if vid % 5 == 0:
+                    near = img.copy()
+                    near[3, 3] = min(255, int(near[3, 3]) + 1)
+                    rows.append((int(vid) + 100000, encode_pnm(near)))
+            yield pd.DataFrame(rows, columns=["external_id", "image"])
+
+    return emb.mapInPandas(build, "external_id long, image binary")
+
+
+@register("image_phash_neardup", driver=False)  # non-SQL-expressible (DCT)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (``operators/image_dedup``)
+    over codec-built blobs; every planted +1-pixel copy must pair with
+    its original at hamming ≈ 0 (asserted in the pytest gate)."""
+    from tiledb_vector_search_spark.operators.image_dedup import (
+        image_near_duplicates,
+    )
+
+    return image_near_duplicates(
+        _perceptual_images(spark, sf_dir), max_hamming=4
+    )
+
+
+def _perceptual_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(external_id, audio): WAV per embedding (vec_id < 150) — the
+    embedding tiles into a 4096-sample signal — plus a half-gain copy
+    (id+100000) every 5th (gain-invariance makes it hamming 0)."""
+    import pandas as pd
+
+    from tiledb_vector_search_spark.objects.codecs import encode_wav
+
+    emb = _t(spark, sf_dir, "embeddings").where("vec_id < 150")
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                x = np.asarray(vec, dtype=np.float64)
+                x = np.tile(x / (np.max(np.abs(x)) + 1e-9) * 0.8, 64)
+                rows.append((int(vid), encode_wav(x, 8000)))
+                if vid % 5 == 0:
+                    rows.append(
+                        (int(vid) + 100000, encode_wav(0.5 * x, 8000))
+                    )
+            yield pd.DataFrame(rows, columns=["external_id", "audio"])
+
+    return emb.mapInPandas(build, "external_id long, audio binary")
+
+
+@register("audio_fingerprint_neardup", driver=False)  # non-SQL-expressible (FFT)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint near-dup pairs (``operators/audio_dedup``)
+    over codec-built WAV blobs; every planted half-gain copy must pair
+    with its original at hamming 0 (gain invariance, pytest gate)."""
+    from tiledb_vector_search_spark.operators.audio_dedup import (
+        audio_near_duplicates,
+    )
+
+    return audio_near_duplicates(
+        _perceptual_audio(spark, sf_dir), max_hamming=4
+    )
