@@ -1,0 +1,180 @@
+"""Pure-stdlib PNG codec: round-trips, every filter type, palette, errors."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tiledb_vector_search_spark.objects.codecs import (
+    decode_image,
+    decode_png,
+    encode_png,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(w, h, color, raw, extra=b""):
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("shape", [(7, 5), (16, 16, 3), (9, 4, 4)])
+def test_round_trip(shape):
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, size=shape).astype(np.uint8)
+    got = decode_png(encode_png(x))
+    assert got.shape == x.shape and (got == x).all()
+
+
+def _apply_filter(ftype, body, bpp):
+    """Spec-side filter application (the encoder's direction), row-major
+    bytes → filtered scanline stream — an INDEPENDENT reference, so the
+    decoder's unfilter paths are tested against the spec, not themselves."""
+    h, stride = body.shape
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        cur = body[r].astype(np.int32)
+        out.append(ftype)
+        for i in range(stride):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((int(cur[i]) - pred) & 0xFF)
+        prev = cur
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_every_filter_unfilters_correctly(ftype, channels):
+    rng = np.random.default_rng(ftype * 10 + channels)
+    h, w = 11, 6
+    px = rng.integers(0, 256, size=(h, w, channels)).astype(np.uint8)
+    body = px.reshape(h, w * channels)
+    raw = _apply_filter(ftype, body, channels)
+    blob = _png(w, h, 0 if channels == 1 else 2, raw)
+    got = decode_png(blob)
+    want = px[:, :, 0] if channels == 1 else px
+    assert (got == want).all()
+
+
+def test_palette_png_with_and_without_trns():
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(8, 8)).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(8))
+    blob = _png(8, 8, 3, raw, extra=_chunk(b"PLTE", pal.tobytes()))
+    got = decode_png(blob)
+    assert got.shape == (8, 8, 3) and (got == pal[idx]).all()
+    trns = bytes(range(16))
+    blob2 = _png(
+        8, 8, 3, raw,
+        extra=_chunk(b"PLTE", pal.tobytes()) + _chunk(b"tRNS", trns),
+    )
+    got2 = decode_png(blob2)
+    assert got2.shape == (8, 8, 4)
+    assert (got2[:, :, :3] == pal[idx]).all()
+    assert (got2[:, :, 3] == np.frombuffer(trns, np.uint8)[idx]).all()
+
+
+def test_gray_alpha_expands_to_rgba():
+    g = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    a = np.flip(g, axis=1)
+    body = np.stack([g, a], axis=2).reshape(4, 12)
+    raw = b"".join(b"\x00" + body[r].tobytes() for r in range(4))
+    got = decode_png(_png(6, 4, 4, raw))
+    assert got.shape == (4, 6, 4)
+    assert (got[:, :, 0] == g).all() and (got[:, :, 3] == a).all()
+
+
+def test_multi_idat_stream():
+    x = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    raw = b"".join(b"\x00" + x[r].tobytes() for r in range(8))
+    z = zlib.compress(raw)
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", z[:10]) + _chunk(b"IDAT", z[10:])
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(blob) == x).all()
+
+
+def test_unsupported_variants_raise_clearly():
+    x = np.zeros((4, 4), dtype=np.uint8)
+    blob = bytearray(encode_png(x))
+    # depth byte lives at offset 8(mag)+8(len+type)+8(w+h) = 24
+    blob[24] = 16
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(bytes(blob))
+    blob = bytearray(encode_png(x))
+    blob[28] = 1  # interlace byte
+    with pytest.raises(NotImplementedError, match="interlace|Adam7"):
+        decode_png(bytes(blob))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"garbage")
+
+
+def test_decode_image_dispatch_and_reader_seam(spark):
+    from tiledb_vector_search_spark.objects.codecs import encode_pnm
+    from tiledb_vector_search_spark.objects.readers import (
+        DirectoryImageReader,
+    )
+
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, size=(5, 7)).astype(np.uint8)
+    assert (decode_image(encode_png(g)) == g).all()
+    assert (decode_image(encode_pnm(g)) == g).all()
+    # the reader decodes PNG without PIL now
+    assert (DirectoryImageReader.decode(encode_png(g)) == g).all()
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_phash_works_on_png_blobs(spark):
+    from tiledb_vector_search_spark.operators.image_dedup import (
+        image_near_duplicates,
+    )
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(8):
+        gy, gx = np.mgrid[0:16, 0:16]
+        img = ((rng.integers(0, 256, (16, 16)) * 0.3 + (gx * 5 + gy * 2) * (i % 3 + 1)) % 256).astype(np.uint8)
+        rows.append((i, bytearray(encode_png(img))))
+        if i % 4 == 0:
+            near = np.clip(img.astype(int) + rng.integers(-4, 5, img.shape), 0, 255).astype(np.uint8)
+            rows.append((100 + i, bytearray(encode_png(near))))
+    df = spark.createDataFrame(rows, "external_id long, image binary")
+    pairs = {(r.id_a, r.id_b) for r in image_near_duplicates(df, max_hamming=8).collect()}
+    assert {(0, 100), (4, 104)} <= pairs

@@ -218,3 +218,186 @@ def extract_audio_features(df, blob_col: str = "audio", id_col: str = "external_
             yield pd.DataFrame(rows)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema=schema)
+# --- PNG (pure stdlib: zlib + struct) ----------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Decode an 8-bit PNG → (h, w) grayscale or (h, w, 3|4) uint8 array.
+
+    Dependency-free (stdlib ``zlib``): supports color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), all five scanline
+    filters (None/Sub/Up/Average/Paeth), and multi-IDAT streams —
+    the codec mainstream crawled corpora actually need, replacing the
+    PIL-only stub for PNG.  16-bit depth and Adam7 interlace raise with
+    a clear message (rare in crawl data; PIL still handles them when
+    installed).
+    """
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG blob")
+    pos = 8
+    ihdr = None
+    palette = None
+    trns = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        length, ctype = struct.unpack_from(">I4s", blob, pos)
+        body = pos + 8
+        if body + length > len(blob):
+            raise ValueError("truncated PNG chunk")
+        data = blob[body : body + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} unsupported (8-bit only; "
+                    "install PIL for others)"
+                )
+            if interlace != 0:
+                raise NotImplementedError(
+                    "Adam7-interlaced PNG unsupported (install PIL)"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("non-standard PNG compression/filter")
+            ihdr = (w, h, color)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos = body + length + 4  # skip CRC
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, color = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = out[r]
+    px = out.reshape(h, w, channels)
+    if color == 3:  # palette → RGB (or RGBA with tRNS)
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = palette[px[:, :, 0]]
+        if trns is not None:
+            alpha = np.full((h, w, 1), 255, dtype=np.uint8)
+            idx = px[:, :, 0]
+            mask = idx < len(trns)
+            alpha[:, :, 0][mask] = trns[idx[mask]]
+            return np.concatenate([rgb, alpha], axis=2)
+        return rgb
+    if channels == 1:
+        return px[:, :, 0]
+    if color == 4:  # gray+alpha → (h, w, 2) kept as-is? expand to RGBA
+        g = px[:, :, 0:1]
+        return np.concatenate([g, g, g, px[:, :, 1:2]], axis=2)
+    return px
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w) gray or (h, w, 3|4) uint8 → PNG bytes (filter 0, one IDAT)."""
+    import struct
+    import zlib
+
+    x = np.asarray(pixels)
+    if x.dtype != np.uint8:
+        x = np.clip(x, 0, 255).astype(np.uint8)
+    if x.ndim == 2:
+        color, channels = 0, 1
+        body = x[:, :, None]
+    elif x.ndim == 3 and x.shape[2] == 3:
+        color, channels = 2, 3
+        body = x
+    elif x.ndim == 3 and x.shape[2] == 4:
+        color, channels = 6, 4
+        body = x
+    else:
+        raise ValueError(f"unsupported pixel shape {x.shape}")
+    h, w = body.shape[:2]
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)
+        raw.extend(body[r].tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Magic-dispatched image decode: netpbm (P5/P6) and PNG natively;
+    anything else via PIL when installed, else a clear error."""
+    b = bytes(blob)
+    if b[:2] in (b"P5", b"P6"):
+        return decode_pnm(b)[0]
+    if b[:8] == _PNG_MAGIC:
+        return decode_png(b)
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+    except ImportError:
+        raise NotImplementedError(
+            "this codec needs PIL (not installed); netpbm (P5/P6) and "
+            "8-bit PNG decode natively"
+        )

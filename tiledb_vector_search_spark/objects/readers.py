@@ -240,29 +240,16 @@ class DirectoryImageReader(ObjectReader):
     def decode(image_bytes: bytes):
         """Decode to a pixel array.
 
-        PIL when installed (import-try — the reference's decoder,
-        ``directory_reader.py:507-643``); binary netpbm (PGM/PPM) always,
-        via the dependency-free parser in
-        :mod:`tiledb_vector_search_spark.objects.codecs`.  Other codecs
-        (jpeg/png without PIL) raise.
+        Magic-dispatched (:func:`..objects.codecs.decode_image`): binary
+        netpbm (PGM/PPM) and 8-bit PNG decode NATIVELY (dependency-free
+        — PNG needs only stdlib zlib); everything else (jpeg, webp,
+        16-bit/interlaced PNG) falls back to PIL when installed (the
+        reference's decoder, ``directory_reader.py:507-643``) and raises
+        with that hint otherwise.
         """
-        try:
-            import io
+        from tiledb_vector_search_spark.objects.codecs import decode_image
 
-            from PIL import Image  # type: ignore
-
-            return np.asarray(Image.open(io.BytesIO(image_bytes)).convert("RGB"))
-        except ImportError:
-            pass
-        if image_bytes[:2] in (b"P5", b"P6"):
-            from tiledb_vector_search_spark.objects.codecs import decode_pnm
-
-            return decode_pnm(image_bytes)[0]
-        raise NotImplementedError(
-            "decoding this codec requires PIL/opencv (not installed); "
-            "netpbm (P5/P6) decodes natively, or use "
-            "BytesHistogramEmbedding for byte-level features"
-        )
+        return decode_image(image_bytes)
 
     def metadata_attributes(self) -> list[str]:
         return ["file_path", "n_bytes"]

@@ -52,7 +52,12 @@ def phash64_pixels(pixels: np.ndarray) -> int:
     reference shared by the Spark kernel and the tests.
     """
     x = np.asarray(pixels, dtype=np.float64)
-    if x.ndim != 2:
+    if x.ndim == 3:
+        if x.shape[2] >= 3:  # RGB(A) → Rec.601 luma; alpha ignored
+            x = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+        else:
+            x = x[:, :, 0]
+    elif x.ndim != 2:
         x = x.reshape(x.shape[0], -1)
     h, w = x.shape
     # area-mean resize via bucketed edges (handles any h, w >= 1)
@@ -82,12 +87,14 @@ def phash64_pixels(pixels: np.ndarray) -> int:
 def phash64(
     df: DataFrame, blob_col: str = "image", id_col: str = "external_id"
 ) -> DataFrame:
-    """(id, phash): one Arrow pass decoding PNM blobs and hashing.
+    """(id, phash): one Arrow pass decoding image blobs and hashing.
 
-    Undecodable blobs yield NULL (kept, so callers can audit decode
-    failures) — the dedup join drops them.
+    Decode is magic-dispatched (netpbm + native 8-bit PNG; PIL fallback
+    for other codecs when installed); RGB(A) images hash their Rec.601
+    luma.  Undecodable blobs yield NULL (kept, so callers can audit
+    decode failures) — the dedup join drops them.
     """
-    from tiledb_vector_search_spark.objects.codecs import decode_pnm
+    from tiledb_vector_search_spark.objects.codecs import decode_image
 
     schema = f"{id_col} long, phash long"
 
@@ -101,8 +108,7 @@ def phash64(
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
                 ids.append(int(i))
                 try:
-                    pix, _ = decode_pnm(bytes(blob))
-                    hashes.append(phash64_pixels(pix))
+                    hashes.append(phash64_pixels(decode_image(bytes(blob))))
                 except Exception:
                     hashes.append(None)
             yield pd.DataFrame({id_col: ids, "phash": hashes})
