@@ -1,0 +1,201 @@
+"""Baseline JPEG codec: round-trip bounds, hand-built 4:2:0 + restart
+streams with hand-derived pixel answers, IDCT identity, error policy."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from tiledb_vector_search_spark.objects.jpeg import (
+    _AC_CHROMA,
+    _AC_LUMA,
+    _DC_CHROMA,
+    _DC_LUMA,
+    _BitWriter,
+    _build_encode_table,
+    _dct8,
+    _magnitude,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_idct_is_inverse_of_orthonormal_dct():
+    d = _dct8()
+    assert np.allclose(d @ d.T, np.eye(8), atol=1e-12)
+
+
+def test_flat_gray_is_exact():
+    g = np.full((16, 24), 130, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(g, quality=90)) == g).all()
+
+
+def test_smooth_gradient_round_trip_bound():
+    gy, gx = np.mgrid[0:32, 0:48]
+    img = ((gx * 3 + gy * 2) % 256).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img, quality=90))
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.max() <= 4 and err.mean() <= 1.5
+
+
+def test_rgb_round_trip_bound_and_odd_dims():
+    rng = np.random.default_rng(0)
+    rgb = np.clip(
+        np.cumsum(rng.integers(-3, 4, size=(21, 37, 3)), axis=1) + 120,
+        0, 255,
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(rgb, quality=92))
+    assert got.shape == rgb.shape
+    err = np.abs(got.astype(int) - rgb.astype(int))
+    assert err.max() <= 24 and err.mean() <= 4.0
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _headers(h, w, comps, qvals, restart=None):
+    """Minimal JFIF headers: comps = [(cid, hv, tq)], qvals = {tq: int}
+    (FLAT quant tables — every entry the same value, so hand arithmetic
+    stays trivial)."""
+    out = bytearray(b"\xff\xd8")
+    for tq, v in qvals.items():
+        out += _seg(0xDB, bytes([tq]) + bytes([v] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hv, tq in comps:
+        sof += bytes([cid, hv, tq])
+    out += _seg(0xC0, sof)
+    for tc, tabs in ((0, (_DC_LUMA, _DC_CHROMA)), (1, (_AC_LUMA, _AC_CHROMA))):
+        for th in range(2):
+            bits, huffval = tabs[th]
+            out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(huffval))
+    if restart is not None:
+        out += _seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([len(comps)])
+    for cid, _hv, _tq in comps:
+        th = 0 if cid == 1 else 1
+        sos += bytes([cid, (th << 4) | th])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+    return out
+
+
+def _write_dc_block(wtr, tid, diff, dc_enc, ac_enc):
+    t, mag = _magnitude(diff)
+    code, ln = dc_enc[tid][t]
+    wtr.write(code, ln)
+    if t:
+        wtr.write(mag, t)
+    code, ln = ac_enc[tid][0x00]  # EOB: all AC zero
+    wtr.write(code, ln)
+
+
+def test_hand_built_420_stream_decodes_to_expected_color():
+    """One 16×16 MCU, 4:2:0, flat YCbCr = (152, 148, 108), quant = 2
+    everywhere.  DC of a flat block with level-shifted value c is 8c
+    (orthonormal DCT), so quantized DC = round(8c/2) = 4c — hand
+    arithmetic the decoder must invert through dequant + IDCT +
+    upsample + color conversion.  The expected RGB comes from the
+    BT.601 formulas directly, not from the encoder."""
+    yv, cbv, crv = 152, 148, 108
+    dc_enc = [_build_encode_table(*_DC_LUMA), _build_encode_table(*_DC_CHROMA)]
+    ac_enc = [_build_encode_table(*_AC_LUMA), _build_encode_table(*_AC_CHROMA)]
+    wtr = _BitWriter()
+    # 4 Y blocks: first carries the full DC diff, rest zero diffs
+    _write_dc_block(wtr, 0, 4 * (yv - 128), dc_enc, ac_enc)
+    for _ in range(3):
+        _write_dc_block(wtr, 0, 0, dc_enc, ac_enc)
+    _write_dc_block(wtr, 1, 4 * (cbv - 128), dc_enc, ac_enc)
+    _write_dc_block(wtr, 1, 4 * (crv - 128), dc_enc, ac_enc)
+    wtr.flush()
+    blob = bytes(
+        _headers(16, 16, [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)], {0: 2, 1: 2})
+        + wtr.out
+        + b"\xff\xd9"
+    )
+    got = decode_jpeg(blob)
+    assert got.shape == (16, 16, 3)
+    cb, cr = cbv - 128.0, crv - 128.0
+    want = np.clip(
+        np.rint(
+            [yv + 1.402 * cr, yv - 0.344136 * cb - 0.714136 * cr, yv + 1.772 * cb]
+        ),
+        0, 255,
+    ).astype(np.uint8)
+    assert (got == want[None, None, :]).all(), (got[0, 0], want)
+
+
+def test_hand_built_restart_markers_reset_dc_prediction():
+    """4 MCUs of gray (8×32), DRI=1: every MCU is followed by RSTn and
+    each carries the FULL dc (prediction resets).  Decoded row must be
+    the four flat stripes."""
+    vals = [100, 140, 90, 200]
+    dc_enc = [_build_encode_table(*_DC_LUMA), _build_encode_table(*_DC_CHROMA)]
+    ac_enc = [_build_encode_table(*_AC_LUMA), _build_encode_table(*_AC_CHROMA)]
+    body = bytearray()
+    for i, v in enumerate(vals):
+        wtr = _BitWriter()
+        _write_dc_block(wtr, 0, 4 * (v - 128), dc_enc, ac_enc)
+        wtr.flush()
+        body += wtr.out
+        if i < len(vals) - 1:
+            body += bytes([0xFF, 0xD0 + (i % 8)])
+    blob = bytes(
+        _headers(8, 32, [(1, 0x11, 0)], {0: 2}, restart=1)
+        + body
+        + b"\xff\xd9"
+    )
+    got = decode_jpeg(blob)
+    assert got.shape == (8, 32)
+    for i, v in enumerate(vals):
+        stripe = got[:, i * 8 : (i + 1) * 8]
+        assert (stripe == v).all(), (i, stripe[0, 0], v)
+
+
+def test_unsupported_and_garbage_raise_clearly():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"nope")
+    g = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(g))
+    # rewrite the SOF0 marker to SOF2 (progressive)
+    idx = blob.find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(blob))
+
+
+def test_decode_image_dispatches_jpeg(spark):
+    from tiledb_vector_search_spark.objects.codecs import decode_image
+    from tiledb_vector_search_spark.objects.readers import DirectoryImageReader
+
+    g = np.full((8, 8), 99, dtype=np.uint8)
+    blob = encode_jpeg(g, quality=90)
+    assert (decode_image(blob) == g).all()
+    assert (DirectoryImageReader.decode(blob) == g).all()
+
+
+def test_phash_over_jpeg_blobs(spark):
+    from tiledb_vector_search_spark.operators.image_dedup import (
+        image_near_duplicates,
+    )
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(8):
+        gy, gx = np.mgrid[0:16, 0:16]
+        img = (
+            (rng.integers(0, 256, (16, 16)) * 0.3 + (gx * 5 + gy * 2) * (i % 3 + 1))
+            % 256
+        ).astype(np.uint8)
+        rows.append((i, bytearray(encode_jpeg(img, quality=90))))
+        if i % 4 == 0:
+            # a re-encode at lower quality IS the perceptual near-dup case
+            rows.append((100 + i, bytearray(encode_jpeg(img, quality=60))))
+    df = spark.createDataFrame(rows, "external_id long, image binary")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in image_near_duplicates(df, max_hamming=8).collect()
+    }
+    assert {(0, 100), (4, 104)} <= pairs

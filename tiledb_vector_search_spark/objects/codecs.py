@@ -383,13 +383,21 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Magic-dispatched image decode: netpbm (P5/P6) and PNG natively;
-    anything else via PIL when installed, else a clear error."""
+    """Magic-dispatched image decode: netpbm (P5/P6), 8-bit PNG, and
+    baseline JPEG natively; anything else (webp, progressive jpeg,
+    16-bit png, ...) via PIL when installed, else a clear error."""
     b = bytes(blob)
     if b[:2] in (b"P5", b"P6"):
         return decode_pnm(b)[0]
     if b[:8] == _PNG_MAGIC:
         return decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from tiledb_vector_search_spark.objects.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(b)
+        except NotImplementedError:
+            pass  # progressive/12-bit — try PIL below
     try:
         import io
 
@@ -398,6 +406,6 @@ def decode_image(blob: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "this codec needs PIL (not installed); netpbm (P5/P6) and "
-            "8-bit PNG decode natively"
+            "this codec needs PIL (not installed); netpbm (P5/P6), 8-bit "
+            "PNG, and baseline JPEG decode natively"
         )
