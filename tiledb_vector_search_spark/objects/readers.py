@@ -206,14 +206,14 @@ class DirectoryTextReader(ObjectReader):
 
 
 class DirectoryImageReader(ObjectReader):
-    """Image files as opaque binary payloads + typed metadata.
+    """Image files as binary payloads + typed metadata, with NATIVE decode.
 
     Reference: ``DirectoryImageReader`` (``directory_reader.py:507-643``)
-    decodes to RGB arrays with PIL.  Image codecs are not available in this
-    environment, so ``decode`` is a clearly-marked stub — the Spark-side
-    plumbing (binaryFile scan, schema, partitioning, batch shape) is real,
-    and :class:`~..objects.embeddings.BytesHistogramEmbedding` provides a
-    deterministic stand-in feature extractor over the raw bytes.
+    decodes to RGB arrays with PIL.  Here the mainstream formats decode
+    dependency-free — binary netpbm (P5/P6), 8-bit PNG (stdlib zlib),
+    and baseline JPEG (``objects/jpeg.py``) — covering the default glob
+    end to end; PIL remains an import-try fallback for the long tail
+    (webp, progressive jpeg, 16-bit png).
     """
 
     def __init__(self, uri: str, glob: str = "*.{png,jpg,jpeg}"):
