@@ -836,3 +836,56 @@ def test_filter_pushdown_return_flags(spark, doc_index, sf_dir):
     assert "text" in with_obj.columns and with_obj.count() == 2
     no_md = doc_index.query(q, return_metadata=False, **kw)
     assert "lang" not in no_md.columns and no_md.count() == 2
+
+
+def test_image_object_pipeline_end_to_end_with_native_codecs(spark, tmp_path):
+    """Files → native decode (PNG + JPEG) → pixel-content embedding →
+    index → query: a lower-quality JPEG RE-ENCODE of an indexed picture
+    retrieves the original as its nearest neighbor — different bytes,
+    same content, the property the byte-histogram stand-in cannot give."""
+    import os
+
+    import numpy as np
+
+    from tiledb_vector_search_spark.objects.codecs import encode_png
+    from tiledb_vector_search_spark.objects.embeddings import (
+        LumaGridEmbedding,
+    )
+    from tiledb_vector_search_spark.objects.jpeg import encode_jpeg
+    from tiledb_vector_search_spark.objects.readers import (
+        DirectoryImageReader,
+    )
+
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    rng = np.random.default_rng(3)
+    imgs = {}
+    for i in range(10):
+        img = np.clip(
+            np.cumsum(rng.integers(-5, 6, size=(24, 24, 3)), axis=0) + 120,
+            0, 255,
+        ).astype(np.uint8)
+        imgs[i] = img
+        # mixed formats on disk: half PNG, half JPEG
+        if i % 2 == 0:
+            open(os.path.join(d, f"img{i}.png"), "wb").write(encode_png(img))
+        else:
+            open(os.path.join(d, f"img{i}.jpg"), "wb").write(
+                encode_jpeg(img, quality=92)
+            )
+    reader = DirectoryImageReader(d, glob="*.{png,jpg}")
+    idx = ObjectIndex.create(
+        spark, str(tmp_path / "imgidx"), reader,
+        LumaGridEmbedding(grid=8), index_type="FLAT", timestamp=1000,
+    )
+    objs = reader.read_objects(spark)
+    id_of = {
+        os.path.basename(r.file_path): r.external_id for r in objs.collect()
+    }
+    # query payload: q60 re-encode of image 4 (stored as PNG on disk)
+    q = pd.DataFrame(
+        {"query_id": [0], "image": [encode_jpeg(imgs[4], quality=60)]}
+    )
+    res = idx.query(q, k=1, return_metadata=False).collect()
+    assert len(res) == 1
+    assert res[0].external_id == id_of["img4.png"]

@@ -188,6 +188,60 @@ class BytesHistogramEmbedding(ObjectEmbedding):
         return out.astype(np.float32)
 
 
+class LumaGridEmbedding(ObjectEmbedding):
+    """REAL pixel-content image embedding: decode → luma → area-mean
+    grid → L2-normalized vector.
+
+    With the native codecs (netpbm, 8-bit PNG, baseline JPEG —
+    ``objects/codecs.py``/``objects/jpeg.py``) the image object
+    pipeline no longer needs a byte-level stand-in: this embedding sees
+    PIXELS, so a re-encode of the same picture (different bytes, same
+    content) lands next to the original in the index — the property
+    the reference gets from its model-based extractors
+    (``object_readers/directory_reader.py`` + PIL), at a
+    deterministic/testable fidelity.
+    """
+
+    def __init__(self, payload_col: str = "image", grid: int = 8):
+        self.payload_col = payload_col
+        self.grid = int(grid)
+
+    def dimensions(self) -> int:
+        return self.grid * self.grid
+
+    def embed(self, objects: pd.DataFrame) -> np.ndarray:
+        from tiledb_vector_search_spark.objects.codecs import decode_image
+
+        g = self.grid
+        out = np.zeros((len(objects), g * g), dtype=np.float64)
+        for i, blob in enumerate(objects[self.payload_col]):
+            px = np.asarray(decode_image(bytes(blob)), dtype=np.float64)
+            if px.ndim == 3:
+                if px.shape[2] >= 3:
+                    px = (
+                        0.299 * px[:, :, 0]
+                        + 0.587 * px[:, :, 1]
+                        + 0.114 * px[:, :, 2]
+                    )
+                else:
+                    px = px[:, :, 0]
+            h, w = px.shape
+            ye = np.linspace(0, h, g + 1)
+            xe = np.linspace(0, w, g + 1)
+            cell = np.empty((g, g))
+            for r in range(g):
+                y0 = int(ye[r])
+                y1 = min(max(int(np.ceil(ye[r + 1])), y0 + 1), h)
+                for c in range(g):
+                    x0 = int(xe[c])
+                    x1 = min(max(int(np.ceil(xe[c + 1])), x0 + 1), w)
+                    cell[r, c] = px[y0:y1, x0:x1].mean()
+            v = cell.ravel()
+            n = np.linalg.norm(v)
+            out[i] = v / n if n > 0 else v
+        return out.astype(np.float32)
+
+
 class HalvesTextEmbedding(HashingTextEmbedding):
     """Deterministic MULTI-VECTOR text embedding: one hashing-trick vector
     per half of the token stream — the test stand-in for ColPali-style
