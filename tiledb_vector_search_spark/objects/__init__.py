@@ -21,6 +21,7 @@ from tiledb_vector_search_spark.objects.embeddings import (
     BytesHistogramEmbedding,
     HashingTextEmbedding,
     IdentityEmbedding,
+    LumaGridEmbedding,
     ObjectEmbedding,
     RandomEmbedding,
     SentenceTransformersEmbedding,
@@ -48,6 +49,7 @@ __all__ = [
     "HashingTextEmbedding",
     "BytesHistogramEmbedding",
     "IdentityEmbedding",
+    "LumaGridEmbedding",
     "RandomEmbedding",
     "SentenceTransformersEmbedding",
     "ObjectIndex",
