@@ -199,3 +199,32 @@ def test_phash_over_jpeg_blobs(spark):
         for r in image_near_duplicates(df, max_hamming=8).collect()
     }
     assert {(0, 100), (4, 104)} <= pairs
+
+
+def test_mjpeg_stream_split_decode_and_sample():
+    """Concatenated JPEGs split on STRUCTURE (an APP1 payload containing
+    literal FF D9 bytes must not end the frame), decode per frame, and
+    frame-sample by skipping unsampled frames at the byte level."""
+    from tiledb_vector_search_spark.objects.codecs import (
+        decode_mjpeg_stream,
+        sample_mjpeg_frames,
+        split_mjpeg_stream,
+    )
+
+    frames_px = [
+        np.full((8, 8), v, dtype=np.uint8) for v in (50, 100, 150, 200)
+    ]
+    blobs = [encode_jpeg(p, quality=90) for p in frames_px]
+    # plant a hostile APP1 (fake EXIF with an embedded EOI) in frame 1
+    evil = struct.pack(">BBH", 0xFF, 0xE1, 12) + b"Exif\x00\x00\xff\xd9\x00\x00"
+    b1 = blobs[1]
+    blobs[1] = b1[:2] + evil + b1[2:]
+    stream = b"".join(blobs)
+    parts = split_mjpeg_stream(stream)
+    assert [len(p) for p in parts] == [len(b) for b in blobs]
+    decoded = decode_mjpeg_stream(stream)
+    assert [d[0, 0] for d in decoded] == [50, 100, 150, 200]
+    sampled = sample_mjpeg_frames(stream, every_n=2)
+    assert [s[0, 0] for s in sampled] == [50, 150]
+    with pytest.raises(ValueError, match="missing SOI"):
+        split_mjpeg_stream(b"junk" + stream)

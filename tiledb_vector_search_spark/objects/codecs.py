@@ -409,3 +409,75 @@ def decode_image(blob: bytes) -> np.ndarray:
             "this codec needs PIL (not installed); netpbm (P5/P6), 8-bit "
             "PNG, and baseline JPEG decode natively"
         )
+
+
+# --- MJPEG stream (concatenated JPEGs) ---------------------------------------
+
+
+def _jpeg_frame_end(blob: bytes, pos: int) -> int:
+    """Offset just past the EOI of the JPEG starting at ``pos``.
+
+    A STRUCTURAL walk, not a 0xFFD9 byte scan: marker-segment payloads
+    (EXIF thumbnails in APP1, for one) may legally contain FF D9 bytes,
+    so frame boundaries must come from segment lengths + entropy-data
+    rules (stuffed FF 00 and RSTn continue; any other marker ends the
+    entropy run)."""
+    import struct as _struct
+
+    n = len(blob)
+    p = pos + 2  # past SOI
+    while p + 2 <= n:
+        if blob[p] != 0xFF:
+            raise ValueError(f"JPEG marker desync at {p}")
+        m = blob[p + 1]
+        if m == 0xD9:  # EOI
+            return p + 2
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone markers
+            p += 2
+            continue
+        seglen = _struct.unpack_from(">H", blob, p + 2)[0]
+        p += 2 + seglen
+        if m == 0xDA:  # SOS: entropy-coded data follows
+            while p + 1 < n:
+                if blob[p] != 0xFF:
+                    p += 1
+                elif blob[p + 1] == 0x00 or 0xD0 <= blob[p + 1] <= 0xD7:
+                    p += 2  # stuffed byte / restart marker
+                else:
+                    break  # real marker (EOI or next segment)
+    raise ValueError("truncated JPEG (no EOI)")
+
+
+def split_mjpeg_stream(blob: bytes) -> list[bytes]:
+    """Byte slices of each JPEG in a concatenated-JPEG (MJPEG) stream —
+    the layout ``ffmpeg image2pipe -vcodec mjpeg`` emits."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(blob):
+        if blob[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"MJPEG frame at {pos} missing SOI")
+        end = _jpeg_frame_end(blob, pos)
+        frames.append(blob[pos:end])
+        pos = end
+    return frames
+
+
+def decode_mjpeg_stream(blob: bytes) -> list[np.ndarray]:
+    """Decode every frame of an MJPEG stream via the native baseline
+    JPEG decoder (``objects/jpeg.py``)."""
+    from tiledb_vector_search_spark.objects.jpeg import decode_jpeg
+
+    return [decode_jpeg(f) for f in split_mjpeg_stream(blob)]
+
+
+def sample_mjpeg_frames(blob: bytes, every_n: int = 1) -> list[np.ndarray]:
+    """Every ``every_n``-th frame of an MJPEG stream; unsampled frames
+    are SKIPPED at the byte level (EOI scan only — no huffman/IDCT work),
+    the same frame-sampling contract as ``sample_pnm_frames``."""
+    from tiledb_vector_search_spark.objects.jpeg import decode_jpeg
+
+    return [
+        decode_jpeg(f)
+        for i, f in enumerate(split_mjpeg_stream(blob))
+        if i % every_n == 0
+    ]
