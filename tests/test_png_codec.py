@@ -157,8 +157,10 @@ def test_decode_image_dispatch_and_reader_seam(spark):
     assert (decode_image(encode_pnm(g)) == g).all()
     # the reader decodes PNG without PIL now
     assert (DirectoryImageReader.decode(encode_png(g)) == g).all()
+    # a format with no native decoder (webp) needs PIL; jpeg no longer
+    # lands here — it has its own native decoder (objects/jpeg.py)
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPfake")
 
 
 def test_phash_works_on_png_blobs(spark):
