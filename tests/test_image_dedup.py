@@ -84,3 +84,25 @@ def test_image_near_duplicates_matches_bruteforce(spark, images):
     assert hit >= int(0.8 * len(planted)), (hit, len(planted))
     # distinct random images must not all collapse into one dup cluster
     assert len(found_pairs - planted) < len(planted)
+
+
+def test_hamming_zero_radius_exact_dups(spark):
+    """max_hamming=0 (exact-dup radius) must not overflow LongType: one
+    chunk spans the full 64-bit hash, so the band key is the hash itself
+    (ADVICE r5: F.lit((1<<64)-1) was a plan-time NumberFormatException)."""
+    from tiledb_vector_search_spark.operators.hamming import hamming_near_pairs
+
+    rows = [
+        (0, -1),              # all-ones hash (sign bit set)
+        (1, -1),              # exact dup of 0
+        (2, 7),
+        (3, 7),               # exact dup of 2
+        (4, 6),               # hamming 1 from 7 — must NOT pair at radius 0
+        (5, (1 << 62) + 5),
+    ]
+    df = spark.createDataFrame(rows, "external_id long, hash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_pairs(df, bits=64, max_hamming=0).collect()
+    }
+    assert got == {(0, 1, 0), (2, 3, 0)}

@@ -284,3 +284,31 @@ def test_allowed_ids_pushdown(
         for qid, pairs in got.items():
             want = [i for i, _ in oracle[qid]]
             assert [i for _, i in sorted(pairs)] == want
+
+
+def test_reingest_inherits_num_subspaces(spark, source, tmp_path):
+    """Re-ingesting with DEFAULT num_subspaces onto an existing index must
+    inherit the index's subspace count, not re-resolve the (newer) default
+    — the code layout is index-wide (ADVICE r5); an explicit mismatch
+    raises instead of silently flipping the layout."""
+    from tiledb_vector_search_spark.storage import IndexStorage
+
+    uri = str(tmp_path / "inherit_idx")
+    IVFPQIndex.ingest(
+        spark, uri, source, partitions=4, num_subspaces=8, timestamp=1000
+    )
+    # defaults would resolve to 16 for these dims; inheritance keeps 8
+    IVFPQIndex.ingest(spark, uri, source, partitions=4, timestamp=2000)
+    meta = IndexStorage(spark, uri).read_meta()
+    assert int(meta["num_subspaces"]) == 8
+    # both snapshots decode with the same codebook geometry
+    idx = IVFPQIndex(spark, uri)
+    q = source.limit(5).select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    assert idx.query(q, 3).count() == 15
+
+    with pytest.raises(ValueError, match="num_subspaces"):
+        IVFPQIndex.ingest(
+            spark, uri, source, partitions=4, num_subspaces=16, timestamp=3000
+        )

@@ -889,3 +889,32 @@ def test_image_object_pipeline_end_to_end_with_native_codecs(spark, tmp_path):
     res = idx.query(q, k=1, return_metadata=False).collect()
     assert len(res) == 1
     assert res[0].external_id == id_of["img4.png"]
+
+
+def test_luma_grid_embedding_nulls_bad_blobs():
+    """One corrupt image must not fail the batch (ADVICE r5): the bad row
+    embeds to the zero sentinel (never ranks under cosine/IP); good rows
+    are unaffected — same posture as phash64's NULL-on-bad-blob."""
+    import numpy as np
+
+    from tiledb_vector_search_spark.objects.codecs import encode_png
+    from tiledb_vector_search_spark.objects.embeddings import (
+        LumaGridEmbedding,
+    )
+
+    rng = np.random.default_rng(11)
+    good = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    pdf = pd.DataFrame(
+        {
+            "image": [
+                encode_png(good),
+                b"\x89PNG\r\n\x1a\nthis is not a real png",
+                encode_png(good),
+            ]
+        }
+    )
+    emb = LumaGridEmbedding(grid=4).embed(pdf)
+    assert emb.shape == (3, 16)
+    assert np.allclose(emb[1], 0.0)
+    assert np.allclose(emb[0], emb[2])
+    assert np.linalg.norm(emb[0]) > 0

@@ -180,3 +180,41 @@ def test_phash_works_on_png_blobs(spark):
     df = spark.createDataFrame(rows, "external_id long, image binary")
     pairs = {(r.id_a, r.id_b) for r in image_near_duplicates(df, max_hamming=8).collect()}
     assert {(0, 100), (4, 104)} <= pairs
+
+
+def test_decompression_bomb_guard():
+    """Untrusted header dims must be rejected BEFORE inflating (ADVICE
+    r5): a few-KB blob claiming a giant canvas raises instead of
+    allocating, and an IDAT stream holding more bytes than the header
+    implies is bounded-inflated and rejected."""
+    from tiledb_vector_search_spark.objects import codecs
+
+    # huge claimed canvas, tiny blob — must raise on dims, not allocate
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PNG_MAX_PIXELS"):
+        decode_png(bomb)
+
+    # zero-dimension header
+    ihdr0 = struct.pack(">IIBBBBB", 0, 4, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="zero-dimension"):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr0)
+            + _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b"")
+        )
+
+    # stream inflates to MORE than the header-implied size: the bounded
+    # decompressobj stops at expected+1 and the size check rejects
+    raw_ok = b"".join(b"\x00" + bytes(range(4)) for _ in range(4))
+    oversized = _png(4, 4, 0, raw_ok + b"\x00" * 1000)
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(oversized)
+
+    # the guard is tunable: a legit image under the cap still decodes
+    x = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert (decode_png(encode_png(x)) == x).all()

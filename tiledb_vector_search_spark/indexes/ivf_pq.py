@@ -294,10 +294,33 @@ class IVFPQIndex(Index):
                 "(k-means and PQ codebooks need data); ingest a FLAT index "
                 "instead and stream updates into it"
             )
+        # resolve storage BEFORE choosing num_subspaces: the code layout is
+        # an index-wide invariant, so re-ingesting onto an existing index
+        # must keep its subspace count — resolving the (possibly newer)
+        # default first would silently flip the layout while meta still
+        # says the old count
+        storage = IndexStorage(spark, uri)
+        existing_meta = storage.read_meta() if storage.exists() else None
         if num_subspaces is None:
-            # reference default: 16 subspaces (ivf_pq_index.h:309), clipped
-            # to a divisor of dims so the chunking contract always holds
-            num_subspaces = default_num_subspaces(dims)
+            if existing_meta is not None and existing_meta.get("num_subspaces"):
+                num_subspaces = int(existing_meta["num_subspaces"])
+            else:
+                # reference default: 16 subspaces (ivf_pq_index.h:309),
+                # clipped to a divisor of dims so the chunking contract
+                # always holds
+                num_subspaces = default_num_subspaces(dims)
+        elif (
+            existing_meta is not None
+            and existing_meta.get("num_subspaces")
+            and num_subspaces != int(existing_meta["num_subspaces"])
+        ):
+            raise ValueError(
+                f"index at {uri} was built with num_subspaces="
+                f"{existing_meta['num_subspaces']}; re-ingesting with "
+                f"num_subspaces={num_subspaces} would change the code "
+                "layout index-wide — pass the original count or use a "
+                "new uri"
+            )
         if dims % num_subspaces != 0:
             # reference validation: ivf_pq_index.py:204-210
             raise ValueError(
@@ -344,10 +367,9 @@ class IVFPQIndex(Index):
         # writes residual codes (spark-0.3), but a new snapshot ingested
         # onto an existing pre-0.3 index must keep writing raw codes —
         # its meta (and therefore the scorer dispatch) says raw
-        storage = IndexStorage(spark, uri)
         residual = True
-        if storage.exists():
-            residual = bool(storage.read_meta().get("pq_residual", False))
+        if existing_meta is not None:
+            residual = bool(existing_meta.get("pq_residual", False))
         else:
             storage.init_meta(
                 index_type=cls.index_type,

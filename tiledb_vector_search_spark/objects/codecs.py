@@ -222,6 +222,12 @@ def extract_audio_features(df, blob_col: str = "audio", id_col: str = "external_
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# decompression-bomb guard: reject before inflating anything.  Header
+# dimensions are UNTRUSTED 32-bit values from crawled bytes; a few-KB
+# blob can claim a multi-GB canvas.  Same default ceiling as PIL's
+# MAX_IMAGE_PIXELS; module-level so deployments can raise it.
+PNG_MAX_PIXELS = 178_956_970
+
 
 def decode_png(blob: bytes) -> np.ndarray:
     """Decode an 8-bit PNG → (h, w) grayscale or (h, w, 3|4) uint8 array.
@@ -265,6 +271,13 @@ def decode_png(blob: bytes) -> np.ndarray:
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("non-standard PNG compression/filter")
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension PNG")
+            if w * h > PNG_MAX_PIXELS:
+                raise ValueError(
+                    f"PNG dimensions {w}x{h} exceed PNG_MAX_PIXELS="
+                    f"{PNG_MAX_PIXELS} (decompression-bomb guard)"
+                )
             ihdr = (w, h, color)
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
@@ -281,9 +294,13 @@ def decode_png(blob: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unknown PNG color type {color}")
-    raw = zlib.decompress(bytes(idat))
     stride = w * channels
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflate: never materialize more than the header-implied
+    # size + 1 probe byte, even if the stream holds more
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG pixel data size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -295,10 +312,10 @@ def decode_png(blob: bytes) -> np.ndarray:
         ).astype(np.int32)
         if ftype == 0:  # None
             cur = line
-        elif ftype == 1:  # Sub
-            cur = line.copy()
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 1:  # Sub — per-lane cumsum (mod-256 add is associative)
+            cur = (
+                np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(stride).astype(np.int32)
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average

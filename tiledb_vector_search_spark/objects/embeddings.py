@@ -215,7 +215,15 @@ class LumaGridEmbedding(ObjectEmbedding):
         g = self.grid
         out = np.zeros((len(objects), g * g), dtype=np.float64)
         for i, blob in enumerate(objects[self.payload_col]):
-            px = np.asarray(decode_image(bytes(blob)), dtype=np.float64)
+            # one corrupt blob must not fail the whole Spark task (and
+            # job after retries) — crawled corpora WILL contain
+            # undecodable images.  Emit the zero vector as the sentinel,
+            # matching phash64/audio_fingerprint's NULL-on-bad-blob
+            # posture; zero never ranks top-k under cosine/IP.
+            try:
+                px = np.asarray(decode_image(bytes(blob)), dtype=np.float64)
+            except Exception:
+                continue
             if px.ndim == 3:
                 if px.shape[2] >= 3:
                     px = (

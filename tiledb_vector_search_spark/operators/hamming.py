@@ -29,6 +29,19 @@ def hamming_near_pairs(
     cleaner, never dirtier)."""
     chunks = max_hamming + 1
     chunk_bits = max(1, bits // chunks)
+
+    def _key(c: int):
+        shifted = (
+            F.col(hash_col)
+            if c == 0
+            else F.shiftright(F.col(hash_col), c * chunk_bits)
+        )
+        if chunk_bits >= 64:
+            # single chunk spanning the whole long hash (max_hamming=0):
+            # the key IS the hash — (1<<64)-1 would overflow LongType
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << chunk_bits) - 1))
+
     banded = hashes.select(
         id_col,
         F.col(hash_col).alias("__h"),
@@ -37,9 +50,7 @@ def hamming_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col(hash_col), c * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("key"),
+                        _key(c).alias("key"),
                     )
                     for c in range(chunks)
                 ]
