@@ -351,14 +351,58 @@ def main() -> None:
     # timed run does full work.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    # load-aware retry budget: a query whose min/max disagree >SPREAD_BAR
+    # gets up to this many EXTRA samples; the extremes of the widened
+    # sample set are trimmed symmetrically back to a `runs`-wide window
+    # before computing median+spread (standard discard-outliers — every
+    # raw sample, trimmed or not, lands in BENCH_DETAIL.json, so nothing
+    # is hidden).  BENCH_r05 showed single-sample GC/OS-scheduler spikes
+    # (same code, 1.9x on untouched pure-SQL queries) polluting the
+    # official record; the retry makes one bad sample cost a re-measure
+    # instead of a phantom regression.
+    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    spread_bar = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_BAR", "1.5"))
     # multi-branch cached pipelines (bm25: four plan branches off one
     # persisted postings frame) need TWO warm-ups — the first compiles the
     # branch codegen, the second stabilizes JIT tiering in those branches;
     # with one warm-up the first TIMED run still paid ~2x (r4's [3.65,
     # 8.51] spread on a 4.7s median)
     extra_warmups = {"bm25_retrieval_100q": 1}
+
+    def _env_signals() -> dict:
+        """Load average + free memory so a polluted run self-identifies:
+        BENCH_r05's uniform ~1.2-1.9x drift on untouched queries was an
+        environment artifact the record couldn't prove."""
+        sig: dict = {}
+        try:
+            sig["loadavg_1m"] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
+        try:
+            with open("/proc/meminfo") as f:
+                for ln in f:
+                    if ln.startswith("MemAvailable:"):
+                        sig["mem_available_gb"] = round(
+                            int(ln.split()[1]) / 1048576, 1
+                        )
+                        break
+        except OSError:
+            pass
+        return sig
+
+    def _stats(samples: list[float]) -> tuple[float, list[float]]:
+        """(median, [min, max]) over the central `runs`-wide window of the
+        sorted samples (== all samples when no retries fired)."""
+        s = sorted(samples)
+        drop = (len(s) - runs) // 2
+        s = s[drop : drop + runs] if len(s) > runs else s
+        med = s[len(s) // 2] if len(s) % 2 else (
+            s[len(s) // 2 - 1] + s[len(s) // 2]
+        ) / 2
+        return med, [s[0], s[-1]]
+
     timings: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
+    detail: dict[str, dict] = {}
     for name, fn in _bench_queries(spark, sf_dir).items():
         if warmup:
             for _ in range(1 + extra_warmups.get(name, 0)):
@@ -373,13 +417,47 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
-        samples.sort()
-        med = samples[len(samples) // 2] if len(samples) % 2 else (
-            samples[len(samples) // 2 - 1] + samples[len(samples) // 2]
-        ) / 2
+        retries = 0
+        while (
+            retries < max_retries
+            and _stats(samples)[1][1] > spread_bar * _stats(samples)[1][0]
+        ):
+            _quiesce()
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+            retries += 1
+        med, (lo, hi) = _stats(samples)
         timings[name] = round(med, 3)
-        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
+        detail[name] = {
+            "median": round(med, 3),
+            "spread_min_max": [round(lo, 3), round(hi, 3)],
+            "raw_samples": [round(x, 3) for x in samples],
+            "retries": retries,
+            "env": _env_signals(),
+        }
     total = round(sum(timings.values()), 3)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "sf": float(sf),
+                "runs_per_query": runs,
+                "max_retries": max_retries,
+                "spread_bar": spread_bar,
+                "total_sec": total,
+                "env_at_start": _env_signals(),
+                "queries": detail,
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+    # the machine-parsed record is the FINAL stdout line and stays compact
+    # (BENCH_r05's spread-laden line outgrew the driver's tail capture →
+    # parsed:null); spreads/samples/env live in BENCH_DETAIL.json
     print(
         json.dumps(
             {
@@ -387,10 +465,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread_min_max": spread,
                 "stat": "median",
                 "runs_per_query": runs,
                 "sf": float(sf),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
