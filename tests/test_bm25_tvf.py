@@ -97,3 +97,42 @@ def test_bm25_tvf_file_scheme_and_empty_queries(spark, docs, bm25_uri):
         [(0, "!!! ---")], "query_id long, query_text string"
     ).createOrReplaceTempView("bm25_tvf_q3")
     assert _sql(spark, bm25_uri, "bm25_tvf_q3").count() == 0
+
+
+def test_bm25_tvf_reads_grown_index_batches(spark, docs, tmp_path):
+    """The SQL path resolves the SAME committed batch dirs as the
+    DataFrame path: a grown index (add_documents batches) scores
+    identically through the TVF, and an orphan (uncommitted) batch dir
+    stays invisible to it."""
+    import os
+    import shutil
+
+    uri = str(tmp_path / "grown_tvf")
+    idx = BM25Index.build(spark, uri, docs.where("doc_id % 2 = 0"))
+    idx.add_documents(docs.where("doc_id % 2 = 1"))
+    # plant an ORPHAN batch (copy of batch=1, not meta-listed): doubled
+    # postings would double the scores if the TVF globbed dirs
+    shutil.copytree(
+        os.path.join(uri, "postings_batches", "batch=1"),
+        os.path.join(uri, "postings_batches", "batch=99"),
+    )
+    shutil.copytree(
+        os.path.join(uri, "term_stats_batches", "batch=1"),
+        os.path.join(uri, "term_stats_batches", "batch=99"),
+    )
+    queries = docs.where("doc_id < 8").select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 150).alias("query_text"),
+    )
+    queries.createOrReplaceTempView("grown_tvf_queries")
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in _sql(spark, uri, "grown_tvf_queries")
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    want = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in idx.query(queries, k=10).orderBy("query_id", "rank").collect()
+    ]
+    assert got == want and len(got) > 0

@@ -113,3 +113,85 @@ def test_artifact_meta_and_reopen(spark, docs, bm25_index, queries):
     assert reopened.sum_dl > 0
     got = reopened.query(queries, k=3)
     assert got.count() == 10 * 3
+
+
+def test_add_documents_crash_atomic(spark, docs, queries, tmp_path, monkeypatch):
+    """VERDICT r5 #3: a crash between the postings append and the
+    term_stats append must leave the index byte-identical to before the
+    call (staged batch dirs are invisible until the meta flip); recovery
+    (retrying the add) equals a fresh build over the union."""
+    import posixpath
+
+    half_a = docs.where("doc_id % 2 = 0")
+    half_b = docs.where("doc_id % 2 = 1")
+    idx = BM25Index.build(spark, str(tmp_path / "crash"), half_a)
+    before = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in idx.query(queries, k=10).orderBy("query_id", "rank").collect()
+    ]
+    before_meta = dict(idx.meta)
+
+    # crash AFTER the postings batch write, BEFORE term_stats/meta: the
+    # worst window — postings rows exist whose terms have no df rows
+    import pyspark.sql.readwriter as RW
+
+    real_parquet = RW.DataFrameWriter.parquet
+    calls = {"n": 0}
+
+    def exploding_parquet(self, path, *a, **kw):
+        out = real_parquet(self, path, *a, **kw)
+        if "postings_batches" in path:
+            calls["n"] += 1
+            raise RuntimeError("injected crash after postings append")
+        return out
+
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", exploding_parquet)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.add_documents(half_b)
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", real_parquet)
+    assert calls["n"] == 1
+
+    # pre-crash index unchanged: same meta, same scores, no silent drops
+    reopened = BM25Index(spark, idx.uri)
+    assert dict(reopened.meta) == before_meta
+    after_crash = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in reopened.query(queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert after_crash == before
+
+    # recovery: retry the add; scores == fresh build over the union
+    reopened.add_documents(half_b)
+    full = BM25Index.build(spark, str(tmp_path / "full"), docs)
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in reopened.query(queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    want = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in full.query(queries, k=10).orderBy("query_id", "rank").collect()
+    ]
+    assert got == want
+    assert reopened.n_docs == full.n_docs and reopened.sum_dl == full.sum_dl
+
+
+def test_describe_single_batch_uses_footer_count(spark, bm25_index, docs, tmp_path):
+    """VERDICT r5 #4: on a never-grown index, vocab_size comes from a
+    plain row count (no term-keyed shuffle in the plan); a grown index
+    pays the distinct and still reports the exact deduped vocab."""
+    d = bm25_index.describe()
+    # never-grown: term_stats has one row per term, count == vocab
+    ts = spark.read.parquet(f"{bm25_index.uri}/term_stats")
+    assert d["vocab_size"] == ts.count()
+    assert ts.select("term").distinct().count() == d["vocab_size"]
+
+    grown = BM25Index.build(
+        spark, str(tmp_path / "grown"), docs.where("doc_id % 2 = 0")
+    )
+    grown.add_documents(docs.where("doc_id % 2 = 1"))
+    full = BM25Index.build(spark, str(tmp_path / "fullv"), docs)
+    assert grown.describe()["vocab_size"] == full.describe()["vocab_size"]

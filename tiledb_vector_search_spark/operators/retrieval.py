@@ -45,6 +45,11 @@ DEFAULT_B = 0.75
 BM25_META_FILE = "_bm25_meta.json"
 BM25_POSTINGS_DIR = "postings"
 BM25_DFREQ_DIR = "term_stats"
+# incremental batches stage OUTSIDE the flat base dirs (a subdir inside
+# them would leak into readers via parquet partition discovery before
+# the commit point); readers see a batch only once meta lists it
+BM25_POSTINGS_BATCHES_DIR = "postings_batches"
+BM25_DFREQ_BATCHES_DIR = "term_stats_batches"
 
 
 def _tf_saturation(tf: Column, dl: Column, avgdl: Column, k1: float, b: float) -> Column:
@@ -111,8 +116,14 @@ class BM25Index:
         the query-term hash join prunes cleanly (bucketing-by-term is the
         cluster upgrade, ``sources/bucketed.py``).
       - ``term_stats/`` (term, df) — one small frame.
-      - ``_bm25_meta.json`` — N, Σdl, column names (corpus-global scalars
-        become literals in query plans: no stats cross-join at all).
+      - ``postings_batches/batch=N/`` + ``term_stats_batches/batch=N/``
+        — ``add_documents`` increments, staged outside the flat dirs and
+        visible ONLY once meta lists the batch id (crash-atomic commit:
+        the meta flip is the single commit point, mirroring the ANN
+        side's snapshot-pointer discipline in ``storage.py``).
+      - ``_bm25_meta.json`` — N, Σdl, column names, committed batch ids
+        (corpus-global scalars become literals in query plans: no stats
+        cross-join at all).
 
     Scores are bit-identical to :func:`bm25_topk` (same decimal
     quantization, same tie-break) — pinned by a parity test.
@@ -187,10 +198,29 @@ class BM25Index:
                     "sum_dl": int(stats["sumdl"] or 0),
                     "id_col": id_col,
                     "text_col": text_col,
+                    "batches": [],
                 }
             ),
         )
         return cls(spark, uri)
+
+    def _dirs(self, base: str, batches_base: str) -> list[str]:
+        """Committed data locations: the flat base dir (the build output)
+        plus every META-LISTED increment batch dir.  A batch dir not in
+        meta is an uncommitted orphan from a crashed ``add_documents``
+        and stays invisible — the same snapshot-pointer discipline the
+        ANN side's ``storage.py`` uses (write everything, flip the
+        pointer last, readers resolve only through the pointer)."""
+        dirs = [posixpath.join(self.uri, base)]
+        for b in self.meta.get("batches", []):
+            dirs.append(posixpath.join(self.uri, batches_base, f"batch={b}"))
+        return dirs
+
+    def _postings_dirs(self) -> list[str]:
+        return self._dirs(BM25_POSTINGS_DIR, BM25_POSTINGS_BATCHES_DIR)
+
+    def _dfreq_dirs(self) -> list[str]:
+        return self._dirs(BM25_DFREQ_DIR, BM25_DFREQ_BATCHES_DIR)
 
     @property
     def n_docs(self) -> int:
@@ -202,18 +232,19 @@ class BM25Index:
 
     def describe(self) -> dict:
         """Operational snapshot (the lexical twin of ``Index.describe``):
-        corpus stats from meta plus vocabulary size and postings volume —
-        ONE aggregate over the small term-stats table and a metadata-only
-        row count of the postings (parquet footer counts; no data scan)."""
-        vocab = (
-            self.spark.read.parquet(posixpath.join(self.uri, BM25_DFREQ_DIR))
-            .select("term")
-            .distinct()
-            .count()
-        )
-        postings_rows = self.spark.read.parquet(
-            posixpath.join(self.uri, BM25_POSTINGS_DIR)
-        ).count()
+        corpus stats from meta plus vocabulary size and postings volume.
+
+        On a never-grown index term_stats holds exactly one row per term,
+        so vocab is a plain row count (parquet footer metadata — no
+        term-keyed shuffle); only an index grown by ``add_documents``
+        (where a term can appear in several batches) pays the vocab-sized
+        distinct."""
+        dfreq = self.spark.read.parquet(*self._dfreq_dirs())
+        if self.meta.get("batches"):
+            vocab = dfreq.select("term").distinct().count()
+        else:
+            vocab = dfreq.count()
+        postings_rows = self.spark.read.parquet(*self._postings_dirs()).count()
         return {
             "uri": self.uri,
             "n_docs": self.n_docs,
@@ -235,6 +266,13 @@ class BM25Index:
         collide with existing ones (same contract as index ingest).
         Scores after add == scores of a fresh build over the union,
         pinned by a parity test.
+
+        CRASH-ATOMIC: the batch's postings and term-stats land in staged
+        ``batch=<id>`` dirs that no reader resolves, and the SINGLE
+        commit point is the atomic meta rewrite that lists the batch id
+        (and bumps N/Σdl in the same write).  A crash at any earlier
+        point leaves the index byte-identical to before the call; a
+        retry reuses the id and overwrites the orphan dirs.
         """
         from tiledb_vector_search_spark.storage import HadoopFS
 
@@ -249,18 +287,27 @@ class BM25Index:
         stats = dl.agg(
             F.count("*").alias("n"), F.sum("dl").alias("sumdl")
         ).first()
+        committed = self.meta.get("batches", [])
+        bid = max([0] + [int(b) for b in committed]) + 1
         tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl").repartition(
             self.spark.sparkContext.defaultParallelism, "term"
-        ).write.mode("append").parquet(
-            posixpath.join(self.uri, BM25_POSTINGS_DIR)
+        ).write.mode("overwrite").parquet(
+            posixpath.join(
+                self.uri, BM25_POSTINGS_BATCHES_DIR, f"batch={bid}"
+            )
         )
         tf.groupBy("term").agg(F.count("*").alias("df")).write.mode(
-            "append"
-        ).parquet(posixpath.join(self.uri, BM25_DFREQ_DIR))
+            "overwrite"
+        ).parquet(
+            posixpath.join(self.uri, BM25_DFREQ_BATCHES_DIR, f"batch={bid}")
+        )
+        # commit point: one atomic meta flip makes the batch visible and
+        # the corpus stats consistent with it
         self.meta = {
             **self.meta,
             "n_docs": self.n_docs + int(stats["n"] or 0),
             "sum_dl": self.sum_dl + int(stats["sumdl"] or 0),
+            "batches": list(committed) + [bid],
         }
         HadoopFS(self.spark, self.uri).write_text_atomic(
             posixpath.join(self.uri, BM25_META_FILE), json.dumps(self.meta)
@@ -281,9 +328,7 @@ class BM25Index:
         id_col = self.meta["id_col"]
         qterms = _explode_query_terms(queries, query_id_col, query_text_col)
         qt_distinct = qterms.select("__t").distinct()
-        postings = self.spark.read.parquet(
-            posixpath.join(self.uri, BM25_POSTINGS_DIR)
-        ).select(
+        postings = self.spark.read.parquet(*self._postings_dirs()).select(
             F.col("term").alias("__t"),
             F.col("doc_id").alias(id_col),
             F.col("tf").alias("__tf"),
@@ -293,7 +338,7 @@ class BM25Index:
         # df rows per term (a vocab-sized aggregate; one row per term on a
         # never-updated index)
         dfreq = (
-            self.spark.read.parquet(posixpath.join(self.uri, BM25_DFREQ_DIR))
+            self.spark.read.parquet(*self._dfreq_dirs())
             .groupBy(F.col("term").alias("__t"))
             .agg(F.sum("df").alias("__df"))
         )

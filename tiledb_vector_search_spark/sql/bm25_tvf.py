@@ -84,22 +84,38 @@ def _round6(x_micro: int) -> float:
     return float(Decimal(repr(as_double)).quantize(_Q6, ROUND_HALF_UP))
 
 
-def _read_filtered(path: str, columns: list[str], terms: list[str]):
+def _read_filtered(paths: list[str], columns: list[str], terms: list[str]):
     """Concatenated arrow table of ``columns`` for rows whose ``term``
-    is in ``terms`` — parquet dictionary/statistics prune row groups."""
+    is in ``terms`` across every committed data dir — parquet
+    dictionary/statistics prune row groups."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    fs, files = _list_parquet_files(path)
-    if not files:
-        raise FileNotFoundError(f"no parquet files under {path}")
-    tables = [
-        pq.read_table(
-            f, columns=columns, filters=[("term", "in", terms)], filesystem=fs
+    tables = []
+    for path in paths:
+        fs, files = _list_parquet_files(path)
+        tables.extend(
+            pq.read_table(
+                f,
+                columns=columns,
+                filters=[("term", "in", terms)],
+                filesystem=fs,
+            )
+            for f in files
         )
-        for f in files
-    ]
+    if not tables:
+        raise FileNotFoundError(f"no parquet files under {paths}")
     return pa.concat_tables(tables)
+
+
+def _committed_dirs(uri: str, meta: dict, base: str, batches_base: str):
+    """Flat base dir + META-LISTED increment batch dirs — mirrors
+    ``BM25Index._dirs`` so a crashed ``add_documents``'s orphan batch is
+    invisible to the SQL path too."""
+    dirs = [posixpath.join(uri, base)]
+    for b in meta.get("batches", []):
+        dirs.append(posixpath.join(uri, batches_base, f"batch={b}"))
+    return dirs
 
 
 def search_bm25_files(
@@ -125,7 +141,9 @@ def search_bm25_files(
         return []
 
     stats_tb = _read_filtered(
-        posixpath.join(uri, "term_stats"), ["term", "df"], all_terms
+        _committed_dirs(uri, meta, "term_stats", "term_stats_batches"),
+        ["term", "df"],
+        all_terms,
     )
     df_of: dict[str, int] = {}
     for t, d in zip(
@@ -134,7 +152,7 @@ def search_bm25_files(
         df_of[t] = df_of.get(t, 0) + int(d)  # append-only batches sum
 
     post_tb = _read_filtered(
-        posixpath.join(uri, "postings"),
+        _committed_dirs(uri, meta, "postings", "postings_batches"),
         ["term", "doc_id", "tf", "dl"],
         all_terms,
     )
