@@ -106,3 +106,28 @@ def test_hamming_zero_radius_exact_dups(spark):
         for r in hamming_near_pairs(df, bits=64, max_hamming=0).collect()
     }
     assert got == {(0, 1, 0), (2, 3, 0)}
+
+
+def test_frozen_fingerprints_fresh():
+    """The committed fingerprint fixture must equal what the generator
+    produces from the pinned corpus — a kernel change that shifts any
+    hash shows up here, not as a silent driver-row drift."""
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+
+    gen_dir = os.path.join(
+        os.path.dirname(__file__), "golden", "phash"
+    )
+    spec = importlib.util.spec_from_file_location(
+        "phash_generate", os.path.join(gen_dir, "generate.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    want = mod.corpus_hashes()
+    tb = pq.read_table(os.path.join(gen_dir, "fingerprints.parquet"))
+    got = list(
+        zip(tb.column("external_id").to_pylist(), tb.column("phash").to_pylist())
+    )
+    assert got == want

@@ -1004,6 +1004,10 @@ SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
     PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rank
   FROM orders) WHERE rank <= 3
 """,
+    # grouped top-k is verified by every ranked query in the window; the
+    # driver slot went to phash_hamming_neardup (identical oracle gate
+    # kept in pytest via FULL_REGISTRY)
+    driver=False,
 )
 def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-k — the §2.5 pattern on relational data."""
@@ -3073,4 +3077,53 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return audio_near_duplicates(
         _perceptual_audio(spark, sf_dir), max_hamming=4
+    )
+
+
+_PHASH_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "golden",
+    "phash",
+    "fingerprints.parquet",
+)
+
+# oracle = BRUTE-FORCE all-pairs hamming in DuckDB — deliberately a
+# DIFFERENT route than the Spark side's pigeonhole band-join, so a green
+# row proves band completeness (no pair escapes the banding), not just
+# that two copies of the same plan agree
+_PHASH_ORACLE = f"""
+SELECT a.external_id AS id_a, b.external_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM read_parquet('{_PHASH_FIXTURE}') a
+JOIN read_parquet('{_PHASH_FIXTURE}') b ON a.external_id < b.external_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 8
+ORDER BY id_a, id_b
+"""
+
+
+@register("phash_hamming_neardup", _PHASH_ORACLE)
+def phash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-dedup VERIFY stage as pure SQL over a frozen
+    fingerprint fixture: pigeonhole band-join + ``bit_count(xor)``
+    radius check (``operators/hamming.py``) on committed int64 pHashes
+    (``tests/golden/phash/``, planted near-copies included).
+
+    The DCT hash KERNEL itself is non-SQL-expressible and stays pinned
+    by the pytest oracles (``image_phash_neardup``); this entry gives
+    the shared hamming band-join — the half of the perceptual family
+    DuckDB CAN replicate — a full driver correctness row, against a
+    brute-force all-pairs oracle (band-completeness proof).  Reads the
+    fixture, not ``sf_dir``: the hashes must be byte-stable across SFs.
+    """
+    from tiledb_vector_search_spark.operators.hamming import (
+        hamming_near_pairs,
+    )
+
+    fp = spark.read.parquet(_PHASH_FIXTURE)
+    pairs = hamming_near_pairs(
+        fp, bits=64, max_hamming=8, id_col="external_id", hash_col="phash"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
