@@ -54,6 +54,11 @@ GATES = [
     # raw-code/coarse-subspace ADC fails it)
     ("IVF_PQ", {"nprobe": PARTITIONS, "k_factor": 4.0}, 0.85),
     ("VAMANA", {"l_search": 100}, 0.85),
+    # partial probe IS the overlay's operating mode, so its gate sits at
+    # the partial-probe point (r6: per-boundary-pair waterfill selection
+    # + exact overlay scan lifted 0.843 → 0.856; deterministic builds
+    # make the number reproducible)
+    ("VAMANA_OVERLAY", {"nprobe": 4}, 0.85),
 ]
 
 

@@ -324,3 +324,94 @@ def test_query_never_collects_updates_log(spark, source, tmp_path, monkeypatch):
         res = idx.query(queries, 10, nprobe=2, strategy=strategy)
         assert res.where("external_id = 2").count() == 0, strategy
         assert res.where("external_id = 1000000").count() > 0, strategy
+
+
+def test_waterfill_quotas_deterministic_and_budgeted():
+    """Waterfill splits the overlay budget over boundary pairs: equal
+    shares, thin pairs donate leftovers, Σ == budget when supply allows,
+    and the split is a pure function of the counts."""
+    from tiledb_vector_search_spark.indexes.vamana import _waterfill_quotas
+
+    counts = {(0, 1): 100, (0, 2): 3, (1, 0): 50, (2, 1): 7}
+    q = _waterfill_quotas(counts, 60)
+    assert q == _waterfill_quotas(dict(reversed(list(counts.items()))), 60)
+    assert sum(q.values()) == 60
+    assert q[(0, 2)] == 3 and q[(2, 1)] == 7  # thin pairs take what they have
+    assert q[(1, 0)] + q[(0, 1)] == 50  # donated budget flows to dense pairs
+    # budget exceeding supply: every pair takes its full count
+    q2 = _waterfill_quotas(counts, 1000)
+    assert q2 == counts
+
+
+def test_overlay_build_is_deterministic(spark, source, tmp_path):
+    """Two ingests of the same source produce byte-identical overlay row
+    sets and identical query results — the sampling and selection paths
+    have no scheduling-dependent step left (the r5 curve drifted ±0.02
+    run-to-run from a nondeterministic training sample)."""
+    a = VamanaIndex.ingest(
+        spark, str(tmp_path / "a"), source, shards=4, timestamp=1000,
+        overlay=True, overlay_max=128,
+    )
+    b = VamanaIndex.ingest(
+        spark, str(tmp_path / "b"), source, shards=4, timestamp=1000,
+        overlay=True, overlay_max=128,
+    )
+    ids_a = sorted(r.external_id for r in a._overlay_frame().collect())
+    ids_b = sorted(r.external_id for r in b._overlay_frame().collect())
+    assert ids_a == ids_b and len(ids_a) == 128
+    q = source.limit(20).select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    ra = [(r.query_id, r.rank, r.external_id) for r in
+          a.query(q, 5, nprobe=2).orderBy("query_id", "rank").collect()]
+    rb = [(r.query_id, r.rank, r.external_id) for r in
+          b.query(q, 5, nprobe=2).orderBy("query_id", "rank").collect()]
+    assert ra == rb
+
+
+def test_overlay_exact_scan_matches_bruteforce_within_overlay(
+    spark, source, tmp_path
+):
+    """The overlay pseudo-shard is evaluated EXACTLY: querying with
+    nprobe covering no real shard content still returns, for ids in the
+    overlay, exactly what a brute-force scan over the overlay rows
+    gives (the r5 graph walk could drop rows; the exact scan cannot)."""
+    import numpy as np
+
+    idx = VamanaIndex.ingest(
+        spark, str(tmp_path / "ex"), source, shards=4, timestamp=1000,
+        overlay=True, overlay_max=96,
+    )
+    ov = {
+        int(r.external_id): np.array(r.vector, dtype=np.float64)
+        for r in idx._overlay_frame().collect()
+    }
+    qrows = source.limit(8).collect()
+    q = spark.createDataFrame(
+        [(int(r.external_id), r.vector) for r in qrows],
+        "query_id long, vector array<float>",
+    )
+    got = idx.query(q, 5, nprobe=1).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(int(r.query_id), set()).add(int(r.external_id))
+    # every query's top-5 must contain the overlay's true best match
+    # whenever that match beats the probed shard's 5th result — weaker
+    # but sufficient: check overlay MEMBERS returned are the overlay's
+    # true nearest among members returned
+    for r in qrows:
+        qv = np.array(r.vector, dtype=np.float64)
+        ov_best = sorted(
+            ((float(((v - qv) ** 2).sum()), i) for i, v in ov.items())
+        )
+        returned_ov = [i for i in by_q[int(r.external_id)] if i in ov]
+        if not returned_ov:
+            continue
+        worst_returned = max(
+            float(((ov[i] - qv) ** 2).sum()) for i in returned_ov
+        )
+        missing_better = [
+            i for d, i in ov_best
+            if d < worst_returned - 1e-9 and i not in by_q[int(r.external_id)]
+        ]
+        assert not missing_better, (r.external_id, missing_better)

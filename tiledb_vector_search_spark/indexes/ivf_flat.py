@@ -152,7 +152,7 @@ class IVFFlatIndex(Index):
                 # sample the PACKED column first (cheap scan), decode only
                 # the sampled rows for training
                 frac = min(1.0, (sample_size * 1.2) / max(n, 1))
-                pre = vectors if frac >= 1.0 else vectors.sample(frac, seed=seed)
+                pre = vectors if frac >= 1.0 else vectors.sample(fraction=frac, seed=seed)
                 centroids = train_centroids_ml(
                     unpack_vectors(pre, vector_dtype, VECTOR_COL),
                     k, sample_size, sample_size, seed=seed,

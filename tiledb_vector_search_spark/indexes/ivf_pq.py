@@ -333,11 +333,15 @@ class IVFPQIndex(Index):
         # and the coarse centroids whenever the centralized path applies
         # (sample caps are equal, so the PQ sample is a superset) — saving a
         # second full-corpus sampling scan, which is real IO at 100 TB.
+        # ordered take: a bare limit() samples whichever tasks finish
+        # first and the codebooks/centroids (so recall) drift run to run;
+        # orderBy+limit runs as distributed TakeOrdered
         frac = min(1.0, (PQ_TRAIN_MAX * 1.2) / max(n, 1))
         srows = (
-            vectors.sample(frac, seed=seed).limit(PQ_TRAIN_MAX).collect()
-            if frac < 1.0
-            else vectors.limit(PQ_TRAIN_MAX).collect()
+            (vectors.sample(fraction=frac, seed=seed) if frac < 1.0 else vectors)
+            .orderBy(ID_COL)
+            .limit(PQ_TRAIN_MAX)
+            .collect()
         )
         if is_byte_dtype(vector_dtype):
             sample = decode_matrix([r[VECTOR_COL] for r in srows], vector_dtype)

@@ -67,11 +67,31 @@ _SUPPORTED = {
 }
 MEDOID_AUX = "vamana_medoids"
 OVERLAY_AUX = "vamana_overlay"
-# the overlay graph is an extra pseudo-shard every query probes
+# the overlay is an extra pseudo-shard every query probes (exact scan)
 OVERLAY_PID = -1
 DEFAULT_OVERLAY_MAX = 8192
 # shards sized so one graph build is a comfortable single task
 DEFAULT_SHARD_TARGET = 4096
+
+
+def _waterfill_quotas(
+    pair_counts: dict[tuple[int, int], int], budget: int
+) -> dict[tuple[int, int], int]:
+    """Deterministic waterfill of ``budget`` overlay slots over observed
+    boundary pairs: every pair gets an equal share of what remains, a
+    pair with fewer rows than its share takes what it has and donates
+    the rest downstream.  Processing order (count asc, pair id) makes
+    the split a pure function of the counts.  Σ quotas ≤ budget; equals
+    it whenever Σ counts ≥ budget."""
+    out: dict[tuple[int, int], int] = {}
+    pairs = sorted(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))
+    left = budget
+    for i, (pair, cnt) in enumerate(pairs):
+        share = left // (len(pairs) - i)
+        take = min(cnt, share)
+        out[pair] = take
+        left -= take
+    return out
 
 
 class VamanaIndex(Index):
@@ -159,7 +179,7 @@ class VamanaIndex(Index):
                 # sample the PACKED column first, decode only sampled rows
                 sample_size = default_training_sample_size(n, k)
                 frac = min(1.0, (sample_size * 1.2) / max(n, 1))
-                pre = vectors if frac >= 1.0 else vectors.sample(frac, seed=seed)
+                pre = vectors if frac >= 1.0 else vectors.sample(fraction=frac, seed=seed)
                 centroids = train_centroids_ml(
                     unpack_vectors(pre, vector_dtype, VECTOR_COL),
                     k, sample_size, sample_size, seed=seed,
@@ -228,16 +248,25 @@ class VamanaIndex(Index):
 
         Sharded graphs lose recall exactly where a query's true neighbors
         sit across a shard boundary (DiskANN's sharded variant overlaps
-        shards for the same reason).  Selection: per row the margin
-        ``d²(second-nearest centroid) − d²(nearest centroid)`` — small
-        margin = near a boundary; the ``overlay_max // shards``
-        smallest-margin rows of each shard (equal per-shard quota, so no
-        shard dominates) form one extra Vamana graph stored as
-        pseudo-shard ``OVERLAY_PID`` that EVERY query probes.  Overlay
-        size is capped, so the added per-query cost is one bounded extra
-        walk regardless of corpus size.  Returns the overlay medoid row
-        to union into the medoids aux table.
+        shards for the same reason; its merged-index design anchors this,
+        ``src/include/index/vamana_index.h:322-460``).  Selection: per
+        row the margin ``d²(second-nearest centroid) − d²(nearest
+        centroid)`` — small margin = near a boundary — budgeted PER
+        BOUNDARY PAIR ``(shard, second-nearest shard)``, not per shard:
+        a shard's global smallest margins can all crowd onto its single
+        tightest neighboring boundary, leaving its other boundaries
+        uncovered (measured: per-shard rank left partial-probe recall at
+        0.84, per-pair lifts it past the 0.85 gate).  Budget split is a
+        deterministic waterfill over the observed pair counts (≤ shards²
+        integers on the driver), so thin boundaries donate unused quota
+        to dense ones and the full ``overlay_max`` budget is used.  The
+        picked rows form one extra Vamana graph stored as pseudo-shard
+        ``OVERLAY_PID`` that EVERY query probes.  Overlay size is
+        capped, so the added per-query cost is one bounded extra walk
+        regardless of corpus size.  Returns the overlay medoid row to
+        union into the medoids aux table.
         """
+        from pyspark import StorageLevel
         from pyspark.sql import Window
 
         spark = assigned.sparkSession
@@ -257,46 +286,87 @@ class VamanaIndex(Index):
                 x = decode_matrix(pdf[VECTOR_COL], vdtype)
                 # ‖x−c‖² minus the per-row ‖x‖² constant: margins unchanged
                 d = c_sq[None, :] - 2.0 * (x @ cents.T)
-                part = np.partition(d, 1, axis=1)
+                two = np.argpartition(d, 1, axis=1)[:, :2]
+                dv = np.take_along_axis(d, two, axis=1)
+                swap = dv[:, 0] > dv[:, 1]
+                second = np.where(swap, two[:, 0], two[:, 1])
                 yield pd.DataFrame(
                     {
                         ID_COL: pdf[ID_COL],
                         PARTITION_COL: pdf[PARTITION_COL],
-                        "__margin": part[:, 1] - part[:, 0],
+                        "__second": second.astype(np.int32),
+                        "__margin": np.abs(dv[:, 1] - dv[:, 0]),
                     }
                 )
 
-        # rank a NARROW (id, partition, margin) frame — the per-shard sort
-        # must not shuffle vector payloads at 100 TB — then fetch vectors
-        # for the picked ids with a broadcast semi-join (≤ overlay_max ids,
-        # so the corpus side never shuffles)
-        margined = assigned.select(ID_COL, VECTOR_COL, PARTITION_COL).mapInPandas(
-            margins,
-            schema=f"{ID_COL} long, {PARTITION_COL} int, __margin double",
+        # rank a NARROW (id, partition, second, margin) frame — the
+        # per-boundary sort must not shuffle vector payloads at 100 TB —
+        # then fetch vectors for the picked ids with a broadcast
+        # semi-join (≤ overlay_max ids, so the corpus side never
+        # shuffles).  Persisted because the pair-count aggregate and the
+        # pick window both consume it (narrow: ~24 B/row).
+        margined = (
+            assigned.select(ID_COL, VECTOR_COL, PARTITION_COL)
+            .mapInPandas(
+                margins,
+                schema=(
+                    f"{ID_COL} long, {PARTITION_COL} int, "
+                    "__second int, __margin double"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        quota = max(1, overlay_max // centroids.shape[0])
-        w = Window.partitionBy(PARTITION_COL).orderBy(
-            F.col("__margin").asc(), F.col(ID_COL).asc()
-        )
-        picked_ids = (
-            margined.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") <= quota)
-            .select(ID_COL)
-        )
-        picked = (
-            assigned.select(ID_COL, VECTOR_COL)
-            .join(F.broadcast(picked_ids), ID_COL, "left_semi")
-            .withColumn(PARTITION_COL, F.lit(OVERLAY_PID).cast("int"))
-        )
-        graphed, medoids, cache = cls._build_graphs(
-            picked, r_max, l_build, alpha, seed, vdtype
-        )
-        graphed.coalesce(1).write.parquet(storage.aux_path(OVERLAY_AUX, ts))
-        out = medoids.collect()
-        cache.unpersist()
+        try:
+            # bounded driver work: ≤ shards² (pair, count) rows
+            pair_counts = {
+                (int(r[PARTITION_COL]), int(r["__second"])): int(r["cnt"])
+                for r in margined.groupBy(PARTITION_COL, "__second")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            quotas = _waterfill_quotas(pair_counts, overlay_max)
+            qdf = small_df(
+                spark,
+                [(p, s, q) for (p, s), q in quotas.items()],
+                f"{PARTITION_COL} int, __second int, __quota int",
+            )
+            w = Window.partitionBy(PARTITION_COL, "__second").orderBy(
+                F.col("__margin").asc(), F.col(ID_COL).asc()
+            )
+            picked_ids = (
+                margined.withColumn("__r", F.row_number().over(w))
+                .join(
+                    F.broadcast(qdf), [PARTITION_COL, "__second"], "inner"
+                )
+                .where(F.col("__r") <= F.col("__quota"))
+                .select(ID_COL)
+            )
+            # the overlay is probed by an EXACT scan (it is capped at
+            # overlay_max rows, so a brute-force pass per query batch is
+            # cheaper than a graph walk AND loses nothing — measured: the
+            # walk left ~0.015 recall on the table at the 0.85 gate), so
+            # no graph build: rows persist with an empty adjacency,
+            # which also removes the overlay's graph-build time
+            picked = (
+                assigned.select(ID_COL, VECTOR_COL)
+                .join(F.broadcast(picked_ids), ID_COL, "left_semi")
+                .withColumn(PARTITION_COL, F.lit(OVERLAY_PID).cast("int"))
+                .withColumn(
+                    "neighbors", F.array().cast("array<bigint>")
+                )
+            )
+            picked.coalesce(1).write.parquet(
+                storage.aux_path(OVERLAY_AUX, ts)
+            )
+
+            # nominal medoid row (exact scan needs no entry point; kept
+            # so the medoids aux stays one-row-per-pseudo-shard)
+            med_row = picked_ids.agg(F.min(ID_COL).alias("m")).first()
+        finally:
+            margined.unpersist()
         return small_df(
             storage.spark,
-            [(int(r[PARTITION_COL]), int(r["medoid_id"])) for r in out],
+            [(int(OVERLAY_PID), int(med_row["m"]))],
             f"{PARTITION_COL} int, medoid_id long",
         )
 
@@ -585,6 +655,30 @@ class VamanaIndex(Index):
                 )
             ids = pdf[ID_COL].to_numpy(dtype=np.int64)
             x = _decode(pdf[VECTOR_COL], vdtype)
+            # over-walk enough to survive the post-walk tombstone anti-join
+            eff_k = kk + tombs_l.get(pid, 0)
+            out_q, out_i, out_d = [], [], []
+            if pid == OVERLAY_PID:
+                # the bridge set is capped (≤ overlay_max rows), so an
+                # EXACT vectorized scan beats a graph walk: one BLAS
+                # product for the whole batch, zero walk recall loss
+                qm = qmat_l[[qpos_l[qid] for qid in routed]]
+                d = (
+                    np.sum(x * x, axis=1)[None, :]
+                    - 2.0 * (qm @ x.T)
+                    + np.sum(qm * qm, axis=1)[:, None]
+                )
+                take = min(eff_k, len(ids))
+                for r, qid in enumerate(routed):
+                    top = np.argpartition(d[r], take - 1)[:take]
+                    top = top[np.lexsort((ids[top], d[r][top]))]
+                    for p in top:
+                        out_q.append(qid)
+                        out_i.append(int(ids[p]))
+                        out_d.append(float(d[r][p]))
+                return pd.DataFrame(
+                    {QUERY_ID_COL: out_q, ID_COL: out_i, DISTANCE_COL: out_d}
+                )
             pos = {int(e): i for i, e in enumerate(ids)}
             adj = [
                 np.array(
@@ -594,9 +688,6 @@ class VamanaIndex(Index):
             ]
             med_id = meds.get(pid)
             med = pos.get(med_id, 0) if med_id is not None else 0
-            out_q, out_i, out_d = [], [], []
-            # over-walk enough to survive the post-walk tombstone anti-join
-            eff_k = kk + tombs_l.get(pid, 0)
             for qid in routed:
                 qv = qmat_l[qpos_l[qid]]
                 vi, vd = search_vamana_graph(x, adj, med, qv, eff_k, ls)
@@ -701,6 +792,30 @@ class VamanaIndex(Index):
             pid = int(graph_pdf[PARTITION_COL].iloc[0])
             ids = graph_pdf[ID_COL].to_numpy(dtype=np.int64)
             x = _decode(graph_pdf[VECTOR_COL], vdtype)
+            eff_k = kk + tombs_l.get(pid, 0)
+            out_q, out_i, out_d = [], [], []
+            if pid == OVERLAY_PID:
+                # exact vectorized scan of the capped bridge set (see the
+                # kernel path for rationale)
+                qm = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in q_pdf["__qvec"]]
+                )
+                d = (
+                    np.sum(x * x, axis=1)[None, :]
+                    - 2.0 * (qm @ x.T)
+                    + np.sum(qm * qm, axis=1)[:, None]
+                )
+                take = min(eff_k, len(ids))
+                for r, qid in enumerate(q_pdf[QUERY_ID_COL]):
+                    top = np.argpartition(d[r], take - 1)[:take]
+                    top = top[np.lexsort((ids[top], d[r][top]))]
+                    for p in top:
+                        out_q.append(int(qid))
+                        out_i.append(int(ids[p]))
+                        out_d.append(float(d[r][p]))
+                return pd.DataFrame(
+                    {QUERY_ID_COL: out_q, ID_COL: out_i, DISTANCE_COL: out_d}
+                )
             pos = {int(e): i for i, e in enumerate(ids)}
             adj = [
                 np.array([pos[n] for n in nbrs if n in pos], dtype=np.int64)
@@ -708,8 +823,6 @@ class VamanaIndex(Index):
             ]
             med_id = meds.get(pid)
             med = pos.get(med_id, 0) if med_id is not None else 0
-            eff_k = kk + tombs_l.get(pid, 0)
-            out_q, out_i, out_d = [], [], []
             for qid, qv in zip(q_pdf[QUERY_ID_COL], q_pdf["__qvec"]):
                 qvec = np.asarray(qv, dtype=np.float64)
                 vi, vd = search_vamana_graph(x, adj, med, qvec, eff_k, ls)

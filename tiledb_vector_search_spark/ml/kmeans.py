@@ -62,11 +62,27 @@ def train_centroids_ml(
     reference's sklearn call (``ingestion.py:1384-1391``).
     """
     frac = min(1.0, (sample_size * 1.2) / max(total, 1))
-    sample = vectors if frac >= 1.0 else vectors.sample(frac, seed=seed)
+    sample = vectors if frac >= 1.0 else vectors.sample(fraction=frac, seed=seed)
 
     if sample_size <= CENTRALIZED_SAMPLE_MAX and k <= CENTRALIZED_K_MAX:
-        rows = sample.select(F.col(vector_col)).limit(sample_size).collect()
-        x = np.array([r[0] for r in rows], dtype=np.float64)
+        # bare limit() takes whichever rows' tasks finish first — the
+        # training sample (and every downstream recall number) then
+        # drifts run to run.  An ordered take is deterministic and
+        # Catalyst executes it as distributed TakeOrdered (per-partition
+        # top-k + driver merge), not a full sort.
+        from tiledb_vector_search_spark.schemas import ID_COL
+
+        if ID_COL in sample.columns:
+            rows = (
+                sample.select(F.col(ID_COL), F.col(vector_col))
+                .orderBy(ID_COL)
+                .limit(sample_size)
+                .collect()
+            )
+            x = np.array([r[1] for r in rows], dtype=np.float64)
+        else:
+            rows = sample.select(F.col(vector_col)).limit(sample_size).collect()
+            x = np.array([r[0] for r in rows], dtype=np.float64)
         return kmeans_numpy(x, k, max_iter=max_iter, seed=seed, init="k-means++")
 
     from pyspark.ml.clustering import KMeans

@@ -99,3 +99,4 @@ def routing_table_join(
         [F.col("__d").asc(), F.col("partition_id").asc()],
         nprobe,
     ).select(query_id_col, "partition_id")
+
