@@ -157,10 +157,12 @@ def test_decode_image_dispatch_and_reader_seam(spark):
     assert (decode_image(encode_pnm(g)) == g).all()
     # the reader decodes PNG without PIL now
     assert (DirectoryImageReader.decode(encode_png(g)) == g).all()
-    # a format with no native decoder (webp) needs PIL; jpeg no longer
-    # lands here — it has its own native decoder (objects/jpeg.py)
+    # lossless webp (VP8L) decodes natively now; LOSSY webp still needs
+    # PIL; jpeg no longer lands here — it has its own native decoder
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPfake")
+        decode_image(
+            b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00"
+        )
 
 
 def test_phash_works_on_png_blobs(spark):

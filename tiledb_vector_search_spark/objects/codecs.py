@@ -400,9 +400,10 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Magic-dispatched image decode: netpbm (P5/P6), 8-bit PNG, and
-    baseline JPEG natively; anything else (webp, progressive jpeg,
-    16-bit png, ...) via PIL when installed, else a clear error."""
+    """Magic-dispatched image decode: netpbm (P5/P6), 8-bit PNG,
+    baseline JPEG, and lossless WebP (VP8L) natively; anything else
+    (lossy webp, progressive jpeg, 16-bit png, ...) via PIL when
+    installed, else a clear error."""
     b = bytes(blob)
     if b[:2] in (b"P5", b"P6"):
         return decode_pnm(b)[0]
@@ -415,6 +416,13 @@ def decode_image(blob: bytes) -> np.ndarray:
             return decode_jpeg(b)
         except NotImplementedError:
             pass  # progressive/12-bit — try PIL below
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from tiledb_vector_search_spark.objects.webp import decode_webp
+
+        try:
+            return decode_webp(b)
+        except NotImplementedError:
+            pass  # lossy VP8 / extended VP8X — try PIL below
     try:
         import io
 
