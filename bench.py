@@ -191,6 +191,72 @@ def _bench_queries(spark, sf_dir):
         )
         return collected
 
+    _mm_state: dict = {}
+
+    def multimodal_image_index_e2e():
+        """Image pipeline end to end: directory of mixed PNG/JPEG →
+        native decode → LumaGridEmbedding → FLAT ObjectIndex build →
+        query with quality-60 JPEG re-encodes (different bytes, same
+        content).  The image corpus is one-time setup; each timed run
+        rebuilds the index from the files and answers 20 queries — the
+        full ingest+search cost a multimodal deployment pays."""
+        import shutil
+
+        from tiledb_vector_search_spark.objects.codecs import encode_png
+        from tiledb_vector_search_spark.objects.embeddings import (
+            LumaGridEmbedding,
+        )
+        from tiledb_vector_search_spark.objects.jpeg import encode_jpeg
+        from tiledb_vector_search_spark.objects.object_index import (
+            ObjectIndex,
+        )
+        from tiledb_vector_search_spark.objects.readers import (
+            DirectoryImageReader,
+        )
+
+        import numpy as np
+        import pandas as pd
+
+        root = "/tmp/tvs_bench_multimodal"
+        if "dir" not in _mm_state:
+            shutil.rmtree(root, ignore_errors=True)
+            d = f"{root}/imgs"
+            os.makedirs(d)
+            rng = np.random.default_rng(11)
+            queries = []
+            for i in range(200):
+                img = np.clip(
+                    np.cumsum(
+                        rng.integers(-5, 6, size=(32, 32, 3)), axis=0
+                    )
+                    + 120,
+                    0,
+                    255,
+                ).astype(np.uint8)
+                if i % 2 == 0:
+                    open(f"{d}/img{i:03d}.png", "wb").write(encode_png(img))
+                else:
+                    open(f"{d}/img{i:03d}.jpg", "wb").write(
+                        encode_jpeg(img, quality=92)
+                    )
+                if i % 10 == 0:
+                    queries.append((i, encode_jpeg(img, quality=60)))
+            _mm_state["dir"] = d
+            _mm_state["queries"] = pd.DataFrame(
+                queries, columns=["query_id", "image"]
+            )
+        uri = f"{root}/idx"
+        shutil.rmtree(uri, ignore_errors=True)
+        reader = DirectoryImageReader(_mm_state["dir"], glob="*.{png,jpg}")
+        idx = ObjectIndex.create(
+            spark, uri, reader, LumaGridEmbedding(grid=8),
+            index_type="FLAT", timestamp=1000,
+        )
+        res = idx.query(_mm_state["queries"], k=3, return_metadata=False)
+        out = res.collect()
+        assert len(out) == 20 * 3, len(out)
+        return out
+
     def ngram_jaccard_full():
         # the complete dedup pipeline: exact prefix-filtered pairs →
         # transitive-closure groups (the keep/drop decision)
@@ -304,6 +370,7 @@ def _bench_queries(spark, sf_dir):
         "decontaminate_full": decontam_full,
         "bm25_retrieval_100q": bm25_full,
         "bm25_artifact_query_100q": bm25_artifact_query,
+        "multimodal_image_index_e2e": multimodal_image_index_e2e,
         "dedup_duplicate_spans_full": duplicate_spans_full,
         "dedup_minhash_lsh_full": minhash_lsh_full,
         "dedup_ngram_jaccard_full": ngram_jaccard_full,
