@@ -130,16 +130,16 @@ def test_multi_idat_stream():
     assert (decode_png(blob) == x).all()
 
 
-def test_unsupported_variants_raise_clearly():
+def test_invalid_variants_raise_clearly():
     x = np.zeros((4, 4), dtype=np.uint8)
     blob = bytearray(encode_png(x))
     # depth byte lives at offset 8(mag)+8(len+type)+8(w+h) = 24
-    blob[24] = 16
-    with pytest.raises(NotImplementedError, match="bit depth"):
+    blob[24] = 3  # not a legal PNG bit depth
+    with pytest.raises(ValueError, match="bit depth"):
         decode_png(bytes(blob))
     blob = bytearray(encode_png(x))
-    blob[28] = 1  # interlace byte
-    with pytest.raises(NotImplementedError, match="interlace|Adam7"):
+    blob[28] = 2  # interlace byte: only 0/1 are defined
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(bytes(blob))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"garbage")
@@ -220,3 +220,139 @@ def test_decompression_bomb_guard():
     # the guard is tunable: a legit image under the cap still decodes
     x = np.arange(16, dtype=np.uint8).reshape(4, 4)
     assert (decode_png(encode_png(x)) == x).all()
+
+
+def _png_i(w, h, depth, color, raw, interlace=0, extra=b""):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# independent copy of the published Adam7 pass table (spec §8.2)
+_ADAM7_TEST = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _interlaced_raw(img16_or_8, depth):
+    """Serialize an image as Adam7 passes (filter 0 scanlines)."""
+    x = img16_or_8
+    h, w = x.shape[:2]
+    ch = 1 if x.ndim == 2 else x.shape[2]
+    out = bytearray()
+    for x0, y0, xs, ys in _ADAM7_TEST:
+        sub = x[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for r in range(sub.shape[0]):
+            out += b"\x00"
+            row = sub[r].reshape(-1)
+            if depth == 16:
+                out += b"".join(
+                    struct.pack(">H", int(v)) for v in row.astype(np.uint16)
+                )
+            else:
+                out += row.astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def test_16bit_png_keeps_high_byte():
+    rng = np.random.default_rng(21)
+    g16 = rng.integers(0, 65536, size=(5, 4)).astype(np.uint16)
+    raw = b"".join(
+        b"\x00" + b"".join(struct.pack(">H", int(v)) for v in g16[r])
+        for r in range(5)
+    )
+    out = decode_png(_png_i(4, 5, 16, 0, raw))
+    assert (out == (g16 >> 8).astype(np.uint8)).all()
+
+    rgb16 = rng.integers(0, 65536, size=(3, 3, 3)).astype(np.uint16)
+    raw = b"".join(
+        b"\x00"
+        + b"".join(struct.pack(">H", int(v)) for v in rgb16[r].reshape(-1))
+        for r in range(3)
+    )
+    out = decode_png(_png_i(3, 3, 16, 2, raw))
+    assert (out == (rgb16 >> 8).astype(np.uint8)).all()
+
+
+def test_subbyte_gray_scales_to_full_range():
+    # depth 1: w=10 → 2 bytes per row, bits MSB-first
+    bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1, 1]], dtype=np.uint8)
+    packed = np.packbits(bits, axis=1)
+    raw = b"\x00" + packed.tobytes()
+    out = decode_png(_png_i(10, 1, 1, 0, raw))
+    assert (out == bits[0] * 255).all()
+
+    # depth 2: values 0..3 scale by 85
+    v = np.array([[0, 1, 2, 3, 3]], dtype=np.uint8)
+    packed = np.packbits(
+        np.unpackbits(v << 6, axis=1).reshape(1, -1, 8)[:, :, :2].reshape(1, -1),
+        axis=1,
+    )
+    raw = b"\x00" + packed.tobytes()
+    out = decode_png(_png_i(5, 1, 2, 0, raw))
+    assert (out == v[0] * 85).all()
+
+    # depth 4: values scale by 17
+    v4 = np.array([[0, 5, 15]], dtype=np.uint8)
+    packed = bytes([(0 << 4) | 5, (15 << 4) | 0])
+    raw = b"\x00" + packed
+    out = decode_png(_png_i(3, 1, 4, 0, raw))
+    assert (out == v4[0] * 17).all()
+
+
+def test_depth4_palette():
+    pal = np.array([[10, 20, 30], [200, 100, 50], [1, 2, 3]], dtype=np.uint8)
+    plte = _chunk(b"PLTE", pal.tobytes())
+    idx = [0, 2, 1, 1, 2]  # w=5, depth 4 → 3 bytes
+    packed = bytes([(0 << 4) | 2, (1 << 4) | 1, (2 << 4)])
+    raw = b"\x00" + packed
+    out = decode_png(_png_i(5, 1, 4, 3, raw, extra=plte))
+    assert (out == pal[idx].reshape(1, 5, 3)).all()
+
+
+@pytest.mark.parametrize("shape,depth", [
+    ((9, 7), 8), ((16, 16, 3), 8), ((5, 3, 4), 8), ((1, 1), 8),
+    ((9, 10), 16), ((8, 9, 3), 16),
+])
+def test_adam7_interlace_roundtrip(shape, depth):
+    """Adam7 streams (passes serialized with the independent test-side
+    geometry table) decode to the original image."""
+    rng = np.random.default_rng(sum(shape) + depth)
+    hi = 65536 if depth == 16 else 256
+    img = rng.integers(0, hi, size=shape)
+    color = {2: 0, 3: {3: 2, 4: 6}[shape[2]] if len(shape) == 3 else 0}[
+        len(shape)
+    ]
+    raw = _interlaced_raw(img, depth)
+    out = decode_png(_png_i(shape[1], shape[0], depth, color, raw, interlace=1))
+    exp = (img >> 8) if depth == 16 else img
+    assert (out == exp.astype(np.uint8)).all()
+
+
+def test_interlaced_with_filters():
+    """Each Adam7 pass carries its own scanline filtering: re-encode a
+    pass with the Sub filter and expect identical decode."""
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    out_plain = decode_png(_png_i(8, 8, 8, 2, _interlaced_raw(img, 8), interlace=1))
+    # rebuild with filter 1 (Sub) on every scanline of every pass
+    outb = bytearray()
+    for x0, y0, xs, ys in _ADAM7_TEST:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for r in range(sub.shape[0]):
+            row = sub[r].reshape(-1).astype(np.int32)
+            filt = row.copy()
+            filt[3:] = (row[3:] - row[:-3]) & 0xFF
+            outb += b"\x01" + filt.astype(np.uint8).tobytes()
+    out_sub = decode_png(_png_i(8, 8, 8, 2, bytes(outb), interlace=1))
+    assert (out_plain == img).all() and (out_sub == img).all()

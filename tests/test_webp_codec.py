@@ -283,3 +283,22 @@ def test_container_dispatch_and_errors():
         decode_webp(b"garbage....")
     with pytest.raises(ValueError):
         decode_vp8l(b"\x00nonsense")
+
+
+def test_vp8x_container_with_vp8l_payload():
+    """Extended (VP8X) containers whose image chunk is VP8L decode
+    natively — only lossy VP8 / animation fall back to PIL."""
+    img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    plain = encode_vp8l(img)
+    # lift the VP8L chunk out and rewrap behind a VP8X header chunk
+    vp8l_chunk = plain[12:]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    riff = b"WEBP" + vp8x + vp8l_chunk
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    out = decode_webp(blob)
+    assert (out[:, :, :3] == img).all()
+
+    anim = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"ANIM" \
+        + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_webp(anim)

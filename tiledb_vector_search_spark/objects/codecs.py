@@ -229,93 +229,38 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 PNG_MAX_PIXELS = 178_956_970
 
 
-def decode_png(blob: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG → (h, w) grayscale or (h, w, 3|4) uint8 array.
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Dependency-free (stdlib ``zlib``): supports color types 0 (gray),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), all five scanline
-    filters (None/Sub/Up/Average/Paeth), and multi-IDAT streams —
-    the codec mainstream crawled corpora actually need, replacing the
-    PIL-only stub for PNG.  16-bit depth and Adam7 interlace raise with
-    a clear message (rare in crawl data; PIL still handles them when
-    installed).
-    """
-    import struct
-    import zlib
 
-    if blob[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG blob")
-    pos = 8
-    ihdr = None
-    palette = None
-    trns = None
-    idat = bytearray()
-    while pos + 8 <= len(blob):
-        length, ctype = struct.unpack_from(">I4s", blob, pos)
-        body = pos + 8
-        if body + length > len(blob):
-            raise ValueError("truncated PNG chunk")
-        data = blob[body : body + length]
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8:
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} unsupported (8-bit only; "
-                    "install PIL for others)"
-                )
-            if interlace != 0:
-                raise NotImplementedError(
-                    "Adam7-interlaced PNG unsupported (install PIL)"
-                )
-            if comp != 0 or filt != 0:
-                raise ValueError("non-standard PNG compression/filter")
-            if w == 0 or h == 0:
-                raise ValueError("zero-dimension PNG")
-            if w * h > PNG_MAX_PIXELS:
-                raise ValueError(
-                    f"PNG dimensions {w}x{h} exceed PNG_MAX_PIXELS="
-                    f"{PNG_MAX_PIXELS} (decompression-bomb guard)"
-                )
-            ihdr = (w, h, color)
-        elif ctype == b"PLTE":
-            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif ctype == b"tRNS":
-            trns = np.frombuffer(data, np.uint8)
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-        pos = body + length + 4  # skip CRC
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, color = ihdr
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if channels is None:
-        raise ValueError(f"unknown PNG color type {color}")
-    stride = w * channels
-    expected = h * (stride + 1)
-    # bounded inflate: never materialize more than the header-implied
-    # size + 1 probe byte, even if the stream holds more
-    dobj = zlib.decompressobj()
-    raw = dobj.decompress(bytes(idat), expected + 1)
-    if len(raw) != expected:
-        raise ValueError("PNG pixel data size mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
+def _png_unfilter(raw, offset, pw, ph, channels, depth):
+    """Unfilter one (sub-)image's scanlines → ((ph, stride) uint8 bytes,
+    bytes consumed).  Filters operate on BYTES with the spec's bpp
+    (≥1 even for sub-byte depths)."""
+    stride = (pw * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    out = np.empty((ph, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels  # bytes per pixel at 8-bit depth
-    for r in range(h):
-        ftype = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, r * (stride + 1) + 1
-        ).astype(np.int32)
+    for r in range(ph):
+        base = offset + r * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1).astype(np.int32)
         if ftype == 0:  # None
             cur = line
         elif ftype == 1:  # Sub — per-lane cumsum (mod-256 add is associative)
-            cur = (
-                np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64) & 0xFF
-            ).reshape(stride).astype(np.int32)
+            if stride % bpp == 0:
+                cur = (
+                    np.cumsum(
+                        line.reshape(-1, bpp), axis=0, dtype=np.int64
+                    ) & 0xFF
+                ).reshape(stride).astype(np.int32)
+            else:
+                cur = line.copy()
+                for i in range(bpp, stride):
+                    cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average
@@ -337,7 +282,125 @@ def decode_png(blob: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[r] = cur.astype(np.uint8)
         prev = out[r]
-    px = out.reshape(h, w, channels)
+    return out, ph * (stride + 1)
+
+
+def _png_unpack(rows, pw, channels, depth, scale):
+    """(ph, stride) unfiltered bytes → (ph, pw, channels) uint8 samples.
+    16-bit samples keep the high byte (big-endian); sub-byte samples
+    unpack MSB-first and scale to 0-255 when ``scale`` (gray) — palette
+    indices stay raw."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, : pw * channels].reshape(ph, pw, channels)
+    if depth == 16:
+        return rows[:, : pw * channels * 2].reshape(ph, pw, channels, 2)[
+            :, :, :, 0
+        ]
+    # depth 1/2/4, single channel (gray or palette per spec)
+    per_byte = 8 // depth
+    bits = np.unpackbits(rows, axis=1)
+    vals = np.zeros((ph, rows.shape[1] * per_byte), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b :: depth][:, : vals.shape[1]]
+    vals = vals[:, :pw]
+    if scale and depth < 8:
+        vals = (vals.astype(np.uint32) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    return vals.reshape(ph, pw, 1)
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Decode a PNG → (h, w) grayscale or (h, w, 3|4) uint8 array.
+
+    Dependency-free (stdlib ``zlib``): color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4/8/16
+    (16-bit keeps the high byte — the PIL ``convert`` behavior);
+    Adam7 interlace; all five scanline filters; multi-IDAT streams.
+    """
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG blob")
+    pos = 8
+    ihdr = None
+    palette = None
+    trns = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        length, ctype = struct.unpack_from(">I4s", blob, pos)
+        body = pos + 8
+        if body + length > len(blob):
+            raise ValueError("truncated PNG chunk")
+        data = blob[body : body + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth not in (1, 2, 4, 8, 16):
+                raise ValueError(f"bad PNG bit depth {depth}")
+            if depth < 8 and color not in (0, 3):
+                raise ValueError("sub-byte depth only for gray/palette")
+            if depth == 16 and color == 3:
+                raise ValueError("16-bit palette PNG is invalid")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace {interlace}")
+            if comp != 0 or filt != 0:
+                raise ValueError("non-standard PNG compression/filter")
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension PNG")
+            if w * h > PNG_MAX_PIXELS:
+                raise ValueError(
+                    f"PNG dimensions {w}x{h} exceed PNG_MAX_PIXELS="
+                    f"{PNG_MAX_PIXELS} (decompression-bomb guard)"
+                )
+            ihdr = (w, h, color, depth, interlace)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos = body + length + 4  # skip CRC
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, color, depth, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color}")
+
+    if interlace:
+        passes = []
+        for x0, y0, xs, ys in _ADAM7:
+            pw = max(0, -(-(w - x0) // xs))
+            ph = max(0, -(-(h - y0) // ys))
+            passes.append((x0, y0, xs, ys, pw, ph))
+    else:
+        passes = [(0, 0, 1, 1, w, h)]
+    expected = sum(
+        ph * (1 + (pw * channels * depth + 7) // 8)
+        for *_, pw, ph in passes
+        if pw and ph
+    )
+    # bounded inflate: never materialize more than the header-implied
+    # size + 1 probe byte, even if the stream holds more
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
+        raise ValueError("PNG pixel data size mismatch")
+
+    px = np.zeros((h, w, channels), dtype=np.uint8)
+    offset = 0
+    for x0, y0, xs, ys, pw, ph in passes:
+        if pw == 0 or ph == 0:
+            continue
+        rows, used = _png_unfilter(raw, offset, pw, ph, channels, depth)
+        offset += used
+        px[y0::ys, x0::xs] = _png_unpack(rows, pw, channels, depth, color == 0)
     if color == 3:  # palette → RGB (or RGBA with tRNS)
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -402,7 +465,7 @@ def encode_png(pixels: np.ndarray) -> bytes:
 def decode_image(blob: bytes) -> np.ndarray:
     """Magic-dispatched image decode: netpbm (P5/P6), 8-bit PNG,
     baseline JPEG, and lossless WebP (VP8L) natively; anything else
-    (lossy webp, progressive jpeg, 16-bit png, ...) via PIL when
+    (lossy webp, progressive jpeg, ...) via PIL when
     installed, else a clear error."""
     b = bytes(blob)
     if b[:2] in (b"P5", b"P6"):

@@ -10,7 +10,7 @@ Scope (explicit):
   one interleaved scan, 4:4:4 / 4:2:2 / 4:2:0 sampling (nearest
   upsample), custom or spec huffman/quant tables, restart markers.
   Progressive (SOF2), arithmetic coding, and 12-bit raise with a PIL
-  hint — same policy as the PNG codec's 16-bit/Adam7 carve-out.
+  hint — the PNG codec has no carve-outs left (all depths + Adam7 native).
 - encode: 4:4:4 (or grayscale), Annex-K example quantization tables
   scaled by a quality factor, Annex-K standard huffman tables — enough
   to generate real JFIF test vectors and round-trip within

@@ -213,7 +213,7 @@ class DirectoryImageReader(ObjectReader):
     dependency-free — binary netpbm (P5/P6), 8-bit PNG (stdlib zlib),
     and baseline JPEG (``objects/jpeg.py``) — covering the default glob
     end to end; PIL remains an import-try fallback for the long tail
-    (webp, progressive jpeg, 16-bit png).
+    (lossy webp, progressive jpeg).
     """
 
     def __init__(self, uri: str, glob: str = "*.{png,jpg,jpeg}"):
@@ -243,7 +243,7 @@ class DirectoryImageReader(ObjectReader):
         Magic-dispatched (:func:`..objects.codecs.decode_image`): binary
         netpbm (PGM/PPM) and 8-bit PNG decode NATIVELY (dependency-free
         — PNG needs only stdlib zlib); everything else (jpeg, webp,
-        16-bit/interlaced PNG) falls back to PIL when installed (the
+        progressive JPEG) falls back to PIL when installed (the
         reference's decoder, ``directory_reader.py:507-643``) and raises
         with that hint otherwise.
         """

@@ -489,11 +489,13 @@ def decode_webp(blob: bytes) -> np.ndarray:
         body = blob[pos + 8 : pos + 8 + ln]
         if tag == b"VP8L":
             return decode_vp8l(body)
-        if tag in (b"VP8 ", b"VP8X"):
+        if tag in (b"VP8 ", b"ANIM", b"ANMF"):
             raise NotImplementedError(
-                "lossy/extended WebP decode needs PIL (native path covers "
-                "lossless VP8L)"
+                "lossy/animated WebP decode needs PIL (native path covers "
+                "lossless VP8L, incl. inside a VP8X container)"
             )
+        # VP8X / ICCP / EXIF / XMP / ALPH are metadata beside the image
+        # chunk — keep walking; a VP8L later in the container decodes
         pos += 8 + ln + (ln & 1)
     raise ValueError("WEBP container has no image chunk")
 
