@@ -159,10 +159,17 @@ def test_unsupported_and_garbage_raise_clearly():
         decode_jpeg(b"nope")
     g = np.zeros((8, 8), dtype=np.uint8)
     blob = bytearray(encode_jpeg(g))
-    # rewrite the SOF0 marker to SOF2 (progressive)
+    # relabel SOF0 as SOF2: the sequential scan header (Ss=0, Se=63) is
+    # malformed under a progressive frame — rejected, not mis-decoded
     idx = blob.find(b"\xff\xc0")
     blob[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive scan header"):
+        decode_jpeg(bytes(blob))
+    # arithmetic-coded SOF (0xC9) still raises with the PIL hint
+    blob = bytearray(encode_jpeg(g))
+    idx = blob.find(b"\xff\xc0")
+    blob[idx + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="PIL"):
         decode_jpeg(bytes(blob))
 
 
@@ -228,3 +235,89 @@ def test_mjpeg_stream_split_decode_and_sample():
     assert [s[0, 0] for s in sampled] == [50, 150]
     with pytest.raises(ValueError, match="missing SOI"):
         split_mjpeg_stream(b"junk" + stream)
+
+
+def _seg(marker, payload):
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+@pytest.mark.parametrize("shape,q", [
+    ((8, 8), 85), ((24, 17, 3), 85), ((40, 40, 3), 50), ((16, 9), 95),
+])
+def test_progressive_decodes_identical_to_baseline(shape, q):
+    """The progressive encoder emits the SAME quantized coefficients as
+    the baseline encoder, so the two decodes must be bit-identical —
+    any divergence is a progressive scan-path bug."""
+    from tiledb_vector_search_spark.objects.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(sum(shape) + q)
+    img = np.clip(
+        np.cumsum(rng.integers(-6, 7, size=shape), axis=0) + 120, 0, 255
+    ).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=q))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+    assert (base == prog).all()
+
+
+def test_progressive_successive_approximation_hand_built():
+    """Hand-built 8×8 grayscale stream exercising the refinement paths
+    the encoder never emits: DC first at Al=1 + DC refinement bit, AC
+    first at Al=1, AC refinement via an EOB run carrying correction
+    bits.  True zigzag coefficients: DC=−5, k3=+3, k20=−2 (quant all
+    ones); every entropy byte below is derived by hand from T.81 §G.2.
+    """
+    from tiledb_vector_search_spark.objects.jpeg import _ZIGZAG, _idct2
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))  # identity quant
+    out += _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC table 0: symbols {0, 2} at 1 bit → codes 0→'0', 2→'1'
+    dc_bits = [2] + [0] * 15
+    out += _seg(0xC4, bytes([0x00] + dc_bits + [0, 2]))
+    # AC table 0: symbols {0x00, 0x01, 0x21, 0xF0} at 2 bits →
+    # codes 00, 01, 10, 11
+    ac_bits = [0, 4] + [0] * 14
+    out += _seg(0xC4, bytes([0x10] + ac_bits + [0x00, 0x01, 0x21, 0xF0]))
+
+    # scan 1 — DC first, Al=1: sends −5>>1 = −3 (arith): huff t=2 ('1'),
+    # magnitude bits '00' → '100' + 1-padding = 0x9F
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bytes([0x9F])
+    # scan 2 — DC refine Ah=1: one bit (low bit of −5 = 1) → 0xFF,
+    # stuffed
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bytes([0xFF, 0x00])
+    # scan 3 — AC first 1..63, Al=1: k3=+3→+1 (run 2: 0x21 '10', mag
+    # '1'), ZRL ('11') over k4..19, k20=−2→−1 (0x01 '01', mag '0'),
+    # EOB0 ('00') → '1011101000' + padding = 0xBA 0x3F
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + bytes([0xBA, 0x3F])
+    # scan 4 — AC refine Ah=1: EOB0 ('00') then correction bits: k3
+    # low bit of +3 → 1, k20 low bit of −2 → 0 → '0010' + padding = 0x2F
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + bytes([0x2F])
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    coef = np.zeros(64)
+    coef[0], coef[3], coef[20] = -5, 3, -2
+    block = np.zeros(64)
+    block[_ZIGZAG] = coef
+    want = np.clip(
+        np.rint(_idct2(block.reshape(8, 8)) + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert (got == want).all(), (got.astype(int) - want.astype(int))
+
+
+def test_progressive_eob_runs_across_blocks():
+    """A flat 32×32 image quantizes to all-zero AC bands: the second AC
+    scan is one EOBn covering every block — EOBRUN decode across block
+    and restart-free boundaries."""
+    from tiledb_vector_search_spark.objects.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((32, 32), 137, dtype=np.uint8)
+    blob = encode_jpeg_progressive(img, quality=85)
+    got = decode_jpeg(blob)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    assert (got == base).all()
+    assert np.abs(got.astype(int) - 137).max() <= 1

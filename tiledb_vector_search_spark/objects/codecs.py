@@ -465,7 +465,7 @@ def encode_png(pixels: np.ndarray) -> bytes:
 def decode_image(blob: bytes) -> np.ndarray:
     """Magic-dispatched image decode: netpbm (P5/P6), 8-bit PNG,
     baseline JPEG, and lossless WebP (VP8L) natively; anything else
-    (lossy webp, progressive jpeg, ...) via PIL when
+    (lossy webp, 12-bit jpeg, ...) via PIL when
     installed, else a clear error."""
     b = bytes(blob)
     if b[:2] in (b"P5", b"P6"):
@@ -478,7 +478,7 @@ def decode_image(blob: bytes) -> np.ndarray:
         try:
             return decode_jpeg(b)
         except NotImplementedError:
-            pass  # progressive/12-bit — try PIL below
+            pass  # arithmetic/12-bit — try PIL below
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         from tiledb_vector_search_spark.objects.webp import decode_webp
 

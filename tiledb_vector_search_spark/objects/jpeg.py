@@ -6,15 +6,17 @@ and decoding it needs nothing beyond huffman tables, dequantization, an
 8×8 IDCT, and YCbCr→RGB — all expressible in numpy.
 
 Scope (explicit):
-- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
-  one interleaved scan, 4:4:4 / 4:2:2 / 4:2:0 sampling (nearest
-  upsample), custom or spec huffman/quant tables, restart markers.
-  Progressive (SOF2), arithmetic coding, and 12-bit raise with a PIL
-  hint — the PNG codec has no carve-outs left (all depths + Adam7 native).
-- encode: 4:4:4 (or grayscale), Annex-K example quantization tables
-  scaled by a quality factor, Annex-K standard huffman tables — enough
-  to generate real JFIF test vectors and round-trip within
-  quantization tolerance.
+- decode: baseline/extended sequential DCT (SOF0/1) AND progressive
+  (SOF2 — spectral selection, successive approximation with DC/AC
+  refinement scans, EOB runs), 8-bit, grayscale or YCbCr, 4:4:4 /
+  4:2:2 / 4:2:0 sampling (nearest upsample), custom or spec
+  huffman/quant tables, restart markers.  Arithmetic coding, 12-bit,
+  and the exotic processes (lossless, hierarchical) raise with a PIL
+  hint.
+- encode: 4:4:4 (or grayscale) baseline, plus a spectral-selection
+  progressive encoder sharing the same quantized coefficients — enough
+  to generate real JFIF test vectors, round-trip within quantization
+  tolerance, and pin progressive==baseline decode equivalence.
 
 Correctness strategy (no PIL in the sandbox to diff against): the
 decoder is tested on handcrafted minimal streams with KNOWN pixel
@@ -241,7 +243,14 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode baseline JFIF → (h, w) grayscale or (h, w, 3) RGB uint8."""
+    """Decode JFIF → (h, w) grayscale or (h, w, 3) RGB uint8.
+
+    Baseline/extended sequential (SOF0/1) AND progressive (SOF2) —
+    spectral selection, successive approximation (DC + AC refinement
+    scans), EOB runs, restart intervals.  12-bit and the exotic
+    processes (lossless, arithmetic, hierarchical) raise with the PIL
+    hint.
+    """
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG blob")
     pos = 2
@@ -250,6 +259,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict] = {}
     frame = None
     restart = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -257,6 +268,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         if marker == 0xD8:
             pos += 2
             continue
+        if marker == 0xD9:
+            break
         length = struct.unpack_from(">H", blob, pos + 2)[0]
         body = pos + 4
         data = blob[body : pos + 2 + length]
@@ -282,7 +295,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 tab = _build_decode_table(bits, huffval)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential + progressive SOF
             prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG unsupported (PIL)")
@@ -291,8 +304,19 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG unsupported (install PIL)")
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                # zigzag-ordered coefficients, padded to the MCU grid,
+                # accumulated ACROSS scans
+                coefs = [
+                    np.zeros((mcuy * cv * mcux * ch, 64), dtype=np.int64)
+                    .reshape(mcuy * cv, mcux * ch, 64)
+                    for _cid, ch, cv, _tq in comps
+                ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG process unsupported (install PIL)")
         elif marker == 0xDD:  # DRI
@@ -301,18 +325,212 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = data[0]
-            sel = {}
+            sel_list = []
             for s in range(ns):
                 cs, tabs = data[1 + 2 * s], data[2 + 2 * s]
-                sel[cs] = (tabs >> 4, tabs & 0x0F)
-            return _decode_scan(
-                blob, pos + 2 + length, frame, sel, qt, dc_tabs, ac_tabs,
-                restart,
+                sel_list.append((cs, (tabs >> 4, tabs & 0x0F)))
+            if not progressive:
+                return _decode_scan(
+                    blob, pos + 2 + length, frame, dict(sel_list), qt,
+                    dc_tabs, ac_tabs, restart,
+                )
+            ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            pos = _decode_progressive_scan(
+                blob, pos + 2 + length, frame, sel_list, dc_tabs, ac_tabs,
+                restart, ss, se, ahal >> 4, ahal & 0x0F, coefs,
             )
-        elif marker == 0xD9:
-            break
+            continue
         pos += 2 + length
+    if progressive and coefs is not None:
+        return _reconstruct_progressive(frame, coefs, qt)
     raise ValueError("JPEG missing scan data")
+
+
+def _decode_progressive_scan(
+    buf, pos, frame, sel_list, dc_tabs, ac_tabs, restart, ss, se, ah, al,
+    coefs,
+):
+    """One progressive scan: mutate the per-component zigzag coefficient
+    grids; return the byte offset of the next marker.
+
+    Spec semantics (ITU-T T.81 §G.2): DC-only scans may interleave
+    components in MCU order; AC scans are single-component in the
+    component's own block raster.  ``Ah=0`` scans set coefficients at
+    ``<< Al``; ``Ah>0`` refinement scans append the next lower bit
+    (EOB runs carry correction bits for already-nonzero coefficients).
+    """
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_idx = {c[0]: i for i, c in enumerate(comps)}
+    r = _BitReader(buf, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+
+    def dc_first(blk, ci, dct):
+        t = _decode_huff(r, dct)
+        pred[ci] += _extend(r.bits(t), t)
+        blk[0] = pred[ci] << al
+
+    def dc_refine(blk):
+        if r.bit():
+            # two's-complement OR appends the magnitude bit for either
+            # sign (Python negative ints behave as infinite two's
+            # complement, same as the C reference decoders)
+            blk[0] |= 1 << al
+
+    def ac_first(blk, act):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_huff(r, act)
+            rr, s_ = rs >> 4, rs & 0x0F
+            if s_ == 0:
+                if rr != 15:  # EOBn
+                    eobrun = (1 << rr) - 1
+                    if rr:
+                        eobrun += r.bits(rr)
+                    return
+                k += 16  # ZRL
+            else:
+                k += rr
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                blk[k] = _extend(r.bits(s_), s_) << al
+                k += 1
+
+    def ac_refine(blk, act):
+        nonlocal eobrun
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huff(r, act)
+                rr, s_ = rs >> 4, rs & 0x0F
+                val = 0
+                if s_ == 0:
+                    if rr != 15:  # EOBn
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.bits(rr)
+                        break
+                else:  # s_ must be 1 in a refinement scan
+                    val = p1 if r.bit() else m1
+                # advance over rr zero-history positions, emitting
+                # correction bits for nonzero-history ones along the way
+                while k <= se:
+                    if blk[k] != 0:
+                        if r.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if r.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+
+    if ss == 0 and se != 0:
+        # T.81 §G.1.1.1.1: a progressive DC scan has Se=0; a sequential
+        # scan header (0..63) under an SOF2 frame is a malformed stream
+        raise ValueError("invalid progressive scan header (Ss=0, Se!=0)")
+    if ss > se or se > 63:
+        raise ValueError("invalid progressive spectral selection")
+
+    def unit(blk, ci, td, ta):
+        if ss == 0:
+            if ah == 0:
+                dc_first(blk, ci, dc_tabs[td])
+            else:
+                dc_refine(blk)
+        else:
+            if ah == 0:
+                ac_first(blk, ac_tabs[ta])
+            else:
+                ac_refine(blk, ac_tabs[ta])
+
+    if len(sel_list) > 1:  # interleaved (DC-only scans)
+        if ss != 0:
+            raise ValueError("interleaved progressive AC scan is invalid")
+        count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and count and count % restart == 0:
+                    r.align_restart()
+                    pred[:] = [0] * len(comps)
+                    eobrun = 0
+                for cs, (td, ta) in sel_list:
+                    ci = comp_idx[cs]
+                    _cid, ch, cv, _tq = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            unit(
+                                coefs[ci][my * cv + by, mx * ch + bx],
+                                ci, td, ta,
+                            )
+                count += 1
+    else:  # single component: raster over the component's own blocks
+        (cs, (td, ta)), = sel_list
+        ci = comp_idx[cs]
+        _cid, ch, cv, _tq = comps[ci]
+        bw_c = -(-(-(-w * ch // hmax)) // 8)
+        bh_c = -(-(-(-h * cv // vmax)) // 8)
+        count = 0
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                if restart and count and count % restart == 0:
+                    r.align_restart()
+                    pred[ci] = 0
+                    eobrun = 0
+                unit(coefs[ci][by, bx], ci, td, ta)
+                count += 1
+
+    # resync: skip to the next real marker (RSTn and stuffed FF00 are
+    # entropy-layer artifacts, not segment boundaries)
+    p = r.pos
+    n = len(buf)
+    while p + 1 < n:
+        if buf[p] == 0xFF and buf[p + 1] != 0x00 and not (
+            0xD0 <= buf[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(frame, coefs, qt):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for ci, (_cid, ch, cv, tq) in enumerate(comps):
+        grid = coefs[ci]
+        by_n, bx_n, _ = grid.shape
+        plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
+        q = qt[tq]
+        for by in range(by_n):
+            for bx in range(bx_n):
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZIGZAG] = grid[by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct2(block.reshape(8, 8)) + 128.0
+                )
+        planes.append(plane)
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
 
 
 def _decode_scan(buf, pos, frame, sel, qt, dc_tabs, ac_tabs, restart):
@@ -364,7 +582,12 @@ def _decode_scan(buf, pos, frame, sel, qt, dc_tabs, ac_tabs, restart):
                         x0 = (mx * ch + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_count += 1
-    # upsample to full resolution, crop, color-convert
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_image(planes, comps, h, w, hmax, vmax):
+    """Upsample to full resolution, crop, color-convert (shared by the
+    sequential and progressive reconstruction paths)."""
     full = []
     for ci, (_cid, ch, cv, _tq) in enumerate(comps):
         p = planes[ci]
@@ -519,5 +742,169 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# custom complete 256-symbol AC table for progressive scans: the Annex-K
+# baseline AC tables lack the EOBn symbols (0x10..0xE0), so progressive
+# scans need their own DHT.  1@7 + 253@8 + 2@9 bits — Kraft-complete.
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 1, 253, 2, 0, 0, 0, 0, 0, 0, 0]
+_AC_PROG_VALS = list(range(256))
+
+
+def _component_zz(planes, qts, h, w):
+    """Per-component (bh, bw, 64) zigzag-quantized coefficient grids —
+    the shared coefficient front half of both encoders (4:4:4)."""
+    bh, bw = -(-h // 8), -(-w // 8)
+    out = []
+    for ci, p in enumerate(planes):
+        q = qts[0 if ci == 0 else 1]
+        zz = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.full((8, 8), 0.0)
+                ys, xs = by * 8, bx * 8
+                sub = p[ys : min(ys + 8, h), xs : min(xs + 8, w)]
+                blk[: sub.shape[0], : sub.shape[1]] = sub
+                if sub.shape[0] < 8:
+                    blk[sub.shape[0] :, :] = blk[sub.shape[0] - 1, :]
+                if sub.shape[1] < 8:
+                    blk[:, sub.shape[1] :] = blk[:, sub.shape[1] - 1][:, None]
+                coef = _fdct2(blk - 128.0)
+                zz[by, bx] = np.rint(coef.reshape(64)[_ZIGZAG] / q).astype(
+                    np.int64
+                )
+        out.append(zz)
+    return out
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w) gray or (h, w, 3) uint8 RGB → PROGRESSIVE JFIF (4:4:4).
+
+    Spectral-selection progression (Al=0): one interleaved DC scan, then
+    two AC scans per component (1-5, 6-63) with EOB-run accumulation.
+    Coefficients are identical to :func:`encode_jpeg` at the same
+    quality, so ``decode_jpeg(progressive) == decode_jpeg(baseline)``
+    exactly — the equivalence the decoder tests pin.
+    """
+    x = np.asarray(pixels)
+    if x.dtype != np.uint8:
+        x = np.clip(x, 0, 255).astype(np.uint8)
+    gray = x.ndim == 2
+    h, w = x.shape[:2]
+    if gray:
+        planes = [x.astype(np.float64)]
+    else:
+        r, g, b = (x[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    qts = [_quality_scale(_Q_LUMA, quality)]
+    if not gray:
+        qts.append(_quality_scale(_Q_CHROMA, quality))
+    zzs = _component_zz(planes, qts, h, w)
+    nc = len(planes)
+    bh, bw = zzs[0].shape[:2]
+
+    dc_enc = [_build_encode_table(*_DC_LUMA), _build_encode_table(*_DC_CHROMA)]
+    ac_enc = _build_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qts):
+        out += seg(0xDB, bytes([tid]) + bytes(int(v) for v in q))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC2, sof)
+    for th in range(1 if gray else 2):
+        bits, huffval = (_DC_LUMA, _DC_CHROMA)[th]
+        out += seg(0xC4, bytes([th]) + bytes(bits) + bytes(huffval))
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
+    )
+
+    # scan 1: interleaved DC, Al=0
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                tid = 0 if ci == 0 else 1
+                diff = int(zzs[ci][by, bx, 0]) - pred[ci]
+                pred[ci] = int(zzs[ci][by, bx, 0])
+                t, mag = _magnitude(diff)
+                code, ln = dc_enc[tid][t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(mag, t)
+    wtr.flush()
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, (0 if c == 0 else 1) << 4])
+    sos += bytes([0, 0, 0])
+    out += seg(0xDA, sos) + wtr.out
+
+    # AC scans per component: spectral bands 1-5 and 6-63, Al=0
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            wtr = _BitWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun <= 0:
+                    return
+                n = eobrun.bit_length() - 1
+                code, ln = ac_enc[n << 4]
+                wtr.write(code, ln)
+                if n:
+                    wtr.write(eobrun - (1 << n), n)
+                eobrun = 0
+
+            for by in range(bh):
+                for bx in range(bw):
+                    band = zzs[ci][by, bx, ss : se + 1]
+                    nz = np.nonzero(band)[0]
+                    if len(nz) == 0:
+                        eobrun += 1
+                        if eobrun == 32767:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    run = 0
+                    last = int(nz[-1])
+                    for k in range(se - ss + 1):
+                        v = int(band[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_enc[0xF0]
+                            wtr.write(code, ln)
+                            run -= 16
+                        t, mag = _magnitude(v)
+                        code, ln = ac_enc[(run << 4) | t]
+                        wtr.write(code, ln)
+                        wtr.write(mag, t)
+                        run = 0
+                        if k == last:
+                            break
+                    if last < se - ss:
+                        eobrun += 1
+                        if eobrun == 32767:
+                            flush_eob()
+            flush_eob()
+            wtr.flush()
+            tid = 0 if ci == 0 else 1
+            sos = bytes([1, ci + 1, (tid << 4) | 0, ss, se, 0])
+            out += seg(0xDA, sos) + wtr.out
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -243,7 +243,7 @@ class DirectoryImageReader(ObjectReader):
         Magic-dispatched (:func:`..objects.codecs.decode_image`): binary
         netpbm (PGM/PPM) and 8-bit PNG decode NATIVELY (dependency-free
         — PNG needs only stdlib zlib); everything else (jpeg, webp,
-        progressive JPEG) falls back to PIL when installed (the
+        arithmetic-coded JPEG) falls back to PIL when installed (the
         reference's decoder, ``directory_reader.py:507-643``) and raises
         with that hint otherwise.
         """
