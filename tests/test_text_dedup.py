@@ -913,3 +913,105 @@ def test_cross_corpus_dedup_planted(spark, sf_dir):
     assert all(nid not in (0, 1) or rid != nid for nid, rid in got)
     for nid, rid, j in [(r.new_id, r.ref_id, r.jaccard) for r in out]:
         assert j >= 0.7
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """SemDeDup (cluster-scoped exact cosine): planted near-copies are
+    grouped and exactly one representative per group kept; the full
+    output matches an INDEPENDENT numpy implementation given the same
+    explicit centroids."""
+    import numpy as np
+
+    from tiledb_vector_search_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(3, 16)) * 4
+    rows = []
+    vecs = {}
+    vid = 0
+    for c in range(3):
+        for _ in range(20):
+            v = centers[c] + rng.normal(size=16) * 0.8
+            vecs[vid] = v
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # planted near-duplicates: tiny perturbations of every 7th vector
+    for base in range(0, 60, 7):
+        v = vecs[base] + rng.normal(size=16) * 0.01
+        vecs[vid] = v
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = semantic_dedup(
+        df, num_clusters=3, threshold=0.99, centroids=centers
+    ).collect()
+
+    # independent reference
+    ids = np.array(sorted(vecs))
+    X = np.array([vecs[i] for i in ids])
+    assign = np.argmin(
+        ((X[:, None, :] - centers[None, :, :]) ** 2).sum(2), axis=1
+    )
+    exp = {}
+    for c in range(3):
+        members = ids[assign == c]
+        Xc = X[assign == c]
+        Xn = Xc / np.linalg.norm(Xc, axis=1)[:, None]
+        S = Xn @ Xn.T
+        m = len(members)
+        parent = list(range(m))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i in range(m):
+            for j in range(i + 1, m):
+                if S[i, j] >= 0.99:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        roots = [find(i) for i in range(m)]
+        dc = np.linalg.norm(Xc - centers[c][None, :], axis=1)
+        for r in set(roots):
+            mem = [i for i in range(m) if roots[i] == r]
+            gid = min(members[i] for i in mem)
+            far = max(dc[i] for i in mem)
+            cand = [members[i] for i in mem if dc[i] == far]
+            chosen = min(cand)
+            for i in mem:
+                exp[int(members[i])] = (c, gid, members[i] == chosen)
+    got_map = {r.vec_id: (r.cluster, r.group_id, r.keep) for r in got}
+    assert got_map == {int(k): (int(v[0]), int(v[1]), bool(v[2])) for k, v in exp.items()}
+    # every planted copy shares a group with its base; one keep per group
+    groups = {}
+    for r in got:
+        groups.setdefault(r.group_id, []).append(r)
+    for g, members in groups.items():
+        assert sum(1 for r in members if r.keep) == 1
+    n_groups_with_dups = sum(1 for g, m in groups.items() if len(m) > 1)
+    assert n_groups_with_dups >= 7  # the 9 planted copies mostly pair
+
+
+def test_semantic_dedup_min_id_policy_and_auto_centroids(spark, sf_dir):
+    """min_id keep policy retains the smallest id per group; the
+    auto-trained-centroids path runs end to end on real embeddings and
+    keeps exactly one representative per group."""
+    from tiledb_vector_search_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = semantic_dedup(emb, num_clusters=8, threshold=0.98, keep="min_id")
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+    for g, members in by_group.items():
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1
+        assert keeps[0].vec_id == min(r.vec_id for r in members)
+        assert g == min(r.vec_id for r in members)

@@ -1271,3 +1271,128 @@ def minhash_dedup_against(
     if materialize:
         out = _materialize_and_release(out, handle, sh_new, sh_ref)
     return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    num_clusters: int,
+    threshold: float = 0.95,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "centroid_far",
+    centroids: "np.ndarray | None" = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, arXiv:2303.09540): k-means cluster, then EXACT
+    pairwise cosine within each cluster — pairs ≥ ``threshold`` form
+    duplicate groups and one representative per group is kept.
+
+    Complements :func:`embedding_near_duplicates_lsh`: the LSH form is
+    the sub-quadratic candidate generator for a flat corpus; this is the
+    paper's design where ``num_clusters`` BOUNDS the quadratic — within
+    a cluster the pairwise product is exact (no hash misses), and the
+    cluster size is the knob (pick ``num_clusters ≈ n / 10k`` so a
+    cluster's similarity matrix fits one task).  100 TB posture: one
+    bounded-sample k-means, one broadcast assign pass (no shuffle), one
+    shuffle on cluster id into ``applyInPandas``; per-task memory is
+    O(cluster_size²) floats — sized by ``num_clusters``, not the corpus.
+
+    ``keep``: ``centroid_far`` keeps the group member FARTHEST from its
+    cluster centroid (the paper's choice — keeps hard examples),
+    ``min_id`` keeps the smallest id (fully order-free).  Ties break by
+    id either way, so results are deterministic.
+
+    Returns (id, cluster, group_id, keep) — ``group_id`` is the
+    smallest id of the duplicate component (own id when unique);
+    ``keep`` marks the retained representative.
+    """
+    import pandas as pd
+
+    from tiledb_vector_search_spark.ml.kmeans import (
+        assign_partitions_expr,
+        default_training_sample_size,
+        train_centroids_ml,
+    )
+
+    if keep not in ("centroid_far", "min_id"):
+        raise ValueError(f"unknown keep policy: {keep}")
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vector_col).cast("array<float>").alias("__v"),
+    )
+    if centroids is None:
+        n = vecs.count()
+        k = max(1, min(num_clusters, n))
+        cents = train_centroids_ml(
+            vecs.withColumnRenamed("__id", "external_id")
+            .withColumnRenamed("__v", "vector"),
+            k,
+            default_training_sample_size(n, k),
+            n,
+            vector_col="vector",
+            seed=seed,
+        )
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+    assigned = assign_partitions_expr(
+        vecs, cents, vector_col="__v", out_col="__cluster"
+    )
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+    thr = float(threshold)
+    policy = keep
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id", ignore_index=True)
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        x = np.asarray(list(pdf["__v"]), dtype=np.float64)
+        cl = int(pdf["__cluster"].iloc[0])
+        norms = np.linalg.norm(x, axis=1)
+        xn = x / np.maximum(norms, 1e-12)[:, None]
+        sims = xn @ xn.T
+        m = len(ids)
+        # union-find over pairs ≥ threshold (transitive duplicate groups)
+        parent = np.arange(m)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        ii, jj = np.nonzero(np.triu(sims >= thr, k=1))
+        for a, b in zip(ii, jj):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(m)])
+        cent = bc.value[cl]
+        d_cent = np.linalg.norm(x - cent[None, :], axis=1)
+        keep_flag = np.zeros(m, dtype=bool)
+        group_id = np.empty(m, dtype=np.int64)
+        for r in np.unique(roots):
+            members = np.nonzero(roots == r)[0]
+            group_id[members] = ids[members].min()
+            if policy == "min_id":
+                chosen = members[np.argmin(ids[members])]
+            else:  # centroid_far: farthest from centroid, ties by id
+                far = d_cent[members]
+                best = members[far == far.max()]
+                chosen = best[np.argmin(ids[best])]
+            keep_flag[chosen] = True
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": cl,
+                "group_id": group_id,
+                "keep": keep_flag,
+            }
+        )
+
+    schema = f"{id_col} long, cluster int, group_id long, keep boolean"
+    return (
+        assigned.groupBy("__cluster")
+        .applyInPandas(dedup_cluster, schema)
+        .orderBy(id_col)
+    )

@@ -3127,3 +3127,17 @@ def phash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+@register("semantic_dedup_groups", driver=False)  # non-SQL-expressible (k-means)
+def semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (``operators/dedup.py:semantic_dedup``): k-means-bounded exact
+    cosine groups with one kept representative each — the
+    cluster-scoped complement of the LSH near-dup path.  Pytest-gated
+    (numpy-reference oracle + planted-copy recovery) since k-means is
+    not SQL-expressible."""
+    from tiledb_vector_search_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(emb, num_clusters=16, threshold=0.98)
