@@ -706,9 +706,13 @@ class VamanaIndex(Index):
             .applyInPandas(walk, schema)
         )
         if overlay is not None:
-            # a vector found by both its shard walk and the overlay walk
-            # would otherwise occupy two ranks
-            scored = scored.dropDuplicates([QUERY_ID_COL, ID_COL])
+            # a vector found by both its shard walk and the overlay scan
+            # would otherwise occupy two ranks; keep the MIN distance so
+            # the survivor is deterministic (the two scores can differ by
+            # ~1e-16 — BLAS-identity vs subtractive fold)
+            scored = scored.groupBy(QUERY_ID_COL, ID_COL).agg(
+                F.min(DISTANCE_COL).alias(DISTANCE_COL)
+            )
         # the walk scores Σ(a−b)²; convert to the index metric's scale so the
         # additions branch (scored with distance_expr) unions consistently:
         # L2 = √sos; for unit vectors cosine distance = sos/2
@@ -846,7 +850,10 @@ class VamanaIndex(Index):
             .applyInPandas(walk2, schema)
         )
         if overlay is not None:
-            scored = scored.dropDuplicates([QUERY_ID_COL, ID_COL])
+            # min-distance dedup (see kernel path)
+            scored = scored.groupBy(QUERY_ID_COL, ID_COL).agg(
+                F.min(DISTANCE_COL).alias(DISTANCE_COL)
+            )
         # same metric rescale + additions overlay + merge as the kernel path
         if metric is DistanceMetric.L2:
             scored = scored.withColumn(DISTANCE_COL, F.sqrt(F.col(DISTANCE_COL)))

@@ -730,6 +730,32 @@ def _search_vamana_files(
     def walk_group(tb, pid: int, qlist: list[int]) -> None:
         ids = tb.column("external_id").to_numpy()
         x = _decode_vector_column(tb, vector_dtype, len(ids))
+        # over-walk past this group's tombstones so k survivors remain
+        # after the result-side filter (the DataFrame path's eff_k; the
+        # kernel widens the beam to max(l_search, eff_k) itself, and the
+        # first k SURVIVORS are invariant to any eff_k ≥ k + overlap)
+        n_tomb = int(np.isin(ids, tomb).sum()) if tomb_set else 0
+        eff_k = k + n_tomb
+        if pid == -1:
+            # overlay pseudo-shard: EXACT scan of the capped bridge set —
+            # mirrors the DataFrame kernel (the overlay stores no graph
+            # since r6; an old overlay's graph columns are ignored)
+            qm = qmat[qlist].astype(np.float64)
+            xd = x.astype(np.float64)
+            d = (
+                np.sum(xd * xd, axis=1)[None, :]
+                - 2.0 * (qm @ xd.T)
+                + np.sum(qm * qm, axis=1)[:, None]
+            )
+            take = min(eff_k, len(ids))
+            for r_i, qi in enumerate(qlist):
+                top = np.argpartition(d[r_i], take - 1)[:take]
+                out[qi].extend(
+                    (float(d[r_i][p]), int(ids[p]))
+                    for p in top
+                    if int(ids[p]) not in tomb_set
+                )
+            return
         pos = {int(e): i for i, e in enumerate(ids)}
         adj = [
             np.array([pos[n] for n in nbrs if n in pos], dtype=np.int64)
@@ -737,12 +763,6 @@ def _search_vamana_files(
         ]
         med_id = medoids.get(pid)
         med = pos.get(med_id, 0) if med_id is not None else 0
-        # over-walk past this group's tombstones so k survivors remain
-        # after the result-side filter (the DataFrame path's eff_k; the
-        # kernel widens the beam to max(l_search, eff_k) itself, and the
-        # first k SURVIVORS are invariant to any eff_k ≥ k + overlap)
-        n_tomb = int(np.isin(ids, tomb).sum()) if tomb_set else 0
-        eff_k = k + n_tomb
         for qi in qlist:
             vi, vd = search_vamana_graph(
                 x, adj, med, qmat[qi], eff_k, l_search
