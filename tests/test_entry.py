@@ -88,14 +88,19 @@ def test_ivf_index_recall_gate(spark, sf_dir):
 
 
 def test_image_phash_neardup_gate(spark, sf_dir):
-    """Every planted +1-pixel copy pairs with its original (hamming ~0);
-    the result is a valid pair set over the synthesized corpus."""
+    """Every planted +1-pixel copy pairs with its original within the
+    operator's radius; the result is a valid pair set over the
+    synthesized corpus.  The planted distance is usually 0-1 but a +1
+    pixel CAN flip several near-zero DCT sign bits (two hamming-2 pairs
+    at sf0.01), so the gate asserts the pairing contract (found, and
+    within max_hamming), not a data-dependent exact distance."""
     rows = QUERIES["image_phash_neardup"](spark, sf_dir).collect()
     pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
     planted = [(i, i + 100000) for i in range(0, 150, 5)]
     hit = [p for p in planted if p in pairs]
     assert len(hit) == len(planted), (len(hit), len(planted))
-    assert all(pairs[p] <= 1 for p in hit)
+    assert all(pairs[p] <= 4 for p in hit)
+    assert sum(1 for p in hit if pairs[p] <= 1) >= 0.8 * len(planted)
     assert all(r.hamming <= 4 for r in rows)
 
 
