@@ -321,3 +321,65 @@ def test_progressive_eob_runs_across_blocks():
     base = decode_jpeg(encode_jpeg(img, quality=85))
     assert (got == base).all()
     assert np.abs(got.astype(int) - 137).max() <= 1
+
+
+def test_progressive_420_subsampled_hand_built():
+    """Progressive + 4:2:0: interleaved DC scan in MCU order (2×2 luma
+    blocks + 1 of each chroma per MCU) followed by per-component AC
+    scans (all-EOB), hand-built.  DC-only blocks are flat (orthonormal
+    IDCT of a lone DC v gives v/8 uniform), so every expected pixel is
+    derivable by hand: 128 + cumulative_dc/8 per block, chroma
+    upsampled 2×."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([8] * 64))  # quant: all 8s
+    # SOF2: 16×16, Y with 2x2 sampling, Cb/Cr 1x1
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += _seg(0xC2, sof)
+    # DC table 0: symbols {0, 2} at 1 bit → codes '0'(0), '1'(2)
+    out += _seg(0xC4, bytes([0x00, 2] + [0] * 15 + [0, 2]))
+    # AC table 0: single... needs completeness — {0x00, 0xF0} at 1 bit
+    out += _seg(0xC4, bytes([0x10, 2] + [0] * 15 + [0x00, 0xF0]))
+
+    # one MCU (16×16): DC scan order = Y(0,0) Y(0,1) Y(1,0) Y(1,1) Cb
+    # Cr; per-component predictors (Y chains through all four blocks,
+    # Cb and Cr start at 0).  Diffs all chosen in magnitude category 2
+    # so every block emits huff('1') + two magnitude bits.
+    diffs = [2, 3, -2, 2, 2, -3]  # Y,Y,Y,Y,Cb,Cr
+    w = _BitWriter()
+    for d in diffs:
+        t, mag = _magnitude(d)
+        assert t == 2
+        w.write(1, 1)       # DC huff: symbol 2 → '1'
+        w.write(mag, 2)     # magnitude bits
+    w.flush()
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])
+    out += _seg(0xDA, sos) + w.out
+    # AC scans: every band empty → one EOB0 per block
+    for cid, nblocks in ((1, 4), (2, 1), (3, 1)):
+        w = _BitWriter()
+        for _ in range(nblocks):
+            w.write(0, 1)  # AC huff: symbol 0x00 → '0'
+        w.flush()
+        out += _seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0])) + w.out
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    assert got.shape == (16, 16, 3)
+    # expected: flat per block — Y blocks cumulative DC: 2, 5, 3, 5
+    q = 8
+    yv = {}  # (by, bx) -> luma value
+    cum = 0
+    for (by, bx), d in zip(((0, 0), (0, 1), (1, 0), (1, 1)), (2, 3, -2, 2)):
+        cum += d
+        yv[(by, bx)] = 128.0 + cum * q / 8.0
+    cb = 128.0 + 2 * q / 8.0
+    cr = 128.0 - 3 * q / 8.0
+    for py in range(16):
+        for px in range(16):
+            y = yv[(py // 8, px // 8)]
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            exp = np.clip(np.rint([r, g, b]), 0, 255).astype(np.uint8)
+            assert (got[py, px] == exp).all(), (py, px, got[py, px], exp)

@@ -269,6 +269,8 @@ class VamanaIndex(Index):
         from pyspark import StorageLevel
         from pyspark.sql import Window
 
+        if overlay_max < 1:
+            raise ValueError("overlay_max must be >= 1 (or build without overlay)")
         spark = assigned.sparkSession
         bc = spark.sparkContext.broadcast(centroids)
         vdtype = vector_dtype
