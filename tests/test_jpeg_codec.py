@@ -383,3 +383,15 @@ def test_progressive_420_subsampled_hand_built():
             b = y + 1.772 * (cb - 128.0)
             exp = np.clip(np.rint([r, g, b]), 0, 255).astype(np.uint8)
             assert (got[py, px] == exp).all(), (py, px, got[py, px], exp)
+
+
+def test_jpeg_bomb_guard():
+    """SOF dims are untrusted 16-bit values: a tiny blob claiming a
+    65535×65535 frame is refused before any allocation."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += _seg(
+        0xC0, struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(ValueError, match="max-pixels"):
+        decode_jpeg(bytes(out))

@@ -302,3 +302,15 @@ def test_vp8x_container_with_vp8l_payload():
         + struct.pack("<I", 0)
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_webp(anim)
+
+
+def test_webp_bomb_guard():
+    """Header dims are untrusted: a tiny blob claiming a 16k×16k canvas
+    is refused before any allocation."""
+    bw = BitWriter()
+    bw.write((1 << 14) - 1, 14)
+    bw.write((1 << 14) - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    with pytest.raises(ValueError, match="max-pixels"):
+        decode_vp8l(b"\x2f" + bw.finish())

@@ -299,6 +299,16 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG unsupported (PIL)")
+            from tiledb_vector_search_spark.objects.codecs import (
+                PNG_MAX_PIXELS as _MAX_PX,
+            )
+
+            if h * w > _MAX_PX:
+                # SOF dims are untrusted 16-bit values (up to 65535²
+                # ≈ 4.3G pixels per plane); refuse before allocating
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} exceed the max-pixels guard"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]

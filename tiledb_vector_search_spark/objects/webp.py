@@ -4,13 +4,14 @@ Closes the main remaining codec-tail item (VERDICT r5 "What's missing
 #2"): webp is the most common crawled format that still fell through to
 the PIL hint.  This module decodes the LOSSLESS variant (``VP8L``
 chunk) natively — signature parsing, LSB-first bitreader, canonical
-(DEFLATE-convention) Huffman codes incl. the code-length-codeML
+(DEFLATE-convention) Huffman codes incl. the code-length-code
 machinery, color cache, LZ77 backward references with the 2D distance
 map, meta-Huffman tiling, and all four transforms (predictor, color,
 subtract-green, color-indexing incl. sub-byte pixel bundling) — per the
-public bitstream spec (RFC 9649).  Lossy ``VP8 `` and extended
-``VP8X`` payloads raise with the PIL hint (they need a full boolean
-arithmetic decoder + loop filter; PIL handles them when installed).
+public bitstream spec (RFC 9649).  VP8X extended containers decode
+when their image chunk is VP8L; lossy ``VP8 `` and animation raise
+with the PIL hint (they need a full boolean arithmetic decoder + loop
+filter; PIL handles them when installed).
 
 Reference parity anchor: the reference decodes webp via PIL inside
 ``object_readers/directory_reader.py:507-643``; here the mainstream
@@ -178,15 +179,6 @@ def _read_huffman_code(br: BitReader, alphabet: int) -> HuffmanCode:
     lengths = _read_code_lengths(br, cl_code, alphabet)
     return HuffmanCode(lengths)
 
-
-def _hc_single(symbol: int) -> HuffmanCode:
-    hc = HuffmanCode.__new__(HuffmanCode)
-    hc.single = symbol
-    hc.table = None
-    return hc
-
-
-HuffmanCode._single = staticmethod(lambda s, n: _hc_single(s))
 
 
 def _prefix_value(code: int, br: BitReader) -> int:
@@ -388,6 +380,14 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")
+    from tiledb_vector_search_spark.objects.codecs import PNG_MAX_PIXELS
+
+    if w * h > PNG_MAX_PIXELS:
+        # same decompression-bomb posture as decode_png: header dims are
+        # untrusted crawl bytes; refuse before allocating the canvas
+        raise ValueError(
+            f"WebP dimensions {w}x{h} exceed the max-pixels guard"
+        )
 
     transforms = []
     seen = set()
