@@ -195,3 +195,38 @@ def test_describe_single_batch_uses_footer_count(spark, bm25_index, docs, tmp_pa
     grown.add_documents(docs.where("doc_id % 2 = 1"))
     full = BM25Index.build(spark, str(tmp_path / "fullv"), docs)
     assert grown.describe()["vocab_size"] == full.describe()["vocab_size"]
+
+
+def test_legacy_flat_layout_still_reads(spark, docs, queries, tmp_path):
+    """A pre-batch artifact (meta WITHOUT the 'batches' key, flat
+    postings/term_stats only) must keep querying identically — the
+    batch-dir resolution treats missing 'batches' as empty."""
+    import json
+    import os
+
+    uri = str(tmp_path / "legacy")
+    idx = BM25Index.build(spark, uri, docs)
+    want = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in idx.query(queries, k=5).orderBy("query_id", "rank").collect()
+    ]
+    # strip the batches key, simulating an artifact written before r6
+    meta_path = os.path.join(uri, "_bm25_meta.json")
+    meta = json.loads(open(meta_path).read())
+    del meta["batches"]
+    open(meta_path, "w").write(json.dumps(meta))
+    # drop Hadoop LocalFS's checksum sidecar (the out-of-band rewrite
+    # invalidated it)
+    crc = os.path.join(uri, "._bm25_meta.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    legacy = BM25Index(spark, uri)
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in legacy.query(queries, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want
+    d = legacy.describe()
+    assert d["n_docs"] == idx.n_docs and d["vocab_size"] > 0
