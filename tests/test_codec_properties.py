@@ -89,3 +89,26 @@ def test_jpeg_gray_high_quality_error_bound(x):
     # random noise is JPEG's worst case; q=95 keeps it within a tight
     # absolute bound (quantization steps are small at this quality)
     assert np.abs(got.astype(int) - x.astype(int)).max() <= 20
+
+
+@settings(max_examples=30, deadline=None)
+@given(_img(3))
+def test_vp8l_rgb_round_trip(x):
+    from tiledb_vector_search_spark.objects.webp import (
+        decode_webp,
+        encode_vp8l,
+    )
+
+    out = decode_webp(encode_vp8l(x))
+    assert (out[:, :, :3] == x).all() and (out[:, :, 3] == 255).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(_img(4))
+def test_vp8l_rgba_round_trip(x):
+    from tiledb_vector_search_spark.objects.webp import (
+        decode_webp,
+        encode_vp8l,
+    )
+
+    assert (decode_webp(encode_vp8l(x)) == x).all()
