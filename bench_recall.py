@@ -163,6 +163,9 @@ def main() -> None:
     vam_ov = VamanaIndex.ingest(
         spark, f"{work}/vamana_ov", vectors, shards=8, timestamp=1000,
         overlay=True, overlay_max=512,
+        # the overlay tunes to the deployment's probe budget; this
+        # harness's declared partial-probe operating point is nprobe=4
+        overlay_audit_nprobe=4,
     )
     t_build["VAMANA_OVERLAY"] = round(time.perf_counter() - t0, 3)
     vam_ov.query(queries, K, nprobe=1).collect()

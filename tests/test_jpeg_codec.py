@@ -395,3 +395,35 @@ def test_jpeg_bomb_guard():
     )
     with pytest.raises(ValueError, match="max-pixels"):
         decode_jpeg(bytes(out))
+
+
+def test_progressive_truncated_and_fill_bytes():
+    """A progressive frame header with NO scan (crawl truncation) raises
+    instead of fabricating a flat-gray image; fill bytes (0xFF runs)
+    between a scan and the next marker are legal padding (T.81
+    B.1.1.2)."""
+    from tiledb_vector_search_spark.objects.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    truncated = bytearray(b"\xff\xd8")
+    truncated += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    truncated += _seg(
+        0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    truncated += b"\xff\xd9"
+    with pytest.raises(ValueError, match="missing scan"):
+        decode_jpeg(bytes(truncated))
+
+    # inject fill bytes before every marker segment that follows a scan
+    img = np.clip(
+        np.cumsum(np.random.default_rng(5).integers(-5, 6, (16, 16)), axis=0)
+        + 120, 0, 255,
+    ).astype(np.uint8)
+    blob = encode_jpeg_progressive(img, quality=85)
+    want = decode_jpeg(blob)
+    # insert two 0xFF fill bytes before each SOS after the first
+    padded = blob.replace(b"\xff\xda", b"\xff\xff\xff\xda")
+    # the FIRST SOS is preceded by a DHT segment end, also legal to pad
+    got = decode_jpeg(padded)
+    assert (got == want).all()

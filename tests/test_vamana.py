@@ -415,3 +415,68 @@ def test_overlay_exact_scan_matches_bruteforce_within_overlay(
             if d < worst_returned - 1e-9 and i not in by_q[int(r.external_id)]
         ]
         assert not missing_better, (r.external_id, missing_better)
+
+
+def test_audit_missed_ids_matches_reference(spark):
+    """`_audit_missed_ids` replays the partial-probe path with corpus
+    rows as pseudo-queries; its picks must match an independent numpy
+    replication (same probes, same top-10, same miss counts, same
+    (miss desc, margin, id) order)."""
+    import numpy as np
+
+    from tiledb_vector_search_spark.indexes.vamana import VamanaIndex
+
+    rng = np.random.default_rng(3)
+    C = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    pts = []
+    for c in range(3):
+        for _ in range(8):
+            pts.append(C[c] + rng.normal(size=2))
+    # a bridge row between clusters 0 and 1
+    pts.append(np.array([4.0, 0.0]))
+    X = np.array(pts)
+    n = len(X)
+    d2c = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    assign = d2c.argmin(1)
+    srt = np.argsort(d2c, 1)
+    margin = d2c[np.arange(n), srt[:, 1]] - d2c[np.arange(n), srt[:, 0]]
+
+    assigned = spark.createDataFrame(
+        [
+            (int(i), [float(v) for v in X[i]], int(assign[i]))
+            for i in range(n)
+        ],
+        "external_id long, vector array<float>, partition_id int",
+    )
+    margined = spark.createDataFrame(
+        [
+            (int(i), int(assign[i]), int(srt[i, 1]), float(margin[i]))
+            for i in range(n)
+        ],
+        "external_id long, partition_id int, __second int, __margin double",
+    )
+    budget, audit_np = 4, 1
+    got = VamanaIndex._audit_missed_ids(
+        assigned, margined, C, "float32", audit_np, budget, n
+    ).collect()
+
+    # numpy reference: every row is a pseudo-query (frac = 1 at this n)
+    k_audit = 10
+    miss = np.zeros(n)
+    for qi in range(n):
+        cells = srt[qi][: min(3, audit_np + 4)]
+        cand = [i for i in range(n) if assign[i] in cells and i != qi]
+        dd = ((X[cand] - X[qi]) ** 2).sum(1)
+        top = [cand[j] for j in np.argsort(dd)[:k_audit]]
+        probed = set(srt[qi][:audit_np])
+        for t in top:
+            if assign[t] not in probed:
+                miss[t] += 1
+    order = sorted(
+        (i for i in range(n) if miss[i] > 0),
+        key=lambda i: (-miss[i], margin[i], i),
+    )[:budget]
+    assert [r.external_id for r in got] == order
+    # the bridge row is a cross-boundary neighbor of both clusters: it
+    # must be among the most-missed
+    assert n - 1 in {r.external_id for r in got}

@@ -335,11 +335,14 @@ class IVFPQIndex(Index):
         # second full-corpus sampling scan, which is real IO at 100 TB.
         # ordered take: a bare limit() samples whichever tasks finish
         # first and the codebooks/centroids (so recall) drift run to run;
-        # orderBy+limit runs as distributed TakeOrdered
+        # orderBy+limit runs as distributed TakeOrdered.  Hash-ordered,
+        # not id-ordered — see train_centroids_ml: an id order would
+        # exclude the highest-id tail of the oversampled pool from
+        # training on append-ordered corpora.
         frac = min(1.0, (PQ_TRAIN_MAX * 1.2) / max(n, 1))
         srows = (
             (vectors.sample(fraction=frac, seed=seed) if frac < 1.0 else vectors)
-            .orderBy(ID_COL)
+            .orderBy(F.xxhash64(ID_COL), F.col(ID_COL))
             .limit(PQ_TRAIN_MAX)
             .collect()
         )

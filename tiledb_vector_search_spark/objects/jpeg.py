@@ -260,11 +260,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     frame = None
     restart = 0
     progressive = False
+    saw_scan = False
     coefs: list[np.ndarray] | None = None
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = blob[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte before a marker
+            pos += 1
+            continue
         if marker == 0xD8:
             pos += 2
             continue
@@ -345,14 +349,17 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     dc_tabs, ac_tabs, restart,
                 )
             ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            saw_scan = True
             pos = _decode_progressive_scan(
                 blob, pos + 2 + length, frame, sel_list, dc_tabs, ac_tabs,
                 restart, ss, se, ahal >> 4, ahal & 0x0F, coefs,
             )
             continue
         pos += 2 + length
-    if progressive and coefs is not None:
+    if progressive and coefs is not None and saw_scan:
         return _reconstruct_progressive(frame, coefs, qt)
+    # a frame header with no decoded scan (crawl truncation) must raise,
+    # not fabricate a flat-gray canvas from all-zero coefficients
     raise ValueError("JPEG missing scan data")
 
 
@@ -514,10 +521,13 @@ def _decode_progressive_scan(
     p = r.pos
     n = len(buf)
     while p + 1 < n:
-        if buf[p] == 0xFF and buf[p + 1] != 0x00 and not (
-            0xD0 <= buf[p + 1] <= 0xD7
-        ):
-            return p
+        if buf[p] == 0xFF:
+            if buf[p + 1] == 0xFF:
+                # T.81 B.1.1.2: 0xFF fill bytes may pad before a marker
+                p += 1
+                continue
+            if buf[p + 1] != 0x00 and not (0xD0 <= buf[p + 1] <= 0xD7):
+                return p
         p += 1
     return p
 

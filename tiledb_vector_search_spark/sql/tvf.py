@@ -739,13 +739,14 @@ def _search_vamana_files(
         if pid == -1:
             # overlay pseudo-shard: EXACT scan of the capped bridge set —
             # mirrors the DataFrame kernel (the overlay stores no graph
-            # since r6; an old overlay's graph columns are ignored)
-            qm = qmat[qlist].astype(np.float64)
-            xd = x.astype(np.float64)
-            d = (
-                np.sum(xd * xd, axis=1)[None, :]
-                - 2.0 * (qm @ xd.T)
-                + np.sum(qm * qm, axis=1)[:, None]
+            # since r6; an old overlay's graph columns are ignored).
+            # _pairwise_distances clamps at 0 — the raw BLAS identity can
+            # emit ~-1e-16 for exact matches, which np.sqrt turns to NaN
+            # under L2
+            d = _pairwise_distances(
+                qmat[qlist].astype(np.float64),
+                x.astype(np.float64),
+                "sum_of_squares",
             )
             take = min(eff_k, len(ids))
             for r_i, qi in enumerate(qlist):
