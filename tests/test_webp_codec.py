@@ -314,3 +314,34 @@ def test_webp_bomb_guard():
     bw.write(0, 3)
     with pytest.raises(ValueError, match="max-pixels"):
         decode_vp8l(b"\x2f" + bw.finish())
+
+
+def test_hand_built_color_transform_stream():
+    """1×1 with the color transform: cte (g2r=4, g2b=−3, r2b=2) on
+    stored (r=10, g=100, b=50) must yield r'=10+(4·100>>5)=22,
+    b'=50+(−3·100>>5)+(2·22>>5)=50−10+1=41 — every shift arithmetic,
+    hand-derived per spec §4.2.1."""
+    bw = BitWriter()
+    _header(bw, 1, 1)
+    bw.write(1, 1)  # transform present
+    bw.write(1, 2)  # color transform
+    bw.write(0, 3)  # size_bits − 2 = 0 → 4-pixel tiles → 1×1 sub-image
+    # sub-image: cte pixel — bytes: b=g2r=4, g=g2b=253(−3), r=r2b=2
+    bw.write(0, 1)  # no color cache
+    _single(bw, 253)  # green = g2b byte
+    _single(bw, 2)    # red = r2b byte
+    _single(bw, 4)    # blue = g2r byte
+    _single(bw, 0)    # alpha
+    _single(bw, 0)    # distance
+    bw.write(0, 1)  # no more transforms
+    # main image: one literal (a=255, r=10, g=100, b=50)
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta huffman
+    _single(bw, 100)  # green
+    _single(bw, 10)   # red
+    _single(bw, 50)   # blue
+    _single(bw, 255)  # alpha
+    _single(bw, 0)    # distance
+    out = decode_vp8l(b"\x2f" + bw.finish())
+    assert out.shape == (1, 1, 4)
+    assert tuple(out[0, 0]) == (22, 100, 41, 255), out[0, 0]

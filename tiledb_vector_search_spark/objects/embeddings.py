@@ -219,7 +219,12 @@ class LumaGridEmbedding(ObjectEmbedding):
             # job after retries) — crawled corpora WILL contain
             # undecodable images.  Emit the zero vector as the sentinel,
             # matching phash64/audio_fingerprint's NULL-on-bad-blob
-            # posture; zero never ranks top-k under cosine/IP.
+            # posture.  Ranking: LumaGrid embeddings are NONNEGATIVE, so
+            # under IP the sentinel's score (exactly 0) ties the worst
+            # possible real score, and under L2/cosine it sits at a
+            # fixed maximal distance (normalize_expr is zero-safe) — it
+            # cannot outrank any genuinely similar row and only
+            # surfaces when fewer than k real rows match at all.
             try:
                 px = np.asarray(decode_image(bytes(blob)), dtype=np.float64)
             except Exception:

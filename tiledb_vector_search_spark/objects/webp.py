@@ -281,67 +281,117 @@ def _decode_entropy_image(
 
 def _inverse_predictor(argb: np.ndarray, modes: np.ndarray, bits: int) -> None:
     """In-place inverse predictor transform (spec §4.2.1, 14 modes).
-    ``argb``: (h, w, 4) uint8 channels [a, r, g, b] holding residuals."""
-    h, w, _ = argb.shape
-    px = argb.astype(np.int32)
+    ``argb``: (h, w, 4) uint8 channels [a, r, g, b] holding residuals.
 
-    def get(y, x):
-        return px[y, x]
+    Vectorized per (row, predictor-tile) run: the modes that read only
+    the PREVIOUS row (0/2/3/4/8/9) apply to the whole run at once, Left
+    (1) is a per-lane cumsum, and only the genuinely left-dependent
+    modes (5/6/7/10/11/12/13) fall back to a plain-int scalar loop —
+    without this, a legal 20 MP predictor-transformed WebP cost minutes
+    of per-pixel Python (a CPU bomb the max-pixels guard can't see)."""
+    h, w, _ = argb.shape
+    px = argb.astype(np.int64)
+
+    def tr_slice(y, x0, x1):
+        """prev-row top-right neighbors for run [x0, x1); the rightmost
+        column's TR wraps to the FIRST pixel of the current row
+        (scan-order memory adjacency, matching the reference decoder's
+        pos − width + 1 addressing)."""
+        if x1 < w:
+            return px[y - 1, x0 + 1 : x1 + 1]
+        return np.concatenate(
+            [px[y - 1, x0 + 1 : w], px[y, 0:1]], axis=0
+        )
 
     for y in range(h):
-        for x in range(w):
-            if x == 0 and y == 0:
-                pred = np.array([255, 0, 0, 0], dtype=np.int32)
-            elif y == 0:
-                pred = get(0, x - 1)
-            elif x == 0:
-                pred = get(y - 1, 0)
+        if y == 0:
+            # (0,0) predicts opaque black; the rest of row 0 predicts L
+            # → a cumulative per-lane sum seeded by the first pixel
+            px[0, 0, 0] = (px[0, 0, 0] + 255) & 0xFF
+            px[0] = np.cumsum(px[0], axis=0) & 0xFF
+            continue
+        # column 0 predicts T
+        px[y, 0] = (px[y, 0] + px[y - 1, 0]) & 0xFF
+        x = 1
+        while x < w:
+            end = min(w, ((x >> bits) + 1) << bits)
+            mode = int(modes[y >> bits, x >> bits])
+            run = px[y, x:end]
+            if mode == 0:
+                run[:, 0] = (run[:, 0] + 255) & 0xFF
+            elif mode == 1:  # L: cumsum seeded by the left neighbor
+                seeded = np.concatenate([px[y, x - 1 : x], run], axis=0)
+                px[y, x:end] = np.cumsum(seeded, axis=0)[1:] & 0xFF
+            elif mode == 2:
+                px[y, x:end] = (run + px[y - 1, x:end]) & 0xFF
+            elif mode == 3:
+                px[y, x:end] = (run + tr_slice(y, x, end)) & 0xFF
+            elif mode == 4:
+                px[y, x:end] = (run + px[y - 1, x - 1 : end - 1]) & 0xFF
+            elif mode == 8:
+                pred = (px[y - 1, x - 1 : end - 1] + px[y - 1, x:end]) // 2
+                px[y, x:end] = (run + pred) & 0xFF
+            elif mode == 9:
+                pred = (px[y - 1, x:end] + tr_slice(y, x, end)) // 2
+                px[y, x:end] = (run + pred) & 0xFF
+            elif mode in (5, 6, 7, 10, 11, 12, 13):
+                # left-dependent modes: sequential by nature — run on
+                # PLAIN PYTHON INTS (numpy scalar indexing per pixel is
+                # ~10× slower than int arithmetic at this granularity)
+                top = px[y - 1, x - 1 : min(end + 1, w)].tolist()
+                wrap_tr = px[y, 0].tolist() if end == w else None
+                left = px[y, x - 1].tolist()
+                res = run.tolist()
+                out = []
+                for j in range(end - x):
+                    TL = top[j]
+                    T = top[j + 1]
+                    if mode == 5:
+                        TR = top[j + 2] if j + 2 < len(top) else wrap_tr
+                        pred = [
+                            (((left[c] + TR[c]) >> 1) + T[c]) >> 1
+                            for c in range(4)
+                        ]
+                    elif mode == 6:
+                        pred = [(left[c] + TL[c]) >> 1 for c in range(4)]
+                    elif mode == 7:
+                        pred = [(left[c] + T[c]) >> 1 for c in range(4)]
+                    elif mode == 10:
+                        TR = top[j + 2] if j + 2 < len(top) else wrap_tr
+                        pred = [
+                            (
+                                ((left[c] + TL[c]) >> 1)
+                                + ((T[c] + TR[c]) >> 1)
+                            )
+                            >> 1
+                            for c in range(4)
+                        ]
+                    elif mode == 11:  # Select
+                        pl = sum(abs(TL[c] - T[c]) for c in range(4))
+                        pt = sum(abs(TL[c] - left[c]) for c in range(4))
+                        pred = left if pl < pt else T
+                    elif mode == 12:  # ClampAddSubtractFull
+                        pred = [
+                            min(255, max(0, left[c] + T[c] - TL[c]))
+                            for c in range(4)
+                        ]
+                    else:  # 13: ClampAddSubtractHalf
+                        pred = []
+                        for c in range(4):
+                            ave = (left[c] + T[c]) >> 1
+                            d_ = ave - TL[c]
+                            # C-style truncation toward zero, not floor
+                            half = d_ // 2 if d_ >= 0 else -((-d_) // 2)
+                            pred.append(min(255, max(0, ave + half)))
+                    cur = [
+                        (res[j][c] + pred[c]) & 0xFF for c in range(4)
+                    ]
+                    out.append(cur)
+                    left = cur
+                px[y, x:end] = out
             else:
-                mode = int(modes[y >> bits, x >> bits])
-                L = get(y, x - 1)
-                T = get(y - 1, x)
-                TL = get(y - 1, x - 1)
-                # rightmost column: TR index wraps to the first pixel of
-                # the CURRENT row (scan-order memory adjacency, matching
-                # the reference decoder's pos − width + 1 addressing)
-                TR = get(y - 1, x + 1) if x + 1 < w else get(y, 0)
-                if mode == 0:
-                    pred = np.array([255, 0, 0, 0], dtype=np.int32)
-                elif mode == 1:
-                    pred = L
-                elif mode == 2:
-                    pred = T
-                elif mode == 3:
-                    pred = TR
-                elif mode == 4:
-                    pred = TL
-                elif mode == 5:
-                    pred = ((L + TR) // 2 + T) // 2
-                elif mode == 6:
-                    pred = (L + TL) // 2
-                elif mode == 7:
-                    pred = (L + T) // 2
-                elif mode == 8:
-                    pred = (TL + T) // 2
-                elif mode == 9:
-                    pred = (T + TR) // 2
-                elif mode == 10:
-                    pred = ((L + TL) // 2 + (T + TR) // 2) // 2
-                elif mode == 11:  # Select
-                    p = L + T - TL
-                    pl = int(np.abs(p - L).sum())
-                    pt = int(np.abs(p - T).sum())
-                    pred = L if pl < pt else T
-                elif mode == 12:  # ClampAddSubtractFull
-                    pred = np.clip(L + T - TL, 0, 255)
-                elif mode == 13:  # ClampAddSubtractHalf
-                    ave = (L + T) // 2
-                    # C-style truncation toward zero, not floor
-                    half = np.trunc((ave - TL) / 2.0).astype(np.int32)
-                    pred = np.clip(ave + half, 0, 255)
-                else:
-                    raise ValueError(f"bad predictor mode {mode}")
-            px[y, x] = (px[y, x] + pred) & 0xFF
+                raise ValueError(f"bad predictor mode {mode}")
+            x = end
     argb[:] = px.astype(np.uint8)
 
 
@@ -349,25 +399,30 @@ def _inverse_color_transform(
     argb: np.ndarray, elements: np.ndarray, bits: int
 ) -> None:
     """In-place inverse color transform (spec §4.2.1).  ``elements``:
-    (mh, mw) uint32 transform pixels."""
+    (mh, mw) uint32 transform pixels.  Fully vectorized — no sequential
+    dependency between pixels (``>>`` on negative numpy int32 is an
+    arithmetic shift, matching the reference's C semantics)."""
     h, w, _ = argb.shape
 
-    def s8(v):
-        return v - 256 if v >= 128 else v
+    def s8(v):  # uint8 → signed int8 range, elementwise
+        return (v.astype(np.int32) + 128) % 256 - 128
 
-    for y in range(h):
-        for x in range(w):
-            cte = int(elements[y >> bits, x >> bits])
-            g2r = s8(cte & 0xFF)
-            g2b = s8((cte >> 8) & 0xFF)
-            r2b = s8((cte >> 16) & 0xFF)
-            a, r, g, b = (int(v) for v in argb[y, x])
-            gs = s8(g)
-            r = (r + ((g2r * gs) >> 5)) & 0xFF
-            rs = s8(r)
-            b = (b + ((g2b * gs) >> 5) + ((r2b * rs) >> 5)) & 0xFF
-            argb[y, x, 1] = r
-            argb[y, x, 3] = b
+    ys = np.arange(h) >> bits
+    xs = np.arange(w) >> bits
+    cte = elements[np.ix_(ys, xs)].astype(np.uint32)
+    g2r = s8(cte & 0xFF)
+    g2b = s8((cte >> 8) & 0xFF)
+    r2b = s8((cte >> 16) & 0xFF)
+    gs = s8(argb[:, :, 2])
+    r = (argb[:, :, 1].astype(np.int32) + ((g2r * gs) >> 5)) & 0xFF
+    rs = s8(r.astype(np.uint32))
+    b = (
+        argb[:, :, 3].astype(np.int32)
+        + ((g2b * gs) >> 5)
+        + ((r2b * rs) >> 5)
+    ) & 0xFF
+    argb[:, :, 1] = r.astype(np.uint8)
+    argb[:, :, 3] = b.astype(np.uint8)
 
 
 def decode_vp8l(payload: bytes) -> np.ndarray:
