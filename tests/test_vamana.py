@@ -480,3 +480,20 @@ def test_audit_missed_ids_matches_reference(spark):
     # the bridge row is a cross-boundary neighbor of both clusters: it
     # must be among the most-missed
     assert n - 1 in {r.external_id for r in got}
+
+
+def test_audit_sample_bound_matches_doc():
+    """Pins the pseudo-query sample bound the `_audit_missed_ids`
+    docstring advertises (max(8·budget, 2048)) — r6 shipped a
+    doc-vs-code drift here; this keeps the two honest."""
+    from tiledb_vector_search_spark.indexes.vamana import (
+        VamanaIndex,
+        _audit_sample_size,
+    )
+
+    assert _audit_sample_size(0) == 2048
+    assert _audit_sample_size(256) == 2048
+    assert _audit_sample_size(257) == 2056
+    assert _audit_sample_size(8192) == 65536
+    doc = VamanaIndex._audit_missed_ids.__doc__
+    assert "max(8·budget, 2048)" in doc

@@ -306,13 +306,32 @@ def test_vp8x_container_with_vp8l_payload():
 
 def test_webp_bomb_guard():
     """Header dims are untrusted: a tiny blob claiming a 16k×16k canvas
-    is refused before any allocation."""
+    is refused before any allocation.  The VP8L ceiling is deliberately
+    much lower than PNG's — the symbol loop is pure Python, so the guard
+    bounds CPU time, not just memory — and raises the PIL hint
+    (NotImplementedError) so callers treat it as a codec handoff, not a
+    corrupt blob."""
     bw = BitWriter()
     bw.write((1 << 14) - 1, 14)
     bw.write((1 << 14) - 1, 14)
     bw.write(0, 1)
     bw.write(0, 3)
-    with pytest.raises(ValueError, match="max-pixels"):
+    with pytest.raises(NotImplementedError, match="VP8L_MAX_PIXELS"):
+        decode_vp8l(b"\x2f" + bw.finish())
+
+
+def test_vp8l_cpu_guard_is_below_png_guard():
+    from tiledb_vector_search_spark.objects.codecs import PNG_MAX_PIXELS
+    from tiledb_vector_search_spark.objects.webp import VP8L_MAX_PIXELS
+
+    # a 5000×5000 webp (legal for PNG) must hit the VP8L CPU guard
+    assert VP8L_MAX_PIXELS < PNG_MAX_PIXELS
+    bw = BitWriter()
+    bw.write(5000 - 1, 14)
+    bw.write(5000 - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    with pytest.raises(NotImplementedError, match="PIL"):
         decode_vp8l(b"\x2f" + bw.finish())
 
 
@@ -345,3 +364,228 @@ def test_hand_built_color_transform_stream():
     out = decode_vp8l(b"\x2f" + bw.finish())
     assert out.shape == (1, 1, 4)
     assert tuple(out[0, 0]) == (22, 100, 41, 255), out[0, 0]
+
+
+def test_max_symbol_beyond_alphabet_rejected():
+    """libwebp's ReadHuffmanCodeLengths errors when the transmitted
+    max_symbol exceeds the alphabet size; match that strictness (a
+    reference decoder would reject the stream, so silently tolerating
+    it is a parity divergence)."""
+    bw = BitWriter()
+    _header(bw, 1, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta huffman
+    # green code: full (non-simple) code with a transmitted max_symbol
+    # far beyond the 280-symbol alphabet
+    bw.write(0, 1)  # not simple
+    bw.write(12 - 4, 4)  # 12 code-length-code lengths
+    lens = {2: 1, 11: 1}  # symbols 0 and 8 at length 1 (complete)
+    for i in range(12):
+        bw.write(lens.get(i, 0), 3)
+    bw.write(1, 1)  # use transmitted max_symbol
+    bw.write(7, 3)  # length_nbits = 2 + 2*7 = 16
+    bw.write(65000, 16)  # max_symbol = 65002 >> 280
+    with pytest.raises(ValueError, match="max_symbol"):
+        decode_vp8l(b"\x2f" + bw.finish())
+
+
+def test_hand_built_meta_huffman_stream():
+    """8×1 image with the meta-Huffman path: huff_bits=2 → two 4-px
+    tiles, a 2×1 meta image assigning group 0 to the left tile and
+    group 1 to the right; each group's codes are single-symbol so the
+    expected pixels are fully determined by group routing alone."""
+    bw = BitWriter()
+    _header(bw, 8, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta huffman present
+    bw.write(0, 3)  # huff_bits − 2 = 0 → 4-px tiles → 2×1 meta image
+    # --- meta entropy image (no recursion): green = group id ---
+    bw.write(0, 1)  # meta image: no color cache
+    # green: simple 2-symbol code over {0, 1}
+    bw.write(1, 1)  # simple
+    bw.write(1, 1)  # two symbols
+    bw.write(0, 1)  # 1-bit first symbol
+    bw.write(0, 1)  # s0 = 0
+    bw.write(1, 8)  # s1 = 1
+    _single(bw, 0)  # red (group id high byte stays 0)
+    _single(bw, 0)  # blue
+    _single(bw, 0)  # alpha
+    _single(bw, 0)  # distance
+    bw.write_code(0, 1)  # meta pixel 0 → group 0
+    bw.write_code(1, 1)  # meta pixel 1 → group 1
+    # --- group 0: literal (a=255, r=1, g=10, b=2), zero bits/pixel ---
+    _single(bw, 10)
+    _single(bw, 1)
+    _single(bw, 2)
+    _single(bw, 255)
+    _single(bw, 0)
+    # --- group 1: literal (a=255, r=3, g=20, b=4) ---
+    _single(bw, 20)
+    _single(bw, 3)
+    _single(bw, 4)
+    _single(bw, 255)
+    _single(bw, 0)
+    out = decode_vp8l(b"\x2f" + bw.finish())
+    assert out.shape == (1, 8, 4)
+    for x in range(4):
+        assert tuple(out[0, x]) == (1, 10, 2, 255), (x, out[0, x])
+    for x in range(4, 8):
+        assert tuple(out[0, x]) == (3, 20, 4, 255), (x, out[0, x])
+
+
+# --- scalar spec ports (independent per-pixel re-implementations of the
+# two vectorized inverse transforms, used as differential oracles) ------
+
+
+def _scalar_inverse_predictor(argb, modes, bits):
+    """Plain per-pixel port of spec §4.2.1 — no run/tile vectorization,
+    no cumsum tricks; TR addressing is scan-order pos−width+1."""
+    h, w, _ = argb.shape
+    px = argb.astype(np.int64)
+
+    def avg2(a, b):
+        return [(a[c] + b[c]) >> 1 for c in range(4)]
+
+    def clamp(v):
+        return min(255, max(0, v))
+
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = [255, 0, 0, 0]  # opaque black, [a, r, g, b]
+            elif y == 0:
+                pred = list(px[0, x - 1])
+            elif x == 0:
+                pred = list(px[y - 1, 0])
+            else:
+                mode = int(modes[y >> bits, x >> bits])
+                L = list(px[y, x - 1])
+                T = list(px[y - 1, x])
+                TL = list(px[y - 1, x - 1])
+                # scan-order TR: pixel at pos − w + 1
+                TR = list(px[y - 1, x + 1]) if x + 1 < w else list(px[y, 0])
+                if mode == 0:
+                    pred = [255, 0, 0, 0]
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = avg2(avg2(L, TR), T)
+                elif mode == 6:
+                    pred = avg2(L, TL)
+                elif mode == 7:
+                    pred = avg2(L, T)
+                elif mode == 8:
+                    pred = avg2(TL, T)
+                elif mode == 9:
+                    pred = avg2(T, TR)
+                elif mode == 10:
+                    pred = avg2(avg2(L, TL), avg2(T, TR))
+                elif mode == 11:  # Select
+                    pL = sum(abs(T[c] - TL[c]) for c in range(4))
+                    pT = sum(abs(L[c] - TL[c]) for c in range(4))
+                    pred = L if pL < pT else T
+                elif mode == 12:  # ClampAddSubtractFull
+                    pred = [clamp(L[c] + T[c] - TL[c]) for c in range(4)]
+                elif mode == 13:  # ClampAddSubtractHalf
+                    pred = []
+                    for c in range(4):
+                        ave = (L[c] + T[c]) >> 1
+                        d = ave - TL[c]
+                        # C division truncates toward zero
+                        half = d // 2 if d >= 0 else -((-d) // 2)
+                        pred.append(clamp(ave + half))
+                else:
+                    raise ValueError(mode)
+            px[y, x] = [(int(px[y, x, c]) + pred[c]) & 0xFF for c in range(4)]
+    return px.astype(np.uint8)
+
+
+def _scalar_inverse_color_transform(argb, elements, bits):
+    """Plain per-pixel port of the inverse color transform."""
+    h, w, _ = argb.shape
+    out = argb.copy()
+
+    def s8(v):
+        v = int(v) & 0xFF
+        return v - 256 if v >= 128 else v
+
+    for y in range(h):
+        for x in range(w):
+            cte = int(elements[y >> bits, x >> bits])
+            g2r = s8(cte & 0xFF)
+            g2b = s8((cte >> 8) & 0xFF)
+            r2b = s8((cte >> 16) & 0xFF)
+            g = s8(out[y, x, 2])
+            r = (int(out[y, x, 1]) + ((g2r * g) >> 5)) & 0xFF
+            rs = s8(r)
+            b = (
+                int(out[y, x, 3]) + ((g2b * g) >> 5) + ((r2b * rs) >> 5)
+            ) & 0xFF
+            out[y, x, 1] = r
+            out[y, x, 3] = b
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("bits", [1, 2, 4])
+def test_inverse_predictor_matches_scalar_spec_port(seed, bits):
+    """Differential: the vectorized _inverse_predictor (run splitting,
+    cumsum lanes, TR wrap at the rightmost column, left-dependent
+    scalar fallback) must agree with a naive per-pixel spec port on
+    random residuals across ALL 14 modes and odd shapes."""
+    from tiledb_vector_search_spark.objects.webp import _inverse_predictor
+
+    rng = np.random.default_rng(seed)
+    # odd sizes on purpose: exercise partial tiles + rightmost-column TR
+    h, w = int(rng.integers(2, 13)), int(rng.integers(2, 13))
+    mh, mw = -(-h // (1 << bits)), -(-w // (1 << bits))
+    residuals = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    modes = rng.integers(0, 14, size=(mh, mw), dtype=np.int64)
+    got = residuals.copy()
+    _inverse_predictor(got, modes, bits)
+    exp = _scalar_inverse_predictor(residuals.copy(), modes, bits)
+    assert (got == exp).all(), (
+        f"mismatch at {np.argwhere(got != exp)[:4]} modes=\n{modes}"
+    )
+
+
+def test_inverse_predictor_every_mode_in_isolation():
+    """One tile per mode on a 3-row canvas so every mode runs both with
+    and without valid top neighbors."""
+    from tiledb_vector_search_spark.objects.webp import _inverse_predictor
+
+    rng = np.random.default_rng(99)
+    bits = 1  # 2×2 tiles
+    h, w = 6, 28  # 3×14 tiles → every mode appears in 3 tile rows
+    modes = np.tile(np.arange(14, dtype=np.int64), (3, 1))
+    residuals = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    got = residuals.copy()
+    _inverse_predictor(got, modes, bits)
+    exp = _scalar_inverse_predictor(residuals.copy(), modes, bits)
+    assert (got == exp).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("bits", [1, 3])
+def test_inverse_color_transform_matches_scalar_spec_port(seed, bits):
+    from tiledb_vector_search_spark.objects.webp import (
+        _inverse_color_transform,
+    )
+
+    rng = np.random.default_rng(seed + 7)
+    h, w = int(rng.integers(2, 17)), int(rng.integers(2, 17))
+    mh, mw = -(-h // (1 << bits)), -(-w // (1 << bits))
+    argb = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    elements = rng.integers(0, 2**24, size=(mh, mw), dtype=np.uint32)
+    got = argb.copy()
+    _inverse_color_transform(got, elements, bits)
+    exp = _scalar_inverse_color_transform(argb, elements, bits)
+    assert (got == exp).all()

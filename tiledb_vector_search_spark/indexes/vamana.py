@@ -74,6 +74,15 @@ DEFAULT_OVERLAY_MAX = 8192
 DEFAULT_SHARD_TARGET = 4096
 
 
+def _audit_sample_size(budget: int) -> int:
+    """Pseudo-query sample bound for the overlay self-audit: enough
+    corpus rows to rank misses stably at ``budget`` overlay slots, never
+    fewer than 2048 (small-corpus noise floor), never proportional to
+    corpus size — the audit cost is a function of the BUDGET, not the
+    data."""
+    return max(8 * budget, 2048)
+
+
 def _waterfill_quotas(
     pair_counts: dict[tuple[int, int], int], budget: int
 ) -> dict[tuple[int, int], int]:
@@ -247,7 +256,7 @@ class VamanaIndex(Index):
         most-missed rows as (id, partition, second, margin).
 
         Scale posture: the pseudo-query sample is bounded (hash filter,
-        ≈ max(4·overlay_max, 2048) rows); each routes to ``audit_nprobe
+        ≈ max(8·budget, 2048) rows); each routes to ``audit_nprobe
         + 4`` cells; the per-cell search is a cogroup keyed on cell id —
         one bounded IVF-query-batch-shaped job, narrow outputs
         throughout; the final take is a TakeOrdered of ``budget`` rows.
@@ -257,7 +266,7 @@ class VamanaIndex(Index):
         spark = assigned.sparkSession
         k_cells = centroids.shape[0]
         R = min(k_cells, audit_nprobe + 4)
-        n_pq = max(4 * budget * 2, 2048)
+        n_pq = _audit_sample_size(budget)
         frac = min(1.0, n_pq / max(n_total, 1))
         pq = assigned.select(ID_COL, VECTOR_COL).where(
             (F.abs(F.xxhash64(F.col(ID_COL))) % 1000000)

@@ -31,6 +31,13 @@ import struct
 
 import numpy as np
 
+# CPU-time bomb guard for the pure-Python VP8L symbol loop: the entropy
+# decoder costs ~2-10 µs/pixel, so unlike PNG (zlib inflates JVM-speed,
+# capped by PNG_MAX_PIXELS ≈ 179M) the VP8L ceiling must bound TIME, not
+# just memory.  16M px (4096×4096) ≈ tens of seconds worst case; larger
+# legal images defer to PIL via NotImplementedError.
+VP8L_MAX_PIXELS = 16_777_216
+
 # order in which code-length-code lengths are transmitted (spec §5.2.2)
 CODE_LENGTH_CODE_ORDER = [
     17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
@@ -124,6 +131,12 @@ def _read_code_lengths(br: BitReader, cl_code: HuffmanCode, n: int) -> list[int]
     if br.read(1):  # use a transmitted symbol count limit
         length_nbits = 2 + 2 * br.read(3)
         max_symbol = 2 + br.read(length_nbits)
+        if max_symbol > n:
+            # libwebp's ReadHuffmanCodeLengths rejects this (max_symbol
+            # beyond the alphabet); match its strictness
+            raise ValueError(
+                f"VP8L max_symbol {max_symbol} exceeds alphabet size {n}"
+            )
     else:
         max_symbol = n
     lengths = [0] * n
@@ -435,13 +448,16 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")
-    from tiledb_vector_search_spark.objects.codecs import PNG_MAX_PIXELS
-
-    if w * h > PNG_MAX_PIXELS:
-        # same decompression-bomb posture as decode_png: header dims are
-        # untrusted crawl bytes; refuse before allocating the canvas
-        raise ValueError(
-            f"WebP dimensions {w}x{h} exceed the max-pixels guard"
+    if w * h > VP8L_MAX_PIXELS:
+        # same decompression-bomb posture as decode_png, but with a MUCH
+        # lower ceiling than PNG_MAX_PIXELS: the VP8L symbol loop is
+        # pure Python (per-pixel, per-symbol bit reads), so a legal blob
+        # near the PNG cap would pin a Spark task's CPU for an hour+.
+        # Above this ceiling, defer to PIL (same hint as lossy VP8).
+        raise NotImplementedError(
+            f"WebP dimensions {w}x{h} exceed VP8L_MAX_PIXELS="
+            f"{VP8L_MAX_PIXELS} for the pure-Python VP8L path; decode "
+            "with PIL when installed (CPU-time guard, not a format gap)"
         )
 
     transforms = []
