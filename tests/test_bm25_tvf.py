@@ -136,3 +136,44 @@ def test_bm25_tvf_reads_grown_index_batches(spark, docs, tmp_path):
         for r in idx.query(queries, k=10).orderBy("query_id", "rank").collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_bm25_tvf_respects_deletes_and_consolidation(spark, docs, tmp_path):
+    """The SQL path must mirror the full DML surface: after
+    remove_documents the TVF masks tombstoned docs and nets the negative
+    df deltas (score-identical to BM25Index.query); after consolidate()
+    it resolves the generation pointers."""
+    uri = str(tmp_path / "dml")
+    idx = BM25Index.build(spark, uri, docs.where("doc_id % 2 = 0"))
+    idx.add_documents(docs.where("doc_id % 2 = 1"))
+    idx.remove_documents(docs.where("doc_id % 4 = 3").select("doc_id"))
+
+    qdf = docs.where("doc_id < 8").select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 150).alias("query_text"),
+    )
+    qdf.createOrReplaceTempView("dml_queries")
+
+    def df_key():
+        return [
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in idx.query(
+                qdf, k=10
+            ).orderBy("query_id", "rank").collect()
+        ]
+
+    def sql_key():
+        return [
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in _sql(spark, uri, "dml_queries")
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+
+    want = df_key()
+    got = sql_key()
+    assert got == want and len(got) > 0
+    assert all(d % 4 != 3 for (_, _, d, _) in got)
+
+    idx.consolidate()
+    assert sql_key() == want  # generation pointers resolve identically

@@ -230,3 +230,143 @@ def test_legacy_flat_layout_still_reads(spark, docs, queries, tmp_path):
     assert got == want
     d = legacy.describe()
     assert d["n_docs"] == idx.n_docs and d["vocab_size"] > 0
+
+
+# --- DML: remove_documents + consolidate (the lexical DML triple) ------------
+
+
+def _key(idx, queries, k=10):
+    return [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in idx.query(queries, k=k).orderBy("query_id", "rank").collect()
+    ]
+
+
+def test_remove_documents_matches_fresh_build(spark, docs, queries, tmp_path):
+    """Deleting half the corpus == fresh build over the survivors,
+    score-for-score (tombstones mask postings; negative df deltas and
+    the meta stat decrements make idf/avgdl exact, not approximate)."""
+    survivors = docs.where("doc_id % 2 = 0")
+    doomed_ids = docs.where("doc_id % 2 = 1").select("doc_id")
+    idx = BM25Index.build(spark, str(tmp_path / "del"), docs)
+    idx.remove_documents(doomed_ids)
+    fresh = BM25Index.build(spark, str(tmp_path / "fresh"), survivors)
+    assert idx.n_docs == fresh.n_docs and idx.sum_dl == fresh.sum_dl
+    assert _key(idx, queries) == _key(fresh, queries)
+    # reopening by uri sees the committed delete
+    reopened = BM25Index(spark, idx.uri)
+    assert reopened.n_docs == fresh.n_docs
+    assert _key(reopened, queries) == _key(fresh, queries)
+    # no deleted doc ever surfaces
+    got_docs = {
+        r.doc_id for r in idx.query(queries, k=50).select("doc_id").collect()
+    }
+    assert got_docs and all(d % 2 == 0 for d in got_docs)
+
+
+def test_remove_documents_idempotent_and_unknown_ids_noop(
+    spark, docs, tmp_path
+):
+    """Removing already-removed or never-present ids must not move the
+    corpus stats (stats only decrement for docs whose postings exist and
+    are not yet tombstoned)."""
+    idx = BM25Index.build(spark, str(tmp_path / "noop"), docs)
+    some = docs.where("doc_id < 5").select("doc_id")
+    idx.remove_documents(some)
+    meta_after = dict(idx.meta)
+    # double delete: no stats drift, no new batch
+    idx.remove_documents(some)
+    assert dict(idx.meta) == meta_after
+    # unknown ids: no-op
+    unknown = spark.range(10_000_000, 10_000_050).select(
+        F.col("id").alias("doc_id")
+    )
+    idx.remove_documents(unknown)
+    assert dict(idx.meta) == meta_after
+
+
+def test_consolidate_scores_identical_and_zero_debt(
+    spark, docs, queries, tmp_path
+):
+    """The fold: build half → add half → delete a quarter → consolidate.
+    Scores byte-identical before/after; describe() shows zero batch
+    debt; the old generation + batch dirs are gone; reopening resolves
+    the generation pointers."""
+    import os
+
+    uri = str(tmp_path / "fold")
+    idx = BM25Index.build(spark, uri, docs.where("doc_id % 2 = 0"))
+    idx.add_documents(docs.where("doc_id % 2 = 1"))
+    idx.remove_documents(docs.where("doc_id % 4 = 3").select("doc_id"))
+    before = _key(idx, queries)
+    d0 = idx.describe()
+    assert d0["batch_debt"] == 2  # one add batch + one delete batch
+
+    idx.consolidate()
+    assert _key(idx, queries) == before
+    d1 = idx.describe()
+    assert d1["batch_debt"] == 0
+    assert d1["n_docs"] == d0["n_docs"] and d1["sum_dl"] == d0["sum_dl"]
+    assert d1["vocab_size"] == d0["vocab_size"]
+    # postings_rows drops the tombstoned rows physically after the fold
+    assert d1["postings_rows"] == d0["postings_rows"]
+    # old dirs garbage-collected; new generation dirs live
+    assert not os.path.exists(os.path.join(uri, "postings"))
+    assert not os.path.exists(os.path.join(uri, "postings_batches/batch=1"))
+    assert not os.path.exists(os.path.join(uri, "tombstones/batch=2"))
+    assert os.path.exists(os.path.join(uri, "postings_gen1"))
+    assert os.path.exists(os.path.join(uri, "term_stats_gen1"))
+    # reopen through the pointer; a second consolidate is a no-op
+    reopened = BM25Index(spark, uri)
+    assert _key(reopened, queries) == before
+    reopened.consolidate()
+    assert _key(reopened, queries) == before
+    # post-fold scores still equal a fresh build over the survivors
+    fresh = BM25Index.build(
+        spark, str(tmp_path / "fresh"), docs.where("doc_id % 4 != 3")
+    )
+    assert _key(reopened, queries) == _key(fresh, queries)
+    # and the index keeps accepting DML after the fold
+    reopened.remove_documents(
+        docs.where("doc_id % 4 = 2").select("doc_id")
+    )
+    fresh2 = BM25Index.build(
+        spark, str(tmp_path / "fresh2"), docs.where("doc_id % 4 IN (0, 1)")
+    )
+    assert _key(reopened, queries) == _key(fresh2, queries)
+
+
+def test_consolidate_crash_atomic(spark, docs, queries, tmp_path, monkeypatch):
+    """A crash between the gen-dir writes and the meta flip leaves the
+    index byte-identical (readers never resolve unreferenced gen dirs);
+    the retry completes the fold."""
+    import pyspark.sql.readwriter as RW
+
+    idx = BM25Index.build(
+        spark, str(tmp_path / "cfold"), docs.where("doc_id % 2 = 0")
+    )
+    idx.add_documents(docs.where("doc_id % 2 = 1"))
+    idx.remove_documents(docs.where("doc_id % 4 = 3").select("doc_id"))
+    before = _key(idx, queries)
+    before_meta = dict(idx.meta)
+
+    real_parquet = RW.DataFrameWriter.parquet
+
+    def exploding_parquet(self, path, *a, **kw):
+        out = real_parquet(self, path, *a, **kw)
+        if "postings_gen" in path:
+            raise RuntimeError("injected crash after gen postings write")
+        return out
+
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", exploding_parquet)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.consolidate()
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", real_parquet)
+
+    reopened = BM25Index(spark, idx.uri)
+    assert dict(reopened.meta) == before_meta
+    assert _key(reopened, queries) == before
+    # retry completes; orphan gen dirs from the crash are overwritten
+    reopened.consolidate()
+    assert _key(reopened, queries) == before
+    assert reopened.describe()["batch_debt"] == 0

@@ -105,17 +105,38 @@ def _read_filtered(paths: list[str], columns: list[str], terms: list[str]):
         )
     if not tables:
         raise FileNotFoundError(f"no parquet files under {paths}")
-    return pa.concat_tables(tables)
+    # batch dirs written by different plans can disagree on nullability
+    # (e.g. delete batches' negated count) — unify instead of erroring
+    return pa.concat_tables(tables, promote_options="permissive")
 
 
-def _committed_dirs(uri: str, meta: dict, base: str, batches_base: str):
-    """Flat base dir + META-LISTED increment batch dirs — mirrors
-    ``BM25Index._dirs`` so a crashed ``add_documents``'s orphan batch is
+def _committed_dirs(uri: str, base: str, batches_base: str, batch_ids):
+    """Base dir (resolved through the meta generation pointer) +
+    META-LISTED increment batch dirs — mirrors ``BM25Index._dirs`` so a
+    crashed ``add_documents``/``remove_documents``'s orphan batch is
     invisible to the SQL path too."""
     dirs = [posixpath.join(uri, base)]
-    for b in meta.get("batches", []):
+    for b in batch_ids:
         dirs.append(posixpath.join(uri, batches_base, f"batch={b}"))
     return dirs
+
+
+def _read_tombstones(uri: str, meta: dict) -> set[int]:
+    """Deleted doc ids across committed delete batches (empty set when
+    the index has no deletes — the common case costs nothing)."""
+    import pyarrow.parquet as pq
+
+    out: set[int] = set()
+    for b in meta.get("delete_batches", []):
+        path = posixpath.join(uri, "tombstones", f"batch={b}")
+        fs, files = _list_parquet_files(path)
+        for f in files:
+            out.update(
+                pq.read_table(f, columns=["doc_id"], filesystem=fs)
+                .column("doc_id")
+                .to_pylist()
+            )
+    return out
 
 
 def search_bm25_files(
@@ -140,8 +161,16 @@ def search_bm25_files(
     if not all_terms:
         return []
 
+    add_ids = meta.get("batches", [])
     stats_tb = _read_filtered(
-        _committed_dirs(uri, meta, "term_stats", "term_stats_batches"),
+        _committed_dirs(
+            uri,
+            meta.get("term_stats_dir", "term_stats"),
+            "term_stats_batches",
+            # delete batches carry NEGATIVE df deltas; the per-term sum
+            # below nets them out exactly like the DataFrame path
+            list(add_ids) + list(meta.get("delete_batches", [])),
+        ),
         ["term", "df"],
         all_terms,
     )
@@ -150,12 +179,28 @@ def search_bm25_files(
         stats_tb.column("term").to_pylist(), stats_tb.column("df").to_pylist()
     ):
         df_of[t] = df_of.get(t, 0) + int(d)  # append-only batches sum
+    df_of = {t: d for t, d in df_of.items() if d > 0}
 
     post_tb = _read_filtered(
-        _committed_dirs(uri, meta, "postings", "postings_batches"),
+        _committed_dirs(
+            uri, meta.get("postings_dir", "postings"),
+            "postings_batches", add_ids,
+        ),
         ["term", "doc_id", "tf", "dl"],
         all_terms,
     )
+    deleted = _read_tombstones(uri, meta)
+    if deleted:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keep = pc.invert(
+            pc.is_in(
+                post_tb.column("doc_id"),
+                value_set=pa.array(sorted(deleted), type=pa.int64()),
+            )
+        )
+        post_tb = post_tb.filter(keep)
     p_term = post_tb.column("term").to_pylist()
     p_doc = post_tb.column("doc_id").to_numpy()
     p_tf = post_tb.column("tf").to_numpy()
