@@ -70,7 +70,6 @@ def test_oracle_coverage():
         "vamana_index_recall",
         "image_phash_neardup",
         "audio_fingerprint_neardup",
-        "semantic_dedup_groups",  # k-means; numpy-reference pytest gate
     }
 
 

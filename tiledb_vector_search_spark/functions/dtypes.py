@@ -43,7 +43,9 @@ def is_byte_dtype(vector_dtype: str) -> bool:
 def decode_matrix(series, vector_dtype: str) -> np.ndarray:
     """(n, dims) float64 from a pandas Series of array values OR packed
     bytes — the single promotion point every kernel shares."""
-    if vector_dtype == FLOAT32:
+    if vector_dtype in (FLOAT32, "float64"):
+        # both arrive as array-valued rows; the float64 variant simply
+        # skips the f32 rounding upstream (oracle-exact pipelines)
         return np.array(list(series), dtype=np.float64)
     raw = np.frombuffer(b"".join(series), dtype=BYTE_DTYPES[vector_dtype])
     return raw.reshape(len(series), -1).astype(np.float64)

@@ -1282,6 +1282,7 @@ def semantic_dedup(
     keep: str = "centroid_far",
     centroids: "np.ndarray | None" = None,
     seed: int = 42,
+    vector_dtype: str = "float32",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, arXiv:2303.09540): k-means cluster, then EXACT
@@ -1317,9 +1318,15 @@ def semantic_dedup(
 
     if keep not in ("centroid_far", "min_id"):
         raise ValueError(f"unknown keep policy: {keep}")
+    if vector_dtype not in ("float32", "float64"):
+        raise ValueError(f"unsupported vector_dtype: {vector_dtype}")
+    # float32 is the vector-pipeline default (half the shuffle bytes);
+    # float64 keeps the cosine/centroid decisions bit-comparable to a
+    # double-precision oracle (the driver-verified entry uses it)
+    sql_t = "array<float>" if vector_dtype == "float32" else "array<double>"
     vecs = df.select(
         F.col(id_col).cast("long").alias("__id"),
-        F.col(vector_col).cast("array<float>").alias("__v"),
+        F.col(vector_col).cast(sql_t).alias("__v"),
     )
     if centroids is None:
         n = vecs.count()
@@ -1336,7 +1343,8 @@ def semantic_dedup(
     else:
         cents = np.asarray(centroids, dtype=np.float64)
     assigned = assign_partitions_expr(
-        vecs, cents, vector_col="__v", out_col="__cluster"
+        vecs, cents, vector_col="__v", out_col="__cluster",
+        vector_dtype=vector_dtype,
     )
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(cents)

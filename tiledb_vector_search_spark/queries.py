@@ -1138,6 +1138,12 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """,
+    # demoted to the pytest oracle gate (r7): the tumbling group-agg +
+    # exact-decimal-sum machinery stays driver-verified via
+    # tpch_q1_pricing_summary and user_sessionization — the driver slot
+    # went to semantic_dedup_groups (distinct machinery: explicit-
+    # centroid SemDeDup with a recursive-CTE closure oracle)
+    driver=False,
 )
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup (batch twin of the Structured Streaming path
@@ -3129,15 +3135,134 @@ def phash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("semantic_dedup_groups", driver=False)  # non-SQL-expressible (k-means)
+# Planted semantic near-copies: two scaled+shifted variants per seed doc
+# (cos ≈ 0.9999 to the original and to each other → components of 3);
+# the organic corpus tops out far below the 0.99 threshold.  Double
+# arithmetic replicates identically in both engines.
+_SEMDEDUP_VECS_CTE = """
+av AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding::DOUBLE[], x -> x * 1.0005 + 0.001)
+  FROM embeddings WHERE vec_id < 8
+  UNION ALL
+  SELECT vec_id + 200000,
+         list_transform(embedding::DOUBLE[], x -> x * 0.9995 - 0.001)
+  FROM embeddings WHERE vec_id < 8
+)
+"""
+
+# k-means itself is not SQL-expressible — but with EXPLICIT centroids
+# (the deterministic label means, themselves driver-verified via
+# cluster_mean_centroids/centroid_assign) everything downstream is
+# exact: nearest-centroid assign → within-cluster cosine pairs →
+# recursive-CTE transitive closure → centroid-far representative.
+_SEMDEDUP_ORACLE = (
+    "WITH RECURSIVE "
+    + _SEMDEDUP_VECS_CTE.strip()
+    + ",\n"
+    + _CENTROIDS_CTE.strip().lstrip()
+    + """,
+cident AS (
+  SELECT row_number() OVER (ORDER BY label) - 1 AS cluster, centroid
+  FROM centroids
+),
+cscored AS (
+  SELECT a.vec_id, a.v, c.cluster, """
+    + duckdb_distance_sql("a.v", "c.centroid", DistanceMetric.SUM_OF_SQUARES)
+    + """ AS d
+  FROM av a CROSS JOIN cident c
+),
+asg AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM cscored) WHERE rn = 1
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE ("""
+    + duckdb_distance_sql("x.v", "y.v", DistanceMetric.INNER_PRODUCT)
+    + """) / (sqrt(list_reduce(list_transform(x.v, e -> e * e), (p, q) -> p + q))
+       * sqrt(list_reduce(list_transform(y.v, e -> e * e), (p, q) -> p + q)))
+       >= 0.99
+),
+edges AS (SELECT a AS u, b AS w FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, w) AS (
+  SELECT vec_id, vec_id FROM asg
+  UNION
+  SELECT e.u, r.w FROM edges e JOIN reach r ON e.w = r.u
+),
+grp AS (SELECT u AS vec_id, min(w) AS group_id FROM reach GROUP BY u),
+scored AS (
+  SELECT a.vec_id, a.cluster, g.group_id, """
+    + duckdb_distance_sql("a.v", "c.centroid", DistanceMetric.SUM_OF_SQUARES)
+    + """ AS d2
+  FROM asg a JOIN grp g USING (vec_id) JOIN cident c USING (cluster)
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster, group_id,
+       (row_number() OVER (
+          PARTITION BY group_id ORDER BY d2 DESC, vec_id) = 1) AS keep
+FROM scored
+"""
+)
+
+
+def _semdedup_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seeds = emb.where("vec_id < 8")
+    p1 = seeds.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0005 + 0.001).alias(
+            "embedding"
+        ),
+    )
+    p2 = seeds.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.9995 - 0.001).alias(
+            "embedding"
+        ),
+    )
+    return emb.unionByName(p1).unionByName(p2)
+
+
+@register("semantic_dedup_groups", _SEMDEDUP_ORACLE)
 def semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup over the embeddings table
-    (``operators/dedup.py:semantic_dedup``): k-means-bounded exact
-    cosine groups with one kept representative each — the
-    cluster-scoped complement of the LSH near-dup path.  Pytest-gated
-    (numpy-reference oracle + planted-copy recovery) since k-means is
-    not SQL-expressible."""
+    """SemDeDup-style semantic dedup (``operators/dedup.py:
+    semantic_dedup``, Abbas et al. 2023): cluster-bounded EXACT cosine
+    groups with one centroid-far representative kept per group — the
+    cluster-scoped complement of the LSH near-dup path.
+
+    Driver-verified with EXPLICIT centroids (the deterministic label
+    means — the same construction the green ``cluster_mean_centroids``/
+    ``centroid_assign`` rows pin), so the oracle replicates every stage
+    including the recursive-CTE transitive closure; the k-means-trained
+    path keeps its numpy-parity pytest gate.  ``vector_dtype=float64``
+    so both engines decide thresholds on identical doubles."""
+    import numpy as np
+
     from tiledb_vector_search_spark.operators.dedup import semantic_dedup
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return semantic_dedup(emb, num_clusters=16, threshold=0.98)
+    cents = np.array(
+        [
+            r.centroid
+            for r in _label_centroids_df(spark, sf_dir)
+            .orderBy("label")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    out = semantic_dedup(
+        _semdedup_vecs(spark, sf_dir),
+        num_clusters=cents.shape[0],
+        threshold=0.99,
+        id_col="vec_id",
+        centroids=cents,
+        keep="centroid_far",
+        vector_dtype="float64",
+    )
+    return out.select("vec_id", "cluster", "group_id", "keep")
