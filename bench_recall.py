@@ -54,10 +54,15 @@ GATES = [
     # raw-code/coarse-subspace ADC fails it)
     ("IVF_PQ", {"nprobe": PARTITIONS, "k_factor": 4.0}, 0.85),
     ("VAMANA", {"l_search": 100}, 0.85),
-    # partial probe IS the overlay's operating mode, so its gate sits at
-    # the partial-probe point (r6: per-boundary-pair waterfill selection
+    # partial probe IS the overlay's operating mode, so its gates sit at
+    # the partial-probe points (r6: per-boundary-pair waterfill selection
     # + exact overlay scan lifted 0.843 → 0.856; deterministic builds
-    # make the number reproducible)
+    # make the number reproducible).  r7: the level-weighted audit + the
+    # pure-audit boost tranche put the CHEAPEST probe settings under
+    # gates too — nprobe=1/2 is where a 100 TB operator actually runs
+    # (measured 0.729 / 0.815 / 0.922 at 512+384)
+    ("VAMANA_OVERLAY", {"nprobe": 1}, 0.65),
+    ("VAMANA_OVERLAY", {"nprobe": 2}, 0.78),
     ("VAMANA_OVERLAY", {"nprobe": 4}, 0.85),
 ]
 
@@ -164,8 +169,13 @@ def main() -> None:
         spark, f"{work}/vamana_ov", vectors, shards=8, timestamp=1000,
         overlay=True, overlay_max=512,
         # the overlay tunes to the deployment's probe budget; this
-        # harness's declared partial-probe operating point is nprobe=4
+        # harness's declared partial-probe operating point is nprobe=4,
+        # and the level-weighted audit scores nprobe=1/2 alongside it
         overlay_audit_nprobe=4,
+        # second, pure-audit tranche for the cheapest probe settings
+        # (total extra rows 512+384 ≈ 18% of this corpus — still an
+        # honest cap; at production scale both are O(10k) over billions)
+        overlay_boost_max=384,
     )
     t_build["VAMANA_OVERLAY"] = round(time.perf_counter() - t0, 3)
     vam_ov.query(queries, K, nprobe=1).collect()

@@ -497,3 +497,60 @@ def test_audit_sample_bound_matches_doc():
     assert _audit_sample_size(8192) == 65536
     doc = VamanaIndex._audit_missed_ids.__doc__
     assert "max(8·budget, 2048)" in doc
+
+
+def test_overlay_boost_tranche_capped_and_persisted(spark, source, tmp_path):
+    """The pure-audit boost tranche: total overlay rows ≤ overlay_max +
+    overlay_boost_max, the caps persist in the ingestion meta, and
+    consolidation rebuilds the overlay at the SAME caps (not the 8192
+    default — a consolidated 512-cap index must not balloon)."""
+    from tiledb_vector_search_spark.indexes.vamana import (
+        OVERLAY_AUX,
+        OVERLAY_PID,
+    )
+
+    ov = VamanaIndex.ingest(
+        spark, str(tmp_path / "boost"), source, shards=4, timestamp=1000,
+        overlay=True, overlay_max=96, overlay_audit_nprobe=2,
+        overlay_boost_max=48,
+    )
+    rows = spark.read.parquet(
+        ov.storage.aux_path(OVERLAY_AUX, ov.base_ts)
+    )
+    n_ov = rows.count()
+    assert 0 < n_ov <= 96 + 48, n_ov
+    assert rows.select("partition_id").distinct().collect()[0][0] == OVERLAY_PID
+    e = ov._base_entry()
+    assert e["overlay_max"] == 96
+    assert e["overlay_boost_max"] == 48
+    assert e["overlay_audit_nprobe"] == 2
+
+    # recall with the boost must not regress vs the un-boosted build at
+    # the cheapest probe (same total budget would be a stronger claim;
+    # here we pin the direction the tranche exists for)
+    queries = source.where("external_id < 40").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    exact = {
+        (r.query_id, r.external_id)
+        for r in knn_bruteforce_expr(source, queries, 10).collect()
+    }
+    plain_ov = VamanaIndex.ingest(
+        spark, str(tmp_path / "noboost"), source, shards=4, timestamp=1000,
+        overlay=True, overlay_max=96, overlay_audit_nprobe=2,
+    )
+    assert _recall(ov, source, queries, exact, nprobe=1) >= _recall(
+        plain_ov, source, queries, exact, nprobe=1
+    )
+
+    # consolidation keeps the caps: overlay stays bounded by the SAME
+    # budget and the new ingestion entry carries the knobs forward
+    ov.update(external_id=0, vector=[float(x) for x in range(len(source.select("vector").first()[0]))])
+    ov.consolidate_updates(timestamp=2000)
+    ov2 = VamanaIndex(spark, ov.uri)
+    e2 = ov2._base_entry()
+    assert e2["overlay_max"] == 96 and e2["overlay_boost_max"] == 48
+    n_ov2 = spark.read.parquet(
+        ov2.storage.aux_path(OVERLAY_AUX, ov2.base_ts)
+    ).count()
+    assert 0 < n_ov2 <= 96 + 48, n_ov2

