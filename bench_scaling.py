@@ -1,0 +1,345 @@
+"""Measured scaling curve: the 100 TB posture as EVIDENCE, not argument.
+
+Runs the heaviest headline pipelines at sf0.1 (the driver testdata) and
+at 5x / 10x scale-ups generated from it, records per-query wall time and
+shuffle/input bytes (Spark REST stage metrics), writes ``SCALING.json``,
+and EXITS NON-ZERO if any query's growth is super-linear beyond the
+allowance — time or shuffle volume at 10x data must stay within
+``10 x 1.3`` of the base point (<=1.3x per-unit drift per decade, the
+VERDICT r6 bar).  Reference anchor: the bigann 1M->1B family sweep
+(``src/benchmarks/setup.bash:98-130``) is the same methodology.
+
+Scale-up data (cached under /tmp/tvs_scaling): replica r of a document
+re-ids it (+r*10M) and perturbs ~25% of tokens with a replica-specific
+suffix, so replicas are NOT near-duplicates of each other (a verbatim
+copy would hand the dedup pipelines quadratic duplicate groups the real
+corpus doesn't have, corrupting the curve in either direction);
+embeddings perturb elementwise by hash-seeded +-0.9% so vector replicas
+stay in their label's cluster without creating degenerate zero-distance
+ties.  Per-replica statistics (length/vocab-shape/dup-rate) match the
+base table, which is what a scaling sweep needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = os.environ.get("SPARK_GRAFT_SCALING_WORK", "/tmp/tvs_scaling")
+OUT = os.environ.get("SPARK_GRAFT_SCALING_OUT", "SCALING.json")
+# (label, multiplier of the base table)
+SCALES = [("1x", 1), ("5x", 5), ("10x", 10)]
+ID_STRIDE = 10_000_000
+# linear growth x this per-unit allowance per decade of data
+DRIFT_ALLOWANCE = 1.3
+# floors so a ~zero-cost base point cannot manufacture a huge ratio
+TIME_FLOOR_SEC = 1.0
+BYTES_FLOOR = 8 * 1024 * 1024
+
+
+def _perturbed_docs(docs, r: int):
+    """Replica ``r``: new ids, ~25% of tokens suffixed with a replica tag
+    (hash-chosen positions -> replicas are not near-dups of the base or
+    of each other, but keep its length/shape statistics)."""
+    pert = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda x, i: F.when(
+                F.pmod(F.xxhash64(x, F.lit(r), i), F.lit(4)) == 0,
+                F.concat(x, F.lit(f"q{r}")),
+            ).otherwise(x),
+        ),
+        " ",
+    )
+    return docs.select(
+        (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
+        pert.alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def _perturbed_embeddings(emb, r: int):
+    """Replica ``r``: new ids, elementwise hash-seeded +-0.9% scaling —
+    stays inside the label cluster, never exactly equal to the base."""
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        * (
+            1.0
+            + 0.003
+            * (
+                F.pmod(F.xxhash64(F.col("vec_id"), F.lit(r), i), F.lit(7))
+                .cast("double")
+                - 3.0
+            )
+        ),
+    ).cast("array<float>")
+    return emb.select(
+        (F.col("vec_id") + F.lit(r * ID_STRIDE)).alias("vec_id"),
+        pert.alias("embedding"),
+        "label",
+    )
+
+
+def ensure_scale_dir(spark, mult: int) -> str:
+    """Materialize (once) the ``mult``x scale-up of documents+embeddings."""
+    if mult == 1:
+        return BASE_SF_DIR
+    out = f"{WORK}/x{mult}"
+    marker = f"{out}/_COMPLETE"
+    if os.path.exists(marker):
+        return out
+    docs = spark.read.parquet(f"{BASE_SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE_SF_DIR}/embeddings.parquet")
+    d = _perturbed_docs(docs, 0).limit(0)
+    e = _perturbed_embeddings(emb, 0).limit(0)
+    for r in range(mult):
+        d = d.unionByName(docs if r == 0 else _perturbed_docs(docs, r))
+        e = e.unionByName(emb if r == 0 else _perturbed_embeddings(emb, r))
+    # spread over files like a real multi-file corpus (the single-file
+    # base fixture would otherwise serialize every scan at 10x)
+    d.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    e.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    open(marker, "w").write("ok")
+    return out
+
+
+# --- per-query pipelines (sf_dir -> materialized result) ---------------------
+
+
+def _queries(spark):
+    from tiledb_vector_search_spark.operators import dedup as DD
+    from tiledb_vector_search_spark.queries import FULL_REGISTRY
+
+    def docs(sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def emb(sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def minhash(sf_dir):
+        return DD.minhash_dedup(
+            docs(sf_dir), num_perm=32, bands=8, threshold=0.9
+        ).collect()
+
+    def jaccard(sf_dir):
+        pairs = DD.ngram_jaccard_dedup(docs(sf_dir), threshold=0.8)
+        return DD.connected_components(pairs).collect()
+
+    def spans(sf_dir):
+        return DD.duplicate_spans(docs(sf_dir), n=8, min_docs=2).collect()
+
+    _bm25 = {}
+
+    def bm25_artifact(sf_dir):
+        # index build is one-time setup per scale (its cost is the
+        # bm25_index_build row); the timed steady state is the query
+        from tiledb_vector_search_spark.operators.retrieval import BM25Index
+
+        q = docs(sf_dir).where(f"doc_id < 100").select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 1, 200).alias("query_text"),
+        )
+        return _bm25[sf_dir].query(q, k=10).collect()
+
+    def bm25_build(sf_dir):
+        import shutil
+
+        from tiledb_vector_search_spark.operators.retrieval import BM25Index
+
+        uri = f"/tmp/tvs_scaling_bm25_{abs(hash(sf_dir))}"
+        shutil.rmtree(uri, ignore_errors=True)
+        _bm25[sf_dir] = BM25Index.build(spark, uri, docs(sf_dir))
+        return _bm25[sf_dir].n_docs
+
+    def ivf_partition_search(sf_dir):
+        return FULL_REGISTRY["ivf_partition_search"](spark, sf_dir).collect()
+
+    def knn_join(sf_dir):
+        return FULL_REGISTRY["embedding_knn_join"](spark, sf_dir).collect()
+
+    def packing(sf_dir):
+        from tiledb_vector_search_spark.operators.packing import pack_sequences
+
+        return pack_sequences(
+            docs(sf_dir), max_tokens=2048, num_shards=32
+        ).collect()
+
+    def repetition(sf_dir):
+        from tiledb_vector_search_spark.operators.quality import (
+            repetition_scores,
+        )
+
+        return repetition_scores(docs(sf_dir).repartition(32)).collect()
+
+    def ivf_build_query(sf_dir):
+        import shutil
+
+        from tiledb_vector_search_spark.indexes import IVFFlatIndex
+
+        uri = f"/tmp/tvs_scaling_ivf_{abs(hash(sf_dir))}"
+        shutil.rmtree(uri, ignore_errors=True)
+        vectors = emb(sf_dir).select(
+            F.col("vec_id").alias("external_id"),
+            F.col("embedding").alias("vector"),
+        )
+        idx = IVFFlatIndex.ingest(
+            spark, f"{uri}/idx", vectors, partitions=32, timestamp=1000
+        )
+        q = vectors.where("external_id < 100").select(
+            F.col("external_id").alias("query_id"), "vector"
+        )
+        return idx.query(q, 10, nprobe=8).collect()
+
+    # ordered: bm25_build must precede bm25_artifact (setup dependency)
+    return {
+        "text_repetition_full": repetition,
+        "sequence_packing_full": packing,
+        "ivf_partition_search": ivf_partition_search,
+        "embedding_knn_join": knn_join,
+        "ivf_build_and_query": ivf_build_query,
+        "bm25_index_build": bm25_build,
+        "bm25_artifact_query_100q": bm25_artifact,
+        "dedup_minhash_lsh_full": minhash,
+        "dedup_duplicate_spans_full": spans,
+        "dedup_ngram_jaccard_full": jaccard,
+    }
+
+
+# --- Spark REST stage metrics ------------------------------------------------
+
+
+def _stage_metrics(spark) -> dict[int, dict]:
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as resp:
+        stages = json.load(resp)
+    return {int(s["stageId"]): s for s in stages}
+
+
+def _delta_bytes(before: dict, after: dict) -> tuple[int, int]:
+    shuffle = inp = 0
+    for sid, s in after.items():
+        if sid not in before:
+            shuffle += int(s.get("shuffleWriteBytes", 0))
+            inp += int(s.get("inputBytes", 0))
+    return shuffle, inp
+
+
+def main() -> None:
+    from tiledb_vector_search_spark import get_spark
+
+    # the UI (off by default in get_spark) hosts the REST stage-metrics
+    # endpoint this harness reads shuffle/input bytes from
+    spark = get_spark(
+        app_name="tvs-scaling",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _noop(batches):
+        yield from batches
+
+    spark.range(100).toDF("id").mapInPandas(_noop, "id long").collect()
+
+    queries = _queries(spark)
+    dirs = {label: ensure_scale_dir(spark, m) for label, m in SCALES}
+
+    # one untimed warm-up of every plan shape at the SMALLEST scale:
+    # whole-stage-codegen compiles per plan shape, identical across
+    # scales, so the larger points never pay it
+    for name, fn in queries.items():
+        fn(dirs["1x"])
+
+    results: dict[str, dict] = {name: {} for name in queries}
+    for label, mult in SCALES:
+        sf_dir = dirs[label]
+        for name, fn in queries.items():
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            before = _stage_metrics(spark)
+            t0 = time.perf_counter()
+            fn(sf_dir)
+            sec = time.perf_counter() - t0
+            shuffle, inp = _delta_bytes(before, _stage_metrics(spark))
+            results[name][label] = {
+                "sec": round(sec, 3),
+                "shuffle_mb": round(shuffle / 1e6, 2),
+                "input_mb": round(inp / 1e6, 2),
+            }
+            print(
+                f"{label:>4} {name}: {sec:.2f}s "
+                f"shuffle={shuffle/1e6:.1f}MB input={inp/1e6:.1f}MB",
+                file=sys.stderr,
+            )
+
+    # gate: growth from 1x to 10x must be <= linear x allowance, on both
+    # wall time and shuffle volume (floors keep a near-zero base point
+    # from fabricating a ratio)
+    decade = SCALES[-1][1] / SCALES[0][1]
+    limit = decade * DRIFT_ALLOWANCE
+    gates = {}
+    failures = []
+    for name, per_scale in results.items():
+        t_ratio = per_scale["10x"]["sec"] / max(
+            per_scale["1x"]["sec"], TIME_FLOOR_SEC
+        )
+        s_ratio = (per_scale["10x"]["shuffle_mb"] * 1e6) / max(
+            per_scale["1x"]["shuffle_mb"] * 1e6, BYTES_FLOOR
+        )
+        gates[name] = {
+            "time_ratio_10x": round(t_ratio, 2),
+            "shuffle_ratio_10x": round(s_ratio, 2),
+            "limit": limit,
+            "ok": t_ratio <= limit and s_ratio <= limit,
+        }
+        if not gates[name]["ok"]:
+            failures.append((name, round(t_ratio, 2), round(s_ratio, 2)))
+
+    artifact = {
+        "base_sf_dir": BASE_SF_DIR,
+        "scales": {label: m for label, m in SCALES},
+        "drift_allowance_per_decade": DRIFT_ALLOWANCE,
+        "queries": results,
+        "gates": gates,
+    }
+    with open(OUT, "w") as f:
+        json.dump(artifact, f, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_sweep",
+                "queries": len(results),
+                "gates_passed": sum(g["ok"] for g in gates.values()),
+                "gates_total": len(gates),
+                "out": OUT,
+            }
+        )
+    )
+    if failures:
+        print(f"SUPER-LINEAR DRIFT: {failures}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -370,3 +370,42 @@ def test_consolidate_crash_atomic(spark, docs, queries, tmp_path, monkeypatch):
     reopened.consolidate()
     assert _key(reopened, queries) == before
     assert reopened.describe()["batch_debt"] == 0
+
+
+def test_kernel_strategy_matches_join_exactly(spark, docs, queries, bm25_index):
+    """The doc-partitioned int64 kernel must be BIT-IDENTICAL to the
+    join/aggregate plan — same scores, ranks, tie-breaks — on the plain
+    index AND on one with add/delete batch debt."""
+    want = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_index.query(queries, k=10, strategy="join")
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_index.query(queries, k=10, strategy="kernel")
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+    # auto picks the kernel for this integral-id batch
+    auto = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_index.query(queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert auto == want
+
+
+def test_kernel_strategy_with_dml_debt(spark, docs, queries, tmp_path):
+    idx = BM25Index.build(spark, str(tmp_path / "kdml"), docs.where("doc_id % 2 = 0"))
+    idx.add_documents(docs.where("doc_id % 2 = 1"))
+    idx.remove_documents(docs.where("doc_id % 4 = 3").select("doc_id"))
+    assert _key(idx, queries) == [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in idx.query(queries, k=10, strategy="join")
+        .orderBy("query_id", "rank")
+        .collect()
+    ]

@@ -59,20 +59,15 @@ def _tf_saturation(tf: Column, dl: Column, avgdl: Column, k1: float, b: float) -
     return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
-def _score_matched_postings(
-    post: DataFrame,
-    qterms: DataFrame,
-    k: int,
-    k1: float,
-    b: float,
-    id_col: str,
-    query_id_col: str,
+def _partial_nanos(
+    post: DataFrame, k1: float, b: float, id_col: str
 ) -> DataFrame:
-    """Shared scoring tail: ``post`` is the query-restricted postings frame
-    carrying (id_col, __t, __tf, __dl, __df, __n, __sumdl); the per-(term,
-    doc) partial is computed ONCE and only the quantized decimal rides the
-    (query, term, doc) expansion.  Identical math in the one-shot and
-    artifact paths — parity is by construction."""
+    """(id_col, __t, __p): the per-(term, doc) partial idf·tf_sat as
+    exact integer NANO-UNITS — decimal(18,9) × 10⁹ → long is exact, long
+    addition is order-independent AND a codegen primitive (the
+    decimal-object sum was the dominant cost of a corpus-sized
+    (query, doc) aggregation; the long fold restores linear scaling) —
+    the same integer-micro-unit contract the SQL TVF uses."""
     avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
     idf = F.log(
         1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
@@ -84,11 +79,35 @@ def _score_matched_postings(
         ),
         9,
     ).cast("decimal(18,9)")
-    part_df = post.select(F.col(id_col), "__t", part.alias("__p"))
+    nano = (part * F.lit(1_000_000_000)).cast("long")
+    return post.select(F.col(id_col), "__t", nano.alias("__p"))
+
+
+def _score_matched_postings(
+    post: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared scoring tail: ``post`` is the query-restricted postings frame
+    carrying (id_col, __t, __tf, __dl, __df, __n, __sumdl); the per-(term,
+    doc) partial is computed ONCE and only the quantized nano-unit long
+    rides the (query, term, doc) expansion.  Identical math in the
+    one-shot and artifact paths — parity is by construction.  score =
+    Σnano/10⁹ is exact in double (≪ 2⁵³), so round(·, 6) matches the
+    original decimal fold bit-for-bit."""
+    part_df = _partial_nanos(post, k1, b, id_col)
     scored = (
         part_df.join(qterms, "__t")
         .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("__p").cast("double"), 6).alias("score"))
+        .agg(
+            F.round(
+                (F.sum("__p") / F.lit(1_000_000_000.0)).cast("double"), 6
+            ).alias("score")
+        )
     )
     order = [F.col("score").desc(), F.col(id_col).asc()]
     return topk_window(scored, [query_id_col], order, k)
@@ -101,6 +120,124 @@ def _explode_query_terms(
         F.col(query_id_col),
         F.explode(F.array_distinct(tokens(query_text_col))).alias("__t"),
     ).where(F.col("__t") != "")
+
+
+# query batches up to this size may score through the doc-partitioned
+# int64 kernel (the knn KERNEL_MAX_NQ discipline: the query-term
+# indicator matrix is broadcast, so its size must stay bounded)
+BM25_KERNEL_MAX_NQ = 4096
+# docs-axis chunk for the dense (terms × docs) partial matrix: bounds
+# per-task memory at |batch vocab| × 8192 × 8 B regardless of how many
+# matched docs land in one partition
+_KERNEL_DOC_CHUNK = 8192
+
+
+def _score_matched_postings_kernel(
+    part_df: DataFrame,
+    qterm_rows: list,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Kernel twin of :func:`_score_matched_postings`'s scoring tail —
+    BIT-IDENTICAL output, different physical plan.
+
+    The join plan expands ``Σ_t |postings_t|·|queries∋t|`` rows through a
+    (query, term, doc) shuffle before the (query, doc) aggregate; on
+    corpora where query terms are dense (or batches large) that
+    expansion dominates (measured 1.5× per-decade super-linear wall-time
+    drift at the 10× scaling point).  Here the matched partials
+    repartition ONCE by doc (narrow rows, no query dimension), each
+    partition computes every query's exact score for ITS docs as an
+    int64 indicator-matmul (nano-unit partials: exact, fold-order-free),
+    keeps a per-partition top-k, and the global merge ranks
+    ``nparts × nq × k`` rows — the brute-force-kNN kernel shape applied
+    to lexical scoring.
+
+    ``qterm_rows``: collected (query_id, term) pairs — bounded by
+    ``BM25_KERNEL_MAX_NQ`` queries (the indicator matrix is broadcast).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = part_df.sparkSession
+    terms = sorted({t for _, t in qterm_rows})
+    t_idx = {t: i for i, t in enumerate(terms)}
+    qids = sorted({q for q, _ in qterm_rows})
+    q_idx = {q: i for i, q in enumerate(qids)}
+    qind = np.zeros((len(qids), len(terms)), dtype=np.int64)
+    for q, t in qterm_rows:
+        qind[q_idx[q], t_idx[t]] = 1
+    bc = spark.sparkContext.broadcast((qind, t_idx, np.array(qids)))
+
+    def score(batches):
+        qind_, t_idx_, qids_ = bc.value
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        docs = pdf[id_col].to_numpy(dtype=np.int64)
+        udocs, dinv = np.unique(docs, return_inverse=True)
+        trow = np.array(
+            [t_idx_[t] for t in pdf["__t"]], dtype=np.int64
+        )
+        nanos = pdf["__p"].to_numpy(dtype=np.int64)
+        nq = qind_.shape[0]
+        for lo in range(0, len(udocs), _KERNEL_DOC_CHUNK):
+            hi = min(lo + _KERNEL_DOC_CHUNK, len(udocs))
+            sel = (dinv >= lo) & (dinv < hi)
+            cols = dinv[sel] - lo
+            P = np.zeros((len(t_idx_), hi - lo), dtype=np.int64)
+            P[trow[sel], cols] = nanos[sel]
+            present = np.zeros((len(t_idx_), hi - lo), dtype=np.int64)
+            present[trow[sel], cols] = 1
+            acc = qind_ @ P  # exact int64 nano sums
+            hit = (qind_ @ present) > 0
+            take = min(k, hi - lo)
+            for qi in range(nq):
+                row = acc[qi]
+                mask = hit[qi]
+                if not mask.any():
+                    continue
+                cand = np.nonzero(mask)[0]
+                if len(cand) > take:
+                    # partial top-k on raw nanos, WIDENED by one rounding
+                    # quantum (1000 nano = 1e-6): the global rank uses the
+                    # ROUND-6 score, and two nanos within 2000 of each
+                    # other can round equal (then tie-break by doc id) —
+                    # the widened cut is a provable superset of the
+                    # join plan's top-k, the final window settles it
+                    kth = np.partition(row[cand], len(cand) - take)[
+                        len(cand) - take
+                    ]
+                    cand = cand[row[cand] >= kth - 2000]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: qids_[qi],
+                        id_col: udocs[lo:][cand],
+                        "__nano": row[cand],
+                    }
+                )
+
+    nparts = spark.sparkContext.defaultParallelism
+    partial = (
+        part_df.repartition(nparts, id_col)
+        .mapInPandas(
+            score,
+            schema=f"{query_id_col} long, {id_col} long, __nano long",
+        )
+    )
+    # nano → the exact double the decimal path produces (sum ≪ 2⁵³), so
+    # the final round-6 and tie-break match the join plan bit-for-bit
+    scored = partial.select(
+        query_id_col,
+        id_col,
+        F.round(
+            (F.col("__nano") / F.lit(1_000_000_000.0)).cast("double"), 6
+        ).alias("score"),
+    )
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    return topk_window(scored, [query_id_col], order, k)
 
 
 class BM25Index:
@@ -515,10 +652,19 @@ class BM25Index:
         b: float = DEFAULT_B,
         query_id_col: str = "query_id",
         query_text_col: str = "query_text",
+        strategy: str = "auto",
     ) -> DataFrame:
         """Top-k per query FROM THE ARTIFACT: reads only the postings and
         term-stats rows matching the query terms (predicate reaches the
-        parquet scan via the hash join; corpus text is never touched)."""
+        parquet scan via the hash join; corpus text is never touched).
+
+        ``strategy``: ``join`` scores through the (query, term, doc)
+        expansion + aggregate (any batch size); ``kernel`` repartitions
+        the matched partials by doc once and scores every query
+        per-partition as an exact int64 indicator-matmul (the kNN-kernel
+        shape — no expansion shuffle; bounded query batches only);
+        ``auto`` picks the kernel for ≤ ``BM25_KERNEL_MAX_NQ`` integral-id
+        batches.  Both strategies are BIT-IDENTICAL (pinned by test)."""
         id_col = self.meta["id_col"]
         qterms = _explode_query_terms(queries, query_id_col, query_text_col)
         qt_distinct = qterms.select("__t").distinct()
@@ -548,6 +694,34 @@ class BM25Index:
             .withColumn("__n", F.lit(self.n_docs))
             .withColumn("__sumdl", F.lit(self.sum_dl))
         )
+        if strategy not in ("auto", "join", "kernel"):
+            raise ValueError(f"unknown strategy: {strategy}")
+        use_kernel = strategy == "kernel"
+        if strategy == "auto":
+            qid_type = dict(queries.dtypes).get(query_id_col, "")
+            use_kernel = qid_type in ("bigint", "int", "smallint")
+        if use_kernel:
+            # the query batch is small by contract; the collected
+            # (query, term) pairs bound the broadcast indicator matrix
+            qterm_rows = [
+                (int(r[query_id_col]), r["__t"])
+                for r in qterms.collect()
+            ]
+            nq = len({q for q, _ in qterm_rows})
+            if nq == 0:
+                use_kernel = False  # empty: the join plan returns empty
+            elif nq > BM25_KERNEL_MAX_NQ:
+                if strategy == "kernel":
+                    raise ValueError(
+                        f"kernel strategy caps at {BM25_KERNEL_MAX_NQ} "
+                        f"queries (got {nq}); use strategy='join'"
+                    )
+                use_kernel = False
+            else:
+                return _score_matched_postings_kernel(
+                    _partial_nanos(post, k1, b, id_col),
+                    qterm_rows, k, id_col, query_id_col,
+                )
         return _score_matched_postings(
             post, qterms, k, k1, b, id_col, query_id_col
         )
