@@ -1,0 +1,171 @@
+"""MinHashReference artifact + streaming dedup-against: parity with the
+one-shot operator, crash-atomic growth, snapshot-per-batch streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.operators.dedup import (
+    MinHashReference,
+    minhash_dedup_against,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _pairs(df):
+    return sorted(
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in df.select("new_id", "ref_id", "jaccard").collect()
+    )
+
+
+def _planted(docs, n=5, offset=900000):
+    """Near-copies of the first ``n`` reference docs (one token appended
+    → jaccard just below 1.0, far above the 0.8 threshold)."""
+    return docs.where(f"doc_id < {n}").select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.concat("text", F.lit(" trailer")).alias("text"),
+    )
+
+
+def test_artifact_match_equals_one_shot(spark, docs, tmp_path):
+    ref = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1").unionByName(_planted(ref))
+    art = MinHashReference.build(spark, str(tmp_path / "ref"), ref)
+    got = _pairs(art.match(new, threshold=0.8))
+    want = _pairs(minhash_dedup_against(new, ref, threshold=0.8))
+    assert got == want and len(got) >= 3  # planted hits present
+    planted_new = {r.doc_id for r in _planted(ref).select("doc_id").collect()}
+    hit_new = {p[0] for p in got}
+    assert planted_new <= hit_new
+
+
+def test_artifact_add_documents_equals_fresh_build(spark, docs, tmp_path):
+    ref_a = docs.where("doc_id % 4 = 0")
+    ref_b = docs.where("doc_id % 4 = 2")
+    new = _planted(ref_b, n=40)  # near-dups of the INCREMENT only
+    inc = MinHashReference.build(spark, str(tmp_path / "inc"), ref_a)
+    before = _pairs(inc.match(new, threshold=0.8))
+    inc.add_documents(ref_b)
+    got = _pairs(inc.match(new, threshold=0.8))
+    fresh = MinHashReference.build(
+        spark, str(tmp_path / "fresh"), ref_a.unionByName(ref_b)
+    )
+    assert got == _pairs(fresh.match(new, threshold=0.8))
+    assert len(got) > len(before)  # the increment's dups only appear after
+    # reopening resolves the committed batch
+    reopened = MinHashReference(spark, inc.uri)
+    assert _pairs(reopened.match(new, threshold=0.8)) == got
+
+
+def test_artifact_add_crash_atomic(spark, docs, tmp_path, monkeypatch):
+    import pyspark.sql.readwriter as RW
+
+    ref_a = docs.where("doc_id % 4 = 0")
+    ref_b = docs.where("doc_id % 4 = 2")
+    art = MinHashReference.build(spark, str(tmp_path / "crash"), ref_a)
+    before_meta = dict(art.meta)
+    new = _planted(ref_a, n=10)
+    before = _pairs(art.match(new, threshold=0.8))
+
+    real_parquet = RW.DataFrameWriter.parquet
+
+    def exploding(self, path, *a, **kw):
+        out = real_parquet(self, path, *a, **kw)
+        if "bands_batches" in path:
+            raise RuntimeError("injected crash after bands batch write")
+        return out
+
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", exploding)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        art.add_documents(ref_b)
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", real_parquet)
+
+    reopened = MinHashReference(spark, art.uri)
+    assert dict(reopened.meta) == before_meta
+    assert _pairs(reopened.match(new, threshold=0.8)) == before
+    # retry completes and equals a fresh union build
+    reopened.add_documents(ref_b)
+    fresh = MinHashReference.build(
+        spark, str(tmp_path / "fresh"), ref_a.unionByName(ref_b)
+    )
+    assert _pairs(reopened.match(new, threshold=0.8)) == _pairs(
+        fresh.match(new, threshold=0.8)
+    )
+
+
+def test_stream_dedup_against_e2e(spark, docs, tmp_path):
+    """2 micro-batches through a file source: planted near-dups flagged
+    per batch, rows deterministic under re-processing (exactly-once via
+    idempotent re-delivery), and a checkpointed restart with no new
+    files emits nothing."""
+    from tiledb_vector_search_spark.streaming.dedup_against import (
+        stream_dedup_against,
+    )
+
+    ref = docs.where("doc_id % 2 = 0")
+    art_uri = str(tmp_path / "ref")
+    MinHashReference.build(spark, art_uri, ref)
+
+    # batch 0: planted dups of ref ids 0..9; batch 1: of ref ids 10..29
+    b0 = _planted(ref, n=10, offset=900000)
+    b1 = ref.where("doc_id >= 10 AND doc_id < 30").select(
+        (F.col("doc_id") + 950000).alias("doc_id"),
+        F.concat("text", F.lit(" trailer")).alias("text"),
+    )
+    in_dir = tmp_path / "in"
+    b0.coalesce(1).write.parquet(str(in_dir / "batch=0"))
+    b1.coalesce(1).write.parquet(str(in_dir / "batch=1"))
+
+    results: dict[int, list] = {}
+
+    def sink(df, bid):
+        results[bid] = _pairs(df)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "batch=*"))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    sq = stream_dedup_against(
+        stream, art_uri, sink, threshold=0.8, checkpoint_dir=ckpt
+    )
+    sq.awaitTermination()
+    assert len(results) == 2
+    all_new = {p[0] for rows in results.values() for p in rows}
+    # ref holds only EVEN ids, so the planted copies that can match are
+    # the even-seeded ones
+    planted = {900000 + i for i in range(0, 10, 2)} | {
+        950000 + i for i in range(10, 30, 2)
+    }
+    assert planted <= all_new
+    # per-batch determinism: re-processing each batch's docs through the
+    # batch API reproduces the streamed rows exactly (what makes
+    # re-delivery idempotent)
+    ref_art = MinHashReference(spark, art_uri)
+    streamed = sorted(p for rows in results.values() for p in rows)
+    redo = sorted(
+        _pairs(ref_art.match(b0, threshold=0.8))
+        + _pairs(ref_art.match(b1, threshold=0.8))
+    )
+    assert streamed == redo
+    # restart from the checkpoint with no new input: no batches fire
+    results.clear()
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "batch=*"))
+    )
+    sq2 = stream_dedup_against(
+        stream2, art_uri, sink, threshold=0.8, checkpoint_dir=ckpt
+    )
+    sq2.awaitTermination()
+    assert results == {}

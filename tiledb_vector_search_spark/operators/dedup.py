@@ -1404,3 +1404,203 @@ def semantic_dedup(
         .applyInPandas(dedup_cluster, schema)
         .orderBy(id_col)
     )
+
+
+class MinHashReference:
+    """Persisted reference-corpus MinHash artifact: band keys + shingles
+    computed ONCE, reused by every crawl increment — the build-once/
+    query-many split :func:`minhash_dedup_against` argues for, made an
+    on-disk contract (the BM25Index/ANN-index artifact discipline for
+    the dedup family, and the snapshot the streaming twin
+    ``streaming/dedup_against.py`` re-resolves per micro-batch).
+
+    Layout under ``uri``:
+      - ``bands/``            (doc_id, band, bucket)
+      - ``shingles/``         (doc_id, __sh array) — exact-verify side
+      - ``bands_batches/batch=N/`` + ``shingles_batches/batch=N/`` —
+        ``add_documents`` increments, visible only once the atomic meta
+        flip lists the batch id (crash-atomic: an orphan batch dir from
+        a crashed add is never read)
+      - ``_minhash_ref_meta.json`` — num_perm/bands/shingle_n (so every
+        increment and every query signs with the SAME family) + the
+        committed batch list.
+    """
+
+    META_FILE = "_minhash_ref_meta.json"
+
+    def __init__(self, spark: SparkSession, uri: str):
+        import json as _json
+        import posixpath
+
+        from tiledb_vector_search_spark.storage import HadoopFS
+
+        self.spark = spark
+        self.uri = uri.rstrip("/")
+        fs = HadoopFS(spark, self.uri)
+        self.meta = _json.loads(
+            fs.read_text(posixpath.join(self.uri, self.META_FILE))
+        )
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        uri: str,
+        ref_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_perm: int = DEFAULT_NUM_PERM,
+        bands: int = DEFAULT_BANDS,
+        shingle_n: int = 3,
+    ) -> "MinHashReference":
+        import json as _json
+        import posixpath
+
+        from pyspark import StorageLevel
+
+        from tiledb_vector_search_spark.storage import HadoopFS
+
+        uri = uri.rstrip("/")
+        sh = _shingle_docs(ref_df, text_col, id_col, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            _band_keys(
+                _affine_minhash_signatures(sh, id_col, num_perm),
+                id_col, num_perm, bands,
+            ).write.mode("overwrite").parquet(posixpath.join(uri, "bands"))
+            sh.write.mode("overwrite").parquet(
+                posixpath.join(uri, "shingles")
+            )
+        finally:
+            sh.unpersist()
+        HadoopFS(spark, uri).write_text_atomic(
+            posixpath.join(uri, cls.META_FILE),
+            _json.dumps(
+                {
+                    "id_col": id_col,
+                    "text_col": text_col,
+                    "num_perm": num_perm,
+                    "bands": bands,
+                    "shingle_n": shingle_n,
+                    "batches": [],
+                }
+            ),
+        )
+        return cls(spark, uri)
+
+    def _dirs(self, base: str) -> list:
+        import posixpath
+
+        dirs = [posixpath.join(self.uri, base)]
+        for b in self.meta.get("batches", []):
+            dirs.append(
+                posixpath.join(self.uri, f"{base}_batches", f"batch={b}")
+            )
+        return dirs
+
+    def add_documents(self, ref_df: DataFrame) -> None:
+        """Grow the reference by an increment (e.g. yesterday's accepted
+        crawl) — signs ONLY the new docs with the artifact's own hash
+        family; crash-atomic via the staged-batch + meta-flip discipline
+        (``BM25Index.add_documents``)."""
+        import json as _json
+        import posixpath
+
+        from pyspark import StorageLevel
+
+        from tiledb_vector_search_spark.storage import HadoopFS
+
+        id_col = self.meta["id_col"]
+        sh = _shingle_docs(
+            ref_df, self.meta["text_col"], id_col, self.meta["shingle_n"]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        committed = self.meta.get("batches", [])
+        bid = max([0] + [int(b) for b in committed]) + 1
+        try:
+            _band_keys(
+                _affine_minhash_signatures(
+                    sh, id_col, self.meta["num_perm"]
+                ),
+                id_col, self.meta["num_perm"], self.meta["bands"],
+            ).write.mode("overwrite").parquet(
+                posixpath.join(self.uri, "bands_batches", f"batch={bid}")
+            )
+            sh.write.mode("overwrite").parquet(
+                posixpath.join(self.uri, "shingles_batches", f"batch={bid}")
+            )
+        finally:
+            sh.unpersist()
+        self.meta = {**self.meta, "batches": list(committed) + [bid]}
+        HadoopFS(self.spark, self.uri).write_text_atomic(
+            posixpath.join(self.uri, self.META_FILE),
+            _json.dumps(self.meta),
+        )
+
+    def match(
+        self,
+        new_df: DataFrame,
+        threshold: float = 0.8,
+        text_col: str | None = None,
+        id_col: str | None = None,
+        materialize: bool = True,
+    ) -> DataFrame:
+        """(new_id, ref_id, jaccard): new docs near-duplicating the
+        reference — :func:`minhash_dedup_against` with the reference
+        side read from the artifact instead of recomputed.  Cost ∝ the
+        NEW increment plus the band-matched slice of the artifact."""
+        from pyspark import StorageLevel
+
+        rid = self.meta["id_col"]
+        id_col = id_col or rid
+        text_col = text_col or self.meta["text_col"]
+        sh_new = _shingle_docs(
+            new_df, text_col, id_col, self.meta["shingle_n"]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        b_new = _band_keys(
+            _affine_minhash_signatures(
+                sh_new, id_col, self.meta["num_perm"]
+            ),
+            id_col, self.meta["num_perm"], self.meta["bands"],
+        ).select(F.col(id_col).alias("new_id"), "band", "bucket")
+        b_ref = self.spark.read.parquet(*self._dirs("bands")).select(
+            F.col(rid).alias("ref_id"), "band", "bucket"
+        )
+        cand = (
+            b_new.join(b_ref, ["band", "bucket"])
+            .select("new_id", "ref_id")
+            .distinct()
+        )
+        gated, handle = _gated_pairs(
+            cand.withColumnRenamed("new_id", "id_a").withColumnRenamed(
+                "ref_id", "id_b"
+            )
+        )
+        a = sh_new.select(
+            F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")
+        )
+        b = self.spark.read.parquet(*self._dirs("shingles")).select(
+            F.col(rid).alias("id_b"), F.col("__sh").alias("sh_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        out = (
+            a.join(gated, "id_a")
+            .join(b, "id_b")
+            .withColumn("__i", inter)
+            .select(
+                F.col("id_a").alias("new_id"),
+                F.col("id_b").alias("ref_id"),
+                F.round(
+                    F.col("__i")
+                    / (
+                        (F.size("sh_a") + F.size("sh_b")).cast("double")
+                        - F.col("__i")
+                    ),
+                    6,
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        if materialize:
+            out = _materialize_and_release(out, handle, sh_new)
+        return out
