@@ -131,3 +131,39 @@ def test_frozen_fingerprints_fresh():
         zip(tb.column("external_id").to_pylist(), tb.column("phash").to_pylist())
     )
     assert got == want
+
+
+def test_lossy_vp8_reencode_pairs_with_png_original(spark):
+    """The lossy-VP8 codec-parity gate at the OPERATOR level: a corpus
+    of PNG originals plus native lossy-VP8 re-encodes (different bytes,
+    same pictures) — image_near_duplicates must pair every re-encode
+    with its original, and unrelated images must not pair."""
+    import numpy as np
+
+    from tiledb_vector_search_spark.objects.codecs import encode_png
+    from tiledb_vector_search_spark.objects.vp8_encode import (
+        encode_vp8_lossy_image,
+    )
+    from tiledb_vector_search_spark.operators.image_dedup import (
+        image_near_duplicates,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(6):
+        img = np.clip(
+            np.cumsum(rng.integers(-5, 6, size=(48, 48, 3)), axis=0) + 120,
+            0, 255,
+        ).astype(np.uint8)
+        rows.append((i, encode_png(img)))
+        if i < 3:
+            rows.append((i + 1000, encode_vp8_lossy_image(img, y_ac_qi=12)))
+    df = spark.createDataFrame(rows, "external_id long, image binary")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in image_near_duplicates(df, max_hamming=8).collect()
+    }
+    for i in range(3):
+        assert (i, i + 1000) in pairs or (i + 1000, i) in pairs, (i, pairs)
+    # unrelated random-walk images shouldn't collide at radius 8
+    assert all(a % 1000 == b % 1000 for a, b in pairs), pairs

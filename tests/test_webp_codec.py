@@ -274,9 +274,17 @@ def test_container_dispatch_and_errors():
     out = decode_image(blob)  # magic dispatch hits the native path
     assert (out[:, :, :3] == img).all()
 
-    with pytest.raises(NotImplementedError, match="PIL"):
+    # lossy VP8 now decodes NATIVELY — an empty VP8 chunk is a
+    # truncated stream, not a codec gap
+    with pytest.raises(ValueError, match="too short"):
         decode_webp(
             b"RIFF" + struct.pack("<I", 12) + b"WEBPVP8 "
+            + struct.pack("<I", 0)
+        )
+    # the PIL hint remains for animation and lossy-with-ALPH
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_webp(
+            b"RIFF" + struct.pack("<I", 12) + b"WEBPANIM"
             + struct.pack("<I", 0)
         )
     with pytest.raises(ValueError, match="not a WEBP"):

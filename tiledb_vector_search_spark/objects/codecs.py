@@ -464,8 +464,8 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 def decode_image(blob: bytes) -> np.ndarray:
     """Magic-dispatched image decode: netpbm (P5/P6), 8-bit PNG,
-    baseline JPEG, and lossless WebP (VP8L) natively; anything else
-    (lossy webp, 12-bit jpeg, ...) via PIL when
+    baseline JPEG, and WebP (lossless VP8L + lossy VP8) natively;
+    anything else (animated webp, 12-bit jpeg, ...) via PIL when
     installed, else a clear error."""
     b = bytes(blob)
     if b[:2] in (b"P5", b"P6"):
@@ -485,7 +485,7 @@ def decode_image(blob: bytes) -> np.ndarray:
         try:
             return decode_webp(b)
         except NotImplementedError:
-            pass  # lossy VP8 / extended VP8X — try PIL below
+            pass  # animated / ALPH-plane webp — try PIL below
     try:
         import io
 

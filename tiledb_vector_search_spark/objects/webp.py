@@ -9,9 +9,10 @@ machinery, color cache, LZ77 backward references with the 2D distance
 map, meta-Huffman tiling, and all four transforms (predictor, color,
 subtract-green, color-indexing incl. sub-byte pixel bundling) — per the
 public bitstream spec (RFC 9649).  VP8X extended containers decode
-when their image chunk is VP8L; lossy ``VP8 `` and animation raise
-with the PIL hint (they need a full boolean arithmetic decoder + loop
-filter; PIL handles them when installed).
+when their image chunk is VP8L.  Lossy ``VP8 `` keyframes decode
+natively through :mod:`vp8` (boolean arithmetic decoder, intra
+prediction, IDCT/WHT, loop filter — bit-exact vs libwebp on its YUV
+planes); only animation and lossy-with-ALPH still raise the PIL hint.
 
 Reference parity anchor: the reference decodes webp via PIL inside
 ``object_readers/directory_reader.py:507-643``; here the mainstream
@@ -550,23 +551,40 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 
 
 def decode_webp(blob: bytes) -> np.ndarray:
-    """RIFF/WEBP container → (h, w, 4) uint8 RGBA (lossless only)."""
+    """RIFF/WEBP container → (h, w, 4) uint8 RGBA.
+
+    Handles BOTH still flavors natively: lossless ``VP8L`` (this module)
+    and lossy ``VP8 `` keyframes (:mod:`vp8`), incl. inside a VP8X
+    extended container.  Animated webp and lossy-with-alpha (a separate
+    ``ALPH`` plane) still raise the PIL hint."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
         raise ValueError("not a WEBP blob")
     pos = 12
+    has_alph = False
     while pos + 8 <= len(blob):
         tag = blob[pos : pos + 4]
         (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
         body = blob[pos + 8 : pos + 8 + ln]
         if tag == b"VP8L":
             return decode_vp8l(body)
-        if tag in (b"VP8 ", b"ANIM", b"ANMF"):
+        if tag == b"VP8 ":
+            if has_alph:
+                raise NotImplementedError(
+                    "lossy WebP with a separate ALPH plane needs PIL "
+                    "(native path covers opaque lossy VP8 and VP8L)"
+                )
+            from tiledb_vector_search_spark.objects.vp8 import decode_vp8
+
+            return decode_vp8(body)
+        if tag == b"ALPH":
+            has_alph = True
+        elif tag in (b"ANIM", b"ANMF"):
             raise NotImplementedError(
-                "lossy/animated WebP decode needs PIL (native path covers "
-                "lossless VP8L, incl. inside a VP8X container)"
+                "animated WebP decode needs PIL (native path covers "
+                "still VP8/VP8L, incl. inside a VP8X container)"
             )
-        # VP8X / ICCP / EXIF / XMP / ALPH are metadata beside the image
-        # chunk — keep walking; a VP8L later in the container decodes
+        # VP8X / ICCP / EXIF / XMP are metadata beside the image chunk —
+        # keep walking; an image chunk later in the container decodes
         pos += 8 + ln + (ln & 1)
     raise ValueError("WEBP container has no image chunk")
 
