@@ -157,11 +157,11 @@ def test_decode_image_dispatch_and_reader_seam(spark):
     assert (decode_image(encode_pnm(g)) == g).all()
     # the reader decodes PNG without PIL now
     assert (DirectoryImageReader.decode(encode_png(g)) == g).all()
-    # lossless webp (VP8L) decodes natively now; LOSSY webp still needs
-    # PIL; jpeg no longer lands here — it has its own native decoder
+    # BOTH webp flavors decode natively now (r7 added lossy VP8); only
+    # animation still needs PIL; jpeg has its own native decoder
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(
-            b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00"
+            b"RIFF\x0c\x00\x00\x00WEBPANIM\x00\x00\x00\x00"
         )
 
 
