@@ -167,3 +167,38 @@ def test_lossy_vp8_reencode_pairs_with_png_original(spark):
         assert (i, i + 1000) in pairs or (i + 1000, i) in pairs, (i, pairs)
     # unrelated random-walk images shouldn't collide at radius 8
     assert all(a % 1000 == b % 1000 for a, b in pairs), pairs
+
+
+def test_gif_reencode_pairs_with_png_original(spark):
+    """The GIF codec-parity gate at the OPERATOR level: posterized
+    (<=125-color) originals stored as PNG plus native GIF re-encodes —
+    different container bytes, IDENTICAL pixels (GIF is lossless within
+    its palette budget), so image_near_duplicates must pair each
+    re-encode with its original at hamming distance 0."""
+    import numpy as np
+
+    from tiledb_vector_search_spark.objects.codecs import encode_png
+    from tiledb_vector_search_spark.objects.gif import encode_gif
+    from tiledb_vector_search_spark.operators.image_dedup import (
+        image_near_duplicates,
+    )
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for i in range(6):
+        img = np.clip(
+            np.cumsum(rng.integers(-5, 6, size=(48, 48, 3)), axis=0) + 120,
+            0, 255,
+        ).astype(np.uint8)
+        img = (img // 52) * 52  # posterize: <=125 distinct colors
+        rows.append((i, encode_png(img)))
+        if i < 3:
+            rows.append((i + 1000, encode_gif([img])))
+    df = spark.createDataFrame(rows, "external_id long, image binary")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in image_near_duplicates(df, max_hamming=0).collect()
+    }
+    for i in range(3):
+        assert (i, i + 1000) in pairs or (i + 1000, i) in pairs, (i, pairs)
+    assert all(a % 1000 == b % 1000 for a, b in pairs), pairs

@@ -464,9 +464,9 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 def decode_image(blob: bytes) -> np.ndarray:
     """Magic-dispatched image decode: netpbm (P5/P6), 8-bit PNG,
-    baseline JPEG, and WebP (lossless VP8L + lossy VP8) natively;
-    anything else (animated webp, 12-bit jpeg, ...) via PIL when
-    installed, else a clear error."""
+    baseline JPEG, GIF (87a/89a, first frame), and WebP (lossless VP8L
+    + lossy VP8) natively; anything else (animated webp, 12-bit jpeg,
+    oversized GIF, ...) via PIL when installed, else a clear error."""
     b = bytes(blob)
     if b[:2] in (b"P5", b"P6"):
         return decode_pnm(b)[0]
@@ -479,6 +479,15 @@ def decode_image(blob: bytes) -> np.ndarray:
             return decode_jpeg(b)
         except NotImplementedError:
             pass  # arithmetic/12-bit — try PIL below
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from tiledb_vector_search_spark.objects.gif import decode_gif
+
+        try:
+            return decode_gif(b)
+        except ValueError as e:
+            if "GIF_MAX_PIXELS" not in str(e):
+                raise
+            # CPU-bomb guard tripped — a real decoder can try below
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         from tiledb_vector_search_spark.objects.webp import decode_webp
 

@@ -210,13 +210,15 @@ class DirectoryImageReader(ObjectReader):
 
     Reference: ``DirectoryImageReader`` (``directory_reader.py:507-643``)
     decodes to RGB arrays with PIL.  Here the mainstream formats decode
-    dependency-free — binary netpbm (P5/P6), 8-bit PNG (stdlib zlib),
-    and baseline JPEG (``objects/jpeg.py``) — covering the default glob
-    end to end; PIL remains an import-try fallback for the long tail
-    (lossy webp, progressive jpeg).
+    dependency-free — binary netpbm (P5/P6), PNG at every bit depth
+    (stdlib zlib), JPEG incl. progressive (``objects/jpeg.py``), both
+    WebP flavors (``objects/webp.py`` / ``objects/vp8.py``), and GIF
+    incl. animation (``objects/gif.py``) — covering the default glob end
+    to end; PIL remains an import-try fallback for the exotic tail
+    (animated webp, arithmetic-coded jpeg).
     """
 
-    def __init__(self, uri: str, glob: str = "*.{png,jpg,jpeg}"):
+    def __init__(self, uri: str, glob: str = "*.{png,jpg,jpeg,gif}"):
         self.uri = uri
         self.glob = glob
 
@@ -241,11 +243,12 @@ class DirectoryImageReader(ObjectReader):
         """Decode to a pixel array.
 
         Magic-dispatched (:func:`..objects.codecs.decode_image`): binary
-        netpbm (PGM/PPM) and 8-bit PNG decode NATIVELY (dependency-free
-        — PNG needs only stdlib zlib); everything else (jpeg, webp,
-        arithmetic-coded JPEG) falls back to PIL when installed (the
-        reference's decoder, ``directory_reader.py:507-643``) and raises
-        with that hint otherwise.
+        netpbm (PGM/PPM), PNG, JPEG, GIF, and WebP decode NATIVELY
+        (dependency-free); the exotic tail (animated webp,
+        arithmetic-coded JPEG, oversized pure-Python decodes) falls back
+        to PIL when installed (the reference's decoder,
+        ``directory_reader.py:507-643``) and raises with that hint
+        otherwise.
         """
         from tiledb_vector_search_spark.objects.codecs import decode_image
 
