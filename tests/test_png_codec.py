@@ -157,12 +157,11 @@ def test_decode_image_dispatch_and_reader_seam(spark):
     assert (decode_image(encode_pnm(g)) == g).all()
     # the reader decodes PNG without PIL now
     assert (DirectoryImageReader.decode(encode_png(g)) == g).all()
-    # BOTH webp flavors decode natively now (r7 added lossy VP8); only
-    # animation still needs PIL; jpeg has its own native decoder
+    # the whole webp container matrix decodes natively now (r7 added
+    # lossy VP8, then ALPH + animation); the PIL tail is down to
+    # arithmetic-coded / 12-bit JPEG and guard-tripped oversizes
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(
-            b"RIFF\x0c\x00\x00\x00WEBPANIM\x00\x00\x00\x00"
-        )
+        decode_image(b"\xff\xd8\xff\xc9\x00\x02")  # SOF9: arithmetic
 
 
 def test_phash_works_on_png_blobs(spark):

@@ -281,8 +281,9 @@ def test_container_dispatch_and_errors():
             b"RIFF" + struct.pack("<I", 12) + b"WEBPVP8 "
             + struct.pack("<I", 0)
         )
-    # the PIL hint remains for animation and lossy-with-ALPH
-    with pytest.raises(NotImplementedError, match="PIL"):
+    # animation decodes natively now; an ANIM chunk with no ANMF
+    # frames (and no still image) is a malformed container
+    with pytest.raises(ValueError, match="no image chunk"):
         decode_webp(
             b"RIFF" + struct.pack("<I", 12) + b"WEBPANIM"
             + struct.pack("<I", 0)
@@ -295,7 +296,7 @@ def test_container_dispatch_and_errors():
 
 def test_vp8x_container_with_vp8l_payload():
     """Extended (VP8X) containers whose image chunk is VP8L decode
-    natively — only lossy VP8 / animation fall back to PIL."""
+    natively (as do lossy VP8, ALPH, and animation)."""
     img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
     plain = encode_vp8l(img)
     # lift the VP8L chunk out and rewrap behind a VP8X header chunk
@@ -308,7 +309,7 @@ def test_vp8x_container_with_vp8l_payload():
 
     anim = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"ANIM" \
         + struct.pack("<I", 0)
-    with pytest.raises(NotImplementedError, match="PIL"):
+    with pytest.raises(ValueError, match="no image chunk"):
         decode_webp(anim)
 
 

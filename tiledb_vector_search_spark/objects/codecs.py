@@ -494,7 +494,7 @@ def decode_image(blob: bytes) -> np.ndarray:
         try:
             return decode_webp(b)
         except NotImplementedError:
-            pass  # animated / ALPH-plane webp — try PIL below
+            pass  # pixel-guard-tripped oversize — try PIL below
     try:
         import io
 

@@ -12,7 +12,11 @@ public bitstream spec (RFC 9649).  VP8X extended containers decode
 when their image chunk is VP8L.  Lossy ``VP8 `` keyframes decode
 natively through :mod:`vp8` (boolean arithmetic decoder, intra
 prediction, IDCT/WHT, loop filter — bit-exact vs libwebp on its YUV
-planes); only animation and lossy-with-ALPH still raise the PIL hint.
+planes).  Separate ``ALPH`` alpha planes (raw or headerless-VP8L
+compressed, all four filters) and animation (``ANIM``/``ANMF``
+compositing with libwebp's anim_decode blend/dispose semantics) decode
+natively too — the WebP container matrix is closed; only the pixel
+guards still defer to the PIL hint.
 
 Reference parity anchor: the reference decodes webp via PIL inside
 ``object_readers/directory_reader.py:507-643``; here the mainstream
@@ -460,7 +464,15 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
             f"{VP8L_MAX_PIXELS} for the pure-Python VP8L path; decode "
             "with PIL when installed (CPU-time guard, not a format gap)"
         )
+    return _decode_vp8l_stream(br, w, h)
 
+
+def _decode_vp8l_stream(br: BitReader, w: int, h: int) -> np.ndarray:
+    """Headerless VP8L image-stream (transforms + entropy image +
+    inverse transforms) → (h, w, 4) uint8 RGBA.  Shared by the VP8L
+    chunk decode (which reads the signature/dimension header first) and
+    the ALPH plane decode (whose stream is EXACTLY this, with implicit
+    dimensions — spec 'Alpha' §: lossless compression method 1)."""
     transforms = []
     seen = set()
     xsize = w
@@ -550,43 +562,254 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     )
 
 
-def decode_webp(blob: bytes) -> np.ndarray:
-    """RIFF/WEBP container → (h, w, 4) uint8 RGBA.
+# --- ALPH plane (spec "Alpha") ----------------------------------------------
 
-    Handles BOTH still flavors natively: lossless ``VP8L`` (this module)
-    and lossy ``VP8 `` keyframes (:mod:`vp8`), incl. inside a VP8X
-    extended container.  Animated webp and lossy-with-alpha (a separate
-    ``ALPH`` plane) still raise the PIL hint."""
-    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
-        raise ValueError("not a WEBP blob")
+
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Inverse of the ALPH per-pixel filters (libwebp ``filters.c``
+    unfilter semantics): 0 none, 1 horizontal, 2 vertical, 3 gradient.
+    Row 0 of vertical/gradient falls back to horizontal, first pixel of
+    a row predicts from the pixel above (0 for the very first)."""
+    h, w = plane.shape
+    if method == 0:
+        return plane
+    if method == 1:  # horizontal: per-row cumsum; row seed = pixel above
+        out = np.cumsum(plane.astype(np.int64), axis=1)
+        seed = 0
+        for y in range(h):
+            out[y] = (out[y] + seed) & 0xFF
+            seed = out[y, 0]
+        return out.astype(np.uint8)
+    if method == 2:  # vertical: horizontal on row 0, then column cumsum
+        first = _unfilter_alpha(plane[:1], 1).astype(np.int64)
+        out = np.cumsum(
+            np.concatenate([first, plane[1:].astype(np.int64)]), axis=0
+        )
+        return (out & 0xFF).astype(np.uint8)
+    if method == 3:  # gradient: left-dependent → scalar rows
+        out = np.zeros((h, w), np.uint8)
+        out[0] = _unfilter_alpha(plane[:1], 1)[0]
+        for y in range(1, h):
+            top_row = out[y - 1]
+            left = int(top_row[0])
+            top_left = left
+            row = plane[y]
+            orow = out[y]
+            for x in range(w):
+                top = int(top_row[x])
+                grad = left + top - top_left
+                if grad < 0:
+                    grad = 0
+                elif grad > 255:
+                    grad = 255
+                left = (int(row[x]) + grad) & 0xFF
+                orow[x] = left
+                top_left = top
+        return out
+    raise ValueError(f"bad ALPH filter method {method}")
+
+
+def decode_alph(payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk payload → (h, w) uint8 alpha plane.
+
+    Header byte [Rsv₂ P₂ F₂ C₂]: compression 0 = raw bytes, 1 = a
+    HEADERLESS VP8L image-stream of implicit dimension w×h whose GREEN
+    channel carries the alpha values; then the inverse of filter F.
+    Preprocessing (level reduction) needs no decoder action."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    b0 = payload[0]
+    if b0 >> 6:
+        raise ValueError("reserved ALPH header bits set")
+    filt = (b0 >> 2) & 3
+    compression = b0 & 3
+    if w * h > VP8L_MAX_PIXELS:
+        raise NotImplementedError(
+            f"ALPH plane {w}x{h} exceeds VP8L_MAX_PIXELS="
+            f"{VP8L_MAX_PIXELS} for the pure-Python path; decode with "
+            "PIL when installed (CPU-time guard, not a format gap)"
+        )
+    if compression == 0:
+        if len(payload) - 1 < w * h:
+            raise ValueError("truncated raw ALPH plane")
+        plane = np.frombuffer(payload, np.uint8, w * h, 1).reshape(h, w)
+    elif compression == 1:
+        br = BitReader(payload, 1)
+        plane = _decode_vp8l_stream(br, w, h)[:, :, 1]  # green carries α
+    else:
+        raise ValueError(f"bad ALPH compression method {compression}")
+    return _unfilter_alpha(plane, filt)
+
+
+def _walk_chunks(blob: bytes):
+    """Yield (tag, body) for each RIFF sub-chunk; validates framing."""
     pos = 12
-    has_alph = False
     while pos + 8 <= len(blob):
         tag = blob[pos : pos + 4]
         (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
         body = blob[pos + 8 : pos + 8 + ln]
-        if tag == b"VP8L":
+        if len(body) < ln:
+            raise ValueError("truncated WEBP chunk")
+        yield tag, body
+        pos += 8 + ln + (ln & 1)
+
+
+def _decode_still(chunks) -> np.ndarray:
+    """Decode a still frame from an (ALPH?, VP8|VP8L) chunk sequence."""
+    alph = None
+    for tag, body in chunks:
+        if tag == b"ALPH":
+            alph = body
+        elif tag == b"VP8L":
+            # VP8L carries its own alpha; ALPH never pairs with it
             return decode_vp8l(body)
-        if tag == b"VP8 ":
-            if has_alph:
-                raise NotImplementedError(
-                    "lossy WebP with a separate ALPH plane needs PIL "
-                    "(native path covers opaque lossy VP8 and VP8L)"
-                )
+        elif tag == b"VP8 ":
             from tiledb_vector_search_spark.objects.vp8 import decode_vp8
 
-            return decode_vp8(body)
-        if tag == b"ALPH":
-            has_alph = True
-        elif tag in (b"ANIM", b"ANMF"):
-            raise NotImplementedError(
-                "animated WebP decode needs PIL (native path covers "
-                "still VP8/VP8L, incl. inside a VP8X container)"
-            )
+            rgba = decode_vp8(body)
+            if alph is not None:
+                h, w = rgba.shape[:2]
+                rgba[:, :, 3] = decode_alph(alph, w, h)
+            return rgba
         # VP8X / ICCP / EXIF / XMP are metadata beside the image chunk —
         # keep walking; an image chunk later in the container decodes
-        pos += 8 + ln + (ln & 1)
     raise ValueError("WEBP container has no image chunk")
+
+
+def decode_webp(blob: bytes) -> np.ndarray:
+    """RIFF/WEBP container → (h, w, 4) uint8 RGBA.
+
+    Every container flavor decodes natively: lossless ``VP8L`` (this
+    module), lossy ``VP8 `` keyframes (:mod:`vp8`), lossy + ``ALPH``
+    alpha plane, VP8X extended containers, and animation (``ANIM`` /
+    ``ANMF`` — the FIRST composited frame, like :func:`gif.decode_gif`;
+    use :func:`decode_webp_frames` for all of them)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WEBP blob")
+    chunks = list(_walk_chunks(blob))
+    if any(tag == b"ANMF" for tag, _ in chunks):
+        return _composite_anim(blob, limit=1)[0]
+    return _decode_still(chunks)
+
+
+# --- animation (ANIM / ANMF) -------------------------------------------------
+
+# summed frame-raster budget for one animated container — the same
+# CPU-time posture as the per-frame codec guards, but across frames
+WEBP_ANIM_MAX_PIXELS = 16_777_216
+
+
+def _parse_anmf(body: bytes):
+    """ANMF chunk → (x, y, w, h, dispose, no_blend, subchunks)."""
+    if len(body) < 16:
+        raise ValueError("truncated ANMF header")
+    x = int.from_bytes(body[0:3], "little") * 2
+    y = int.from_bytes(body[3:6], "little") * 2
+    fw = 1 + int.from_bytes(body[6:9], "little")
+    fh = 1 + int.from_bytes(body[9:12], "little")
+    flags = body[15]
+    dispose = bool(flags & 1)
+    no_blend = bool(flags & 2)
+    # frame data = nested chunk sequence; reuse the RIFF walker by
+    # faking the 12-byte container prefix it skips
+    sub = list(_walk_chunks(b"\x00" * 12 + body[16:]))
+    return x, y, fw, fh, dispose, no_blend, sub
+
+
+def _blend_frame(canvas_region: np.ndarray, frame: np.ndarray) -> None:
+    """Alpha-blend ``frame`` onto ``canvas_region`` in place, with
+    libwebp ``anim_decode.c`` BlendPixelNonPremult integer math —
+    src_a==0 keeps the canvas pixel, otherwise
+    scale = dst_a·(255−src_a)/255, out_a = src_a + scale,
+    out_c = (src_c·src_a + dst_c·scale) / out_a (integer divisions)."""
+    src = frame.astype(np.int64)
+    dst = canvas_region.astype(np.int64)
+    src_a = src[:, :, 3:]
+    dst_a = dst[:, :, 3:]
+    scale = dst_a * (255 - src_a) // 255
+    out_a = src_a + scale  # > 0 wherever src_a > 0
+    safe_a = np.maximum(out_a, 1)
+    out_c = (src[:, :, :3] * src_a + dst[:, :, :3] * scale) // safe_a
+    blended = np.concatenate([out_c, out_a], axis=2)
+    keep = src_a == 0
+    canvas_region[:] = np.where(keep, dst, blended).astype(np.uint8)
+
+
+def _composite_anim(blob: bytes, limit=None, every_n: int = 1):
+    """Decode an animated container's frames composited onto the VP8X
+    canvas (canvas starts transparent; dispose-to-background clears the
+    frame rect to transparent — libwebp's anim_decode semantics, which
+    renderers follow over the spec's background-color wording)."""
+    canvas_w = canvas_h = None
+    metas = []
+    for tag, body in _walk_chunks(blob):
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated VP8X header")
+            canvas_w = 1 + int.from_bytes(body[4:7], "little")
+            canvas_h = 1 + int.from_bytes(body[7:10], "little")
+        elif tag == b"ANMF":
+            metas.append(_parse_anmf(body))
+    if canvas_w is None:
+        raise ValueError("animated WEBP without a VP8X canvas")
+    if not metas:
+        raise ValueError("animated WEBP with no ANMF frames")
+    total = canvas_w * canvas_h
+    for x, y, fw, fh, _d, _b, _s in metas:
+        if x + fw > canvas_w or y + fh > canvas_h:
+            raise ValueError("ANMF frame exceeds the VP8X canvas")
+        total += fw * fh
+    if total > WEBP_ANIM_MAX_PIXELS:
+        raise NotImplementedError(
+            f"animated WEBP pixel budget {total} exceeds "
+            f"WEBP_ANIM_MAX_PIXELS={WEBP_ANIM_MAX_PIXELS} for the "
+            "pure-Python path; decode with PIL when installed"
+        )
+    canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
+    out = []
+    for i, (x, y, fw, fh, dispose, no_blend, sub) in enumerate(metas):
+        frame = _decode_still(sub)
+        if frame.shape[:2] != (fh, fw):
+            raise ValueError(
+                f"ANMF frame {i}: payload is {frame.shape[1]}x"
+                f"{frame.shape[0]}, header says {fw}x{fh}"
+            )
+        region = canvas[y : y + fh, x : x + fw]
+        if no_blend:
+            region[:] = frame
+        else:
+            _blend_frame(region, frame)
+        if i % every_n == 0:
+            out.append(canvas.copy())
+            if limit is not None and len(out) >= limit:
+                return out
+        if dispose:
+            region[:] = 0
+    return out
+
+
+def decode_webp_frames(blob: bytes) -> list[np.ndarray]:
+    """Every composited frame of a (possibly animated) WebP, each
+    ``(canvas_h, canvas_w, 4)`` uint8 RGBA; a still image yields one."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WEBP blob")
+    chunks = list(_walk_chunks(blob))
+    if any(tag == b"ANMF" for tag, _ in chunks):
+        return _composite_anim(blob)
+    return [_decode_still(chunks)]
+
+
+def sample_webp_frames(blob: bytes, every_n: int = 1) -> list[np.ndarray]:
+    """Every ``every_n``-th composited frame — the frame-sampling
+    surface ``sample_gif_frames`` / ``sample_mjpeg_frames`` expose.
+    Like GIF, frames composite onto a shared canvas, so unsampled
+    frames still decode; only their composited copies are skipped."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WEBP blob")
+    chunks = list(_walk_chunks(blob))
+    if any(tag == b"ANMF" for tag, _ in chunks):
+        return _composite_anim(blob, every_n=every_n)
+    return [_decode_still(chunks)]
 
 
 # --- minimal encoder (tests / fixtures) --------------------------------------
@@ -650,23 +873,12 @@ def _write_single_symbol_code(bw: BitWriter, symbol: int) -> None:
         bw.write(symbol, 8)
 
 
-def encode_vp8l(img: np.ndarray) -> bytes:
-    """(h, w[, 3|4]) uint8 → lossless webp bytes (literal-only stream:
-    no transforms, no cache, fixed 8-bit codes — valid, not minimal)."""
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        img = np.stack([img] * 3, axis=-1)
+def _write_vp8l_stream(bw: BitWriter, img: np.ndarray) -> None:
+    """Append a headerless literal-only VP8L image-stream (no
+    transforms, no cache, fixed 8-bit codes — valid, not minimal) for
+    ``img`` ((h, w, 4) uint8 RGBA) to ``bw``."""
+    r, g, b, alpha = (img[:, :, i] for i in range(4))
     h, w = img.shape[:2]
-    if img.shape[2] == 3:
-        alpha = np.full((h, w), 255, dtype=np.uint8)
-        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
-    else:
-        r, g, b, alpha = (img[:, :, i] for i in range(4))
-    bw = BitWriter()
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(1 if img.shape[2] == 4 else 0, 1)  # alpha hint
-    bw.write(0, 3)  # version
     bw.write(0, 1)  # no transforms
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta huffman
@@ -681,10 +893,140 @@ def encode_vp8l(img: np.ndarray) -> bytes:
             bw.write_code(int(r[y, x]), 8)
             bw.write_code(int(b[y, x]), 8)
             bw.write_code(int(alpha[y, x]), 8)
-    payload = b"\x2f" + bw.finish()
-    if len(payload) & 1:
-        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload + b"\x00"
-    else:
-        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    riff = b"WEBP" + chunk
+
+
+def _as_rgba(img: np.ndarray) -> np.ndarray:
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[2] == 3:
+        alpha = np.full(img.shape[:2] + (1,), 255, dtype=np.uint8)
+        img = np.concatenate([img, alpha], axis=2)
+    return img
+
+
+def _vp8l_payload(img: np.ndarray) -> bytes:
+    """(h, w[, 3|4]) uint8 → a raw ``VP8L`` chunk payload (with the
+    signature/dimension header) for container builders."""
+    img = _as_rgba(img)
+    h, w = img.shape[:2]
+    bw = BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if (img[:, :, 3] != 255).any() else 0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    _write_vp8l_stream(bw, img)
+    return b"\x2f" + bw.finish()
+
+
+def _riff_chunk(tag: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""
+    return tag + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_container(chunks: bytes) -> bytes:
+    riff = b"WEBP" + chunks
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_vp8l(img: np.ndarray) -> bytes:
+    """(h, w[, 3|4]) uint8 → lossless webp bytes (literal-only stream:
+    no transforms, no cache, fixed 8-bit codes — valid, not minimal)."""
+    return _riff_container(_riff_chunk(b"VP8L", _vp8l_payload(img)))
+
+
+def encode_alph(plane: np.ndarray, *, filter_method: int = 0,
+                compress: bool = True) -> bytes:
+    """(h, w) uint8 alpha plane → a raw ``ALPH`` chunk payload, applying
+    the FORWARD of filter ``filter_method`` then either raw bytes or the
+    headerless literal VP8L stream (alpha in the green channel) —
+    the fixture-side inverse of :func:`decode_alph`."""
+    plane = np.asarray(plane, np.uint8)
+    h, w = plane.shape
+    px = plane.astype(np.int64)
+    if filter_method == 0:
+        resid = px
+    elif filter_method == 1:
+        pred = np.zeros_like(px)
+        pred[:, 1:] = px[:, :-1]
+        pred[1:, 0] = px[:-1, 0]
+        resid = px - pred
+    elif filter_method == 2:
+        pred = np.zeros_like(px)
+        pred[1:, :] = px[:-1, :]
+        pred[0, 1:] = px[0, :-1]
+        resid = px - pred
+    elif filter_method == 3:
+        resid = np.zeros_like(px)
+        for y in range(h):
+            for x in range(w):
+                left = int(px[y, x - 1]) if x else (int(px[y - 1, 0]) if y else 0)
+                top = int(px[y - 1, x]) if y else (int(px[y, x - 1]) if x else 0)
+                tl = int(px[y - 1, x - 1]) if (x and y) else (left if y else top)
+                grad = min(255, max(0, left + top - tl)) if y else left
+                if y and not x:
+                    grad = top
+                resid[y, x] = int(px[y, x]) - grad
+    else:
+        raise ValueError(f"bad ALPH filter method {filter_method}")
+    resid = (resid & 0xFF).astype(np.uint8)
+    header = (filter_method << 2) | (1 if compress else 0)
+    if not compress:
+        return bytes([header]) + resid.tobytes()
+    rgba = np.zeros((h, w, 4), np.uint8)
+    rgba[:, :, 1] = resid  # green carries alpha
+    bw = BitWriter()
+    _write_vp8l_stream(bw, rgba)
+    return bytes([header]) + bw.finish()
+
+
+def encode_webp_anim(
+    frames,
+    *,
+    canvas_size=None,
+    offsets=None,
+    disposals=None,
+    blends=None,
+    durations=None,
+    loop: int = 0,
+) -> bytes:
+    """Animated-WebP fixture builder: VP8X + ANIM + one lossless-VP8L
+    ANMF per frame.  ``frames`` — (h, w, 3|4) uint8; ``offsets`` —
+    per-frame (top, left), EVEN values (the ANMF field stores x/2, y/2);
+    ``disposals`` — True = dispose-to-background; ``blends`` — True =
+    alpha-blend (the ANMF flag stores its negation)."""
+    frames = [_as_rgba(f) for f in frames]
+    n = len(frames)
+    offsets = offsets or [(0, 0)] * n
+    disposals = disposals or [False] * n
+    blends = blends if blends is not None else [True] * n
+    durations = durations or [100] * n
+    if any((t % 2) or (l % 2) for t, l in offsets):
+        raise ValueError("ANMF offsets must be even")
+    if canvas_size is None:
+        ch = max(t + f.shape[0] for (t, l), f in zip(offsets, frames))
+        cw = max(l + f.shape[1] for (t, l), f in zip(offsets, frames))
+    else:
+        ch, cw = canvas_size
+    has_alpha = any((f[:, :, 3] != 255).any() for f in frames)
+    flags = 0x02 | (0x10 if has_alpha else 0)  # A (+L) bits
+    vp8x = bytes([flags, 0, 0, 0]) + (cw - 1).to_bytes(3, "little") + (
+        ch - 1
+    ).to_bytes(3, "little")
+    anim = struct.pack("<IH", 0, loop)  # transparent background
+    chunks = _riff_chunk(b"VP8X", vp8x) + _riff_chunk(b"ANIM", anim)
+    for f, (top, left), dispose, blend, dur in zip(
+        frames, offsets, disposals, blends, durations
+    ):
+        fh, fw = f.shape[:2]
+        head = (
+            (left // 2).to_bytes(3, "little")
+            + (top // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([(0 if blend else 2) | (1 if dispose else 0)])
+        )
+        body = head + _riff_chunk(b"VP8L", _vp8l_payload(f))
+        chunks += _riff_chunk(b"ANMF", body)
+    return _riff_container(chunks)
