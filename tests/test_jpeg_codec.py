@@ -165,11 +165,18 @@ def test_unsupported_and_garbage_raise_clearly():
     blob[idx + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive scan header"):
         decode_jpeg(bytes(blob))
-    # arithmetic-coded SOF (0xC9) still raises with the PIL hint
+    # 12-bit precision still raises with the PIL hint (arithmetic SOFs
+    # 0xC9/0xCA decode natively now — covered in test_jpeg_arith.py)
     blob = bytearray(encode_jpeg(g))
     idx = blob.find(b"\xff\xc0")
-    blob[idx + 1] = 0xC9
-    with pytest.raises(NotImplementedError, match="PIL"):
+    blob[idx + 4] = 12  # SOF precision byte
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(blob))
+    # lossless-process SOF (0xC3) still raises clearly
+    blob = bytearray(encode_jpeg(g))
+    idx = blob.find(b"\xff\xc0")
+    blob[idx + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg(bytes(blob))
 
 

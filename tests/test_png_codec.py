@@ -158,10 +158,12 @@ def test_decode_image_dispatch_and_reader_seam(spark):
     # the reader decodes PNG without PIL now
     assert (DirectoryImageReader.decode(encode_png(g)) == g).all()
     # the whole webp container matrix decodes natively now (r7 added
-    # lossy VP8, then ALPH + animation); the PIL tail is down to
-    # arithmetic-coded / 12-bit JPEG and guard-tripped oversizes
+    # lossy VP8, then ALPH + animation, then arithmetic JPEG); the PIL
+    # tail is down to 12-bit JPEG and guard-tripped oversizes
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xc9\x00\x02")  # SOF9: arithmetic
+        decode_image(  # SOF0 with 12-bit sample precision
+            bytes.fromhex("ffd8ffc0000b0c000800080101110000")
+        )
 
 
 def test_phash_works_on_png_blobs(spark):

@@ -10,9 +10,10 @@ Scope (explicit):
   (SOF2 — spectral selection, successive approximation with DC/AC
   refinement scans, EOB runs), 8-bit, grayscale or YCbCr, 4:4:4 /
   4:2:2 / 4:2:0 sampling (nearest upsample), custom or spec
-  huffman/quant tables, restart markers.  Arithmetic coding, 12-bit,
-  and the exotic processes (lossless, hierarchical) raise with a PIL
-  hint.
+  huffman/quant tables, restart markers.  Arithmetic entropy coding
+  (SOF9/SOF10, sequential + progressive) decodes natively via
+  :mod:`jpeg_arith`.  12-bit and the exotic processes (lossless,
+  hierarchical) raise with a PIL hint.
 - encode: 4:4:4 (or grayscale) baseline, plus a spectral-selection
   progressive encoder sharing the same quantized coefficients — enough
   to generate real JFIF test vectors, round-trip within quantization
@@ -247,9 +248,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
 
     Baseline/extended sequential (SOF0/1) AND progressive (SOF2) —
     spectral selection, successive approximation (DC + AC refinement
-    scans), EOB runs, restart intervals.  12-bit and the exotic
-    processes (lossless, arithmetic, hierarchical) raise with the PIL
-    hint.
+    scans), EOB runs, restart intervals — plus their arithmetic-coded
+    twins (SOF9/SOF10, T.81 Annex F/G via :mod:`jpeg_arith`).  12-bit
+    and the exotic processes (lossless, hierarchical) raise with the
+    PIL hint.
     """
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG blob")
@@ -260,6 +262,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     frame = None
     restart = 0
     progressive = False
+    arith = False
+    from tiledb_vector_search_spark.objects.jpeg_arith import (
+        ArithConditioning,
+    )
+
+    cond = ArithConditioning()
     saw_scan = False
     coefs: list[np.ndarray] | None = None
     while pos + 4 <= len(blob):
@@ -299,7 +307,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 tab = _build_decode_table(bits, huffval)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # sequential + progressive SOF
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # huffman + arith SOF
             prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG unsupported (PIL)")
@@ -318,7 +326,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-            if marker == 0xC2:
+            if marker in (0xC9, 0xCA):
+                arith = True
+            if marker in (0xC2, 0xCA):
                 progressive = True
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
@@ -331,8 +341,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     .reshape(mcuy * cv, mcux * ch, 64)
                     for _cid, ch, cv, _tq in comps
                 ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG process unsupported (install PIL)")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            cond.parse_dac(data)
         elif marker == 0xDD:  # DRI
             restart = struct.unpack_from(">H", data, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -344,16 +356,35 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 cs, tabs = data[1 + 2 * s], data[2 + 2 * s]
                 sel_list.append((cs, (tabs >> 4, tabs & 0x0F)))
             if not progressive:
+                if arith:
+                    from tiledb_vector_search_spark.objects.jpeg_arith import (
+                        decode_scan_arith,
+                    )
+
+                    return decode_scan_arith(
+                        blob, pos + 2 + length, frame, dict(sel_list), qt,
+                        cond, restart,
+                    )
                 return _decode_scan(
                     blob, pos + 2 + length, frame, dict(sel_list), qt,
                     dc_tabs, ac_tabs, restart,
                 )
             ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
             saw_scan = True
-            pos = _decode_progressive_scan(
-                blob, pos + 2 + length, frame, sel_list, dc_tabs, ac_tabs,
-                restart, ss, se, ahal >> 4, ahal & 0x0F, coefs,
-            )
+            if arith:
+                from tiledb_vector_search_spark.objects.jpeg_arith import (
+                    decode_progressive_scan_arith,
+                )
+
+                pos = decode_progressive_scan_arith(
+                    blob, pos + 2 + length, frame, sel_list, cond,
+                    restart, ss, se, ahal >> 4, ahal & 0x0F, coefs,
+                )
+            else:
+                pos = _decode_progressive_scan(
+                    blob, pos + 2 + length, frame, sel_list, dc_tabs,
+                    ac_tabs, restart, ss, se, ahal >> 4, ahal & 0x0F, coefs,
+                )
             continue
         pos += 2 + length
     if progressive and coefs is not None and saw_scan:
