@@ -165,12 +165,12 @@ def test_unsupported_and_garbage_raise_clearly():
     blob[idx + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive scan header"):
         decode_jpeg(bytes(blob))
-    # 12-bit precision still raises with the PIL hint (arithmetic SOFs
-    # 0xC9/0xCA decode natively now — covered in test_jpeg_arith.py)
+    # unsupported sample precision raises clearly (8- and 12-bit decode
+    # natively; arithmetic SOFs are covered in test_jpeg_arith.py)
     blob = bytearray(encode_jpeg(g))
     idx = blob.find(b"\xff\xc0")
-    blob[idx + 4] = 12  # SOF precision byte
-    with pytest.raises(NotImplementedError, match="12-bit"):
+    blob[idx + 4] = 16  # SOF precision byte
+    with pytest.raises(NotImplementedError, match="precision 16"):
         decode_jpeg(bytes(blob))
     # lossless-process SOF (0xC3) still raises clearly
     blob = bytearray(encode_jpeg(g))
@@ -434,3 +434,91 @@ def test_progressive_truncated_and_fill_bytes():
     # the FIRST SOS is preceded by a DHT segment end, also legal to pad
     got = decode_jpeg(padded)
     assert (got == want).all()
+
+
+# --- 12-bit sample precision (T.81 extended sequential) ----------------------
+
+
+def test_12bit_hand_built_dc_only_stream():
+    """Hand-derived 12-bit stream, independent of our encoder: quant all
+    1s (Pq=1), one 8x8 block whose DC diff is 7616 (category 13 — above
+    the 8-bit table range), zero AC.  IDCT of a DC-only block is flat:
+    7616/8 + 2048 = 3000 exactly, as uint16."""
+    from tiledb_vector_search_spark.objects.jpeg import (
+        _AC_PROG_BITS,
+        _AC_PROG_VALS,
+        _DC_EXT,
+    )
+
+    blob = bytearray(b"\xff\xd8")
+    blob += _seg(
+        0xDB, bytes([0x10]) + b"".join(struct.pack(">H", 1) for _ in range(64))
+    )
+    blob += _seg(0xC1, struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0]))
+    blob += _seg(0xC4, bytes([0x00]) + bytes(_DC_EXT[0]) + bytes(_DC_EXT[1]))
+    blob += _seg(
+        0xC4, bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
+    )
+    blob += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # entropy: DC cat 13 = canonical code 01101 (16 five-bit codes 0..15),
+    # magnitude 7616 = 1110111000000 (13 bits), EOB = 0000000, pad 1s
+    blob += bytes([0x6F, 0x70, 0x00, 0x7F])
+    blob += b"\xff\xd9"
+    out = decode_jpeg(bytes(blob))
+    assert out.dtype == np.uint16
+    assert out.shape == (8, 8)
+    assert (out == 3000).all()
+
+
+def test_12bit_flat_extremes_round_trip_exact():
+    from tiledb_vector_search_spark.objects.jpeg import encode_jpeg
+
+    for v in (0, 1, 2048, 4094, 4095):
+        f = np.full((8, 8), v, np.uint16)
+        out = decode_jpeg(encode_jpeg(f, quality=100, precision=12))
+        assert out.dtype == np.uint16
+        assert (out == v).all(), v
+
+
+def test_12bit_round_trip_bounds():
+    rng = np.random.default_rng(12)
+    g = np.clip(
+        np.linspace(0, 4095, 24 * 16).reshape(16, 24)
+        + rng.integers(-300, 300, (16, 24)),
+        0, 4095,
+    ).astype(np.uint16)
+    from tiledb_vector_search_spark.objects.jpeg import encode_jpeg
+
+    out = decode_jpeg(encode_jpeg(g, quality=97, precision=12))
+    assert out.dtype == np.uint16
+    # q=97 luma quant entries are 1..2: error bound a few LSBs at 12 bits
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 16
+
+    c = (rng.integers(0, 64, (17, 19, 3)) * 64).astype(np.uint16)
+    outc = decode_jpeg(encode_jpeg(c, quality=95, precision=12))
+    assert outc.dtype == np.uint16 and outc.shape == (17, 19, 3)
+    assert np.abs(outc.astype(int) - c.astype(int)).max() <= 64
+
+
+def test_12bit_decode_image_normalizes_to_uint8():
+    """decode_image keeps the uniform uint8 contract by taking the high
+    8 of the 12 bits — the same convention as 16-bit PNG."""
+    from tiledb_vector_search_spark.objects.codecs import decode_image
+    from tiledb_vector_search_spark.objects.jpeg import encode_jpeg
+
+    f = np.full((8, 8), 2048, np.uint16)
+    out = decode_image(encode_jpeg(f, quality=100, precision=12))
+    assert out.dtype == np.uint8
+    assert (out == 128).all()
+
+
+def test_12bit_rejects_other_precisions():
+    from tiledb_vector_search_spark.objects.jpeg import encode_jpeg
+
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg(np.zeros((8, 8), np.uint16), precision=10)
+    blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    idx = blob.find(b"\xff\xc0")
+    blob[idx + 4] = 16
+    with pytest.raises(NotImplementedError, match="precision 16"):
+        decode_jpeg(bytes(blob))

@@ -157,12 +157,12 @@ def test_decode_image_dispatch_and_reader_seam(spark):
     assert (decode_image(encode_pnm(g)) == g).all()
     # the reader decodes PNG without PIL now
     assert (DirectoryImageReader.decode(encode_png(g)) == g).all()
-    # the whole webp container matrix decodes natively now (r7 added
-    # lossy VP8, then ALPH + animation, then arithmetic JPEG); the PIL
-    # tail is down to 12-bit JPEG and guard-tripped oversizes
+    # the whole codec matrix decodes natively now (r7 added lossy VP8,
+    # ALPH + animation, arithmetic and 12-bit JPEG); the PIL tail is
+    # down to the exotic JPEG processes and guard-tripped oversizes
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(  # SOF0 with 12-bit sample precision
-            bytes.fromhex("ffd8ffc0000b0c000800080101110000")
+        decode_image(  # SOF3: lossless process
+            bytes.fromhex("ffd8ffc3000b08000800080101110000")
         )
 
 

@@ -464,9 +464,12 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 def decode_image(blob: bytes) -> np.ndarray:
     """Magic-dispatched image decode: netpbm (P5/P6), 8-bit PNG,
-    baseline JPEG, GIF (87a/89a, first frame), and WebP (lossless VP8L
-    + lossy VP8) natively; anything else (animated webp, 12-bit jpeg,
-    oversized GIF, ...) via PIL when installed, else a clear error."""
+    JPEG (baseline/progressive, Huffman + arithmetic, 8- and 12-bit),
+    GIF (87a/89a, first frame), and WebP (lossless VP8L + lossy VP8)
+    natively; anything else (exotic JPEG processes, guard-tripped
+    oversizes, ...) via PIL when installed, else a clear error.
+    12-bit JPEG is normalized to uint8 by its high 8 bits, matching the
+    16-bit-PNG high-byte convention."""
     b = bytes(blob)
     if b[:2] in (b"P5", b"P6"):
         return decode_pnm(b)[0]
@@ -476,9 +479,12 @@ def decode_image(blob: bytes) -> np.ndarray:
         from tiledb_vector_search_spark.objects.jpeg import decode_jpeg
 
         try:
-            return decode_jpeg(b)
+            out = decode_jpeg(b)
+            if out.dtype == np.uint16:  # 12-bit frame
+                out = (out >> 4).astype(np.uint8)
+            return out
         except NotImplementedError:
-            pass  # arithmetic/12-bit — try PIL below
+            pass  # lossless/hierarchical process — try PIL below
     if b[:6] in (b"GIF87a", b"GIF89a"):
         from tiledb_vector_search_spark.objects.gif import decode_gif
 

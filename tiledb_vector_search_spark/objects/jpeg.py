@@ -12,8 +12,9 @@ Scope (explicit):
   4:2:2 / 4:2:0 sampling (nearest upsample), custom or spec
   huffman/quant tables, restart markers.  Arithmetic entropy coding
   (SOF9/SOF10, sequential + progressive) decodes natively via
-  :mod:`jpeg_arith`.  12-bit and the exotic processes (lossless,
-  hierarchical) raise with a PIL hint.
+  :mod:`jpeg_arith`; 12-bit sample precision decodes natively to
+  uint16 (0..4095, level shift 2048, 16-bit Pq=1 quant tables).  Only
+  the exotic processes (lossless, hierarchical) raise with a PIL hint.
 - encode: 4:4:4 (or grayscale) baseline, plus a spectral-selection
   progressive encoder sharing the same quantized coefficients — enough
   to generate real JFIF test vectors, round-trip within quantization
@@ -249,9 +250,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     Baseline/extended sequential (SOF0/1) AND progressive (SOF2) —
     spectral selection, successive approximation (DC + AC refinement
     scans), EOB runs, restart intervals — plus their arithmetic-coded
-    twins (SOF9/SOF10, T.81 Annex F/G via :mod:`jpeg_arith`).  12-bit
-    and the exotic processes (lossless, hierarchical) raise with the
-    PIL hint.
+    twins (SOF9/SOF10, T.81 Annex F/G via :mod:`jpeg_arith`).  8-bit
+    frames decode to uint8; 12-bit frames to uint16 in 0..4095.  The
+    exotic processes (lossless, hierarchical) raise with the PIL hint.
     """
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG blob")
@@ -309,8 +310,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 i += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # huffman + arith SOF
             prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
-            if prec != 8:
-                raise NotImplementedError("12-bit JPEG unsupported (PIL)")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"JPEG sample precision {prec} unsupported"
+                )
             from tiledb_vector_search_spark.objects.codecs import (
                 PNG_MAX_PIXELS as _MAX_PX,
             )
@@ -325,7 +328,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
             if marker in (0xC9, 0xCA):
                 arith = True
             if marker in (0xC2, 0xCA):
@@ -407,7 +410,7 @@ def _decode_progressive_scan(
     ``<< Al``; ``Ah>0`` refinement scans append the next lower bit
     (EOB runs carry correction bits for already-nonzero coefficients).
     """
-    h, w, comps = frame
+    h, w, comps, _prec = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -564,7 +567,8 @@ def _decode_progressive_scan(
 
 
 def _reconstruct_progressive(frame, coefs, qt):
-    h, w, comps = frame
+    h, w, comps, prec = frame
+    mid = float(1 << (prec - 1))
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     planes = []
@@ -578,14 +582,15 @@ def _reconstruct_progressive(frame, coefs, qt):
                 block = np.zeros(64, dtype=np.float64)
                 block[_ZIGZAG] = grid[by, bx] * q
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _idct2(block.reshape(8, 8)) + 128.0
+                    _idct2(block.reshape(8, 8)) + mid
                 )
         planes.append(plane)
-    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+    return _planes_to_image(planes, comps, h, w, hmax, vmax, prec)
 
 
 def _decode_scan(buf, pos, frame, sel, qt, dc_tabs, ac_tabs, restart):
-    h, w, comps = frame
+    h, w, comps, prec = frame
+    mid = float(1 << (prec - 1))
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -628,17 +633,22 @@ def _decode_scan(buf, pos, frame, sel, qt, dc_tabs, ac_tabs, restart):
                             k += 1
                         block = np.zeros(64, dtype=np.float64)
                         block[_ZIGZAG] = coef * q
-                        px = _idct2(block.reshape(8, 8)) + 128.0
+                        px = _idct2(block.reshape(8, 8)) + mid
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_count += 1
-    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+    return _planes_to_image(planes, comps, h, w, hmax, vmax, prec)
 
 
-def _planes_to_image(planes, comps, h, w, hmax, vmax):
+def _planes_to_image(planes, comps, h, w, hmax, vmax, prec=8):
     """Upsample to full resolution, crop, color-convert (shared by the
-    sequential and progressive reconstruction paths)."""
+    sequential and progressive reconstruction paths).  8-bit frames
+    yield uint8 in 0..255; 12-bit frames (T.81 extended precision)
+    yield uint16 in 0..4095 with chroma centered at 2048."""
+    mid = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     full = []
     for ci, (_cid, ch, cv, _tq) in enumerate(comps):
         p = planes[ci]
@@ -646,8 +656,8 @@ def _planes_to_image(planes, comps, h, w, hmax, vmax):
             p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        return np.clip(np.rint(full[0]), 0, maxv).astype(dtype)
+    y, cb, cr = full[0], full[1] - mid, full[2] - mid
     rgb = np.stack(
         [
             y + 1.402 * cr,
@@ -656,7 +666,7 @@ def _planes_to_image(planes, comps, h, w, hmax, vmax):
         ],
         axis=2,
     )
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.rint(rgb), 0, maxv).astype(dtype)
 
 
 # --- encode -------------------------------------------------------------------
@@ -699,11 +709,25 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, v
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w) gray or (h, w, 3) uint8 RGB → baseline JFIF (4:4:4)."""
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, precision: int = 8
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB → sequential JFIF (4:4:4).
+
+    ``precision=8`` (uint8 input) emits baseline SOF0.  ``precision=12``
+    (uint16 input, 0..4095) emits T.81 extended sequential SOF1 with a
+    16-bit (Pq=1) quantization table and extended Huffman tables whose
+    categories cover the 12-bit coefficient range — the fixture source
+    for the 12-bit decode tests, since neither the system libjpeg (an
+    8-bit build) nor PIL can produce or read these."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    mid = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     x = np.asarray(pixels)
-    if x.dtype != np.uint8:
-        x = np.clip(x, 0, 255).astype(np.uint8)
+    want = np.uint8 if precision == 8 else np.uint16
+    if x.dtype != want:
+        x = np.clip(x, 0, maxv).astype(want)
     gray = x.ndim == 2
     h, w = x.shape[:2]
     if gray:
@@ -711,15 +735,27 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     else:
         r, g, b = (x[:, :, i].astype(np.float64) for i in range(3))
         yy = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + mid
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + mid
         planes = [yy, cb, cr]
     qts = [_quality_scale(_Q_LUMA, quality)]
     if not gray:
         qts.append(_quality_scale(_Q_CHROMA, quality))
 
-    dc_enc = [_build_encode_table(*_DC_LUMA), _build_encode_table(*_DC_CHROMA)]
-    ac_enc = [_build_encode_table(*_AC_LUMA), _build_encode_table(*_AC_CHROMA)]
+    if precision == 8:
+        dc_tabs_spec = (_DC_LUMA, _DC_CHROMA)
+        ac_tabs_spec = (_AC_LUMA, _AC_CHROMA)
+    else:
+        # the Annex-K tables stop at category 11 (DC) / 10 (AC); 12-bit
+        # coefficients need the full range, so use complete custom
+        # tables: DC categories 0..16, AC the 256-symbol table
+        dc_tabs_spec = (_DC_EXT, _DC_EXT)
+        ac_tabs_spec = (
+            (_AC_PROG_BITS, _AC_PROG_VALS),
+            (_AC_PROG_BITS, _AC_PROG_VALS),
+        )
+    dc_enc = [_build_encode_table(*t) for t in dc_tabs_spec]
+    ac_enc = [_build_encode_table(*t) for t in ac_tabs_spec]
 
     wtr = _BitWriter()
     pred = [0] * len(planes)
@@ -738,7 +774,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
                     blk[sub.shape[0] :, :] = blk[sub.shape[0] - 1, :]
                 if sub.shape[1] < 8:
                     blk[:, sub.shape[1] :] = blk[:, sub.shape[1] - 1][:, None]
-                coef = _fdct2(blk - 128.0)
+                coef = _fdct2(blk - mid)
                 zz = np.rint(coef.reshape(64)[_ZIGZAG] / q).astype(np.int64)
                 diff = int(zz[0]) - pred[ci]
                 pred[ci] = int(zz[0])
@@ -771,15 +807,25 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if precision == 8:
+        # JFIF is defined for 8-bit samples only; 12-bit streams are
+        # raw interchange-format JPEG (SOF1) without the APP0
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid, q in enumerate(qts):
-        out += seg(0xDB, bytes([tid]) + bytes(int(v) for v in q))
+        if precision == 8:
+            out += seg(0xDB, bytes([tid]) + bytes(int(v) for v in q))
+        else:  # Pq=1: 16-bit table entries (values unchanged)
+            out += seg(
+                0xDB,
+                bytes([0x10 | tid])
+                + b"".join(struct.pack(">H", int(v)) for v in q),
+            )
     nc = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for c in range(nc):
         sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
-    out += seg(0xC0, sof)
-    for tc, tabs in ((0, (_DC_LUMA, _DC_CHROMA)), (1, (_AC_LUMA, _AC_CHROMA))):
+    out += seg(0xC0 if precision == 8 else 0xC1, sof)
+    for tc, tabs in ((0, dc_tabs_spec), (1, ac_tabs_spec)):
         for th in range(1 if gray else 2):
             bits, huffval = tabs[th]
             out += seg(
@@ -802,6 +848,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
 # scans need their own DHT.  1@7 + 253@8 + 2@9 bits — Kraft-complete.
 _AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 1, 253, 2, 0, 0, 0, 0, 0, 0, 0]
 _AC_PROG_VALS = list(range(256))
+
+# extended DC table for 12-bit precision: difference categories 0..16
+# (Annex-K's DC tables stop at 11).  16@5 + 1@6 bits.
+_DC_EXT = ([0, 0, 0, 0, 16, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+           list(range(17)))
 
 
 def _component_zz(planes, qts, h, w):

@@ -388,7 +388,8 @@ def decode_scan_arith(buf, pos, frame, sel, qt, cond, restart):
         _planes_to_image,
     )
 
-    h, w, comps = frame
+    h, w, comps, prec = frame
+    mid = float(1 << (prec - 1))
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -417,12 +418,12 @@ def decode_scan_arith(buf, pos, frame, sel, qt, cond, restart):
                         )
                         block = np.zeros(64, dtype=np.float64)
                         block[_ZIGZAG] = coef * q
-                        px = _idct2(block.reshape(8, 8)) + 128.0
+                        px = _idct2(block.reshape(8, 8)) + mid
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_count += 1
-    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+    return _planes_to_image(planes, comps, h, w, hmax, vmax, prec)
 
 
 def decode_progressive_scan_arith(
@@ -433,7 +434,7 @@ def decode_progressive_scan_arith(
     next marker.  Same scan-geometry rules as the Huffman progressive
     driver (interleaved DC-only MCU order vs single-component block
     raster)."""
-    h, w, comps = frame
+    h, w, comps, _prec = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
