@@ -3135,6 +3135,58 @@ def phash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VIDEO_PHASH_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "golden",
+    "video_phash",
+    "fingerprints.parquet",
+)
+
+# brute-force all-pairs frame matching + vote in DuckDB — a different
+# route than the Spark side's pigeonhole band-join, so agreement proves
+# band completeness for the temporal variant too
+_VIDEO_PHASH_ORACLE = f"""
+SELECT id_a, id_b, matched_frames FROM (
+  SELECT a.external_id AS id_a, b.external_id AS id_b,
+         CAST(COUNT(DISTINCT a.frame_idx) AS BIGINT) AS matched_frames
+  FROM read_parquet('{_VIDEO_PHASH_FIXTURE}') a
+  JOIN read_parquet('{_VIDEO_PHASH_FIXTURE}') b
+    ON a.external_id < b.external_id
+   AND abs(a.frame_idx - b.frame_idx) <= 2
+   AND bit_count(xor(a.phash, b.phash)) <= 8
+  GROUP BY 1, 2
+) WHERE matched_frames >= 3
+ORDER BY id_a, id_b
+"""
+
+
+@register("video_phash_neardup", _VIDEO_PHASH_ORACLE, driver=False)
+def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup VERIFY+VOTE stage as pure SQL over a frozen
+    frame-fingerprint fixture (``tests/golden/video_phash/``): the
+    temporal pigeonhole band-join + ``bit_count(xor)`` radius check +
+    distinct-matched-frame vote of
+    :func:`operators.video_dedup.video_fingerprint_near_duplicates`,
+    against a brute-force all-pairs DuckDB oracle (band-completeness
+    proof for the temporal variant).  The frame-split + DCT hash
+    KERNEL is non-SQL-expressible and stays pinned by the pytest
+    oracles (``tests/test_video_dedup.py``).  Reads the fixture, not
+    ``sf_dir``: the hashes must be byte-stable across SFs."""
+    from tiledb_vector_search_spark.operators.video_dedup import (
+        video_fingerprint_near_duplicates,
+    )
+
+    fp = spark.read.parquet(_VIDEO_PHASH_FIXTURE)
+    pairs = video_fingerprint_near_duplicates(
+        fp, id_col="external_id", max_hamming=8,
+        min_frame_matches=3, temporal_drift=2,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("matched_frames").cast("long").alias("matched_frames")
+    )
+
+
 # Planted semantic near-copies: two scaled+shifted variants per seed doc
 # (cos ≈ 0.9999 to the original and to each other → components of 3);
 # the organic corpus tops out far below the 0.99 threshold.  Double
