@@ -409,3 +409,65 @@ def test_kernel_strategy_with_dml_debt(spark, docs, queries, tmp_path):
         .orderBy("query_id", "rank")
         .collect()
     ]
+
+
+def test_readd_tombstoned_id_raises_until_consolidate(
+    spark, docs, tmp_path
+):
+    """Re-adding a deleted id before consolidate() would be silently
+    masked by the id-keyed tombstone filter — it must raise instead.
+    After consolidate() (tombstones physically folded away) the id is
+    free again and scores match a fresh build."""
+    idx = BM25Index.build(
+        spark, str(tmp_path / "readd"), docs.where("doc_id < 40")
+    )
+    idx.remove_documents(spark.createDataFrame([(7,)], "doc_id long"))
+    readd = docs.where("doc_id = 7")
+    with pytest.raises(ValueError, match="tombstoned"):
+        idx.add_documents(readd)
+    idx.consolidate()
+    idx.add_documents(readd)  # id free after the fold
+    q = docs.where("doc_id = 7").select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 120).alias("query_text"),
+    )
+    fresh = BM25Index.build(
+        spark, str(tmp_path / "readd_fresh"), docs.where("doc_id < 40")
+    )
+    got = [
+        (r.rank, r.doc_id, r.score)
+        for r in idx.query(q, k=5).orderBy("rank").collect()
+    ]
+    want = [
+        (r.rank, r.doc_id, r.score)
+        for r in fresh.query(q, k=5).orderBy("rank").collect()
+    ]
+    assert got == want
+    assert 7 in {d for _rank, d, _s in got}  # the re-added doc is live
+
+
+def test_auto_strategy_size_probe_is_bounded(
+    spark, docs, queries, bm25_index, monkeypatch
+):
+    """`auto` must decide kernel-vs-join from a BOUNDED distinct-count
+    probe, never by collecting the query-term pairs first: with the cap
+    patched below the batch size, auto falls back to the join plan (and
+    still matches it), while strategy='kernel' raises the cap error."""
+    import tiledb_vector_search_spark.operators.retrieval as r
+
+    monkeypatch.setattr(r, "BM25_KERNEL_MAX_NQ", 2)
+    want = [
+        (q.query_id, q.rank, q.doc_id, q.score)
+        for q in bm25_index.query(queries, k=10, strategy="join")
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    auto = [
+        (q.query_id, q.rank, q.doc_id, q.score)
+        for q in bm25_index.query(queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert auto == want
+    with pytest.raises(ValueError, match="caps at 2"):
+        bm25_index.query(queries, k=10, strategy="kernel").collect()

@@ -455,7 +455,11 @@ class BM25Index:
 
         ``term_stats`` becomes append-only (df summed per term at query
         time — one tiny vocab-sized aggregate); new doc ids must not
-        collide with existing ones (same contract as index ingest).
+        collide with existing ones (same contract as index ingest), and
+        a currently-TOMBSTONED id raises: the query-time delete mask is
+        id-keyed, so a re-add before ``consolidate()`` would be silently
+        invisible — consolidate first (it drops the masked rows and
+        clears the tombstones, after which the id is free again).
         Scores after add == scores of a fresh build over the union,
         pinned by a parity test.
 
@@ -474,6 +478,20 @@ class BM25Index:
             F.col(id_col).alias("doc_id"),
             F.explode(tokens(text_col)).alias("term"),
         ).where(F.col("term") != "")
+        tomb = self._tombstones()
+        if tomb is not None:
+            hit = (
+                docs.select(F.col(id_col).cast("long").alias("doc_id"))
+                .join(tomb, "doc_id", "semi")
+                .limit(1)
+                .count()
+            )
+            if hit:
+                raise ValueError(
+                    "add_documents: an id is currently tombstoned; "
+                    "re-adding it would be masked by the delete filter "
+                    "— run consolidate() first"
+                )
         tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
         dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         stats = dl.agg(
@@ -701,27 +719,38 @@ class BM25Index:
             qid_type = dict(queries.dtypes).get(query_id_col, "")
             use_kernel = qid_type in ("bigint", "int", "smallint")
         if use_kernel:
-            # the query batch is small by contract; the collected
-            # (query, term) pairs bound the broadcast indicator matrix
-            qterm_rows = [
-                (int(r[query_id_col]), r["__t"])
-                for r in qterms.collect()
-            ]
-            nq = len({q for q, _ in qterm_rows})
-            if nq == 0:
+            # BOUNDED size probe BEFORE any collect: a huge integral-id
+            # batch under `auto` must fall back to the join plan without
+            # ever pulling its (query, term) pairs to the driver
+            probe = (
+                queries.select(query_id_col)
+                .distinct()
+                .limit(BM25_KERNEL_MAX_NQ + 1)
+                .count()
+            )
+            if probe == 0:
                 use_kernel = False  # empty: the join plan returns empty
-            elif nq > BM25_KERNEL_MAX_NQ:
+            elif probe > BM25_KERNEL_MAX_NQ:
                 if strategy == "kernel":
                     raise ValueError(
                         f"kernel strategy caps at {BM25_KERNEL_MAX_NQ} "
-                        f"queries (got {nq}); use strategy='join'"
+                        f"queries (got > {BM25_KERNEL_MAX_NQ}); use "
+                        "strategy='join'"
                     )
                 use_kernel = False
             else:
-                return _score_matched_postings_kernel(
-                    _partial_nanos(post, k1, b, id_col),
-                    qterm_rows, k, id_col, query_id_col,
-                )
+                # now safe: ≤ MAX_NQ queries bound the collected pairs
+                # and the broadcast indicator matrix
+                qterm_rows = [
+                    (int(r[query_id_col]), r["__t"])
+                    for r in qterms.collect()
+                ]
+                if qterm_rows:
+                    return _score_matched_postings_kernel(
+                        _partial_nanos(post, k1, b, id_col),
+                        qterm_rows, k, id_col, query_id_col,
+                    )
+                use_kernel = False  # all-empty query texts: join plan
         return _score_matched_postings(
             post, qterms, k, k1, b, id_col, query_id_col
         )
