@@ -112,3 +112,63 @@ def test_vp8l_rgba_round_trip(x):
     )
 
     assert (decode_webp(encode_vp8l(x)) == x).all()
+
+
+def test_decoders_survive_bit_flips_and_truncation():
+    """Crawl-robustness: random single-byte corruptions and truncations
+    of valid blobs must either decode or raise a normal exception
+    quickly — never hang, recurse, or allocate past the bomb guards.
+    (Task safety is already guaranteed by the per-blob ``except
+    Exception`` isolation in phash64/LumaGrid; this pins the decoders'
+    failure MODE.)  Covers the round-7 codecs: arithmetic + 12-bit
+    JPEG, GIF, plus baseline JPEG and VP8L WebP as controls."""
+    import pathlib
+    import time
+
+    from tiledb_vector_search_spark.objects.codecs import (
+        decode_image,
+        encode_png,
+    )
+    from tiledb_vector_search_spark.objects.gif import encode_gif
+    from tiledb_vector_search_spark.objects.jpeg import encode_jpeg
+    from tiledb_vector_search_spark.objects.webp import encode_vp8l
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    rgb = np.stack([img] * 3, axis=2)
+    golden = pathlib.Path(__file__).parent / "golden" / "jpeg_arith"
+    blobs = {
+        "jpeg": encode_jpeg(img, quality=85),
+        "jpeg12": encode_jpeg(
+            (img.astype(np.uint16) << 4), quality=90, precision=12
+        ),
+        "arith": (golden / "gray_seq.jpg").read_bytes(),
+        "arith_prog": (golden / "color_progressive.jpg").read_bytes(),
+        "gif": encode_gif([rgb, np.roll(rgb, 2, axis=1)]),
+        "png": encode_png(img),
+        "webp": encode_vp8l(rgb),
+    }
+    t0 = time.monotonic()
+    for name, blob in blobs.items():
+        n = len(blob)
+        for trial in range(120):
+            buf = bytearray(blob)
+            mode = trial % 3
+            if mode == 0:  # single-byte corruption
+                buf[int(rng.integers(2, n))] = int(rng.integers(0, 256))
+            elif mode == 1:  # truncation
+                buf = buf[: int(rng.integers(4, n))]
+            else:  # corrupt 3 bytes in the tail half (entropy data)
+                for _ in range(3):
+                    buf[int(rng.integers(n // 2, n))] = int(
+                        rng.integers(0, 256)
+                    )
+            try:
+                out = decode_image(bytes(buf))
+                assert out.ndim in (2, 3), (name, trial)
+            except Exception as e:  # noqa: BLE001 — failure mode pin
+                assert not isinstance(
+                    e, (RecursionError, MemoryError, SystemExit)
+                ), (name, trial, type(e))
+    # the whole 840-case sweep must stay quick — a hang shows up here
+    assert time.monotonic() - t0 < 120
