@@ -402,6 +402,16 @@ def test_jpeg_bomb_guard():
     )
     with pytest.raises(ValueError, match="max-pixels"):
         decode_jpeg(bytes(out))
+    # CPU-time ceiling (VP8L/VP8 discipline): a LEGAL 3000x3000 frame
+    # is beyond the pure-Python entropy budget — PIL handoff, before
+    # any entropy work
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += _seg(
+        0xC0, struct.pack(">BHHB", 8, 3000, 3000, 1) + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError, match="JPEG_MAX_PIXELS"):
+        decode_jpeg(bytes(out))
 
 
 def test_progressive_truncated_and_fill_bytes():

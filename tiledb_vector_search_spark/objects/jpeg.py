@@ -34,6 +34,12 @@ import struct
 
 import numpy as np
 
+# CPU-time ceiling for the pure-Python entropy layers (Huffman AND
+# arithmetic are per-symbol Python loops, ~0.05-0.3 MP/s) — the
+# VP8L/VP8 guard discipline.  Dims above this (but under the memory
+# guard) raise the PIL handoff instead of pinning a Spark task.
+JPEG_MAX_PIXELS = 4_194_304
+
 # zigzag order: index i of the scan -> (row, col) in the 8x8 block
 _ZIGZAG = np.array(
     [
@@ -323,6 +329,17 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 # ≈ 4.3G pixels per plane); refuse before allocating
                 raise ValueError(
                     f"JPEG dimensions {w}x{h} exceed the max-pixels guard"
+                )
+            if h * w > JPEG_MAX_PIXELS:
+                # CPU-time ceiling, the VP8L/VP8 discipline (ADVICE r6):
+                # both entropy layers are per-symbol pure Python
+                # (~0.05-0.3 MP/s), so a legal 100 MP crawl blob would
+                # pin a task for many minutes.  Between this ceiling and
+                # the memory guard above, hand off to a C-speed decoder.
+                raise NotImplementedError(
+                    f"JPEG dimensions {w}x{h} exceed JPEG_MAX_PIXELS="
+                    f"{JPEG_MAX_PIXELS} for the pure-Python entropy "
+                    "path; decode with PIL"
                 )
             comps = []
             for c in range(nc):
