@@ -152,18 +152,25 @@ def _fdct2(block: np.ndarray) -> np.ndarray:
 # --- huffman ------------------------------------------------------------------
 
 
-def _build_decode_table(bits, huffval) -> dict[tuple[int, int], int]:
-    """(length, code) -> value; canonical JPEG code assignment."""
-    table = {}
+def _build_decode_table(bits, huffval) -> list:
+    """16-bit-prefix LUT for canonical JPEG codes: ``lut[peek16]`` is
+    ``(value << 5) | code_length`` (0 = invalid prefix).  One list
+    lookup decodes any symbol — the (length, code) dict walk this
+    replaces paid a dict probe per BIT."""
+    lut = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = huffval[k]
+            entry = (huffval[k] << 5) | length
+            base = code << (16 - length)
+            lut[base : base + (1 << (16 - length))] = [entry] * (
+                1 << (16 - length)
+            )
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut
 
 
 def _build_encode_table(bits, huffval) -> dict[int, tuple[int, int]]:
@@ -191,6 +198,9 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        # mask consumed high bits BEFORE shifting: without it acc grows
+        # into an ever-larger bignum over the scan and every shift turns
+        # O(scan length) — accidentally quadratic decode
         b = self.buf[self.pos]
         if b == 0xFF:
             nxt = self.buf[self.pos + 1]
@@ -199,12 +209,14 @@ class _BitReader:
             else:
                 # marker: feed padding bits (spec: 1-bits); decoder stops
                 # via restart/scan-end handling before consuming garbage
-                self.acc = (self.acc << 8) | 0xFF
+                self.acc = (
+                    (self.acc & ((1 << self.n) - 1)) << 8
+                ) | 0xFF
                 self.n += 8
                 return
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | b
         self.n += 8
 
     def bit(self) -> int:
@@ -214,10 +226,20 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
+
+    def peek16(self) -> int:
+        """16 lookahead bits (marker padding extends the tail) for the
+        LUT symbol decode; pair with ``consume``."""
+        while self.n < 16:
+            self._fill()
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def consume(self, k: int) -> None:
+        self.n -= k
 
     def align_restart(self) -> None:
         """Discard to byte boundary and consume an RSTn marker."""
@@ -231,13 +253,11 @@ class _BitReader:
 
 
 def _decode_huff(r: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.bit()
-        v = table.get((length, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid JPEG huffman code")
+    entry = table[r.peek16()]
+    if entry == 0:
+        raise ValueError("invalid JPEG huffman code")
+    r.consume(entry & 31)
+    return entry >> 5
 
 
 def _extend(v: int, t: int) -> int:
