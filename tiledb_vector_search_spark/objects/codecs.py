@@ -26,6 +26,32 @@ _MAGIC_CHANNELS = {b"P5": 1, b"P6": 3}
 _TOKEN = re.compile(rb"(?:\s|#[^\n]*\n)*([0-9]+)")
 
 
+def area_mean_grid(x: np.ndarray, n: int) -> np.ndarray:
+    """(n, n) area-mean downsample of a 2-D plane via one integral
+    image — the shared resize behind the pHash kernel and the LumaGrid
+    embedding (handles any h, w >= 1).  Bucket edges:
+    ``lo = int(edge[r]); hi = min(max(ceil(edge[r+1]), lo+1), size)``.
+    For integer-valued planes the float64 sums are exact, so callers'
+    outputs are bit-deterministic."""
+    h, w = x.shape
+    ye = np.linspace(0, h, n + 1)
+    xe = np.linspace(0, w, n + 1)
+    y0 = ye[:-1].astype(np.int64)
+    y1 = np.minimum(np.maximum(np.ceil(ye[1:]).astype(np.int64), y0 + 1), h)
+    x0 = xe[:-1].astype(np.int64)
+    x1 = np.minimum(np.maximum(np.ceil(xe[1:]).astype(np.int64), x0 + 1), w)
+    s = np.zeros((h + 1, w + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(x, axis=0), axis=1, out=s[1:, 1:])
+    sums = (
+        s[np.ix_(y1, x1)]
+        - s[np.ix_(y0, x1)]
+        - s[np.ix_(y1, x0)]
+        + s[np.ix_(y0, x0)]
+    )
+    counts = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return sums / counts
+
+
 def _parse_header(buf: bytes, pos: int) -> tuple[bytes, int, int, int, int]:
     """(magic, width, height, maxval, data_offset) for the PNM at ``pos``."""
     magic = buf[pos : pos + 2]

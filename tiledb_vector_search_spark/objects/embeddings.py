@@ -231,24 +231,21 @@ class LumaGridEmbedding(ObjectEmbedding):
                 continue
             if px.ndim == 3:
                 if px.shape[2] >= 3:
+                    # ×1000 integer Rec.601 weights keep the plane
+                    # integer-exact for the integral-image sums; the
+                    # scale cancels in the L2 normalization below
                     px = (
-                        0.299 * px[:, :, 0]
-                        + 0.587 * px[:, :, 1]
-                        + 0.114 * px[:, :, 2]
+                        299.0 * px[:, :, 0]
+                        + 587.0 * px[:, :, 1]
+                        + 114.0 * px[:, :, 2]
                     )
                 else:
                     px = px[:, :, 0]
-            h, w = px.shape
-            ye = np.linspace(0, h, g + 1)
-            xe = np.linspace(0, w, g + 1)
-            cell = np.empty((g, g))
-            for r in range(g):
-                y0 = int(ye[r])
-                y1 = min(max(int(np.ceil(ye[r + 1])), y0 + 1), h)
-                for c in range(g):
-                    x0 = int(xe[c])
-                    x1 = min(max(int(np.ceil(xe[c + 1])), x0 + 1), w)
-                    cell[r, c] = px[y0:y1, x0:x1].mean()
+            from tiledb_vector_search_spark.objects.codecs import (
+                area_mean_grid,
+            )
+
+            cell = area_mean_grid(px, g)
             v = cell.ravel()
             n = np.linalg.norm(v)
             out[i] = v / n if n > 0 else v

@@ -64,34 +64,13 @@ def phash64_pixels(pixels: np.ndarray) -> int:
             x = x[:, :, 0]
     elif x.ndim != 2:
         x = x.reshape(x.shape[0], -1)
-    h, w = x.shape
-    # area-mean resize via bucketed edges (handles any h, w >= 1),
-    # vectorized with an integral image: all 32×32 bucket means from
-    # one cumsum instead of 1024 Python-loop submatrix .mean() calls
-    # (~6 ms → ~0.2 ms per image; for integer-valued planes the sums
-    # are exact in float64, so the hash is bit-identical to the loop).
-    # Bucket edges match the original loop exactly:
-    #   lo = int(edge[r]);  hi = min(max(ceil(edge[r+1]), lo+1), size)
-    ye = np.linspace(0, h, _RESIZE + 1)
-    xe = np.linspace(0, w, _RESIZE + 1)
-    y0 = ye[:-1].astype(np.int64)
-    y1 = np.minimum(
-        np.maximum(np.ceil(ye[1:]).astype(np.int64), y0 + 1), h
-    )
-    x0 = xe[:-1].astype(np.int64)
-    x1 = np.minimum(
-        np.maximum(np.ceil(xe[1:]).astype(np.int64), x0 + 1), w
-    )
-    s = np.zeros((h + 1, w + 1), dtype=np.float64)
-    np.cumsum(np.cumsum(x, axis=0), axis=1, out=s[1:, 1:])
-    sums = (
-        s[np.ix_(y1, x1)]
-        - s[np.ix_(y0, x1)]
-        - s[np.ix_(y1, x0)]
-        + s[np.ix_(y0, x0)]
-    )
-    counts = (y1 - y0)[:, None] * (x1 - x0)[None, :]
-    re = sums / counts
+    # area-mean resize via one integral image (shared helper): all
+    # 32×32 bucket means at once instead of 1024 Python-loop submatrix
+    # .mean() calls (~6 ms → ~0.2 ms per image; exact for
+    # integer-valued planes, so the hash is bit-deterministic)
+    from tiledb_vector_search_spark.objects.codecs import area_mean_grid
+
+    re = area_mean_grid(x, _RESIZE)
     d = _dct_matrix(_RESIZE)
     coef = d @ re @ d.T
     block = coef[:_DCT_KEEP, :_DCT_KEEP].ravel()[1:]  # drop DC
