@@ -69,31 +69,68 @@ _DIST_MAP = [
 
 
 class BitReader:
-    """LSB-first bit reader (DEFLATE/VP8L convention)."""
+    """LSB-first bit reader (DEFLATE/VP8L convention) over a masked
+    accumulator — consumed bits leave the register (an unmasked
+    accumulator grows into a bignum and turns every shift O(scan)),
+    and ``peek``/``consume`` give the Huffman LUT whole-symbol access
+    instead of a per-bit loop."""
+
+    __slots__ = ("data", "pos", "acc", "n")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
-        self.byte = pos
-        self.bit = 0
+        self.pos = pos  # next UNREAD byte (bits already in acc excluded)
+        self.acc = 0
+        self.n = 0
+
+    def _load(self, need: int) -> bool:
+        data, pos, end = self.data, self.pos, len(self.data)
+        acc, n = self.acc, self.n
+        while n < need:
+            if pos >= end:
+                self.acc, self.n, self.pos = acc, n, pos
+                return False
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        self.acc, self.n, self.pos = acc, n, pos
+        return True
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.byte >= len(self.data):
-                raise ValueError("VP8L bitstream truncated")
-            v |= ((self.data[self.byte] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
+        if not self._load(n):
+            raise ValueError("VP8L bitstream truncated")
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.n -= n
         return v
+
+    def peek(self, n: int) -> int:
+        """Up to ``n`` lookahead bits, ZERO-padded past end of stream
+        (``consume`` still enforces the stream bound)."""
+        self._load(n)
+        return self.acc & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        if n > self.n:
+            raise ValueError("VP8L bitstream truncated")
+        self.acc >>= n
+        self.n -= n
+
+    def avail(self) -> int:
+        return self.n + 8 * (len(self.data) - self.pos)
 
 
 class HuffmanCode:
     """Canonical Huffman decoder (codes MSB-first in the LSB-first
-    stream, RFC 1951 canonical assignment)."""
+    stream, RFC 1951 canonical assignment), decoded via a two-level
+    bit-reversed-prefix LUT (8-bit root + overflow subtables, the
+    zlib/libwebp shape) — one peek+consume per symbol instead of a
+    dict probe per BIT.  Entries pack ``(symbol << 5) | length``; 0
+    marks an unreachable prefix."""
 
-    __slots__ = ("single", "table")
+    __slots__ = ("single", "root", "subs", "maxlen")
+
+    ROOT_BITS = 8
 
     def __init__(self, lengths: list[int]):
         nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
@@ -102,33 +139,69 @@ class HuffmanCode:
         if len(nz) == 1:
             # one symbol: zero bits per occurrence (spec §5.2.1)
             self.single = nz[0][1]
-            self.table = None
+            self.root = self.subs = None
+            self.maxlen = 0
             return
         self.single = None
         if abs(sum(2.0 ** -l for l, _ in nz) - 1.0) > 1e-9:
             raise ValueError("incomplete/over-subscribed huffman code")
-        # canonical: codes assigned in (length, symbol) order (RFC 1951)
-        self.table = {}
+        self.maxlen = max(l for l, _ in nz)
+        rb = self.ROOT_BITS
+        root = [0] * (1 << rb)
+        subs: list[list[int]] = []
+        # subtable width per root slot = (longest code sharing that
+        # 8-bit stream prefix) − 8; first pass sizes them
+        over = {}
         code = 0
         prev = 0
-        for l, s in sorted(nz):
+        assign = []
+        for l, s in sorted(nz):  # canonical (length, symbol) order
             code <<= l - prev
-            self.table[(l, code)] = s
-            code += 1
             prev = l
+            r = int(f"{code:0{l}b}"[::-1], 2)  # bit-reverse to LSB order
+            assign.append((l, s, r))
+            if l > rb:
+                slot = r & ((1 << rb) - 1)
+                over[slot] = max(over.get(slot, 0), l - rb)
+            code += 1
+        for slot, width in over.items():
+            root[slot] = -(len(subs) + 1) << 5 | width  # marker entry
+            subs.append([0] * (1 << width))
+        for l, s, r in assign:
+            packed = (s << 5) | l
+            if l <= rb:
+                step = 1 << l
+                for i in range(r, 1 << rb, step):
+                    root[i] = packed
+            else:
+                slot = r & ((1 << rb) - 1)
+                marker = root[slot]
+                sub = subs[(-(marker >> 5)) - 1]
+                width = marker & 31
+                hi = r >> rb
+                step = 1 << (l - rb)
+                for i in range(hi, 1 << width, step):
+                    sub[i] = packed
+        self.root = root
+        self.subs = subs
 
     def decode(self, br: BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        length = 0
-        for _ in range(16):
-            code = (code << 1) | br.read(1)
-            length += 1
-            s = self.table.get((length, code))
-            if s is not None:
-                return s
-        raise ValueError("invalid huffman code in VP8L stream")
+        v = br.peek(self.maxlen)
+        e = self.root[v & ((1 << self.ROOT_BITS) - 1)]
+        if e < 0:  # overflow subtable
+            sub = self.subs[(-(e >> 5)) - 1]
+            e = sub[(v >> self.ROOT_BITS) & ((1 << (e & 31)) - 1)]
+        if e == 0:
+            # replicate the per-bit reader's error split: running out
+            # of bits mid-code is "truncated", a full-length dead
+            # prefix is a malformed code
+            if br.avail() < 16:
+                raise ValueError("VP8L bitstream truncated")
+            raise ValueError("invalid huffman code in VP8L stream")
+        br.consume(e & 31)  # raises "truncated" past the stream bound
+        return e >> 5
 
 
 def _read_code_lengths(br: BitReader, cl_code: HuffmanCode, n: int) -> list[int]:
@@ -173,7 +246,8 @@ def _read_code_lengths(br: BitReader, cl_code: HuffmanCode, n: int) -> list[int]
 def _hc_single(symbol: int) -> HuffmanCode:
     hc = HuffmanCode.__new__(HuffmanCode)
     hc.single = symbol
-    hc.table = None
+    hc.root = hc.subs = None
+    hc.maxlen = 0
     return hc
 
 
