@@ -84,24 +84,29 @@ class ArithDecoder:
         self.c += self._byte() << 8
         self.ct = 8
 
-    def decode(self, stats: np.ndarray, idx: int) -> int:
+    def decode(self, stats, idx: int) -> int:
         """One binary decision from statistics bin ``stats[idx]`` (bit 7
         = MPS sense, bits 0-6 = state index).  ``stats is None`` decodes
         the fixed equiprobable bin: state 113, whose NMPS/NLPS both point
-        back at 113, so it never adapts and needs no writeback."""
-        sv = int(stats[idx]) if stats is not None else _FIXED_BIN
+        back at 113, so it never adapts and needs no writeback.
+
+        Hot path (one call per decision, several per coefficient): the
+        interval/code registers are worked in locals and RENORMD is
+        inlined — the statistics areas are ``bytearray`` so the state
+        load/writeback is a plain int, not a numpy scalar."""
+        sv = stats[idx] if stats is not None else _FIXED_BIN
         qe, nmps, nlps, switch = ARITH_TAB[sv & 0x7F]
         mps = sv >> 7
 
         # T.81 interval convention: MPS occupies [0, A−Qe) at the
         # bottom, LPS [A−Qe, A) at the top
-        self.a -= qe
-        chigh = (self.c >> 16) & 0xFFFF
-        if chigh >= self.a:
+        a = self.a - qe
+        c = self.c
+        if (c >> 16) >= a:
             # LPS subinterval: subtract the MPS base, then the
             # conditional exchange of F.28
-            self.c -= self.a << 16
-            if self.a < qe:
+            c -= a << 16
+            if a < qe:
                 d = mps
                 new = (sv & 0x80) | nmps
             else:
@@ -109,36 +114,37 @@ class ArithDecoder:
                 if switch:
                     mps ^= 1
                 new = (mps << 7) | nlps
-            self.a = qe
-            if stats is not None:
-                stats[idx] = new
-            self._renorm()
-            return d
-        if self.a & 0x8000:
+            a = qe
+        elif a & 0x8000:
+            self.a = a
             return mps
-        # MPS path needing renormalization (conditional exchange, F.27)
-        if self.a < qe:
-            d = mps ^ 1
-            if switch:
-                mps ^= 1
-            new = (mps << 7) | nlps
         else:
-            d = mps
-            new = (sv & 0x80) | nmps
+            # MPS path needing renormalization (conditional exchange,
+            # F.27)
+            if a < qe:
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                new = (mps << 7) | nlps
+            else:
+                d = mps
+                new = (sv & 0x80) | nmps
         if stats is not None:
             stats[idx] = new
-        self._renorm()
+        ct = self.ct
+        while True:  # RENORMD (F.29) inlined
+            if ct == 0:
+                c += self._byte() << 8
+                ct = 8
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
+                break
+        self.a = a
+        self.c = c
+        self.ct = ct
         return d
-
-    def _renorm(self) -> None:
-        while True:
-            if self.ct == 0:
-                self._bytein()
-            self.a = (self.a << 1) & 0xFFFF
-            self.c = (self.c << 1) & 0xFFFFFFFF
-            self.ct -= 1
-            if self.a & 0x8000:
-                return
 
     def decode_fixed(self) -> int:
         return self.decode(None, _FIXED_BIN)
@@ -179,26 +185,26 @@ class _ScanState:
     """Per-scan statistics areas + DC predictions (reset at restarts)."""
 
     def __init__(self, ncomp: int):
-        self.dc_stats: dict[int, np.ndarray] = {}
-        self.ac_stats: dict[int, np.ndarray] = {}
+        self.dc_stats: dict[int, bytearray] = {}
+        self.ac_stats: dict[int, bytearray] = {}
         self.dc_context = [0] * ncomp
         self.last_dc = [0] * ncomp
 
-    def dc(self, tbl: int) -> np.ndarray:
+    def dc(self, tbl: int) -> bytearray:
         if tbl not in self.dc_stats:
-            self.dc_stats[tbl] = np.zeros(DC_STAT_BINS, np.uint8)
+            self.dc_stats[tbl] = bytearray(DC_STAT_BINS)
         return self.dc_stats[tbl]
 
-    def ac(self, tbl: int) -> np.ndarray:
+    def ac(self, tbl: int) -> bytearray:
         if tbl not in self.ac_stats:
-            self.ac_stats[tbl] = np.zeros(AC_STAT_BINS, np.uint8)
+            self.ac_stats[tbl] = bytearray(AC_STAT_BINS)
         return self.ac_stats[tbl]
 
     def reset(self) -> None:
         for v in self.dc_stats.values():
-            v[:] = 0
+            v[:] = bytes(len(v))
         for v in self.ac_stats.values():
-            v[:] = 0
+            v[:] = bytes(len(v))
         self.dc_context = [0] * len(self.dc_context)
         self.last_dc = [0] * len(self.last_dc)
 
