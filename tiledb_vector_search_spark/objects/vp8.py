@@ -118,24 +118,37 @@ class BoolDecoder:
         self.bit_count = 0
 
     def get(self, prob: int) -> int:
-        split = 1 + (((self.range - 1) * prob) >> 8)
+        # hot path (one call per bool decision, several per coefficient):
+        # registers in locals, one attribute write-back per decision
+        rng = self.range
+        value = self.value
+        split = 1 + (((rng - 1) * prob) >> 8)
         big = split << 8
-        if self.value >= big:
+        if value >= big:
             ret = 1
-            self.range -= split
-            self.value -= big
+            rng -= split
+            value -= big
         else:
             ret = 0
-            self.range = split
-        while self.range < 128:
-            self.value <<= 1
-            self.range <<= 1
-            self.bit_count += 1
-            if self.bit_count == 8:
-                self.bit_count = 0
-                if self.pos < len(self.data):
-                    self.value |= self.data[self.pos]
-                self.pos += 1
+            rng = split
+        if rng < 128:
+            bit_count = self.bit_count
+            pos = self.pos
+            data = self.data
+            n = len(data)
+            while rng < 128:
+                value <<= 1
+                rng <<= 1
+                bit_count += 1
+                if bit_count == 8:
+                    bit_count = 0
+                    if pos < n:
+                        value |= data[pos]
+                    pos += 1
+            self.bit_count = bit_count
+            self.pos = pos
+        self.range = rng
+        self.value = value
         return ret
 
     def bit(self) -> int:
