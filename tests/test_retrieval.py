@@ -471,3 +471,59 @@ def test_auto_strategy_size_probe_is_bounded(
     assert auto == want
     with pytest.raises(ValueError, match="caps at 2"):
         bm25_index.query(queries, k=10, strategy="kernel").collect()
+
+
+def test_auto_strategy_term_dimension_probe(
+    spark, docs, queries, bm25_index, monkeypatch
+):
+    """The kernel's broadcast indicator matrix and dense per-task planes
+    grow with the batch VOCABULARY, not just the query count — a wide-
+    vocab integral-id batch under `auto` must fall back to the join plan
+    (silently, with identical results) before any driver collect, and an
+    explicit strategy='kernel' must raise.  Cap patched below the batch
+    vocabulary so the sf0.001 queries trip it."""
+    import tiledb_vector_search_spark.operators.retrieval as r
+
+    monkeypatch.setattr(r, "BM25_KERNEL_MAX_TERMS", 8)
+    want = [
+        (q.query_id, q.rank, q.doc_id, q.score)
+        for q in bm25_index.query(queries, k=10, strategy="join")
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    auto = [
+        (q.query_id, q.rank, q.doc_id, q.score)
+        for q in bm25_index.query(queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert auto == want
+    with pytest.raises(ValueError, match="distinct query terms"):
+        bm25_index.query(queries, k=10, strategy="kernel").collect()
+
+
+def test_kernel_preserves_query_id_dtype(spark, docs, bm25_index):
+    """Under strategy='auto' the result schema must not depend on which
+    physical strategy won: an int query-id column comes back int from
+    BOTH the kernel and the join plan (the kernel's Arrow schema is
+    long internally and must cast back)."""
+    int_queries = (
+        docs.where("doc_id < 5")
+        .select(
+            F.col("doc_id").cast("int").alias("query_id"),
+            F.substring("text", 1, 120).alias("query_text"),
+        )
+    )
+    kern = bm25_index.query(int_queries, k=5, strategy="kernel")
+    join = bm25_index.query(int_queries, k=5, strategy="join")
+    assert dict(kern.dtypes) == dict(join.dtypes)
+    assert dict(kern.dtypes)["query_id"] == "int"
+    got = [
+        (q.query_id, q.rank, q.doc_id, q.score)
+        for q in kern.orderBy("query_id", "rank").collect()
+    ]
+    want = [
+        (q.query_id, q.rank, q.doc_id, q.score)
+        for q in join.orderBy("query_id", "rank").collect()
+    ]
+    assert got == want and len(got) > 0

@@ -126,6 +126,17 @@ def _explode_query_terms(
 # int64 kernel (the knn KERNEL_MAX_NQ discipline: the query-term
 # indicator matrix is broadcast, so its size must stay bounded)
 BM25_KERNEL_MAX_NQ = 4096
+# ... and the batch VOCABULARY must stay bounded too: the broadcast
+# indicator matrix is nq × |distinct terms| int64 and every task holds
+# two |terms| × _KERNEL_DOC_CHUNK dense int64 planes, so a
+# decontamination-style batch of document-length queries (10⁵–10⁶
+# distinct terms) would OOM the driver collect, the broadcast, AND the
+# tasks if `auto` picked the kernel.  At the cap: indicator ≤
+# 4096 × 65536 × 8 B = 2 GiB worst case but real batches hit ONE of the
+# two caps, and the per-task planes are ≤ 65536 × 8192 × 8 × 2 = 8 GiB
+# only when the vocab cap binds — so the doc chunk shrinks adaptively
+# (see _score_matched_postings_kernel) to keep tasks ≤ ~256 MB.
+BM25_KERNEL_MAX_TERMS = 65536
 # docs-axis chunk for the dense (terms × docs) partial matrix: bounds
 # per-task memory at |batch vocab| × 8192 × 8 B regardless of how many
 # matched docs land in one partition
@@ -138,6 +149,7 @@ def _score_matched_postings_kernel(
     k: int,
     id_col: str,
     query_id_col: str,
+    query_id_type: str = "long",
 ) -> DataFrame:
     """Kernel twin of :func:`_score_matched_postings`'s scoring tail —
     BIT-IDENTICAL output, different physical plan.
@@ -155,7 +167,14 @@ def _score_matched_postings_kernel(
     to lexical scoring.
 
     ``qterm_rows``: collected (query_id, term) pairs — bounded by
-    ``BM25_KERNEL_MAX_NQ`` queries (the indicator matrix is broadcast).
+    ``BM25_KERNEL_MAX_NQ`` queries AND ``BM25_KERNEL_MAX_TERMS`` distinct
+    terms (the indicator matrix is broadcast; both axes are probed
+    BEFORE the collect).
+
+    ``query_id_type``: Spark type name of the caller's query-id column —
+    the Arrow schema here is fixed at ``long``, so the result is cast
+    back so kernel and join strategies return an IDENTICAL schema
+    whatever ``auto`` picked.
     """
     import numpy as np
     import pandas as pd
@@ -172,56 +191,83 @@ def _score_matched_postings_kernel(
 
     def score(batches):
         qind_, t_idx_, qids_ = bc.value
-        frames = [pdf for pdf in batches if len(pdf)]
-        if not frames:
-            return
-        pdf = pd.concat(frames, ignore_index=True)
-        docs = pdf[id_col].to_numpy(dtype=np.int64)
-        udocs, dinv = np.unique(docs, return_inverse=True)
-        trow = np.array(
-            [t_idx_[t] for t in pdf["__t"]], dtype=np.int64
-        )
-        nanos = pdf["__p"].to_numpy(dtype=np.int64)
         nq = qind_.shape[0]
-        for lo in range(0, len(udocs), _KERNEL_DOC_CHUNK):
-            hi = min(lo + _KERNEL_DOC_CHUNK, len(udocs))
-            sel = (dinv >= lo) & (dinv < hi)
-            cols = dinv[sel] - lo
-            P = np.zeros((len(t_idx_), hi - lo), dtype=np.int64)
-            P[trow[sel], cols] = nanos[sel]
-            present = np.zeros((len(t_idx_), hi - lo), dtype=np.int64)
-            present[trow[sel], cols] = 1
-            acc = qind_ @ P  # exact int64 nano sums
-            hit = (qind_ @ present) > 0
-            take = min(k, hi - lo)
-            for qi in range(nq):
-                row = acc[qi]
-                mask = hit[qi]
-                if not mask.any():
-                    continue
-                cand = np.nonzero(mask)[0]
-                if len(cand) > take:
-                    # partial top-k on raw nanos, WIDENED by one rounding
-                    # quantum (1000 nano = 1e-6): the global rank uses the
-                    # ROUND-6 score, and two nanos within 2000 of each
-                    # other can round equal (then tie-break by doc id) —
-                    # the widened cut is a provable superset of the
-                    # join plan's top-k, the final window settles it
-                    kth = np.partition(row[cand], len(cand) - take)[
-                        len(cand) - take
-                    ]
-                    cand = cand[row[cand] >= kth - 2000]
-                yield pd.DataFrame(
-                    {
-                        query_id_col: qids_[qi],
-                        id_col: udocs[lo:][cand],
-                        "__nano": row[cand],
-                    }
-                )
+        # the two dense per-task planes are |terms| × chunk int64 each:
+        # shrink the doc chunk when the batch vocabulary is wide so a
+        # task stays ≤ ~256 MB wherever the two caps bind
+        chunk = max(
+            64, min(_KERNEL_DOC_CHUNK, 16_777_216 // max(1, len(t_idx_)))
+        )
+
+        def emit(pdf):
+            docs = pdf[id_col].to_numpy(dtype=np.int64)
+            udocs, dinv = np.unique(docs, return_inverse=True)
+            trow = np.array(
+                [t_idx_[t] for t in pdf["__t"]], dtype=np.int64
+            )
+            nanos = pdf["__p"].to_numpy(dtype=np.int64)
+            for lo in range(0, len(udocs), chunk):
+                hi = min(lo + chunk, len(udocs))
+                sel = (dinv >= lo) & (dinv < hi)
+                cols = dinv[sel] - lo
+                P = np.zeros((len(t_idx_), hi - lo), dtype=np.int64)
+                P[trow[sel], cols] = nanos[sel]
+                present = np.zeros((len(t_idx_), hi - lo), dtype=np.int64)
+                present[trow[sel], cols] = 1
+                acc = qind_ @ P  # exact int64 nano sums
+                hit = (qind_ @ present) > 0
+                take = min(k, hi - lo)
+                for qi in range(nq):
+                    row = acc[qi]
+                    mask = hit[qi]
+                    if not mask.any():
+                        continue
+                    cand = np.nonzero(mask)[0]
+                    if len(cand) > take:
+                        # partial top-k on raw nanos, WIDENED by one
+                        # rounding quantum (1000 nano = 1e-6): the global
+                        # rank uses the ROUND-6 score, and two nanos
+                        # within 2000 of each other can round equal (then
+                        # tie-break by doc id) — the widened cut is a
+                        # provable superset of the join plan's top-k, the
+                        # final window settles it
+                        kth = np.partition(row[cand], len(cand) - take)[
+                            len(cand) - take
+                        ]
+                        cand = cand[row[cand] >= kth - 2000]
+                    yield pd.DataFrame(
+                        {
+                            query_id_col: qids_[qi],
+                            id_col: udocs[lo:][cand],
+                            "__nano": row[cand],
+                        }
+                    )
+
+        # rows arrive SORTED by doc id within the partition (the
+        # sortWithinPartitions below), so each Arrow batch is processed
+        # as it streams in — memory ∝ one batch, not the partition's
+        # matched postings — and only the batch's LAST doc can continue
+        # into the next batch: hold its rows back and prepend them.
+        carry = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+            docs = pdf[id_col].to_numpy(dtype=np.int64)
+            cut = int(np.searchsorted(docs, docs[-1], side="left"))
+            carry = pdf.iloc[cut:]
+            pdf = pdf.iloc[:cut]
+            if len(pdf):
+                yield from emit(pdf)
+        if carry is not None and len(carry):
+            yield from emit(carry)
 
     nparts = spark.sparkContext.defaultParallelism
     partial = (
         part_df.repartition(nparts, id_col)
+        .sortWithinPartitions(id_col)
         .mapInPandas(
             score,
             schema=f"{query_id_col} long, {id_col} long, __nano long",
@@ -230,7 +276,7 @@ def _score_matched_postings_kernel(
     # nano → the exact double the decimal path produces (sum ≪ 2⁵³), so
     # the final round-6 and tie-break match the join plan bit-for-bit
     scored = partial.select(
-        query_id_col,
+        F.col(query_id_col).cast(query_id_type).alias(query_id_col),
         id_col,
         F.round(
             (F.col("__nano") / F.lit(1_000_000_000.0)).cast("double"), 6
@@ -681,8 +727,12 @@ class BM25Index:
         the matched partials by doc once and scores every query
         per-partition as an exact int64 indicator-matmul (the kNN-kernel
         shape — no expansion shuffle; bounded query batches only);
-        ``auto`` picks the kernel for ≤ ``BM25_KERNEL_MAX_NQ`` integral-id
-        batches.  Both strategies are BIT-IDENTICAL (pinned by test)."""
+        ``auto`` picks the kernel for integral-id batches of ≤
+        ``BM25_KERNEL_MAX_NQ`` queries AND ≤ ``BM25_KERNEL_MAX_TERMS``
+        distinct terms (both axes probed bounded before any collect).
+        Both strategies are BIT-IDENTICAL (pinned by test), including
+        the result schema — the kernel casts the query-id column back
+        to the input type."""
         id_col = self.meta["id_col"]
         qterms = _explode_query_terms(queries, query_id_col, query_text_col)
         qt_distinct = qterms.select("__t").distinct()
@@ -715,13 +765,16 @@ class BM25Index:
         if strategy not in ("auto", "join", "kernel"):
             raise ValueError(f"unknown strategy: {strategy}")
         use_kernel = strategy == "kernel"
+        qid_type = dict(queries.dtypes).get(query_id_col, "")
         if strategy == "auto":
-            qid_type = dict(queries.dtypes).get(query_id_col, "")
             use_kernel = qid_type in ("bigint", "int", "smallint")
         if use_kernel:
-            # BOUNDED size probe BEFORE any collect: a huge integral-id
-            # batch under `auto` must fall back to the join plan without
-            # ever pulling its (query, term) pairs to the driver
+            # BOUNDED size probes BEFORE any collect, on BOTH broadcast
+            # axes: a huge integral-id batch (too many queries) OR a
+            # decontamination-style batch of document-length queries
+            # (too many distinct terms → multi-GB indicator matrix and
+            # dense per-task planes) under `auto` must fall back to the
+            # join plan without ever pulling its pairs to the driver
             probe = (
                 queries.select(query_id_col)
                 .distinct()
@@ -738,9 +791,22 @@ class BM25Index:
                         "strategy='join'"
                     )
                 use_kernel = False
+            elif (
+                qt_distinct.limit(BM25_KERNEL_MAX_TERMS + 1).count()
+                > BM25_KERNEL_MAX_TERMS
+            ):
+                if strategy == "kernel":
+                    raise ValueError(
+                        "kernel strategy caps at "
+                        f"{BM25_KERNEL_MAX_TERMS} distinct query terms "
+                        "(the broadcast indicator matrix and dense "
+                        "per-task planes grow with the batch "
+                        "vocabulary); use strategy='join'"
+                    )
+                use_kernel = False
             else:
-                # now safe: ≤ MAX_NQ queries bound the collected pairs
-                # and the broadcast indicator matrix
+                # now safe: ≤ MAX_NQ queries × ≤ MAX_TERMS terms bound
+                # the collected pairs and the broadcast indicator matrix
                 qterm_rows = [
                     (int(r[query_id_col]), r["__t"])
                     for r in qterms.collect()
@@ -749,6 +815,7 @@ class BM25Index:
                     return _score_matched_postings_kernel(
                         _partial_nanos(post, k1, b, id_col),
                         qterm_rows, k, id_col, query_id_col,
+                        query_id_type=qid_type or "long",
                     )
                 use_kernel = False  # all-empty query texts: join plan
         return _score_matched_postings(
