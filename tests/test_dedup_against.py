@@ -169,3 +169,110 @@ def test_stream_dedup_against_e2e(spark, docs, tmp_path):
     )
     sq2.awaitTermination()
     assert results == {}
+    # grow + consolidate the artifact BETWEEN restarts: the next
+    # micro-batch must resolve the new generation through the meta
+    # pointer (per-batch re-open) — dups of the folded increment are
+    # found even though the pre-fold dirs are gone
+    inc = docs.where("doc_id % 2 = 1 AND doc_id < 60")
+    ref_art.add_documents(inc)
+    ref_art.consolidate()
+    assert ref_art.describe()["generation"] == 1
+    b2 = inc.where("doc_id < 20").select(
+        (F.col("doc_id") + 980000).alias("doc_id"),
+        F.concat("text", F.lit(" trailer")).alias("text"),
+    )
+    b2.coalesce(1).write.parquet(str(in_dir / "batch=2"))
+    results.clear()
+    stream3 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "batch=*"))
+    )
+    sq3 = stream_dedup_against(
+        stream3, art_uri, sink, threshold=0.8, checkpoint_dir=ckpt
+    )
+    sq3.awaitTermination()
+    flagged = {p[0] for rows in results.values() for p in rows}
+    assert {980000 + i for i in range(1, 20, 2)} <= flagged
+
+
+def test_artifact_consolidate_bit_identical_and_zeroes_debt(
+    spark, docs, tmp_path
+):
+    """Pre/post-consolidate match() is BIT-IDENTICAL; the fold zeroes the
+    batch debt, bumps the generation, and physically removes the
+    per-increment dirs (the small-files debt a crawl pipeline
+    accumulates); growth after the fold still equals a fresh build."""
+    import os
+
+    ref_a = docs.where("doc_id % 4 = 0")
+    ref_b = docs.where("doc_id % 4 = 2")
+    ref_c = docs.where("doc_id % 4 = 1")
+    art = MinHashReference.build(spark, str(tmp_path / "cons"), ref_a)
+    art.add_documents(ref_b)
+    art.add_documents(ref_c)
+    new = _planted(ref_b, n=40).unionByName(_planted(ref_c, n=40))
+    assert art.describe()["batch_debt"] == 2
+    before = _pairs(art.match(new, threshold=0.8))
+    art.consolidate()
+    d = art.describe()
+    assert d["batch_debt"] == 0 and d["generation"] == 1
+    assert _pairs(art.match(new, threshold=0.8)) == before
+    # the per-increment dirs are physically gone (GC after the flip)
+    assert not os.path.exists(str(tmp_path / "cons" / "bands_batches"))
+    assert not os.path.exists(str(tmp_path / "cons" / "bands"))
+    assert os.path.exists(str(tmp_path / "cons" / "bands_gen1"))
+    # a reopen resolves the generation pointer
+    reopened = MinHashReference(spark, art.uri)
+    assert _pairs(reopened.match(new, threshold=0.8)) == before
+    # zero-debt consolidate is a no-op
+    art.consolidate()
+    assert art.describe()["generation"] == 1
+    # growth after the fold still equals a fresh union build
+    ref_d = docs.where("doc_id % 4 = 3")
+    art.add_documents(ref_d)
+    fresh = MinHashReference.build(
+        spark,
+        str(tmp_path / "cons_fresh"),
+        ref_a.unionByName(ref_b).unionByName(ref_c).unionByName(ref_d),
+    )
+    new2 = _planted(ref_d, n=40)
+    assert _pairs(art.match(new2, threshold=0.8)) == _pairs(
+        fresh.match(new2, threshold=0.8)
+    )
+
+
+def test_artifact_consolidate_crash_atomic(spark, docs, tmp_path, monkeypatch):
+    """A crash between the gen-dir writes and the meta flip leaves the
+    artifact byte-identical (readers never resolve unreferenced gen
+    dirs); the retry completes the fold."""
+    import pyspark.sql.readwriter as RW
+
+    ref_a = docs.where("doc_id % 4 = 0")
+    ref_b = docs.where("doc_id % 4 = 2")
+    art = MinHashReference.build(spark, str(tmp_path / "cfold"), ref_a)
+    art.add_documents(ref_b)
+    new = _planted(ref_b, n=40)
+    before = _pairs(art.match(new, threshold=0.8))
+    before_meta = dict(art.meta)
+
+    real_parquet = RW.DataFrameWriter.parquet
+
+    def exploding(self, path, *a, **kw):
+        out = real_parquet(self, path, *a, **kw)
+        if "bands_gen" in path:
+            raise RuntimeError("injected crash after gen bands write")
+        return out
+
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", exploding)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        art.consolidate()
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", real_parquet)
+
+    reopened = MinHashReference(spark, art.uri)
+    assert dict(reopened.meta) == before_meta
+    assert _pairs(reopened.match(new, threshold=0.8)) == before
+    # retry completes; orphan gen dirs from the crash are overwritten
+    reopened.consolidate()
+    assert _pairs(reopened.match(new, threshold=0.8)) == before
+    assert reopened.describe()["batch_debt"] == 0

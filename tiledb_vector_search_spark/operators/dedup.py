@@ -1421,9 +1421,11 @@ class MinHashReference:
         ``add_documents`` increments, visible only once the atomic meta
         flip lists the batch id (crash-atomic: an orphan batch dir from
         a crashed add is never read)
+      - ``bands_gen<g>/`` + ``shingles_gen<g>/`` — :meth:`consolidate`
+        folds, swapped in by generation pointers in meta
       - ``_minhash_ref_meta.json`` — num_perm/bands/shingle_n (so every
         increment and every query signs with the SAME family) + the
-        committed batch list.
+        committed batch list + generation dir pointers.
     """
 
     META_FILE = "_minhash_ref_meta.json"
@@ -1492,12 +1494,103 @@ class MinHashReference:
     def _dirs(self, base: str) -> list:
         import posixpath
 
-        dirs = [posixpath.join(self.uri, base)]
+        # generation pointer: consolidate() repoints "<base>_dir" at a
+        # folded "<base>_gen<g>/" dir and empties the batch list in ONE
+        # atomic meta flip (the BM25Index discipline)
+        dirs = [posixpath.join(self.uri, self.meta.get(f"{base}_dir", base))]
         for b in self.meta.get("batches", []):
             dirs.append(
                 posixpath.join(self.uri, f"{base}_batches", f"batch={b}")
             )
         return dirs
+
+    def describe(self) -> dict:
+        """Operational snapshot: the signing family, the committed batch
+        debt (the signal to run :meth:`consolidate`), and the artifact
+        size.  ``n_docs`` is a parquet-footer row count — no shuffle."""
+        return {
+            "num_perm": self.meta["num_perm"],
+            "bands": self.meta["bands"],
+            "shingle_n": self.meta["shingle_n"],
+            "generation": int(self.meta.get("generation", 0)),
+            "batch_debt": len(self.meta.get("batches", [])),
+            "n_docs": self.spark.read.parquet(
+                *self._dirs("shingles")
+            ).count(),
+        }
+
+    def consolidate(self) -> None:
+        """Fold every committed ``add_documents`` batch into fresh base
+        dirs — the dedup twin of ``BM25Index.consolidate``.
+
+        A crawl pipeline calls ``add_documents`` once per increment
+        forever; after hundreds of increments the per-batch layout is a
+        small-files problem and every ``match()`` (and every streaming
+        micro-batch) unions hundreds of dirs.  The fold restores the
+        one-dir steady state: bands repartitioned by (band, bucket) so a
+        band join prunes cleanly, shingles by doc id.
+
+        CRASH-SAFE via generation pointers: the folded data lands in
+        ``bands_gen<g>/`` + ``shingles_gen<g>/`` which no reader
+        resolves, then ONE atomic meta flip repoints ``bands_dir`` /
+        ``shingles_dir`` and empties the batch list.  A crash before the
+        flip leaves the artifact byte-identical (a retry overwrites the
+        orphan gen dirs); after the flip the old dirs are garbage and
+        deleted best-effort.  ``match()`` results are BIT-IDENTICAL
+        before and after (pinned by test), and the streaming twin
+        re-resolves the new generation at its next micro-batch (it
+        re-opens the artifact through the meta pointer per batch)."""
+        import json as _json
+        import posixpath
+
+        from tiledb_vector_search_spark.storage import HadoopFS
+
+        if not self.meta.get("batches", []):
+            return  # zero debt: nothing to fold
+        gen = int(self.meta.get("generation", 0)) + 1
+        new_bands = f"bands_gen{gen}"
+        new_shingles = f"shingles_gen{gen}"
+        nparts = self.spark.sparkContext.defaultParallelism
+        id_col = self.meta["id_col"]
+        self.spark.read.parquet(*self._dirs("bands")).repartition(
+            nparts, "band", "bucket"
+        ).write.mode("overwrite").parquet(
+            posixpath.join(self.uri, new_bands)
+        )
+        self.spark.read.parquet(*self._dirs("shingles")).repartition(
+            nparts, id_col
+        ).write.mode("overwrite").parquet(
+            posixpath.join(self.uri, new_shingles)
+        )
+        # the whole *_batches trees go too: post-flip the batch list is
+        # empty, so nothing references them (not just their subdirs)
+        old_dirs = (
+            self._dirs("bands")
+            + self._dirs("shingles")
+            + [
+                posixpath.join(self.uri, "bands_batches"),
+                posixpath.join(self.uri, "shingles_batches"),
+            ]
+        )
+        # commit point: one atomic meta flip swaps the generation in and
+        # zeroes the batch debt
+        self.meta = {
+            **self.meta,
+            "bands_dir": new_bands,
+            "shingles_dir": new_shingles,
+            "generation": gen,
+            "batches": [],
+        }
+        fs = HadoopFS(self.spark, self.uri)
+        fs.write_text_atomic(
+            posixpath.join(self.uri, self.META_FILE),
+            _json.dumps(self.meta),
+        )
+        # post-commit GC: the old generation + batch dirs are no longer
+        # referenced by any reader; failure here cannot corrupt the
+        # artifact (a crashed GC just leaves unreferenced dirs)
+        for d in old_dirs:
+            fs.delete(d)
 
     def add_documents(self, ref_df: DataFrame) -> None:
         """Grow the reference by an increment (e.g. yesterday's accepted
