@@ -246,14 +246,25 @@ def test_pixel_budget_guard_trips_before_decode():
         decode_gif(blob)
 
 
-def test_frame_beyond_screen_raises():
+def test_frame_beyond_screen_clips():
+    """A frame exceeding the logical screen is mis-authored but real
+    decoders (PIL, browsers) tolerate it by clipping — the native path
+    must too, not hard-fail the blob (ADVICE r7)."""
     img = _rand_paletted(4, 4, 4)
     blob = bytearray(encode_gif([img]))
     # image descriptor starts after header+GCT; bump its left offset
     pos = blob.index(0x2C, 13)
     blob[pos + 1] = 3  # left=3 on a 4-wide screen with a 4-wide frame
-    with pytest.raises(ValueError, match="exceeds the logical screen"):
-        decode_gif(bytes(blob))
+    out = decode_gif(bytes(blob))
+    assert out.shape == (4, 4, 3)
+    # the on-screen sliver is the frame's first column at x=3 ...
+    assert (out[:, 3] == img[:, 0]).all()
+    # ... and everything left of it is one flat background color
+    assert (out[:, :3] == out[0, 0]).all()
+    # the animation compositor clips identically
+    frames = decode_gif_frames(bytes(blob))
+    assert len(frames) == 1 and (frames[0][:, 3] == img[:, 0]).all()
+    assert (frames[0][:, :3] == frames[0][0, 0]).all()
 
 
 def test_index_beyond_palette_raises():

@@ -532,3 +532,19 @@ def test_12bit_rejects_other_precisions():
     blob[idx + 4] = 16
     with pytest.raises(NotImplementedError, match="precision 16"):
         decode_jpeg(bytes(blob))
+
+
+def test_truncated_scan_raises_valueerror_not_indexerror():
+    """A scan cut off before any trailing marker byte must surface
+    through the decoder's ValueError contract (the corruption-fuzz error
+    taxonomy), not a bare IndexError from the bit reader (ADVICE r7).
+    Cut points sweep the tail so both the byte-fill and the 0xFF-pair
+    lookahead paths hit the end."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    blob = encode_jpeg(img, quality=85)
+    assert blob.endswith(b"\xff\xd9")
+    for cut in (3, 4, 5, 9, 17):
+        trunc = blob[: len(blob) - cut]
+        with pytest.raises(ValueError):
+            decode_jpeg(trunc)

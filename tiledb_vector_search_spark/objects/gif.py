@@ -250,8 +250,9 @@ def _parse_gif(blob: bytes):
                 lct, pos = _color_table(blob, pos, 2 << (iflags & 7))
             if w == 0 or h == 0:
                 raise ValueError("GIF frame with zero dimension")
-            if left + w > sw or top + h > sh:
-                raise ValueError("GIF frame exceeds the logical screen")
+            # a frame exceeding the logical screen is mis-authored but
+            # tolerated by real decoders (PIL, browsers) by CLIPPING to
+            # the screen — the compositor clips, parse stays permissive
             total_px += w * h
             if total_px > GIF_MAX_PIXELS:
                 raise ValueError(
@@ -320,6 +321,10 @@ def decode_gif_frames(blob: bytes) -> list[np.ndarray]:
             raise ValueError("GIF pixel index beyond the color table")
         t, l, h, w = fr["top"], fr["left"], fr["h"], fr["w"]
         region = canvas[t : t + h, l : l + w]
+        if region.shape[:2] != (h, w):
+            # mis-authored frame exceeding the logical screen: clip the
+            # raster to the on-screen part (PIL/browser behavior)
+            idx = idx[: region.shape[0], : region.shape[1]]
         saved = region.copy() if disposal == 3 else None
         opaque = idx != trans if trans >= 0 else np.ones_like(idx, bool)
         region[opaque, :3] = pal[idx[opaque]]
@@ -359,12 +364,18 @@ def _composite_first(sw, sh, bg, gct, frames) -> np.ndarray:
     else:
         bg_rgb = np.zeros(3, np.uint8)
     canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    region = canvas[
+        fr["top"] : fr["top"] + fr["h"], fr["left"] : fr["left"] + fr["w"]
+    ]
+    if region.shape[:2] != (fr["h"], fr["w"]):
+        # mis-authored frame exceeding the logical screen: clip the
+        # raster to the on-screen part (PIL/browser behavior)
+        idx = idx[: region.shape[0], : region.shape[1]]
     rgb = pal[idx]
     if trans >= 0:
         opaque = (idx != trans)[..., None]
-        rgb = np.where(opaque, rgb, canvas[fr["top"] : fr["top"] + fr["h"],
-                                           fr["left"] : fr["left"] + fr["w"]])
-    canvas[fr["top"] : fr["top"] + fr["h"], fr["left"] : fr["left"] + fr["w"]] = rgb
+        rgb = np.where(opaque, rgb, region)
+    region[:] = rgb
     return canvas
 
 
@@ -394,6 +405,10 @@ def sample_gif_frames(blob: bytes, every_n: int = 1) -> list[np.ndarray]:
             raise ValueError("GIF pixel index beyond the color table")
         t, l, h, w = fr["top"], fr["left"], fr["h"], fr["w"]
         region = canvas[t : t + h, l : l + w]
+        if region.shape[:2] != (h, w):
+            # mis-authored frame exceeding the logical screen: clip the
+            # raster to the on-screen part (PIL/browser behavior)
+            idx = idx[: region.shape[0], : region.shape[1]]
         saved = region.copy() if disposal == 3 else None
         opaque = idx != trans if trans >= 0 else np.ones_like(idx, bool)
         region[opaque, :3] = pal[idx[opaque]]

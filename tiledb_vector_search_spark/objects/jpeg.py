@@ -201,8 +201,15 @@ class _BitReader:
         # mask consumed high bits BEFORE shifting: without it acc grows
         # into an ever-larger bignum over the scan and every shift turns
         # O(scan length) — accidentally quadratic decode
+        if self.pos >= len(self.buf):
+            # a scan that ends without a trailing marker byte: surface
+            # through the decoder's ValueError contract, not a bare
+            # IndexError (the corruption-fuzz error taxonomy)
+            raise ValueError("truncated JPEG scan")
         b = self.buf[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("truncated JPEG scan")
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2

@@ -211,11 +211,16 @@ class DirectoryImageReader(ObjectReader):
     Reference: ``DirectoryImageReader`` (``directory_reader.py:507-643``)
     decodes to RGB arrays with PIL.  Here the mainstream formats decode
     dependency-free — binary netpbm (P5/P6), PNG at every bit depth
-    (stdlib zlib), JPEG incl. progressive (``objects/jpeg.py``), both
-    WebP flavors (``objects/webp.py`` / ``objects/vp8.py``), and GIF
+    (stdlib zlib), JPEG incl. progressive, arithmetic-coded, and 12-bit
+    (``objects/jpeg.py`` / ``jpeg_arith.py``), both WebP flavors incl.
+    ALPH + animation (``objects/webp.py`` / ``objects/vp8.py``), and GIF
     incl. animation (``objects/gif.py``) — covering the default glob end
-    to end; PIL remains an import-try fallback for the exotic tail
-    (animated webp, arithmetic-coded jpeg).
+    to end; PIL remains an import-try fallback for the residual tail
+    only (lossless/hierarchical JPEG processes and guard-tripped
+    oversizes).  On a cluster WITH Pillow, ``decode_image(prefer=
+    "system")`` flips the order: the C path first for mainstream
+    formats, native as the no-deps fallback and differential ground
+    truth.
     """
 
     def __init__(self, uri: str, glob: str = "*.{png,jpg,jpeg,gif}"):
