@@ -202,3 +202,55 @@ def test_gif_reencode_pairs_with_png_original(spark):
     for i in range(3):
         assert (i, i + 1000) in pairs or (i + 1000, i) in pairs, (i, pairs)
     assert all(a % 1000 == b % 1000 for a, b in pairs), pairs
+
+
+def test_combination_banding_adversarial_completeness(spark):
+    """Worst-case completeness of the block-pair pigeonhole: flip
+    EXACTLY max_hamming bits spread one-per-block (dirtying the maximum
+    number of blocks) and at every packing extreme; every pair at
+    radius <= max_hamming must surface, radius max_hamming+1 must not
+    (verify step).  Brute-force numpy oracle over all pairs."""
+    import itertools
+
+    import numpy as np
+
+    from tiledb_vector_search_spark.operators.hamming import (
+        hamming_near_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    max_h = 8
+    blocks = max_h + 2
+    block_bits = 64 // blocks  # 6
+    base = int(rng.integers(0, 2**63))
+    rows = [(0, base)]
+    # one-per-block spread (max dirty blocks), low/high packed, over-radius
+    spread = base
+    for c in range(max_h):
+        spread ^= 1 << (c * block_bits)
+    rows.append((1, spread))
+    rows.append((2, base ^ ((1 << max_h) - 1)))          # all-low pack
+    rows.append((3, base ^ (((1 << max_h) - 1) << 55)))  # high/orphan pack
+    over = spread ^ (1 << ((max_h) * block_bits))        # radius max_h+1
+    rows.append((4, over))
+    for i in range(5, 40):  # organic random far-away fill
+        rows.append((i, int(rng.integers(0, 2**63))))
+    df = spark.createDataFrame(rows, "external_id long, hash long")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_pairs(
+            df, bits=64, max_hamming=max_h, hash_col="hash"
+        ).collect()
+    )
+    h = np.array([x for _, x in rows], dtype=np.uint64)
+    ids = np.array([i for i, _ in rows])
+    want = []
+    for i, j in itertools.combinations(range(len(rows)), 2):
+        d = int(bin(int(h[i]) ^ int(h[j])).count("1"))
+        if d <= max_h:
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            want.append((a, b, d))
+    assert got == sorted(want)
+    assert (0, 1, max_h) in got and (0, 2, max_h) in got
+    assert (0, 3, max_h) in got
+    assert not any(a == 0 and b == 4 for a, b, _ in got)

@@ -2,18 +2,77 @@
 integer hash column.
 
 The candidate plan behind every hamming-space near-dup operator (text
-simhash, image pHash, audio fingerprints): split the hash into
-``max_hamming + 1`` disjoint chunks — a pair within the radius must
-agree EXACTLY on at least one chunk — equi-join per chunk, dedup, and
-verify with ``bit_count(xor)``.  All-pairs work happens only inside
-band buckets; the shuffle is keyed on (chunk, chunk-value), never on
-the corpus payload.
+simhash, image pHash, audio fingerprints, video frame fingerprints).
+Banding is COMBINATION (block-pair) pigeonhole, the Manku/WWW'07
+simhash-dedup construction generalized to any radius: split the hash
+into ``max_hamming + 2`` disjoint blocks — a pair within the radius
+differs in ≤ ``max_hamming`` bits, each of which dirties at most one
+block, so at least TWO blocks agree exactly — and emit one band key
+per block PAIR (``C(max_hamming + 2, 2)`` bands, key = both block
+values).
+
+Why pairs and not the classic single-chunk ``max_hamming + 1`` split:
+the band KEY SPACE is what bounds bucket density, and bucket density
+is what keeps the self-join from going quadratic.  For the common
+(64-bit, radius-8) setting, single chunks give 9 bands of 7-bit keys —
+128 buckets per band, so candidates grow as N²/14 and the join is
+super-linear long before 100 TB.  Block pairs give 45 bands of 12-bit
+keys (~4096 buckets): ~5× more exploded rows (linear, cheap) for ~29×
+fewer candidate comparisons (the quadratic term).  Both schemes are
+exactly complete; the verify (``bit_count(xor)``) makes either exact.
+
+All-pairs work happens only inside band buckets; the shuffle is keyed
+on (band, key), never on the corpus payload.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def combination_band_structs(
+    hash_col: str, bits: int, max_hamming: int
+) -> list[Column]:
+    """``struct(band, key)`` columns for the combination pigeonhole:
+    one per pair of the ``max_hamming + 2`` blocks; explode them and
+    equi-join on (band, key).
+
+    COMPLETE for pairs within ``max_hamming``: ≤ ``max_hamming``
+    differing bits dirty ≤ ``max_hamming`` blocks, leaving ≥ 2 clean
+    blocks whose pair is a shared band.  Orphan high bits (when
+    ``bits`` doesn't divide evenly) belong to no block, so differences
+    there dirty nothing — completeness is unaffected and the verify
+    step still checks every bit.
+
+    Degenerate small-``bits`` cases stay sound: blocks shifted past the
+    hash are constant 0 on both sides (clean), which only ADDS
+    candidate pairs (the verify rejects them)."""
+    blocks = max_hamming + 2
+    block_bits = max(1, bits // blocks)
+
+    def block(c: int) -> Column:
+        # blocks >= 3 (max_hamming >= 1 here), so block_bits <= 21 and
+        # the mask / shifted pair key never overflow LongType; the
+        # arithmetic shiftright's sign-extension is masked off
+        shifted = (
+            F.col(hash_col)
+            if c == 0
+            else F.shiftright(F.col(hash_col), c * block_bits)
+        )
+        return shifted.bitwiseAND(F.lit((1 << block_bits) - 1))
+
+    out = []
+    for band, (c1, c2) in enumerate(combinations(range(blocks), 2)):
+        key = block(c1).bitwiseXOR(
+            F.shiftleft(block(c2), block_bits)
+        )
+        out.append(
+            F.struct(F.lit(band).alias("band"), key.alias("key"))
+        )
+    return out
 
 
 def hamming_near_pairs(
@@ -24,44 +83,36 @@ def hamming_near_pairs(
     hash_col: str = "hash",
 ) -> DataFrame:
     """(id_a, id_b, hamming) with hamming ≤ ``max_hamming``; ``hashes``
-    is one long hash per id.  Sound for any chunking with ≥
-    ``max_hamming + 1`` chunks (orphan high bits only make chunks
-    cleaner, never dirtier)."""
-    chunks = max_hamming + 1
-    chunk_bits = max(1, bits // chunks)
-
-    def _key(c: int):
-        shifted = (
-            F.col(hash_col)
-            if c == 0
-            else F.shiftright(F.col(hash_col), c * chunk_bits)
+    is one long hash per id.  Combination pigeonhole candidates (module
+    docstring) + exact ``bit_count(xor)`` verify."""
+    if max_hamming == 0:
+        # radius 0 is an exact self-join on the hash — no banding
+        a, b = hashes.alias("a"), hashes.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{hash_col}") == F.col(f"b.{hash_col}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+            .orderBy("id_a", "id_b")
         )
-        if chunk_bits >= 64:
-            # single chunk spanning the whole long hash (max_hamming=0):
-            # the key IS the hash — (1<<64)-1 would overflow LongType
-            return shifted
-        return shifted.bitwiseAND(F.lit((1 << chunk_bits) - 1))
-
     banded = hashes.select(
         id_col,
         F.col(hash_col).alias("__h"),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        _key(c).alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cc"),
-    ).select(id_col, "__h", F.col("cc.chunk"), F.col("cc.key"))
+            F.array(*combination_band_structs(hash_col, bits, max_hamming))
+        ).alias("bk"),
+    ).select(id_col, "__h", F.col("bk.band"), F.col("bk.key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )

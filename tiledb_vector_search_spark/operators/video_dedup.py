@@ -168,25 +168,30 @@ def video_fingerprint_near_duplicates(
     fingerprint table — split out so a frozen fingerprint artifact can
     be queried (and oracle-checked) without re-decoding video.
 
-    Same pigeonhole soundness as ``hamming.hamming_near_pairs``: a
-    frame pair within ``max_hamming`` must agree exactly on one of the
-    ``max_hamming + 1`` disjoint hash chunks.  The temporal constraint
-    and the exact ``bit_count(xor)`` verify are inlined in the join
-    condition; multi-band duplicates collapse in the distinct; the
-    final aggregate is keyed on the video pair."""
-    chunks = max_hamming + 1
-    chunk_bits = max(1, PHASH_BITS // chunks)
+    Same combination-pigeonhole soundness as
+    ``hamming.hamming_near_pairs`` (see that module's docstring): a
+    frame pair within ``max_hamming`` differs in ≤ ``max_hamming``
+    bits, so ≥ 2 of the ``max_hamming + 2`` hash blocks agree exactly
+    and the pair shares a block-PAIR band key.  The TEMPORAL window is
+    banded too, not just verified: frames bucket by
+    ``f // (temporal_drift + 1)`` and each row is emitted under its own
+    bucket AND the next one, so frames within the drift window (whose
+    buckets differ by ≤ 1) always share a bucket key while distant
+    frames of popular hashes never meet — the band key space scales
+    with clip length, which is what keeps long-video corpora from
+    going quadratic.  The exact ``|Δf|`` check and ``bit_count(xor)``
+    verify are inlined in the join condition; multi-band duplicates
+    collapse in the distinct; the final aggregate is keyed on the
+    video pair."""
+    from tiledb_vector_search_spark.operators.hamming import (
+        combination_band_structs,
+    )
 
-    def _key(c: int):
-        shifted = (
-            F.col(hash_col)
-            if c == 0
-            else F.shiftright(F.col(hash_col), c * chunk_bits)
-        )
-        if chunk_bits >= 64:
-            return shifted
-        return shifted.bitwiseAND(F.lit((1 << chunk_bits) - 1))
-
+    hash_bands = combination_band_structs(
+        hash_col, PHASH_BITS, max_hamming
+    )
+    fw = temporal_drift + 1
+    fbucket = F.floor(F.col(frame_col) / fw).cast("long")
     banded = fp.select(
         F.col(id_col).alias("vid"),
         F.col(frame_col).alias("f"),
@@ -194,19 +199,28 @@ def video_fingerprint_near_duplicates(
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(c).alias("chunk"), _key(c).alias("key"))
-                    for c in range(chunks)
+                    F.struct(
+                        bk["band"].alias("band"),
+                        bk["key"].alias("key"),
+                        (fbucket + off).alias("fb"),
+                    )
+                    for bk in hash_bands
+                    for off in (0, 1)
                 ]
             )
         ).alias("cc"),
-    ).select("vid", "f", "h", F.col("cc.chunk"), F.col("cc.key"))
+    ).select(
+        "vid", "f", "h",
+        F.col("cc.band"), F.col("cc.key"), F.col("cc.fb"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     matches = (
         a.join(
             b,
             on=[
-                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.band") == F.col("b.band"),
                 F.col("a.key") == F.col("b.key"),
+                F.col("a.fb") == F.col("b.fb"),
                 F.col("a.vid") < F.col("b.vid"),
                 F.abs(F.col("a.f") - F.col("b.f")) <= temporal_drift,
                 F.bit_count(
