@@ -315,6 +315,87 @@ def _bench_queries(spark, sf_dir):
         assert len(out) == 20 * 3, len(out)
         return out
 
+    _vid_state: dict = {}
+
+    def video_neardup_full():
+        """Video near-dup end to end: decode (concatenated-PNM clips) →
+        per-frame DCT pHash → temporal band-join → distinct-frame vote.
+        600 16-frame clips + 150 planted one-frame-trim near-dups (the
+        re-encode/trim case the operator exists for); the clip corpus is
+        one-time setup on the warm-up call, every timed run pays the
+        full fingerprint + join pipeline and asserts all 150 planted
+        pairs surface."""
+        import numpy as np
+        import pandas as pd
+
+        from tiledb_vector_search_spark.operators.video_dedup import (
+            video_near_duplicates,
+        )
+
+        root = "/tmp/tvs_bench_video"
+        n_base, n_frames, size = 600, 16, 48
+
+        if "dir" not in _vid_state:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+
+            def gen(batches):
+                header = f"P6\n{size} {size}\n255\n".encode()
+
+                def clip_bytes(vid: int) -> bytes:
+                    base = vid % 1_000_000
+                    rng = np.random.default_rng(500 + base)
+                    # textured (smoothed-noise) frames: rich DCT spectrum
+                    # so the median-threshold pHash is stable; panning
+                    # makes adjacent frames perceptually distinct
+                    tex = np.clip(
+                        np.cumsum(
+                            rng.integers(-5, 6, (size, size, 3)), axis=0
+                        )
+                        + 120,
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                    frames = [
+                        np.roll(tex, 3 * k, axis=1)
+                        for k in range(n_frames)
+                    ]
+                    if vid >= 1_000_000:  # one-frame trim variant
+                        frames = frames[1:]
+                    return b"".join(
+                        header + f.tobytes() for f in frames
+                    )
+
+                for pdf in batches:
+                    ids = [int(i) for i in pdf["id"]]
+                    yield pd.DataFrame(
+                        {
+                            "external_id": ids,
+                            "video": [clip_bytes(i) for i in ids],
+                        }
+                    )
+
+            ids = spark.range(n_base).union(
+                spark.range(1_000_000, 1_000_000 + n_base, 4)
+            )
+            ids.repartition(32).mapInPandas(
+                gen, "external_id long, video binary"
+            ).write.mode("overwrite").parquet(root)
+            _vid_state["dir"] = root
+
+        blobs = spark.read.parquet(_vid_state["dir"])
+        pairs = video_near_duplicates(
+            blobs, max_hamming=8, min_frame_matches=3, temporal_drift=2
+        ).collect()
+        planted = {
+            (r.id_a, r.id_b)
+            for r in pairs
+            if r.id_b == r.id_a + 1_000_000
+        }
+        assert len(planted) == (n_base + 3) // 4, len(planted)
+        return pairs
+
     def ngram_jaccard_full():
         # the complete dedup pipeline: exact prefix-filtered pairs →
         # transitive-closure groups (the keep/drop decision)
@@ -429,6 +510,7 @@ def _bench_queries(spark, sf_dir):
         "bm25_retrieval_100q": bm25_full,
         "bm25_artifact_query_100q": bm25_artifact_query,
         "multimodal_image_index_e2e": multimodal_image_index_e2e,
+        "video_neardup_full": video_neardup_full,
         "dedup_duplicate_spans_full": duplicate_spans_full,
         "dedup_minhash_lsh_full": minhash_lsh_full,
         "dedup_ngram_jaccard_full": ngram_jaccard_full,

@@ -186,6 +186,12 @@ def _queries(spark):
 
         return repetition_scores(docs(sf_dir).repartition(32)).collect()
 
+    def _vectors(sf_dir):
+        return emb(sf_dir).select(
+            F.col("vec_id").alias("external_id"),
+            F.col("embedding").alias("vector"),
+        )
+
     def ivf_build_query(sf_dir):
         import shutil
 
@@ -193,10 +199,7 @@ def _queries(spark):
 
         uri = f"/tmp/tvs_scaling_ivf_{abs(hash(sf_dir))}"
         shutil.rmtree(uri, ignore_errors=True)
-        vectors = emb(sf_dir).select(
-            F.col("vec_id").alias("external_id"),
-            F.col("embedding").alias("vector"),
-        )
+        vectors = _vectors(sf_dir)
         idx = IVFFlatIndex.ingest(
             spark, f"{uri}/idx", vectors, partitions=32, timestamp=1000
         )
@@ -205,15 +208,126 @@ def _queries(spark):
         )
         return idx.query(q, 10, nprobe=8).collect()
 
-    # ordered: bm25_build must precede bm25_artifact (setup dependency)
+    def ivf_pq_build_query(sf_dir):
+        import shutil
+
+        from tiledb_vector_search_spark.indexes import IVFPQIndex
+
+        uri = f"/tmp/tvs_scaling_ivfpq_{abs(hash(sf_dir))}"
+        shutil.rmtree(uri, ignore_errors=True)
+        vectors = _vectors(sf_dir)
+        idx = IVFPQIndex.ingest(
+            spark, f"{uri}/idx", vectors, partitions=32, num_subspaces=16,
+            timestamp=1000,
+        )
+        q = vectors.where("external_id < 100").select(
+            F.col("external_id").alias("query_id"), "vector"
+        )
+        return idx.query(q, 10, nprobe=8, k_factor=4.0).collect()
+
+    def vamana_build_query(sf_dir):
+        import shutil
+
+        from tiledb_vector_search_spark.indexes import VamanaIndex
+
+        uri = f"/tmp/tvs_scaling_vamana_{abs(hash(sf_dir))}"
+        shutil.rmtree(uri, ignore_errors=True)
+        vectors = _vectors(sf_dir)
+        idx = VamanaIndex.ingest(
+            spark, f"{uri}/idx", vectors, shards=8, timestamp=1000
+        )
+        q = vectors.where("external_id < 100").select(
+            F.col("external_id").alias("query_id"), "vector"
+        )
+        return idx.query(q, 10, nprobe=3).collect()
+
+    _mh_ref = {}
+
+    def minhash_ref_build(sf_dir):
+        import shutil
+
+        from tiledb_vector_search_spark.operators.dedup import (
+            MinHashReference,
+        )
+
+        uri = f"/tmp/tvs_scaling_mhref_{abs(hash(sf_dir))}"
+        shutil.rmtree(uri, ignore_errors=True)
+        _mh_ref[sf_dir] = MinHashReference.build(
+            spark, uri, docs(sf_dir), num_perm=32, bands=8
+        )
+        return uri
+
+    def dedup_against_batch(sf_dir):
+        # the crawl-ingest steady state: a FIXED 1000-doc increment
+        # screened against the scale-varying reference artifact — the
+        # cost a micro-batch pays must track the batch (plus the
+        # band-matched slice), NOT the reference size, so linear growth
+        # x1.3 is a generous ceiling for this row
+        batch = docs(sf_dir).where("doc_id % 5000 < 1000").select(
+            (F.col("doc_id") + 900_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" trailer")).alias("text"),
+        ).limit(1000)
+        return _mh_ref[sf_dir].match(batch, threshold=0.8).collect()
+
+    def video_band_join(sf_dir):
+        # synthetic per-frame fingerprints keyed off the docs ids (16
+        # frames/video, xxhash64 pseudo-pHashes) + planted 3-bit-flip
+        # one-frame-shift twins for every 10th video: times the
+        # temporal combination band-join + vote at corpus scale.
+        # Radius 4 — the re-encode/near-copy regime and the operator's
+        # documented crawl-scale envelope for 64-bit hashes (radius 8
+        # has a ~1% per-pair candidate floor that is quadratic past
+        # ~1M frames regardless of banding; see operators/hamming.py)
+        from tiledb_vector_search_spark.operators.video_dedup import (
+            video_fingerprint_near_duplicates,
+        )
+
+        ids = docs(sf_dir).select("doc_id")
+        frames = spark.range(16).select(
+            F.col("id").cast("int").alias("frame_idx")
+        )
+        base = ids.crossJoin(F.broadcast(frames)).select(
+            F.col("doc_id").alias("external_id"),
+            "frame_idx",
+            F.xxhash64("doc_id", "frame_idx").alias("phash"),
+        )
+        twins = base.where(
+            "external_id % 10 = 0 AND frame_idx >= 1"
+        ).select(
+            (F.col("external_id") + F.lit(5_000_000_000)).alias(
+                "external_id"
+            ),
+            (F.col("frame_idx") - 1).alias("frame_idx"),
+            F.col("phash")
+            .bitwiseXOR(F.lit(0x0000010000400001))
+            .alias("phash"),
+        )
+        fp = base.unionByName(twins)
+        pairs = video_fingerprint_near_duplicates(
+            fp, max_hamming=4, min_frame_matches=3, temporal_drift=2
+        ).collect()
+        n_videos = ids.count()
+        planted = sum(
+            1 for r in pairs if r.id_b == r.id_a + 5_000_000_000
+        )
+        assert planted == (n_videos + 9) // 10, (planted, n_videos)
+        return pairs
+
+    # ordered: bm25_build / minhash_ref_build must precede their query
+    # rows (setup dependency)
     return {
         "text_repetition_full": repetition,
         "sequence_packing_full": packing,
         "ivf_partition_search": ivf_partition_search,
         "embedding_knn_join": knn_join,
         "ivf_build_and_query": ivf_build_query,
+        "ivf_pq_build_and_query": ivf_pq_build_query,
+        "vamana_build_and_query": vamana_build_query,
         "bm25_index_build": bm25_build,
         "bm25_artifact_query_100q": bm25_artifact,
+        "minhash_ref_build": minhash_ref_build,
+        "dedup_against_batch_1000": dedup_against_batch,
+        "video_fingerprint_band_join": video_band_join,
         "dedup_minhash_lsh_full": minhash,
         "dedup_duplicate_spans_full": spans,
         "dedup_ngram_jaccard_full": jaccard,

@@ -23,6 +23,19 @@ exactly complete; the verify (``bit_count(xor)``) makes either exact.
 
 All-pairs work happens only inside band buckets; the shuffle is keyed
 on (band, key), never on the corpus payload.
+
+Scale envelope (be honest about it): for ~uniform hashes the expected
+candidate count is ``C(B,2) · 2^(-2·bits/B) · N²/2`` with
+``B = max_hamming + 2`` — a per-pair probability FLOOR set by the
+radius/width ratio, not by engineering.  At (64-bit, radius 8) that
+floor is ~1.1%, so the self-join is effectively quadratic past ~10⁶
+hashes no matter the banding.  A crawl-scale corpus should use
+radius ≤ 4 for 64-bit hashes (the re-encode/near-copy detection
+regime: per-pair ~1.4e-5), a longer hash (128/256-bit) for larger
+radii, or shard the corpus (per-cluster, per-time-bucket) before the
+join.  Higher-order combinations (triples/quadruples of blocks) trade
+explode volume for bucket density along the same floor and don't
+change the conclusion.
 """
 
 from __future__ import annotations
@@ -108,7 +121,11 @@ def hamming_near_pairs(
             F.array(*combination_band_structs(hash_col, bits, max_hamming))
         ).alias("bk"),
     ).select(id_col, "__h", F.col("bk.band"), F.col("bk.key"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # Catalyst's size estimate ignores the ~45x explode, so it would
+    # broadcast the build side at sizes where that's gigabytes; force a
+    # partitioned hash join on the band keys (scale-safe at any N)
+    a = banded.alias("a")
+    b = banded.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,

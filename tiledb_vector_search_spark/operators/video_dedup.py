@@ -213,7 +213,14 @@ def video_fingerprint_near_duplicates(
         "vid", "f", "h",
         F.col("cc.band"), F.col("cc.key"), F.col("cc.fb"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # the exploded banded frame is ~90x the fingerprint table, but
+    # Catalyst's size estimate doesn't account for the explode — left
+    # alone it BROADCASTS the build side (2 GB+ at modest corpus
+    # sizes).  The hint forces a partitioned hash join on the band
+    # keys: build side is one partition's bucket slice, never the
+    # whole table, at any scale.
+    a = banded.alias("a")
+    b = banded.hint("shuffle_hash").alias("b")
     matches = (
         a.join(
             b,
