@@ -272,3 +272,77 @@ def test_allowed_ids_applies_to_additions(spark, tmp_path, source, queries):
     # without the restriction the addition dominates at distance 0
     res_all = idx.query(queries.limit(1), 3, nprobe=4).collect()
     assert 990001 in {r.external_id for r in res_all}
+
+
+# --- partial-probe overlay (shared machinery: indexes/overlay.py) -------------
+
+
+@pytest.fixture(scope="module")
+def ivf_overlay_idx(spark, tmp_path_factory, source):
+    uri = str(tmp_path_factory.mktemp("ivf_ov") / "idx")
+    return IVFFlatIndex.ingest(
+        spark, uri, source, partitions=16, timestamp=1000,
+        overlay=True, overlay_max=128, overlay_boost_max=64,
+    )
+
+
+def _got(res):
+    got: dict[int, set[int]] = {}
+    for r in res.collect():
+        got.setdefault(r.query_id, set()).add(r.external_id)
+    return got
+
+
+def test_overlay_lifts_cheap_probe_recall(
+    spark, ivf_uri, ivf_overlay_idx, queries, embeddings_np
+):
+    """The overlay exists for nprobe BELOW the sqrt(partitions) floor:
+    at nprobe=1/2 recall must strictly beat the plain index, and every
+    query must still return K UNIQUE ids (overlay members duplicate
+    their home-partition rows; the dedup is part of the query path)."""
+    ids, mat = embeddings_np
+    plain = open_index(spark, ivf_uri)
+    oracle = numpy_topk(mat[:NQ], ids, mat, K)
+    for nprobe in (1, 2):
+        got_p = _got(plain.query(queries, K, nprobe=nprobe))
+        got_o = _got(ivf_overlay_idx.query(queries, K, nprobe=nprobe))
+        assert all(len(v) == K for v in got_o.values())
+        assert recall(got_o, oracle) > recall(got_p, oracle)
+    # full probe stays exact (dedup must not disturb exactness)
+    got_full = _got(ivf_overlay_idx.query(queries, K, nprobe=16))
+    assert recall(got_full, oracle) == 1.0
+
+
+def test_overlay_join_strategy_agrees(spark, ivf_overlay_idx, queries):
+    a = _got(ivf_overlay_idx.query(queries, K, nprobe=2, strategy="kernel"))
+    b = _got(ivf_overlay_idx.query(queries, K, nprobe=2, strategy="join"))
+    assert a == b
+
+
+def test_overlay_lifecycle_delete_and_consolidate(
+    spark, tmp_path, source, queries
+):
+    """Deleting an overlay member masks BOTH copies; consolidation
+    rebuilds the overlay at the persisted caps."""
+    uri = str(tmp_path / "ov_dml")
+    idx = IVFFlatIndex.ingest(
+        spark, uri, source, partitions=16, timestamp=1000,
+        overlay=True, overlay_max=64, overlay_boost_max=32,
+    )
+    ov_ids = [
+        int(r.external_id)
+        for r in idx._overlay_frame().select("external_id").collect()
+    ]
+    victim = ov_ids[0]
+    idx.delete(victim, timestamp=2000)
+    idx = open_index(spark, uri, timestamp=3000)
+    got = _got(idx.query(queries, K, nprobe=16))
+    assert all(victim not in ids for ids in got.values())
+    idx.consolidate_updates(timestamp=4000)
+    idx = open_index(spark, uri)
+    assert idx.has_overlay  # rebuilt at the persisted caps
+    entry = idx._base_entry()
+    assert entry["overlay_max"] == 64 and entry["overlay_boost_max"] == 32
+    got = _got(idx.query(queries, K, nprobe=16))
+    assert all(victim not in ids for ids in got.values())
+    assert all(len(v) == K for v in got.values())

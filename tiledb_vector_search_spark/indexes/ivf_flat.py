@@ -59,6 +59,10 @@ _SUPPORTED = {
     DistanceMetric.L2,
     DistanceMetric.COSINE,
 }
+OVERLAY_AUX = "ivf_overlay"
+# the overlay is an extra pseudo-partition every query probes (exact scan)
+OVERLAY_PID = -1
+DEFAULT_OVERLAY_MAX = 8192
 
 
 class IVFFlatIndex(Index):
@@ -69,7 +73,11 @@ class IVFFlatIndex(Index):
 
 
     def _describe_extra(self):
-        return {"partitions": self.partitions, **self._partition_balance(PARTITION_COL)}
+        return {
+            "partitions": self.partitions,
+            "has_overlay": self.has_overlay,
+            **self._partition_balance(PARTITION_COL),
+        }
 
     # -- build ----------------------------------------------------------------
 
@@ -88,6 +96,10 @@ class IVFFlatIndex(Index):
         vector_col: str = VECTOR_COL,
         seed: int = 42,
         vector_dtype: str = "float32",
+        overlay: bool = False,
+        overlay_max: int = DEFAULT_OVERLAY_MAX,
+        overlay_audit_nprobe: int | None = None,
+        overlay_boost_max: int = 0,
     ) -> "IVFFlatIndex":
         """Build the partitioned index (reference ``ingest()`` IVF path).
 
@@ -98,6 +110,14 @@ class IVFFlatIndex(Index):
         (reference u8/i8 dispatch ``module.py:114-121``); centroids train on
         a pre-sampled decoded subset, assignment decodes in-kernel — the
         full corpus is never promoted to float storage.
+
+        ``overlay`` builds the partial-probe bridge set
+        (``indexes/overlay.py``, shared with Vamana): a capped hybrid
+        audit+boundary-margin row set every query additionally probes
+        with an exact scan, lifting recall at nprobe BELOW the
+        √partitions rule of thumb (reference ``ivf_flat_index.py:215``)
+        — the operating floor without it.  ``overlay_boost_max`` adds a
+        pure-audit tranche dedicated to nprobe=1/2.
         """
         from tiledb_vector_search_spark.functions.dtypes import (
             ensure_packed,
@@ -174,7 +194,23 @@ class IVFFlatIndex(Index):
                 dimensions=int(dims),
                 vector_dtype=vector_dtype,
             )
-        cls._write_snapshot(storage, assigned, centroids, ts, n)
+        extra_meta: dict = {}
+        if overlay:
+            # persist the overlay knobs so consolidation rebuilds the
+            # overlay at the SAME caps
+            extra_meta["overlay_max"] = int(overlay_max)
+            extra_meta["overlay_boost_max"] = int(overlay_boost_max)
+            if overlay_audit_nprobe is not None:
+                extra_meta["overlay_audit_nprobe"] = int(overlay_audit_nprobe)
+        cls._write_snapshot(
+            storage, assigned, centroids, ts, n, extra_meta=extra_meta
+        )
+        if overlay and centroids.shape[0] > 1:
+            cls._write_overlay(
+                storage, assigned, centroids, ts, vector_dtype,
+                overlay_max, audit_nprobe=overlay_audit_nprobe,
+                boost_max=overlay_boost_max,
+            )
         return cls(spark, uri)
 
     @staticmethod
@@ -184,6 +220,7 @@ class IVFFlatIndex(Index):
         centroids: np.ndarray,
         ts: int,
         base_size: int | None,
+        extra_meta: dict | None = None,
     ) -> None:
         spark = storage.spark
         # shuffle on partition_id before partitionBy: without it every write
@@ -195,7 +232,10 @@ class IVFFlatIndex(Index):
             ts,
             partition_by=PARTITION_COL,
             base_size=base_size,
-            extra_meta={"partitions": int(centroids.shape[0])},
+            extra_meta={
+                "partitions": int(centroids.shape[0]),
+                **(extra_meta or {}),
+            },
         )
         cdf = small_df(
             spark,
@@ -203,6 +243,44 @@ class IVFFlatIndex(Index):
             f"{PARTITION_COL} int, centroid array<double>",
         )
         cdf.write.parquet(storage.centroids_path(ts))
+
+    @staticmethod
+    def _write_overlay(
+        storage: IndexStorage,
+        assigned: DataFrame,
+        centroids: np.ndarray,
+        ts: int,
+        vector_dtype: str,
+        overlay_max: int,
+        audit_nprobe: int | None = None,
+        boost_max: int = 0,
+    ) -> None:
+        """Write the partial-probe bridge set as aux pseudo-partition
+        ``OVERLAY_PID`` — member rows DUPLICATE their home-partition
+        copies (the home cell still needs them when probed directly);
+        the query path dedups on (query, id).  Selection is the shared
+        ``indexes.overlay.select_overlay_ids`` (see its module
+        docstring for the audit + boundary-margin design and the scale
+        posture)."""
+        from tiledb_vector_search_spark.indexes.overlay import (
+            select_overlay_ids,
+        )
+
+        spark = assigned.sparkSession
+        picked_id_list = select_overlay_ids(
+            assigned, centroids, vector_dtype, overlay_max,
+            boost_max=boost_max, audit_nprobe=audit_nprobe,
+        )
+        picked_ids = small_df(
+            spark, [(int(i),) for i in picked_id_list], f"{ID_COL} long"
+        )
+        (
+            assigned.select(ID_COL, VECTOR_COL)
+            .join(F.broadcast(picked_ids), ID_COL, "left_semi")
+            .withColumn(PARTITION_COL, F.lit(OVERLAY_PID).cast("int"))
+            .coalesce(1)
+            .write.parquet(storage.aux_path(OVERLAY_AUX, ts))
+        )
 
     def _write_consolidated(
         self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
@@ -239,7 +317,29 @@ class IVFFlatIndex(Index):
         assigned = assign_partitions_expr(
             vectors, centroids, vector_dtype=self.vector_dtype
         )
-        self._write_snapshot(self.storage, assigned, centroids, ts, None)
+        extra_meta: dict = {}
+        if self.has_overlay:
+            # the consolidated snapshot keeps the old base's overlay caps
+            # (legacy metas without them fall back to the defaults)
+            prev = self._base_entry()
+            for key, dflt in (
+                ("overlay_max", DEFAULT_OVERLAY_MAX),
+                ("overlay_boost_max", 0),
+                ("overlay_audit_nprobe", None),
+            ):
+                if prev.get(key, dflt) is not None:
+                    extra_meta[key] = prev.get(key, dflt)
+        self._write_snapshot(
+            self.storage, assigned, centroids, ts, None,
+            extra_meta=extra_meta,
+        )
+        if self.has_overlay and centroids.shape[0] > 1:
+            self._write_overlay(
+                self.storage, assigned, centroids, ts, self.vector_dtype,
+                int(extra_meta.get("overlay_max", DEFAULT_OVERLAY_MAX)),
+                audit_nprobe=extra_meta.get("overlay_audit_nprobe"),
+                boost_max=int(extra_meta.get("overlay_boost_max", 0)),
+            )
 
     # -- access ---------------------------------------------------------------
 
@@ -260,10 +360,32 @@ class IVFFlatIndex(Index):
 
     @property
     def partitions(self) -> int:
+        return int(self._base_entry()["partitions"])
+
+    def _base_entry(self) -> dict:
         for e in reversed(self.meta["ingestions"]):
             if e["ts"] == self.base_ts:
-                return int(e["partitions"])
+                return e
         raise RuntimeError("no ingestion entry for base_ts")
+
+    def _overlay_frame(self) -> DataFrame | None:
+        """The bridge set as pseudo-partition ``OVERLAY_PID``
+        (partition_id, external_id, vector), or ``None`` when the index
+        was built without an overlay."""
+        if hasattr(self, "_overlay_cache"):
+            return self._overlay_cache
+        path = self.storage.aux_path(OVERLAY_AUX, self.base_ts)
+        if not self.storage.fs.exists(path):
+            self._overlay_cache = None
+            return None
+        self._overlay_cache = self.spark.read.parquet(path).select(
+            PARTITION_COL, ID_COL, VECTOR_COL
+        )
+        return self._overlay_cache
+
+    @property
+    def has_overlay(self) -> bool:
+        return self._overlay_frame() is not None
 
     # -- query ----------------------------------------------------------------
 
@@ -342,7 +464,12 @@ class IVFFlatIndex(Index):
         # routing is a driver-side numpy task (centroids ≤10k) — no Spark
         # round-trip; a routing DataFrame exists only for the expr join
         pairs = route_queries(qids, qmat, self.centroids(), nprobe)
-        parts = sorted({p for _, p in pairs})
+        overlay = self._overlay_frame()
+        if overlay is not None:
+            # EVERY query probes the overlay pseudo-partition (exact
+            # scan of a capped row set — bounded extra cost per query)
+            pairs = pairs + [(int(q), OVERLAY_PID) for q in qids]
+        parts = sorted({p for _, p in pairs if p != OVERLAY_PID})
         part_groups = self._partition_groups(parts, memory_budget_mb)
 
         from tiledb_vector_search_spark.functions.dtypes import (
@@ -351,8 +478,10 @@ class IVFFlatIndex(Index):
         )
 
         group_topks = []
-        for group in part_groups:
+        for gi, group in enumerate(part_groups):
             base = self._base_vectors().where(F.col(PARTITION_COL).isin(group))
+            if overlay is not None and gi == 0:
+                base = base.unionByName(overlay)
             if strategy == "expr" and _is_byte(self.vector_dtype):
                 # Catalyst distance exprs need an array column
                 base = _unpack(base, self.vector_dtype, VECTOR_COL)
@@ -401,6 +530,13 @@ class IVFFlatIndex(Index):
             add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             base_topk = base_topk.unionByName(add_scored)
 
+        if overlay is not None:
+            # an overlay member whose HOME partition was also probed
+            # appears twice; min() collapses the pair deterministically
+            # (the two scores differ by at most kernel fold noise)
+            base_topk = base_topk.groupBy(QUERY_ID_COL, ID_COL).agg(
+                F.min(DISTANCE_COL).alias(DISTANCE_COL)
+            )
         order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
         res = topk_window(base_topk, [QUERY_ID_COL], order, k)
         if pad:
@@ -478,7 +614,17 @@ class IVFFlatIndex(Index):
         routing = routing_table_join(
             q, self.centroids(), nprobe, QUERY_ID_COL, VECTOR_COL
         )
+        overlay = self._overlay_frame()
         base = self._base_vectors()
+        if overlay is not None:
+            # every query also probes the overlay pseudo-partition
+            routing = routing.unionByName(
+                q.select(
+                    QUERY_ID_COL,
+                    F.lit(OVERLAY_PID).cast("int").alias(PARTITION_COL),
+                )
+            )
+            base = base.unionByName(overlay)
         if _is_byte(self.vector_dtype):
             base = _unpack(base, self.vector_dtype, VECTOR_COL)
         if self._has_updates():
@@ -504,6 +650,12 @@ class IVFFlatIndex(Index):
                 additions = additions.join(allowed_ids, ID_COL, "left_semi")
             add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             scored = scored.unionByName(add_scored)
+        if overlay is not None:
+            # overlay rows duplicate their home-partition copies when
+            # both were probed; identical distance expr → min() is exact
+            scored = scored.groupBy(QUERY_ID_COL, ID_COL).agg(
+                F.min(DISTANCE_COL).alias(DISTANCE_COL)
+            )
         order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
         res = topk_window(scored, [QUERY_ID_COL], order, k)
         if pad:

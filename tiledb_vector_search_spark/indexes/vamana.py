@@ -74,33 +74,15 @@ DEFAULT_OVERLAY_MAX = 8192
 DEFAULT_SHARD_TARGET = 4096
 
 
-def _audit_sample_size(budget: int) -> int:
-    """Pseudo-query sample bound for the overlay self-audit: enough
-    corpus rows to rank misses stably at ``budget`` overlay slots, never
-    fewer than 2048 (small-corpus noise floor), never proportional to
-    corpus size — the audit cost is a function of the BUDGET, not the
-    data."""
-    return max(8 * budget, 2048)
-
-
-def _waterfill_quotas(
-    pair_counts: dict[tuple[int, int], int], budget: int
-) -> dict[tuple[int, int], int]:
-    """Deterministic waterfill of ``budget`` overlay slots over observed
-    boundary pairs: every pair gets an equal share of what remains, a
-    pair with fewer rows than its share takes what it has and donates
-    the rest downstream.  Processing order (count asc, pair id) makes
-    the split a pure function of the counts.  Σ quotas ≤ budget; equals
-    it whenever Σ counts ≥ budget."""
-    out: dict[tuple[int, int], int] = {}
-    pairs = sorted(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))
-    left = budget
-    for i, (pair, cnt) in enumerate(pairs):
-        share = left // (len(pairs) - i)
-        take = min(cnt, share)
-        out[pair] = take
-        left -= take
-    return out
+# the selection machinery (self-audit + boundary-margin waterfill) is
+# index-agnostic and shared with IVF_FLAT — indexes/overlay.py; the
+# private aliases keep this module's historical surface stable
+from tiledb_vector_search_spark.indexes.overlay import (  # noqa: E402
+    audit_missed_ids as _shared_audit_missed_ids,
+    audit_sample_size as _audit_sample_size,
+    select_overlay_ids,
+    waterfill_quotas as _waterfill_quotas,
+)
 
 
 class VamanaIndex(Index):
@@ -265,7 +247,9 @@ class VamanaIndex(Index):
     ) -> DataFrame:
         """Rows a partial-probe query would MISS, by replaying the query
         path with the corpus as pseudo-queries — returns the ``budget``
-        most-missed rows as (id, partition, second, margin).
+        most-missed rows as (id, partition, second, margin).  Delegates
+        to the shared, index-agnostic ``indexes.overlay.audit_missed_ids``
+        (kept here as the historical entry point the audit tests pin).
 
         ``levels`` (default ``[audit_nprobe]``): probe budgets to score
         against SIMULTANEOUSLY from the one audit job — a neighbor found
@@ -281,132 +265,9 @@ class VamanaIndex(Index):
         one bounded IVF-query-batch-shaped job, narrow outputs
         throughout; the final take is a TakeOrdered of ``budget`` rows.
         """
-        from tiledb_vector_search_spark.operators.topk import topk_window
-
-        spark = assigned.sparkSession
-        k_cells = centroids.shape[0]
-        R = min(k_cells, audit_nprobe + 4)
-        n_pq = _audit_sample_size(budget)
-        frac = min(1.0, n_pq / max(n_total, 1))
-        pq = assigned.select(ID_COL, VECTOR_COL).where(
-            (F.abs(F.xxhash64(F.col(ID_COL))) % 1000000)
-            < int(frac * 1000000)
-        )
-        bc = spark.sparkContext.broadcast(centroids)
-        vdtype = vector_dtype
-
-        def route(batches):
-            from tiledb_vector_search_spark.functions.dtypes import (
-                decode_matrix,
-            )
-
-            cents = bc.value
-            c_sq = np.sum(cents * cents, axis=1)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                x = decode_matrix(pdf[VECTOR_COL], vdtype)
-                d = c_sq[None, :] - 2.0 * (x @ cents.T)
-                order = np.argsort(d, axis=1, kind="stable")[:, :R]
-                rows = {
-                    "__cell": order.reshape(-1).astype(np.int32),
-                    "__crank": np.tile(
-                        np.arange(1, R + 1, dtype=np.int32), len(pdf)
-                    ),
-                    ID_COL: np.repeat(
-                        pdf[ID_COL].to_numpy(), R
-                    ),
-                    VECTOR_COL: [
-                        v for v in pdf[VECTOR_COL] for _ in range(R)
-                    ],
-                }
-                yield pd.DataFrame(rows)
-
-        vec_type = (
-            "binary" if vdtype != "float32" else "array<float>"
-        )
-        routed = pq.mapInPandas(
-            route,
-            schema=(
-                f"__cell int, __crank int, {ID_COL} long, "
-                f"{VECTOR_COL} {vec_type}"
-            ),
-        )
-
-        k_audit = 10
-
-        def cell_search(cell_pdf: pd.DataFrame, q_pdf: pd.DataFrame):
-            from tiledb_vector_search_spark.functions.dtypes import (
-                decode_matrix,
-            )
-
-            empty = pd.DataFrame(
-                {"__qid": [], "__rid": [], "__d": [], "__crank": []}
-            )
-            if len(cell_pdf) == 0 or len(q_pdf) == 0:
-                return empty
-            ids = cell_pdf[ID_COL].to_numpy(dtype=np.int64)
-            x = decode_matrix(cell_pdf[VECTOR_COL], vdtype)
-            qm = decode_matrix(q_pdf[VECTOR_COL], vdtype)
-            d = (
-                np.sum(x * x, axis=1)[None, :]
-                - 2.0 * (qm @ x.T)
-                + np.sum(qm * qm, axis=1)[:, None]
-            )
-            np.maximum(d, 0.0, out=d)
-            take = min(k_audit + 1, len(ids))  # +1 absorbs the self-hit
-            out_q, out_r, out_d, out_c = [], [], [], []
-            qids = q_pdf[ID_COL].to_numpy(dtype=np.int64)
-            cranks = q_pdf["__crank"].to_numpy(dtype=np.int64)
-            for r_i in range(len(qids)):
-                top = np.argpartition(d[r_i], take - 1)[:take]
-                for p in top:
-                    if int(ids[p]) == int(qids[r_i]):
-                        continue  # a pseudo-query always finds itself
-                    out_q.append(int(qids[r_i]))
-                    out_r.append(int(ids[p]))
-                    out_d.append(float(d[r_i][p]))
-                    out_c.append(int(cranks[r_i]))
-            return pd.DataFrame(
-                {"__qid": out_q, "__rid": out_r, "__d": out_d, "__crank": out_c}
-            )
-
-        cand = (
-            assigned.select(PARTITION_COL, ID_COL, VECTOR_COL)
-            .withColumnRenamed(PARTITION_COL, "__cell")
-            .groupBy("__cell")
-            .cogroup(routed.groupBy("__cell"))
-            .applyInPandas(
-                cell_search,
-                "__qid long, __rid long, __d double, __crank int",
-            )
-        )
-        top10 = topk_window(
-            cand,
-            ["__qid"],
-            [F.col("__d").asc(), F.col("__rid").asc()],
-            k_audit,
-        )
-        lvls = sorted(set(levels)) if levels else [audit_nprobe]
-        weight = sum(
-            (F.col("__crank") > l).cast("int") for l in lvls
-        )
-        miss_counts = (
-            top10.where(F.col("__crank") > min(lvls))
-            .groupBy("__rid")
-            .agg(F.sum(weight).alias("__miss"))
-        )
-        return (
-            margined.join(
-                miss_counts.withColumnRenamed("__rid", ID_COL), ID_COL
-            )
-            .orderBy(
-                F.col("__miss").desc(),
-                F.col("__margin").asc(),
-                F.col(ID_COL).asc(),
-            )
-            .limit(budget)
-            .select(ID_COL, PARTITION_COL, "__second")
+        return _shared_audit_missed_ids(
+            assigned, margined, centroids, vector_dtype,
+            audit_nprobe, budget, n_total, levels=levels,
         )
 
     @classmethod
@@ -465,150 +326,40 @@ class VamanaIndex(Index):
         probes with an exact scan.  Overlay size is capped, so the added
         per-query cost is bounded regardless of corpus size.  Returns
         the overlay medoid row to union into the medoids aux table.
+
+        Selection itself lives in the shared, index-agnostic
+        ``indexes.overlay.select_overlay_ids`` (IVF_FLAT uses the same
+        machinery); this wrapper writes the Vamana layout: the picked
+        rows persist as pseudo-shard ``OVERLAY_PID`` with an EMPTY
+        adjacency — the overlay is probed by an exact scan (it is capped
+        at overlay_max rows, so a brute-force pass per query batch is
+        cheaper than a graph walk AND loses nothing — measured: the walk
+        left ~0.015 recall on the table at the 0.85 gate), which also
+        removes the overlay's graph-build time.
         """
-        from pyspark import StorageLevel
-        from pyspark.sql import Window
-
-        if overlay_max < 1:
-            raise ValueError("overlay_max must be >= 1 (or build without overlay)")
         spark = assigned.sparkSession
-        bc = spark.sparkContext.broadcast(centroids)
-        vdtype = vector_dtype
-
-        def margins(batches):
-            from tiledb_vector_search_spark.functions.dtypes import (
-                decode_matrix,
-            )
-
-            cents = bc.value
-            c_sq = np.sum(cents * cents, axis=1)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                x = decode_matrix(pdf[VECTOR_COL], vdtype)
-                # ‖x−c‖² minus the per-row ‖x‖² constant: margins unchanged
-                d = c_sq[None, :] - 2.0 * (x @ cents.T)
-                two = np.argpartition(d, 1, axis=1)[:, :2]
-                dv = np.take_along_axis(d, two, axis=1)
-                swap = dv[:, 0] > dv[:, 1]
-                second = np.where(swap, two[:, 0], two[:, 1])
-                yield pd.DataFrame(
-                    {
-                        ID_COL: pdf[ID_COL],
-                        PARTITION_COL: pdf[PARTITION_COL],
-                        "__second": second.astype(np.int32),
-                        "__margin": np.abs(dv[:, 1] - dv[:, 0]),
-                    }
-                )
-
-        # rank a NARROW (id, partition, second, margin) frame — the
-        # per-boundary sort must not shuffle vector payloads at 100 TB —
-        # then fetch vectors for the picked ids with a broadcast
-        # semi-join (≤ overlay_max ids, so the corpus side never
-        # shuffles).  Persisted because the pair-count aggregate and the
-        # pick window both consume it (narrow: ~24 B/row).
-        margined = (
-            assigned.select(ID_COL, VECTOR_COL, PARTITION_COL)
-            .mapInPandas(
-                margins,
-                schema=(
-                    f"{ID_COL} long, {PARTITION_COL} int, "
-                    "__second int, __margin double"
-                ),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        picked_id_list = select_overlay_ids(
+            assigned, centroids, vector_dtype, overlay_max,
+            boost_max=boost_max, audit_nprobe=audit_nprobe,
         )
-        try:
-            # bounded driver work: ≤ shards² (pair, count) rows
-            pair_counts = {
-                (int(r[PARTITION_COL]), int(r["__second"])): int(r["cnt"])
-                for r in margined.groupBy(PARTITION_COL, "__second")
-                .agg(F.count("*").alias("cnt"))
-                .collect()
-            }
-            n_total = sum(pair_counts.values())
-            k_cells = centroids.shape[0]
-            if audit_nprobe is None:
-                # the query path's default probe budget
-                audit_nprobe = max(1, int(np.sqrt(k_cells)) + 1)
+        picked_ids = small_df(
+            spark,
+            [(int(i),) for i in picked_id_list],
+            f"{ID_COL} long",
+        )
+        picked = (
+            assigned.select(ID_COL, VECTOR_COL)
+            .join(F.broadcast(picked_ids), ID_COL, "left_semi")
+            .withColumn(PARTITION_COL, F.lit(OVERLAY_PID).cast("int"))
+            .withColumn("neighbors", F.array().cast("array<bigint>"))
+        )
+        picked.coalesce(1).write.parquet(storage.aux_path(OVERLAY_AUX, ts))
 
-            total_budget = overlay_max + boost_max
-            miss_rows: list = []
-            if k_cells > audit_nprobe:
-                miss_ids_df = cls._audit_missed_ids(
-                    assigned, margined, centroids, vdtype, audit_nprobe,
-                    # the boost tranche is pure-audit by design: it exists
-                    # for the cheapest probe settings, which only the
-                    # level-weighted audit can see
-                    overlay_max // 2 + boost_max, n_total,
-                    # score the cheap probe settings too: the overlay must
-                    # carry nprobe=1/2 (where a 100 TB operator actually
-                    # runs), not only the declared audit point
-                    levels=sorted({1, 2, audit_nprobe}),
-                )
-                # bounded: ≤ overlay_max // 2 + boost_max rows
-                miss_rows = miss_ids_df.collect()
-            miss_id_set = {int(r[ID_COL]) for r in miss_rows}
-            for r in miss_rows:
-                pair = (int(r[PARTITION_COL]), int(r["__second"]))
-                pair_counts[pair] -= 1
-
-            quotas = _waterfill_quotas(
-                {p: c for p, c in pair_counts.items() if c > 0},
-                total_budget - len(miss_id_set),
-            )
-            qdf = small_df(
-                spark,
-                [(p, s, q) for (p, s), q in quotas.items()],
-                f"{PARTITION_COL} int, __second int, __quota int",
-            )
-            miss_df = small_df(
-                spark,
-                [(int(i),) for i in sorted(miss_id_set)] or [(-1,)],
-                f"{ID_COL} long",
-            )
-            w = Window.partitionBy(PARTITION_COL, "__second").orderBy(
-                F.col("__margin").asc(), F.col(ID_COL).asc()
-            )
-            picked_ids = (
-                margined.join(F.broadcast(miss_df), ID_COL, "left_anti")
-                .withColumn("__r", F.row_number().over(w))
-                .join(
-                    F.broadcast(qdf), [PARTITION_COL, "__second"], "inner"
-                )
-                .where(F.col("__r") <= F.col("__quota"))
-                .select(ID_COL)
-            )
-            if miss_id_set:
-                picked_ids = picked_ids.unionByName(
-                    miss_df.where(F.col(ID_COL) >= 0)
-                )
-            # the overlay is probed by an EXACT scan (it is capped at
-            # overlay_max rows, so a brute-force pass per query batch is
-            # cheaper than a graph walk AND loses nothing — measured: the
-            # walk left ~0.015 recall on the table at the 0.85 gate), so
-            # no graph build: rows persist with an empty adjacency,
-            # which also removes the overlay's graph-build time
-            picked = (
-                assigned.select(ID_COL, VECTOR_COL)
-                .join(F.broadcast(picked_ids), ID_COL, "left_semi")
-                .withColumn(PARTITION_COL, F.lit(OVERLAY_PID).cast("int"))
-                .withColumn(
-                    "neighbors", F.array().cast("array<bigint>")
-                )
-            )
-            picked.coalesce(1).write.parquet(
-                storage.aux_path(OVERLAY_AUX, ts)
-            )
-
-            # nominal medoid row (exact scan needs no entry point; kept
-            # so the medoids aux stays one-row-per-pseudo-shard)
-            med_row = picked_ids.agg(F.min(ID_COL).alias("m")).first()
-        finally:
-            margined.unpersist()
+        # nominal medoid row (exact scan needs no entry point; kept so
+        # the medoids aux stays one-row-per-pseudo-shard)
         return small_df(
             storage.spark,
-            [(int(OVERLAY_PID), int(med_row["m"]))],
+            [(int(OVERLAY_PID), int(min(picked_id_list)))],
             f"{PARTITION_COL} int, medoid_id long",
         )
 
