@@ -1486,7 +1486,14 @@ def bm25_search_sql_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bm25_postings_artifact", _bm25_oracle())
+@register(
+    "bm25_postings_artifact",
+    _bm25_oracle(),
+    # demoted to the pytest oracle gate (r8): bm25_index_lifecycle
+    # drives the same build→query path as its first and last steps, so
+    # this plain build+query became a strict subset of a driver row
+    driver=False,
+)
 def bm25_postings_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 via the PERSISTED postings artifact (``BM25Index.build`` →
     ``query``): the steady-state form — the corpus tokenizes once into a
@@ -1505,6 +1512,60 @@ def bm25_postings_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uri = tempfile.mkdtemp(prefix="bm25_artifact_")
     idx = BM25Index.build(spark, uri, d)
+    return idx.query(q, k=10)
+
+
+def _bm25_lifecycle_oracle() -> str:
+    from tiledb_vector_search_spark.operators.retrieval import (
+        duckdb_bm25_topk_sql,
+    )
+
+    # the effective corpus after the DML sequence: originals minus the
+    # tombstoned spread, plus the added tranche (shifted ids, texts of
+    # docs 0-4) — exactly what consolidate() folds the artifact down to
+    eff = (
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3 "
+        "UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+        "WHERE doc_id < 5) AS eff"
+    )
+    return duckdb_bm25_topk_sql(
+        eff,
+        "SELECT doc_id AS query_id, substr(text, 1, 200) AS query_text "
+        "FROM documents WHERE doc_id < 10",
+        k=10,
+    )
+
+
+@register("bm25_index_lifecycle", _bm25_lifecycle_oracle())
+def bm25_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BM25 DML surface in one row — the lexical twin of
+    ``flat_index_lifecycle``: build the postings artifact, add a new-doc
+    tranche (``add_documents`` crash-atomic batch), tombstone-delete a
+    spread of originals (``remove_documents`` negative-df deltas),
+    ``consolidate()`` the batch debt into a fresh generation, reopen,
+    query.  Post-DML scores equal a fresh build over the effective
+    corpus (the artifact's stats move EXACTLY, not approximately), so
+    the oracle is plain BM25 SQL over that corpus."""
+    from tiledb_vector_search_spark.operators.retrieval import BM25Index
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.where("doc_id < 10").select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 200).alias("query_text"),
+    )
+    uri = _scratch("bm25_lifecycle") + "/idx"
+    idx = BM25Index.build(spark, uri, d)
+    idx.add_documents(
+        d.where("doc_id < 5").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    idx.remove_documents(
+        d.where("doc_id % 7 = 3").select("doc_id")
+    )
+    idx.consolidate()
+    idx = BM25Index(spark, uri)  # reopen: generation pointers resolve
     return idx.query(q, k=10)
 
 
