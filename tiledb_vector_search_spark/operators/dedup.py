@@ -473,6 +473,14 @@ def ngram_jaccard_dedup(
         .select(
             F.col(id_col), "__n", "__p", F.col("__e.__s").alias("__s")
         )
+        # the self-join below consumes pre TWICE under different column
+        # aliases, so exchange reuse cannot dedup the two sides — without
+        # this persist, AQE's concurrent stage submission recomputes the
+        # whole ranked/df lineage for the second side nondeterministically
+        # (measured: +60-130 MB shuffle at 10x sf0.1, run-to-run).  pre is
+        # the narrow prefix projection (id, |S|, pos, shingle), far
+        # smaller than the corpus, so the cache cost is bounded.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = pre.select(
         F.col(id_col).alias("id_a"),
@@ -525,8 +533,9 @@ def ngram_jaccard_dedup(
         shingled=shingled,
         materialize=materialize,
     )
-    if materialize:  # out is already checkpointed — the cache is releasable
+    if materialize:  # out is already checkpointed — the caches are releasable
         shingled.unpersist()
+        pre.unpersist()
     return out
 
 
