@@ -11,6 +11,8 @@ point green while the rest of the curve collapses); this harness sweeps
     VAMANA          l_search ∈ {20, 50, 100, 200} at full probe
     VAMANA ±overlay nprobe ∈ {1, 2, 4} (the boundary-recall regime the
                     cross-shard overlay exists for)
+    IVF ±overlay    nprobe ∈ {1, 2, 4} (same machinery, ported r8 —
+                    indexes/overlay.py)
 
 over the driver embeddings table at $SPARK_GRAFT_SF_DIR (default sf0.1),
 measures recall@10 against the exact brute-force kernel, and writes the
@@ -133,6 +135,21 @@ def main() -> None:
     for nprobe in NPROBES:
         sweep("IVF_FLAT", {"nprobe": nprobe},
               lambda np_=nprobe: ivf.query(queries, K, nprobe=np_))
+
+    # partial-probe recall with the r8 overlay port (shared machinery,
+    # indexes/overlay.py) — same caps as the Vamana twin below so the
+    # two families' cheap-probe floors are directly comparable
+    t0 = time.perf_counter()
+    ivf_ov = IVFFlatIndex.ingest(
+        spark, f"{work}/ivf_ov", vectors, partitions=PARTITIONS,
+        timestamp=1000, overlay=True, overlay_max=512,
+        overlay_audit_nprobe=4, overlay_boost_max=384,
+    )
+    t_build["IVF_FLAT_OVERLAY"] = round(time.perf_counter() - t0, 3)
+    ivf_ov.query(queries, K, nprobe=1).collect()
+    for nprobe in (1, 2, 4):
+        sweep("IVF_FLAT_OVERLAY", {"nprobe": nprobe},
+              lambda np_=nprobe: ivf_ov.query(queries, K, nprobe=np_))
 
     t0 = time.perf_counter()
     pq = IVFPQIndex.ingest(

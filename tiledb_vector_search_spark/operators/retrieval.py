@@ -492,7 +492,9 @@ class BM25Index:
             "batch_debt": len(add_b) + len(del_b),
         }
 
-    def add_documents(self, docs: DataFrame) -> None:
+    def add_documents(
+        self, docs: DataFrame, idempotency_key: str | None = None
+    ) -> None:
         """Incremental corpus growth: tokenize ONLY the new documents,
         append their postings and per-term df deltas, bump the corpus
         stats — the crawl-increment steady state (cost proportional to
@@ -515,9 +517,23 @@ class BM25Index:
         (and bumps N/Σdl in the same write).  A crash at any earlier
         point leaves the index byte-identical to before the call; a
         retry reuses the id and overwrites the orphan dirs.
+
+        ``idempotency_key``: when set, the key is recorded in the SAME
+        atomic meta flip that commits the batch, and a later call with
+        an already-recorded key is a NO-OP.  This is the exactly-once
+        handle for at-least-once delivery (Structured Streaming
+        ``foreachBatch`` re-runs a batch after a crash between the
+        commit and the sink checkpoint — ``streaming/bm25_ingest.py``
+        keys each micro-batch as ``<stream_id>:<batch_id>``).  Keys
+        survive ``consolidate()`` (the fold rewrites pointers, not the
+        applied-key ledger).
         """
         from tiledb_vector_search_spark.storage import HadoopFS
 
+        if idempotency_key is not None and idempotency_key in self.meta.get(
+            "applied_keys", []
+        ):
+            return  # this increment already committed — re-delivery no-op
         id_col = self.meta["id_col"]
         text_col = self.meta["text_col"]
         tok = docs.select(
@@ -565,6 +581,14 @@ class BM25Index:
             "sum_dl": self.sum_dl + int(stats["sumdl"] or 0),
             "batches": list(committed) + [bid],
         }
+        if idempotency_key is not None:
+            # bounded ledger: at-least-once delivery only ever replays a
+            # small recent window (Structured Streaming re-runs the one
+            # unacknowledged batch), so the tail is all a no-op check
+            # needs — a year of micro-batches must not bloat the meta
+            self.meta["applied_keys"] = (
+                list(self.meta.get("applied_keys", [])) + [idempotency_key]
+            )[-1024:]
         HadoopFS(self.spark, self.uri).write_text_atomic(
             posixpath.join(self.uri, BM25_META_FILE), json.dumps(self.meta)
         )

@@ -1,4 +1,8 @@
+from tiledb_vector_search_spark.streaming.bm25_ingest import stream_bm25_ingest
 from tiledb_vector_search_spark.streaming.dedup import dedup_stream
+from tiledb_vector_search_spark.streaming.dedup_against import (
+    stream_dedup_against,
+)
 from tiledb_vector_search_spark.streaming.search import stream_search_index
 from tiledb_vector_search_spark.streaming.sessionize import sessionize_stream
 from tiledb_vector_search_spark.streaming.updates import (
@@ -12,4 +16,6 @@ __all__ = [
     "hourly_rollup_stream",
     "sessionize_stream",
     "dedup_stream",
+    "stream_dedup_against",
+    "stream_bm25_ingest",
 ]
