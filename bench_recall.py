@@ -66,6 +66,14 @@ GATES = [
     ("VAMANA_OVERLAY", {"nprobe": 1}, 0.65),
     ("VAMANA_OVERLAY", {"nprobe": 2}, 0.78),
     ("VAMANA_OVERLAY", {"nprobe": 4}, 0.85),
+    # r8 IVF port of the same machinery: measured 0.616 / 0.657 / 0.722
+    # at the same caps (512+384) vs the plain index's 0.240 / 0.327 /
+    # 0.464 floor — IVF partitions are coarser than Vamana shards here
+    # (32 vs the shard fanout), so the absolute points sit lower; gates
+    # carry ~0.07-0.10 margin like the Vamana twins did at introduction
+    ("IVF_FLAT_OVERLAY", {"nprobe": 1}, 0.52),
+    ("IVF_FLAT_OVERLAY", {"nprobe": 2}, 0.58),
+    ("IVF_FLAT_OVERLAY", {"nprobe": 4}, 0.65),
 ]
 
 
