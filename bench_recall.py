@@ -13,6 +13,8 @@ point green while the rest of the curve collapses); this harness sweeps
                     cross-shard overlay exists for)
     IVF ±overlay    nprobe ∈ {1, 2, 4} (same machinery, ported r8 —
                     indexes/overlay.py)
+    IVF_PQ +overlay nprobe ∈ {1, 2, 4} at k_factor=4 (r8: raw-vector
+                    bridge rows fix routing AND ADC loss)
 
 over the driver embeddings table at $SPARK_GRAFT_SF_DIR (default sf0.1),
 measures recall@10 against the exact brute-force kernel, and writes the
@@ -74,6 +76,12 @@ GATES = [
     ("IVF_FLAT_OVERLAY", {"nprobe": 1}, 0.52),
     ("IVF_FLAT_OVERLAY", {"nprobe": 2}, 0.58),
     ("IVF_FLAT_OVERLAY", {"nprobe": 4}, 0.65),
+    # PQ twin (r8): overlay rows are raw vectors scored exactly, so the
+    # bridge set fixes routing AND ADC loss — measured 0.616/0.657/0.722
+    # at k_factor=4 (plain floor 0.240/0.327/0.464); same gates as FLAT
+    ("IVF_PQ_OVERLAY", {"nprobe": 1, "k_factor": 4.0}, 0.52),
+    ("IVF_PQ_OVERLAY", {"nprobe": 2, "k_factor": 4.0}, 0.58),
+    ("IVF_PQ_OVERLAY", {"nprobe": 4, "k_factor": 4.0}, 0.65),
 ]
 
 
@@ -174,6 +182,26 @@ def main() -> None:
                     queries, K, nprobe=np_, k_factor=kf_
                 ),
             )
+
+    # PQ twin of the overlay sweep: the bridge rows are raw vectors, so
+    # for IVF_PQ the overlay fixes BOTH cheap-probe loss sources (routing
+    # AND ADC quantization) — swept at the family's k_factor=4 operating
+    # point (same caps as the other overlay families)
+    t0 = time.perf_counter()
+    pq_ov = IVFPQIndex.ingest(
+        spark, f"{work}/pq_ov", vectors, partitions=PARTITIONS,
+        num_subspaces=16, timestamp=1000, overlay=True, overlay_max=512,
+        overlay_audit_nprobe=4, overlay_boost_max=384,
+    )
+    t_build["IVF_PQ_OVERLAY"] = round(time.perf_counter() - t0, 3)
+    pq_ov.query(queries, K, nprobe=1).collect()
+    for nprobe in (1, 2, 4):
+        sweep(
+            "IVF_PQ_OVERLAY", {"nprobe": nprobe, "k_factor": 4.0},
+            lambda np_=nprobe: pq_ov.query(
+                queries, K, nprobe=np_, k_factor=4.0
+            ),
+        )
 
     t0 = time.perf_counter()
     vam = VamanaIndex.ingest(

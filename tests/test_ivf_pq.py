@@ -312,3 +312,132 @@ def test_reingest_inherits_num_subspaces(spark, source, tmp_path):
         IVFPQIndex.ingest(
             spark, uri, source, partitions=4, num_subspaces=16, timestamp=3000
         )
+
+
+# --- partial-probe overlay (shared machinery: indexes/overlay.py) -------------
+
+
+@pytest.fixture(scope="module")
+def pq_overlay_idx(spark, tmp_path_factory, source):
+    uri = str(tmp_path_factory.mktemp("pq_ov") / "idx")
+    return IVFPQIndex.ingest(
+        spark, uri, source, partitions=16, num_subspaces=8, timestamp=1000,
+        overlay=True, overlay_max=128, overlay_boost_max=64,
+        overlay_audit_nprobe=4,
+    )
+
+
+@pytest.fixture(scope="module")
+def ov_queries(source):
+    return source.where("external_id < 20").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+
+
+def _got(df):
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(int(r.query_id), set()).add(int(r.external_id))
+    return out
+
+
+def test_pq_overlay_lifts_cheap_probe_recall(
+    spark, source, pq_overlay_idx, ov_queries, tmp_path_factory
+):
+    """At nprobe=1/2 the overlay must strictly beat a plain index built
+    with the SAME geometry, every query still returns K unique ids, and
+    the lift holds with and without the exact re-rank (the overlay scan
+    is exact either way)."""
+    plain = IVFPQIndex.ingest(
+        spark, str(tmp_path_factory.mktemp("pq_plain") / "idx"), source,
+        partitions=16, num_subspaces=8, timestamp=1000,
+    )
+    exact = knn_bruteforce_expr(source, ov_queries, 10)
+    want = _got(exact)
+    def rec(got):
+        return sum(len(got[q] & want[q]) for q in want) / sum(
+            len(v) for v in want.values()
+        )
+    for nprobe in (1, 2):
+        got_o = _got(pq_overlay_idx.query(ov_queries, 10, nprobe=nprobe))
+        assert all(len(v) == 10 for v in got_o.values())
+        assert rec(got_o) > rec(_got(plain.query(ov_queries, 10, nprobe=nprobe)))
+        got_or = _got(
+            pq_overlay_idx.query(ov_queries, 10, nprobe=nprobe, k_factor=4.0)
+        )
+        assert all(len(v) == 10 for v in got_or.values())
+        assert rec(got_or) > rec(
+            _got(plain.query(ov_queries, 10, nprobe=nprobe, k_factor=4.0))
+        )
+
+
+def test_pq_overlay_join_strategy_agrees(spark, pq_overlay_idx, ov_queries):
+    def key(df):
+        return sorted(
+            (r.query_id, r.external_id, round(r.distance, 6))
+            for r in df.collect()
+        )
+    a = key(pq_overlay_idx.query(ov_queries, 10, nprobe=2, strategy="kernel"))
+    b = key(pq_overlay_idx.query(ov_queries, 10, nprobe=2, strategy="join"))
+    assert a == b
+    # and with re-rank (both paths must include the overlay in the final
+    # exact domain)
+    a4 = key(
+        pq_overlay_idx.query(
+            ov_queries, 10, nprobe=2, k_factor=4.0, strategy="kernel"
+        )
+    )
+    b4 = key(
+        pq_overlay_idx.query(
+            ov_queries, 10, nprobe=2, k_factor=4.0, strategy="join"
+        )
+    )
+    assert a4 == b4
+
+
+def test_pq_overlay_lifecycle_delete_and_consolidate(
+    spark, source, ov_queries, tmp_path
+):
+    """Deleting an overlay member masks BOTH copies; consolidation
+    rebuilds the overlay at the persisted caps."""
+    uri = str(tmp_path / "pq_ov_dml")
+    idx = IVFPQIndex.ingest(
+        spark, uri, source, partitions=16, num_subspaces=8, timestamp=1000,
+        overlay=True, overlay_max=64, overlay_boost_max=32,
+    )
+    ov_ids = [
+        int(r.external_id)
+        for r in idx._overlay_frame().select("external_id").collect()
+    ]
+    victim = ov_ids[0]
+    idx.delete(victim, timestamp=2000)
+    idx = open_index(spark, uri, timestamp=3000)
+    got = _got(idx.query(ov_queries, 10, nprobe=16))
+    assert all(victim not in ids for ids in got.values())
+    got_r = _got(idx.query(ov_queries, 10, nprobe=16, k_factor=4.0))
+    assert all(victim not in ids for ids in got_r.values())
+
+    idx.consolidate_updates(timestamp=4000)
+    idx = open_index(spark, uri, timestamp=5000)
+    assert idx.has_overlay
+    assert idx._base_entry()["overlay_max"] == 64
+    assert idx._base_entry()["overlay_boost_max"] == 32
+    rebuilt = {
+        int(r.external_id)
+        for r in idx._overlay_frame().select("external_id").collect()
+    }
+    assert victim not in rebuilt
+    got2 = _got(idx.query(ov_queries, 10, nprobe=2))
+    assert all(victim not in ids and len(ids) == 10 for ids in got2.values())
+
+
+def test_pq_overlay_filtered_search_masks_overlay(
+    spark, source, pq_overlay_idx, ov_queries
+):
+    """allowed_ids must gate the overlay scan too — an overlay member
+    outside the allowed set may not surface through the bridge path."""
+    allowed = source.where("external_id % 2 = 0").select("external_id")
+    got = _got(
+        pq_overlay_idx.query(ov_queries, 10, nprobe=2, allowed_ids=allowed)
+    )
+    assert all(all(i % 2 == 0 for i in ids) for ids in got.values())

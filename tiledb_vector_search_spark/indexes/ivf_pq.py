@@ -72,6 +72,13 @@ CODE_COL = "code"
 PQ_CODEBOOK_AUX = "pq_codebooks"
 PQ_BITS = 8  # 256 codes per subspace (reference ivf_pq_index.h:212-217)
 PQ_TRAIN_MAX = 100_000
+# partial-probe overlay (shared machinery: indexes/overlay.py) — the
+# bridge rows store RAW vectors and are scored EXACTLY, so for IVF_PQ
+# the overlay sidesteps BOTH loss sources at cheap nprobe: routing loss
+# (the member's home cell wasn't probed) and ADC quantization loss
+OVERLAY_AUX = "pq_overlay"
+OVERLAY_PID = -1
+DEFAULT_OVERLAY_MAX = 8192
 
 
 def _encode_kernel(df: DataFrame, codebooks: np.ndarray, vector_col: str) -> DataFrame:
@@ -238,6 +245,7 @@ class IVFPQIndex(Index):
         return {
             "partitions": self.partitions,
             "num_subspaces": self.num_subspaces,
+            "has_overlay": self.has_overlay,
             **self._partition_balance(PARTITION_COL),
         }
 
@@ -259,6 +267,10 @@ class IVFPQIndex(Index):
         vector_col: str = VECTOR_COL,
         seed: int = 42,
         vector_dtype: str = "float32",
+        overlay: bool = False,
+        overlay_max: int = DEFAULT_OVERLAY_MAX,
+        overlay_audit_nprobe: int | None = None,
+        overlay_boost_max: int = 0,
     ) -> "IVFPQIndex":
         from tiledb_vector_search_spark.functions.dtypes import (
             decode_matrix,
@@ -400,8 +412,107 @@ class IVFPQIndex(Index):
             vectors, centroids, codebooks, VECTOR_COL, PARTITION_COL,
             vector_dtype=vector_dtype, residual=residual,
         )
-        cls._write_snapshot(storage, encoded, centroids, codebooks, ts, n)
+        extra_meta: dict = {}
+        if overlay:
+            # persist the overlay knobs so consolidation rebuilds the
+            # overlay at the SAME caps (mirrors IVFFlatIndex.ingest)
+            extra_meta["overlay_max"] = int(overlay_max)
+            extra_meta["overlay_boost_max"] = int(overlay_boost_max)
+            if overlay_audit_nprobe is not None:
+                extra_meta["overlay_audit_nprobe"] = int(overlay_audit_nprobe)
+        cls._write_snapshot(
+            storage, encoded, centroids, codebooks, ts, n,
+            extra_meta=extra_meta,
+        )
+        if overlay and centroids.shape[0] > 1:
+            cls._write_overlay(
+                storage, encoded, centroids, ts, vector_dtype,
+                overlay_max, audit_nprobe=overlay_audit_nprobe,
+                boost_max=overlay_boost_max,
+            )
         return cls(spark, uri)
+
+    @staticmethod
+    def _write_overlay(
+        storage: IndexStorage,
+        assigned: DataFrame,
+        centroids: np.ndarray,
+        ts: int,
+        vector_dtype: str,
+        overlay_max: int,
+        audit_nprobe: int | None = None,
+        boost_max: int = 0,
+    ) -> None:
+        """Write the partial-probe bridge set as aux pseudo-partition
+        ``OVERLAY_PID`` with RAW vectors (not codes) — members duplicate
+        their home-partition copies and the query path dedups on
+        (query, id), exactly like IVF_FLAT; selection is the shared
+        ``indexes.overlay.select_overlay_ids``.  Storing vectors keeps
+        the overlay scan EXACT: a bridge row's distance never suffers
+        ADC quantization error, so the overlay also acts as a bounded
+        exact re-rank set at every k_factor."""
+        from tiledb_vector_search_spark.indexes.overlay import (
+            select_overlay_ids,
+        )
+
+        spark = assigned.sparkSession
+        picked_id_list = select_overlay_ids(
+            assigned, centroids, vector_dtype, overlay_max,
+            boost_max=boost_max, audit_nprobe=audit_nprobe,
+        )
+        picked_ids = small_df(
+            spark, [(int(i),) for i in picked_id_list], f"{ID_COL} long"
+        )
+        (
+            assigned.select(ID_COL, VECTOR_COL)
+            .join(F.broadcast(picked_ids), ID_COL, "left_semi")
+            .withColumn(PARTITION_COL, F.lit(OVERLAY_PID).cast("int"))
+            .coalesce(1)
+            .write.parquet(storage.aux_path(OVERLAY_AUX, ts))
+        )
+
+    def _overlay_frame(self) -> DataFrame | None:
+        """The bridge set (partition_id, external_id, vector) — raw
+        vectors, pseudo-partition ``OVERLAY_PID`` — or ``None`` when the
+        index was built without an overlay."""
+        if hasattr(self, "_overlay_cache"):
+            return self._overlay_cache
+        path = self.storage.aux_path(OVERLAY_AUX, self.base_ts)
+        if not self.storage.fs.exists(path):
+            self._overlay_cache = None
+            return None
+        self._overlay_cache = self.spark.read.parquet(path).select(
+            PARTITION_COL, ID_COL, VECTOR_COL
+        )
+        return self._overlay_cache
+
+    @property
+    def has_overlay(self) -> bool:
+        return self._overlay_frame() is not None
+
+    def _overlay_scored(
+        self,
+        q: DataFrame,
+        k: int,
+        metric: DistanceMetric,
+        allowed_ids: DataFrame | None,
+    ) -> DataFrame | None:
+        """Exact per-query top-k over the bridge set (≤ caps rows), in
+        the FINAL distance domain — union-ready against the re-ranked /
+        sqrt-ed coarse result.  Applies the same tombstone/filter
+        contract as the base scan: a deleted overlay member must mask
+        BOTH copies."""
+        overlay = self._overlay_frame()
+        if overlay is None:
+            return None
+        ov = overlay.select(ID_COL, VECTOR_COL)
+        if self._has_updates():
+            ov = ov.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
+        if allowed_ids is not None:
+            ov = ov.join(allowed_ids, ID_COL, "left_semi")
+        return knn_bruteforce_expr(
+            self._float_vectors(ov), q, k, metric
+        ).drop("rank")
 
     @staticmethod
     def _write_snapshot(
@@ -411,6 +522,7 @@ class IVFPQIndex(Index):
         codebooks: np.ndarray,
         ts: int,
         base_size: int | None,
+        extra_meta: dict | None = None,
     ) -> None:
         spark = storage.spark
         # shuffle on partition_id before partitionBy (see IVFFlatIndex note:
@@ -420,7 +532,10 @@ class IVFPQIndex(Index):
             ts,
             partition_by=PARTITION_COL,
             base_size=base_size,
-            extra_meta={"partitions": int(centroids.shape[0])},
+            extra_meta={
+                "partitions": int(centroids.shape[0]),
+                **(extra_meta or {}),
+            },
         )
         cdf = small_df(
             spark,
@@ -480,7 +595,29 @@ class IVFPQIndex(Index):
             vector_dtype=self.vector_dtype,
             residual=self.pq_residual,
         )
-        self._write_snapshot(self.storage, encoded, centroids, codebooks, ts, None)
+        extra_meta: dict = {}
+        if self.has_overlay:
+            # the consolidated snapshot keeps the old base's overlay caps
+            # (legacy metas without them fall back to the defaults)
+            prev = self._base_entry()
+            for key, dflt in (
+                ("overlay_max", DEFAULT_OVERLAY_MAX),
+                ("overlay_boost_max", 0),
+                ("overlay_audit_nprobe", None),
+            ):
+                if prev.get(key, dflt) is not None:
+                    extra_meta[key] = prev.get(key, dflt)
+        self._write_snapshot(
+            self.storage, encoded, centroids, codebooks, ts, None,
+            extra_meta=extra_meta,
+        )
+        if self.has_overlay and centroids.shape[0] > 1:
+            self._write_overlay(
+                self.storage, encoded, centroids, ts, self.vector_dtype,
+                int(extra_meta.get("overlay_max", DEFAULT_OVERLAY_MAX)),
+                audit_nprobe=extra_meta.get("overlay_audit_nprobe"),
+                boost_max=int(extra_meta.get("overlay_boost_max", 0)),
+            )
 
     # -- access ---------------------------------------------------------------
 
@@ -532,9 +669,12 @@ class IVFPQIndex(Index):
 
     @property
     def partitions(self) -> int:
+        return int(self._base_entry()["partitions"])
+
+    def _base_entry(self) -> dict:
         for e in reversed(self.meta["ingestions"]):
             if e["ts"] == self.base_ts:
-                return int(e["partitions"])
+                return e
         raise RuntimeError("no ingestion entry for base_ts")
 
     # -- query ----------------------------------------------------------------
@@ -651,6 +791,17 @@ class IVFPQIndex(Index):
                 additions = additions.join(allowed_ids, ID_COL, "left_semi")
             add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             result = result.unionByName(add_scored)
+
+        ov_scored = self._overlay_scored(q, k, metric, allowed_ids)
+        if ov_scored is not None:
+            # an overlay member whose home partition was also probed
+            # appears twice — exact vs ADC (or exact vs exact after a
+            # re-rank); min() keeps the tighter estimate and dedups
+            result = (
+                result.unionByName(ov_scored)
+                .groupBy(QUERY_ID_COL, ID_COL)
+                .agg(F.min(DISTANCE_COL).alias(DISTANCE_COL))
+            )
 
         res = topk_window(result, [QUERY_ID_COL], order, k)
         if pad:
@@ -787,6 +938,15 @@ class IVFPQIndex(Index):
                 additions = additions.join(allowed_ids, ID_COL, "left_semi")
             result = result.unionByName(
                 knn_bruteforce_expr(additions, q, k, metric).drop("rank")
+            )
+        ov_scored = self._overlay_scored(q, k, metric, allowed_ids)
+        if ov_scored is not None:
+            # dedup (query, id) pairs that the probe and the overlay both
+            # produced — see the kernel path's comment
+            result = (
+                result.unionByName(ov_scored)
+                .groupBy(QUERY_ID_COL, ID_COL)
+                .agg(F.min(DISTANCE_COL).alias(DISTANCE_COL))
             )
         res = topk_window(result, [QUERY_ID_COL], order, k)
         if pad:
