@@ -159,3 +159,65 @@ def test_stream_bm25_ingest_consolidate_every(spark, docs, queries, tmp_path):
 def test_stream_bm25_ingest_rejects_batch_df(spark, docs):
     with pytest.raises(ValueError, match="streaming"):
         stream_bm25_ingest(docs, "/tmp/nope")
+
+
+def test_stream_bm25_search_e2e(spark, docs, queries, tmp_path):
+    """Two query micro-batches ranked against the artifact match the
+    batch query exactly; a DML commit between batches is visible to the
+    NEXT batch (per-batch snapshot re-resolution)."""
+    from tiledb_vector_search_spark.streaming.bm25_search import (
+        stream_bm25_search,
+    )
+
+    seed = docs.where("doc_id % 2 = 0")
+    inc = docs.where("doc_id % 2 = 1")
+    uri = str(tmp_path / "idx")
+    idx = BM25Index.build(spark, uri, seed)
+
+    qrows = queries.collect()
+    q0, q1 = qrows[: len(qrows) // 2], qrows[len(qrows) // 2 :]
+    in_dir = tmp_path / "qin"
+    spark.createDataFrame(q0).coalesce(1).write.parquet(str(in_dir / "b=0"))
+
+    got: dict[int, list] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = sorted(
+            (r.query_id, r.doc_id, str(r.score), r.rank) for r in df.collect()
+        )
+
+    def make_stream():
+        return (
+            spark.readStream.schema("query_id long, query_text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "b=*"))
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    stream_bm25_search(make_stream(), uri, 10, sink, checkpoint_dir=ckpt)
+    [q.awaitTermination() for q in spark.streams.active]
+    q0_df = spark.createDataFrame(q0)
+    assert got[0] == sorted(
+        (r.query_id, r.doc_id, str(r.score), r.rank)
+        for r in idx.query(q0_df, k=10).collect()
+    )
+
+    # DML between batches: grow the corpus, then stream the second
+    # query batch — it must rank against the GROWN artifact
+    idx.add_documents(inc)
+    spark.createDataFrame(q1).coalesce(1).write.parquet(str(in_dir / "b=1"))
+    stream_bm25_search(make_stream(), uri, 10, sink, checkpoint_dir=ckpt)
+    [q.awaitTermination() for q in spark.streams.active]
+    q1_df = spark.createDataFrame(q1)
+    reopened = BM25Index(spark, uri)
+    assert got[1] == sorted(
+        (r.query_id, r.doc_id, str(r.score), r.rank)
+        for r in reopened.query(q1_df, k=10).collect()
+    )
+    # sanity: the growth actually changed the second batch's answers
+    assert got[1] != sorted(
+        (r.query_id, r.doc_id, str(r.score), r.rank)
+        for r in BM25Index.build(
+            spark, str(tmp_path / "seed_only"), seed
+        ).query(q1_df, k=10).collect()
+    )

@@ -1,4 +1,5 @@
 from tiledb_vector_search_spark.streaming.bm25_ingest import stream_bm25_ingest
+from tiledb_vector_search_spark.streaming.bm25_search import stream_bm25_search
 from tiledb_vector_search_spark.streaming.dedup import dedup_stream
 from tiledb_vector_search_spark.streaming.dedup_against import (
     stream_dedup_against,
@@ -18,4 +19,5 @@ __all__ = [
     "dedup_stream",
     "stream_dedup_against",
     "stream_bm25_ingest",
+    "stream_bm25_search",
 ]
