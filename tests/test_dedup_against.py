@@ -276,3 +276,86 @@ def test_artifact_consolidate_crash_atomic(spark, docs, tmp_path, monkeypatch):
     reopened.consolidate()
     assert _pairs(reopened.match(new, threshold=0.8)) == before
     assert reopened.describe()["batch_debt"] == 0
+
+
+def test_add_documents_idempotency_key(spark, docs, tmp_path):
+    """A re-delivered key is a no-op in data AND meta; a fresh key
+    applies; the ledger survives consolidate()."""
+    ref_a = docs.where("doc_id % 4 = 0")
+    inc_b = docs.where("doc_id % 4 = 2")
+    inc_c = docs.where("doc_id % 4 = 1")
+    probe = _planted(inc_b, n=20).unionByName(_planted(inc_c, n=20))
+    art = MinHashReference.build(spark, str(tmp_path / "idem"), ref_a)
+    art.add_documents(inc_b, idempotency_key="s:0")
+    after_first = _pairs(art.match(probe, threshold=0.8))
+    meta_first = dict(art.meta)
+    # same key again, even with different data: must not run
+    art.add_documents(inc_b, idempotency_key="s:0")
+    assert dict(art.meta) == meta_first
+    # a reopened handle sees the committed ledger
+    reopened = MinHashReference(spark, art.uri)
+    reopened.add_documents(inc_b, idempotency_key="s:0")
+    assert dict(reopened.meta) == meta_first
+    assert _pairs(reopened.match(probe, threshold=0.8)) == after_first
+    # a fresh key applies; the fold keeps the ledger and the matches
+    reopened.add_documents(inc_c, idempotency_key="s:1")
+    before_fold = _pairs(reopened.match(probe, threshold=0.8))
+    assert before_fold != after_first
+    reopened.consolidate()
+    assert reopened.meta.get("applied_keys") == ["s:0", "s:1"]
+    assert _pairs(reopened.match(probe, threshold=0.8)) == before_fold
+    reopened.add_documents(inc_c, idempotency_key="s:1")  # still a no-op
+    assert _pairs(reopened.match(probe, threshold=0.8)) == before_fold
+
+
+def test_stream_minhash_ingest_e2e(spark, docs, tmp_path):
+    """2 accepted-doc micro-batches fold into the reference (== fresh
+    union build); consolidate_every folds the debt in-loop; a
+    checkpointed restart with no new files changes nothing."""
+    from tiledb_vector_search_spark.streaming import stream_minhash_ingest
+
+    seed = docs.where("doc_id % 2 = 0")
+    b0 = docs.where("doc_id % 4 = 1")
+    b1 = docs.where("doc_id % 4 = 3")
+    uri = str(tmp_path / "ref")
+    MinHashReference.build(spark, uri, seed)
+
+    in_dir = tmp_path / "in"
+    b0.coalesce(1).write.parquet(str(in_dir / "batch=0"))
+    b1.coalesce(1).write.parquet(str(in_dir / "batch=1"))
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "batch=*"))
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    sq = stream_minhash_ingest(
+        make_stream(), uri, consolidate_every=2, checkpoint_dir=ckpt
+    )
+    sq.awaitTermination()
+
+    ref = MinHashReference(spark, uri)
+    assert ref.describe()["batch_debt"] == 0  # folded in-loop
+    assert ref.describe()["generation"] >= 1
+    assert len(ref.meta.get("applied_keys", [])) == 2
+    probe = _planted(b0, n=20).unionByName(_planted(b1, n=20))
+    fresh = MinHashReference.build(
+        spark, str(tmp_path / "fresh"),
+        seed.unionByName(b0).unionByName(b1),
+    )
+    streamed = _pairs(ref.match(probe, threshold=0.8))
+    assert streamed == _pairs(fresh.match(probe, threshold=0.8))
+    # the planted near-dups of both batches (5 ids < 20 in each modulo
+    # slice) must all hit
+    assert len(streamed) >= 10
+
+    # restart from the checkpoint with no new input: nothing fires
+    meta_before = dict(ref.meta)
+    sq2 = stream_minhash_ingest(
+        make_stream(), uri, consolidate_every=2, checkpoint_dir=ckpt
+    )
+    sq2.awaitTermination()
+    assert dict(MinHashReference(spark, uri).meta) == meta_before

@@ -1601,11 +1601,21 @@ class MinHashReference:
         for d in old_dirs:
             fs.delete(d)
 
-    def add_documents(self, ref_df: DataFrame) -> None:
+    def add_documents(
+        self, ref_df: DataFrame, idempotency_key: str | None = None
+    ) -> None:
         """Grow the reference by an increment (e.g. yesterday's accepted
         crawl) — signs ONLY the new docs with the artifact's own hash
         family; crash-atomic via the staged-batch + meta-flip discipline
-        (``BM25Index.add_documents``)."""
+        (``BM25Index.add_documents``).
+
+        ``idempotency_key``: recorded in the SAME meta flip that commits
+        the batch; a later call with an already-recorded key is a NO-OP
+        — the exactly-once handle for at-least-once delivery
+        (``streaming/minhash_ingest.py`` keys each micro-batch as
+        ``<stream_id>:<batch_id>``).  Bounded tail ledger (1024 keys —
+        re-delivery only ever replays a recent window); survives
+        ``consolidate()`` (the fold spreads meta)."""
         import json as _json
         import posixpath
 
@@ -1613,6 +1623,10 @@ class MinHashReference:
 
         from tiledb_vector_search_spark.storage import HadoopFS
 
+        if idempotency_key is not None and idempotency_key in self.meta.get(
+            "applied_keys", []
+        ):
+            return  # this increment already committed — re-delivery no-op
         id_col = self.meta["id_col"]
         sh = _shingle_docs(
             ref_df, self.meta["text_col"], id_col, self.meta["shingle_n"]
@@ -1634,6 +1648,10 @@ class MinHashReference:
         finally:
             sh.unpersist()
         self.meta = {**self.meta, "batches": list(committed) + [bid]}
+        if idempotency_key is not None:
+            self.meta["applied_keys"] = (
+                list(self.meta.get("applied_keys", [])) + [idempotency_key]
+            )[-1024:]
         HadoopFS(self.spark, self.uri).write_text_atomic(
             posixpath.join(self.uri, self.META_FILE),
             _json.dumps(self.meta),

@@ -4,6 +4,9 @@ from tiledb_vector_search_spark.streaming.dedup import dedup_stream
 from tiledb_vector_search_spark.streaming.dedup_against import (
     stream_dedup_against,
 )
+from tiledb_vector_search_spark.streaming.minhash_ingest import (
+    stream_minhash_ingest,
+)
 from tiledb_vector_search_spark.streaming.search import stream_search_index
 from tiledb_vector_search_spark.streaming.sessionize import sessionize_stream
 from tiledb_vector_search_spark.streaming.updates import (
@@ -20,4 +23,5 @@ __all__ = [
     "stream_dedup_against",
     "stream_bm25_ingest",
     "stream_bm25_search",
+    "stream_minhash_ingest",
 ]
