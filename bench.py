@@ -249,6 +249,55 @@ def _bench_queries(spark, sf_dir):
         assert len(matched) == 2 and all(c > 0 for c in matched), matched
         return matched
 
+    _sbi_state: dict = {}
+
+    def streaming_bm25_ingest_2_batches():
+        """Crawl-ingest steady state, lexical side: 2 file-source
+        micro-batches of new documents fold into the persisted BM25
+        artifact (exactly-once idempotency keys, availableNow,
+        maxFilesPerTrigger=1).  The seed artifact and input files are
+        one-time setup; each timed run streams into a FRESH COPY of the
+        seed (a local copytree — negligible next to the Spark work) so
+        DML state never accumulates across runs.  Per-batch ingest
+        latency = value / 2."""
+        import shutil
+        import tempfile
+
+        from tiledb_vector_search_spark.operators.retrieval import BM25Index
+        from tiledb_vector_search_spark.streaming.bm25_ingest import (
+            stream_bm25_ingest,
+        )
+
+        if "seed_uri" not in _sbi_state:
+            root = "/tmp/tvs_bench_sbi"
+            if os.path.exists(root):
+                shutil.rmtree(root)
+            os.makedirs(root)
+            seed = docs.select("doc_id", "text").where("doc_id % 2 = 0")
+            BM25Index.build(spark, f"{root}/seed", seed)
+            for b in range(2):
+                docs.select("doc_id", "text").where(
+                    f"doc_id % 4 = {1 + 2 * b}"
+                ).coalesce(1).write.parquet(f"{root}/in/batch={b}")
+            _sbi_state["seed_uri"] = f"{root}/seed"
+            _sbi_state["in_glob"] = f"{root}/in/batch=*"
+        work = tempfile.mkdtemp(prefix="tvs_sbi_run_")
+        uri = f"{work}/idx"
+        shutil.copytree(_sbi_state["seed_uri"], uri)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_sbi_state["in_glob"])
+        )
+        sq = stream_bm25_ingest(
+            stream, uri, checkpoint_dir=f"{work}/ckpt"
+        )
+        sq.awaitTermination()
+        n_docs = BM25Index(spark, uri).n_docs
+        shutil.rmtree(work, ignore_errors=True)
+        assert n_docs == docs.count(), n_docs
+        return n_docs
+
     _mm_state: dict = {}
 
     def multimodal_image_index_e2e():
@@ -519,6 +568,7 @@ def _bench_queries(spark, sf_dir):
         "vamana_build_and_query": vamana_build_and_query,
         "streaming_search_8_batches": streaming_search_8_batches,
         "streaming_dedup_against_2_batches": streaming_dedup_against_2_batches,
+        "streaming_bm25_ingest_2_batches": streaming_bm25_ingest_2_batches,
     }
 
 
