@@ -137,6 +137,15 @@ BM25_KERNEL_MAX_NQ = 4096
 # only when the vocab cap binds — so the doc chunk shrinks adaptively
 # (see _score_matched_postings_kernel) to keep tasks ≤ ~256 MB.
 BM25_KERNEL_MAX_TERMS = 65536
+# the `auto` path probes BOTH caps with ONE bounded limit-collect of the
+# exploded (query, term) pairs — the same collect the kernel needs
+# anyway, so choosing the kernel costs zero extra jobs.  The pair cap
+# bounds the driver transfer (~1M rows ≈ 100 MB of Python tuples); a
+# batch past it falls back to the join plan before the caps are even
+# checked.  Legit kernel batches sit far below it (100 ranked queries ≈
+# 10⁴ pairs; a 4096-query decontamination batch of ~200-term chunks ≈
+# 8×10⁵).
+BM25_KERNEL_MAX_PAIRS = 1_000_000
 # docs-axis chunk for the dense (terms × docs) partial matrix: bounds
 # per-task memory at |batch vocab| × 8192 × 8 B regardless of how many
 # matched docs land in one partition
@@ -753,7 +762,11 @@ class BM25Index:
         shape — no expansion shuffle; bounded query batches only);
         ``auto`` picks the kernel for integral-id batches of ≤
         ``BM25_KERNEL_MAX_NQ`` queries AND ≤ ``BM25_KERNEL_MAX_TERMS``
-        distinct terms (both axes probed bounded before any collect).
+        distinct terms — both axes checked from ONE limit-collect of the
+        exploded pairs (≤ ``BM25_KERNEL_MAX_PAIRS`` rows ever reach the
+        driver; the same collect feeds the kernel, so choosing it costs
+        zero extra jobs).  Explicit ``strategy="kernel"`` probes each
+        axis with its own bounded job so the error names the broken cap.
         Both strategies are BIT-IDENTICAL (pinned by test), including
         the result schema — the kernel casts the query-id column back
         to the input type."""
@@ -792,56 +805,75 @@ class BM25Index:
         qid_type = dict(queries.dtypes).get(query_id_col, "")
         if strategy == "auto":
             use_kernel = qid_type in ("bigint", "int", "smallint")
-        if use_kernel:
-            # BOUNDED size probes BEFORE any collect, on BOTH broadcast
-            # axes: a huge integral-id batch (too many queries) OR a
-            # decontamination-style batch of document-length queries
-            # (too many distinct terms → multi-GB indicator matrix and
-            # dense per-task planes) under `auto` must fall back to the
-            # join plan without ever pulling its pairs to the driver
+        if use_kernel and strategy == "kernel":
+            # explicit kernel: probe each cap with its own bounded job so
+            # the error names the axis that broke (perf is secondary on
+            # the explicit path — the caller asked for this plan)
             probe = (
                 queries.select(query_id_col)
                 .distinct()
                 .limit(BM25_KERNEL_MAX_NQ + 1)
                 .count()
             )
-            if probe == 0:
-                use_kernel = False  # empty: the join plan returns empty
-            elif probe > BM25_KERNEL_MAX_NQ:
-                if strategy == "kernel":
-                    raise ValueError(
-                        f"kernel strategy caps at {BM25_KERNEL_MAX_NQ} "
-                        f"queries (got > {BM25_KERNEL_MAX_NQ}); use "
-                        "strategy='join'"
-                    )
-                use_kernel = False
-            elif (
+            if probe > BM25_KERNEL_MAX_NQ:
+                raise ValueError(
+                    f"kernel strategy caps at {BM25_KERNEL_MAX_NQ} "
+                    f"queries (got > {BM25_KERNEL_MAX_NQ}); use "
+                    "strategy='join'"
+                )
+            if (
                 qt_distinct.limit(BM25_KERNEL_MAX_TERMS + 1).count()
                 > BM25_KERNEL_MAX_TERMS
             ):
-                if strategy == "kernel":
-                    raise ValueError(
-                        "kernel strategy caps at "
-                        f"{BM25_KERNEL_MAX_TERMS} distinct query terms "
-                        "(the broadcast indicator matrix and dense "
-                        "per-task planes grow with the batch "
-                        "vocabulary); use strategy='join'"
-                    )
-                use_kernel = False
+                raise ValueError(
+                    "kernel strategy caps at "
+                    f"{BM25_KERNEL_MAX_TERMS} distinct query terms "
+                    "(the broadcast indicator matrix and dense "
+                    "per-task planes grow with the batch "
+                    "vocabulary); use strategy='join'"
+                )
+            # the axis caps passed — honor the explicit request even if
+            # the PAIR count exceeds auto's fallback bar (the caller
+            # owns the driver-memory trade)
+            qterm_rows = [
+                (int(r[query_id_col]), r["__t"]) for r in qterms.collect()
+            ]
+            if qterm_rows:
+                return _score_matched_postings_kernel(
+                    _partial_nanos(post, k1, b, id_col),
+                    qterm_rows, k, id_col, query_id_col,
+                    query_id_type=qid_type or "long",
+                )
+            use_kernel = False  # all-empty query texts: join plan
+        if use_kernel:
+            # ONE bounded job probes BOTH broadcast axes AND fetches the
+            # pairs the kernel needs: a limit-collect of the exploded
+            # (query, term) frame.  A huge integral-id batch (too many
+            # queries) or a decontamination-style batch of
+            # document-length queries (too many distinct terms →
+            # multi-GB indicator matrix and dense per-task planes) blows
+            # the pair cap or an axis cap and falls back to the join
+            # plan — the driver transfer stays ≤ the pair cap either way
+            rows = qterms.limit(BM25_KERNEL_MAX_PAIRS + 1).collect()
+            if len(rows) > BM25_KERNEL_MAX_PAIRS:
+                use_kernel = False  # bigger than any legit kernel batch
             else:
-                # now safe: ≤ MAX_NQ queries × ≤ MAX_TERMS terms bound
-                # the collected pairs and the broadcast indicator matrix
                 qterm_rows = [
-                    (int(r[query_id_col]), r["__t"])
-                    for r in qterms.collect()
+                    (int(r[query_id_col]), r["__t"]) for r in rows
                 ]
-                if qterm_rows:
+                nq = len({q for q, _ in qterm_rows})
+                nt = len({t for _, t in qterm_rows})
+                if (
+                    qterm_rows
+                    and nq <= BM25_KERNEL_MAX_NQ
+                    and nt <= BM25_KERNEL_MAX_TERMS
+                ):
                     return _score_matched_postings_kernel(
                         _partial_nanos(post, k1, b, id_col),
                         qterm_rows, k, id_col, query_id_col,
                         query_id_type=qid_type or "long",
                     )
-                use_kernel = False  # all-empty query texts: join plan
+                use_kernel = False  # over an axis cap / empty texts
         return _score_matched_postings(
             post, qterms, k, k1, b, id_col, query_id_col
         )
