@@ -497,11 +497,21 @@ class IVFPQIndex(Index):
         metric: DistanceMetric,
         allowed_ids: DataFrame | None,
     ) -> DataFrame | None:
-        """Exact per-query top-k over the bridge set (≤ caps rows), in
-        the FINAL distance domain — union-ready against the re-ranked /
-        sqrt-ed coarse result.  Applies the same tombstone/filter
-        contract as the base scan: a deleted overlay member must mask
-        BOTH copies."""
+        """Exact per-query top-k over the bridge set, in the FINAL
+        distance domain — union-ready against the re-ranked / sqrt-ed
+        coarse result.  Applies the same tombstone/filter contract as
+        the base scan: a deleted overlay member must mask BOTH copies.
+
+        Scale shape: the overlay is the SMALL side (≤ the persisted
+        caps — the same bounded-collect class as the centroids), so it
+        broadcasts and the QUERIES stream through one ``mapInPandas``
+        with a per-batch partial top-k — no cross-product ever shuffles
+        and the cost scales with nq through normal query partitioning,
+        in the kernel AND join strategies alike (a crossJoin from the
+        one-file overlay side would funnel nq × |overlay| rows through
+        a single task at bulk nq)."""
+        import pandas as pd
+
         overlay = self._overlay_frame()
         if overlay is None:
             return None
@@ -510,9 +520,54 @@ class IVFPQIndex(Index):
             ov = ov.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
         if allowed_ids is not None:
             ov = ov.join(allowed_ids, ID_COL, "left_semi")
-        return knn_bruteforce_expr(
-            self._float_vectors(ov), q, k, metric
-        ).drop("rank")
+        ov_rows = self._float_vectors(ov).collect()
+        if not ov_rows:
+            return None
+        ov_ids = np.array([r[ID_COL] for r in ov_rows], dtype=np.int64)
+        ov_mat = np.array([r[VECTOR_COL] for r in ov_rows], dtype=np.float64)
+        bc = self.spark.sparkContext.broadcast((ov_ids, ov_mat))
+        kk = min(k, len(ov_ids))
+        sqrt_out = metric is DistanceMetric.L2
+
+        def score(batches):
+            ids_, mat_ = bc.value
+            v_sq = np.sum(mat_ * mat_, axis=1)
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                qids = pdf[QUERY_ID_COL].to_numpy(dtype=np.int64)
+                qmat = np.array(list(pdf[VECTOR_COL]), dtype=np.float64)
+                # chunk the query axis so the (chunk × |overlay|) gram
+                # slab stays ~100 MB regardless of the Arrow batch size
+                for lo in range(0, n, 2048):
+                    qc = qmat[lo : lo + 2048]
+                    d = np.maximum(
+                        np.sum(qc * qc, axis=1)[:, None]
+                        + v_sq[None, :]
+                        - 2.0 * (qc @ mat_.T),
+                        0.0,
+                    )
+                    idx = partial_topk_idx(d, ids_, kk)
+                    rows = np.arange(d.shape[0])[:, None]
+                    dist = d[rows, idx]
+                    if sqrt_out:
+                        dist = np.sqrt(dist)
+                    yield pd.DataFrame(
+                        {
+                            QUERY_ID_COL: np.repeat(
+                                qids[lo : lo + 2048], kk
+                            ),
+                            ID_COL: ids_[idx].ravel(),
+                            DISTANCE_COL: dist.ravel(),
+                        }
+                    )
+
+        return q.mapInPandas(
+            score,
+            schema=f"{QUERY_ID_COL} long, {ID_COL} long, "
+            f"{DISTANCE_COL} double",
+        )
 
     @staticmethod
     def _write_snapshot(
