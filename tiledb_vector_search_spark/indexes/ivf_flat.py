@@ -617,7 +617,13 @@ class IVFFlatIndex(Index):
         overlay = self._overlay_frame()
         base = self._base_vectors()
         if overlay is not None:
-            # every query also probes the overlay pseudo-partition
+            # every query also probes the overlay pseudo-partition.
+            # Skew note: OVERLAY_PID is one join key carrying ALL
+            # queries × |overlay| — a hot reducer at bulk nq, the same
+            # magnitude class as a popular real partition, and exactly
+            # the shape AQE's skew-join split handles (the overlay side
+            # replicates across the split) — so it rides the same
+            # mechanism the rest of this plan already relies on
             routing = routing.unionByName(
                 q.select(
                     QUERY_ID_COL,

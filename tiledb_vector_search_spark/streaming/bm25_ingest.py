@@ -54,9 +54,15 @@ def stream_bm25_ingest(
     empty-or-seed corpus first; the stream's columns must include the
     index's ``id_col`` and ``text_col``).
 
-    ``stream_id`` namespaces the idempotency keys: two different
-    streams may ingest into one artifact as long as their ids differ
-    (their doc-id spaces must too, per the ``add_documents`` contract).
+    ``stream_id`` namespaces the idempotency keys — it distinguishes a
+    RESUMED or REPLACED stream (new checkpoint, same artifact) from a
+    re-delivered batch.  It does NOT make concurrent writers safe: the
+    artifact is SINGLE-WRITER (``add_documents`` is a read-modify-write
+    of the meta pointer — two interleaved writers can mint the same
+    batch id and the later meta flip drops the earlier batch).  To
+    ingest several sources, union them upstream into one stream, or
+    run the streams strictly one at a time.  Readers (queries, the
+    search twin) are unlimited and never block.
     """
     if not stream.isStreaming:
         raise ValueError("stream_bm25_ingest needs a streaming DataFrame")
