@@ -515,16 +515,39 @@ class IVFPQIndex(Index):
         overlay = self._overlay_frame()
         if overlay is None:
             return None
-        ov = overlay.select(ID_COL, VECTOR_COL)
-        if self._has_updates():
-            ov = ov.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
-        if allowed_ids is not None:
-            ov = ov.join(allowed_ids, ID_COL, "left_semi")
-        ov_rows = self._float_vectors(ov).collect()
-        if not ov_rows:
-            return None
-        ov_ids = np.array([r[ID_COL] for r in ov_rows], dtype=np.int64)
-        ov_mat = np.array([r[VECTOR_COL] for r in ov_rows], dtype=np.float64)
+        if self._has_updates() or allowed_ids is not None:
+            # the bridge set must honor the call's tombstone/filter view
+            ov = overlay.select(ID_COL, VECTOR_COL)
+            if self._has_updates():
+                ov = ov.join(
+                    F.broadcast(self._updated_ids()), ID_COL, "left_anti"
+                )
+            if allowed_ids is not None:
+                ov = ov.join(allowed_ids, ID_COL, "left_semi")
+            ov_rows = self._float_vectors(ov).collect()
+            if not ov_rows:
+                return None
+            ov_ids = np.array([r[ID_COL] for r in ov_rows], dtype=np.int64)
+            ov_mat = np.array(
+                [r[VECTOR_COL] for r in ov_rows], dtype=np.float64
+            )
+        else:
+            # common path: the bridge set is immutable for a given
+            # base_ts, so the bounded collect is paid once per handle —
+            # repeated queries skip the job entirely
+            if not hasattr(self, "_overlay_np_cache"):
+                ov_rows = self._float_vectors(
+                    overlay.select(ID_COL, VECTOR_COL)
+                ).collect()
+                self._overlay_np_cache = (
+                    np.array([r[ID_COL] for r in ov_rows], dtype=np.int64),
+                    np.array(
+                        [r[VECTOR_COL] for r in ov_rows], dtype=np.float64
+                    ),
+                )
+            ov_ids, ov_mat = self._overlay_np_cache
+            if ov_ids.size == 0:
+                return None
         bc = self.spark.sparkContext.broadcast((ov_ids, ov_mat))
         kk = min(k, len(ov_ids))
         sqrt_out = metric is DistanceMetric.L2
