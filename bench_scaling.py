@@ -269,6 +269,22 @@ def _queries(spark):
         ).limit(1000)
         return _mh_ref[sf_dir].match(batch, threshold=0.8).collect()
 
+    def bm25_ingest_batch(sf_dir):
+        # the crawl-ingest steady state, lexical side: a FIXED 1000-doc
+        # increment folds into the scale-varying artifact — the cost a
+        # micro-batch pays must track the INCREMENT (tokenize + two
+        # increment-sized writes + an increment-vocab df-delta
+        # aggregate), NOT the corpus, so linear x1.3 is a generous
+        # ceiling for this row.  The artifact is rebuilt fresh by
+        # bm25_index_build earlier in the same scale pass, so exactly
+        # one batch of these ids ever lands per artifact.
+        batch = docs(sf_dir).where("doc_id % 5000 < 1000").select(
+            (F.col("doc_id") + 900_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" fresh crawl increment")).alias("text"),
+        ).limit(1000)
+        _bm25[sf_dir].add_documents(batch)
+        return _bm25[sf_dir].describe()["batch_debt"]
+
     def video_band_join(sf_dir):
         # synthetic per-frame fingerprints keyed off the docs ids (16
         # frames/video, xxhash64 pseudo-pHashes) + planted 3-bit-flip
@@ -325,6 +341,7 @@ def _queries(spark):
         "vamana_build_and_query": vamana_build_query,
         "bm25_index_build": bm25_build,
         "bm25_artifact_query_100q": bm25_artifact,
+        "bm25_ingest_batch_1000": bm25_ingest_batch,
         "minhash_ref_build": minhash_ref_build,
         "dedup_against_batch_1000": dedup_against_batch,
         "video_fingerprint_band_join": video_band_join,

@@ -1513,6 +1513,15 @@ class MinHashReference:
             )
         return dirs
 
+    @property
+    def batch_debt(self) -> int:
+        """Un-consolidated increment dirs — the signal to run
+        :meth:`consolidate`.  META-ONLY (no Spark job): per-batch loops
+        like ``streaming/minhash_ingest.py`` read this every
+        micro-batch; ``describe()`` adds a corpus-scale row count on
+        top and is NOT a per-batch call."""
+        return len(self.meta.get("batches", []))
+
     def describe(self) -> dict:
         """Operational snapshot: the signing family, the committed batch
         debt (the signal to run :meth:`consolidate`), and the artifact

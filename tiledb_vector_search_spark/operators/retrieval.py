@@ -465,6 +465,15 @@ class BM25Index:
     def sum_dl(self) -> int:
         return int(self.meta["sum_dl"])
 
+    @property
+    def batch_debt(self) -> int:
+        """Un-consolidated increment dirs — the signal to run
+        :meth:`consolidate`.  META-ONLY (no Spark job): per-batch loops
+        like ``streaming/bm25_ingest.py`` read this every micro-batch;
+        ``describe()`` adds corpus-scale vocab/postings counts on top
+        and is NOT a per-batch call."""
+        return len(self._add_batches()) + len(self._delete_batches())
+
     def describe(self) -> dict:
         """Operational snapshot (the lexical twin of ``Index.describe``):
         corpus stats from meta plus vocabulary size and postings volume.

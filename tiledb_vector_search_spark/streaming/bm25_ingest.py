@@ -72,15 +72,16 @@ def stream_bm25_ingest(
             return
         from tiledb_vector_search_spark.operators.retrieval import BM25Index
 
-        # per-batch re-open: concurrent DML (deletes, a consolidate)
-        # committed by other writers resolves at this batch boundary
+        # per-batch re-open: DML the application committed between
+        # batches (deletes, a consolidate — sequenced with this writer,
+        # per the single-writer contract) resolves at this boundary
         idx = BM25Index(batch_df.sparkSession, index_uri)
         idx.add_documents(
             batch_df, idempotency_key=f"{stream_id}:{batch_id}"
         )
         if (
             consolidate_every is not None
-            and idx.describe()["batch_debt"] >= consolidate_every
+            and idx.batch_debt >= consolidate_every
         ):
             idx.consolidate()
 

@@ -60,7 +60,7 @@ def stream_minhash_ingest(
         )
         if (
             consolidate_every is not None
-            and ref.describe()["batch_debt"] >= consolidate_every
+            and ref.batch_debt >= consolidate_every
         ):
             ref.consolidate()
 
