@@ -359,3 +359,103 @@ def test_stream_minhash_ingest_e2e(spark, docs, tmp_path):
     )
     sq2.awaitTermination()
     assert dict(MinHashReference(spark, uri).meta) == meta_before
+
+
+def test_stream_crawl_loop_e2e(spark, docs, tmp_path):
+    """screen -> accept -> grow, continuously: every batch's accepted/
+    matched sets equal a sequential batch-API mirror of the loop (the
+    exact oracle); batch 1's near-copies of batch-0 ACCEPTED docs are
+    rejected (the loop feeds forward); a full re-delivery (fresh
+    checkpoint, committed keys) reconstructs the accepted sets exactly
+    and mutates nothing."""
+    from tiledb_vector_search_spark.streaming import stream_crawl_loop
+
+    seed = docs.where("doc_id % 2 = 0")
+    organic_a = docs.where("doc_id % 4 = 1")
+    organic_b = docs.where("doc_id % 8 = 3")
+    uri = str(tmp_path / "ref")
+    MinHashReference.build(spark, uri, seed)
+
+    b0 = organic_a.unionByName(_planted(seed, n=20, offset=700000))
+    b1 = organic_b.unionByName(_planted(organic_a, n=40, offset=800000))
+    in_dir = tmp_path / "in"
+    b0.coalesce(1).write.parquet(str(in_dir / "batch=0"))
+    b1.coalesce(1).write.parquet(str(in_dir / "batch=1"))
+
+    got: dict[int, tuple] = {}
+
+    def sink(accepted, matches, batch_id):
+        got[batch_id] = (
+            {int(r.doc_id) for r in accepted.select("doc_id").collect()},
+            {(r.new_id, r.ref_id) for r in matches.collect()},
+        )
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "batch=*"))
+        )
+
+    sq = stream_crawl_loop(
+        make_stream(), uri, sink, threshold=0.8, stream_id="cl",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    sq.awaitTermination()
+
+    # the exact oracle: replay the loop sequentially through the batch
+    # API on a mirror artifact
+    mirror = MinHashReference.build(spark, str(tmp_path / "mirror"), seed)
+    want: dict[int, tuple] = {}
+    for bid, batch in ((0, b0), (1, b1)):
+        m = mirror.match(batch, threshold=0.8)
+        pairs = {(r.new_id, r.ref_id) for r in m.collect()}
+        dup_ids = {nid for nid, _ in pairs}
+        acc_ids = {
+            int(r.doc_id) for r in batch.select("doc_id").collect()
+        } - dup_ids
+        want[bid] = (acc_ids, pairs)
+        mirror.add_documents(batch.where(
+            F.col("doc_id").isin([int(i) for i in acc_ids])
+        ))
+    assert got == want
+
+    # the planted seed near-copies were rejected in batch 0, and the
+    # planted copies of batch-0 ORGANIC docs were rejected in batch 1 —
+    # BY the reference grown mid-stream
+    assert {nid for nid, _ in got[0][1] if nid >= 700000}
+    planted_1 = {
+        int(r.doc_id)
+        for r in _planted(organic_a, n=40, offset=800000)
+        .select("doc_id").collect()
+    }
+    accepted_a = {i for i in got[0][0] if i < 700000}
+    fed_forward = {
+        nid for nid, rid in got[1][1]
+        if nid in planted_1 and rid in accepted_a
+    }
+    assert fed_forward  # rejections caused by batch-0 accepts
+
+    # the reference equals the mirror (same accepts, same fold state)
+    ref = MinHashReference(spark, uri)
+    probe = _planted(organic_a, n=30).unionByName(
+        _planted(organic_b, n=30)
+    )
+    assert _pairs(ref.match(probe, threshold=0.8)) == _pairs(
+        mirror.match(probe, threshold=0.8)
+    )
+
+    # full re-delivery: fresh checkpoint, same stream_id -> both keys
+    # already committed -> accepted sets reconstructed exactly, no
+    # mutation, no duplicate ingest
+    meta_before = dict(ref.meta)
+    got.clear()
+    sq2 = stream_crawl_loop(
+        make_stream(), uri, sink, threshold=0.8, stream_id="cl",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    sq2.awaitTermination()
+    assert dict(MinHashReference(spark, uri).meta) == meta_before
+    assert {frozenset(v[0]) for v in got.values()} == {
+        frozenset(want[0][0]), frozenset(want[1][0])
+    }

@@ -1,5 +1,6 @@
 from tiledb_vector_search_spark.streaming.bm25_ingest import stream_bm25_ingest
 from tiledb_vector_search_spark.streaming.bm25_search import stream_bm25_search
+from tiledb_vector_search_spark.streaming.crawl_loop import stream_crawl_loop
 from tiledb_vector_search_spark.streaming.dedup import dedup_stream
 from tiledb_vector_search_spark.streaming.dedup_against import (
     stream_dedup_against,
@@ -24,4 +25,5 @@ __all__ = [
     "stream_bm25_ingest",
     "stream_bm25_search",
     "stream_minhash_ingest",
+    "stream_crawl_loop",
 ]
