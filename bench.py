@@ -298,6 +298,65 @@ def _bench_queries(spark, sf_dir):
         assert n_docs == docs.count(), n_docs
         return n_docs
 
+    _scl_state: dict = {}
+
+    def streaming_crawl_loop_2_batches():
+        """The composed crawl loop end to end: 2 candidate micro-batches
+        (organic docs + planted near-copies of the reference) screened
+        against the MinHash reference, survivors folded back in-batch.
+        Each timed run streams into a FRESH COPY of the seed artifact
+        (the loop mutates it); per-batch loop latency = value / 2."""
+        import shutil
+        import tempfile
+
+        from tiledb_vector_search_spark.operators.dedup import (
+            MinHashReference,
+        )
+        from tiledb_vector_search_spark.streaming.crawl_loop import (
+            stream_crawl_loop,
+        )
+
+        if "seed_uri" not in _scl_state:
+            root = "/tmp/tvs_bench_scl"
+            if os.path.exists(root):
+                shutil.rmtree(root)
+            os.makedirs(root)
+            ref = docs.select("doc_id", "text").where("doc_id % 2 = 0")
+            MinHashReference.build(spark, f"{root}/seed", ref)
+            for b in range(2):
+                docs.select("doc_id", "text").where(
+                    f"doc_id % 4 = {1 + 2 * b}"
+                ).unionByName(
+                    ref.where(f"doc_id % 4 = {2 * b} AND doc_id < 400").select(
+                        (F.col("doc_id") + 910000 + b).alias("doc_id"),
+                        F.concat("text", F.lit(" trailer")).alias("text"),
+                    )
+                ).coalesce(1).write.parquet(f"{root}/in/batch={b}")
+            _scl_state["seed_uri"] = f"{root}/seed"
+            _scl_state["in_glob"] = f"{root}/in/batch=*"
+        work = tempfile.mkdtemp(prefix="tvs_scl_run_")
+        uri = f"{work}/ref"
+        shutil.copytree(_scl_state["seed_uri"], uri)
+        stats = []
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_scl_state["in_glob"])
+        )
+        sq = stream_crawl_loop(
+            stream,
+            uri,
+            lambda acc, m, bid: stats.append((acc.count(), m.count())),
+            threshold=0.8,
+            checkpoint_dir=f"{work}/ckpt",
+        )
+        sq.awaitTermination()
+        shutil.rmtree(work, ignore_errors=True)
+        assert len(stats) == 2 and all(
+            a > 0 and m > 0 for a, m in stats
+        ), stats
+        return stats
+
     _mm_state: dict = {}
 
     def multimodal_image_index_e2e():
@@ -569,6 +628,7 @@ def _bench_queries(spark, sf_dir):
         "streaming_search_8_batches": streaming_search_8_batches,
         "streaming_dedup_against_2_batches": streaming_dedup_against_2_batches,
         "streaming_bm25_ingest_2_batches": streaming_bm25_ingest_2_batches,
+        "streaming_crawl_loop_2_batches": streaming_crawl_loop_2_batches,
     }
 
 
