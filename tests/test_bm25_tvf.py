@@ -110,15 +110,17 @@ def test_bm25_tvf_reads_grown_index_batches(spark, docs, tmp_path):
     uri = str(tmp_path / "grown_tvf")
     idx = BM25Index.build(spark, uri, docs.where("doc_id % 2 = 0"))
     idx.add_documents(docs.where("doc_id % 2 = 1"))
-    # plant an ORPHAN batch (copy of batch=1, not meta-listed): doubled
-    # postings would double the scores if the TVF globbed dirs
+    # plant an ORPHAN batch (copy of the committed batch, not
+    # meta-listed): doubled postings would double the scores if the
+    # TVF globbed dirs (batch entries are "<ordinal>-<nonce>" strings)
+    committed = idx.meta["batches"][0]
     shutil.copytree(
-        os.path.join(uri, "postings_batches", "batch=1"),
-        os.path.join(uri, "postings_batches", "batch=99"),
+        os.path.join(uri, "postings_batches", f"batch={committed}"),
+        os.path.join(uri, "postings_batches", "batch=99-deadbeef"),
     )
     shutil.copytree(
-        os.path.join(uri, "term_stats_batches", "batch=1"),
-        os.path.join(uri, "term_stats_batches", "batch=99"),
+        os.path.join(uri, "term_stats_batches", f"batch={committed}"),
+        os.path.join(uri, "term_stats_batches", "batch=99-deadbeef"),
     )
     queries = docs.where("doc_id < 8").select(
         F.col("doc_id").alias("query_id"),

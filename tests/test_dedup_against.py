@@ -459,3 +459,136 @@ def test_stream_crawl_loop_e2e(spark, docs, tmp_path):
     assert {frozenset(v[0]) for v in got.values()} == {
         frozenset(want[0][0]), frozenset(want[1][0])
     }
+
+
+def test_accepted_ids_record_is_increment_sized(spark, docs, tmp_path):
+    """A keyed add_documents records the exact committed id set in an
+    increment-sized parquet (ids_batches/), readable through
+    accepted_ids_for_key without touching the corpus-sized shingle
+    tree — and the record survives consolidate()."""
+    seed = docs.where("doc_id % 2 = 0")
+    inc = docs.where("doc_id % 4 = 1")
+    uri = str(tmp_path / "ref")
+    MinHashReference.build(spark, uri, seed)
+    ref = MinHashReference(spark, uri)
+    ref.add_documents(inc, idempotency_key="s:0")
+    assert "s:0" in ref.meta["applied_key_batches"]
+
+    ids = ref.accepted_ids_for_key("s:0")
+    got = sorted(r.doc_id for r in ids.collect())
+    assert got == sorted(r.doc_id for r in inc.select("doc_id").collect())
+    # increment-sized read: every input file is the per-batch ids
+    # record, never a shingle/band tree file
+    files = ids.inputFiles()
+    assert files and all("ids_batches" in f for f in files)
+
+    # unknown key -> None (caller falls back)
+    assert ref.accepted_ids_for_key("s:999") is None
+
+    # the record outlives the generation fold (batch dirs are folded
+    # away, the replay record is not)
+    ref.consolidate()
+    reopened = MinHashReference(spark, uri)
+    ids2 = reopened.accepted_ids_for_key("s:0")
+    assert sorted(r.doc_id for r in ids2.collect()) == got
+    assert all("ids_batches" in f for f in ids2.inputFiles())
+
+
+def test_stream_crawl_loop_screen_within_batch(spark, docs, tmp_path):
+    """screen_within_batch=True: intra-batch near-dup groups collapse
+    to one canonical survivor BEFORE the reference screen; exactly that
+    survivor enters the reference; a group whose canonical duplicates
+    the corpus is dropped entirely.  The whole mode equals a sequential
+    batch-API mirror (minhash_dedup + components + match + add)."""
+    from tiledb_vector_search_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup,
+    )
+    from tiledb_vector_search_spark.streaming import stream_crawl_loop
+
+    seed = docs.where("doc_id % 2 = 0")
+    organic = docs.where("doc_id % 4 = 1")
+    uri = str(tmp_path / "ref")
+    MinHashReference.build(spark, uri, seed)
+
+    # groups of near-copies of batch docs: organic doc o (canonical),
+    # plus copies at o+700000 and o+710000 — all three in ONE batch
+    batch = (
+        organic.unionByName(_planted(organic, n=10, offset=700000))
+        .unionByName(_planted(organic, n=10, offset=710000))
+        # a group whose CANONICAL near-duplicates the seed: both copies
+        # of seed docs must vanish (canonical rejected by the reference,
+        # member dropped with it)
+        .unionByName(_planted(seed, n=5, offset=800000))
+        .unionByName(_planted(seed, n=5, offset=810000))
+    )
+    in_dir = tmp_path / "in"
+    batch.coalesce(1).write.parquet(str(in_dir / "batch=0"))
+
+    got = {}
+
+    def sink(accepted, matches, batch_id):
+        got[batch_id] = (
+            {int(r.doc_id) for r in accepted.select("doc_id").collect()},
+            {(r.new_id, r.ref_id) for r in matches.collect()},
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "batch=*"))
+    )
+    sq = stream_crawl_loop(
+        stream, uri, sink, threshold=0.8, stream_id="swb",
+        screen_within_batch=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    sq.awaitTermination()
+
+    accepted_ids, match_pairs = got[0]
+    organic_ids = {r.doc_id for r in organic.select("doc_id").collect()}
+    # every planted intra-batch copy was dropped (canonical = min id =
+    # the organic/seed base, never a 7xxxxx/8xxxxx copy), and nothing
+    # outside the organic slice entered; the organic slice itself may
+    # shrink further — the synthetic corpus contains organic near-dups
+    # within the batch, which the intra screen correctly collapses too
+    # (the mirror equality below is the exact oracle for that)
+    assert accepted_ids <= organic_ids
+    assert not {i for i in accepted_ids if i >= 700000}
+    # exactly one survivor per planted group entered the reference
+    ref = MinHashReference(spark, uri)
+    ref_ids = {
+        r.doc_id
+        for r in spark.read.parquet(*ref._dirs("shingles"))
+        .select("doc_id").collect()
+    }
+    seed_ids = {r.doc_id for r in seed.select("doc_id").collect()}
+    assert ref_ids == seed_ids | accepted_ids
+    # intra rejections are reported to the sink alongside reference
+    # rejections
+    assert {(n, r) for n, r in match_pairs if n >= 700000 and r < 700000}
+
+    # sequential batch-API mirror: same two-screen semantics
+    mirror = MinHashReference.build(spark, str(tmp_path / "mirror"), seed)
+    meta = mirror.meta
+    intra = minhash_dedup(
+        batch, text_col=meta["text_col"], id_col=meta["id_col"],
+        num_perm=meta["num_perm"], bands=meta["bands"],
+        threshold=0.8, shingle_n=meta["shingle_n"],
+    )
+    comp = connected_components(intra, "id_a", "id_b")
+    drop = {
+        r.doc_id for r in comp.where("doc_id != canonical_id").collect()
+    }
+    screened = batch.where(~F.col("doc_id").isin([int(i) for i in drop]))
+    m = mirror.match(screened, threshold=0.8)
+    ref_pairs = {(r.new_id, r.ref_id) for r in m.collect()}
+    dup = {n for n, _ in ref_pairs}
+    want_accepted = {
+        int(r.doc_id) for r in screened.select("doc_id").collect()
+    } - dup
+    want_pairs = ref_pairs | {
+        (r.id_b, r.id_a) for r in intra.select("id_a", "id_b").collect()
+    }
+    assert accepted_ids == want_accepted
+    assert match_pairs == want_pairs

@@ -37,6 +37,7 @@ from tiledb_vector_search_spark.indexes import (
     open_index,
 )
 from tiledb_vector_search_spark.ingestion import ingest
+from tiledb_vector_search_spark.storage import ConcurrentWriterError
 from tiledb_vector_search_spark import utils
 from tiledb_vector_search_spark.compat import (
     STORAGE_VERSION,
@@ -82,6 +83,7 @@ __all__ = [
     "partition_ivf_index",
     "validate_top_k",
     "Mode",
+    "ConcurrentWriterError",
     "utils",
     "STORAGE_VERSION",
     "storage_formats",

@@ -21,6 +21,8 @@ All SQL-expressible pieces are Catalyst expressions with DuckDB twins in
 
 from __future__ import annotations
 
+import uuid as _uuid
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1561,7 +1563,10 @@ class MinHashReference:
         import json as _json
         import posixpath
 
-        from tiledb_vector_search_spark.storage import HadoopFS
+        from tiledb_vector_search_spark.storage import (
+            HadoopFS,
+            fenced_meta_flip,
+        )
 
         if not self.meta.get("batches", []):
             return  # zero debt: nothing to fold
@@ -1591,18 +1596,19 @@ class MinHashReference:
             ]
         )
         # commit point: one atomic meta flip swaps the generation in and
-        # zeroes the batch debt
-        self.meta = {
-            **self.meta,
-            "bands_dir": new_bands,
-            "shingles_dir": new_shingles,
-            "generation": gen,
-            "batches": [],
-        }
+        # zeroes the batch debt — fenced against concurrent writers
         fs = HadoopFS(self.spark, self.uri)
-        fs.write_text_atomic(
+        self.meta = fenced_meta_flip(
+            fs,
             posixpath.join(self.uri, self.META_FILE),
-            _json.dumps(self.meta),
+            {
+                **self.meta,
+                "bands_dir": new_bands,
+                "shingles_dir": new_shingles,
+                "generation": gen,
+                "batches": [],
+            },
+            int(self.meta.get("meta_version", 0)),
         )
         # post-commit GC: the old generation + batch dirs are no longer
         # referenced by any reader; failure here cannot corrupt the
@@ -1624,13 +1630,26 @@ class MinHashReference:
         (``streaming/minhash_ingest.py`` keys each micro-batch as
         ``<stream_id>:<batch_id>``).  Bounded tail ledger (1024 keys —
         re-delivery only ever replays a recent window); survives
-        ``consolidate()`` (the fold spreads meta)."""
+        ``consolidate()`` (the fold spreads meta).
+
+        A keyed commit also writes the batch's ids to
+        ``ids_batches/batch=<bid>`` and maps key → bid in meta
+        (``applied_key_batches``), so a replayer can reconstruct
+        EXACTLY which documents this key committed with an
+        increment-sized read (:meth:`accepted_ids_for_key`) instead of
+        scanning the corpus-sized shingle tree — the
+        ``stream_crawl_loop`` re-delivery path.  The ids record
+        survives ``consolidate()`` (it lives outside the folded trees)
+        and is garbage-collected when its key falls off the ledger."""
         import json as _json
         import posixpath
 
         from pyspark import StorageLevel
 
-        from tiledb_vector_search_spark.storage import HadoopFS
+        from tiledb_vector_search_spark.storage import (
+            HadoopFS,
+            fenced_meta_flip,
+        )
 
         if idempotency_key is not None and idempotency_key in self.meta.get(
             "applied_keys", []
@@ -1641,7 +1660,14 @@ class MinHashReference:
             ref_df, self.meta["text_col"], id_col, self.meta["shingle_n"]
         ).persist(StorageLevel.MEMORY_AND_DISK)
         committed = self.meta.get("batches", [])
-        bid = max([0] + [int(b) for b in committed]) + 1
+        # ordinal + nonce entry (ints in pre-fence artifacts): the nonce
+        # makes the staged dir unique per mutation attempt, so a
+        # fenced-off concurrent writer can never have clobbered the
+        # winner's committed batch dirs on its way to the failing flip
+        ordinal = (
+            max([0] + [int(str(e).split("-")[0]) for e in committed]) + 1
+        )
+        bid = f"{ordinal}-{_uuid.uuid4().hex[:8]}"
         try:
             _band_keys(
                 _affine_minhash_signatures(
@@ -1656,15 +1682,63 @@ class MinHashReference:
             )
         finally:
             sh.unpersist()
-        self.meta = {**self.meta, "batches": list(committed) + [bid]}
+        # commit point: fenced atomic meta flip (a zombie writer raises
+        # instead of silently dropping a committed batch)
+        new_meta = {**self.meta, "batches": list(committed) + [bid]}
+        dropped_ids_dirs: list[str] = []
         if idempotency_key is not None:
-            self.meta["applied_keys"] = (
+            # increment-sized replay record: the exact ids this key
+            # commits, readable later without touching the shingle tree
+            ref_df.select(id_col).distinct().coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(
+                posixpath.join(self.uri, "ids_batches", f"batch={bid}")
+            )
+            new_meta["applied_keys"] = (
                 list(self.meta.get("applied_keys", [])) + [idempotency_key]
             )[-1024:]
-        HadoopFS(self.spark, self.uri).write_text_atomic(
+            key_batches = dict(self.meta.get("applied_key_batches", {}))
+            key_batches[idempotency_key] = bid
+            kept = set(new_meta["applied_keys"])
+            dropped_ids_dirs = [
+                posixpath.join(self.uri, "ids_batches", f"batch={v}")
+                for k, v in key_batches.items()
+                if k not in kept
+            ]
+            new_meta["applied_key_batches"] = {
+                k: v for k, v in key_batches.items() if k in kept
+            }
+        self.meta = fenced_meta_flip(
+            HadoopFS(self.spark, self.uri),
             posixpath.join(self.uri, self.META_FILE),
-            _json.dumps(self.meta),
+            new_meta,
+            int(self.meta.get("meta_version", 0)),
         )
+        # post-commit GC: ids records whose keys fell off the bounded
+        # ledger are unreferenced; a crash here leaves orphan dirs only
+        fs = HadoopFS(self.spark, self.uri)
+        for d in dropped_ids_dirs:
+            fs.delete(d)
+
+    def accepted_ids_for_key(self, idempotency_key: str):
+        """The exact id set a keyed :meth:`add_documents` committed, as
+        a one-column DataFrame — or ``None`` when the key is unknown
+        (never committed, fell off the bounded ledger, or a pre-record
+        artifact).  An INCREMENT-SIZED read: one tiny parquet file per
+        batch, regardless of corpus size — the ``stream_crawl_loop``
+        replay path uses this instead of semi-joining the corpus-sized
+        shingle tree."""
+        import posixpath
+
+        from tiledb_vector_search_spark.storage import HadoopFS
+
+        bid = self.meta.get("applied_key_batches", {}).get(idempotency_key)
+        if bid is None:
+            return None
+        path = posixpath.join(self.uri, "ids_batches", f"batch={bid}")
+        if not HadoopFS(self.spark, self.uri).exists(path):
+            return None
+        return self.spark.read.parquet(path)
 
     def match(
         self,

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -420,11 +421,17 @@ class BM25Index:
             dirs.append(posixpath.join(self.uri, batches_base, f"batch={b}"))
         return dirs
 
-    def _add_batches(self) -> list[int]:
-        return [int(b) for b in self.meta.get("batches", [])]
+    def _add_batches(self) -> list:
+        # entries are ints in pre-fence artifacts and "<ordinal>-<nonce>"
+        # strings since (the nonce makes CONCURRENT writers' staged dirs
+        # collision-free: a fenced-off zombie's orphan dir can never
+        # overwrite a committed batch's data, because no two mutation
+        # attempts ever share a dir name); both forms map to a
+        # ``batch=<entry>`` dir
+        return list(self.meta.get("batches", []))
 
-    def _delete_batches(self) -> list[int]:
-        return [int(b) for b in self.meta.get("delete_batches", [])]
+    def _delete_batches(self) -> list:
+        return list(self.meta.get("delete_batches", []))
 
     def _postings_dirs(self) -> list[str]:
         return self._dirs(
@@ -546,7 +553,10 @@ class BM25Index:
         survive ``consolidate()`` (the fold rewrites pointers, not the
         applied-key ledger).
         """
-        from tiledb_vector_search_spark.storage import HadoopFS
+        from tiledb_vector_search_spark.storage import (
+            HadoopFS,
+            fenced_meta_flip,
+        )
 
         if idempotency_key is not None and idempotency_key in self.meta.get(
             "applied_keys", []
@@ -592,8 +602,11 @@ class BM25Index:
             posixpath.join(self.uri, BM25_DFREQ_BATCHES_DIR, f"batch={bid}")
         )
         # commit point: one atomic meta flip makes the batch visible and
-        # the corpus stats consistent with it
-        self.meta = {
+        # the corpus stats consistent with it — FENCED against concurrent
+        # writers (a zombie stream's stale handle raises instead of
+        # silently dropping this or the competing batch; in-memory state
+        # only adopts the commit on success)
+        new_meta = {
             **self.meta,
             "n_docs": self.n_docs + int(stats["n"] or 0),
             "sum_dl": self.sum_dl + int(stats["sumdl"] or 0),
@@ -604,17 +617,36 @@ class BM25Index:
             # small recent window (Structured Streaming re-runs the one
             # unacknowledged batch), so the tail is all a no-op check
             # needs — a year of micro-batches must not bloat the meta
-            self.meta["applied_keys"] = (
+            new_meta["applied_keys"] = (
                 list(self.meta.get("applied_keys", [])) + [idempotency_key]
             )[-1024:]
-        HadoopFS(self.spark, self.uri).write_text_atomic(
-            posixpath.join(self.uri, BM25_META_FILE), json.dumps(self.meta)
+        self.meta = fenced_meta_flip(
+            HadoopFS(self.spark, self.uri),
+            posixpath.join(self.uri, BM25_META_FILE),
+            new_meta,
+            int(self.meta.get("meta_version", 0)),
         )
 
-    def _next_batch_id(self) -> int:
-        """Batch ids are unique ACROSS add and delete batches (both kinds
-        write a term_stats_batches/batch=<id> dir)."""
-        return max([0] + self._add_batches() + self._delete_batches()) + 1
+    def _next_batch_id(self) -> str:
+        """Mint a batch ENTRY: a monotonic ordinal (readable ordering,
+        unique across add and delete batches — both kinds write a
+        term_stats_batches/batch=<entry> dir) plus a random nonce that
+        makes the staged dir name unique PER MUTATION ATTEMPT.  Without
+        the nonce, two concurrent writers mint the same ordinal and the
+        loser's ``mode("overwrite")`` data write clobbers the winner's
+        committed dirs BEFORE the meta fence can refuse its flip — the
+        fence would raise, but the data would already be corrupt."""
+        ordinal = (
+            max(
+                [0]
+                + [
+                    int(str(e).split("-")[0])
+                    for e in self._add_batches() + self._delete_batches()
+                ]
+            )
+            + 1
+        )
+        return f"{ordinal}-{uuid.uuid4().hex[:8]}"
 
     def remove_documents(self, ids: DataFrame) -> None:
         """Tombstone deletes — the lexical twin of the ANN side's
@@ -636,7 +668,10 @@ class BM25Index:
         """
         from pyspark import StorageLevel
 
-        from tiledb_vector_search_spark.storage import HadoopFS
+        from tiledb_vector_search_spark.storage import (
+            HadoopFS,
+            fenced_meta_flip,
+        )
 
         del_ids = (
             ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
@@ -672,15 +707,17 @@ class BM25Index:
             )
         finally:
             del_post.unpersist()
-        # commit point: one atomic meta flip
-        self.meta = {
-            **self.meta,
-            "n_docs": self.n_docs - n_del,
-            "sum_dl": self.sum_dl - int(stats["sumdl"] or 0),
-            "delete_batches": self._delete_batches() + [bid],
-        }
-        HadoopFS(self.spark, self.uri).write_text_atomic(
-            posixpath.join(self.uri, BM25_META_FILE), json.dumps(self.meta)
+        # commit point: one atomic meta flip, fenced like add_documents
+        self.meta = fenced_meta_flip(
+            HadoopFS(self.spark, self.uri),
+            posixpath.join(self.uri, BM25_META_FILE),
+            {
+                **self.meta,
+                "n_docs": self.n_docs - n_del,
+                "sum_dl": self.sum_dl - int(stats["sumdl"] or 0),
+                "delete_batches": self._delete_batches() + [bid],
+            },
+            int(self.meta.get("meta_version", 0)),
         )
 
     def consolidate(self) -> None:
@@ -705,7 +742,10 @@ class BM25Index:
         only).  Query results are BIT-IDENTICAL before and after —
         pinned by parity tests.
         """
-        from tiledb_vector_search_spark.storage import HadoopFS
+        from tiledb_vector_search_spark.storage import (
+            HadoopFS,
+            fenced_meta_flip,
+        )
 
         add_b, del_b = self._add_batches(), self._delete_batches()
         if not add_b and not del_b:
@@ -731,18 +771,21 @@ class BM25Index:
         old_post_dirs = self._postings_dirs() + self._tombstone_dirs()
         old_stats_dirs = self._dfreq_dirs()
         # commit point: one atomic meta flip swaps the generation in and
-        # zeroes the batch debt
-        self.meta = {
-            **self.meta,
-            "postings_dir": new_post,
-            "term_stats_dir": new_stats,
-            "generation": gen,
-            "batches": [],
-            "delete_batches": [],
-        }
+        # zeroes the batch debt — fenced, so a fold racing a concurrent
+        # add cannot resurrect folded batches or orphan the add
         fs = HadoopFS(self.spark, self.uri)
-        fs.write_text_atomic(
-            posixpath.join(self.uri, BM25_META_FILE), json.dumps(self.meta)
+        self.meta = fenced_meta_flip(
+            fs,
+            posixpath.join(self.uri, BM25_META_FILE),
+            {
+                **self.meta,
+                "postings_dir": new_post,
+                "term_stats_dir": new_stats,
+                "generation": gen,
+                "batches": [],
+                "delete_batches": [],
+            },
+            int(self.meta.get("meta_version", 0)),
         )
         # post-commit GC: the old generation + batch dirs are no longer
         # referenced by any reader; failure here cannot corrupt the index

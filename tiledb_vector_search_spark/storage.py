@@ -45,6 +45,79 @@ from tiledb_vector_search_spark.schemas import ID_COL, UPDATES_SCHEMA, VECTOR_CO
 
 META_FILE = "_index_meta.json"
 STORAGE_VERSION = "spark-0.3"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another writer flipped an artifact's meta pointer mid-mutation.
+
+    The persisted artifacts (``BM25Index``, ``MinHashReference``) are
+    SINGLE-WRITER: every mutation is a read-modify-write of the meta
+    pointer, so two interleaved writers can mint the same batch id and
+    the later flip silently drops the earlier batch.  The fence turns
+    that silent data loss into this error on the losing side.
+    """
+
+
+def fenced_meta_flip(
+    fs: "HadoopFS",
+    meta_path: str,
+    new_meta: dict[str, Any],
+    expected_version: int,
+) -> dict[str, Any]:
+    """Commit ``new_meta`` atomically IF the on-disk meta is still at
+    ``expected_version`` — the writer fence for single-writer artifacts.
+
+    The reference sidesteps concurrent-writer loss only because TileDB
+    fragments are append-immutable; a pointer-flip layout needs an
+    explicit fence.  Two checks bracket the atomic rename:
+
+    1. PRE-CHECK: re-read the on-disk meta immediately before the flip;
+       if its ``meta_version`` moved past what this handle last
+       observed, another writer committed in between — raise, leaving
+       this mutation's staged ``batch=`` dirs as invisible orphans (no
+       reader resolves them; the winner's commit is untouched).
+    2. POST-VERIFY: re-read after the rename and check the fresh
+       ``writer_nonce`` landed.  This catches the narrow window where a
+       competing flip slips between the pre-check and our rename: the
+       LAST rename wins the file, every other writer sees a foreign
+       nonce and raises — so a dropped batch is always accompanied by
+       an error on the writer that lost it, never silent.
+
+    A true lost-update-free guarantee needs a compare-and-swap
+    primitive in the store (HDFS atomic-create lease files, S3
+    conditional PUTs); this fence is the portable approximation and
+    closes the realistic zombie-writer scenario — a stale driver whose
+    handle predates the new writer's commits by seconds or more.
+
+    Returns the committed meta (``meta_version`` bumped, fresh
+    ``writer_nonce``) for the caller to adopt as its in-memory state.
+    """
+    on_disk = json.loads(fs.read_text(meta_path))
+    disk_version = int(on_disk.get("meta_version", 0))
+    if disk_version != expected_version:
+        raise ConcurrentWriterError(
+            f"meta at {meta_path} is at version {disk_version}, but this "
+            f"writer last observed version {expected_version}: another "
+            "writer committed in between.  The artifact is single-writer "
+            "— re-open a fresh handle to see the other writer's commits, "
+            "and sequence mutations through one writer."
+        )
+    nonce = uuid.uuid4().hex
+    committed = {
+        **new_meta,
+        "meta_version": disk_version + 1,
+        "writer_nonce": nonce,
+    }
+    fs.write_text_atomic(meta_path, json.dumps(committed))
+    check = json.loads(fs.read_text(meta_path))
+    if check.get("writer_nonce") != nonce:
+        raise ConcurrentWriterError(
+            f"meta at {meta_path} was overwritten by a concurrent writer "
+            "DURING this commit (post-write nonce mismatch): this batch "
+            "was dropped by the competing flip.  Re-open a fresh handle "
+            "and retry against the surviving state."
+        )
+    return committed
 # every layout this reader understands (reference analogue:
 # ``storage_formats.py:3-48`` keeps one entry per released layout and
 # ``test_backwards_compatibility.py`` reads them all).  spark-0.1 wrote the

@@ -13,24 +13,37 @@ is the loop a training-data crawl pipeline actually runs, continuously.
 Exactly-once across the whole loop: the reference commit carries the
 batch's idempotency key (recorded in the committing meta flip).  A
 re-delivered batch no-ops the ingest, and the accepted set the sink
-receives is reconstructed EXACTLY (it is precisely the batch ids the
-original commit put in the reference); the replayed ``matches`` may add
-pairs among this batch's own accepted near-copies — the within-batch
-blind spot below — but never changes which documents were accepted.
-Sinks absorb retries by batch id as usual.
+receives is reconstructed EXACTLY from the commit's own ids record
+(``MinHashReference.accepted_ids_for_key`` — an increment-sized read;
+pre-record artifacts fall back to a shingle-tree semi-join); the
+replayed ``matches`` may add pairs among this batch's own accepted
+near-copies but never changes which documents were accepted.  Sinks
+absorb retries by batch id as usual.
 
-Within-batch duplicates are NOT screened here (two near-copies arriving
-in the same micro-batch both survive — the reference can't see either
-until the batch commits).  If intra-batch collisions matter at your
-batch sizes, run ``operators.dedup.minhash_dedup`` on the batch inside
-the sink, or shrink the trigger; the reference screen catches them from
-the NEXT batch on either way.
+Within-batch duplicates: by default two near-copies arriving in the
+same micro-batch both survive (the reference can't see either until
+the batch commits).  ``screen_within_batch=True`` closes this: the
+batch is first collapsed to one CANONICAL survivor per intra-batch
+near-dup group (``minhash_dedup`` with the artifact's own signing
+family + transitive closure, canonical = min id), and only canonicals
+face the reference screen.  A group whose canonical is rejected by the
+reference is dropped entirely — its members were near-copies of a
+near-copy of the corpus, and admitting them would re-open the
+within-batch hole one hop out.  The intra rejections are reported to
+the sink in ``matches`` alongside the reference rejections, oriented
+(new_id = dropped doc, ref_id = the batch doc it duplicated — which
+may itself have been dropped further down a chain).  At real crawl
+batch sizes (10⁵–10⁶ docs per trigger) intra-batch duplication is
+common; the screen costs one batch-sized LSH pass (∝ increment, never
+the corpus).
 
 Scale posture: screening is the batch-sized sign + band-join (cost ∝
 increment, never the corpus); the ingest is two increment-sized writes;
 ``consolidate_every`` bounds the batch-dir debt with the generation
 fold, off the screening path.  SINGLE-WRITER like every ingest in this
-family — one crawl loop per artifact; readers are unlimited.
+family — one crawl loop per artifact (now ENFORCED: a concurrent
+writer's flip raises ``ConcurrentWriterError`` instead of silently
+dropping a batch); readers are unlimited.
 """
 
 from __future__ import annotations
@@ -48,6 +61,7 @@ def stream_crawl_loop(
     sink: Any,
     threshold: float = 0.8,
     stream_id: str = "crawl-loop",
+    screen_within_batch: bool = False,
     consolidate_every: int | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
@@ -58,11 +72,12 @@ def stream_crawl_loop(
     ``sink(accepted_df, matches_df, batch_id)`` receives the batch's
     surviving documents (the rows a downstream pipeline keeps) and the
     (new_id, ref_id, jaccard) rows that got them rejected (quarantine /
-    metrics).  Both are materialized BEFORE the reference commit, so
-    the sink sees exactly what was ingested.  The reference at
-    ``reference_uri`` must already exist (``MinHashReference.build``
-    the seed corpus first); the stream's columns must include the
-    artifact's ``id_col`` and ``text_col``.
+    metrics) — reference rejections, plus intra-batch rejections when
+    ``screen_within_batch`` is on.  Both are materialized BEFORE the
+    reference commit, so the sink sees exactly what was ingested.  The
+    reference at ``reference_uri`` must already exist
+    (``MinHashReference.build`` the seed corpus first); the stream's
+    columns must include the artifact's ``id_col`` and ``text_col``.
     """
     if not stream.isStreaming:
         raise ValueError("stream_crawl_loop needs a streaming DataFrame")
@@ -72,11 +87,44 @@ def stream_crawl_loop(
             return
         from tiledb_vector_search_spark.operators.dedup import (
             MinHashReference,
+            connected_components,
+            minhash_dedup,
         )
 
         ref = MinHashReference(batch_df.sparkSession, reference_uri)
         id_col = ref.meta["id_col"]
         key = f"{stream_id}:{batch_id}"
+        replay = key in ref.meta.get("applied_keys", [])
+        intra_matches = None
+        if screen_within_batch and not replay:
+            # collapse intra-batch near-dup groups to their canonical
+            # (min-id) member BEFORE the reference screen, with the
+            # artifact's own signing family so "near-dup" means the
+            # same thing on both screens; cost ∝ batch, never corpus
+            intra_pairs = minhash_dedup(
+                batch_df,
+                text_col=ref.meta["text_col"],
+                id_col=id_col,
+                num_perm=ref.meta["num_perm"],
+                bands=ref.meta["bands"],
+                threshold=threshold,
+                shingle_n=ref.meta["shingle_n"],
+            )
+            comp = connected_components(intra_pairs, "id_a", "id_b")
+            dropped = comp.where("doc_id != canonical_id").select(
+                F.col("doc_id").alias(id_col)
+            )
+            batch_df = batch_df.join(
+                F.broadcast(dropped), id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+            # pairs are (id_a < id_b): id_b is never a group canonical,
+            # so report it as the dropped side (ref_id may itself be
+            # dropped further down a chain — it's a metrics stream)
+            intra_matches = intra_pairs.select(
+                F.col("id_b").alias("new_id"),
+                F.col("id_a").alias("ref_id"),
+                "jaccard",
+            )
         # a doc is never a duplicate of ITSELF: the self-pair only
         # arises when a replayed batch screens against its own already-
         # committed copies (same id), and excluding it is semantically
@@ -84,24 +132,30 @@ def stream_crawl_loop(
         matches = ref.match(batch_df, threshold=threshold).where(
             F.col("new_id") != F.col("ref_id")
         )
+        if intra_matches is not None:
+            matches = matches.unionByName(intra_matches)
         # one evaluation feeds the reject filter AND the sink: the
         # match is deterministic, but double-running it doubles the
         # batch's sign/band cost for nothing
         matches = matches.localCheckpoint(eager=True)
-        if key in ref.meta.get("applied_keys", []):
+        if replay:
             # REPLAY of a committed batch (crash between the reference
             # commit and the checkpoint ack): the accepted set is
-            # reconstructed EXACTLY — it is precisely the batch ids the
-            # commit put in the reference.  `matches` re-screens against
-            # the moved reference, so pairs among THIS batch's accepted
-            # near-copies (the documented within-batch blind spot) may
-            # appear that the original run didn't emit — a bounded,
+            # reconstructed EXACTLY from the commit's own ids record —
+            # an increment-sized read, never a corpus-sized job.
+            # `matches` re-screens against the moved reference, so
+            # pairs among THIS batch's accepted near-copies may appear
+            # that the original run didn't emit — a bounded,
             # idempotent-to-absorb superset.
-            ref_ids = batch_df.sparkSession.read.parquet(
-                *ref._dirs("shingles")
-            ).select(id_col)
+            ids = ref.accepted_ids_for_key(key)
+            if ids is None:
+                # pre-record artifact (key committed by an older build):
+                # fall back to the corpus-sized shingle semi-join
+                ids = batch_df.sparkSession.read.parquet(
+                    *ref._dirs("shingles")
+                ).select(id_col)
             accepted = batch_df.join(
-                ref_ids, id_col, "left_semi"
+                F.broadcast(ids.select(id_col)), id_col, "left_semi"
             ).localCheckpoint(eager=True)
         else:
             dup_ids = matches.select(
