@@ -199,6 +199,159 @@ class Index:
     def query(self, queries: DataFrame, k: int, **kw: Any) -> DataFrame:
         raise NotImplementedError
 
+    # -- measured recall curve / auto operating point --------------------------
+    #
+    # The engine ships three probe-routed index types × overlay ×
+    # (nprobe, k_factor, l_search); hand-picking the setting per
+    # deployment is folklore — the reference's own guidance is the
+    # nprobe = √partitions rule of thumb (``ivf_flat_index.py:215``).
+    # Instead, ``measure_recall_curve()`` measures recall@k of each
+    # candidate setting against the exact brute-force truth on a
+    # bounded held-out sample of THIS index's own corpus, persists the
+    # curve in the snapshot's meta entry, and
+    # ``query(..., recall_target=0.9)`` resolves the CHEAPEST measured
+    # setting that clears the target.  Meta schema (per ingestion
+    # entry):
+    #
+    #   "recall_curve": {"k": 10, "nq": 256,
+    #                    "points": [{"params": {"nprobe": 2, ...},
+    #                                "recall_at_k": 0.87, "sec": 0.41},
+    #                               ...]}
+    #
+    # Scale posture: sample is bounded (nq rows via hash pick), truth
+    # is ONE corpus-scan brute-force kernel job, each curve point is a
+    # bounded nq-query batch — the whole measurement is a small
+    # multiple of one query batch, paid once at build (opt-in:
+    # ``ingest(..., recall_curve=True)`` or post-hoc on any open
+    # index).
+
+    RECALL_CURVE_NQ = 256
+
+    def _recall_curve_settings(self) -> "list[dict]":
+        """Candidate query settings to sweep, cheapest knobs first —
+        per index type."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no recall knobs to sweep "
+            "(exact index types answer every query exactly)"
+        )
+
+    def measure_recall_curve(
+        self,
+        k: int = 10,
+        nq: int | None = None,
+        settings: "list[dict] | None" = None,
+    ) -> "list[dict]":
+        """Measure recall@k for each candidate setting on a held-out
+        hash-sample of this snapshot's own vectors (the corpus is its
+        own query distribution for a training-data pipeline — the same
+        stance as the overlay self-audit), persist the curve into the
+        snapshot's meta entry, and return it."""
+        import time as _time
+
+        from tiledb_vector_search_spark.functions.dtypes import (
+            is_byte_dtype,
+            unpack_vectors,
+        )
+        from tiledb_vector_search_spark.operators.knn import (
+            knn_bruteforce_kernel,
+        )
+
+        nq = nq or self.RECALL_CURVE_NQ
+        vectors = self.effective_vectors()
+        n = vectors.count()
+        frac = min(1.0, (nq * 1.5) / max(n, 1))
+        sample = (
+            vectors.where(
+                (F.abs(F.xxhash64(F.col(ID_COL))) % 1_000_000)
+                < int(frac * 1_000_000)
+            )
+            .orderBy(ID_COL)
+            .limit(nq)
+            .localCheckpoint(eager=True)
+        )
+        packed = dict(vectors.dtypes).get(VECTOR_COL) == "binary"
+        dtype = self.vector_dtype if packed else "float32"
+        truth_q = sample.select(
+            F.col(ID_COL).alias("query_id"), VECTOR_COL
+        )
+        truth: dict[int, set[int]] = {}
+        for r in knn_bruteforce_kernel(
+            vectors, truth_q, k, self.metric, vector_dtype=dtype
+        ).collect():
+            truth.setdefault(int(r["query_id"]), set()).add(
+                int(r["external_id"])
+            )
+        denom = sum(len(v) for v in truth.values())
+        qdf = truth_q
+        if packed:
+            # index query paths take float queries regardless of the
+            # stored dtype (byte values are exactly representable)
+            qdf = unpack_vectors(truth_q, self.vector_dtype, VECTOR_COL)
+            qdf = qdf.select(
+                "query_id", F.col(VECTOR_COL).cast("array<float>").alias(VECTOR_COL)
+            )
+        points: list[dict] = []
+        for params in settings or self._recall_curve_settings():
+            t0 = _time.perf_counter()
+            rows = self.query(qdf, k, **params).collect()
+            sec = _time.perf_counter() - t0
+            hits = sum(
+                1
+                for r in rows
+                if int(r[ID_COL]) in truth.get(int(r["query_id"]), ())
+            )
+            points.append(
+                {
+                    "params": dict(params),
+                    "recall_at_k": round(hits / max(denom, 1), 4),
+                    "sec": round(sec, 3),
+                }
+            )
+        curve = {"k": k, "nq": int(sample.count()), "points": points}
+        meta = self.storage.read_meta()
+        for e in reversed(meta["ingestions"]):
+            if e["ts"] == self.base_ts:
+                e["recall_curve"] = curve
+                break
+        self.storage.write_meta(meta)
+        self.meta = meta
+        return points
+
+    def resolve_recall_target(self, recall_target: float) -> dict:
+        """The cheapest measured setting whose recall clears the
+        target — raises when no curve is persisted (measure first) or
+        when the target exceeds the index's measured ceiling."""
+        entry = next(
+            (
+                e
+                for e in reversed(self.meta["ingestions"])
+                if e["ts"] == self.base_ts
+            ),
+            {},
+        )
+        curve = entry.get("recall_curve")
+        if not curve:
+            raise ValueError(
+                "no measured recall curve on this snapshot: build with "
+                "ingest(..., recall_curve=True) or call "
+                "measure_recall_curve() once, then query with "
+                "recall_target"
+            )
+        pts = sorted(
+            curve["points"],
+            key=lambda p: (p["sec"], -p["recall_at_k"], sorted(p["params"].items())),
+        )
+        for p in pts:
+            if p["recall_at_k"] >= recall_target:
+                return dict(p["params"])
+        best = max(p["recall_at_k"] for p in curve["points"])
+        raise ValueError(
+            f"recall_target {recall_target} exceeds this index's measured "
+            f"ceiling {best} (k={curve['k']}, nq={curve['nq']}); rebuild "
+            "with more partitions probed by default, an overlay, or a "
+            "less lossy index type"
+        )
+
     def _validate_queries(self, queries: DataFrame, k: int | None = None) -> None:
         """Mirror reference validation (``index.py:298-312``): schema shape
         AND query dimensionality vs the index's stored dimensions."""

@@ -100,6 +100,7 @@ class IVFFlatIndex(Index):
         overlay_max: int = DEFAULT_OVERLAY_MAX,
         overlay_audit_nprobe: int | None = None,
         overlay_boost_max: int = 0,
+        recall_curve: bool = False,
     ) -> "IVFFlatIndex":
         """Build the partitioned index (reference ``ingest()`` IVF path).
 
@@ -182,9 +183,19 @@ class IVFFlatIndex(Index):
                     vectors, k, sample_size, n, seed=seed
                 )
 
+        # with an overlay coming, the assign kernel also emits the
+        # boundary-margin columns and the assigned frame persists across
+        # the base write + overlay selection — ONE corpus scan feeds all
+        # of it instead of the overlay re-deriving the assignment
+        build_overlay = overlay and centroids.shape[0] > 1
         assigned = assign_partitions_expr(
-            vectors, centroids, vector_dtype=vector_dtype
+            vectors, centroids, vector_dtype=vector_dtype,
+            with_margins=build_overlay,
         )
+        if build_overlay:
+            from pyspark import StorageLevel
+
+            assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
 
         storage = IndexStorage(spark, uri)
         if not storage.exists():
@@ -202,16 +213,26 @@ class IVFFlatIndex(Index):
             extra_meta["overlay_boost_max"] = int(overlay_boost_max)
             if overlay_audit_nprobe is not None:
                 extra_meta["overlay_audit_nprobe"] = int(overlay_audit_nprobe)
-        cls._write_snapshot(
-            storage, assigned, centroids, ts, n, extra_meta=extra_meta
-        )
-        if overlay and centroids.shape[0] > 1:
-            cls._write_overlay(
-                storage, assigned, centroids, ts, vector_dtype,
-                overlay_max, audit_nprobe=overlay_audit_nprobe,
-                boost_max=overlay_boost_max,
+        try:
+            cls._write_snapshot(
+                storage, assigned, centroids, ts, n, extra_meta=extra_meta
             )
-        return cls(spark, uri)
+            if build_overlay:
+                cls._write_overlay(
+                    storage, assigned, centroids, ts, vector_dtype,
+                    overlay_max, audit_nprobe=overlay_audit_nprobe,
+                    boost_max=overlay_boost_max,
+                )
+        finally:
+            if build_overlay:
+                assigned.unpersist()
+        idx = cls(spark, uri)
+        if recall_curve:
+            # measure + persist the operating-point curve on the fresh
+            # snapshot (Index.measure_recall_curve) so queries can say
+            # recall_target=... instead of hand-picking probe knobs
+            idx.measure_recall_curve()
+        return idx
 
     @staticmethod
     def _write_snapshot(
@@ -226,9 +247,13 @@ class IVFFlatIndex(Index):
         # shuffle on partition_id before partitionBy: without it every write
         # task emits a file into every partition directory (quadratic small
         # files at scale) — this exchange IS the reference's
-        # consolidate_partition_udf (SURVEY §2.9); AQE coalesces the output
+        # consolidate_partition_udf (SURVEY §2.9); AQE coalesces the output.
+        # __second/__margin are overlay-selection intermediates, not index
+        # state — the snapshot schema is unchanged by with_margins ingest
         storage.write_base(
-            assigned.repartition(PARTITION_COL).sortWithinPartitions(ID_COL),
+            assigned.drop("__second", "__margin")
+            .repartition(PARTITION_COL)
+            .sortWithinPartitions(ID_COL),
             ts,
             partition_by=PARTITION_COL,
             base_size=base_size,
@@ -314,9 +339,15 @@ class IVFFlatIndex(Index):
             VECTOR_COL, ""
         ).startswith("array"):
             vectors = pack_vectors(vectors, self.vector_dtype, VECTOR_COL)
+        build_overlay = self.has_overlay and centroids.shape[0] > 1
         assigned = assign_partitions_expr(
-            vectors, centroids, vector_dtype=self.vector_dtype
+            vectors, centroids, vector_dtype=self.vector_dtype,
+            with_margins=build_overlay,
         )
+        if build_overlay:
+            from pyspark import StorageLevel
+
+            assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         extra_meta: dict = {}
         if self.has_overlay:
             # the consolidated snapshot keeps the old base's overlay caps
@@ -329,17 +360,22 @@ class IVFFlatIndex(Index):
             ):
                 if prev.get(key, dflt) is not None:
                     extra_meta[key] = prev.get(key, dflt)
-        self._write_snapshot(
-            self.storage, assigned, centroids, ts, None,
-            extra_meta=extra_meta,
-        )
-        if self.has_overlay and centroids.shape[0] > 1:
-            self._write_overlay(
-                self.storage, assigned, centroids, ts, self.vector_dtype,
-                int(extra_meta.get("overlay_max", DEFAULT_OVERLAY_MAX)),
-                audit_nprobe=extra_meta.get("overlay_audit_nprobe"),
-                boost_max=int(extra_meta.get("overlay_boost_max", 0)),
+        try:
+            self._write_snapshot(
+                self.storage, assigned, centroids, ts, None,
+                extra_meta=extra_meta,
             )
+            if build_overlay:
+                self._write_overlay(
+                    self.storage, assigned, centroids, ts,
+                    self.vector_dtype,
+                    int(extra_meta.get("overlay_max", DEFAULT_OVERLAY_MAX)),
+                    audit_nprobe=extra_meta.get("overlay_audit_nprobe"),
+                    boost_max=int(extra_meta.get("overlay_boost_max", 0)),
+                )
+        finally:
+            if build_overlay:
+                assigned.unpersist()
 
     # -- access ---------------------------------------------------------------
 
@@ -367,6 +403,15 @@ class IVFFlatIndex(Index):
             if e["ts"] == self.base_ts:
                 return e
         raise RuntimeError("no ingestion entry for base_ts")
+
+    def _recall_curve_settings(self) -> list:
+        # power-of-two nprobe ladder up to full probe (the exact point)
+        grid, p = [], 1
+        while p < self.partitions:
+            grid.append({"nprobe": p})
+            p *= 2
+        grid.append({"nprobe": self.partitions})
+        return grid
 
     def _overlay_frame(self) -> DataFrame | None:
         """The bridge set as pseudo-partition ``OVERLAY_PID``
@@ -403,12 +448,17 @@ class IVFFlatIndex(Index):
         pad: bool = False,
         memory_budget_mb: int | None = None,
         allowed_ids: DataFrame | None = None,
+        recall_target: float | None = None,
         **kw: Any,
     ) -> DataFrame:
         """Probe-routed top-k (reference ``ivf_flat_index.py:262-525``).
 
         Default nprobe = √partitions — the reference's "accuracy close to
          100%" rule of thumb (``ivf_flat_index.py:215``).
+        ``recall_target`` replaces the folklore with measurement: the
+        cheapest setting whose recall cleared the target on this
+        snapshot's persisted curve (``Index.measure_recall_curve``) —
+        mutually exclusive with an explicit ``nprobe``.
 
         Strategies: ``kernel`` (broadcast queries + Arrow/BLAS partial
         top-k — small query batches), ``expr`` (Catalyst distance
@@ -434,6 +484,14 @@ class IVFFlatIndex(Index):
         sets, shuffles large ones.
         """
         self._validate_queries(queries, k)
+        if recall_target is not None:
+            if nprobe is not None:
+                raise ValueError(
+                    "pass either nprobe or recall_target, not both"
+                )
+            nprobe = int(
+                self.resolve_recall_target(recall_target)["nprobe"]
+            )
         if allowed_ids is not None:
             allowed_ids = allowed_ids.select(
                 F.col(ID_COL).cast("long").alias(ID_COL)

@@ -126,12 +126,16 @@ def assign_and_encode_kernel(
     partition_col: str,
     vector_dtype: str = "float32",
     residual: bool = False,
+    with_margins: bool = False,
 ) -> DataFrame:
     """ONE Arrow pass appending both ``partition_id`` and ``code``.
 
     Fusing coarse assignment and PQ encoding halves the Python-worker
     round-trips over the full vector column — at 100 TB that is one scan of
-    the data instead of two.
+    the data instead of two.  ``with_margins`` additionally emits
+    ``__second``/``__margin`` from the same coarse distance matrix (the
+    overlay selection's boundary signal — threaded through so the
+    overlay build drops its own full-corpus margin scan).
 
     ``residual=True`` PQ-encodes ``x − centroid[assign]`` instead of the
     raw vector (the IVFADC formulation, Jégou et al. 2011): residuals
@@ -149,6 +153,10 @@ def assign_and_encode_kernel(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
     schema += f", {partition_col} int, {CODE_COL} binary"
+    if with_margins:
+        if centroids.shape[0] < 2:
+            raise ValueError("with_margins needs >= 2 centroids")
+        schema += ", __second int, __margin double"
 
     def run(batches):
         from tiledb_vector_search_spark.functions.dtypes import decode_matrix
@@ -173,6 +181,13 @@ def assign_and_encode_kernel(
             out = pdf.copy()
             out[partition_col] = assign
             out[CODE_COL] = [codes[i].tobytes() for i in range(n)]
+            if with_margins:
+                two = np.argpartition(d, 1, axis=1)[:, :2]
+                dv = np.take_along_axis(d, two, axis=1)
+                swap = dv[:, 0] > dv[:, 1]
+                second = np.where(swap, two[:, 0], two[:, 1])
+                out["__second"] = second.astype(np.int32)
+                out["__margin"] = np.abs(dv[:, 1] - dv[:, 0])
             yield out
 
     return df.mapInPandas(run, schema=schema)
@@ -271,6 +286,7 @@ class IVFPQIndex(Index):
         overlay_max: int = DEFAULT_OVERLAY_MAX,
         overlay_audit_nprobe: int | None = None,
         overlay_boost_max: int = 0,
+        recall_curve: bool = False,
     ) -> "IVFPQIndex":
         from tiledb_vector_search_spark.functions.dtypes import (
             decode_matrix,
@@ -408,10 +424,20 @@ class IVFPQIndex(Index):
             seed=seed,
         )
 
+        # with an overlay coming, the fused kernel also emits the
+        # boundary-margin columns and the encoded frame persists across
+        # the base write + overlay selection — ONE corpus scan feeds all
+        # of it instead of the overlay re-deriving the coarse assignment
+        build_overlay = overlay and centroids.shape[0] > 1
         encoded = assign_and_encode_kernel(
             vectors, centroids, codebooks, VECTOR_COL, PARTITION_COL,
             vector_dtype=vector_dtype, residual=residual,
+            with_margins=build_overlay,
         )
+        if build_overlay:
+            from pyspark import StorageLevel
+
+            encoded = encoded.persist(StorageLevel.MEMORY_AND_DISK)
         extra_meta: dict = {}
         if overlay:
             # persist the overlay knobs so consolidation rebuilds the
@@ -420,17 +446,27 @@ class IVFPQIndex(Index):
             extra_meta["overlay_boost_max"] = int(overlay_boost_max)
             if overlay_audit_nprobe is not None:
                 extra_meta["overlay_audit_nprobe"] = int(overlay_audit_nprobe)
-        cls._write_snapshot(
-            storage, encoded, centroids, codebooks, ts, n,
-            extra_meta=extra_meta,
-        )
-        if overlay and centroids.shape[0] > 1:
-            cls._write_overlay(
-                storage, encoded, centroids, ts, vector_dtype,
-                overlay_max, audit_nprobe=overlay_audit_nprobe,
-                boost_max=overlay_boost_max,
+        try:
+            cls._write_snapshot(
+                storage, encoded, centroids, codebooks, ts, n,
+                extra_meta=extra_meta,
             )
-        return cls(spark, uri)
+            if build_overlay:
+                cls._write_overlay(
+                    storage, encoded, centroids, ts, vector_dtype,
+                    overlay_max, audit_nprobe=overlay_audit_nprobe,
+                    boost_max=overlay_boost_max,
+                )
+        finally:
+            if build_overlay:
+                encoded.unpersist()
+        idx = cls(spark, uri)
+        if recall_curve:
+            # measure + persist the operating-point curve on the fresh
+            # snapshot (Index.measure_recall_curve) so queries can say
+            # recall_target=... instead of hand-picking probe knobs
+            idx.measure_recall_curve()
+        return idx
 
     @staticmethod
     def _write_overlay(
@@ -604,9 +640,13 @@ class IVFPQIndex(Index):
     ) -> None:
         spark = storage.spark
         # shuffle on partition_id before partitionBy (see IVFFlatIndex note:
-        # avoids the every-task-writes-every-directory small-files blowup)
+        # avoids the every-task-writes-every-directory small-files blowup).
+        # __second/__margin are overlay-selection intermediates, not index
+        # state — the snapshot schema is unchanged by with_margins ingest
         storage.write_base(
-            encoded.repartition(PARTITION_COL).sortWithinPartitions(ID_COL),
+            encoded.drop("__second", "__margin")
+            .repartition(PARTITION_COL)
+            .sortWithinPartitions(ID_COL),
             ts,
             partition_by=PARTITION_COL,
             base_size=base_size,
@@ -664,6 +704,7 @@ class IVFPQIndex(Index):
         else:
             centroids = self.centroids()
             codebooks = self.codebooks()
+        build_overlay = self.has_overlay and centroids.shape[0] > 1
         encoded = assign_and_encode_kernel(
             vectors.select(ID_COL, VECTOR_COL),
             centroids,
@@ -672,7 +713,12 @@ class IVFPQIndex(Index):
             PARTITION_COL,
             vector_dtype=self.vector_dtype,
             residual=self.pq_residual,
+            with_margins=build_overlay,
         )
+        if build_overlay:
+            from pyspark import StorageLevel
+
+            encoded = encoded.persist(StorageLevel.MEMORY_AND_DISK)
         extra_meta: dict = {}
         if self.has_overlay:
             # the consolidated snapshot keeps the old base's overlay caps
@@ -685,17 +731,22 @@ class IVFPQIndex(Index):
             ):
                 if prev.get(key, dflt) is not None:
                     extra_meta[key] = prev.get(key, dflt)
-        self._write_snapshot(
-            self.storage, encoded, centroids, codebooks, ts, None,
-            extra_meta=extra_meta,
-        )
-        if self.has_overlay and centroids.shape[0] > 1:
-            self._write_overlay(
-                self.storage, encoded, centroids, ts, self.vector_dtype,
-                int(extra_meta.get("overlay_max", DEFAULT_OVERLAY_MAX)),
-                audit_nprobe=extra_meta.get("overlay_audit_nprobe"),
-                boost_max=int(extra_meta.get("overlay_boost_max", 0)),
+        try:
+            self._write_snapshot(
+                self.storage, encoded, centroids, codebooks, ts, None,
+                extra_meta=extra_meta,
             )
+            if build_overlay:
+                self._write_overlay(
+                    self.storage, encoded, centroids, ts,
+                    self.vector_dtype,
+                    int(extra_meta.get("overlay_max", DEFAULT_OVERLAY_MAX)),
+                    audit_nprobe=extra_meta.get("overlay_audit_nprobe"),
+                    boost_max=int(extra_meta.get("overlay_boost_max", 0)),
+                )
+        finally:
+            if build_overlay:
+                encoded.unpersist()
 
     # -- access ---------------------------------------------------------------
 
@@ -755,6 +806,21 @@ class IVFPQIndex(Index):
                 return e
         raise RuntimeError("no ingestion entry for base_ts")
 
+    def _recall_curve_settings(self) -> list:
+        # nprobe ladder x re-rank depth: k_factor=1 is the pure-ADC
+        # row, k_factor=4 the exact-re-rank row (the family's gated
+        # operating point)
+        grid, p = [], 1
+        while p < self.partitions:
+            grid.append(p)
+            p *= 2
+        grid.append(self.partitions)
+        return [
+            {"nprobe": p, "k_factor": kf}
+            for kf in (1.0, 4.0)
+            for p in grid
+        ]
+
     # -- query ----------------------------------------------------------------
 
     # query batches beyond this route via a distributed join instead of a
@@ -771,10 +837,16 @@ class IVFPQIndex(Index):
         pad: bool = False,
         strategy: str = "auto",
         allowed_ids: DataFrame | None = None,
+        recall_target: float | None = None,
         **kw: Any,
     ) -> DataFrame:
         """ADC scan over codes → optional exact re-rank (reference
         ``ivf_pq_index.py:121-163``).
+
+        ``recall_target`` resolves (nprobe, k_factor) from this
+        snapshot's measured recall curve
+        (``Index.measure_recall_curve``) — the cheapest setting that
+        cleared the target; mutually exclusive with explicit knobs.
 
         ``allowed_ids`` (DataFrame with ``external_id``) = filtered-search
         pushdown: the probed-partition code scan is semi-joined on the
@@ -793,6 +865,15 @@ class IVFPQIndex(Index):
         above).
         """
         self._validate_queries(queries, k)
+        if recall_target is not None:
+            if nprobe is not None or k_factor != 1.0:
+                raise ValueError(
+                    "pass either (nprobe, k_factor) or recall_target, "
+                    "not both"
+                )
+            resolved = self.resolve_recall_target(recall_target)
+            nprobe = int(resolved["nprobe"])
+            k_factor = float(resolved.get("k_factor", 1.0))
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)))
         metric = self.metric
         coarse_k = max(k, int(math.ceil(k * k_factor)))

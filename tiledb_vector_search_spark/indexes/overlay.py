@@ -253,7 +253,14 @@ def select_overlay_ids(
     ``boost_max`` adds a second, capped, PURE-AUDIT tranche on top of
     ``overlay_max`` — extra slots dedicated to the cheapest probe
     settings (the level-weighted audit ranks rows missed even at
-    nprobe=1/2 highest)."""
+    nprobe=1/2 highest).
+
+    When ``assigned`` already carries ``__second``/``__margin`` columns
+    (the ingest kernels emit them via ``with_margins=True`` — same
+    top-2 derivation from the same distance matrix), the standalone
+    margin scan is SKIPPED: the boundary signal is a narrow projection
+    of work the ingest already paid for, dropping one full-corpus
+    assignment pass from every overlay build."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -293,17 +300,25 @@ def select_overlay_ids(
                 }
             )
 
-    margined = (
-        assigned.select(ID_COL, VECTOR_COL, PARTITION_COL)
-        .mapInPandas(
-            margins,
-            schema=(
-                f"{ID_COL} long, {PARTITION_COL} int, "
-                "__second int, __margin double"
-            ),
+    if "__second" in assigned.columns and "__margin" in assigned.columns:
+        # ingest already computed the boundary signal in its own assign
+        # kernel (with_margins=True): the margin frame is a narrow
+        # projection — no second full-corpus assignment scan
+        margined = assigned.select(
+            ID_COL, PARTITION_COL, "__second", "__margin"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        margined = (
+            assigned.select(ID_COL, VECTOR_COL, PARTITION_COL)
+            .mapInPandas(
+                margins,
+                schema=(
+                    f"{ID_COL} long, {PARTITION_COL} int, "
+                    "__second int, __margin double"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     try:
         # bounded driver work: ≤ partitions² (pair, count) rows
         pair_counts = {

@@ -120,6 +120,7 @@ class VamanaIndex(Index):
         overlay_max: int = DEFAULT_OVERLAY_MAX,
         overlay_audit_nprobe: int | None = None,
         overlay_boost_max: int = 0,
+        recall_curve: bool = False,
     ) -> "VamanaIndex":
         from tiledb_vector_search_spark.functions.dtypes import (
             ensure_packed,
@@ -181,12 +182,24 @@ class VamanaIndex(Index):
                 centroids = train_centroids_ml(
                     vectors, k, default_training_sample_size(n, k), n, seed=seed
                 )
+            # with an overlay coming, the assign kernel also emits the
+            # boundary-margin columns and the assigned frame persists
+            # across the graph build + overlay selection — one corpus
+            # scan feeds all of it (margins are dropped before the
+            # graph build; its output schema is fixed)
             assigned = assign_partitions_expr(
-                vectors, centroids, vector_dtype=vector_dtype
+                vectors, centroids, vector_dtype=vector_dtype,
+                with_margins=overlay,
             )
+        build_overlay = overlay and centroids.shape[0] > 1
+        if build_overlay:
+            from pyspark import StorageLevel
+
+            assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
 
         graphed, medoids, graph_cache = cls._build_graphs(
-            assigned, r_max_degree, l_build, alpha, seed, vector_dtype
+            assigned.drop("__second", "__margin"),
+            r_max_degree, l_build, alpha, seed, vector_dtype,
         )
 
         storage = IndexStorage(spark, uri)
@@ -221,7 +234,7 @@ class VamanaIndex(Index):
             f"{PARTITION_COL} int, centroid array<double>",
         )
         cdf.write.parquet(storage.centroids_path(ts))
-        if overlay and centroids.shape[0] > 1:
+        if build_overlay:
             ov_medoids = cls._write_overlay(
                 storage, assigned, centroids, ts, r_max_degree, l_build,
                 alpha, seed, vector_dtype, overlay_max,
@@ -231,7 +244,15 @@ class VamanaIndex(Index):
             medoids = medoids.unionByName(ov_medoids)
         medoids.coalesce(1).write.parquet(storage.aux_path(MEDOID_AUX, ts))
         graph_cache.unpersist()
-        return cls(spark, uri)
+        if build_overlay:
+            assigned.unpersist()
+        idx = cls(spark, uri)
+        if recall_curve:
+            # measure + persist the operating-point curve on the fresh
+            # snapshot (Index.measure_recall_curve) so queries can say
+            # recall_target=... instead of hand-picking probe knobs
+            idx.measure_recall_curve()
+        return idx
 
     @classmethod
     def _audit_missed_ids(
@@ -443,9 +464,15 @@ class VamanaIndex(Index):
             assigned = assign_partitions_expr(
                 vectors.select(ID_COL, VECTOR_COL), centroids,
                 vector_dtype=self.vector_dtype,
+                with_margins=self.has_overlay,
             )
+        build_overlay = self.has_overlay and centroids.shape[0] > 1
+        if build_overlay:
+            from pyspark import StorageLevel
+
+            assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         graphed, medoids, graph_cache = self._build_graphs(
-            assigned,
+            assigned.drop("__second", "__margin"),
             int(self.meta["r_max_degree"]),
             int(self.meta["l_build"]),
             DEFAULT_ALPHA,
@@ -477,7 +504,7 @@ class VamanaIndex(Index):
             f"{PARTITION_COL} int, centroid array<double>",
         )
         cdf.write.parquet(self.storage.centroids_path(ts))
-        if self.has_overlay and centroids.shape[0] > 1:
+        if build_overlay:
             ov_medoids = self._write_overlay(
                 self.storage, assigned, centroids, ts,
                 int(self.meta["r_max_degree"]), int(self.meta["l_build"]),
@@ -489,6 +516,8 @@ class VamanaIndex(Index):
             medoids = medoids.unionByName(ov_medoids)
         medoids.coalesce(1).write.parquet(self.storage.aux_path(MEDOID_AUX, ts))
         graph_cache.unpersist()
+        if build_overlay:
+            assigned.unpersist()
 
     # -- access ---------------------------------------------------------------
 
@@ -528,6 +557,17 @@ class VamanaIndex(Index):
             if e["ts"] == self.base_ts:
                 return e
         raise RuntimeError("no ingestion entry for base_ts")
+
+    def _recall_curve_settings(self) -> list:
+        # shard-probe ladder at the default beam (l_search tracks k at
+        # query time; the probe count is the dominant recall knob for
+        # sharded graphs)
+        grid, p = [], 1
+        while p < self.partitions:
+            grid.append({"nprobe": p})
+            p *= 2
+        grid.append({"nprobe": self.partitions})
+        return grid
 
     def _overlay_frame(self) -> DataFrame | None:
         """The cross-shard bridge graph as pseudo-shard ``OVERLAY_PID``
@@ -583,9 +623,15 @@ class VamanaIndex(Index):
         l_search: int | None = None,
         pad: bool = False,
         strategy: str = "auto",
+        recall_target: float | None = None,
         **kw: Any,
     ) -> DataFrame:
         """Route to nprobe shards → per-shard graph walk → merge top-k.
+
+        ``recall_target`` resolves ``nprobe`` from this snapshot's
+        measured recall curve (``Index.measure_recall_curve``) — the
+        cheapest setting that cleared the target; mutually exclusive
+        with an explicit ``nprobe``.
 
         Reference ``query`` (``vamana_index.py:92-130``): greedy best-first
         from the medoid with beam ``l_search`` (default ``max(k, 100)``-ish;
@@ -597,6 +643,14 @@ class VamanaIndex(Index):
         ``auto`` (kernel below LARGE_NQ, join above).
         """
         self._validate_queries(queries, k)
+        if recall_target is not None:
+            if nprobe is not None:
+                raise ValueError(
+                    "pass either nprobe or recall_target, not both"
+                )
+            nprobe = int(
+                self.resolve_recall_target(recall_target)["nprobe"]
+            )
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)) + 1)
         l_search = l_search or max(2 * k, 50)
         metric = self.metric

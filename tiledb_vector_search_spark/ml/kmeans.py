@@ -164,6 +164,7 @@ def assign_partitions_expr(
     vector_col: str = VECTOR_COL,
     out_col: str = PARTITION_COL,
     vector_dtype: str = "float32",
+    with_margins: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment as a broadcast numpy kernel.
 
@@ -172,6 +173,13 @@ def assign_partitions_expr(
     (≤10k × dims — always small); assignment runs as an Arrow-batched
     mapInPandas, emitting the input row plus ``partition_id``.  No shuffle —
     the downstream ``write.partitionBy`` or ``repartition`` decides that.
+
+    ``with_margins`` additionally emits ``__second`` (second-nearest
+    centroid) and ``__margin`` (``d²(second) − d²(nearest)``) from the
+    SAME distance matrix — the overlay selection's boundary signal
+    (``indexes/overlay.py``), threaded through ingest so the overlay
+    build never pays a second full-corpus assignment scan.  Requires
+    ≥ 2 centroids (overlay builds are gated on that anyway).
     """
     import pandas as pd
 
@@ -182,6 +190,10 @@ def assign_partitions_expr(
         f"`{f.name}` {f.dataType.simpleString()}" for f in vectors.schema.fields
     )
     schema += f", {out_col} int"
+    if with_margins:
+        if centroids.shape[0] < 2:
+            raise ValueError("with_margins needs >= 2 centroids")
+        schema += ", __second int, __margin double"
 
     def assign(batches):
         from tiledb_vector_search_spark.functions.dtypes import decode_matrix
@@ -195,6 +207,16 @@ def assign_partitions_expr(
             d = c_sq[None, :] - 2.0 * (x @ c.T)
             out = pdf.copy()
             out[out_col] = np.argmin(d, axis=1).astype(np.int32)
+            if with_margins:
+                # same top-2 derivation (and hence identical float
+                # values) as the overlay module's standalone margin
+                # kernel — membership is pinned by tests either way
+                two = np.argpartition(d, 1, axis=1)[:, :2]
+                dv = np.take_along_axis(d, two, axis=1)
+                swap = dv[:, 0] > dv[:, 1]
+                second = np.where(swap, two[:, 0], two[:, 1])
+                out["__second"] = second.astype(np.int32)
+                out["__margin"] = np.abs(dv[:, 1] - dv[:, 0])
             yield out
 
     return vectors.mapInPandas(assign, schema=schema)
