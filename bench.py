@@ -77,6 +77,25 @@ def _bench_queries(spark, sf_dir):
         )
         return idx.query(queries100, 10, nprobe=8).collect()
 
+    def ivf_overlay_build_and_query():
+        """The recall-vs-time headline feature's official cost record:
+        IVF_FLAT ingest WITH the partial-probe overlay (512+384 caps,
+        the RECALL_CURVE gate configuration) + 100 queries at nprobe=1
+        — the cheap-probe operating point the overlay exists for
+        (recall 0.240 → 0.616 at these caps)."""
+        import shutil
+        from tiledb_vector_search_spark.indexes import IVFFlatIndex
+
+        uri = "/tmp/tvs_bench_ivf_ov"
+        if os.path.exists(uri):
+            shutil.rmtree(uri)
+        idx = IVFFlatIndex.ingest(
+            spark, uri + "/idx", vectors, partitions=32, timestamp=1000,
+            overlay=True, overlay_max=512, overlay_audit_nprobe=4,
+            overlay_boost_max=384,
+        )
+        return idx.query(queries100, 10, nprobe=1).collect()
+
     def ivf_pq_build_and_query():
         import shutil
         from tiledb_vector_search_spark.indexes import IVFPQIndex
@@ -623,6 +642,7 @@ def _bench_queries(spark, sf_dir):
         "dedup_minhash_lsh_full": minhash_lsh_full,
         "dedup_ngram_jaccard_full": ngram_jaccard_full,
         "ivf_build_and_query": ivf_build_and_query,
+        "ivf_overlay_build_and_query": ivf_overlay_build_and_query,
         "ivf_pq_build_and_query": ivf_pq_build_and_query,
         "vamana_build_and_query": vamana_build_and_query,
         "streaming_search_8_batches": streaming_search_8_batches,

@@ -285,6 +285,45 @@ def _queries(spark):
         _bm25[sf_dir].add_documents(batch)
         return _bm25[sf_dir].describe()["batch_debt"]
 
+    _ivf_ov = {}
+
+    def ivf_overlay_build(sf_dir):
+        # overlay ingest at corpus scale: the partial-probe bridge set
+        # (indexes/overlay.py) is budget-bounded (512+384 rows at every
+        # scale), so the overlay's own cost — audit sample, margin
+        # projection, quota pick — must NOT grow with the corpus; only
+        # the shared assignment/write scans may
+        import shutil
+
+        from tiledb_vector_search_spark.indexes import IVFFlatIndex
+
+        uri = f"/tmp/tvs_scaling_ivfov_{abs(hash(sf_dir))}"
+        shutil.rmtree(uri, ignore_errors=True)
+        _ivf_ov[sf_dir] = IVFFlatIndex.ingest(
+            spark, f"{uri}/idx", _vectors(sf_dir), partitions=32,
+            timestamp=1000, overlay=True, overlay_max=512,
+            overlay_audit_nprobe=4, overlay_boost_max=384,
+        )
+        return uri
+
+    def ivf_consolidate_with_overlay(sf_dir):
+        # VERDICT r8 item 7: does overlay rebuild dominate
+        # consolidate_updates at high update rates?  Update volume
+        # scales WITH the corpus (2% of rows upserted as new ids), then
+        # the fold re-assigns base+updates and rebuilds the overlay at
+        # the persisted caps — the whole row must stay ~linear for the
+        # streaming-ANN-ingest steady state to hold at 100 TB (the
+        # audit piece is budget-bounded, so it amortizes toward zero)
+        idx = _ivf_ov[sf_dir]
+        upd = _vectors(sf_dir).where("external_id % 50 = 0").select(
+            (F.col("external_id") + 900_000_000).alias("external_id"),
+            F.col("vector").cast("array<float>").alias("vector"),
+        )
+        idx.update_batch(upd, timestamp=1500)
+        folded = idx.consolidate_updates(timestamp=2000)
+        assert folded.has_overlay  # the fold rebuilt the bridge set
+        return folded.base_ts  # meta-only: no extra corpus job in the row
+
     def video_band_join(sf_dir):
         # synthetic per-frame fingerprints keyed off the docs ids (16
         # frames/video, xxhash64 pseudo-pHashes) + planted 3-bit-flip
@@ -342,6 +381,8 @@ def _queries(spark):
         "bm25_index_build": bm25_build,
         "bm25_artifact_query_100q": bm25_artifact,
         "bm25_ingest_batch_1000": bm25_ingest_batch,
+        "ivf_overlay_build": ivf_overlay_build,
+        "ivf_consolidate_with_overlay": ivf_consolidate_with_overlay,
         "minhash_ref_build": minhash_ref_build,
         "dedup_against_batch_1000": dedup_against_batch,
         "video_fingerprint_band_join": video_band_join,

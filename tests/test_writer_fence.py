@@ -204,3 +204,38 @@ def test_pre_check_names_the_versions():
     with pytest.raises(ConcurrentWriterError, match="version 5.*version 3"):
         fenced_meta_flip(fs, "/x/meta.json", {}, 3)
     assert fs.writes == 0  # refused before touching the file
+
+
+def test_legacy_int_batch_entries_still_read_and_grow(spark, docs, tmp_path):
+    """Pre-fence artifacts list batches as INTS (dirs ``batch=1``); the
+    nonce-entry reader must keep resolving them, and the next mutation
+    continues the ordinal sequence."""
+    uri = str(tmp_path / "bm25")
+    idx = BM25Index.build(spark, uri, _slice(docs, 0, 40))
+    idx.add_documents(_slice(docs, 40, 60))
+    # rewrite the artifact into the PRE-FENCE shape: int batch id,
+    # no meta_version/nonce, dir renamed to the bare ordinal
+    fs = HadoopFS(spark, uri)
+    entry = idx.meta["batches"][0]
+    for d in ("postings_batches", "term_stats_batches"):
+        fs.rename(
+            posixpath.join(uri, d, f"batch={entry}"),
+            posixpath.join(uri, d, "batch=1"),
+        )
+    legacy = {
+        k: v
+        for k, v in idx.meta.items()
+        if k not in ("meta_version", "writer_nonce")
+    }
+    legacy["batches"] = [1]
+    fs.write_text_atomic(
+        posixpath.join(uri, BM25_META_FILE), json.dumps(legacy)
+    )
+    reopened = BM25Index(spark, uri)
+    q = _slice(docs, 0, 3).selectExpr(
+        "doc_id as query_id", "substring(text, 1, 100) as query_text"
+    )
+    assert reopened.query(q, k=5).count() > 0  # int entry resolves
+    reopened.add_documents(_slice(docs, 60, 80))  # fenced growth works
+    assert _ordinals(reopened.meta) == [1, 2]
+    assert int(reopened.meta["meta_version"]) == 1  # fence versioning began
