@@ -629,3 +629,51 @@ def test_tvf_file_scheme_with_updates_and_pq(spark, source, pq_uri, tmp_path):
     got = run(f"file://{uri}")
     assert got == run(uri)
     assert all(eid != 3 for _, _, eid, _ in got)
+
+
+def test_tvf_recall_target_matches_dataframe_resolution(
+    spark, source, tmp_path_factory
+):
+    """SQL surface of the measured operating point: ann_search with
+    recall_target (nprobe=0 sentinel) resolves the SAME setting as the
+    DataFrame path's query(recall_target=...) and returns the identical
+    rows; error contracts for the sentinel are pinned."""
+    uri = str(tmp_path_factory.mktemp("tvf_rt") / "idx")
+    idx = IVFFlatIndex.ingest(
+        spark, uri, source, partitions=8, timestamp=1, recall_curve=True
+    )
+    q = source.where("external_id < 12").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_q_rt")
+    register_ann_search(spark)
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in spark.sql(
+            "SELECT * FROM ann_search(TABLE(SELECT * FROM tvf_q_rt), "
+            f"'{uri}', 5, 0, CAST(1.0 AS DOUBLE), NULL, NULL, "
+            "CAST(0.9 AS DOUBLE))"
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in idx.query(
+            q, 5, recall_target=0.9, strategy="kernel"
+        ).collect()
+    }
+    assert got == want and len(got) == 12 * 5
+
+    from tiledb_vector_search_spark.sql.tvf import search_index_files
+
+    qm = np.array([[0.0] * 64], dtype=np.float64)
+    qi = np.array([0], dtype=np.int64)
+    with pytest.raises(ValueError, match="sentinel"):
+        search_index_files(uri, qi, qm, 5, 0)  # nprobe=0 without target
+    with pytest.raises(ValueError, match="nprobe=0"):
+        # explicit nprobe alongside recall_target is a conflict
+        search_index_files(uri, qi, qm, 5, 4, recall_target=0.9)
+    # an unmeasured index names the fix
+    bare_uri = str(tmp_path_factory.mktemp("tvf_rt") / "bare")
+    IVFFlatIndex.ingest(spark, bare_uri, source, partitions=4, timestamp=1)
+    with pytest.raises(ValueError, match="no measured recall curve"):
+        search_index_files(bare_uri, qi, qm, 5, 0, recall_target=0.9)

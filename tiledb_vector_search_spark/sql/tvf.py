@@ -400,6 +400,37 @@ def _finalize(
     return results
 
 
+def _resolve_recall_target_meta(
+    meta: dict, ts: int, recall_target: float
+) -> dict:
+    """pyarrow-twin of ``Index.resolve_recall_target``: the cheapest
+    measured setting on the resolved snapshot's persisted curve — the
+    SQL surface must pick the identical operating point as the
+    DataFrame path (same sort key, same errors)."""
+    entry = next(
+        (e for e in reversed(meta["ingestions"]) if e["ts"] == ts), {}
+    )
+    curve = entry.get("recall_curve")
+    if not curve:
+        raise ValueError(
+            "no measured recall curve on this snapshot: build with "
+            "ingest(..., recall_curve=True) or call "
+            "measure_recall_curve() once, then query with recall_target"
+        )
+    pts = sorted(
+        curve["points"],
+        key=lambda p: (p["sec"], -p["recall_at_k"], sorted(p["params"].items())),
+    )
+    for p in pts:
+        if p["recall_at_k"] >= recall_target:
+            return dict(p["params"])
+    best = max(p["recall_at_k"] for p in curve["points"])
+    raise ValueError(
+        f"recall_target {recall_target} exceeds this index's measured "
+        f"ceiling {best}"
+    )
+
+
 def search_index_files(
     uri: str,
     qids: np.ndarray,
@@ -409,6 +440,7 @@ def search_index_files(
     k_factor: float = 1.0,
     timestamp: int | None = None,
     allowed_ids_path: str | None = None,
+    recall_target: float | None = None,
 ) -> list[tuple[int, int, float, int]]:
     """Index top-k over the on-disk index via pyarrow — no SparkSession.
 
@@ -417,8 +449,24 @@ def search_index_files(
     (coarse ADC candidates × k_factor, exact re-rank on the ``vector``
     column of the candidates' partitions).  ``timestamp`` time-travels to
     the newest snapshot at or before it.
+
+    ``recall_target`` resolves (nprobe [, k_factor]) from the resolved
+    snapshot's persisted recall curve — identical pick to the DataFrame
+    path's ``query(recall_target=...)``; pass ``nprobe=0`` (the
+    "resolve for me" sentinel) and leave ``k_factor`` at 1.0.
     """
     meta, ts, metric, vector_dtype, pending = _open_index_meta(uri, timestamp)
+    if recall_target is not None:
+        if nprobe != 0 or k_factor != 1.0:
+            raise ValueError(
+                "recall_target resolves the probe knobs: pass nprobe=0 "
+                "and leave k_factor at 1.0"
+            )
+        resolved = _resolve_recall_target_meta(meta, ts, recall_target)
+        nprobe = int(resolved.get("nprobe", 0)) or 1
+        k_factor = float(resolved.get("k_factor", 1.0))
+    elif nprobe == 0:
+        raise ValueError("nprobe=0 is the recall_target sentinel; set one")
     upd = (
         _load_updates(uri, ts, timestamp)
         if pending
@@ -830,6 +878,7 @@ class AnnSearchUDTF:
         k_factor: float = 1.0,
         timestamp: int | None = None,
         allowed_ids_path: str | None = None,
+        recall_target: float | None = None,
     ):
         self._qids.append(int(row.query_id))
         self._qvecs.append(list(row.vector))
@@ -841,17 +890,21 @@ class AnnSearchUDTF:
                 float(k_factor),
                 None if timestamp is None else int(timestamp),
                 allowed_ids_path,
+                None if recall_target is None else float(recall_target),
             )
 
     def terminate(self):
         if not self._qids:
             return
-        uri, k, nprobe, k_factor, timestamp, allowed_ids_path = self._args
+        (
+            uri, k, nprobe, k_factor, timestamp, allowed_ids_path,
+            recall_target,
+        ) = self._args
         qids = np.asarray(self._qids, dtype=np.int64)
         qmat = np.asarray(self._qvecs, dtype=np.float64)
         yield from search_index_files(
             uri, qids, qmat, k, nprobe, k_factor, timestamp,
-            allowed_ids_path,
+            allowed_ids_path, recall_target,
         )
 
 
