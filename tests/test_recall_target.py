@@ -158,3 +158,15 @@ def test_curve_is_per_snapshot(spark, vectors, tmp_path):
         fresh.resolve_recall_target(0.5)
     fresh.measure_recall_curve()
     assert fresh.resolve_recall_target(0.5)  # measurable post-fold
+
+
+def test_flat_accepts_recall_target_as_exact_noop(spark, vectors, queries20, tmp_path):
+    from tiledb_vector_search_spark.indexes import FlatIndex
+
+    idx = FlatIndex.ingest(spark, str(tmp_path / "flat"), vectors, timestamp=1000)
+    got = idx.query(queries20, 10, recall_target=0.99).collect()
+    want = idx.query(queries20, 10).collect()
+    key = lambda r: (r.query_id, r.rank, r.external_id)
+    assert sorted(got, key=key) == sorted(want, key=key)
+    with pytest.raises(ValueError, match="exceeds 1.0"):
+        idx.query(queries20, 10, recall_target=1.5)

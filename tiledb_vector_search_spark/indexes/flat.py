@@ -127,9 +127,14 @@ class FlatIndex(Index):
         strategy: str = "kernel",
         pad: bool = False,
         allowed_ids: DataFrame | None = None,
+        recall_target: float | None = None,
         **kw: Any,
     ) -> DataFrame:
         """Exact top-k: (query_id, external_id, distance, rank).
+
+        ``recall_target`` is accepted for interface parity with the
+        probe-routed types and is a no-op: a FLAT scan is exact, so
+        every target ≤ 1.0 is already met at the only operating point.
 
         Reference drives ``query_vq_heap`` over the RAM-resident matrix
         (``flat_index.py:115-147``); here the updates overlay and scan are
@@ -151,6 +156,12 @@ class FlatIndex(Index):
         )
 
         self._validate_queries(queries, k)
+        if recall_target is not None and recall_target > 1.0:
+            # match the probe-routed types' ceiling contract
+            raise ValueError(
+                f"recall_target {recall_target} exceeds 1.0 — no index "
+                "can clear it (FLAT is exact: any target <= 1.0 is met)"
+            )
         vecs = self.effective_vectors()
         if allowed_ids is not None:
             vecs = vecs.join(
