@@ -132,11 +132,13 @@ def test_vamana_resolves_nprobe(spark, vectors, queries20, tmp_path):
         recall_curve=True,
     )
     params = idx.resolve_recall_target(0.8)
-    assert "nprobe" in params
+    assert "nprobe" in params  # may also carry l_search (wide-beam end)
     got = idx.query(queries20, 10, recall_target=0.8).collect()
-    want = idx.query(queries20, 10, nprobe=params["nprobe"]).collect()
+    want = idx.query(queries20, 10, **params).collect()
     key = lambda r: (r.query_id, r.rank, r.external_id)
     assert sorted(got, key=key) == sorted(want, key=key)
+    with pytest.raises(ValueError, match="not both"):
+        idx.query(queries20, 10, l_search=100, recall_target=0.8)
 
 
 def test_curve_is_per_snapshot(spark, vectors, tmp_path):

@@ -559,14 +559,17 @@ class VamanaIndex(Index):
         raise RuntimeError("no ingestion entry for base_ts")
 
     def _recall_curve_settings(self) -> list:
-        # shard-probe ladder at the default beam (l_search tracks k at
-        # query time; the probe count is the dominant recall knob for
-        # sharded graphs)
+        # shard-probe ladder at the default beam (the probe count is
+        # the dominant recall knob for sharded graphs), plus wider
+        # beams at full probe — the high-recall end where routing loss
+        # is gone and beam width is what remains
         grid, p = [], 1
         while p < self.partitions:
             grid.append({"nprobe": p})
             p *= 2
         grid.append({"nprobe": self.partitions})
+        grid.append({"nprobe": self.partitions, "l_search": 100})
+        grid.append({"nprobe": self.partitions, "l_search": 200})
         return grid
 
     def _overlay_frame(self) -> DataFrame | None:
@@ -644,13 +647,14 @@ class VamanaIndex(Index):
         """
         self._validate_queries(queries, k)
         if recall_target is not None:
-            if nprobe is not None:
+            if nprobe is not None or l_search is not None:
                 raise ValueError(
-                    "pass either nprobe or recall_target, not both"
+                    "pass either (nprobe, l_search) or recall_target, "
+                    "not both"
                 )
-            nprobe = int(
-                self.resolve_recall_target(recall_target)["nprobe"]
-            )
+            resolved = self.resolve_recall_target(recall_target)
+            nprobe = int(resolved["nprobe"])
+            l_search = resolved.get("l_search")  # None = default beam
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)) + 1)
         l_search = l_search or max(2 * k, 50)
         metric = self.metric
