@@ -143,9 +143,9 @@ def audit_missed_ids(
                 ID_COL: np.repeat(
                     pdf[ID_COL].to_numpy(), R
                 ),
-                VECTOR_COL: [
-                    v for v in pdf[VECTOR_COL] for _ in range(R)
-                ],
+                # object-array repeat copies REFERENCES to the vector
+                # lists (cheap), not the 64-float payloads
+                VECTOR_COL: np.repeat(pdf[VECTOR_COL].to_numpy(), R),
             }
             yield pd.DataFrame(rows)
 
@@ -182,20 +182,25 @@ def audit_missed_ids(
         )
         np.maximum(d, 0.0, out=d)
         take = min(k_audit + 1, len(ids))  # +1 absorbs the self-hit
-        out_q, out_r, out_d, out_c = [], [], [], []
         qids = q_pdf[ID_COL].to_numpy(dtype=np.int64)
         cranks = q_pdf["__crank"].to_numpy(dtype=np.int64)
-        for r_i in range(len(qids)):
-            top = np.argpartition(d[r_i], take - 1)[:take]
-            for p in top:
-                if int(ids[p]) == int(qids[r_i]):
-                    continue  # a pseudo-query always finds itself
-                out_q.append(int(qids[r_i]))
-                out_r.append(int(ids[p]))
-                out_d.append(float(d[r_i][p]))
-                out_c.append(int(cranks[r_i]))
+        # fully vectorized per-cell top-take (the original per-candidate
+        # Python loop dominated the whole overlay build — ~3.7 s of a
+        # 4.7 s sf0.1 delta); identical candidate SET and distances, the
+        # downstream top-10 window imposes the order
+        top = np.argpartition(d, take - 1, axis=1)[:, :take]
+        rid = ids[top].reshape(-1)
+        dist = np.take_along_axis(d, top, axis=1).reshape(-1)
+        qrep = np.repeat(qids, take)
+        crep = np.repeat(cranks, take)
+        keep = rid != qrep  # a pseudo-query always finds itself
         return pd.DataFrame(
-            {"__qid": out_q, "__rid": out_r, "__d": out_d, "__crank": out_c}
+            {
+                "__qid": qrep[keep],
+                "__rid": rid[keep],
+                "__d": dist[keep],
+                "__crank": crep[keep],
+            }
         )
 
     cand = (
