@@ -300,3 +300,47 @@ def test_stream_search_rejects_batch_frame(spark, small_source):
 
     with pytest.raises(ValueError, match="streaming"):
         stream_search_index(small_source, "x", 3, sink=lambda df, b: None)
+
+
+def test_stream_search_with_recall_target(spark, tmp_path):
+    """The measured operating point flows through the streaming surface:
+    query_kwargs={"recall_target": t} resolves per micro-batch from the
+    snapshot the batch re-opens — identical rows to the batch path."""
+    from tiledb_vector_search_spark.indexes import IVFFlatIndex
+    from tiledb_vector_search_spark.streaming import stream_search_index
+
+    rows = [
+        (i, [float(i % 13), float((i * 7) % 11), float(i % 5), 1.0])
+        for i in range(120)
+    ]
+    src = spark.createDataFrame(
+        rows, "external_id long, vector array<float>"
+    )
+    uri = str(tmp_path / "ivf_rt")
+    idx = IVFFlatIndex.ingest(
+        spark, uri, src, partitions=4, timestamp=1000, recall_curve=True
+    )
+    q = _queries(spark, [[1.0, 2.0, 1.0, 1.0], [9.0, 4.0, 3.0, 1.0]])
+    in_dir = tmp_path / "rtq"
+    in_dir.mkdir()
+    q.write.parquet(str(in_dir / "b1.parquet"))
+    stream = spark.readStream.schema(
+        "query_id long, vector array<float>"
+    ).parquet(str(in_dir) + "/*")
+    got = []
+
+    def sink(df, batch_id):
+        got.extend(df.collect())
+
+    sq = stream_search_index(
+        stream, uri, k=3, sink=sink,
+        checkpoint_dir=str(tmp_path / "rtckpt"),
+        query_kwargs={"recall_target": 0.9},
+    )
+    sq.awaitTermination(120)
+    want = {
+        (r.query_id, r.rank, r.external_id)
+        for r in idx.query(q, 3, recall_target=0.9).collect()
+    }
+    assert {(r.query_id, r.rank, r.external_id) for r in got} == want
+    assert len(got) == 6
