@@ -172,3 +172,23 @@ def test_flat_accepts_recall_target_as_exact_noop(spark, vectors, queries20, tmp
     assert sorted(got, key=key) == sorted(want, key=key)
     with pytest.raises(ValueError, match="exceeds 1.0"):
         idx.query(queries20, 10, recall_target=1.5)
+
+
+def test_consolidate_updates_can_remeasure_curve(spark, vectors, tmp_path):
+    """consolidate_updates(recall_curve=True) keeps recall_target
+    working straight through a fold — the new snapshot gets its own
+    measured curve."""
+    uri = str(tmp_path / "refold")
+    idx = IVFFlatIndex.ingest(
+        spark, uri, vectors, partitions=4, timestamp=1000,
+        recall_curve=True,
+    )
+    idx.update_batch([(999999, [0.25] * 64)], timestamp=1500)
+    fresh = idx.consolidate_updates(timestamp=2000, recall_curve=True)
+    params = fresh.resolve_recall_target(0.9)
+    point = next(
+        p
+        for p in fresh._base_entry()["recall_curve"]["points"]
+        if p["params"] == params
+    )
+    assert point["recall_at_k"] >= 0.9

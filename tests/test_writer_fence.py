@@ -239,3 +239,50 @@ def test_legacy_int_batch_entries_still_read_and_grow(spark, docs, tmp_path):
     reopened.add_documents(_slice(docs, 60, 80))  # fenced growth works
     assert _ordinals(reopened.meta) == [1, 2]
     assert int(reopened.meta["meta_version"]) == 1  # fence versioning began
+
+
+def test_vacuum_orphans_reclaims_fenced_loser_dirs(spark, docs, tmp_path):
+    """The fence abandons a loser's staged dirs as invisible orphans;
+    vacuum_orphans reclaims them without touching anything committed."""
+    uri = str(tmp_path / "bm25")
+    BM25Index.build(spark, uri, _slice(docs, 0, 40))
+    a = BM25Index(spark, uri)
+    b = BM25Index(spark, uri)
+    a.add_documents(_slice(docs, 40, 60))
+    with pytest.raises(ConcurrentWriterError):
+        b.add_documents(_slice(docs, 60, 80))
+    survivor = BM25Index(spark, uri)
+    q = _slice(docs, 0, 3).selectExpr(
+        "doc_id as query_id", "substring(text, 1, 100) as query_text"
+    )
+    before = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in survivor.query(q, k=5).orderBy("query_id", "rank").collect()
+    ]
+    deleted = survivor.vacuum_orphans()
+    assert deleted and all("batch=" in p for p in deleted)
+    # committed state untouched: identical scores, zero orphans left
+    after = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in BM25Index(spark, uri)
+        .query(q, k=5).orderBy("query_id", "rank").collect()
+    ]
+    assert after == before
+    assert BM25Index(spark, uri).vacuum_orphans() == []
+
+
+def test_minhash_vacuum_orphans_keeps_replay_records(spark, docs, tmp_path):
+    uri = str(tmp_path / "ref")
+    MinHashReference.build(spark, uri, _slice(docs, 0, 40))
+    a = MinHashReference(spark, uri)
+    b = MinHashReference(spark, uri)
+    a.add_documents(_slice(docs, 40, 60), idempotency_key="s:0")
+    with pytest.raises(ConcurrentWriterError):
+        b.add_documents(_slice(docs, 60, 80), idempotency_key="zombie:0")
+    ref = MinHashReference(spark, uri)
+    deleted = ref.vacuum_orphans()
+    assert deleted  # the zombie's staged bands/shingles/ids dirs
+    # the ledgered key's replay record survives the vacuum
+    ids = ref.accepted_ids_for_key("s:0")
+    assert ids is not None and ids.count() == 20
+    assert ref.vacuum_orphans() == []

@@ -472,17 +472,30 @@ class Index:
 
     # -- consolidation (reference index.py:503-577) ---------------------------
 
-    def consolidate_updates(self, timestamp: int | None = None, **kw: Any):
+    def consolidate_updates(
+        self,
+        timestamp: int | None = None,
+        recall_curve: bool = False,
+        **kw: Any,
+    ):
         """Fold the updates overlay into a new base snapshot.
 
         Equivalent to the reference's re-ingest of base∖updated ∪ additions;
         subclasses re-partition / re-train as needed.  Returns a re-opened
         index at the new timestamp.
+
+        ``recall_curve=True`` re-measures the operating-point curve on
+        the NEW snapshot (curves are per-snapshot: the fold re-assigns
+        rows, so the old measurements don't transfer) — keeps
+        ``query(recall_target=...)`` working straight through a fold.
         """
         ts = timestamp if timestamp is not None else now_ms()
         self._write_consolidated(self.effective_vectors(), ts, **kw)
         self.storage.clear_updates_through(ts)
-        return type(self)(self.spark, self.uri)
+        fresh = type(self)(self.spark, self.uri)
+        if recall_curve:
+            fresh.measure_recall_curve()
+        return fresh
 
     def _write_consolidated(self, vectors: DataFrame, ts: int, **kw: Any) -> None:
         raise NotImplementedError

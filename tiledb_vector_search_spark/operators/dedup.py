@@ -1740,6 +1740,34 @@ class MinHashReference:
             return None
         return self.spark.read.parquet(path)
 
+    def vacuum_orphans(self) -> list:
+        """Delete staged batch dirs no committed meta references —
+        leftovers of crashed mutations and of fenced-off concurrent
+        writers (the fence abandons the loser's staged dirs).  Readers
+        resolve dirs only through meta, so orphans are invisible by
+        construction; this reclaims the bytes.  The per-key replay
+        records (``ids_batches``) referenced by the idempotency ledger
+        stay.  Returns the deleted paths."""
+        import posixpath
+
+        from tiledb_vector_search_spark.storage import HadoopFS
+
+        fs = HadoopFS(self.spark, self.uri)
+        live = {f"batch={b}" for b in self.meta.get("batches", [])}
+        live |= {
+            f"batch={b}"
+            for b in self.meta.get("applied_key_batches", {}).values()
+        }
+        deleted = []
+        for tree in ("bands_batches", "shingles_batches", "ids_batches"):
+            root = posixpath.join(self.uri, tree)
+            for name in fs.listdir(root):
+                if name.startswith("batch=") and name not in live:
+                    path = posixpath.join(root, name)
+                    if fs.delete(path):
+                        deleted.append(path)
+        return deleted
+
     def match(
         self,
         new_df: DataFrame,

@@ -793,6 +793,37 @@ class BM25Index:
         for d in old_post_dirs + old_stats_dirs:
             fs.delete(d)
 
+    def vacuum_orphans(self) -> list[str]:
+        """Delete staged batch dirs no committed meta references —
+        leftovers of crashed mutations and of fenced-off concurrent
+        writers (the fence deliberately abandons the loser's staged
+        dirs rather than risk touching the winner's).  Safe at any
+        time: readers resolve dirs only through meta, so an orphan is
+        invisible by construction; this just reclaims the bytes.
+        Returns the deleted paths."""
+        from tiledb_vector_search_spark.storage import HadoopFS
+
+        fs = HadoopFS(self.spark, self.uri)
+        live = {
+            posixpath.basename(d)
+            for d in self._postings_dirs()
+            + self._dfreq_dirs()
+            + self._tombstone_dirs()
+        }
+        deleted = []
+        for tree in (
+            BM25_POSTINGS_BATCHES_DIR,
+            BM25_DFREQ_BATCHES_DIR,
+            BM25_TOMBSTONES_DIR,
+        ):
+            root = posixpath.join(self.uri, tree)
+            for name in fs.listdir(root):
+                if name.startswith("batch=") and name not in live:
+                    path = posixpath.join(root, name)
+                    if fs.delete(path):
+                        deleted.append(path)
+        return deleted
+
     def query(
         self,
         queries: DataFrame,
