@@ -85,3 +85,41 @@ def test_with_margins_requires_two_centroids(spark, vectors):
     one = np.zeros((1, 64))
     with pytest.raises(ValueError, match=">= 2 centroids"):
         assign_partitions_expr(vectors, one, with_margins=True)
+
+
+# -- waterfill properties (hypothesis) -----------------------------------
+
+try:
+    from hypothesis import given, settings as hsettings
+    from hypothesis import strategies as st
+
+    from tiledb_vector_search_spark.indexes.overlay import waterfill_quotas
+
+    pair_counts = st.dictionaries(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=60,
+    )
+
+    @given(pair_counts, st.integers(min_value=0, max_value=20_000))
+    @hsettings(max_examples=200, deadline=None)
+    def test_waterfill_properties(counts, budget):
+        q = waterfill_quotas(counts, budget)
+        assert set(q) == set(counts)
+        total = sum(q.values())
+        assert total <= budget
+        for pair, take in q.items():
+            assert 0 <= take <= counts[pair]
+        # budget is exhausted whenever the pairs can absorb it
+        if sum(counts.values()) >= budget:
+            assert total == budget
+        # pure function of the counts: dict insertion order is irrelevant
+        q2 = waterfill_quotas(dict(reversed(list(counts.items()))), budget)
+        assert q == q2
+
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass

@@ -192,3 +192,29 @@ def test_consolidate_updates_can_remeasure_curve(spark, vectors, tmp_path):
         if p["params"] == params
     )
     assert point["recall_at_k"] >= 0.9
+
+
+def test_curve_measured_on_provided_queries(spark, vectors, tmp_path):
+    """measure_recall_curve(queries=...) measures against the caller's
+    query distribution (truth stays the exact brute-force top-k over
+    the snapshot); meta records which distribution the curve used."""
+    idx = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "provq"), vectors, partitions=8,
+        timestamp=1000,
+    )
+    # a held-out distribution: perturbed corpus vectors
+    q = vectors.where("external_id % 7 = 0").select(
+        F.col("external_id").alias("query_id"),
+        F.transform("vector", lambda e: e * 1.01).cast(
+            "array<float>"
+        ).alias("vector"),
+    )
+    pts = idx.measure_recall_curve(queries=q)
+    curve = idx._base_entry()["recall_curve"]
+    assert curve["query_distribution"] == "provided"
+    assert curve["nq"] > 0 and len(pts) == 4
+    # full probe stays exact regardless of distribution
+    assert pts[-1]["recall_at_k"] == 1.0
+    params = idx.resolve_recall_target(0.9)
+    point = next(p for p in pts if p["params"] == params)
+    assert point["recall_at_k"] >= 0.9

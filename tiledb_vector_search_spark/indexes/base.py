@@ -240,12 +240,20 @@ class Index:
         k: int = 10,
         nq: int | None = None,
         settings: "list[dict] | None" = None,
+        queries: "DataFrame | None" = None,
     ) -> "list[dict]":
         """Measure recall@k for each candidate setting on a held-out
         hash-sample of this snapshot's own vectors (the corpus is its
         own query distribution for a training-data pipeline — the same
         stance as the overlay self-audit), persist the curve into the
-        snapshot's meta entry, and return it."""
+        snapshot's meta entry, and return it.
+
+        ``queries``: measure against YOUR query distribution instead —
+        a (query_id, vector) DataFrame (float vectors; the first ``nq``
+        rows are used, so pre-sample if order matters).  The truth is
+        still the exact brute-force top-k over this snapshot, so the
+        curve stays an honest recall measurement either way; the meta
+        records which distribution it was measured on."""
         import time as _time
 
         from tiledb_vector_search_spark.functions.dtypes import (
@@ -258,22 +266,46 @@ class Index:
 
         nq = nq or self.RECALL_CURVE_NQ
         vectors = self.effective_vectors()
-        n = vectors.count()
-        frac = min(1.0, (nq * 1.5) / max(n, 1))
-        sample = (
-            vectors.where(
-                (F.abs(F.xxhash64(F.col(ID_COL))) % 1_000_000)
-                < int(frac * 1_000_000)
-            )
-            .orderBy(ID_COL)
-            .limit(nq)
-            .localCheckpoint(eager=True)
-        )
         packed = dict(vectors.dtypes).get(VECTOR_COL) == "binary"
         dtype = self.vector_dtype if packed else "float32"
-        truth_q = sample.select(
-            F.col(ID_COL).alias("query_id"), VECTOR_COL
-        )
+        if queries is not None:
+            truth_q = (
+                queries.select(
+                    F.col("query_id").cast("long").alias("query_id"),
+                    F.col(VECTOR_COL)
+                    .cast("array<float>")
+                    .alias(VECTOR_COL),
+                )
+                .limit(nq)
+                .localCheckpoint(eager=True)
+            )
+            if packed:
+                # explicit queries are float: decode the corpus side
+                # once for the truth job (byte values are exactly
+                # representable, so ranking is unchanged)
+                vectors = unpack_vectors(
+                    vectors, self.vector_dtype, VECTOR_COL
+                ).select(
+                    ID_COL,
+                    F.col(VECTOR_COL).cast("array<float>").alias(VECTOR_COL),
+                )
+                packed = False
+                dtype = "float32"
+        else:
+            n = vectors.count()
+            frac = min(1.0, (nq * 1.5) / max(n, 1))
+            sample = (
+                vectors.where(
+                    (F.abs(F.xxhash64(F.col(ID_COL))) % 1_000_000)
+                    < int(frac * 1_000_000)
+                )
+                .orderBy(ID_COL)
+                .limit(nq)
+                .localCheckpoint(eager=True)
+            )
+            truth_q = sample.select(
+                F.col(ID_COL).alias("query_id"), VECTOR_COL
+            )
         truth: dict[int, set[int]] = {}
         for r in knn_bruteforce_kernel(
             vectors, truth_q, k, self.metric, vector_dtype=dtype
@@ -307,7 +339,12 @@ class Index:
                     "sec": round(sec, 3),
                 }
             )
-        curve = {"k": k, "nq": int(sample.count()), "points": points}
+        curve = {
+            "k": k,
+            "nq": int(truth_q.count()),
+            "query_distribution": "provided" if queries is not None else "self-sample",
+            "points": points,
+        }
         meta = self.storage.read_meta()
         for e in reversed(meta["ingestions"]):
             if e["ts"] == self.base_ts:
