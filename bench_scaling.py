@@ -322,7 +322,18 @@ def _queries(spark):
         idx.update_batch(upd, timestamp=1500)
         folded = idx.consolidate_updates(timestamp=2000)
         assert folded.has_overlay  # the fold rebuilt the bridge set
+        _ivf_ov[sf_dir] = folded  # downstream rows see the new snapshot
         return folded.base_ts  # meta-only: no extra corpus job in the row
+
+    def ivf_recall_curve_measure(sf_dir):
+        # the auto-operating-point measurement at corpus scale: ONE
+        # corpus-linear brute-force truth job + a CONSTANT number of
+        # bounded 256-query sweeps (the nprobe ladder), so growth must
+        # track the single truth scan, never multiply with it
+        idx = _ivf_ov[sf_dir]
+        points = idx.measure_recall_curve()
+        assert points and points[-1]["recall_at_k"] == 1.0  # full probe
+        return len(points)
 
     def video_band_join(sf_dir):
         # synthetic per-frame fingerprints keyed off the docs ids (16
@@ -383,6 +394,7 @@ def _queries(spark):
         "bm25_ingest_batch_1000": bm25_ingest_batch,
         "ivf_overlay_build": ivf_overlay_build,
         "ivf_consolidate_with_overlay": ivf_consolidate_with_overlay,
+        "ivf_recall_curve_measure": ivf_recall_curve_measure,
         "minhash_ref_build": minhash_ref_build,
         "dedup_against_batch_1000": dedup_against_batch,
         "video_fingerprint_band_join": video_band_join,
