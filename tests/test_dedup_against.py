@@ -587,8 +587,70 @@ def test_stream_crawl_loop_screen_within_batch(spark, docs, tmp_path):
     want_accepted = {
         int(r.doc_id) for r in screened.select("doc_id").collect()
     } - dup
-    want_pairs = ref_pairs | {
-        (r.id_b, r.id_a) for r in intra.select("id_a", "id_b").collect()
+    # intra matches contract: every DROPPED doc appears as new_id in at
+    # least one of its verified pairs (both orientations of each pair,
+    # filtered to dropped new_ids) — NOT the raw (id_a < id_b)
+    # orientation, which can miss a dropped doc that only ever appears
+    # as id_a (jaccard is not transitive)
+    intra_rows = intra.select("id_a", "id_b").collect()
+    sym = {(r.id_a, r.id_b) for r in intra_rows} | {
+        (r.id_b, r.id_a) for r in intra_rows
     }
+    want_pairs = ref_pairs | {(n, r) for (n, r) in sym if n in drop}
     assert accepted_ids == want_accepted
     assert match_pairs == want_pairs
+    assert drop <= {n for n, _ in match_pairs}  # no silent removals
+
+
+def test_within_batch_chain_drop_reported(spark, tmp_path):
+    """A dropped doc that appears only as id_a in its verified pairs
+    must still be reported to the sink.
+
+    Jaccard is not transitive: docs 3 and 5 each near-duplicate hub 9
+    (J ≈ 0.867) without near-duplicating each other (J ≈ 0.735 < 0.8),
+    so the verified pairs are exactly (3,9) and (5,9) — one component
+    {3,5,9}, canonical 3, dropped {5,9}.  Doc 5 never appears as id_b,
+    so deriving the intra matches from the raw (id_a < id_b) pair
+    orientation silently removed it with no matches row — regression
+    for that: BOTH dropped docs must surface as new_id."""
+    from tiledb_vector_search_spark.streaming import stream_crawl_loop
+
+    words = [f"w{i}" for i in range(100)]
+    hub = " ".join(words)
+    a = " ".join(words[:87])  # J(3,9) = 85/98 ≈ 0.867
+    b = " ".join(words[13:])  # J(5,9) ≈ 0.867; J(3,5) = 72/98 ≈ 0.735
+    seed = spark.createDataFrame(
+        [(1000, "totally unrelated corpus text nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    uri = str(tmp_path / "ref")
+    MinHashReference.build(spark, uri, seed)
+    batch = spark.createDataFrame(
+        [(3, a), (5, b), (9, hub)], "doc_id long, text string"
+    )
+    in_dir = tmp_path / "in"
+    batch.coalesce(1).write.parquet(str(in_dir / "batch=0"))
+
+    got = {}
+
+    def sink(accepted, matches, batch_id):
+        got[batch_id] = (
+            {int(r.doc_id) for r in accepted.select("doc_id").collect()},
+            {(r.new_id, r.ref_id) for r in matches.collect()},
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "batch=*"))
+    )
+    sq = stream_crawl_loop(
+        stream, uri, sink, threshold=0.8, stream_id="chain",
+        screen_within_batch=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    sq.awaitTermination()
+
+    accepted, pairs = got[0]
+    assert accepted == {3}
+    assert {n for n, _ in pairs} == {5, 9}  # 5 reported, not just 9

@@ -218,3 +218,57 @@ def test_curve_measured_on_provided_queries(spark, vectors, tmp_path):
     params = idx.resolve_recall_target(0.9)
     point = next(p for p in pts if p["params"] == params)
     assert point["recall_at_k"] >= 0.9
+
+
+def test_curve_truth_decodes_packed_byte_queries(spark, vectors, tmp_path):
+    """The self-sample truth job keeps the corpus's packed binary
+    column as its query side: the kernel must decode those bytes with
+    the DECLARED dtype.  Regression: np.array over bytearrays reads
+    unsigned, so an int8 corpus's -1 scored as 255.0 and the whole
+    persisted curve was measured against corrupted truth — the
+    full-probe point, exact by construction, is the detector."""
+    byte_vecs = vectors.select(
+        "external_id",
+        F.transform(
+            "vector",
+            lambda x: F.greatest(
+                F.lit(-128),
+                F.least(F.lit(127), F.round(x * 40).cast("int")),
+            ),
+        ).alias("vector"),
+    )
+    # the synthetic embeddings straddle 0, so scaling guarantees
+    # negative components — the values the unsigned misread corrupts
+    assert (
+        byte_vecs.select(
+            F.min(F.array_min("vector")).alias("lo")
+        ).first()["lo"]
+        < 0
+    )
+    uri = str(tmp_path / "i8")
+    idx = IVFFlatIndex.ingest(
+        spark, uri, byte_vecs, partitions=4, timestamp=1,
+        vector_dtype="int8", recall_curve=True,
+    )
+    pts = idx._base_entry()["recall_curve"]["points"]
+    assert pts[-1]["params"]["nprobe"] == 4
+    assert pts[-1]["recall_at_k"] == 1.0
+
+
+def test_flat_consolidate_updates_recall_curve_noop(
+    spark, vectors, queries20, tmp_path
+):
+    """FLAT accepts consolidate_updates(recall_curve=True) the same way
+    its query() accepts recall_target — as a documented exact no-op.
+    Regression: the measurement raised NotImplementedError AFTER the
+    fold had committed, leaving a half-succeeded operation."""
+    from tiledb_vector_search_spark.indexes import FlatIndex
+
+    uri = str(tmp_path / "flat")
+    idx = FlatIndex.ingest(spark, uri, vectors, timestamp=1)
+    idx.update_batch(
+        [(999_999, [0.5] * idx.dimensions)], timestamp=2
+    )
+    fresh = idx.consolidate_updates(timestamp=3, recall_curve=True)
+    got = fresh.query(queries20, 5, recall_target=0.99)
+    assert got.count() == 20 * 5

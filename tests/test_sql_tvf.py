@@ -677,3 +677,117 @@ def test_tvf_recall_target_matches_dataframe_resolution(
     IVFFlatIndex.ingest(spark, bare_uri, source, partitions=4, timestamp=1)
     with pytest.raises(ValueError, match="no measured recall curve"):
         search_index_files(bare_uri, qi, qm, 5, 0, recall_target=0.9)
+
+
+def test_tvf_ivf_flat_overlay_matches_dataframe_api(
+    spark, source, tmp_path_factory
+):
+    """An overlay-built IVF_FLAT index is SQL-reachable at parity: the
+    pyarrow path probes the ``ivf_overlay`` aux pseudo-partition on
+    EVERY query, exactly like the DataFrame path — the persisted recall
+    curve is measured WITH overlay probing, so a TVF that skipped it
+    would silently under-deliver any recall_target resolved from it
+    (regression: the aux dir was never read)."""
+    uri = str(tmp_path_factory.mktemp("tvf_ov") / "idx")
+    idx = IVFFlatIndex.ingest(
+        spark, uri, source, partitions=8, timestamp=1,
+        overlay=True, overlay_max=64,
+    )
+    q = source.where("external_id < 12").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_q_ov")
+    for nprobe in (1, 2):
+        got = {
+            (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+            for r in _sql(spark, uri, "tvf_q_ov", k=5, nprobe=nprobe).collect()
+        }
+        want = {
+            (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+            for r in idx.query(q, 5, nprobe=nprobe, strategy="kernel").collect()
+        }
+        assert got == want, f"nprobe={nprobe}"
+
+
+def test_tvf_ivf_pq_overlay_matches_dataframe_api(
+    spark, source, tmp_path_factory
+):
+    """Overlay-built IVF_PQ at parity through SQL, coarse AND re-rank:
+    bridge rows score EXACTLY (raw vectors) and min() dedups a member
+    whose home partition was also probed — the DataFrame
+    groupBy(query, id).agg(min(distance)) semantics."""
+    uri = str(tmp_path_factory.mktemp("tvf_pqov") / "idx")
+    idx = IVFPQIndex.ingest(
+        spark, uri, source, partitions=8, num_subspaces=8, timestamp=1,
+        overlay=True, overlay_max=64,
+    )
+    q = source.where("external_id < 10").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_q_pqov")
+    for kf in (None, 4.0):
+        got = {
+            (r.query_id, r.rank, r.external_id, round(r.distance, 6))
+            for r in _sql(
+                spark, uri, "tvf_q_pqov", k=5, nprobe=1, k_factor=kf
+            ).collect()
+        }
+        want = {
+            (r.query_id, r.rank, r.external_id, round(r.distance, 6))
+            for r in idx.query(
+                q, 5, nprobe=1, k_factor=kf or 1.0, strategy="kernel"
+            ).collect()
+        }
+        assert got == want, f"k_factor={kf}"
+
+
+def test_tvf_vamana_recall_target_applies_l_search(
+    spark, source, tmp_path_factory
+):
+    """A resolved VAMANA operating point carries the beam width too:
+    the SQL twin must run the walk at the resolved ``l_search``, not
+    the default — regression for search_index_files extracting only
+    nprobe/k_factor and silently walking at max(2k, 50)."""
+    from tiledb_vector_search_spark.indexes import VamanaIndex
+
+    uri = str(tmp_path_factory.mktemp("tvf_vrt") / "idx")
+    idx = VamanaIndex.ingest(spark, uri, source, shards=4, timestamp=1)
+    # inject a curve whose ONLY clearing point pins a non-default beam
+    # (resolution is a pure read of this meta — the measurement itself
+    # is covered by tests/test_recall_target.py)
+    meta = idx.storage.read_meta()
+    meta["ingestions"][-1]["recall_curve"] = {
+        "k": 5,
+        "nq": 8,
+        "query_distribution": "self-sample",
+        "points": [
+            {"params": {"nprobe": 1}, "recall_at_k": 0.50, "sec": 0.1},
+            {
+                "params": {"nprobe": 1, "l_search": 2},
+                "recall_at_k": 0.95,
+                "sec": 0.2,
+            },
+        ],
+    }
+    idx.storage.write_meta(meta)
+    idx.meta = meta
+    q = source.where("external_id < 10").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    q.createOrReplaceTempView("tvf_q_vrt")
+    register_ann_search(spark)
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in spark.sql(
+            "SELECT * FROM ann_search(TABLE(SELECT * FROM tvf_q_vrt), "
+            f"'{uri}', 5, 0, CAST(1.0 AS DOUBLE), NULL, NULL, "
+            "CAST(0.9 AS DOUBLE))"
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in idx.query(
+            q, 5, recall_target=0.9, strategy="kernel"
+        ).collect()
+    }
+    assert got == want

@@ -366,28 +366,11 @@ class Index:
             ),
             {},
         )
-        curve = entry.get("recall_curve")
-        if not curve:
-            raise ValueError(
-                "no measured recall curve on this snapshot: build with "
-                "ingest(..., recall_curve=True) or call "
-                "measure_recall_curve() once, then query with "
-                "recall_target"
-            )
-        pts = sorted(
-            curve["points"],
-            key=lambda p: (p["sec"], -p["recall_at_k"], sorted(p["params"].items())),
+        from tiledb_vector_search_spark.indexes.recall import (
+            resolve_curve_point,
         )
-        for p in pts:
-            if p["recall_at_k"] >= recall_target:
-                return dict(p["params"])
-        best = max(p["recall_at_k"] for p in curve["points"])
-        raise ValueError(
-            f"recall_target {recall_target} exceeds this index's measured "
-            f"ceiling {best} (k={curve['k']}, nq={curve['nq']}); rebuild "
-            "with more partitions probed by default, an overlay, or a "
-            "less lossy index type"
-        )
+
+        return resolve_curve_point(entry.get("recall_curve"), recall_target)
 
     def _validate_queries(self, queries: DataFrame, k: int | None = None) -> None:
         """Mirror reference validation (``index.py:298-312``): schema shape
@@ -531,7 +514,16 @@ class Index:
         self.storage.clear_updates_through(ts)
         fresh = type(self)(self.spark, self.uri)
         if recall_curve:
-            fresh.measure_recall_curve()
+            try:
+                settings = fresh._recall_curve_settings()
+            except NotImplementedError:
+                # exact index types (FLAT) have no knobs to sweep, and
+                # query(recall_target=...) is already a documented no-op
+                # there — the fold must not half-succeed on a
+                # measurement that cannot apply
+                settings = []
+            if settings:
+                fresh.measure_recall_curve(settings=settings)
         return fresh
 
     def _write_consolidated(self, vectors: DataFrame, ts: int, **kw: Any) -> None:

@@ -182,12 +182,13 @@ def assign_and_encode_kernel(
             out[partition_col] = assign
             out[CODE_COL] = [codes[i].tobytes() for i in range(n)]
             if with_margins:
-                two = np.argpartition(d, 1, axis=1)[:, :2]
-                dv = np.take_along_axis(d, two, axis=1)
-                swap = dv[:, 0] > dv[:, 1]
-                second = np.where(swap, two[:, 0], two[:, 1])
-                out["__second"] = second.astype(np.int32)
-                out["__margin"] = np.abs(dv[:, 1] - dv[:, 0])
+                from tiledb_vector_search_spark.ml.kmeans import (
+                    second_and_margin,
+                )
+
+                second, margin = second_and_margin(d)
+                out["__second"] = second
+                out["__margin"] = margin
             yield out
 
     return df.mapInPandas(run, schema=schema)

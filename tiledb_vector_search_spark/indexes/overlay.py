@@ -292,16 +292,17 @@ def select_overlay_ids(
             x = decode_matrix(pdf[VECTOR_COL], vdtype)
             # ‖x−c‖² minus the per-row ‖x‖² constant: margins unchanged
             d = c_sq[None, :] - 2.0 * (x @ cents.T)
-            two = np.argpartition(d, 1, axis=1)[:, :2]
-            dv = np.take_along_axis(d, two, axis=1)
-            swap = dv[:, 0] > dv[:, 1]
-            second = np.where(swap, two[:, 0], two[:, 1])
+            from tiledb_vector_search_spark.ml.kmeans import (
+                second_and_margin,
+            )
+
+            second, margin = second_and_margin(d)
             yield pd.DataFrame(
                 {
                     ID_COL: pdf[ID_COL],
                     PARTITION_COL: pdf[PARTITION_COL],
-                    "__second": second.astype(np.int32),
-                    "__margin": np.abs(dv[:, 1] - dv[:, 0]),
+                    "__second": second,
+                    "__margin": margin,
                 }
             )
 

@@ -158,6 +158,24 @@ def kmeans_numpy(
     return centroids
 
 
+def second_and_margin(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Runner-up centroid and |top-2 gap| per row of an (n, n_centroids)
+    distance matrix — THE one implementation.
+
+    Overlay membership (``indexes/overlay.py``) depends on these exact
+    float values, so every kernel that emits them (the ingest-fused
+    assign below, the PQ encode kernel, the standalone margin scan)
+    must call this helper rather than carry a copy — a tie-handling or
+    sign tweak in one copy would silently desynchronize overlay
+    membership between the fused and standalone paths.
+    """
+    two = np.argpartition(d, 1, axis=1)[:, :2]
+    dv = np.take_along_axis(d, two, axis=1)
+    swap = dv[:, 0] > dv[:, 1]
+    second = np.where(swap, two[:, 0], two[:, 1])
+    return second.astype(np.int32), np.abs(dv[:, 1] - dv[:, 0])
+
+
 def assign_partitions_expr(
     vectors: DataFrame,
     centroids: np.ndarray,
@@ -208,15 +226,9 @@ def assign_partitions_expr(
             out = pdf.copy()
             out[out_col] = np.argmin(d, axis=1).astype(np.int32)
             if with_margins:
-                # same top-2 derivation (and hence identical float
-                # values) as the overlay module's standalone margin
-                # kernel — membership is pinned by tests either way
-                two = np.argpartition(d, 1, axis=1)[:, :2]
-                dv = np.take_along_axis(d, two, axis=1)
-                swap = dv[:, 0] > dv[:, 1]
-                second = np.where(swap, two[:, 0], two[:, 1])
-                out["__second"] = second.astype(np.int32)
-                out["__margin"] = np.abs(dv[:, 1] - dv[:, 0])
+                second, margin = second_and_margin(d)
+                out["__second"] = second
+                out["__margin"] = margin
             yield out
 
     return vectors.mapInPandas(assign, schema=schema)

@@ -164,7 +164,28 @@ def knn_bruteforce_kernel(
             f"(dataset-vs-dataset)"
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if q_rows and isinstance(q_rows[0][1], (bytes, bytearray)):
+        # packed byte queries (e.g. the recall-curve self-sample keeps
+        # the stored binary column): decode with the DECLARED dtype —
+        # np.array over bytearrays reads bytes unsigned, so an int8
+        # query's -1 would silently score as 255.0
+        from tiledb_vector_search_spark.functions.dtypes import BYTE_DTYPES
+
+        if vector_dtype not in BYTE_DTYPES:
+            raise ValueError(
+                "queries are packed binary but vector_dtype is "
+                f"{vector_dtype!r}; pass the corpus byte dtype"
+            )
+        qmat = (
+            np.frombuffer(
+                b"".join(bytes(r[1]) for r in q_rows),
+                dtype=BYTE_DTYPES[vector_dtype],
+            )
+            .reshape(len(q_rows), -1)
+            .astype(np.float64)
+        )
+    else:
+        qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast((qids, qmat))
     largest = metric is DistanceMetric.INNER_PRODUCT

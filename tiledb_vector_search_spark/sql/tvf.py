@@ -403,32 +403,18 @@ def _finalize(
 def _resolve_recall_target_meta(
     meta: dict, ts: int, recall_target: float
 ) -> dict:
-    """pyarrow-twin of ``Index.resolve_recall_target``: the cheapest
-    measured setting on the resolved snapshot's persisted curve — the
-    SQL surface must pick the identical operating point as the
-    DataFrame path (same sort key, same errors)."""
+    """pyarrow-twin of ``Index.resolve_recall_target``: the SQL surface
+    must pick the identical operating point as the DataFrame path, so
+    both call the ONE shared pure resolver (same sort key, same
+    errors)."""
+    from tiledb_vector_search_spark.indexes.recall import (
+        resolve_curve_point,
+    )
+
     entry = next(
         (e for e in reversed(meta["ingestions"]) if e["ts"] == ts), {}
     )
-    curve = entry.get("recall_curve")
-    if not curve:
-        raise ValueError(
-            "no measured recall curve on this snapshot: build with "
-            "ingest(..., recall_curve=True) or call "
-            "measure_recall_curve() once, then query with recall_target"
-        )
-    pts = sorted(
-        curve["points"],
-        key=lambda p: (p["sec"], -p["recall_at_k"], sorted(p["params"].items())),
-    )
-    for p in pts:
-        if p["recall_at_k"] >= recall_target:
-            return dict(p["params"])
-    best = max(p["recall_at_k"] for p in curve["points"])
-    raise ValueError(
-        f"recall_target {recall_target} exceeds this index's measured "
-        f"ceiling {best}"
-    )
+    return resolve_curve_point(entry.get("recall_curve"), recall_target)
 
 
 def search_index_files(
@@ -465,8 +451,12 @@ def search_index_files(
         resolved = _resolve_recall_target_meta(meta, ts, recall_target)
         nprobe = int(resolved.get("nprobe", 0)) or 1
         k_factor = float(resolved.get("k_factor", 1.0))
+        l_search = resolved.get("l_search")  # VAMANA beam width
+        l_search = None if l_search is None else int(l_search)
     elif nprobe == 0:
         raise ValueError("nprobe=0 is the recall_target sentinel; set one")
+    else:
+        l_search = None
     upd = (
         _load_updates(uri, ts, timestamp)
         if pending
@@ -494,7 +484,8 @@ def search_index_files(
         raise ValueError("k_factor applies to IVF_PQ indexes only")
     if meta["index_type"] == "VAMANA":
         return _search_vamana_files(
-            uri, ts, metric, vector_dtype, qids, qmat, k, nprobe, upd
+            uri, ts, metric, vector_dtype, qids, qmat, k, nprobe, upd,
+            l_search=l_search,
         )
     if meta["index_type"] == "FLAT":
         return _search_flat_files(
@@ -529,6 +520,37 @@ def search_index_files(
         for row, qi in enumerate(qlist):
             idx = np.lexsort((ids, dm[row]))[:keep]
             out[qi].extend((float(dm[row, j]), int(ids[j])) for j in idx)
+
+    # partial-probe overlay: EVERY query scans the bridge pseudo-
+    # partition exactly, mirroring IVFFlatIndex.query — the persisted
+    # recall curve is measured WITH overlay probing, so skipping it here
+    # would silently under-deliver any recall_target resolved from it.
+    # Overlay rows are copies of base rows (pre-normalized for cosine),
+    # scored in the loop's own internal space; a member whose home
+    # partition was also probed appears twice and min() dedups, exactly
+    # the DataFrame path's groupBy(query, id).agg(min(distance))
+    ov_dir = posixpath.join(uri, "aux", "ivf_overlay", f"ts={ts}")
+    if _is_dir(ov_dir):
+        ov_tb = _read_parquet_dir(ov_dir, columns=["external_id", "vector"])
+        ov_ids = ov_tb.column("external_id").to_numpy()
+        ov_x = _decode_vector_column(ov_tb, vector_dtype, len(ov_ids))
+        ov_mask = _keep_mask(ov_ids, tomb, allowed)
+        if ov_mask is not None:
+            ov_ids, ov_x = ov_ids[ov_mask], ov_x[ov_mask]
+        if len(ov_ids):
+            ov_dm = _pairwise_distances(qmat, ov_x, metric)
+            ov_keep = min(k, ov_dm.shape[1])
+            for qi in range(len(qids)):
+                idx = np.lexsort((ov_ids, ov_dm[qi]))[:ov_keep]
+                out[qi].extend(
+                    (float(ov_dm[qi, j]), int(ov_ids[j])) for j in idx
+                )
+            for qi in out:
+                best: dict[int, float] = {}
+                for d, eid in out[qi]:
+                    if eid not in best or d < best[eid]:
+                        best[eid] = d
+                out[qi] = [(d, eid) for eid, d in best.items()]
 
     # additions scored in the same internal space the loop used (sos/l2
     # stay squared until _finalize's sqrt; cosine is direct) — stored
@@ -634,7 +656,46 @@ def _search_ivf_pq_files(
             for j in idx:
                 cand_pids.setdefault(int(ids[j]), set()).add(pid)
 
+    # partial-probe overlay (aux pseudo-partition of RAW vectors):
+    # EVERY query scores the bridge set EXACTLY in sos space — the
+    # persisted recall curve is measured WITH overlay probing, so the
+    # SQL twin must probe it too or a resolved recall_target silently
+    # under-delivers.  min() per (query, id) keeps the tighter estimate
+    # when a member's home partition was also probed (exact vs ADC, or
+    # exact vs exact after a re-rank) — the DataFrame path's
+    # groupBy(query, id).agg(min(distance)) semantics.
+    ov_dir = posixpath.join(uri, "aux", "pq_overlay", f"ts={ts}")
+    ov: tuple[np.ndarray, np.ndarray] | None = None
+    if _is_dir(ov_dir):
+        ov_tb = _read_parquet_dir(ov_dir, columns=["external_id", "vector"])
+        ov_ids = ov_tb.column("external_id").to_numpy()
+        ov_x = _decode_vector_column(ov_tb, vector_dtype, len(ov_ids))
+        ov_mask = _keep_mask(ov_ids, tomb, allowed)
+        if ov_mask is not None:
+            ov_ids, ov_x = ov_ids[ov_mask], ov_x[ov_mask]
+        if len(ov_ids):
+            ov = (ov_ids, ov_x)
+
+    def _merge_overlay(target: dict[int, list[tuple[float, int]]]) -> None:
+        if ov is None:
+            return
+        o_ids, o_x = ov
+        dm = _pairwise_distances(qmat, o_x, "sum_of_squares")
+        o_keep = min(k, dm.shape[1])
+        for qi in range(nq):
+            idx = np.lexsort((o_ids, dm[qi]))[:o_keep]
+            target[qi].extend(
+                (float(dm[qi, j]), int(o_ids[j])) for j in idx
+            )
+        for qi in target:
+            best: dict[int, float] = {}
+            for d, eid in target[qi]:
+                if eid not in best or d < best[eid]:
+                    best[eid] = d
+            target[qi] = [(d, eid) for eid, d in best.items()]
+
     if k_factor <= 1.0:
+        _merge_overlay(out)
         # additions are scored EXACTLY (the DataFrame path's
         # knn_bruteforce_expr branch) and merge with the base's ADC
         # approximations — identical to IVFPQIndex.query semantics
@@ -669,6 +730,7 @@ def _search_ivf_pq_files(
             diff = vec_of[eid] - qv
             scored.append((float(np.dot(diff, diff)), eid))
         exact[qi] = scored
+    _merge_overlay(exact)
     # additions bypass the coarse/re-rank pair entirely — they are exact
     # from the start (the DataFrame path unions them after the re-rank)
     _extend_with_additions(exact, qmat, add_ids, add_mat, k, "sum_of_squares")
@@ -734,6 +796,7 @@ def _search_vamana_files(
     k: int,
     nprobe: int,
     upd: tuple[np.ndarray, np.ndarray, np.ndarray | None],
+    l_search: int | None = None,
 ) -> list[tuple[int, int, float, int]]:
     """Sharded Vamana graph walks over the on-disk index — no SparkSession.
 
@@ -768,7 +831,8 @@ def _search_vamana_files(
     base = posixpath.join(uri, "base", f"ts={ts}")
     part_queries = _route_files(qmat, centroids, nprobe)
     overlay_dir = posixpath.join(uri, "aux", "vamana_overlay", f"ts={ts}")
-    l_search = max(2 * k, 50)  # VamanaIndex.query default
+    if l_search is None:
+        l_search = max(2 * k, 50)  # VamanaIndex.query default
 
     out: dict[int, list[tuple[float, int]]] = {qi: [] for qi in range(len(qids))}
 

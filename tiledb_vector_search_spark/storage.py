@@ -77,17 +77,24 @@ def fenced_meta_flip(
        this mutation's staged ``batch=`` dirs as invisible orphans (no
        reader resolves them; the winner's commit is untouched).
     2. POST-VERIFY: re-read after the rename and check the fresh
-       ``writer_nonce`` landed.  This catches the narrow window where a
-       competing flip slips between the pre-check and our rename: the
-       LAST rename wins the file, every other writer sees a foreign
-       nonce and raises — so a dropped batch is always accompanied by
-       an error on the writer that lost it, never silent.
+       ``writer_nonce`` landed.  This catches a competing flip that
+       lands between the pre-check and this writer's own re-read: the
+       LAST rename wins the file and the earlier writer sees a foreign
+       nonce and raises.
 
-    A true lost-update-free guarantee needs a compare-and-swap
-    primitive in the store (HDFS atomic-create lease files, S3
-    conditional PUTs); this fence is the portable approximation and
-    closes the realistic zombie-writer scenario — a stale driver whose
-    handle predates the new writer's commits by seconds or more.
+    HONEST LIMIT: the fence is not a CAS, so one symmetric interleave
+    still loses silently — both writers pre-check at the same version,
+    writer A renames AND post-verifies (sees its own nonce, returns
+    success) entirely inside the window between B's pre-check and B's
+    rename; B then renames and also verifies clean.  Both calls report
+    success and A's batch is dropped.  Closing that window needs a
+    compare-and-swap primitive in the store (HDFS atomic-create lease
+    files, S3 conditional PUTs).  What the fence DOES guarantee: the
+    realistic zombie-writer scenario — a stale driver whose handle
+    predates the new writer's commits by seconds or more — always
+    raises instead of silently clobbering, and any loss window is the
+    sub-second span of a single competing commit, not the zombie's
+    whole staleness.
 
     Returns the committed meta (``meta_version`` bumped, fresh
     ``writer_nonce``) for the caller to adopt as its in-memory state.

@@ -117,13 +117,32 @@ def stream_crawl_loop(
             batch_df = batch_df.join(
                 F.broadcast(dropped), id_col, "left_anti"
             ).localCheckpoint(eager=True)
-            # pairs are (id_a < id_b): id_b is never a group canonical,
-            # so report it as the dropped side (ref_id may itself be
-            # dropped further down a chain — it's a metrics stream)
-            intra_matches = intra_pairs.select(
-                F.col("id_b").alias("new_id"),
-                F.col("id_a").alias("ref_id"),
+            # report EVERY dropped doc: orient each verified pair both
+            # ways and keep the rows whose new_id was dropped.  Deriving
+            # this from the raw (id_a < id_b) orientation misses docs —
+            # jaccard is not transitive, so a dropped doc can appear
+            # only as id_a in its verified pairs (e.g. pairs (5,9) and
+            # (3,9) with canonical 3: doc 5 is dropped but is never an
+            # id_b).  A dropped doc always sits in ≥1 verified pair (the
+            # components are built from them), so the semi-join keeps
+            # ≥1 matches row per dropped doc; canonicals never appear
+            # as new_id (ref_id may itself be dropped further down a
+            # chain — it's a metrics stream)
+            sym = intra_pairs.select(
+                F.col("id_a").alias("new_id"),
+                F.col("id_b").alias("ref_id"),
                 "jaccard",
+            ).unionByName(
+                intra_pairs.select(
+                    F.col("id_b").alias("new_id"),
+                    F.col("id_a").alias("ref_id"),
+                    "jaccard",
+                )
+            )
+            intra_matches = sym.join(
+                F.broadcast(dropped.select(F.col(id_col).alias("new_id"))),
+                "new_id",
+                "left_semi",
             )
         # a doc is never a duplicate of ITSELF: the self-pair only
         # arises when a replayed batch screens against its own already-
