@@ -654,3 +654,59 @@ def test_within_batch_chain_drop_reported(spark, tmp_path):
     accepted, pairs = got[0]
     assert accepted == {3}
     assert {n for n, _ in pairs} == {5, 9}  # 5 reported, not just 9
+
+
+def test_within_batch_screen_survives_replay(spark, tmp_path):
+    """Replay of a committed batch (crash between the reference commit
+    and the checkpoint ack) must reproduce the intra-batch removal
+    records: the screen is deterministic, so a sink that overwrites by
+    batch id keeps a COMPLETE matches set.  Regression: the screen was
+    skipped on replay, so intra-dropped docs vanished from `matches`
+    while still being excluded from `accepted`."""
+    from tiledb_vector_search_spark.streaming import stream_crawl_loop
+
+    words = [f"w{i}" for i in range(100)]
+    hub = " ".join(words)
+    a = " ".join(words[:87])
+    b = " ".join(words[13:])
+    seed = spark.createDataFrame(
+        [(1000, "totally unrelated corpus text nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    uri = str(tmp_path / "ref")
+    MinHashReference.build(spark, uri, seed)
+    batch = spark.createDataFrame(
+        [(3, a), (5, b), (9, hub)], "doc_id long, text string"
+    )
+    in_dir = tmp_path / "in"
+    batch.coalesce(1).write.parquet(str(in_dir / "batch=0"))
+
+    def run(ckpt):
+        got = {}
+
+        def sink(accepted, matches, batch_id):
+            got[batch_id] = (
+                {int(r.doc_id) for r in accepted.select("doc_id").collect()},
+                {(r.new_id, r.ref_id) for r in matches.collect()},
+            )
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "batch=*"))
+        )
+        sq = stream_crawl_loop(
+            stream, uri, sink, threshold=0.8, stream_id="rply",
+            screen_within_batch=True,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        sq.awaitTermination()
+        return got[0]
+
+    first_accepted, first_pairs = run("ckpt1")
+    # fresh checkpoint + same stream_id/batch id = a re-delivery of the
+    # COMMITTED batch (key already in the artifact's ledger)
+    replay_accepted, replay_pairs = run("ckpt2")
+    assert replay_accepted == first_accepted == {3}
+    # every intra-dropped doc is still reported on replay
+    assert {n for n, _ in replay_pairs} >= {5, 9}

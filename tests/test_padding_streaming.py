@@ -144,9 +144,10 @@ def test_stream_requires_streaming_df(spark, small_source):
 
 
 def test_sessionize_stream_stateful(spark, tmp_path):
-    """applyInPandasWithState sessionizer: mid-batch gap closes emit in the
-    same batch; idle sessions close via event-time timeout once a later
-    batch advances the watermark; open sessions are never emitted."""
+    """applyInPandasWithState sessionizer: sessions emit once the
+    watermark passes session_end + gap (gap-closed sessions wait in
+    state until then — eager same-batch emission would race late
+    within-watermark events); open sessions are never emitted."""
     from tiledb_vector_search_spark.streaming import sessionize_stream
 
     schema = "user_id long, ts timestamp"
@@ -344,3 +345,88 @@ def test_stream_search_with_recall_target(spark, tmp_path):
     }
     assert {(r.query_id, r.rank, r.external_id) for r in got} == want
     assert len(got) == 6
+
+
+def test_sessionize_stream_late_event_extends_pending_session(spark, tmp_path):
+    """A late-but-within-watermark event must land in its session before
+    that session is emitted — the watermark contract.  Regression: the
+    first cut emitted gap-closed sessions in the SAME batch (append
+    mode, un-retractable), so a 10:20 event arriving one batch after
+    10:00 and 11:00 produced (10:00, 10:00) + a session containing an
+    event before its own start; the batch twin on the full event set
+    says (10:00–10:20) and (11:00)."""
+    from tiledb_vector_search_spark.streaming import sessionize_stream
+
+    schema = "user_id long, ts timestamp"
+    src = tmp_path / "sess_late"
+
+    def write(rows, mode):
+        df = spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        df.repartition(1).write.mode(mode).parquet(str(src))
+
+    # batch 1: two events a > gap apart; batch 2: the LATE 10:20 (batch-2
+    # watermark is 11:00 − 1h = 10:00, so it is honored, not dropped)
+    # plus a user-8 event that advances the watermark; batch 3: another
+    # user-8 event pushing the watermark past user 7's last+gap
+    write([(7, "2024-01-01 10:00:00"), (7, "2024-01-01 11:00:00")], "overwrite")
+    time.sleep(1.1)
+    write([(7, "2024-01-01 10:20:00"), (8, "2024-01-01 15:00:00")], "append")
+    time.sleep(1.1)
+    write([(8, "2024-01-01 16:00:00")], "append")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM sess_late_test").collect()
+    }
+    assert got == {
+        (7, "2024-01-01 10:00:00", "2024-01-01 10:20:00", 2),
+        (7, "2024-01-01 11:00:00", "2024-01-01 11:00:00", 1),
+        # user 8's sessions stay open (watermark never passes them)
+    }
+
+
+def test_stream_updates_trigger_precedence(spark, tmp_path, monkeypatch):
+    """An explicit trigger must win over the available_now DEFAULT: with
+    the branches inverted, a caller's processingTime=... (the documented
+    continuous mode) silently became a drain-and-STOP stream."""
+    import pyspark.sql.streaming.query as _q  # noqa: F401
+    from pyspark.sql.streaming.readwriter import DataStreamWriter
+
+    captured = {}
+    real_trigger = DataStreamWriter.trigger
+
+    def spy_trigger(self, **kw):
+        captured.update(kw)
+        return real_trigger(self, **kw)
+
+    monkeypatch.setattr(DataStreamWriter, "trigger", spy_trigger)
+    monkeypatch.setattr(DataStreamWriter, "start", lambda self, *a, **k: None)
+    src = tmp_path / "noop_in"
+    spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 1.0])], "external_id long, vector array<float>"
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "external_id long, vector array<float>"
+    ).parquet(str(src))
+    stream_updates_to_index(
+        stream, "unused://idx", str(tmp_path / "ck"),
+        processingTime="10 seconds",
+    )
+    assert captured == {"processingTime": "10 seconds"}
+    captured.clear()
+    stream_updates_to_index(stream, "unused://idx", str(tmp_path / "ck2"))
+    assert captured == {"availableNow": True}

@@ -527,3 +527,49 @@ def test_kernel_preserves_query_id_dtype(spark, docs, bm25_index):
         for q in join.orderBy("query_id", "rank").collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_kernel_id_dtype_gates(spark, docs, queries, tmp_path):
+    """Both id axes gate the kernel: the plan rides an int64 Arrow
+    schema, so (a) an INT doc-id index keeps its int schema through the
+    kernel (the cast-back), (b) a string doc-id index makes `auto`
+    quietly keep the join plan and the explicit kernel raise, and (c) a
+    fractional query id makes the explicit kernel raise instead of
+    silently truncate-merging queries."""
+    # (a) int doc ids: kernel == join, including the result schema
+    int_docs = docs.select(F.col("doc_id").cast("int").alias("doc_id"), "text")
+    idx_int = BM25Index.build(spark, str(tmp_path / "int_ids"), int_docs)
+    join_df = idx_int.query(queries, k=5, strategy="join")
+    kern_df = idx_int.query(queries, k=5, strategy="kernel")
+    assert dict(join_df.dtypes) == dict(kern_df.dtypes)
+    assert dict(kern_df.dtypes)["doc_id"] == "int"
+    want = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in join_df.orderBy("query_id", "rank").collect()
+    ]
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in kern_df.orderBy("query_id", "rank").collect()
+    ]
+    assert got == want and len(got) > 0
+
+    # (b) string doc ids: auto stays on the join plan (no task crash)
+    str_docs = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    idx_str = BM25Index.build(spark, str(tmp_path / "str_ids"), str_docs)
+    rows = idx_str.query(queries, k=5).orderBy("query_id", "rank").collect()
+    assert len(rows) > 0 and rows[0].doc_id.startswith("doc-")
+    with pytest.raises(ValueError, match="integral doc-id"):
+        idx_str.query(queries, k=5, strategy="kernel")
+
+    # (c) fractional query ids: explicit kernel raises, never merges
+    frac_q = queries.select(
+        (F.col("query_id") + 0.5).alias("query_id"), "query_text"
+    )
+    idx = BM25Index.build(spark, str(tmp_path / "frac"), docs)
+    with pytest.raises(ValueError, match="integral query_id"):
+        idx.query(frac_q, k=5, strategy="kernel")
+    # auto on the fractional batch keeps the join plan and preserves ids
+    frac_rows = idx.query(frac_q, k=5).collect()
+    assert {r.query_id for r in frac_rows} <= {i + 0.5 for i in range(10)}

@@ -1015,3 +1015,46 @@ def test_semantic_dedup_min_id_policy_and_auto_centroids(spark, sf_dir):
         assert len(keeps) == 1
         assert keeps[0].vec_id == min(r.vec_id for r in members)
         assert g == min(r.vec_id for r in members)
+
+
+def test_connected_components_string_ids(spark):
+    """String ids (crawl URLs, content hashes) are first-class: min-label
+    propagation needs only a total order.  Regression: the unconditional
+    cast('long') nulled string ids (ANSI off) and the closure silently
+    grouped NOTHING."""
+    pairs = spark.createDataFrame(
+        [("url/b", "url/c"), ("url/a", "url/b"), ("url/x", "url/y")],
+        "id_a string, id_b string",
+    )
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in DD.connected_components(pairs).collect()
+    }
+    assert got == {
+        ("url/a", "url/a"),
+        ("url/b", "url/a"),
+        ("url/c", "url/a"),
+        ("url/x", "url/x"),
+        ("url/y", "url/x"),
+    }
+    mixed = spark.createDataFrame(
+        [("url/a", 3)], "id_a string, id_b long"
+    )
+    with pytest.raises(ValueError, match="mixed id types"):
+        DD.connected_components(mixed)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A graph whose diameter exceeds max_iter must RAISE, not silently
+    return split groups — truncated labels keep extra 'representatives'
+    of one duplicate group, wrong data with no error."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        DD.connected_components(chain, max_iter=2)
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in DD.connected_components(chain, max_iter=12).collect()
+    }
+    assert got == {(i, 0) for i in range(13)}

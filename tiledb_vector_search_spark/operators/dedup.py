@@ -568,9 +568,25 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    sym = pairs.select(
-        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
-    )
+    types = dict(pairs.dtypes)
+    ta, tb = types[id_a], types[id_b]
+    if "string" in (ta, tb):
+        # string ids are first-class (crawl URLs, content hashes):
+        # min-label propagation only needs a total order, which strings
+        # have.  The old unconditional cast("long") turned them into
+        # nulls (ANSI off) and the closure silently grouped NOTHING.
+        if ta != tb:
+            raise ValueError(
+                f"mixed id types ({id_a}: {ta}, {id_b}: {tb}): casting "
+                "numbers to strings would change which id is the min — "
+                "align the pair columns to one type first"
+            )
+        sym = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    else:
+        sym = pairs.select(
+            F.col(id_a).cast("long").alias("u"),
+            F.col(id_b).cast("long").alias("v"),
+        )
     edges = (
         sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -605,6 +621,19 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # silent truncation would split one transitive group into
+        # several canonicals and callers would KEEP extra duplicates —
+        # wrong data, no error.  Dedup graphs are near-cliques
+        # (diameter 2-3), so hitting this means the input is a
+        # long-chain graph the default budget doesn't cover.
+        edges.unpersist()
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still moving): the pair graph "
+            "has diameter > max_iter — raise max_iter (rounds needed "
+            "= graph diameter)"
+        )
     edges.unpersist()
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("canonical_id")
@@ -670,52 +699,25 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
-    Small-table path: all-pairs on the (id, simhash) projection — tiny rows.
-    Scale path: band the hash into (max_hamming+1) chunks; a pair within the
-    radius must match exactly on ≥1 chunk (pigeonhole) → equi-join per chunk.
+    Candidates come from the SHARED combination-pigeonhole band-join
+    (:mod:`operators.hamming` — the same plan behind the image/audio/
+    video near-dup operators): block-PAIR keys bound bucket density far
+    better than the classic single-chunk ``max_hamming + 1`` split this
+    function used to inline (whose key space collapses as the radius
+    grows — and degenerates to chunk_bits=0, a full quadratic
+    self-join, once ``max_hamming + 1 > bits``), and the shared path
+    carries the shuffle-hash hint Catalyst needs under the ~45× explode.
+    Exact ``bit_count(xor)`` verify either way.
     """
+    from tiledb_vector_search_spark.operators.hamming import (
+        hamming_near_pairs,
+    )
+
     s = simhash(df, text_col, id_col, bits, hash_family=hash_family)
-    chunks = max_hamming + 1
-    chunk_bits = bits // chunks
-    banded = s.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cc"),
-    ).select(id_col, "simhash", "cc.chunk", "cc.key")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    return hamming_near_pairs(
+        s, bits=bits, max_hamming=max_hamming,
+        id_col=id_col, hash_col="simhash",
     )
-    ham = F.bit_count(
-        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    )
-    return cand.select(
-        "id_a", "id_b", ham.alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
 
 
 # --- embedding near-dup -------------------------------------------------------

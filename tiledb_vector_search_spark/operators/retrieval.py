@@ -160,6 +160,7 @@ def _score_matched_postings_kernel(
     id_col: str,
     query_id_col: str,
     query_id_type: str = "long",
+    doc_id_type: str = "long",
 ) -> DataFrame:
     """Kernel twin of :func:`_score_matched_postings`'s scoring tail —
     BIT-IDENTICAL output, different physical plan.
@@ -284,10 +285,12 @@ def _score_matched_postings_kernel(
         )
     )
     # nano → the exact double the decimal path produces (sum ≪ 2⁵³), so
-    # the final round-6 and tie-break match the join plan bit-for-bit
+    # the final round-6 and tie-break match the join plan bit-for-bit;
+    # BOTH id columns cast back to their input dtypes (the Arrow schema
+    # above is fixed at long) so kernel and join return one schema
     scored = partial.select(
         F.col(query_id_col).cast(query_id_type).alias(query_id_col),
-        id_col,
+        F.col(id_col).cast(doc_id_type).alias(id_col),
         F.round(
             (F.col("__nano") / F.lit(1_000_000_000.0)).cast("double"), 6
         ).alias("score"),
@@ -582,7 +585,17 @@ class BM25Index:
                     "re-adding it would be masked by the delete filter "
                     "— run consolidate() first"
                 )
-        tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        from pyspark import StorageLevel
+
+        # the tf frame feeds the stats probe, the postings write, and
+        # the term-stats write — persist so the increment tokenizes
+        # ONCE, not three times (build() applies the same cache for the
+        # same reason; stream_bm25_ingest pays this per micro-batch)
+        tf = (
+            tok.groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         stats = dl.agg(
             F.count("*").alias("n"), F.sum("dl").alias("sumdl")
@@ -620,12 +633,15 @@ class BM25Index:
             new_meta["applied_keys"] = (
                 list(self.meta.get("applied_keys", [])) + [idempotency_key]
             )[-1024:]
-        self.meta = fenced_meta_flip(
-            HadoopFS(self.spark, self.uri),
-            posixpath.join(self.uri, BM25_META_FILE),
-            new_meta,
-            int(self.meta.get("meta_version", 0)),
-        )
+        try:
+            self.meta = fenced_meta_flip(
+                HadoopFS(self.spark, self.uri),
+                posixpath.join(self.uri, BM25_META_FILE),
+                new_meta,
+                int(self.meta.get("meta_version", 0)),
+            )
+        finally:
+            tf.unpersist()
 
     def _next_batch_id(self) -> str:
         """Mint a batch ENTRY: a monotonic ordinal (readable ordering,
@@ -884,14 +900,33 @@ class BM25Index:
         )
         if strategy not in ("auto", "join", "kernel"):
             raise ValueError(f"unknown strategy: {strategy}")
+        integral = ("bigint", "int", "smallint", "tinyint")
         use_kernel = strategy == "kernel"
         qid_type = dict(queries.dtypes).get(query_id_col, "")
+        doc_type = dict(raw.dtypes).get("doc_id", "")
         if strategy == "auto":
-            use_kernel = qid_type in ("bigint", "int", "smallint")
+            # BOTH id axes must be integral for the kernel: it rides an
+            # int64 Arrow schema, so a string doc-id corpus would crash
+            # every task and a fractional query id would truncate —
+            # auto quietly keeps the join plan instead
+            use_kernel = qid_type in integral and doc_type in integral
         if use_kernel and strategy == "kernel":
             # explicit kernel: probe each cap with its own bounded job so
             # the error names the axis that broke (perf is secondary on
             # the explicit path — the caller asked for this plan)
+            if qid_type not in integral:
+                raise ValueError(
+                    f"kernel strategy needs an integral {query_id_col} "
+                    f"column (got {qid_type or 'missing'}): int() on a "
+                    "fractional id would silently merge queries; use "
+                    "strategy='join' or cast the ids"
+                )
+            if doc_type not in integral:
+                raise ValueError(
+                    "kernel strategy needs an integral doc-id column in "
+                    f"the index (got {doc_type or 'missing'}): the "
+                    "kernel's Arrow schema is int64; use strategy='join'"
+                )
             probe = (
                 queries.select(query_id_col)
                 .distinct()
@@ -926,6 +961,7 @@ class BM25Index:
                     _partial_nanos(post, k1, b, id_col),
                     qterm_rows, k, id_col, query_id_col,
                     query_id_type=qid_type or "long",
+                    doc_id_type=doc_type or "long",
                 )
             use_kernel = False  # all-empty query texts: join plan
         if use_kernel:
@@ -955,6 +991,7 @@ class BM25Index:
                         _partial_nanos(post, k1, b, id_col),
                         qterm_rows, k, id_col, query_id_col,
                         query_id_type=qid_type or "long",
+                        doc_id_type=doc_type or "long",
                     )
                 use_kernel = False  # over an axis cap / empty texts
         return _score_matched_postings(

@@ -96,11 +96,16 @@ def stream_crawl_loop(
         key = f"{stream_id}:{batch_id}"
         replay = key in ref.meta.get("applied_keys", [])
         intra_matches = None
-        if screen_within_batch and not replay:
+        if screen_within_batch:
             # collapse intra-batch near-dup groups to their canonical
             # (min-id) member BEFORE the reference screen, with the
             # artifact's own signing family so "near-dup" means the
-            # same thing on both screens; cost ∝ batch, never corpus
+            # same thing on both screens; cost ∝ batch, never corpus.
+            # Runs on REPLAY too: the screen is deterministic, so a
+            # redelivered batch reproduces the original intra_matches
+            # (an intra-dropped doc's removal record must not vanish
+            # when a sink overwrites by batch id) and the accepted-set
+            # reconstruction below semi-joins the same canonical slice
             intra_pairs = minhash_dedup(
                 batch_df,
                 text_col=ref.meta["text_col"],
@@ -167,15 +172,23 @@ def stream_crawl_loop(
             # that the original run didn't emit — a bounded,
             # idempotent-to-absorb superset.
             ids = ref.accepted_ids_for_key(key)
-            if ids is None:
+            if ids is not None:
+                # increment-sized record: broadcasting it is safe
+                accepted = batch_df.join(
+                    F.broadcast(ids.select(id_col)), id_col, "left_semi"
+                ).localCheckpoint(eager=True)
+            else:
                 # pre-record artifact (key committed by an older build):
-                # fall back to the corpus-sized shingle semi-join
+                # fall back to the corpus-sized shingle semi-join — NO
+                # broadcast hint (a forced hint AQE cannot demote would
+                # OOM the driver on exactly this corpus-sized side);
+                # AQE picks the join strategy
                 ids = batch_df.sparkSession.read.parquet(
                     *ref._dirs("shingles")
                 ).select(id_col)
-            accepted = batch_df.join(
-                F.broadcast(ids.select(id_col)), id_col, "left_semi"
-            ).localCheckpoint(eager=True)
+                accepted = batch_df.join(
+                    ids, id_col, "left_semi"
+                ).localCheckpoint(eager=True)
         else:
             dup_ids = matches.select(
                 F.col("new_id").alias(id_col)

@@ -73,10 +73,14 @@ def stream_updates_to_index(
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif trigger_kw:
+    # an explicit trigger wins over the available_now DEFAULT — with the
+    # branches inverted, a caller passing processingTime=... (the
+    # documented continuous mode) silently got a drain-and-STOP stream;
+    # every sibling stream operator checks trigger_kw first
+    if trigger_kw:
         writer = writer.trigger(**trigger_kw)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()
 
 
