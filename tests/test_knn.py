@@ -193,3 +193,36 @@ def test_knn_join_no_broadcast_of_either_side(spark, sf_dir):
         assert resk.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cosine_zero_vector_strategies_agree(spark):
+    """A zero-norm corpus vector must rank LAST, not first: unguarded,
+    the expr strategy's 0/0 division returned NULL and the ascending
+    top-k window (NULLS FIRST) crowned the zero vector the #1 neighbor
+    of every query; the kernel returns distance 1.0 for it."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "external_id long, vector array<float>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, vector array<float>"
+    )
+    for strategy in ("expr", "kernel"):
+        got = (
+            knn_bruteforce(vecs, q, k=3, metric="cosine", strategy=strategy)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r.external_id for r in got] == [0, 1, 2], strategy
+        assert all(r.distance is not None for r in got), strategy
+        assert abs(got[2].distance - 1.0) < 1e-9, strategy
+
+
+def test_kernel_empty_query_batch_returns_empty(spark):
+    """An empty query batch returns an empty frame instead of crashing
+    the matmul inside every executor task with a (0,) qmat."""
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "external_id long, vector array<float>"
+    )
+    q = spark.createDataFrame([], "query_id long, vector array<float>")
+    out = knn_bruteforce(vecs, q, k=3, strategy="kernel")
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "external_id", "distance", "rank"}

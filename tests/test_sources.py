@@ -164,3 +164,48 @@ def test_u8bin_keep_bytes_to_index(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="1-byte"):
         V.read_vectors(spark, path, "F32BIN", keep_bytes=True)
+
+
+def test_ivecs_exact_above_2pow24(spark, tmp_path):
+    """IVEC payloads are ground-truth NEIGHBOR IDS: float32 promotion
+    silently corrupts ids above 2²⁴ (16777217 → 16777216.0), so the
+    distributed reader keeps int32 — same values as the driver-side
+    utils.load_ivecs twin."""
+    data = np.array(
+        [[16777217, 16777219], [1, 2]], dtype=np.int32
+    )
+    path = str(tmp_path / "gt.ivecs")
+    write_ivecs(path, data)
+    df = read_vectors(spark, path)
+    assert dict(df.dtypes)["vector"] == "array<int>"
+    rows = df.orderBy("external_id").collect()
+    assert rows[0].vector == [16777217, 16777219]
+    assert rows[1].vector == [1, 2]
+
+
+def test_parquet_source_rejects_flat_format_options(spark, sf_dir):
+    """PARQUET sources carry their own ids and column type: silently
+    ignoring external_ids_uri / keep_bytes returned wrong ids / wrong
+    dtype with no error."""
+    src = f"{sf_dir}/embeddings.parquet"
+    with pytest.raises(ValueError, match="external_ids_uri"):
+        read_vectors(
+            spark, src, source_type="PARQUET", external_ids_uri="ids.u64bin"
+        )
+    with pytest.raises(ValueError, match="keep_bytes"):
+        read_vectors(spark, src, source_type="PARQUET", keep_bytes=True)
+
+
+def test_sparse_coo_duplicate_coordinates_sum(spark):
+    """Duplicate (id, idx) COO entries SUM — scipy coo_matrix densify
+    semantics; unguarded, map_from_entries threw 'Duplicate map key'
+    under Spark's default EXCEPTION policy."""
+    from tiledb_vector_search_spark.sources.arrays import sparse_coo_to_vectors
+
+    coo = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 0, 2.0), (1, 2, 5.0), (2, 1, 7.0)],
+        "external_id long, idx int, val double",
+    )
+    rows = sparse_coo_to_vectors(coo, dims=3).orderBy("external_id").collect()
+    assert rows[0].vector == [3.0, 0.0, 5.0]
+    assert rows[1].vector == [0.0, 7.0, 0.0]

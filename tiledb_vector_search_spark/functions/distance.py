@@ -82,7 +82,15 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return inner_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """Zero-safe: a zero-norm vector has similarity 0 (distance 1) to
+    everything — the numpy kernel's convention (``knn.py
+    _kernel_distances``).  Unguarded, the 0/0 division returns NULL and
+    the ascending top-k window (NULLS FIRST) would rank a zero vector
+    as the #1 neighbor of every query under the expr strategy."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, inner_product(a, b) / denom).otherwise(
+        F.lit(0.0)
+    )
 
 
 def cosine_distance(a: Column | str, b: Column | str) -> Column:

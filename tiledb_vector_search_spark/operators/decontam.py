@@ -27,13 +27,21 @@ from tiledb_vector_search_spark.functions.text import (
 
 
 def _doc_grams(df: DataFrame, id_col: str | None, text_col: str, n: int) -> DataFrame:
-    """Exploded distinct-per-doc n-grams, with the token regex pinned to one
-    evaluation per row behind an exchange (Catalyst can't CSE it into the
-    shingle lambda — the ``_shingle_docs`` pattern from the dedup operators)."""
+    """Exploded distinct-per-doc n-grams.
+
+    The token regex stays ONE evaluation per row with no exchange —
+    Catalyst keeps the tokens() Project below the Generate (verified in
+    the optimized plan: the shingle lambda references ``__t``, not the
+    regex).  The repartition exists only to spread a source narrower
+    than the cluster (the single-file test fixture); a 100 TB input
+    already arrives wide, and an unconditional round-robin here was a
+    full corpus shuffle the module docstring claims not to pay."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     ids = [F.col(id_col)] if id_col else []
-    toks = df.select(*ids, tokens(text_col).alias("__t")).repartition(target)
+    toks = df.select(*ids, tokens(text_col).alias("__t"))
+    if df.rdd.getNumPartitions() < target:
+        toks = toks.repartition(target)
     return toks.select(
         *ids, F.explode(shingles_from_tokens("__t", n)).alias("gram")
     )

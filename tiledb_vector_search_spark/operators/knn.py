@@ -147,7 +147,8 @@ def knn_bruteforce_kernel(
 
     The contract is ENFORCED: more than ``KERNEL_MAX_NQ`` queries raises
     (collecting a corpus-sized batch onto the driver is the
-    anti-pattern) — use ``strategy="join"`` or :func:`knn_join` for bulk
+    anti-pattern) — use :func:`knn_join` or an index query's
+    ``strategy="join"`` for bulk
     dataset-vs-dataset search.
     """
     metric = DistanceMetric(metric)
@@ -160,8 +161,14 @@ def knn_bruteforce_kernel(
         raise ValueError(
             f"knn_bruteforce_kernel collects queries to the driver and is "
             f"bounded at {KERNEL_MAX_NQ} query vectors; for bulk batches "
-            f'use knn_bruteforce(..., strategy="join") or knn_join '
-            f"(dataset-vs-dataset)"
+            f"use knn_join (dataset-vs-dataset) or an index query with "
+            f'strategy="join"'
+        )
+    if not q_rows:
+        # empty query batch: the expr strategy returns empty gracefully;
+        # a (0,) qmat would crash the matmul inside every executor task
+        return vectors.sparkSession.createDataFrame(
+            [], _KNN_PAIR_SCHEMA + ", rank int"
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     if q_rows and isinstance(q_rows[0][1], (bytes, bytearray)):

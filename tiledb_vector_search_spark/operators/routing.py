@@ -32,12 +32,15 @@ def route_queries(
     Deterministic: ties broken by partition id (stable argsort on
     (distance, partition)).
     """
+    from tiledb_vector_search_spark.functions.distance import DistanceMetric
+    from tiledb_vector_search_spark.operators.knn import _kernel_distances
+
     nprobe = min(nprobe, centroids.shape[0])
-    d = (
-        np.sum(qmat * qmat, axis=1)[:, None]
-        + np.sum(centroids * centroids, axis=1)[None, :]
-        - 2.0 * (qmat @ centroids.T)
-    )
+    # the ONE BLAS sq-L2 expansion (knn.py) — a private copy here had
+    # already drifted (no negative clamp); clamping only moves exact-hit
+    # values of ~-1e-16 to 0, where the stable argsort's index order is
+    # the documented partition-id tie-break anyway
+    d = _kernel_distances(qmat, centroids, DistanceMetric.SUM_OF_SQUARES)
     pairs: list[tuple[int, int]] = []
     for qi, row in zip(qids, d):
         top = np.argsort(row, kind="stable")[:nprobe]

@@ -25,13 +25,21 @@ def sparse_coo_to_vectors(
 ) -> DataFrame:
     """(id, idx, val) COO triples → dense ``(external_id, vector)``.
 
-    Missing positions fill with 0.0 (scipy ``coo_matrix`` semantics,
-    reference ``ingestion.py:950-970``).  One shuffle on the id; the dense
-    array assembles from a position→value map, JVM-side.
+    Missing positions fill with 0.0 and DUPLICATE coordinates SUM —
+    both scipy ``coo_matrix`` densify semantics (reference
+    ``ingestion.py:950-970``; real single-cell/SOMA COO sources carry
+    duplicate coordinates legally).  The (id, idx) pre-aggregate is
+    what makes duplicates safe: without it ``map_from_entries`` throws
+    'Duplicate map key' under Spark's default EXCEPTION dedup policy.
+    Both aggregations are hash-partitioned with map-side combine; the
+    dense array assembles from a position→value map, JVM-side.
     """
-    entries = coo.groupBy(F.col(id_col).alias(ID_COL)).agg(
+    summed = coo.groupBy(
+        F.col(id_col).alias(ID_COL), F.col(idx_col).cast("int").alias("__i")
+    ).agg(F.sum(F.col(val_col)).alias("__v"))
+    entries = summed.groupBy(ID_COL).agg(
         F.map_from_entries(
-            F.collect_list(F.struct(F.col(idx_col).cast("int"), F.col(val_col)))
+            F.collect_list(F.struct("__i", "__v"))
         ).alias("__m")
     )
     return entries.select(

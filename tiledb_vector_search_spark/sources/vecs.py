@@ -122,8 +122,12 @@ def read_vectors(
 ) -> DataFrame:
     """Distributed decode → ``(external_id long, vector array<float>)``.
 
-    uint8/int32 payloads are promoted to float32 (SURVEY §1.2/§1.3 type
-    mapping — exact).  ``external_ids_uri`` may point to a U64BIN file read
+    uint8 payloads are promoted to float32 (SURVEY §1.2/§1.3 type
+    mapping — exact); IVEC int32 payloads stay ``array<int>`` — float32
+    promotion silently corrupts values above 2²⁴ (ivecs files are
+    typically ground-truth NEIGHBOR IDS, which exceed that on corpora
+    past ~16.7M rows), and the driver-side ``utils.load_ivecs`` twin
+    keeps int32 too.  ``external_ids_uri`` may point to a U64BIN file read
     range-aligned with the vector chunks; otherwise ids are the row
     positions (implicit ``arange``).
 
@@ -134,6 +138,18 @@ def read_vectors(
     """
     source_type = source_type or autodetect_source_type(source_uri)
     if source_type == "PARQUET":
+        # options that only apply to the flat binary formats must not be
+        # silently ignored — wrong ids / wrong dtype with no error
+        if external_ids_uri is not None:
+            raise ValueError(
+                "external_ids_uri applies to the flat vector formats; a "
+                "parquet source carries its own external_id column"
+            )
+        if keep_bytes:
+            raise ValueError(
+                "keep_bytes applies to the flat uint8/int8 formats; a "
+                "parquet source's column keeps its stored type"
+            )
         df = spark.read.parquet(source_uri)
         return df.select(
             F.col(ID_COL).cast("long"),
@@ -184,11 +200,18 @@ def read_vectors(
                     ids = np.arange(start, stop, dtype=np.int64)
                 if kb:
                     vec = [mat[i].tobytes() for i in range(nrows)]
+                elif dt == np.dtype(np.int32):
+                    vec = list(mat)  # exact: see docstring (ivecs = ids)
                 else:
                     vec = list(mat.astype(np.float32))
                 yield pd.DataFrame({ID_COL: ids, VECTOR_COL: vec})
 
-    vec_type = "binary" if kb else "array<float>"
+    if kb:
+        vec_type = "binary"
+    elif dtype == np.dtype(np.int32):
+        vec_type = "array<int>"
+    else:
+        vec_type = "array<float>"
     return chunks.mapInPandas(
         decode, schema=f"{ID_COL} long, {VECTOR_COL} {vec_type}"
     )
