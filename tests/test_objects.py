@@ -918,3 +918,201 @@ def test_luma_grid_embedding_nulls_bad_blobs():
     assert np.allclose(emb[1], 0.0)
     assert np.allclose(emb[0], emb[2])
     assert np.linalg.norm(emb[0]) > 0
+
+
+# --- round-9 self-review regressions ------------------------------------------
+
+
+def test_multi_vector_inner_product_orientation(spark, sf_dir, tmp_path):
+    """Multi-vector fusion over an INNER_PRODUCT index must treat the
+    raw IP score as larger-is-better.  Regression: score = -distance
+    was applied unconditionally, so the fusion ranked the LEAST-similar
+    objects first on IP indexes."""
+    from tiledb_vector_search_spark.objects.embeddings import (
+        HalvesTextEmbedding,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    path = str(tmp_path / "mvip_src")
+    docs.write.parquet(path)
+    uri = str(tmp_path / "mvip")
+    reader = DataFrameObjectReader(
+        path=path, id_col="doc_id", payload_cols=["text"]
+    )
+    emb = HalvesTextEmbedding(dims=16)
+    idx = ObjectIndex.create(
+        spark, uri, reader, emb, index_type="FLAT", timestamp=1000,
+        metric="inner_product",
+    )
+    n = docs.count()
+    qpdf = docs.limit(1).toPandas().rename(columns={"doc_id": "query_id"})
+    got = [
+        r.external_id
+        for r in idx.query(qpdf[["query_id", "text"]], k=n, strategy="expr")
+        .orderBy("rank")
+        .collect()
+    ]
+    # numpy oracle: fused[doc] = sum over query vectors of raw IP
+    emb.load()
+    qmats = emb.embed_multi(qpdf[["text"]])
+    corpus = {
+        r.external_id: np.array(r.vector, dtype=np.float64)
+        for r in idx.index.effective_vectors().collect()
+    }
+    fused = {
+        eid: sum(float(np.dot(qv, v)) for qv in qmats[0])
+        for eid, v in corpus.items()
+    }
+    want = [e for e, _ in sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))]
+    assert got == want
+
+
+def test_multi_vector_filters_raise_not_silently_ignored(
+    spark, sf_dir, tmp_path
+):
+    from tiledb_vector_search_spark.objects.embeddings import (
+        HalvesTextEmbedding,
+    )
+
+    uri = str(tmp_path / "mvf")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang"],
+    )
+    idx = ObjectIndex.create(
+        spark, uri, reader, HalvesTextEmbedding(dims=16),
+        index_type="FLAT", timestamp=1000,
+    )
+    q = pd.DataFrame({"query_id": [0], "text": ["some query text"]})
+    with pytest.raises(NotImplementedError, match="multi-vector"):
+        idx.query(q, k=3, metadata_array_cond="lang = 'en'")
+
+
+def test_return_objects_with_metadata_no_duplicate_columns(
+    spark, sf_dir, tmp_path
+):
+    """return_objects=True alongside attached metadata produced
+    duplicate column names (AMBIGUOUS_REFERENCE on any later select)."""
+    uri = str(tmp_path / "retobj")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang"],
+    )
+    idx = ObjectIndex.create(
+        spark, uri, reader, HashingTextEmbedding(dims=16),
+        index_type="FLAT", timestamp=1000,
+    )
+    q = pd.DataFrame({"query_id": [0], "text": ["anything at all"]})
+    res = idx.query(q, k=3, return_objects=True, strategy="expr")
+    assert res.columns.count("lang") == 1
+    res.select("lang").collect()  # raised AMBIGUOUS_REFERENCE before
+    res2 = idx.query(
+        q, k=3, return_objects=True, metadata_array_cond="lang IS NOT NULL",
+        strategy="expr",
+    )
+    assert res2.columns.count("lang") == 1
+    res2.select("lang").collect()
+
+
+def test_metadata_consolidation_survives_concurrent_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """consolidate_object_metadata deletes ONLY the log files the fold
+    consumed: a batch appended DURING the fold survives in the log and
+    applies over the folded base.  Regression: the blanket dir delete
+    silently destroyed it while its vector batch survived — permanent
+    layer divergence."""
+    import posixpath
+
+    uri = str(tmp_path / "race")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang"],
+    )
+    idx = ObjectIndex.create(
+        spark, uri, reader, HashingTextEmbedding(dims=16),
+        index_type="FLAT", timestamp=1000,
+    )
+    idx.update_objects(
+        spark.createDataFrame(
+            [(900001, "first new", "aa")],
+            "external_id long, text string, lang string",
+        ),
+        timestamp=2000,
+    )
+
+    import pyspark.sql.readwriter as RW
+
+    real_parquet = RW.DataFrameWriter.parquet
+    state = {"injected": False}
+    upath = posixpath.join(uri, "object_metadata_updates")
+
+    def inject(self, path, *a, **kw):
+        out = real_parquet(self, path, *a, **kw)
+        if "object_metadata__new" in path and not state["injected"]:
+            state["injected"] = True
+            # the concurrent writer lands a batch AFTER the fold's read
+            spark.createDataFrame(
+                [(900002, False, 3000, "bb")],
+                "external_id long, is_delete boolean, ts long, lang string",
+            ).write.mode("append").parquet(upath)
+        return out
+
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", inject)
+    ObjectIndex(spark, uri).consolidate_object_metadata()
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", real_parquet)
+    assert state["injected"]
+
+    md = {r.external_id: r.lang for r in ObjectIndex(spark, uri).metadata().collect()}
+    assert md.get(900001) == "aa"  # folded
+    assert md.get(900002) == "bb"  # appended mid-fold: must survive
+
+
+def test_time_traveled_metadata_after_fold_raises(spark, sf_dir, tmp_path):
+    uri = str(tmp_path / "ttmd")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang"],
+    )
+    idx = ObjectIndex.create(
+        spark, uri, reader, HashingTextEmbedding(dims=16),
+        index_type="FLAT", timestamp=1000,
+    )
+    idx.update_objects(
+        spark.createDataFrame(
+            [(900001, "new", "zz")],
+            "external_id long, text string, lang string",
+        ),
+        timestamp=2000,
+    )
+    ObjectIndex(spark, uri).consolidate_object_metadata()
+    with pytest.raises(ValueError, match="folded"):
+        ObjectIndex(spark, uri, timestamp=1500).metadata()
+    # at-or-after the fold point reads fine
+    md = ObjectIndex(spark, uri, timestamp=2000).metadata()
+    assert md is not None and md.count() > 0
+
+
+def test_bytes_histogram_null_payload_zero_vector():
+    emb = BytesHistogramEmbedding()
+    out = emb.embed(pd.DataFrame({"image": [b"\x00\x01", None]}))
+    assert out.shape == (2, 256)
+    assert out[1].sum() == 0.0  # sentinel, not a TypeError crash
+
+
+def test_register_sql_functions_empty_list(spark):
+    from tiledb_vector_search_spark.sql import register_sql_functions
+
+    assert register_sql_functions(spark, names=[]) == []

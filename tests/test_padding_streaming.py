@@ -97,8 +97,10 @@ def test_stream_updates_to_index(spark, small_source, tmp_path):
     ids = {r.external_id for r in idx.effective_vectors().collect()}
     assert 100 in ids  # streamed upsert landed
     assert 0 not in ids  # streamed tombstone applied
-    # streamed updates consolidate like batch DML
-    idx2 = idx.consolidate_updates(timestamp=9000)
+    # streamed updates consolidate like batch DML (no explicit ts: the
+    # streamed batches carry wall-clock stamps, and consolidating at an
+    # EARLIER logical ts now raises — see consolidate_updates' guard)
+    idx2 = idx.consolidate_updates()
     assert {r.external_id for r in idx2.effective_vectors().collect()} == ids
 
 

@@ -545,7 +545,11 @@ def test_overlay_boost_tranche_capped_and_persisted(spark, source, tmp_path):
 
     # consolidation keeps the caps: overlay stays bounded by the SAME
     # budget and the new ingestion entry carries the knobs forward
-    ov.update(external_id=0, vector=[float(x) for x in range(len(source.select("vector").first()[0]))])
+    ov.update(
+        external_id=0,
+        vector=[float(x) for x in range(len(source.select("vector").first()[0]))],
+        timestamp=1500,  # same clock domain as the synthetic base/fold ts
+    )
     ov.consolidate_updates(timestamp=2000)
     ov2 = VamanaIndex(spark, ov.uri)
     e2 = ov2._base_entry()

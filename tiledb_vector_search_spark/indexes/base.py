@@ -384,10 +384,27 @@ class Index:
             )
         if not cols[VECTOR_COL].startswith("array<"):
             raise ValueError(f"{VECTOR_COL} must be an array column")
-        first = queries.select(F.size(VECTOR_COL).alias("d")).first()
-        if first is not None and int(first["d"]) != self.dimensions:
+        # ONE aggregate job validates EVERY row, not just the first: a
+        # ragged batch (heterogeneous sources) would otherwise pass and
+        # fail deep in the kernels (object-dtype matmul) or, worse,
+        # silently truncate in the expr path's zip_with.  Query frames
+        # are small by contract, so the full pass costs what the old
+        # first() job did.
+        row = queries.agg(
+            F.min(F.size(VECTOR_COL)).alias("dmin"),
+            F.max(F.size(VECTOR_COL)).alias("dmax"),
+        ).first()
+        if row is None or row["dmin"] is None:
+            return
+        if int(row["dmin"]) != int(row["dmax"]):
             raise ValueError(
-                f"query dimensions ({int(first['d'])}) do not match index "
+                f"ragged query batch: vector sizes vary from "
+                f"{int(row['dmin'])} to {int(row['dmax'])} — every query "
+                f"must have the index's dimensionality ({self.dimensions})"
+            )
+        if int(row["dmax"]) != self.dimensions:
+            raise ValueError(
+                f"query dimensions ({int(row['dmax'])}) do not match index "
                 f"dimensions ({self.dimensions})"
             )
 
@@ -510,8 +527,32 @@ class Index:
         ``query(recall_target=...)`` working straight through a fold.
         """
         ts = timestamp if timestamp is not None else now_ms()
+        # the fold reads exactly this handle's updates window
+        # (base_ts, hi]; clearing past it would DESTROY updates the fold
+        # never saw.  Two ways a batch can sit beyond the window: a
+        # time-traveled handle (hi = open timestamp < newer batches), or
+        # a caller-supplied consolidation ts earlier than a batch (which
+        # would fold future data into a past-stamped snapshot — a
+        # time-travel anomaly for readers between the two).  Raise on
+        # both instead of silently losing/mis-stamping data.
+        _, hi = self._updates_window()
+        fold_hi = hi if hi is not None else ts
+        later = [
+            int(t)
+            for t in self.storage.read_meta().get("update_batches", [])
+            if t > fold_hi
+        ]
+        if later:
+            raise ValueError(
+                f"update batches at {later} lie beyond this handle's "
+                f"fold window (..., {fold_hi}]: consolidating would "
+                "silently drop them (time-traveled handle) or fold them "
+                "into an earlier-stamped snapshot.  Open the index at "
+                "the latest timestamp (or pass a consolidation "
+                "timestamp at or after the newest update batch)"
+            )
         self._write_consolidated(self.effective_vectors(), ts, **kw)
-        self.storage.clear_updates_through(ts)
+        self.storage.clear_updates_through(fold_hi)
         fresh = type(self)(self.spark, self.uri)
         if recall_curve:
             try:
@@ -598,6 +639,58 @@ def count_and_dims(
             "source first"
         )
     return int(row["n"]), int(row["dmax"] or 0)
+
+
+def check_reingest_meta(
+    storage,
+    index_type: str,
+    metric,
+    dims: int,
+    vector_dtype: str,
+) -> None:
+    """Re-ingest onto an EXISTING index must match its declared schema.
+
+    Without this, a second ``ingest()`` at the same uri with different
+    dimensions / metric / dtype / type appended a snapshot inconsistent
+    with the stored meta: ``open_index`` then rejects CORRECT queries on
+    the new data, scores with the wrong metric, or crashes the byte
+    decode kernels — all silently deferred to query time.  Every index
+    type's ingest calls this before touching the base dirs.
+    """
+    if not storage.exists():
+        return
+    meta = storage.read_meta()
+    declared = {
+        "index_type": meta.get("index_type"),
+        "metric": meta.get("metric"),
+        "dimensions": int(meta.get("dimensions", dims)),
+        "vector_dtype": meta.get("vector_dtype", "float32"),
+    }
+    metric_value = metric.value if hasattr(metric, "value") else str(metric)
+    incoming = {
+        "index_type": index_type,
+        "metric": metric_value,
+        "dimensions": int(dims),
+        "vector_dtype": vector_dtype,
+    }
+    diffs = {
+        k: (declared[k], incoming[k])
+        for k in declared
+        if declared[k] != incoming[k]
+    }
+    # an empty re-ingest carries no data-derived width — don't reject
+    # the caller's explicit dimensions=None default of 0
+    if dims == 0:
+        diffs.pop("dimensions", None)
+    if diffs:
+        detail = ", ".join(
+            f"{k}: stored {a!r} vs incoming {b!r}" for k, (a, b) in diffs.items()
+        )
+        raise ValueError(
+            f"re-ingest at {storage.uri} does not match the existing "
+            f"index's schema ({detail}); open and grow the index with "
+            "update_batch/add, or ingest to a fresh uri"
+        )
 
 
 def open_index(spark: SparkSession, uri: str, timestamp: int | None = None) -> Index:

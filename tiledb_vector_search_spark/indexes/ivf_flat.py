@@ -198,6 +198,13 @@ class IVFFlatIndex(Index):
             assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
 
         storage = IndexStorage(spark, uri)
+        from tiledb_vector_search_spark.indexes.base import (
+            check_reingest_meta,
+        )
+
+        check_reingest_meta(
+            storage, cls.index_type, metric, int(dims), vector_dtype
+        )
         if not storage.exists():
             storage.init_meta(
                 index_type=cls.index_type,

@@ -329,6 +329,13 @@ class IVFPQIndex(Index):
         # default first would silently flip the layout while meta still
         # says the old count
         storage = IndexStorage(spark, uri)
+        from tiledb_vector_search_spark.indexes.base import (
+            check_reingest_meta,
+        )
+
+        check_reingest_meta(
+            storage, cls.index_type, metric, int(dims), vector_dtype
+        )
         existing_meta = storage.read_meta() if storage.exists() else None
         if num_subspaces is None:
             if existing_meta is not None and existing_meta.get("num_subspaces"):
@@ -694,7 +701,17 @@ class IVFPQIndex(Index):
             centroids = train_centroids_ml(
                 train_src, k, default_training_sample_size(n, k), n
             )
-            srows = train_src.limit(PQ_TRAIN_MAX).collect()
+            # hash-ordered take, NOT a bare limit(): limit takes
+            # whichever tasks finish first, so the retrained codebooks
+            # (and the consolidated snapshot's recall) would drift run
+            # to run — the exact nondeterminism the ingest path's
+            # ordered sample above exists to prevent
+            srows = (
+                train_src.select(ID_COL, VECTOR_COL)
+                .orderBy(F.xxhash64(ID_COL), F.col(ID_COL))
+                .limit(PQ_TRAIN_MAX)
+                .collect()
+            )
             sample = np.array([r[VECTOR_COL] for r in srows], dtype=np.float64)
             codebooks = train_pq_codebooks(
                 _coarse_residuals(sample, centroids)

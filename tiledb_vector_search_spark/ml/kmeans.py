@@ -85,7 +85,15 @@ def train_centroids_ml(
             )
             x = np.array([r[1] for r in rows], dtype=np.float64)
         else:
-            rows = sample.select(F.col(vector_col)).limit(sample_size).collect()
+            # no id column: hash the vector itself for the deterministic
+            # order — a bare limit() here would reintroduce the exact
+            # task-arrival drift the comment above exists to prevent
+            rows = (
+                sample.select(F.col(vector_col))
+                .orderBy(F.xxhash64(F.col(vector_col)))
+                .limit(sample_size)
+                .collect()
+            )
             x = np.array([r[0] for r in rows], dtype=np.float64)
         return kmeans_numpy(x, k, max_iter=max_iter, seed=seed, init="k-means++")
 

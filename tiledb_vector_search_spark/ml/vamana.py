@@ -58,7 +58,11 @@ def _greedy_search(
         if x_sq is None:
             x_sq = np.einsum("ij,ij->i", x, x)
         qq = float(q @ q)
-        entry_d = x_sq[entry] - 2.0 * float(x[entry] @ q) + qq
+        # clamp: the BLAS identity rounds exact matches to ~-1e-16, and
+        # the L2 surface applies sqrt downstream — an unclamped negative
+        # becomes NaN, which Spark sorts LAST, dropping the true nearest
+        # neighbor from top-k on self-retrieval
+        entry_d = max(x_sq[entry] - 2.0 * float(x[entry] @ q) + qq, 0.0)
     else:
         entry_d = dq[entry]
     beam_ids = np.array([entry], dtype=np.int64)
@@ -86,6 +90,7 @@ def _greedy_search(
         if nbrs.size:
             if dq is None:
                 nd = x_sq[nbrs] - 2.0 * (x[nbrs] @ q) + qq
+                np.maximum(nd, 0.0, out=nd)
             else:
                 nd = dq[nbrs]
             in_beam[nbrs] = True
@@ -185,6 +190,11 @@ def build_vamana_graph(
     edges (re-pruned when over degree).
     """
     n = len(x)
+    # degenerate shards happen naturally (a tiny k-means cell, a 1-row
+    # corpus, post-delete consolidation) — guard BEFORE the random init,
+    # whose rng.choice(n - 1 = 0, ...) would raise
+    if n == 1:
+        return [np.empty(0, dtype=np.int64)], 0
     rng = np.random.default_rng(seed)
     deg = min(r_max, max(1, n - 1))
     adj: list[np.ndarray] = []
@@ -192,8 +202,6 @@ def build_vamana_graph(
         nbrs = rng.choice(n - 1, size=deg, replace=False)
         nbrs = nbrs + (nbrs >= i)  # skip self
         adj.append(nbrs.astype(np.int64))
-    if n == 1:
-        return [np.empty(0, dtype=np.int64)], 0
     med = medoid_index(x)
     x_sq = np.einsum("ij,ij->i", x, x)
     dmat = None

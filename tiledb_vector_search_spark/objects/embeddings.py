@@ -181,6 +181,11 @@ class BytesHistogramEmbedding(ObjectEmbedding):
     def embed(self, objects: pd.DataFrame) -> np.ndarray:
         out = np.zeros((len(objects), 256), dtype=np.float64)
         for i, blob in enumerate(objects[self.payload_col]):
+            if blob is None:
+                continue  # NULL payload -> zero-vector sentinel, the
+                # same one-corrupt-blob-must-not-fail-the-task posture
+                # as LumaGridEmbedding (bytes(None) raised TypeError and
+                # aborted the whole ingest job)
             arr = np.frombuffer(bytes(blob), dtype=np.uint8)
             if arr.size:
                 counts = np.bincount(arr, minlength=256)

@@ -58,7 +58,11 @@ def ingest_embeddings_with_driver(
     ts = timestamp if timestamp is not None else now_ms()
     uri = uri.rstrip("/")
     staging = (embeddings_uri or posixpath.join(uri, "embeddings_staging")).rstrip("/")
-    fs = HadoopFS(spark, uri)
+    # bind the probe to the STAGING uri's filesystem: the docstring
+    # invites a cross-scheme embeddings_uri (e.g. file:/ staging beside
+    # an s3a:// index), and Hadoop's checkPath throws 'Wrong FS' instead
+    # of returning False when the schemes differ
+    fs = HadoopFS(spark, staging)
 
     need_stage1 = not (resume and fs.exists(posixpath.join(staging, "_SUCCESS")))
     # resuming with no metadata columns never touches the object source —

@@ -188,6 +188,25 @@ class ObjectIndex:
                 path = backup
             else:
                 return None
+        if self._open_ts is not None:
+            # a consolidation folds log history into the base in place:
+            # metadata as of an EARLIER timestamp is no longer
+            # reconstructible (the log rows are gone) — raise instead of
+            # silently returning post-fold values the vector side's
+            # time-traveled snapshot diverges from
+            marker = posixpath.join(self.uri, "_object_metadata_meta.json")
+            if fs.exists(marker):
+                folded = int(
+                    json.loads(fs.read_text(marker)).get("folded_through", 0)
+                )
+                if int(self._open_ts) < folded:
+                    raise ValueError(
+                        f"metadata history through ts={folded} was folded "
+                        "by consolidate_object_metadata; a handle opened "
+                        f"at ts={int(self._open_ts)} cannot reconstruct "
+                        "its metadata view (same contract as a vacuumed "
+                        "vector snapshot) — reopen at latest"
+                    )
         base = self.spark.read.parquet(path)
         upath = posixpath.join(self.uri, METADATA_UPDATES_DIR)
         if not fs.exists(upath):
@@ -325,6 +344,19 @@ class ObjectIndex:
         merged = self.metadata()
         if merged is None:
             return
+        # capture the log files THIS fold consumes before writing: the
+        # blanket dir delete destroyed any batch a concurrent writer
+        # appended during the fold (its vectors survived — the vector
+        # side clears per-batch — so the two layers diverged silently).
+        # The write may re-list and fold a late-arriving file too; that
+        # file then survives in the log and re-applies idempotently
+        # (latest-per-id over a base already carrying its values).
+        upd_files = [
+            f for f in merged.inputFiles() if METADATA_UPDATES_DIR in f
+        ]
+        folded_hi = (
+            self.spark.read.parquet(upath).agg(F.max("ts")).first()[0]
+        )
         tmp = posixpath.join(self.uri, "object_metadata__new")
         live = posixpath.join(self.uri, "object_metadata")
         backup = posixpath.join(self.uri, "object_metadata__backup")
@@ -332,7 +364,27 @@ class ObjectIndex:
         fs.rename(live, backup)
         fs.rename(tmp, live)
         fs.delete(backup)
-        fs.delete(upath)
+        for f in upd_files:
+            fs.delete(f)
+        if not any(
+            n.endswith(".parquet") for n in fs.listdir(upath)
+        ):
+            fs.delete(upath)
+        if folded_hi is not None:
+            # record how far history was folded: a time-traveled handle
+            # opened BEFORE this point can no longer reconstruct its
+            # metadata view (the log rows are gone) — metadata() raises
+            # instead of silently returning newer values
+            marker = posixpath.join(self.uri, "_object_metadata_meta.json")
+            prev = 0
+            if fs.exists(marker):
+                prev = int(
+                    json.loads(fs.read_text(marker)).get("folded_through", 0)
+                )
+            fs.write_text_atomic(
+                marker,
+                json.dumps({"folded_through": max(prev, int(folded_hi))}),
+            )
 
     def _recover_metadata_backup(self, fs: "HadoopFS") -> str | None:
         """If a crashed consolidation left only the backup table, promote
@@ -405,13 +457,38 @@ class ObjectIndex:
         A graph walk (VAMANA) changes recall semantics under a
         pre-filter, so it keeps over-fetch.
         """
+        md_table = self.metadata()  # ONE resolution per query call
         if self.embedding.multi_vector:
-            return self._query_multi_vector(query_objects, k, **query_kw)
+            # the fusion path has no filtered variant yet: refusing is
+            # honest — the old early return silently IGNORED the filter
+            # arguments and returned unfiltered rows
+            if (
+                metadata_array_cond is not None
+                or metadata_df_filter_fn is not None
+                or filter_pushdown
+            ):
+                raise NotImplementedError(
+                    "metadata filtering is not supported for multi-vector "
+                    "embeddings; query without filters and filter the "
+                    "returned frame"
+                )
+            res = self._query_multi_vector(query_objects, k, **query_kw)
+            if return_metadata and md_table is not None:
+                res = res.join(md_table, ID_COL, "left")
+            if return_objects:
+                objs = self.reader.read_objects_by_external_ids(
+                    self.spark, res.select(ID_COL).distinct()
+                )
+                dup = [
+                    c for c in objs.columns if c != ID_COL and c in res.columns
+                ]
+                res = res.join(objs.drop(*dup), ID_COL, "left")
+            return res
         queries = self._embed_queries(query_objects)
         filtering = (
             metadata_array_cond is not None or metadata_df_filter_fn is not None
         )
-        if filtering and self.metadata() is None:
+        if filtering and md_table is None:
             raise ValueError("no metadata table to filter on")
         if filter_pushdown:
             if not filtering:
@@ -425,7 +502,7 @@ class ObjectIndex:
                     f"indexes; {self.index.index_type} uses the over-fetch "
                     "path (pass filter_pushdown=False)"
                 )
-            md = self.metadata()
+            md = md_table
             if metadata_array_cond is not None:
                 md = md.where(F.expr(metadata_array_cond))
             if metadata_df_filter_fn is not None:
@@ -448,12 +525,19 @@ class ObjectIndex:
                 queries, k, allowed_ids=md.select(ID_COL), **query_kw
             )
             if return_metadata:
-                res = res.join(self.metadata(), ID_COL, "left")
+                res = res.join(md_table, ID_COL, "left")
             if return_objects:
                 objs = self.reader.read_objects_by_external_ids(
                     self.spark, res.select(ID_COL).distinct()
                 )
-                res = res.join(objs, ID_COL, "left")
+                # metadata columns may already ride on res: keep the
+                # attached copy, drop the reader's — a plain join
+                # duplicated the names and every later reference raised
+                # AMBIGUOUS_REFERENCE
+                dup = [
+                    c for c in objs.columns if c != ID_COL and c in res.columns
+                ]
+                res = res.join(objs.drop(*dup), ID_COL, "left")
             return res
         fetch_k = k
         if filtering:
@@ -462,8 +546,7 @@ class ObjectIndex:
 
         if filtering:
             res = res.drop("rank")
-            md = self.metadata()
-            res = res.join(md, ID_COL, "left")
+            res = res.join(md_table, ID_COL, "left")
             if metadata_array_cond is not None:
                 res = res.where(F.expr(metadata_array_cond))
             if metadata_df_filter_fn is not None:
@@ -484,20 +567,23 @@ class ObjectIndex:
                 res.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
             )
-        elif return_metadata and self.metadata() is not None:
-            res = res.join(self.metadata(), ID_COL, "left")
+        elif return_metadata and md_table is not None:
+            res = res.join(md_table, ID_COL, "left")
 
         if filtering and return_metadata:
             pass  # metadata already attached by the filter join
         elif filtering and not return_metadata:
-            md_cols = [c for c in (self.metadata().columns) if c != ID_COL]
+            md_cols = [c for c in md_table.columns if c != ID_COL]
             res = res.drop(*md_cols)
 
         if return_objects:
             objs = self.reader.read_objects_by_external_ids(
                 self.spark, res.select(ID_COL).distinct()
             )
-            res = res.join(objs, ID_COL, "left")
+            dup = [
+                c for c in objs.columns if c != ID_COL and c in res.columns
+            ]
+            res = res.join(objs.drop(*dup), ID_COL, "left")
         return res
 
     def _query_multi_vector(self, query_objects, k: int, **query_kw: Any) -> DataFrame:
@@ -540,7 +626,14 @@ class ObjectIndex:
                 F.col("__orig_query").alias(QUERY_ID_COL),
                 "query_emb_id",
                 ID_COL,
-                (-F.col(DISTANCE_COL)).alias("score"),
+                # similarity orientation: negate only DESCENDING-good
+                # metrics; inner_product's raw score is already
+                # larger-is-better, and negating it inverted rankings
+                (
+                    (-F.col(DISTANCE_COL))
+                    if self.index.metric.ascending
+                    else F.col(DISTANCE_COL)
+                ).alias("score"),
             )
         )
         return fuse_multi_vector_scores(scored, k)

@@ -74,7 +74,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # the events table carries TIMESTAMP(NANOS) parquet, which Spark 4
         # rejects by default; read ns-as-long and convert (exact: the data
-        # is µs-resolution, so ns→µs truncation is lossless)
+        # is µs-resolution, so ns→µs truncation is lossless).  NOTE this
+        # legacy flag is SESSION-WIDE (it cannot be scoped to one read —
+        # execution consults the session conf at action time, so a
+        # restore here would break the returned frame): every later
+        # TIMESTAMP(NANOS) parquet read in the session gets bigint
+        # nanoseconds too.  get_spark() sets it at session creation so
+        # our sessions never depend on whether an events query ran
+        # first; this set covers externally-built sessions.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":

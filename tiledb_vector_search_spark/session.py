@@ -35,6 +35,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TIMESTAMP(NANOS) parquet (the driver events table) reads as
+        # long nanoseconds instead of erroring.  Set HERE, at session
+        # creation, so behavior never depends on whether an events-based
+        # query ran first — the registry's events reader also sets it
+        # defensively for sessions built elsewhere, and that set is
+        # SESSION-WIDE (documented there)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # pure COUNT/MIN/MAX resolve from parquet footers without a scan
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")

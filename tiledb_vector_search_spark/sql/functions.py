@@ -166,7 +166,7 @@ def register_sql_functions(
     Returns the registered names.  Idempotent (CREATE OR REPLACE).
     """
     registered = []
-    for name in names or SQL_FUNCTIONS:
+    for name in (names if names is not None else SQL_FUNCTIONS):
         # return type always derives from the analyzed builder; the body
         # does too unless the builder needs a lambda (see overrides above)
         body, rtype = render_function_sql(spark, SQL_FUNCTIONS[name])

@@ -203,7 +203,10 @@ def _load_centroids(uri: str, ts: int) -> np.ndarray:
 
 
 def _load_updates(
-    uri: str, base_ts: int, timestamp: int | None
+    uri: str,
+    base_ts: int,
+    timestamp: int | None,
+    committed_ts: "list[int] | None" = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
     """Resolved updates overlay in (base_ts, timestamp] —
     (tombstone_ids, addition_ids, addition_matrix).
@@ -212,6 +215,11 @@ def _load_updates(
     (ts desc, is_delete asc, vector lexicographic asc, nulls last).
     ``tombstone_ids`` is every updated id (upserts too — their base copy
     is superseded); additions re-add the upserted ids with new vectors.
+
+    ``committed_ts``: the meta's ``update_batches`` list — the meta flip
+    is the commit point, so rows from a batch whose parquet append
+    landed but whose meta write crashed must stay invisible (same
+    filter ``IndexStorage.read_updates_raw`` applies).
     """
     empty = np.empty(0, dtype=np.int64)
     ufs, files = _list_parquet_files(posixpath.join(uri, "updates"))
@@ -239,9 +247,19 @@ def _load_updates(
             tables.append(t)
     if not tables:
         return empty, empty, None
-    tb = pa.concat_tables(tables)
+    # permissive: log files can differ in nullability markers (batches
+    # written by different writers/sessions); values unify fine
+    tb = pa.concat_tables(tables, promote_options="permissive")
     ids = tb.column("external_id").to_numpy()
     tss = tb.column("ts").to_numpy()
+    if committed_ts is not None:
+        keep = np.isin(tss, np.array(sorted(committed_ts), dtype=np.int64))
+        if not keep.all():
+            tb = tb.filter(pa.array(keep))
+            ids = tb.column("external_id").to_numpy()
+            tss = tb.column("ts").to_numpy()
+        if tb.num_rows == 0:
+            return empty, empty, None
     dels = tb.column("is_delete").to_numpy(zero_copy_only=False)
     vecs = tb.column("vector").to_pylist()
     best: dict[int, tuple] = {}  # id -> (ts, is_delete, vec_key, vec)
@@ -458,7 +476,10 @@ def search_index_files(
     else:
         l_search = None
     upd = (
-        _load_updates(uri, ts, timestamp)
+        _load_updates(
+            uri, ts, timestamp,
+            committed_ts=[int(t) for t in meta.get("update_batches", [])],
+        )
         if pending
         else (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), None)
     )

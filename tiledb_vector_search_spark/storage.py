@@ -144,9 +144,30 @@ class HadoopFS:
 
     def __init__(self, spark: SparkSession, uri: str):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(uri).getFileSystem(self._conf)
+
+    def _rename_overwrite(self, src, dst) -> bool:
+        """Atomic overwrite-rename via FileContext (HDFS / local): the
+        destination is replaced in ONE namespace operation — no window
+        where it does not exist.  Returns False when the FS (or the
+        rename itself, e.g. onto a non-empty directory) doesn't support
+        it, so callers can fall back to delete-then-rename."""
+        try:
+            jvm = self._jvm
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._fs.getUri(), self._conf
+            )
+            opts = self._gateway.new_array(
+                jvm.org.apache.hadoop.fs.Options.Rename, 1
+            )
+            opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            fc.rename(src, dst, opts)
+            return True
+        except Exception:
+            return False
 
     def _p(self, path: str):
         return self._Path(path)
@@ -178,6 +199,13 @@ class HadoopFS:
         finally:
             out.close()
         target = self._p(path)
+        if self._rename_overwrite(self._p(tmp), target):
+            return
+        # fallback for filesystems without FileContext overwrite-rename:
+        # delete-then-rename has a window where the target is missing —
+        # a concurrent reader can see FileNotFound and a crash inside it
+        # loses the file (only the .tmp survives).  The primary path
+        # above has no such window on HDFS/local.
         if self._fs.exists(target):
             self._fs.delete(target, False)
         if not self._fs.rename(self._p(tmp), target):
@@ -321,6 +349,12 @@ class IndexStorage:
         return posixpath.join(self.uri, "updates")
 
     def append_updates(self, df: DataFrame, ts: int) -> None:
+        # pin the log schema regardless of literal magnitudes upstream:
+        # F.lit(small_ts) infers IntegerType, and a log whose batches
+        # mix int32/int64 ts files fails the merged parquet read
+        df = df.withColumn("ts", F.col("ts").cast("long")).withColumn(
+            "is_delete", F.col("is_delete").cast("boolean")
+        )
         df.write.mode("append").parquet(self.updates_path)
         meta = self.read_meta()
         meta["update_batches"].append(ts)
@@ -334,9 +368,18 @@ class IndexStorage:
         )
 
     def read_updates_raw(self) -> DataFrame:
-        if not self.read_meta()["update_batches"]:
+        batches = self.read_meta()["update_batches"]
+        if not batches:
             return self.spark.createDataFrame([], UPDATES_SCHEMA)
-        return self.spark.read.parquet(self.updates_path)
+        # the meta flip is the COMMIT POINT: a batch whose parquet
+        # append landed but whose meta write crashed must stay
+        # invisible (describe/has_updates already consult the list —
+        # without this filter, readers applied updates the metadata
+        # says do not exist).  Orphan rows get dropped for good at the
+        # next clear_updates_through rewrite.
+        return self.spark.read.parquet(self.updates_path).where(
+            F.col("ts").isin([int(t) for t in batches])
+        )
 
     def read_updates(
         self, lo_exclusive: int | None, hi_inclusive: int | None
