@@ -548,3 +548,150 @@ def test_truncated_scan_raises_valueerror_not_indexerror():
         trunc = blob[: len(blob) - cut]
         with pytest.raises(ValueError):
             decode_jpeg(trunc)
+
+
+# --- round-9 self-review regressions ------------------------------------------
+
+
+def _patch_sof_sampling(blob: bytes, hv: int) -> bytes:
+    """Rewrite the single component's sampling factors in SOF0."""
+    i = blob.index(b"\xff\xc0")
+    # FF C0 len(2) prec(1) h(2) w(2) nc(1) cid(1) hv(1)
+    assert blob[i + 9] == 1  # nc == 1 (grayscale)
+    out = bytearray(blob)
+    out[i + 11] = hv
+    return bytes(out)
+
+
+def test_single_component_2x2_sampling_decodes():
+    """A grayscale frame declaring 2x2 sampling factors is legal: an
+    Ns=1 scan is NON-interleaved, so the block grid is the component's
+    own raster (hmax == ch cancels) and the entropy stream is identical
+    to the 1x1 encoding.  Regression: the MCU-interleaved geometry
+    decoded 4 blocks per MCU on a padded grid and desynced the huffman
+    stream ('invalid JPEG huffman code')."""
+    from tiledb_vector_search_spark.objects.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (21, 19)).astype(np.uint8)
+    plain = encode_jpeg(img, quality=92)
+    want = decode_jpeg(plain)
+    got = decode_jpeg(_patch_sof_sampling(plain, 0x22))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_multi_scan_sequential_decodes():
+    """One SOS per component (non-interleaved sequential, legal T.81)
+    must decode identically to the interleaved single-scan file.
+    Regression: every scan iterated ALL frame components, crashing with
+    KeyError on the first single-component scan."""
+    import struct
+
+    from tiledb_vector_search_spark.objects import jpeg as J
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (17, 13, 3)).astype(np.uint8)
+    single = J.encode_jpeg(img, quality=90)
+    want = J.decode_jpeg(single)
+
+    # rebuild the same file as THREE single-component scans: headers up
+    # to the original SOS, then per-component SOS + entropy re-encoded
+    # from the identical coefficient grids
+    r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    qts = [
+        J._quality_scale(J._Q_LUMA, 90),
+        J._quality_scale(J._Q_CHROMA, 90),
+    ]
+    zz_grids = J._component_zz(planes, qts, 17, 13)
+    dc_enc = [
+        J._build_encode_table(*J._DC_LUMA),
+        J._build_encode_table(*J._DC_CHROMA),
+    ]
+    ac_enc = [
+        J._build_encode_table(*J._AC_LUMA),
+        J._build_encode_table(*J._AC_CHROMA),
+    ]
+
+    def scan_bytes(ci):
+        tid = 0 if ci == 0 else 1
+        wtr = J._BitWriter()
+        pred = 0
+        bh, bw = zz_grids[ci].shape[:2]
+        for by in range(bh):
+            for bx in range(bw):
+                zz = zz_grids[ci][by, bx]
+                diff = int(zz[0]) - pred
+                pred = int(zz[0])
+                t, mag = J._magnitude(diff)
+                code, ln = dc_enc[tid][t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(mag, t)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[tid][0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    t2, mag2 = J._magnitude(v)
+                    code, ln = ac_enc[tid][(run << 4) | t2]
+                    wtr.write(code, ln)
+                    wtr.write(mag2, t2)
+                    run = 0
+                if run:
+                    code, ln = ac_enc[tid][0x00]
+                    wtr.write(code, ln)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    sos_at = single.index(b"\xff\xda")
+    out = bytearray(single[:sos_at])
+    for ci in range(3):
+        th = 0 if ci == 0 else 1
+        sos = bytes([1, ci + 1, (th << 4) | th]) + b"\x00\x3f\x00"
+        out += struct.pack(">BBH", 0xFF, 0xDA, len(sos) + 2) + sos
+        out += scan_bytes(ci)
+    out += b"\xff\xd9"
+    got = J.decode_jpeg(bytes(out))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cmyk_component_count_raises():
+    """4-component (Adobe CMYK) frames previously decoded to silently
+    WRONG RGB (first three planes as YCbCr, K ignored)."""
+    import struct
+
+    from tiledb_vector_search_spark.objects import jpeg as J
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    blob = J.encode_jpeg(img)
+    i = blob.index(b"\xff\xc0")
+    out = bytearray(blob)
+    # declare 4 components (header byte only — parsing must refuse
+    # before reaching the malformed tail)
+    out[i + 9] = 4
+    with pytest.raises(NotImplementedError, match="components"):
+        J.decode_jpeg(bytes(out))
+
+
+def test_align_restart_truncation_raises_valueerror():
+    """Truncation mid restart interval must raise ValueError (the
+    corruption taxonomy callers filter on), not bare IndexError."""
+    from tiledb_vector_search_spark.objects.jpeg import _BitReader
+
+    r = _BitReader(b"\x12\x34\x56", 0)
+    with pytest.raises(ValueError, match="truncated"):
+        r.align_restart()

@@ -1116,3 +1116,55 @@ def test_register_sql_functions_empty_list(spark):
     from tiledb_vector_search_spark.sql import register_sql_functions
 
     assert register_sql_functions(spark, names=[]) == []
+
+
+def test_audio_features_isolate_corrupt_blob(spark):
+    """One corrupt WAV in a batch yields NULL features for THAT row
+    only — the phash64/audio_fingerprint posture.  Regression: the
+    ValueError escaped the mapInPandas generator and failed the whole
+    task (retries replay a deterministic failure, killing the job)."""
+    from tiledb_vector_search_spark.objects import codecs as C
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    wave = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2")
+    good = (
+        b"RIFF" + (36 + wave.nbytes).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + sr.to_bytes(4, "little") + (sr * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + wave.nbytes.to_bytes(4, "little") + wave.tobytes()
+    )
+    rows = [(1, bytearray(good)), (2, bytearray(b"not a wav at all")), (3, None)]
+    df = spark.createDataFrame(rows, "external_id long, audio binary")
+    feats = {
+        r.external_id: r
+        for r in C.extract_audio_features(df, "audio").collect()
+    }
+    assert feats[1].sample_rate == 8000 and feats[1].n_samples == sr
+    assert feats[2].sample_rate is None and feats[2].rms is None
+    assert feats[3].sample_rate is None
+
+
+def test_mjpeg_split_accepts_fill_bytes(spark):
+    """T.81 B.1.1.2 fill bytes (0xFF padding before a marker) are legal
+    and decode_jpeg accepts them; the MJPEG frame splitter previously
+    desynced on them (read the real marker byte as a segment length)
+    and rejected the whole stream."""
+    from tiledb_vector_search_spark.objects import codecs as C
+    from tiledb_vector_search_spark.objects.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    frame_a = encode_jpeg(rng.integers(0, 256, (16, 16)).astype(np.uint8))
+    frame_b = encode_jpeg(rng.integers(0, 256, (16, 16)).astype(np.uint8))
+    # insert one fill byte before frame A's first post-SOI marker
+    padded_a = frame_a[:2] + b"\xff" + frame_a[2:]
+    assert decode_jpeg(padded_a) is not None  # the decoder accepts it
+    frames = C.split_mjpeg_stream(padded_a + frame_b)
+    assert len(frames) == 2
+    for f in frames:
+        assert decode_jpeg(f) is not None

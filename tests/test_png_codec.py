@@ -357,3 +357,22 @@ def test_interlaced_with_filters():
             outb += b"\x01" + filt.astype(np.uint8).tobytes()
     out_sub = decode_png(_png_i(8, 8, 8, 2, bytes(outb), interlace=1))
     assert (out_plain == img).all() and (out_sub == img).all()
+
+
+def test_palette_index_out_of_range_raises_valueerror():
+    """A palette pixel index past the PLTE size is blob corruption and
+    must raise ValueError (the taxonomy every corrupt-PNG path uses and
+    callers' 'except ValueError' isolation depends on), not a bare
+    numpy IndexError."""
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 8, 3, 0, 0, 0)  # 4x1, palette
+    plte = b"\x00\x00\x00\xff\xff\xff"  # 2 entries
+    raster = zlib.compress(b"\x00" + bytes([0, 1, 3, 1]))  # index 3 > max
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", raster)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(blob)

@@ -244,13 +244,27 @@ def extract_audio_features(df, blob_col: str = "audio", id_col: str = "external_
         "duration_sec double, rms double, zero_crossing_rate double"
     )
 
+    nulls = {
+        "sample_rate": None, "n_samples": None, "channels": None,
+        "duration_sec": None, "rms": None, "zero_crossing_rate": None,
+    }
+
     def run(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             rows = []
             for eid, blob in zip(pdf[id_col], pdf[blob_col]):
-                rows.append({id_col: int(eid), **wav_features(bytes(blob))})
+                # per-blob isolation: one corrupt/truncated WAV in a
+                # crawled batch must not fail the whole task (the
+                # phash64/audio_fingerprint NULL-on-bad-blob posture) —
+                # retries replay a deterministic failure forever
+                try:
+                    feats = wav_features(bytes(blob)) if blob is not None \
+                        else dict(nulls)
+                except ValueError:
+                    feats = dict(nulls)
+                rows.append({id_col: int(eid), **feats})
             yield pd.DataFrame(rows)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema=schema)
@@ -440,7 +454,16 @@ def decode_png(blob: bytes) -> np.ndarray:
     if color == 3:  # palette → RGB (or RGBA with tRNS)
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
-        rgb = palette[px[:, :, 0]]
+        idx = px[:, :, 0]
+        if palette.shape[0] and int(idx.max(initial=0)) >= palette.shape[0]:
+            # corrupt blob, not a programming error: keep the module's
+            # ValueError taxonomy (callers isolate bad blobs with
+            # 'except ValueError'; a bare numpy IndexError crashed them)
+            raise ValueError(
+                "PNG palette index out of range "
+                f"({int(idx.max())} >= {palette.shape[0]} PLTE entries)"
+            )
+        rgb = palette[idx]
         if trns is not None:
             alpha = np.full((h, w, 1), 255, dtype=np.uint8)
             idx = px[:, :, 0]
@@ -603,6 +626,13 @@ def _jpeg_frame_end(blob: bytes, pos: int) -> int:
         if blob[p] != 0xFF:
             raise ValueError(f"JPEG marker desync at {p}")
         m = blob[p + 1]
+        if m == 0xFF:
+            # T.81 B.1.1.2 fill byte before a marker — decode_jpeg
+            # accepts these, so the frame splitter must too (treating
+            # the second 0xFF as a marker code read the REAL marker as
+            # a segment length and overran the frame)
+            p += 1
+            continue
         if m == 0xD9:  # EOI
             return p + 2
         if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone markers

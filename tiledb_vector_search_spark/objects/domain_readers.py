@@ -149,6 +149,14 @@ class BioImageDirectoryReader(ObjectReader):
     stable 63-bit ids, and the schema are real — pair with
     ``BytesHistogramEmbedding`` for a deterministic byte-level feature
     stand-in.
+
+    Payload amplification (known, stub-bound): each of the ``levels``
+    rows carries the FULL file bytes — without a bio-image codec there
+    is no way to slice one pyramid level's bytes, and the reference's
+    per-level objects are real level slices.  The cost is transient
+    task memory on the embed path only (vectors shuffle, payload bytes
+    never do); a real ``decode_level`` integration should emit level
+    slices here and remove the ×levels duplication.
     """
 
     def __init__(self, uri: str, glob: str = "*.tiff", levels: int = 1):

@@ -301,41 +301,13 @@ def _frame_indices(fr: dict) -> np.ndarray:
 
 def decode_gif_frames(blob: bytes) -> list[np.ndarray]:
     """Decode EVERY frame of a (possibly animated) GIF, composited per
-    the module-docstring contract, each ``(h, w, 3)`` uint8."""
-    sw, sh, bg, gct, frames = _parse_gif(blob)
-    if not frames:
-        raise ValueError("GIF contains no image")
-    if gct is not None and bg < len(gct):
-        bg_rgb = gct[bg]
-    else:
-        bg_rgb = np.zeros(3, np.uint8)
-    canvas = np.zeros((sh, sw, 4), np.uint8)  # transparent
-    out = []
-    for fr in frames:
-        disposal, trans, _delay = fr["gce"]
-        pal = fr["lct"] if fr["lct"] is not None else gct
-        if pal is None:
-            raise ValueError("GIF frame has no color table")
-        idx = _frame_indices(fr)
-        if int(idx.max(initial=0)) >= len(pal):
-            raise ValueError("GIF pixel index beyond the color table")
-        t, l, h, w = fr["top"], fr["left"], fr["h"], fr["w"]
-        region = canvas[t : t + h, l : l + w]
-        if region.shape[:2] != (h, w):
-            # mis-authored frame exceeding the logical screen: clip the
-            # raster to the on-screen part (PIL/browser behavior)
-            idx = idx[: region.shape[0], : region.shape[1]]
-        saved = region.copy() if disposal == 3 else None
-        opaque = idx != trans if trans >= 0 else np.ones_like(idx, bool)
-        region[opaque, :3] = pal[idx[opaque]]
-        region[opaque, 3] = 255
-        alpha = canvas[..., 3:] == 255
-        out.append(np.where(alpha, canvas[..., :3], bg_rgb).astype(np.uint8))
-        if disposal == 2:
-            region[:] = 0
-        elif disposal == 3:
-            region[:] = saved
-    return out
+    the module-docstring contract, each ``(h, w, 3)`` uint8.
+
+    Exactly :func:`sample_gif_frames` at ``every_n=1`` — ONE compositing
+    loop (canvas, disposal 2/3, transparency, screen clip) for both
+    surfaces, so a fix to one can't silently miss the other.
+    """
+    return sample_gif_frames(blob, every_n=1)
 
 
 def decode_gif(blob: bytes) -> np.ndarray:

@@ -249,10 +249,18 @@ class _BitReader:
         self.n -= k
 
     def align_restart(self) -> None:
-        """Discard to byte boundary and consume an RSTn marker."""
+        """Discard to byte boundary and consume an RSTn marker.
+        Truncation mid-interval raises ValueError — the corruption
+        taxonomy every caller filters on (a bare IndexError here broke
+        'except ValueError' blob isolation)."""
         self.n = 0
-        while self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] == 0x00:
+        end = len(self.buf) - 1
+        while self.pos < end and (
+            self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] == 0x00
+        ):
             self.pos += 1
+        if self.pos >= end:
+            raise ValueError("truncated JPEG scan")
         m = self.buf[self.pos + 1]
         if 0xD0 <= m <= 0xD7:
             self.pos += 2
@@ -368,6 +376,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     f"{JPEG_MAX_PIXELS} for the pure-Python entropy "
                     "path; decode with PIL"
                 )
+            if nc not in (1, 3):
+                # the color pipeline supports grayscale and YCbCr; a
+                # 4-component Adobe CMYK/YCCK frame previously decoded
+                # to silently WRONG RGB (first three planes treated as
+                # YCbCr, K ignored) and 2-component frames crashed
+                raise NotImplementedError(
+                    f"JPEG with {nc} components (CMYK/YCCK or exotic) "
+                    "unsupported by the pure-Python path; decode with PIL"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
@@ -388,6 +405,19 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     .reshape(mcuy * cv, mcux * ch, 64)
                     for _cid, ch, cv, _tq in comps
                 ]
+            else:
+                # sequential: pixel planes accumulate ACROSS scans too —
+                # T.81 allows one SOS per component (non-interleaved
+                # sequential), not just the common single interleaved scan
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                seq_planes = [
+                    np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+                    for _cid, ch, cv, _tq in comps
+                ]
+                seq_pending = {cid for cid, _ch, _cv, _tq in comps}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG process unsupported (install PIL)")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
@@ -412,10 +442,20 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                         blob, pos + 2 + length, frame, dict(sel_list), qt,
                         cond, restart,
                     )
-                return _decode_scan(
+                pos = _decode_scan(
                     blob, pos + 2 + length, frame, dict(sel_list), qt,
-                    dc_tabs, ac_tabs, restart,
+                    dc_tabs, ac_tabs, restart, seq_planes,
                 )
+                saw_scan = True
+                seq_pending -= {cs for cs, _t in sel_list}
+                if not seq_pending:
+                    h, w, comps, prec = frame
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    return _planes_to_image(
+                        seq_planes, comps, h, w, hmax, vmax, prec
+                    )
+                continue
             ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
             saw_scan = True
             if arith:
@@ -632,57 +672,106 @@ def _reconstruct_progressive(frame, coefs, qt):
     return _planes_to_image(planes, comps, h, w, hmax, vmax, prec)
 
 
-def _decode_scan(buf, pos, frame, sel, qt, dc_tabs, ac_tabs, restart):
+def _decode_scan(buf, pos, frame, sel, qt, dc_tabs, ac_tabs, restart, planes):
+    """Decode ONE sequential (SOF0/SOF1) scan into ``planes``; returns
+    the position of the next marker after the scan's entropy data.
+
+    Geometry per T.81: an Ns>1 scan interleaves the SCAN's components
+    over the frame MCU grid; an Ns=1 scan is NON-interleaved — a plain
+    raster over that component's own ceil-divided block grid, with NO
+    MCU padding (a single-component frame declaring 2x2 sampling
+    factors is legal and has 1 block per "MCU", not 4).  The first cut
+    iterated ALL frame components in every scan: a multi-scan
+    sequential file (one SOS per component) crashed with KeyError, and
+    the 2x2-grayscale case walked a padded grid straight into a
+    huffman desync.
+    """
     h, w, comps, prec = frame
     mid = float(1 << (prec - 1))
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
-    for _cid, ch, cv, _tq in comps:
-        planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64))
-    pred = [0] * len(comps)
+    comp_idx = {cid: i for i, (cid, _ch, _cv, _tq) in enumerate(comps)}
+    try:
+        scan_cis = [comp_idx[cs] for cs in sel]
+    except KeyError as exc:
+        raise ValueError(
+            f"JPEG scan references unknown component {exc.args[0]}"
+        ) from None
+    pred = {ci: 0 for ci in scan_cis}
     r = _BitReader(buf, pos)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_count and mcu_count % restart == 0:
-                r.align_restart()
-                pred = [0] * len(comps)
-            for ci, (cid, ch, cv, tq) in enumerate(comps):
-                dct_t = dc_tabs[sel[cid][0]]
-                act_t = ac_tabs[sel[cid][1]]
-                q = qt[tq]
-                for by in range(cv):
-                    for bx in range(ch):
-                        coef = np.zeros(64, dtype=np.int64)
-                        t = _decode_huff(r, dct_t)
-                        diff = _extend(r.bits(t), t)
-                        pred[ci] += diff
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(r, act_t)
-                            rr, ss = rs >> 4, rs & 0x0F
-                            if ss == 0:
-                                if rr == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            coef[k] = _extend(r.bits(ss), ss)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = coef * q
-                        px = _idct2(block.reshape(8, 8)) + mid
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_count += 1
-    return _planes_to_image(planes, comps, h, w, hmax, vmax, prec)
+
+    def decode_block_into(ci, by, bx):
+        cid, _ch, _cv, tq = comps[ci]
+        dct_t = dc_tabs[sel[cid][0]]
+        act_t = ac_tabs[sel[cid][1]]
+        q = qt[tq]
+        coef = np.zeros(64, dtype=np.int64)
+        t = _decode_huff(r, dct_t)
+        diff = _extend(r.bits(t), t)
+        pred[ci] += diff
+        coef[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = _decode_huff(r, act_t)
+            rr, ss = rs >> 4, rs & 0x0F
+            if ss == 0:
+                if rr == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += rr
+            if k > 63:
+                raise ValueError("JPEG AC index overflow")
+            coef[k] = _extend(r.bits(ss), ss)
+            k += 1
+        block = np.zeros(64, dtype=np.float64)
+        block[_ZIGZAG] = coef * q
+        px = _idct2(block.reshape(8, 8)) + mid
+        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+
+    count = 0
+    if len(scan_cis) == 1:
+        ci = scan_cis[0]
+        _cid, ch, cv, _tq = comps[ci]
+        bw_c = -(-(-(-w * ch // hmax)) // 8)
+        bh_c = -(-(-(-h * cv // vmax)) // 8)
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                if restart and count and count % restart == 0:
+                    r.align_restart()
+                    pred[ci] = 0
+                decode_block_into(ci, by, bx)
+                count += 1
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and count and count % restart == 0:
+                    r.align_restart()
+                    for ci in scan_cis:
+                        pred[ci] = 0
+                for ci in scan_cis:
+                    _cid, ch, cv, _tq = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            decode_block_into(ci, my * cv + by, mx * ch + bx)
+                count += 1
+
+    # resync: skip to the next real marker (RSTn and stuffed FF00 are
+    # entropy-layer artifacts, not segment boundaries)
+    p = r.pos
+    n = len(buf)
+    while p + 1 < n:
+        if buf[p] == 0xFF:
+            if buf[p + 1] == 0xFF:
+                # T.81 B.1.1.2: 0xFF fill bytes may pad before a marker
+                p += 1
+                continue
+            if buf[p + 1] != 0x00 and not (0xD0 <= buf[p + 1] <= 0xD7):
+                return p
+        p += 1
+    return p
 
 
 def _planes_to_image(planes, comps, h, w, hmax, vmax, prec=8):
@@ -701,6 +790,10 @@ def _planes_to_image(planes, comps, h, w, hmax, vmax, prec=8):
         full.append(p[:h, :w])
     if len(full) == 1:
         return np.clip(np.rint(full[0]), 0, maxv).astype(dtype)
+    if len(full) != 3:
+        raise ValueError(
+            f"cannot color-convert {len(full)} JPEG components"
+        )
     y, cb, cr = full[0], full[1] - mid, full[2] - mid
     rgb = np.stack(
         [
@@ -804,22 +897,12 @@ def encode_jpeg(
     wtr = _BitWriter()
     pred = [0] * len(planes)
     bh, bw = -(-h // 8), -(-w // 8)
+    zz_grids = _component_zz(planes, qts, h, w, mid=mid)
     for by in range(bh):
         for bx in range(bw):
-            for ci, p in enumerate(planes):
+            for ci in range(len(planes)):
                 tid = 0 if ci == 0 else 1
-                q = qts[tid]
-                blk = np.full((8, 8), 0.0)
-                ys, xs = by * 8, bx * 8
-                sub = p[ys : min(ys + 8, h), xs : min(xs + 8, w)]
-                blk[: sub.shape[0], : sub.shape[1]] = sub
-                # edge-replicate partial blocks (avoids ringing vs zeros)
-                if sub.shape[0] < 8:
-                    blk[sub.shape[0] :, :] = blk[sub.shape[0] - 1, :]
-                if sub.shape[1] < 8:
-                    blk[:, sub.shape[1] :] = blk[:, sub.shape[1] - 1][:, None]
-                coef = _fdct2(blk - mid)
-                zz = np.rint(coef.reshape(64)[_ZIGZAG] / q).astype(np.int64)
+                zz = zz_grids[ci][by, bx]
                 diff = int(zz[0]) - pred[ci]
                 pred[ci] = int(zz[0])
                 t, mag = _magnitude(diff)
@@ -899,9 +982,14 @@ _DC_EXT = ([0, 0, 0, 0, 16, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
            list(range(17)))
 
 
-def _component_zz(planes, qts, h, w):
+def _component_zz(planes, qts, h, w, mid=128.0):
     """Per-component (bh, bw, 64) zigzag-quantized coefficient grids —
-    the shared coefficient front half of both encoders (4:4:4)."""
+    the ONE coefficient front half (block extract, edge-replicate,
+    FDCT, quantize) of BOTH encoders (4:4:4).  ``mid`` is the level
+    shift (128 for 8-bit, 2048 for 12-bit) — the sequential encoder
+    used to inline this loop and the two copies had to stay identical
+    by parallel edits; now the progressive/sequential coefficient
+    equality holds by construction."""
     bh, bw = -(-h // 8), -(-w // 8)
     out = []
     for ci, p in enumerate(planes):
@@ -917,7 +1005,7 @@ def _component_zz(planes, qts, h, w):
                     blk[sub.shape[0] :, :] = blk[sub.shape[0] - 1, :]
                 if sub.shape[1] < 8:
                     blk[:, sub.shape[1] :] = blk[:, sub.shape[1] - 1][:, None]
-                coef = _fdct2(blk - 128.0)
+                coef = _fdct2(blk - mid)
                 zz[by, bx] = np.rint(coef.reshape(64)[_ZIGZAG] / q).astype(
                     np.int64
                 )
