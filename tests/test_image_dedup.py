@@ -254,3 +254,24 @@ def test_combination_banding_adversarial_completeness(spark):
     assert (0, 1, max_h) in got and (0, 2, max_h) in got
     assert (0, 3, max_h) in got
     assert not any(a == 0 and b == 4 for a, b, _ in got)
+
+
+def test_phash_frame_skips_null_ids(spark):
+    """A NULL external_id row must be skipped, not kill the task: the
+    id conversion sat OUTSIDE the per-row try, so one bad row failed
+    the whole mapInPandas stage deterministically."""
+    import numpy as np
+
+    from tiledb_vector_search_spark.objects.codecs import encode_pnm
+    from tiledb_vector_search_spark.operators.image_dedup import phash64
+
+    img = encode_pnm(
+        np.random.default_rng(1).integers(0, 256, (16, 16)).astype(np.uint8)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(img)), (None, bytearray(img)), (2, None)],
+        "external_id long, image binary",
+    )
+    rows = {r.external_id: r.phash for r in phash64(df).collect()}
+    assert set(rows) == {1, 2}  # the NULL-id row vanished, task alive
+    assert rows[1] is not None and rows[2] is None

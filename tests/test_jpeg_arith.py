@@ -228,3 +228,37 @@ def test_golden_fixtures_are_fresh():
         raw = g.source_pixels(w, h, ch)
         arith = g.encode(raw, w, h, ch, q, "arith", extra)
         assert arith == (GOLDEN / f"{name}.jpg").read_bytes(), name
+
+
+# --- round-9 self-review regressions ------------------------------------------
+
+
+def _gray_seq() -> bytes:
+    return (GOLDEN / "gray_seq.jpg").read_bytes()
+
+
+def test_arith_single_component_2x2_sampling_decodes():
+    """Mirror of the Huffman regression: a grayscale SOF9 frame
+    declaring 2x2 sampling factors is legal (Ns=1 scans are
+    NON-interleaved, so the entropy stream is identical to 1x1); the
+    old MCU-interleaved geometry silently desynced the arithmetic
+    decoder on a padded grid."""
+    blob = _gray_seq()
+    want = decode_jpeg(blob)
+    i = blob.index(b"\xff\xc9")
+    assert blob[i + 9] == 1  # nc == 1
+    patched = bytearray(blob)
+    patched[i + 11] = 0x22
+    got = decode_jpeg(bytes(patched))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_arith_unknown_scan_component_raises_valueerror():
+    """Corrupt-blob taxonomy: a scan referencing a component id the
+    frame doesn't declare must raise ValueError (callers isolate bad
+    blobs with 'except ValueError'), not a raw KeyError."""
+    blob = bytearray(_gray_seq())
+    i = blob.index(b"\xff\xda")
+    blob[i + 5] = 0x77  # unknown component id
+    with pytest.raises(ValueError, match="unknown component"):
+        decode_jpeg(bytes(blob))

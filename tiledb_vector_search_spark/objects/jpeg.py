@@ -438,10 +438,20 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                         decode_scan_arith,
                     )
 
-                    return decode_scan_arith(
+                    pos = decode_scan_arith(
                         blob, pos + 2 + length, frame, dict(sel_list), qt,
-                        cond, restart,
+                        cond, restart, seq_planes,
                     )
+                    saw_scan = True
+                    seq_pending -= {cs for cs, _t in sel_list}
+                    if not seq_pending:
+                        h, w, comps, prec = frame
+                        hmax = max(c[1] for c in comps)
+                        vmax = max(c[2] for c in comps)
+                        return _planes_to_image(
+                            seq_planes, comps, h, w, hmax, vmax, prec
+                        )
+                    continue
                 pos = _decode_scan(
                     blob, pos + 2 + length, frame, dict(sel_list), qt,
                     dc_tabs, ac_tabs, restart, seq_planes,
@@ -479,6 +489,24 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     # a frame header with no decoded scan (crawl truncation) must raise,
     # not fabricate a flat-gray canvas from all-zero coefficients
     raise ValueError("JPEG missing scan data")
+
+
+def _marker_resync(buf: bytes, p: int) -> int:
+    """Offset of the next REAL marker at/after ``p``: stuffed FF00 and
+    RSTn are entropy-layer artifacts, 0xFF fill bytes (T.81 B.1.1.2)
+    may pad before a marker.  THE one resync scanner — both entropy
+    backends and both scan shapes ride it, so edge-case fixes cannot
+    diverge between copies."""
+    n = len(buf)
+    while p + 1 < n:
+        if buf[p] == 0xFF:
+            if buf[p + 1] == 0xFF:
+                p += 1
+                continue
+            if buf[p + 1] != 0x00 and not (0xD0 <= buf[p + 1] <= 0xD7):
+                return p
+        p += 1
+    return p
 
 
 def _decode_progressive_scan(
@@ -634,20 +662,7 @@ def _decode_progressive_scan(
                 unit(coefs[ci][by, bx], ci, td, ta)
                 count += 1
 
-    # resync: skip to the next real marker (RSTn and stuffed FF00 are
-    # entropy-layer artifacts, not segment boundaries)
-    p = r.pos
-    n = len(buf)
-    while p + 1 < n:
-        if buf[p] == 0xFF:
-            if buf[p + 1] == 0xFF:
-                # T.81 B.1.1.2: 0xFF fill bytes may pad before a marker
-                p += 1
-                continue
-            if buf[p + 1] != 0x00 and not (0xD0 <= buf[p + 1] <= 0xD7):
-                return p
-        p += 1
-    return p
+    return _marker_resync(buf, r.pos)
 
 
 def _reconstruct_progressive(frame, coefs, qt):
@@ -758,20 +773,7 @@ def _decode_scan(buf, pos, frame, sel, qt, dc_tabs, ac_tabs, restart, planes):
                             decode_block_into(ci, my * cv + by, mx * ch + bx)
                 count += 1
 
-    # resync: skip to the next real marker (RSTn and stuffed FF00 are
-    # entropy-layer artifacts, not segment boundaries)
-    p = r.pos
-    n = len(buf)
-    while p + 1 < n:
-        if buf[p] == 0xFF:
-            if buf[p + 1] == 0xFF:
-                # T.81 B.1.1.2: 0xFF fill bytes may pad before a marker
-                p += 1
-                continue
-            if buf[p + 1] != 0x00 and not (0xD0 <= buf[p + 1] <= 0xD7):
-                return p
-        p += 1
-    return p
+    return _marker_resync(buf, r.pos)
 
 
 def _planes_to_image(planes, comps, h, w, hmax, vmax, prec=8):

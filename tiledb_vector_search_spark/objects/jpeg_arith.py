@@ -369,67 +369,86 @@ def resync_restart(buf: bytes, dec: ArithDecoder) -> ArithDecoder:
 
 
 def scan_end(buf: bytes, dec: ArithDecoder) -> int:
-    """Byte offset of the next real marker after the scan (skipping
-    stuffed FF00 and RSTn, tolerating FF fill bytes)."""
-    p = dec.marker_at if dec.marker_at is not None else dec.pos
-    n = len(buf)
-    while p + 1 < n:
-        if buf[p] == 0xFF:
-            if buf[p + 1] == 0xFF:
-                p += 1
-                continue
-            if buf[p + 1] != 0x00 and not (0xD0 <= buf[p + 1] <= 0xD7):
-                return p
-        p += 1
-    return p
+    """Byte offset of the next real marker after the scan — delegates
+    to the ONE resync scanner shared with the Huffman backend."""
+    from tiledb_vector_search_spark.objects.jpeg import _marker_resync
+
+    return _marker_resync(
+        buf, dec.marker_at if dec.marker_at is not None else dec.pos
+    )
 
 
-def decode_scan_arith(buf, pos, frame, sel, qt, cond, restart):
-    """Sequential arithmetic scan (SOF9) → decoded image; mirrors the
-    Huffman ``_decode_scan`` MCU loop with the T.81 F.2.4 entropy layer
-    (restart: fresh decoder + statistics/context reset)."""
+def decode_scan_arith(buf, pos, frame, sel, qt, cond, restart, planes):
+    """Decode ONE sequential arithmetic scan (SOF9) into ``planes``;
+    returns the offset of the next marker.  Mirrors the Huffman
+    ``_decode_scan`` geometry EXACTLY: an Ns>1 scan interleaves the
+    SCAN's components over the frame MCU grid; an Ns=1 scan is
+    NON-interleaved (a raster over the component's own ceil-divided
+    block grid) — the first cut iterated ALL frame components per MCU,
+    crashing multi-scan files with KeyError and silently desyncing on
+    single-component frames with subsampled declarations.  Restart:
+    fresh decoder + statistics/context reset."""
     from tiledb_vector_search_spark.objects.jpeg import (
         _ZIGZAG,
         _idct2,
-        _planes_to_image,
     )
 
     h, w, comps, prec = frame
     mid = float(1 << (prec - 1))
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
-        for _cid, ch, cv, _tq in comps
-    ]
+    comp_idx = {cid: i for i, (cid, _ch, _cv, _tq) in enumerate(comps)}
+    try:
+        scan_cis = [comp_idx[cs] for cs in sel]
+        q_of = {ci: qt[comps[ci][3]] for ci in scan_cis}
+    except KeyError as exc:
+        # corrupt-blob taxonomy: callers isolate bad blobs with
+        # 'except ValueError' — a raw KeyError here failed whole tasks
+        raise ValueError(
+            f"JPEG scan references unknown component/table {exc.args[0]}"
+        ) from None
     state = _ScanState(len(comps))
     dec = ArithDecoder(buf, pos)
-    mcu_count = 0
     coef = np.zeros(64, dtype=np.int64)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_count and mcu_count % restart == 0:
-                dec = resync_restart(buf, dec)
-                state.reset()
-            for ci, (cid, ch, cv, tq) in enumerate(comps):
-                td, ta = sel[cid]
-                q = qt[tq]
-                for by in range(cv):
-                    for bx in range(ch):
-                        coef[:] = 0
-                        decode_block_sequential(
-                            dec, state, cond, ci, td, ta, coef
-                        )
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = coef * q
-                        px = _idct2(block.reshape(8, 8)) + mid
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_count += 1
-    return _planes_to_image(planes, comps, h, w, hmax, vmax, prec)
+
+    def decode_block_into(ci, by, bx):
+        cid = comps[ci][0]
+        td, ta = sel[cid]
+        coef[:] = 0
+        decode_block_sequential(dec, state, cond, ci, td, ta, coef)
+        block = np.zeros(64, dtype=np.float64)
+        block[_ZIGZAG] = coef * q_of[ci]
+        px = _idct2(block.reshape(8, 8)) + mid
+        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+
+    count = 0
+    if len(scan_cis) == 1:
+        ci = scan_cis[0]
+        _cid, ch, cv, _tq = comps[ci]
+        bw_c = -(-(-(-w * ch // hmax)) // 8)
+        bh_c = -(-(-(-h * cv // vmax)) // 8)
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                if restart and count and count % restart == 0:
+                    dec = resync_restart(buf, dec)
+                    state.reset()
+                decode_block_into(ci, by, bx)
+                count += 1
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and count and count % restart == 0:
+                    dec = resync_restart(buf, dec)
+                    state.reset()
+                for ci in scan_cis:
+                    _cid, ch, cv, _tq = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            decode_block_into(ci, my * cv + by, mx * ch + bx)
+                count += 1
+    return scan_end(buf, dec)
 
 
 def decode_progressive_scan_arith(
@@ -446,6 +465,11 @@ def decode_progressive_scan_arith(
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     comp_idx = {c[0]: i for i, c in enumerate(comps)}
+    for cs, _t in sel_list:
+        if cs not in comp_idx:
+            raise ValueError(
+                f"JPEG scan references unknown component {cs}"
+            )
     if ss == 0 and se != 0:
         raise ValueError("invalid progressive scan header (Ss=0, Se!=0)")
     if ss > se or se > 63:

@@ -325,14 +325,15 @@ def encode_vp8_frame(
 
 
 def wrap_webp(vp8_payload: bytes) -> bytes:
-    """RIFF/WEBP container around a raw ``VP8 `` chunk payload."""
-    import struct
+    """RIFF/WEBP container around a raw ``VP8 `` chunk payload — the
+    ONE framing implementation (webp.py's), not a private copy whose
+    padding/size handling could drift."""
+    from tiledb_vector_search_spark.objects.webp import (
+        _riff_chunk,
+        _riff_container,
+    )
 
-    chunk = b"VP8 " + struct.pack("<I", len(vp8_payload)) + vp8_payload
-    if len(vp8_payload) & 1:
-        chunk += b"\x00"
-    riff = b"WEBP" + chunk
-    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+    return _riff_container(_riff_chunk(b"VP8 ", vp8_payload))
 
 
 def encode_vp8_lossy_image(img: np.ndarray, y_ac_qi: int = 8) -> bytes:

@@ -382,7 +382,9 @@ def _inverse_predictor(argb: np.ndarray, modes: np.ndarray, bits: int) -> None:
     without this, a legal 20 MP predictor-transformed WebP cost minutes
     of per-pixel Python (a CPU bomb the max-pixels guard can't see)."""
     h, w, _ = argb.shape
-    px = argb.astype(np.int64)
+    # int32 suffices (sums bounded by a few x 255) — the int64 copy was
+    # a 2x transient (~512 MB at the 16 MP guard ceiling) per task
+    px = argb.astype(np.int32)
 
     def tr_slice(y, x0, x1):
         """prev-row top-right neighbors for run [x0, x1); the rightmost

@@ -66,6 +66,8 @@ def audio_fingerprint(
                 continue
             ids, fps = [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                if pd.isna(i):
+                    continue  # NULL id: int() would kill the task
                 ids.append(int(i))
                 try:
                     x, _rate = decode_wav(bytes(blob))

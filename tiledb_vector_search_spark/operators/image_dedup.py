@@ -106,6 +106,9 @@ def phash64(
                 continue
             ids, hashes = [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                if pd.isna(i):
+                    continue  # NULL id: int() would kill the task —
+                    # per-row isolation covers the id column too
                 ids.append(int(i))
                 try:
                     hashes.append(phash64_pixels(decode_image(bytes(blob))))

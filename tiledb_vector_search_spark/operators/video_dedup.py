@@ -105,6 +105,8 @@ def video_frame_phashes(
                 continue
             ids, fidx, hashes = [], [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                if pd.isna(i):
+                    continue  # NULL id: int() would kill the task
                 try:
                     frames = sample_video_frames(bytes(blob), every_n)
                 except Exception:
