@@ -26,7 +26,11 @@ from tiledb_vector_search_spark.functions.distance import (
     DistanceMetric,
     normalize_expr,
 )
-from tiledb_vector_search_spark.schemas import ID_COL, VECTOR_COL
+from tiledb_vector_search_spark.schemas import (
+    ID_COL,
+    VECTOR_COL,
+    integral_id_col,
+)
 from tiledb_vector_search_spark.storage import IndexStorage, now_ms
 from tiledb_vector_search_spark.session import small_df
 
@@ -271,7 +275,9 @@ class Index:
         if queries is not None:
             truth_q = (
                 queries.select(
-                    F.col("query_id").cast("long").alias("query_id"),
+                    integral_id_col(
+                        queries, "query_id", "measure_recall_curve"
+                    ).alias("query_id"),
                     F.col(VECTOR_COL)
                     .cast("array<float>")
                     .alias(VECTOR_COL),
@@ -384,6 +390,11 @@ class Index:
             )
         if not cols[VECTOR_COL].startswith("array<"):
             raise ValueError(f"{VECTOR_COL} must be an array column")
+        # type-level id check: a string query_id would cast to NULL and
+        # a fractional one would truncate — distinct queries silently
+        # MERGE under one id (the BM25 kernel's wave-2 finding, closed
+        # here for the vector side at the shared validation point)
+        integral_id_col(queries, "query_id", "query")
         # ONE aggregate job validates EVERY row, not just the first: a
         # ragged batch (heterogeneous sources) would otherwise pass and
         # fail deep in the kernels (object-dtype matmul) or, worse,
@@ -423,7 +434,7 @@ class Index:
         ts = timestamp if timestamp is not None else now_ms()
         if isinstance(rows, DataFrame):
             df = rows.select(
-                F.col(ID_COL).cast("long"),
+                integral_id_col(rows, ID_COL, "update_batch").alias(ID_COL),
                 F.col(VECTOR_COL).cast("array<float>"),
             )
         else:
@@ -456,7 +467,7 @@ class Index:
         delete first and the upsert at a later ts."""
         ts = timestamp if timestamp is not None else now_ms()
         df = rows.select(
-            F.col(ID_COL).cast("long"),
+            integral_id_col(rows, ID_COL, "merge_batch").alias(ID_COL),
             F.col(VECTOR_COL).cast("array<float>"),
             F.col("is_delete").cast("boolean"),
         )

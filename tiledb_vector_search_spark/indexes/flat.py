@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from tiledb_vector_search_spark.functions.distance import DistanceMetric
 from tiledb_vector_search_spark.indexes.base import Index
 from tiledb_vector_search_spark.operators.knn import knn_bruteforce
-from tiledb_vector_search_spark.schemas import ID_COL, VECTOR_COL
+from tiledb_vector_search_spark.schemas import (
+    ID_COL,
+    VECTOR_COL,
+    integral_id_col,
+)
 from tiledb_vector_search_spark.storage import IndexStorage, now_ms
 
 
@@ -62,7 +66,7 @@ class FlatIndex(Index):
         if is_byte_dtype(vector_dtype):
             vectors = ensure_packed(
                 source.select(
-                    F.col(id_col).cast("long").alias(ID_COL),
+                    integral_id_col(source, id_col, "FlatIndex.ingest").alias(ID_COL),
                     F.col(vector_col).alias(VECTOR_COL),
                 ),
                 vector_dtype,
@@ -70,7 +74,7 @@ class FlatIndex(Index):
             )
         else:
             vectors = source.select(
-                F.col(id_col).cast("long").alias(ID_COL),
+                integral_id_col(source, id_col, "FlatIndex.ingest").alias(ID_COL),
                 F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
             )
         from tiledb_vector_search_spark.indexes.base import count_and_dims
@@ -172,7 +176,11 @@ class FlatIndex(Index):
         vecs = self.effective_vectors()
         if allowed_ids is not None:
             vecs = vecs.join(
-                allowed_ids.select(F.col(ID_COL).cast("long").alias(ID_COL)),
+                allowed_ids.select(
+                    integral_id_col(
+                        allowed_ids, ID_COL, "FlatIndex.query allowed_ids"
+                    ).alias(ID_COL)
+                ),
                 ID_COL,
                 "left_semi",
             )

@@ -50,6 +50,7 @@ from tiledb_vector_search_spark.schemas import (
     PARTITION_COL,
     QUERY_ID_COL,
     VECTOR_COL,
+    integral_id_col,
 )
 from tiledb_vector_search_spark.storage import IndexStorage, now_ms
 from tiledb_vector_search_spark.session import small_df
@@ -139,7 +140,7 @@ class IVFFlatIndex(Index):
         if byte_vectors:
             vectors = ensure_packed(
                 source.select(
-                    F.col(id_col).cast("long").alias(ID_COL),
+                    integral_id_col(source, id_col, "IVFFlatIndex.ingest").alias(ID_COL),
                     F.col(vector_col).alias(VECTOR_COL),
                 ),
                 vector_dtype,
@@ -147,7 +148,7 @@ class IVFFlatIndex(Index):
             )
         else:
             vectors = source.select(
-                F.col(id_col).cast("long").alias(ID_COL),
+                integral_id_col(source, id_col, "IVFFlatIndex.ingest").alias(ID_COL),
                 F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
             )
         if metric is DistanceMetric.COSINE:
@@ -501,7 +502,9 @@ class IVFFlatIndex(Index):
             )
         if allowed_ids is not None:
             allowed_ids = allowed_ids.select(
-                F.col(ID_COL).cast("long").alias(ID_COL)
+                integral_id_col(
+                    allowed_ids, ID_COL, "IVFFlatIndex.query allowed_ids"
+                ).alias(ID_COL)
             )
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)))
         metric = self.metric

@@ -62,6 +62,7 @@ from tiledb_vector_search_spark.schemas import (
     PARTITION_COL,
     QUERY_ID_COL,
     VECTOR_COL,
+    integral_id_col,
 )
 from tiledb_vector_search_spark.storage import IndexStorage, now_ms
 from tiledb_vector_search_spark.session import small_df
@@ -305,7 +306,7 @@ class IVFPQIndex(Index):
         if is_byte_dtype(vector_dtype):
             vectors = ensure_packed(
                 source.select(
-                    F.col(id_col).cast("long").alias(ID_COL),
+                    integral_id_col(source, id_col, "IVFPQIndex.ingest").alias(ID_COL),
                     F.col(vector_col).alias(VECTOR_COL),
                 ),
                 vector_dtype,
@@ -313,7 +314,7 @@ class IVFPQIndex(Index):
             )
         else:
             vectors = source.select(
-                F.col(id_col).cast("long").alias(ID_COL),
+                integral_id_col(source, id_col, "IVFPQIndex.ingest").alias(ID_COL),
                 F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
             )
         n, dims = count_and_dims(vectors, check_unique_ids=True)
@@ -924,7 +925,9 @@ class IVFPQIndex(Index):
             base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
         if allowed_ids is not None:
             allowed_ids = allowed_ids.select(
-                F.col(ID_COL).cast("long").alias(ID_COL)
+                integral_id_col(
+                    allowed_ids, ID_COL, "IVFPQIndex.query allowed_ids"
+                ).alias(ID_COL)
             )
             base = base.join(allowed_ids, ID_COL, "left_semi")
 
@@ -1023,7 +1026,9 @@ class IVFPQIndex(Index):
             base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
         if allowed_ids is not None:
             allowed_ids = allowed_ids.select(
-                F.col(ID_COL).cast("long").alias(ID_COL)
+                integral_id_col(
+                    allowed_ids, ID_COL, "IVFPQIndex.query allowed_ids"
+                ).alias(ID_COL)
             )
             base = base.join(allowed_ids, ID_COL, "left_semi")
 

@@ -56,6 +56,7 @@ from tiledb_vector_search_spark.schemas import (
     PARTITION_COL,
     QUERY_ID_COL,
     VECTOR_COL,
+    integral_id_col,
 )
 from tiledb_vector_search_spark.storage import IndexStorage, now_ms
 from tiledb_vector_search_spark.session import small_df
@@ -141,7 +142,7 @@ class VamanaIndex(Index):
         if byte_vectors:
             vectors = ensure_packed(
                 source.select(
-                    F.col(id_col).cast("long").alias(ID_COL),
+                    integral_id_col(source, id_col, "VamanaIndex.ingest").alias(ID_COL),
                     F.col(vector_col).alias(VECTOR_COL),
                 ),
                 vector_dtype,
@@ -149,7 +150,7 @@ class VamanaIndex(Index):
             )
         else:
             vectors = source.select(
-                F.col(id_col).cast("long").alias(ID_COL),
+                integral_id_col(source, id_col, "VamanaIndex.ingest").alias(ID_COL),
                 F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
             )
         if metric is DistanceMetric.COSINE:

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiledb_vector_search_spark.objects.readers import ObjectReader
-from tiledb_vector_search_spark.schemas import ID_COL, VECTOR_COL
+from tiledb_vector_search_spark.schemas import (
+    ID_COL,
+    VECTOR_COL,
+    integral_id_col,
+)
 from tiledb_vector_search_spark.sources.arrays import sparse_coo_to_vectors
 
 
@@ -56,7 +60,9 @@ class Array1DReader(ObjectReader):
         if self.end_offset is not None:
             df = df.where(F.col(self.id_col) < F.lit(int(self.end_offset)))
         return df.select(
-            F.col(self.id_col).cast("long").alias(ID_COL),
+            integral_id_col(
+                df, self.id_col, type(self).__name__
+            ).alias(ID_COL),
             F.col(self.vector_col).cast("array<float>").alias(VECTOR_COL),
         )
 
@@ -123,8 +129,11 @@ class SomaAnnDataReader(ObjectReader):
             ID_COL, F.col(VECTOR_COL).cast("array<float>").alias(VECTOR_COL)
         )
         if self.obs_uri is not None:
-            obs = spark.read.parquet(self.obs_uri).select(
-                F.col(self.cell_col).cast("long").alias(ID_COL),
+            obs_raw = spark.read.parquet(self.obs_uri)
+            obs = obs_raw.select(
+                integral_id_col(
+                    obs_raw, self.cell_col, type(self).__name__
+                ).alias(ID_COL),
                 *self._metadata,
             )
             cells = cells.join(obs, ID_COL, "left")

@@ -1337,8 +1337,24 @@ def semantic_dedup(
     # float64 keeps the cosine/centroid decisions bit-comparable to a
     # double-precision oracle (the driver-verified entry uses it)
     sql_t = "array<float>" if vector_dtype == "float32" else "array<double>"
+    # string ids are first-class (the other dedup operators' contract):
+    # grouping and the min-id canonical need only a total order.  The
+    # old unconditional cast("long") nulled string ids silently; a
+    # fractional id would truncate-and-merge, so it raises.
+    id_type = dict(df.dtypes)[id_col]
+    if id_type == "string":
+        id_is_str, id_sql = True, "string"
+    elif id_type in ("tinyint", "smallint", "int", "bigint"):
+        id_is_str, id_sql = False, "long"
+    else:
+        raise TypeError(
+            f"semantic_dedup: id column {id_col!r} has type {id_type}; "
+            "expected an integral or string id"
+        )
     vecs = df.select(
-        F.col(id_col).cast("long").alias("__id"),
+        (F.col(id_col) if id_is_str else F.col(id_col).cast("long")).alias(
+            "__id"
+        ),
         F.col(vector_col).cast(sql_t).alias("__v"),
     )
     if centroids is None:
@@ -1366,7 +1382,9 @@ def semantic_dedup(
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id", ignore_index=True)
-        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        ids = pdf["__id"].to_numpy(
+            dtype=object if id_is_str else np.int64
+        )
         x = np.asarray(list(pdf["__v"]), dtype=np.float64)
         cl = int(pdf["__cluster"].iloc[0])
         norms = np.linalg.norm(x, axis=1)
@@ -1391,16 +1409,17 @@ def semantic_dedup(
         cent = bc.value[cl]
         d_cent = np.linalg.norm(x - cent[None, :], axis=1)
         keep_flag = np.zeros(m, dtype=bool)
-        group_id = np.empty(m, dtype=np.int64)
+        group_id = np.empty(m, dtype=object if id_is_str else np.int64)
         for r in np.unique(roots):
             members = np.nonzero(roots == r)[0]
-            group_id[members] = ids[members].min()
+            # python min: object-dtype string ids have no np reduction
+            group_id[members] = min(ids[i] for i in members)
             if policy == "min_id":
-                chosen = members[np.argmin(ids[members])]
+                chosen = min(members, key=lambda i: ids[i])
             else:  # centroid_far: farthest from centroid, ties by id
                 far = d_cent[members]
                 best = members[far == far.max()]
-                chosen = best[np.argmin(ids[best])]
+                chosen = min(best, key=lambda i: ids[i])
             keep_flag[chosen] = True
         return pd.DataFrame(
             {
@@ -1411,7 +1430,9 @@ def semantic_dedup(
             }
         )
 
-    schema = f"{id_col} long, cluster int, group_id long, keep boolean"
+    schema = (
+        f"{id_col} {id_sql}, cluster int, group_id {id_sql}, keep boolean"
+    )
     return (
         assigned.groupBy("__cluster")
         .applyInPandas(dedup_cluster, schema)

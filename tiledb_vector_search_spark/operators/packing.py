@@ -69,13 +69,30 @@ def pack_sequences(
         if token_count_col is not None
         else token_count_regex(text_col)
     )
+    # string ids are first-class (crawl URLs, content hashes): sharding
+    # hashes the string form either way, and the greedy scan only needs
+    # a total order, which strings have.  The old unconditional
+    # cast("long") turned string ids into NULLs (ANSI off) — every doc
+    # packed under doc_id NULL with an arbitrary order.  Fractional ids
+    # raise rather than truncate-and-merge.
+    id_type = dict(docs.dtypes)[id_col]
+    if id_type == "string":
+        id_expr, id_sql = F.col(id_col), "string"
+    elif id_type in ("tinyint", "smallint", "int", "bigint"):
+        id_expr, id_sql = F.col(id_col).cast("long"), "long"
+    else:
+        raise TypeError(
+            f"pack_sequences: id column {id_col!r} has type {id_type}; "
+            "expected an integral or string id (a fractional id would "
+            "truncate silently, merging distinct documents)"
+        )
     narrow = docs.select(
         F.pmod(
             stable_hash64(F.col(id_col).cast("string")), F.lit(num_shards)
         )
         .cast("int")
         .alias("shard"),
-        F.col(id_col).cast("long").alias("doc_id"),
+        id_expr.alias("doc_id"),
         tc.cast("long").alias("n_tokens"),
     )
     cap = max_tokens
@@ -96,7 +113,7 @@ def pack_sequences(
         return pdf
 
     return narrow.groupBy("shard").applyInPandas(
-        pack, schema="shard int, doc_id long, n_tokens long, seq long"
+        pack, schema=f"shard int, doc_id {id_sql}, n_tokens long, seq long"
     )
 
 

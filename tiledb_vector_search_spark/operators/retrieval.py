@@ -573,8 +573,13 @@ class BM25Index:
         ).where(F.col("term") != "")
         tomb = self._tombstones()
         if tomb is not None:
+            # tombstones carry the index's own doc-id type (string ids
+            # are first-class here); casting the incoming ids to LONG
+            # made the semi-join miss every string id, silently letting
+            # a tombstoned doc re-enter masked by the delete filter
+            tomb_type = dict(tomb.dtypes)["doc_id"]
             hit = (
-                docs.select(F.col(id_col).cast("long").alias("doc_id"))
+                docs.select(F.col(id_col).cast(tomb_type).alias("doc_id"))
                 .join(tomb, "doc_id", "semi")
                 .limit(1)
                 .count()
@@ -689,15 +694,23 @@ class BM25Index:
             fenced_meta_flip,
         )
 
+        post = self.spark.read.parquet(*self._postings_dirs())
+        # align the caller's ids to the INDEX's doc-id type — the old
+        # unconditional cast("long") turned every id on a string-keyed
+        # index into NULL, the isNotNull filter dropped them ALL, and
+        # the delete silently NO-OP'd (the caller saw success while the
+        # docs stayed searchable — a data-retention bug)
+        doc_id_type = dict(post.dtypes)["doc_id"]
         del_ids = (
-            ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+            ids.select(
+                F.col(ids.columns[0]).cast(doc_id_type).alias("doc_id")
+            )
             .where(F.col("doc_id").isNotNull())
             .distinct()
         )
         tomb = self._tombstones()
         if tomb is not None:
             del_ids = del_ids.join(tomb, "doc_id", "left_anti")
-        post = self.spark.read.parquet(*self._postings_dirs())
         del_post = post.join(del_ids, "doc_id").persist(
             StorageLevel.MEMORY_AND_DISK
         )

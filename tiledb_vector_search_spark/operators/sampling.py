@@ -52,6 +52,11 @@ def hash_split(
     labeled ``holdout``).  Assignment is by disjoint bucket range in
     insertion order, so it is deterministic and exactly reproducible.
     """
+    if not splits:
+        raise ValueError(
+            "hash_split needs at least one named split (an empty dict "
+            "would label every row 'holdout')"
+        )
     total = sum(splits.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"split fractions sum to {total} > 1")

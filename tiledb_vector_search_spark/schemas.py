@@ -15,6 +15,8 @@ Spark has no unsigned 64-bit — we use LongType, document the id domain as
 
 from __future__ import annotations
 
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 ID_COL = "external_id"
@@ -57,6 +59,39 @@ CENTROID_SCHEMA = T.StructType(
         T.StructField("centroid", T.ArrayType(T.DoubleType(), False), False),
     ]
 )
+
+# Simple-string dtypes Spark casts to long WITHOUT loss.  Everything
+# else is refused at the id boundaries: with ANSI mode off (the Spark
+# default) a string id casts to NULL and a fractional id TRUNCATES —
+# both silent, both catastrophic for an id column (rows merge under
+# one null/truncated key, joins match nothing, deletes no-op).  The
+# vector-index id domain is int64 by design (reference uint64 ids, see
+# module docstring); corpora with string keys hash/assign an int64 id
+# upstream.  The check is type-level — free, no data scan.
+_INTEGRAL_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def integral_id_col(df: DataFrame, col: str, context: str) -> Column:
+    """Validated ``df[col]`` → long, for external-id / query-id columns.
+
+    Raises ``TypeError`` on string / fractional / decimal / boolean id
+    columns instead of letting the long cast corrupt them silently.
+    """
+    t = dict(df.dtypes).get(col)
+    if t is None:
+        raise ValueError(
+            f"{context}: no column {col!r} in {list(df.columns)}"
+        )
+    if t not in _INTEGRAL_ID_TYPES:
+        raise TypeError(
+            f"{context}: id column {col!r} has type {t}, but ids are "
+            f"int64 — a string id would cast to NULL and a fractional "
+            f"id would truncate (silently merging distinct ids). "
+            f"Assign integral ids upstream (e.g. a hash or a "
+            f"monotonically-increasing id) and cast explicitly."
+        )
+    return F.col(col).cast("long")
+
 
 # k-NN result row: one row per (query, neighbor) pair, ranked.
 KNN_RESULT_SCHEMA = T.StructType(

@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from tiledb_vector_search_spark.schemas import QUERY_ID_COL, VECTOR_COL
+from tiledb_vector_search_spark.schemas import (
+    QUERY_ID_COL,
+    VECTOR_COL,
+    integral_id_col,
+)
 
 
 def stream_search_index(
@@ -60,7 +64,9 @@ def stream_search_index(
 
         idx = open_index(batch_df.sparkSession, index_uri)
         q = batch_df.select(
-            F.col(query_id_col).cast("long").alias(QUERY_ID_COL),
+            integral_id_col(
+                batch_df, query_id_col, "stream_search_index"
+            ).alias(QUERY_ID_COL),
             F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
         )
         sink(idx.query(q, k, **qkw), batch_id)

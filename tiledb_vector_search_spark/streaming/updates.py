@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from tiledb_vector_search_spark.schemas import ID_COL, VECTOR_COL
+from tiledb_vector_search_spark.schemas import (
+    ID_COL,
+    VECTOR_COL,
+    integral_id_col,
+)
 
 
 def stream_updates_to_index(
@@ -54,7 +58,9 @@ def stream_updates_to_index(
         # distributed via merge_batch — no driver collect of delete ids
         if delete_col is not None:
             merged = batch_df.select(
-                F.col(id_col).cast("long").alias(ID_COL),
+                integral_id_col(
+                    batch_df, id_col, "stream_updates_to_index"
+                ).alias(ID_COL),
                 F.when(
                     ~F.col(delete_col), F.col(vector_col).cast("array<float>")
                 ).alias(VECTOR_COL),
@@ -62,7 +68,9 @@ def stream_updates_to_index(
             )
         else:
             merged = batch_df.select(
-                F.col(id_col).cast("long").alias(ID_COL),
+                integral_id_col(
+                    batch_df, id_col, "stream_updates_to_index"
+                ).alias(ID_COL),
                 F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
                 F.lit(False).alias("is_delete"),
             )
