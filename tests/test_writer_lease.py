@@ -1,0 +1,165 @@
+"""Writer lease: mutual exclusion for artifact mutations (wave 6).
+
+VERDICT r8/r9 adjudicated the meta fence's residual gap honestly: a
+symmetric sub-second interleave (a full competing commit inside one
+writer's pre-check→rename window) could still lose a batch silently,
+and only a store CAS closes it.  ``storage.writer_lease`` is that CAS
+approximation — an atomic-create lock file (POSIX O_EXCL locally, HDFS
+create-no-overwrite) held across every ``BM25Index`` /
+``MinHashReference`` mutation — so two writers are never inside a
+read-modify-write at once and the interleave cannot start.  It also
+serializes ``vacuum_orphans`` against live mutations (unserialized, a
+vacuum racing an in-flight add reclaims the add's staged dirs moments
+before their commit).
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+import pytest
+
+from tiledb_vector_search_spark.storage import (
+    ConcurrentWriterError,
+    HadoopFS,
+    WRITER_LOCK_FILE,
+    writer_lease,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, f"document number {i} about topic {i % 7} and term {i % 3}")
+            for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25(spark, docs, uri):
+    from tiledb_vector_search_spark.operators.retrieval import BM25Index
+
+    return BM25Index.build(spark, uri, docs, id_col="doc_id", text_col="text")
+
+
+# -- primitive -------------------------------------------------------------
+
+
+def test_lease_excludes_and_releases(spark, tmp_path):
+    d = str(tmp_path)
+    fs = HadoopFS(spark, d)
+    with writer_lease(fs, d):
+        assert fs.exists(posixpath.join(d, WRITER_LOCK_FILE))
+        with pytest.raises(ConcurrentWriterError, match="holds the mutation"):
+            with writer_lease(fs, d):
+                pass
+    # released: re-acquire works
+    assert not fs.exists(posixpath.join(d, WRITER_LOCK_FILE))
+    with writer_lease(fs, d):
+        pass
+
+
+def test_lease_stale_takeover(spark, tmp_path):
+    d = str(tmp_path)
+    fs = HadoopFS(spark, d)
+    # a crashed writer cannot release; its expired lease is re-claimed
+    fs.write_text_atomic(
+        posixpath.join(d, WRITER_LOCK_FILE),
+        json.dumps({"nonce": "dead", "acquired_ms": 1, "ttl_ms": 5}),
+    )
+    with writer_lease(fs, d):
+        held = json.loads(fs.read_text(posixpath.join(d, WRITER_LOCK_FILE)))
+        assert held["nonce"] != "dead"
+
+
+def test_lease_empty_lock_is_stale(spark, tmp_path):
+    """A crash between the atomic claim and the payload write leaves an
+    empty lock — treated as stale by construction."""
+    d = str(tmp_path)
+    fs = HadoopFS(spark, d)
+    assert fs.create_exclusive(posixpath.join(d, WRITER_LOCK_FILE), "")
+    fs.write_text_atomic(posixpath.join(d, WRITER_LOCK_FILE), "")
+    with writer_lease(fs, d):
+        pass
+
+
+def test_create_exclusive_is_exclusive(spark, tmp_path):
+    fs = HadoopFS(spark, str(tmp_path))
+    p = str(tmp_path / "claim")
+    assert fs.create_exclusive(p, "mine")
+    assert not fs.create_exclusive(p, "theirs")
+    assert fs.read_text(p) == "mine"
+
+
+# -- artifact mutations hold the lease --------------------------------------
+
+
+def test_bm25_mutation_blocked_while_lease_held(spark, docs, tmp_path):
+    uri = str(tmp_path / "bm")
+    idx = _bm25(spark, docs, uri)
+    fs = HadoopFS(spark, uri)
+    more = spark.createDataFrame([(100, "fresh text")], "doc_id long, text string")
+    with writer_lease(fs, uri):
+        with pytest.raises(ConcurrentWriterError, match="lease"):
+            idx.add_documents(more)
+        with pytest.raises(ConcurrentWriterError, match="lease"):
+            idx.remove_documents(
+                spark.createDataFrame([(1,)], "doc_id long")
+            )
+        with pytest.raises(ConcurrentWriterError, match="lease"):
+            idx.vacuum_orphans()
+    # lease released: the same mutations now succeed
+    idx.add_documents(more)
+    assert idx.n_docs == 41
+
+
+def test_minhash_mutation_blocked_while_lease_held(spark, docs, tmp_path):
+    from tiledb_vector_search_spark.operators.dedup import MinHashReference
+
+    uri = str(tmp_path / "mh")
+    ref = MinHashReference.build(
+        spark, uri, docs, id_col="doc_id", text_col="text"
+    )
+    fs = HadoopFS(spark, uri)
+    more = spark.createDataFrame(
+        [(200, "completely new reference text")], "doc_id long, text string"
+    )
+    with writer_lease(fs, uri):
+        with pytest.raises(ConcurrentWriterError, match="lease"):
+            ref.add_documents(more)
+        with pytest.raises(ConcurrentWriterError, match="lease"):
+            ref.consolidate()
+    ref.add_documents(more)  # released → works
+
+
+def test_bm25_crashed_writer_lease_expires(spark, docs, tmp_path):
+    """A zombie's leftover lock does not brick the artifact: past its
+    TTL the next writer takes over."""
+    uri = str(tmp_path / "bm2")
+    idx = _bm25(spark, docs, uri)
+    fs = HadoopFS(spark, uri)
+    fs.write_text_atomic(
+        posixpath.join(uri, WRITER_LOCK_FILE),
+        json.dumps({"nonce": "zombie", "acquired_ms": 1, "ttl_ms": 10}),
+    )
+    idx.add_documents(
+        spark.createDataFrame([(300, "post crash")], "doc_id long, text string")
+    )
+    assert idx.n_docs == 41
+    # and the takeover's lease was released after the mutation
+    assert not fs.exists(posixpath.join(uri, WRITER_LOCK_FILE))
+
+
+def test_lifecycle_under_lease_unchanged(spark, docs, tmp_path):
+    """Single-writer sequences behave exactly as before — the lease is
+    invisible to the one-writer steady state."""
+    uri = str(tmp_path / "bm3")
+    idx = _bm25(spark, docs, uri)
+    idx.add_documents(
+        spark.createDataFrame([(400, "added later")], "doc_id long, text string")
+    )
+    idx.remove_documents(spark.createDataFrame([(0,)], "doc_id long"))
+    idx.consolidate()
+    assert idx.n_docs == 40  # 40 + 1 - 1
+    q = spark.createDataFrame([(1, "added later")], "qid long, qt string")
+    hits = idx.query(q, k=3, query_id_col="qid", query_text_col="qt").collect()
+    assert 400 in {int(r["doc_id"]) for r in hits}

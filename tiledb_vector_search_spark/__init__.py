@@ -37,7 +37,10 @@ from tiledb_vector_search_spark.indexes import (
     open_index,
 )
 from tiledb_vector_search_spark.ingestion import ingest
-from tiledb_vector_search_spark.storage import ConcurrentWriterError
+from tiledb_vector_search_spark.storage import (
+    ConcurrentWriterError,
+    writer_lease,
+)
 from tiledb_vector_search_spark import utils
 from tiledb_vector_search_spark.compat import (
     STORAGE_VERSION,
@@ -84,6 +87,7 @@ __all__ = [
     "validate_top_k",
     "Mode",
     "ConcurrentWriterError",
+    "writer_lease",
     "utils",
     "STORAGE_VERSION",
     "storage_formats",

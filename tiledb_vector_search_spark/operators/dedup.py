@@ -27,6 +27,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tiledb_vector_search_spark.storage import locked_mutation
 from tiledb_vector_search_spark.functions.text import (
     doc_fingerprint,
     stable_hash64,
@@ -1562,6 +1563,7 @@ class MinHashReference:
             ).count(),
         }
 
+    @locked_mutation
     def consolidate(self) -> None:
         """Fold every committed ``add_documents`` batch into fresh base
         dirs — the dedup twin of ``BM25Index.consolidate``.
@@ -1639,6 +1641,7 @@ class MinHashReference:
         for d in old_dirs:
             fs.delete(d)
 
+    @locked_mutation
     def add_documents(
         self, ref_df: DataFrame, idempotency_key: str | None = None
     ) -> None:
@@ -1763,6 +1766,7 @@ class MinHashReference:
             return None
         return self.spark.read.parquet(path)
 
+    @locked_mutation
     def vacuum_orphans(self) -> list:
         """Delete staged batch dirs no committed meta references —
         leftovers of crashed mutations and of fenced-off concurrent
@@ -1770,7 +1774,10 @@ class MinHashReference:
         resolve dirs only through meta, so orphans are invisible by
         construction; this reclaims the bytes.  The per-key replay
         records (``ids_batches``) referenced by the idempotency ledger
-        stay.  Returns the deleted paths."""
+        stay.  The writer lease serializes it against live mutations —
+        unserialized, a vacuum racing an in-flight add would reclaim
+        the add's staged dirs moments before their commit.  Returns
+        the deleted paths."""
         import posixpath
 
         from tiledb_vector_search_spark.storage import HadoopFS

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiledb_vector_search_spark.functions.text import tokens
+from tiledb_vector_search_spark.storage import locked_mutation
 from tiledb_vector_search_spark.operators.topk import topk_window
 
 DEFAULT_K1 = 1.2
@@ -520,6 +521,7 @@ class BM25Index:
             "batch_debt": len(add_b) + len(del_b),
         }
 
+    @locked_mutation
     def add_documents(
         self, docs: DataFrame, idempotency_key: str | None = None
     ) -> None:
@@ -669,6 +671,7 @@ class BM25Index:
         )
         return f"{ordinal}-{uuid.uuid4().hex[:8]}"
 
+    @locked_mutation
     def remove_documents(self, ids: DataFrame) -> None:
         """Tombstone deletes — the lexical twin of the ANN side's
         updates-log delete (reference DML surface: ``index.py:418-501``).
@@ -749,6 +752,7 @@ class BM25Index:
             int(self.meta.get("meta_version", 0)),
         )
 
+    @locked_mutation
     def consolidate(self) -> None:
         """Fold every committed add/delete batch into fresh base dirs —
         the lexical twin of the ANN side's ``consolidate_updates``
@@ -822,13 +826,17 @@ class BM25Index:
         for d in old_post_dirs + old_stats_dirs:
             fs.delete(d)
 
+    @locked_mutation
     def vacuum_orphans(self) -> list[str]:
         """Delete staged batch dirs no committed meta references —
         leftovers of crashed mutations and of fenced-off concurrent
         writers (the fence deliberately abandons the loser's staged
-        dirs rather than risk touching the winner's).  Safe at any
-        time: readers resolve dirs only through meta, so an orphan is
-        invisible by construction; this just reclaims the bytes.
+        dirs rather than risk touching the winner's).  Readers resolve
+        dirs only through meta, so an orphan is invisible by
+        construction; this just reclaims the bytes.  The writer lease
+        serializes it against live mutations — unserialized, a vacuum
+        racing an in-flight add would reclaim the add's staged dirs
+        moments before their commit.
         Returns the deleted paths."""
         from tiledb_vector_search_spark.storage import HadoopFS
 

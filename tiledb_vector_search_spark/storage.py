@@ -32,10 +32,12 @@ deployment target.  No driver-local ``os.path``/``shutil`` on data paths.
 
 from __future__ import annotations
 
+import functools
 import json
 import posixpath
 import time
 import uuid
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -87,14 +89,17 @@ def fenced_meta_flip(
     writer A renames AND post-verifies (sees its own nonce, returns
     success) entirely inside the window between B's pre-check and B's
     rename; B then renames and also verifies clean.  Both calls report
-    success and A's batch is dropped.  Closing that window needs a
-    compare-and-swap primitive in the store (HDFS atomic-create lease
-    files, S3 conditional PUTs).  What the fence DOES guarantee: the
-    realistic zombie-writer scenario — a stale driver whose handle
-    predates the new writer's commits by seconds or more — always
-    raises instead of silently clobbering, and any loss window is the
-    sub-second span of a single competing commit, not the zombie's
-    whole staleness.
+    success and A's batch is dropped.  That window is closed one layer
+    UP by :func:`writer_lease` (every artifact mutation holds the
+    atomic-create lock, so two writers are never inside the
+    read-modify-write at once) on stores with an atomic create —
+    POSIX O_EXCL, HDFS create-no-overwrite.  On object stores without
+    one (plain S3 PUT), the lease is advisory and this fence is the
+    remaining guarantee: the realistic zombie-writer scenario — a
+    stale driver whose handle predates the new writer's commits by
+    seconds or more — always raises instead of silently clobbering,
+    and any loss window is the sub-second span of a single competing
+    commit, not the zombie's whole staleness.
 
     Returns the committed meta (``meta_version`` bumped, fresh
     ``writer_nonce``) for the caller to adopt as its in-memory state.
@@ -125,6 +130,95 @@ def fenced_meta_flip(
             "and retry against the surviving state."
         )
     return committed
+
+
+WRITER_LOCK_FILE = "_writer_lock"
+# generous by design: the lease guards WHOLE mutations (Spark jobs
+# included), and a live writer outlasting its TTL would expose it to
+# takeover — so the TTL is sized for the slowest plausible increment,
+# not the common case.  The meta fence stays underneath as the
+# backstop for anything the lease misses.
+DEFAULT_LEASE_TTL_MS = 10 * 60 * 1000
+
+
+@contextmanager
+def writer_lease(
+    fs: "HadoopFS", artifact_uri: str, ttl_ms: int = DEFAULT_LEASE_TTL_MS
+):
+    """Mutual exclusion for artifact mutations: an atomic-create lock
+    file — the store-CAS approximation that closes the meta fence's
+    documented symmetric-interleave window on stores with an atomic
+    create (POSIX O_EXCL locally, HDFS create-no-overwrite).
+
+    The fence (:func:`fenced_meta_flip`) detects a competing commit at
+    the flip; this lease PREVENTS two writers from being inside a
+    mutation at all, so the fence's sub-second silent-loss interleave
+    cannot start.  It also serializes ``vacuum_orphans`` against live
+    mutations — without it, a vacuum racing an in-flight add could
+    reclaim the add's staged dirs moments before their commit.
+
+    Protocol: atomically create ``_writer_lock`` (nonce + acquire time
+    + TTL).  If it exists: a FRESH holder raises
+    ``ConcurrentWriterError``; a STALE one (older than its TTL — a
+    crashed writer, which cannot release) is deleted and re-claimed,
+    where the atomic create arbitrates concurrent takeovers (both
+    delete, exactly one create wins).  Release deletes the lock only if
+    it still carries our nonce.  On object stores without an atomic
+    create the lock degrades to advisory and the meta fence remains
+    the guarantee — same honesty boundary as before, now one layer
+    narrower.
+    """
+    path = posixpath.join(artifact_uri, WRITER_LOCK_FILE)
+    nonce = uuid.uuid4().hex
+    payload = json.dumps(
+        {"nonce": nonce, "acquired_ms": now_ms(), "ttl_ms": int(ttl_ms)}
+    )
+    if not fs.create_exclusive(path, payload):
+        try:
+            held = json.loads(fs.read_text(path))
+        except Exception:
+            held = {}  # empty/corrupt lock (crash mid-claim) = stale
+        age = now_ms() - int(held.get("acquired_ms", 0))
+        if held and age <= int(held.get("ttl_ms", ttl_ms)):
+            raise ConcurrentWriterError(
+                f"another writer holds the mutation lease on "
+                f"{artifact_uri} (age {age} ms, ttl "
+                f"{held.get('ttl_ms', ttl_ms)} ms).  The artifact is "
+                "single-writer: sequence mutations through one writer, "
+                "or wait for the holder to finish.  A crashed holder's "
+                "lease expires after its TTL."
+            )
+        fs.delete(path, recursive=False)
+        if not fs.create_exclusive(path, payload):
+            raise ConcurrentWriterError(
+                f"lost the lease takeover race on {artifact_uri}: "
+                "another writer re-claimed the expired lock first."
+            )
+    try:
+        yield
+    finally:
+        try:
+            held = json.loads(fs.read_text(path))
+            if held.get("nonce") == nonce:
+                fs.delete(path, recursive=False)
+        except Exception:
+            pass  # lock already gone or taken over — nothing to release
+
+
+def locked_mutation(fn):
+    """Decorator serializing an artifact mutation method under
+    :func:`writer_lease`.  The instance must expose ``spark`` and
+    ``uri`` (the ``BM25Index`` / ``MinHashReference`` contract)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args: Any, **kwargs: Any):
+        fs = HadoopFS(self.spark, self.uri)
+        with writer_lease(fs, self.uri):
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 # every layout this reader understands (reference analogue:
 # ``storage_formats.py:3-48`` keeps one entry per released layout and
 # ``test_backwards_compatibility.py`` reads them all).  spark-0.1 wrote the
@@ -210,6 +304,45 @@ class HadoopFS:
             self._fs.delete(target, False)
         if not self._fs.rename(self._p(tmp), target):
             raise IOError(f"rename {tmp} -> {path} failed")
+
+    def create_exclusive(self, path: str, content: str) -> bool:
+        """Create ``path`` IF ABSENT; False when it already exists.
+
+        Atomic where the store supports it: local paths go through
+        ``java.nio.Files.createFile`` (O_CREAT|O_EXCL — Hadoop's
+        RawLocalFileSystem check-then-create is NOT atomic); other
+        schemes use ``FileSystem.create(overwrite=false)``, a single
+        namespace op on HDFS.  The content lands after the claim, so a
+        crash between the two leaves an EMPTY lock — readers treat
+        empty/corrupt as stale by construction.
+        """
+        p = self._p(path)
+        scheme = self._fs.getUri().getScheme()
+        if scheme in (None, "file"):
+            jnio = self._jvm.java.nio.file
+            try:
+                # java.io.File(...).toPath() avoids the Paths.get varargs
+                jnio.Files.createFile(
+                    self._jvm.java.io.File(p.toUri().getPath()).toPath(),
+                    self._gateway.new_array(
+                        self._jvm.java.nio.file.attribute.FileAttribute, 0
+                    ),
+                )
+            except Exception:
+                return False
+        else:
+            try:
+                out = self._fs.create(p, False)
+                out.close()
+            except Exception:
+                return False
+        # claimed: write the payload in place (we own the file)
+        out = self._fs.create(p, True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        return True
 
     def read_bytes(self, path: str) -> bytes:
         stream = self._fs.open(self._p(path))
