@@ -209,3 +209,20 @@ def test_sparse_coo_duplicate_coordinates_sum(spark):
     rows = sparse_coo_to_vectors(coo, dims=3).orderBy("external_id").collect()
     assert rows[0].vector == [3.0, 0.0, 5.0]
     assert rows[1].vector == [0.0, 7.0, 0.0]
+
+
+def test_sparse_coo_out_of_range_raises(spark):
+    """scipy coo_matrix RAISES on out-of-bounds coordinates; the dense
+    transform only reads positions [0, dims), so an unguarded reader
+    silently DROPPED them — hiding real source corruption."""
+    import pytest as _pytest
+
+    from tiledb_vector_search_spark.sources.arrays import sparse_coo_to_vectors
+
+    for bad_idx in (3, -1):
+        coo = spark.createDataFrame(
+            [(1, 0, 1.0), (1, bad_idx, 9.0)],
+            "external_id long, idx int, val double",
+        )
+        with _pytest.raises(Exception, match="out of range"):
+            sparse_coo_to_vectors(coo, dims=3).collect()

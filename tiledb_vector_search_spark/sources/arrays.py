@@ -34,8 +34,24 @@ def sparse_coo_to_vectors(
     Both aggregations are hash-partitioned with map-side combine; the
     dense array assembles from a position→value map, JVM-side.
     """
+    # scipy coo_matrix RAISES on out-of-bounds coordinates; silently
+    # skipping them here (positions outside [0, dims) are simply never
+    # read by the transform below) would hide real source corruption.
+    # The guard is inline — zero cost on valid rows, no extra job.
+    checked_idx = F.when(
+        (F.col(idx_col) < 0) | (F.col(idx_col) >= dims),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"sparse_coo_to_vectors: {idx_col} out of range "
+                    f"[0, {dims}): "
+                ),
+                F.col(idx_col).cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(F.col(idx_col).cast("int"))
     summed = coo.groupBy(
-        F.col(id_col).alias(ID_COL), F.col(idx_col).cast("int").alias("__i")
+        F.col(id_col).alias(ID_COL), checked_idx.alias("__i")
     ).agg(F.sum(F.col(val_col)).alias("__v"))
     entries = summed.groupBy(ID_COL).agg(
         F.map_from_entries(
