@@ -376,6 +376,84 @@ def _bench_queries(spark, sf_dir):
         ), stats
         return stats
 
+    _ses_state: dict = {}
+
+    def streaming_embedding_screen_2_batches():
+        """The semantic crawl screen: 2 candidate micro-batches of
+        vectors screened against a seeded IVF_FLAT index (drop anything
+        whose embedding near-duplicates the indexed corpus).  Batches
+        carry organic odd-id vectors plus planted exact copies of
+        indexed vectors under fresh ids; the tiny threshold rejects
+        exactly the plants.  Pure screen (add_survivors off), so the
+        index never mutates and no per-run copy is needed; per-batch
+        screen latency = value / 2."""
+        import shutil
+        import tempfile
+
+        from tiledb_vector_search_spark.indexes import IVFFlatIndex
+        from tiledb_vector_search_spark.streaming.embedding_screen import (
+            stream_embedding_screen,
+        )
+
+        if "uri" not in _ses_state:
+            root = "/tmp/tvs_bench_ses"
+            if os.path.exists(root):
+                shutil.rmtree(root)
+            os.makedirs(root)
+            vecs = emb.select(
+                F.col("vec_id").alias("external_id"),
+                F.col("embedding").cast("array<float>").alias("vector"),
+            )
+            seed = vecs.where("external_id % 2 = 0")
+            IVFFlatIndex.ingest(
+                spark, f"{root}/idx", seed, partitions=64, timestamp=1000
+            )
+            for b in range(2):
+                vecs.where(f"external_id % 4 = {1 + 2 * b}").unionByName(
+                    seed.where(
+                        f"external_id % 4 = {2 * b} AND external_id < 800"
+                    ).select(
+                        (F.col("external_id") + 920000 + b).alias(
+                            "external_id"
+                        ),
+                        "vector",
+                    )
+                ).coalesce(1).write.parquet(f"{root}/in/batch={b}")
+            _ses_state["uri"] = f"{root}/idx"
+            _ses_state["in_glob"] = f"{root}/in/batch=*"
+            _ses_state["plants"] = [
+                seed.where(
+                    f"external_id % 4 = {2 * b} AND external_id < 800"
+                ).count()
+                for b in range(2)
+            ]
+        stats = []
+        stream = (
+            spark.readStream.schema(
+                "external_id long, vector array<float>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_ses_state["in_glob"])
+        )
+        ckpt = tempfile.mkdtemp(prefix="tvs_ses_ckpt_")
+        sq = stream_embedding_screen(
+            stream,
+            _ses_state["uri"],
+            lambda acc, m, bid: stats.append(
+                (acc.count(), m.select("new_id").distinct().count())
+            ),
+            threshold=1e-9,
+            k=2,
+            checkpoint_dir=ckpt,
+            query_kwargs={"nprobe": 8},
+        )
+        sq.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        assert len(stats) == 2, stats
+        for (a, rejected), planted in zip(stats, _ses_state["plants"]):
+            assert rejected >= planted > 0 and a > 0, (stats, _ses_state)
+        return stats
+
     _mm_state: dict = {}
 
     def multimodal_image_index_e2e():
@@ -649,6 +727,7 @@ def _bench_queries(spark, sf_dir):
         "streaming_dedup_against_2_batches": streaming_dedup_against_2_batches,
         "streaming_bm25_ingest_2_batches": streaming_bm25_ingest_2_batches,
         "streaming_crawl_loop_2_batches": streaming_crawl_loop_2_batches,
+        "streaming_embedding_screen_2_batches": streaming_embedding_screen_2_batches,
     }
 
 

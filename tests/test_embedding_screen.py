@@ -1,0 +1,165 @@
+"""stream_embedding_screen: the semantic crawl screen (vector-index twin
+of stream_dedup_against / stream_crawl_loop).
+
+Pins: reject-vs-accept against a numpy brute-force oracle, feed-forward
+growth (batch N+1 screens against batch N's accepts), the documented
+within-batch hole (batch-mates never reject each other), replay
+determinism (a redelivered batch reproduces its accept set exactly once
+its own ids live in the index), the inner-product orientation, and the
+fresh-ids integration check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SCHEMA = "external_id long, vector array<float>"
+
+
+def _seed_index(spark, uri, metric="sum_of_squares"):
+    from tiledb_vector_search_spark.indexes import FlatIndex
+
+    # three well-separated corpus vectors
+    rows = [
+        (0, [10.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 10.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 10.0, 0.0]),
+    ]
+    src = spark.createDataFrame(rows, SCHEMA)
+    return FlatIndex.ingest(spark, uri, src, metric=metric, timestamp=1000)
+
+
+def _run(spark, in_dir, ckpt, uri, sink, **kw):
+    from tiledb_vector_search_spark.streaming import stream_embedding_screen
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    q = stream_embedding_screen(
+        stream, uri, sink=sink, checkpoint_dir=str(ckpt), **kw
+    )
+    q.awaitTermination(180)
+
+
+def test_screen_matches_bruteforce_oracle(spark, tmp_path):
+    idx = _seed_index(spark, str(tmp_path / "ix"))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch = [
+        (10, [10.0, 0.1, 0.0, 0.0]),   # near seed 0 -> reject
+        (11, [5.0, 5.0, 5.0, 5.0]),    # novel -> accept
+        (12, [0.0, 0.0, 10.2, 0.0]),   # near seed 2 -> reject
+    ]
+    spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(str(in_dir / "b1.parquet"))
+    got = {}
+
+    def sink(acc, matches, bid):
+        got[bid] = (acc.collect(), matches.collect())
+
+    _run(spark, in_dir, tmp_path / "ck1", idx.storage.uri, sink, threshold=1.0)
+    (acc, matches), = got.values()
+    # numpy oracle: reject iff min sq-L2 to any seed <= 1.0
+    seeds = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]], float)
+    expect_acc = set()
+    for cid, v in batch:
+        d = ((seeds - np.array(v)) ** 2).sum(axis=1).min()
+        if d > 1.0:
+            expect_acc.add(cid)
+    assert {r.external_id for r in acc} == expect_acc == {11}
+    assert {(r.new_id, r.ref_id) for r in matches} == {(10, 0), (12, 2)}
+    # accepted rows carry ALL input columns
+    assert set(acc[0].asDict()) == {"external_id", "vector"}
+
+
+def test_feed_forward_growth_and_batchmate_hole(spark, tmp_path):
+    """Batch 1: two near-copies of each other (both novel vs the seeds)
+    BOTH survive — the documented within-batch hole.  Batch 2: a
+    near-copy of a batch-1 accept is rejected — add_survivors fed the
+    accepts forward through the updates log."""
+    idx = _seed_index(spark, str(tmp_path / "ix"))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    b1 = [
+        (20, [7.0, 7.0, 0.0, 0.0]),    # novel
+        (21, [7.0, 7.1, 0.0, 0.0]),    # near-copy of 20, same batch
+    ]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.parquet(str(in_dir / "b1.parquet"))
+    accepted_by_batch = {}
+
+    def sink(acc, matches, bid):
+        accepted_by_batch[bid] = {r.external_id for r in acc.collect()}
+
+    _run(
+        spark, in_dir, tmp_path / "ck", idx.storage.uri, sink,
+        threshold=1.0, add_survivors=True,
+    )
+    assert accepted_by_batch == {0: {20, 21}}  # batch-mates never reject
+
+    b2 = [
+        (30, [7.05, 7.0, 0.0, 0.0]),   # near batch-1 accept 20 -> reject
+        (31, [0.0, 0.0, 0.0, 9.0]),    # novel -> accept
+    ]
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.parquet(str(in_dir / "b2.parquet"))
+    accepted_by_batch.clear()
+    _run(
+        spark, in_dir, tmp_path / "ck", idx.storage.uri, sink,
+        threshold=1.0, add_survivors=True,
+    )
+    assert accepted_by_batch == {1: {31}}
+
+    # replay determinism: a fresh checkpoint redelivers both batches;
+    # the batch's own ids now live in the index (latest-wins upserts),
+    # and the batch-id exclusion reproduces the original accepts exactly
+    accepted_by_batch.clear()
+    _run(
+        spark, in_dir, tmp_path / "ck_replay", idx.storage.uri, sink,
+        threshold=1.0, add_survivors=True,
+    )
+    assert accepted_by_batch == {0: {20, 21}, 1: {31}}
+
+
+def test_inner_product_orientation(spark, tmp_path):
+    """On an inner_product index larger = more similar: duplicates are
+    score >= threshold, not <=."""
+    idx = _seed_index(spark, str(tmp_path / "ip"), metric="inner_product")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch = [
+        (40, [10.0, 0.0, 0.0, 0.0]),   # ip 100 with seed 0 -> reject
+        (41, [0.1, 0.1, 0.1, 5.0]),    # max ip 1.0 -> accept
+    ]
+    spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(str(in_dir / "b.parquet"))
+    got = {}
+
+    def sink(acc, matches, bid):
+        got[bid] = {r.external_id for r in acc.collect()}
+
+    _run(spark, in_dir, tmp_path / "ck", idx.storage.uri, sink, threshold=50.0)
+    assert got == {0: {41}}
+
+
+def test_check_fresh_ids_raises_on_collision(spark, tmp_path):
+    idx = _seed_index(spark, str(tmp_path / "ix"))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(1, [9.0, 9.0, 9.0, 9.0])], SCHEMA  # id 1 already indexed
+    ).coalesce(1).write.parquet(str(in_dir / "b.parquet"))
+    from pyspark.sql.streaming import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="fresh"):
+        _run(
+            spark, in_dir, tmp_path / "ck", idx.storage.uri,
+            lambda a, m, b: None, threshold=1.0, check_fresh_ids=True,
+        )
+
+
+def test_rejects_batch_frame(spark, tmp_path):
+    from tiledb_vector_search_spark.streaming import stream_embedding_screen
+
+    df = spark.createDataFrame([(1, [0.0])], SCHEMA)
+    with pytest.raises(ValueError, match="streaming"):
+        stream_embedding_screen(df, "x", sink=lambda a, m, b: None, threshold=1.0)

@@ -2,6 +2,9 @@ from tiledb_vector_search_spark.streaming.bm25_ingest import stream_bm25_ingest
 from tiledb_vector_search_spark.streaming.bm25_search import stream_bm25_search
 from tiledb_vector_search_spark.streaming.crawl_loop import stream_crawl_loop
 from tiledb_vector_search_spark.streaming.dedup import dedup_stream
+from tiledb_vector_search_spark.streaming.embedding_screen import (
+    stream_embedding_screen,
+)
 from tiledb_vector_search_spark.streaming.dedup_against import (
     stream_dedup_against,
 )
@@ -26,4 +29,5 @@ __all__ = [
     "stream_bm25_search",
     "stream_minhash_ingest",
     "stream_crawl_loop",
+    "stream_embedding_screen",
 ]

@@ -1,0 +1,179 @@
+"""Streaming embedding-similarity screen against a vector index — the
+SEMANTIC twin of the lexical crawl loop.
+
+Completes the streaming family's symmetry: the lexical side has
+``dedup_against`` (screen) and ``crawl_loop`` (screen → accept → grow);
+the vector side had only ``updates`` (grow) and ``search`` (query).
+This operator screens each candidate micro-batch against a built ANN
+index ("drop anything whose embedding near-duplicates what the corpus
+already holds" — the SemDeDup/embedding-cosine dedup family, applied at
+the crawl boundary), and with ``add_survivors=True`` folds the accepted
+vectors back through the index's own updates log, so the next batch
+screens against a corpus that already contains this batch's accepts.
+
+Snapshot discipline (the family contract): the index is RE-OPENED per
+micro-batch through its meta pointer — concurrent DML or consolidation
+lands at the next batch boundary, never mid-batch.
+
+Replay determinism WITHOUT an ids record: matches against the batch's
+OWN ids are excluded from the rejection decision (a doc is never a
+duplicate of itself, and batch-mates couldn't have rejected each other
+on the original delivery — the index didn't hold them yet).  Because
+``merge_batch`` upserts are latest-wins on id, a re-delivered batch
+re-writes identical rows, and the screen — a deterministic function of
+(batch, index state restricted to NON-batch ids) — reproduces the
+original accept set exactly.  Candidate ids must therefore be FRESH
+(never collide with pre-existing index ids): an upsert onto an existing
+id would overwrite the vector the replay screens against.  This is the
+standard crawl contract (new crawl = new ids); ``check_fresh_ids=True``
+asserts it per batch with a corpus-scan probe — an integration-time
+check, OFF by default because the probe costs one base-id scan per
+batch (the screen itself stays ∝ increment).
+
+Within-batch duplicates: two near-copies arriving in the same
+micro-batch both survive (same documented hole, and the same manual
+workaround, as ``stream_crawl_loop`` without ``screen_within_batch`` —
+run ``semantic_dedup``/``embedding_near_duplicates_lsh`` on the batch
+first).  ``k`` is the fetch depth per candidate: batch-id matches are
+discarded AFTER the query, so on heavy-self-duplication streams raise
+``k`` so a true corpus duplicate cannot hide below k batch-mates.
+
+Scale posture: per batch = ONE index query (cost ∝ batch × probed
+partitions — the same plan the batch query path runs), one broadcast
+anti-join on the bounded duplicate-id set, and an increment-sized
+updates append.  The index updates log auto-compacts; full
+consolidation stays an explicit operator call, off the screening path.
+
+Reference status: the reference has no streaming engine and no crawl
+screen (SURVEY §2.12); this is LLM-pipeline extension surface composing
+``Index.query`` + ``Index.merge_batch``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from tiledb_vector_search_spark.schemas import (
+    ID_COL,
+    QUERY_ID_COL,
+    VECTOR_COL,
+    integral_id_col,
+)
+
+
+def stream_embedding_screen(
+    stream: DataFrame,
+    index_uri: str,
+    sink: Any,
+    threshold: float,
+    k: int = 4,
+    id_col: str = ID_COL,
+    vector_col: str = VECTOR_COL,
+    add_survivors: bool = False,
+    check_fresh_ids: bool = False,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    query_kwargs: dict[str, Any] | None = None,
+    **trigger_kw: Any,
+) -> StreamingQuery:
+    """``foreachBatch`` embedding screen (and optional grow) per batch.
+
+    ``sink(accepted_df, matches_df, batch_id)`` receives the batch's
+    surviving rows (all input columns) and the (new_id, ref_id,
+    distance) rows that got candidates rejected.  ``threshold`` is in
+    the INDEX's score domain: for ascending metrics (l2 / sum_of_squares
+    / cosine-distance) a candidate is a duplicate when some non-batch
+    neighbor has ``distance <= threshold``; for inner_product (larger =
+    better) when ``distance >= threshold``.  ``query_kwargs`` forwards
+    nprobe / k_factor / recall_target / strategy to ``Index.query``.
+
+    SINGLE-WRITER when ``add_survivors=True`` — one screen loop per
+    index (the updates log has no idempotency ledger; exactly-once
+    rests on latest-wins upserts of fresh ids, see module docstring).
+    """
+    if not stream.isStreaming:
+        raise ValueError("stream_embedding_screen needs a streaming DataFrame")
+    qkw = dict(query_kwargs or {})
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from tiledb_vector_search_spark.indexes import open_index
+
+        idx = open_index(batch_df.sparkSession, index_uri)
+        ids = batch_df.select(
+            integral_id_col(
+                batch_df, id_col, "stream_embedding_screen"
+            ).alias("__batch_id")
+        ).localCheckpoint(eager=True)
+        if check_fresh_ids:
+            stale = (
+                idx.effective_vectors()
+                .select(F.col(ID_COL).alias("__batch_id"))
+                .join(F.broadcast(ids), "__batch_id", "left_semi")
+                .limit(1)
+                .count()
+            )
+            if stale:
+                raise ValueError(
+                    "stream_embedding_screen: a candidate id already "
+                    "exists in the index — candidate ids must be fresh "
+                    "(an upsert onto a live id would overwrite the "
+                    "vector replays screen against).  Remap crawl ids "
+                    "upstream, or pass check_fresh_ids=False if the "
+                    "collision is intentional."
+                )
+        q = batch_df.select(
+            F.col(id_col).cast("long").alias(QUERY_ID_COL),
+            F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
+        )
+        res = idx.query(q, k, **qkw).where(F.col("distance").isNotNull())
+        # batch-mates never reject each other (self-pairs included):
+        # this keeps the decision a pure function of the NON-batch index
+        # state, which is what makes replay reproduce the accept set
+        # exactly (see module docstring)
+        dup = (
+            res.join(
+                F.broadcast(ids),
+                res["external_id"] == F.col("__batch_id"),
+                "left_anti",
+            )
+            .where(
+                F.col("distance") <= threshold
+                if idx.metric.ascending
+                else F.col("distance") >= threshold
+            )
+            .select(
+                F.col(QUERY_ID_COL).alias("new_id"),
+                F.col("external_id").alias("ref_id"),
+                "distance",
+            )
+        )
+        # one evaluation feeds the reject filter AND the sink
+        matches = dup.localCheckpoint(eager=True)
+        dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+        accepted = batch_df.join(
+            F.broadcast(dup_ids), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        if add_survivors and not accepted.isEmpty():
+            idx.merge_batch(
+                accepted.select(
+                    F.col(id_col).cast("long").alias(ID_COL),
+                    F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
+                    F.lit(False).alias("is_delete"),
+                )
+            )
+        sink(accepted, matches, batch_id)
+
+    writer = stream.writeStream.foreachBatch(process)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_kw:
+        writer = writer.trigger(**trigger_kw)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
