@@ -325,6 +325,45 @@ def _queries(spark):
         _ivf_ov[sf_dir] = folded  # downstream rows see the new snapshot
         return folded.base_ts  # meta-only: no extra corpus job in the row
 
+    def embedding_screen_batch_1000(sf_dir):
+        # the semantic crawl screen steady state: a FIXED 1000-vector
+        # increment screened against the scale-varying IVF index (the
+        # overlay build's snapshot) — per-batch cost must track the
+        # batch x probed partitions, NOT the corpus, so x1.3/decade is
+        # a generous ceiling.  Plants exact copies of indexed vectors
+        # under fresh ids; the tiny threshold must reject exactly them.
+        from tiledb_vector_search_spark.streaming.embedding_screen import (
+            embedding_screen_batch,
+        )
+
+        idx = _ivf_ov[sf_dir]
+        # any indexed vectors serve: organic rows are shifted +1000 per
+        # element (far from the whole corpus), plants are exact copies
+        # under fresh ids (which rows limit() picks is irrelevant)
+        organic = _vectors(sf_dir).limit(900).select(
+            (F.col("external_id") + 910_000_000).alias("external_id"),
+            (
+                F.transform("vector", lambda e: e + F.lit(1000.0))
+            ).cast("array<float>").alias("vector"),
+        )
+        plants = _vectors(sf_dir).limit(100).select(
+            (F.col("external_id") + 920_000_000).alias("external_id"),
+            F.col("vector").cast("array<float>").alias("vector"),
+        )
+        batch = organic.unionByName(plants).localCheckpoint(eager=True)
+        accepted, matches = embedding_screen_batch(
+            idx, batch, threshold=1e-9, k=2,
+            query_kwargs={"nprobe": 8},
+        )
+        n_acc = accepted.count()
+        rejected = {r["new_id"] for r in matches.select("new_id").collect()}
+        # every plant rejected (its source vector is indexed), every
+        # shifted organic vector accepted (nothing within 1e-9)
+        assert len(rejected) == 100 and n_acc == 900, (
+            n_acc, len(rejected),
+        )
+        return n_acc
+
     def ivf_recall_curve_measure(sf_dir):
         # the auto-operating-point measurement at corpus scale: ONE
         # corpus-linear brute-force truth job + a CONSTANT number of
@@ -395,6 +434,7 @@ def _queries(spark):
         "ivf_overlay_build": ivf_overlay_build,
         "ivf_consolidate_with_overlay": ivf_consolidate_with_overlay,
         "ivf_recall_curve_measure": ivf_recall_curve_measure,
+        "embedding_screen_batch_1000": embedding_screen_batch_1000,
         "minhash_ref_build": minhash_ref_build,
         "dedup_against_batch_1000": dedup_against_batch,
         "video_fingerprint_band_join": video_band_join,

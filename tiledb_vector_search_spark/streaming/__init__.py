@@ -3,6 +3,7 @@ from tiledb_vector_search_spark.streaming.bm25_search import stream_bm25_search
 from tiledb_vector_search_spark.streaming.crawl_loop import stream_crawl_loop
 from tiledb_vector_search_spark.streaming.dedup import dedup_stream
 from tiledb_vector_search_spark.streaming.embedding_screen import (
+    embedding_screen_batch,
     stream_embedding_screen,
 )
 from tiledb_vector_search_spark.streaming.dedup_against import (
@@ -30,4 +31,5 @@ __all__ = [
     "stream_minhash_ingest",
     "stream_crawl_loop",
     "stream_embedding_screen",
+    "embedding_screen_batch",
 ]

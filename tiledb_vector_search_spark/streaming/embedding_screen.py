@@ -65,6 +65,65 @@ from tiledb_vector_search_spark.schemas import (
 )
 
 
+def embedding_screen_batch(
+    idx: Any,
+    batch_df: DataFrame,
+    threshold: float,
+    k: int = 4,
+    id_col: str = ID_COL,
+    vector_col: str = VECTOR_COL,
+    query_kwargs: dict[str, Any] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One batch of the screen as a plain (accepted, matches) call — the
+    vector-side analogue of ``MinHashReference.match`` + anti-join, and
+    the exact per-batch plan ``stream_embedding_screen`` runs (the
+    stream delegates here; the scaling harness times this directly).
+
+    ``matches`` rows are (new_id, ref_id, distance) for every rejecting
+    non-batch neighbor; ``accepted`` keeps all input columns.  Both are
+    ``localCheckpoint``-ed: one evaluation feeds the reject filter and
+    the caller.
+    """
+    qkw = dict(query_kwargs or {})
+    ids = batch_df.select(
+        integral_id_col(
+            batch_df, id_col, "embedding_screen_batch"
+        ).alias("__batch_id")
+    ).localCheckpoint(eager=True)
+    q = batch_df.select(
+        F.col(id_col).cast("long").alias(QUERY_ID_COL),
+        F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
+    )
+    res = idx.query(q, k, **qkw).where(F.col("distance").isNotNull())
+    # batch-mates never reject each other (self-pairs included): this
+    # keeps the decision a pure function of the NON-batch index state,
+    # which is what makes streaming replay reproduce the accept set
+    # exactly (see module docstring)
+    dup = (
+        res.join(
+            F.broadcast(ids),
+            res["external_id"] == F.col("__batch_id"),
+            "left_anti",
+        )
+        .where(
+            F.col("distance") <= threshold
+            if idx.metric.ascending
+            else F.col("distance") >= threshold
+        )
+        .select(
+            F.col(QUERY_ID_COL).alias("new_id"),
+            F.col("external_id").alias("ref_id"),
+            "distance",
+        )
+    )
+    matches = dup.localCheckpoint(eager=True)
+    dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+    accepted = batch_df.join(
+        F.broadcast(dup_ids), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+    return accepted, matches
+
+
 def stream_embedding_screen(
     stream: DataFrame,
     index_uri: str,
@@ -105,12 +164,12 @@ def stream_embedding_screen(
         from tiledb_vector_search_spark.indexes import open_index
 
         idx = open_index(batch_df.sparkSession, index_uri)
-        ids = batch_df.select(
-            integral_id_col(
-                batch_df, id_col, "stream_embedding_screen"
-            ).alias("__batch_id")
-        ).localCheckpoint(eager=True)
         if check_fresh_ids:
+            ids = batch_df.select(
+                integral_id_col(
+                    batch_df, id_col, "stream_embedding_screen"
+                ).alias("__batch_id")
+            )
             stale = (
                 idx.effective_vectors()
                 .select(F.col(ID_COL).alias("__batch_id"))
@@ -127,38 +186,10 @@ def stream_embedding_screen(
                     "upstream, or pass check_fresh_ids=False if the "
                     "collision is intentional."
                 )
-        q = batch_df.select(
-            F.col(id_col).cast("long").alias(QUERY_ID_COL),
-            F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
+        accepted, matches = embedding_screen_batch(
+            idx, batch_df, threshold, k=k,
+            id_col=id_col, vector_col=vector_col, query_kwargs=qkw,
         )
-        res = idx.query(q, k, **qkw).where(F.col("distance").isNotNull())
-        # batch-mates never reject each other (self-pairs included):
-        # this keeps the decision a pure function of the NON-batch index
-        # state, which is what makes replay reproduce the accept set
-        # exactly (see module docstring)
-        dup = (
-            res.join(
-                F.broadcast(ids),
-                res["external_id"] == F.col("__batch_id"),
-                "left_anti",
-            )
-            .where(
-                F.col("distance") <= threshold
-                if idx.metric.ascending
-                else F.col("distance") >= threshold
-            )
-            .select(
-                F.col(QUERY_ID_COL).alias("new_id"),
-                F.col("external_id").alias("ref_id"),
-                "distance",
-            )
-        )
-        # one evaluation feeds the reject filter AND the sink
-        matches = dup.localCheckpoint(eager=True)
-        dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
-        accepted = batch_df.join(
-            F.broadcast(dup_ids), id_col, "left_anti"
-        ).localCheckpoint(eager=True)
         if add_survivors and not accepted.isEmpty():
             idx.merge_batch(
                 accepted.select(
