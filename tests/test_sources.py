@@ -226,3 +226,44 @@ def test_sparse_coo_out_of_range_raises(spark):
         )
         with _pytest.raises(Exception, match="out of range"):
             sparse_coo_to_vectors(coo, dims=3).collect()
+
+
+def test_truncated_and_ragged_vecs_files_raise(spark, tmp_path):
+    """The distributed reader matches the driver-side utils twin's
+    strictness: flooring size on a truncated file silently DROPPED the
+    tail record, and trusting the first record's dim header silently
+    garbled a ragged file."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tiledb_vector_search_spark.sources import vecs as V
+
+    mat = np.arange(24, dtype=np.float32).reshape(6, 4)
+    good = str(tmp_path / "good.fvecs")
+    V.write_fvecs(good, mat)
+
+    # truncated: chop mid-record
+    trunc = str(tmp_path / "trunc.fvecs")
+    raw = open(good, "rb").read()
+    open(trunc, "wb").write(raw[:-7])
+    with _pytest.raises(ValueError, match="not a multiple"):
+        V.read_vectors(spark, trunc, "FVEC").collect()
+
+    # ragged: one record claims a different dim (same total length)
+    import struct
+
+    ragged = str(tmp_path / "ragged.fvecs")
+    rec = 4 + 4 * 4
+    buf = bytearray(raw)
+    buf[2 * rec : 2 * rec + 4] = struct.pack("<i", 5)
+    open(ragged, "wb").write(bytes(buf))
+    with _pytest.raises(Exception, match="inconsistent dimension"):
+        V.read_vectors(spark, ragged, "FVEC").collect()
+
+    # bin header promising more rows than the file holds
+    binf = str(tmp_path / "short.f32bin")
+    V.write_f32bin(binf, mat)
+    raw = open(binf, "rb").read()
+    open(binf, "wb").write(raw[:-4])
+    with _pytest.raises(ValueError, match="truncated or corrupt"):
+        V.read_vectors(spark, binf, "F32BIN").collect()

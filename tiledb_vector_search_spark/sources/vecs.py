@@ -37,7 +37,11 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiledb_vector_search_spark.schemas import ID_COL, VECTOR_COL
+from tiledb_vector_search_spark.schemas import (
+    ID_COL,
+    VECTOR_COL,
+    integral_id_col,
+)
 
 # source_type -> (numpy dtype, per-record dim header?)
 _VEC_FORMATS = {
@@ -102,13 +106,30 @@ def read_source_metadata(
     if source_type not in _VEC_FORMATS:
         raise ValueError(f"unsupported source_type {source_type!r}")
     dtype, per_record_dim = _VEC_FORMATS[source_type]
+    fsize = _file_size(source_uri)
     if per_record_dim:
         dims = struct.unpack("<i", _read_at(source_uri, 0, 4))[0]
         record = 4 + dims * dtype.itemsize
-        size = _file_size(source_uri) // record
+        # the driver-side utils._load_vecs_t twin raises on a ragged
+        # file; flooring here would silently DROP the truncated tail
+        # record — corrupt/partial downloads must be loud
+        if fsize % record != 0:
+            raise ValueError(
+                f"{source_uri}: size {fsize} is not a multiple of the "
+                f"record length {record} (dims {dims}) — truncated or "
+                "corrupt file"
+            )
+        size = fsize // record
     else:
         n, dims = struct.unpack("<II", _read_at(source_uri, 0, 8))
         size = int(n)
+        expect = 8 + size * dims * dtype.itemsize
+        if fsize != expect:
+            raise ValueError(
+                f"{source_uri}: header promises {size}x{dims} "
+                f"({expect} bytes) but the file is {fsize} bytes — "
+                "truncated or corrupt file"
+            )
     return int(size), int(dims), dtype.name
 
 
@@ -152,17 +173,19 @@ def read_vectors(
             )
         df = spark.read.parquet(source_uri)
         return df.select(
-            F.col(ID_COL).cast("long"),
+            integral_id_col(df, ID_COL, "read_vectors").alias(ID_COL),
             F.col(VECTOR_COL).cast("array<float>"),
         )
     if source_type not in _VEC_FORMATS:
         raise ValueError(f"unsupported source_type {source_type!r}")
-    size, dims, _ = read_source_metadata(spark, source_uri, source_type)
     dtype, per_record_dim = _VEC_FORMATS[source_type]
+    # argument validation before file IO (the metadata read now raises
+    # on truncated/ragged files, which would mask this clearer error)
     if keep_bytes and dtype.itemsize != 1:
         raise ValueError(
             f"keep_bytes requires a 1-byte format; {source_type} is {dtype.name}"
         )
+    size, dims, _ = read_source_metadata(spark, source_uri, source_type)
     if per_record_dim:
         header, record = 0, 4 + dims * dtype.itemsize
     else:
@@ -190,6 +213,18 @@ def read_vectors(
                 raw = _read_at(uri, hdr + start * rec, nrows * rec)
                 if prd:
                     arr = np.frombuffer(raw, dtype=np.uint8).reshape(nrows, rec)
+                    # every record's dim header must agree with the
+                    # file's first (the utils twin's check, distributed):
+                    # a ragged vecs file would otherwise reshape into
+                    # silently garbled vectors
+                    hdrs = arr[:, :4].copy().view(np.int32).ravel()
+                    if not (hdrs == dm).all():
+                        bad = int(hdrs[hdrs != dm][0])
+                        raise ValueError(
+                            f"{uri}: inconsistent dimension header "
+                            f"(expected {dm}, found {bad}) in rows "
+                            f"[{start}, {stop}) — corrupt file"
+                        )
                     mat = arr[:, 4:].copy().view(dt).reshape(nrows, dm)
                 else:
                     mat = np.frombuffer(raw, dtype=dt).reshape(nrows, dm)
