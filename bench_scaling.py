@@ -340,14 +340,17 @@ def _queries(spark):
         # any indexed vectors serve: organic rows are shifted +1000 per
         # element (far from the whole corpus), plants are exact copies
         # under fresh ids (which rows limit() picks is irrelevant)
+        # offsets in the BILLIONS: replica ids stride by 10M, so a
+        # mere +910M/+920M pair collides (src = src' + 10M maps an
+        # organic id onto a plant id and the anti-join removes both)
         organic = _vectors(sf_dir).limit(900).select(
-            (F.col("external_id") + 910_000_000).alias("external_id"),
+            (F.col("external_id") + 910_000_000_000).alias("external_id"),
             (
                 F.transform("vector", lambda e: e + F.lit(1000.0))
             ).cast("array<float>").alias("vector"),
         )
         plants = _vectors(sf_dir).limit(100).select(
-            (F.col("external_id") + 920_000_000).alias("external_id"),
+            (F.col("external_id") + 920_000_000_000).alias("external_id"),
             F.col("vector").cast("array<float>").alias("vector"),
         )
         batch = organic.unionByName(plants).localCheckpoint(eager=True)

@@ -272,3 +272,18 @@ def test_stream_updates_rejects_bad_id_type(spark, tmp_path, flat_index):
     bad = spark.createDataFrame([("x", [0.0])], "id string, vector array<float>")
     with pytest.raises(TypeError, match="stream"):
         integral_id_col(bad, "id", "stream_updates_to_index")
+
+
+def test_dataframe_object_reader_rejects_fractional_ids(spark):
+    """The embedding kernels decode ids with to_numpy(dtype=int64),
+    which truncates a float id column silently."""
+    from tiledb_vector_search_spark.objects.readers import (
+        DataFrameObjectReader,
+    )
+
+    df = spark.createDataFrame(
+        [(1.5, "text a")], "external_id double, text string"
+    )
+    reader = DataFrameObjectReader(df=df, payload_cols=["text"])
+    with pytest.raises(TypeError, match="DataFrameObjectReader"):
+        reader.read_objects(spark)

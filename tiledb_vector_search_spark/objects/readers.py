@@ -85,13 +85,24 @@ class DataFrameObjectReader(ObjectReader):
 
     def read_objects(self, spark: SparkSession) -> DataFrame:
         if self._df is not None:
-            return self._df.withColumnRenamed(self.id_col, ID_COL)
-        if self.path is None:
+            df = self._df.withColumnRenamed(self.id_col, ID_COL)
+        elif self.path is None:
             raise ValueError(
                 "in-memory DataFrameObjectReader cannot be reopened from "
                 "storage; create it with a path for persistent indexes"
             )
-        return spark.read.parquet(self.path).withColumnRenamed(self.id_col, ID_COL)
+        else:
+            df = spark.read.parquet(self.path).withColumnRenamed(
+                self.id_col, ID_COL
+            )
+        # type-level id validation: the embedding kernels decode ids
+        # with to_numpy(dtype=int64), which TRUNCATES a float id column
+        # silently (wave-6 id-contract class)
+        from tiledb_vector_search_spark.schemas import integral_id_col
+
+        return df.withColumn(
+            ID_COL, integral_id_col(df, ID_COL, "DataFrameObjectReader")
+        )
 
     def metadata_attributes(self) -> list[str]:
         return list(self._metadata)
