@@ -3386,3 +3386,70 @@ def semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         vector_dtype="float64",
     )
     return out.select("vec_id", "cluster", "group_id", "keep")
+
+
+_SCREEN_DIST = duckdb_distance_sql(
+    "c.vector", "e.embedding", DistanceMetric.SUM_OF_SQUARES
+)
+
+
+@register(
+    "embedding_screen_accepts",
+    f"""
+WITH even AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+cand AS (
+  SELECT vec_id AS external_id, embedding AS vector
+  FROM embeddings WHERE vec_id % 2 = 1
+  UNION ALL
+  SELECT vec_id + 1000000 AS external_id, embedding AS vector
+  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 40
+),
+m AS (
+  SELECT c.external_id, min({_SCREEN_DIST}) AS mind
+  FROM cand c CROSS JOIN even e
+  GROUP BY c.external_id
+)
+SELECT external_id FROM m WHERE mind > 0.25 ORDER BY external_id
+""",
+    driver=False,
+)
+def embedding_screen_accepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic crawl screen's accept decision
+    (``streaming/embedding_screen.py:embedding_screen_batch`` — the
+    per-batch plan ``stream_embedding_screen`` runs): candidates = the
+    odd half of the embeddings corpus plus exact copies of 20 indexed
+    vectors under fresh ids; the index holds the even half.  A candidate
+    is accepted iff no indexed neighbor lies within sq-L2 0.25 — the
+    oracle computes the same min-distance predicate directly.  The expr
+    query strategy keeps the distance folds bit-identical to DuckDB, so
+    the threshold compare can never flip between engines."""
+    from tiledb_vector_search_spark.indexes import FlatIndex
+    from tiledb_vector_search_spark.streaming.embedding_screen import (
+        embedding_screen_batch,
+    )
+
+    uri = _scratch("screen") + "/idx"
+    emb = _t(spark, sf_dir, "embeddings")
+    even = emb.where("vec_id % 2 = 0").select(
+        F.col("vec_id").alias("external_id"),
+        F.col("embedding").alias("vector"),
+    )
+    idx = FlatIndex.ingest(spark, uri, even, timestamp=1000)
+    cand = (
+        emb.where("vec_id % 2 = 1")
+        .select(
+            F.col("vec_id").alias("external_id"),
+            F.col("embedding").cast("array<float>").alias("vector"),
+        )
+        .unionByName(
+            emb.where("vec_id % 2 = 0 AND vec_id < 40").select(
+                (F.col("vec_id") + 1_000_000).alias("external_id"),
+                F.col("embedding").cast("array<float>").alias("vector"),
+            )
+        )
+    )
+    accepted, _ = embedding_screen_batch(
+        idx, cand, threshold=0.25, k=4,
+        query_kwargs={"strategy": "expr"},
+    )
+    return accepted.select("external_id").orderBy("external_id")
