@@ -163,3 +163,64 @@ def test_rejects_batch_frame(spark, tmp_path):
     df = spark.createDataFrame([(1, [0.0])], SCHEMA)
     with pytest.raises(ValueError, match="streaming"):
         stream_embedding_screen(df, "x", sink=lambda a, m, b: None, threshold=1.0)
+
+
+def test_screen_within_batch_canonicals(spark, tmp_path):
+    """Three intra-batch near-copies (all novel vs the index) collapse
+    to the min-id canonical; both dropped members appear in matches;
+    replay with the batch already upserted reproduces the accepts."""
+    idx = _seed_index(spark, str(tmp_path / "ix"))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    b1 = [
+        (50, [6.0, 6.0, 6.0, 0.0]),     # canonical (min id of the group)
+        (51, [6.0, 6.0, 6.05, 0.0]),    # near-copy -> dropped
+        (52, [6.05, 6.0, 6.0, 0.0]),    # near-copy -> dropped
+        (53, [0.0, 9.0, 0.0, 9.0]),     # unrelated novel -> accepted
+        (54, [10.0, 0.2, 0.0, 0.0]),    # near seed 0 -> index-rejected
+    ]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.parquet(
+        str(in_dir / "b1.parquet")
+    )
+    got = {}
+
+    def sink(acc, matches, bid):
+        got[bid] = (
+            {r.external_id for r in acc.collect()},
+            {(r.new_id, r.ref_id) for r in matches.collect()},
+        )
+
+    _run(
+        spark, in_dir, tmp_path / "ck", idx.storage.uri, sink,
+        threshold=1.0, add_survivors=True, screen_within_batch=True,
+        within_batch_nprobe=4,
+    )
+    acc, matches = got[0]
+    assert acc == {50, 53}
+    # both dropped members reported (new_id = dropped), plus the index
+    # rejection of 54
+    dropped_new = {n for n, _ in matches}
+    assert {51, 52}.issubset(dropped_new)
+    assert (54, 0) in matches
+    # only canonicals entered the index: a batch-2 copy of the dropped
+    # member 51's vector now near-dups the CANONICAL 50 in the index
+    spark.createDataFrame(
+        [(60, [6.0, 6.0, 6.05, 0.0])], SCHEMA
+    ).coalesce(1).write.parquet(str(in_dir / "b2.parquet"))
+    got.clear()
+    _run(
+        spark, in_dir, tmp_path / "ck", idx.storage.uri, sink,
+        threshold=1.0, add_survivors=True, screen_within_batch=True,
+    )
+    acc2, matches2 = got[1]
+    assert acc2 == set()
+    assert any(n == 60 and r == 50 for n, r in matches2)
+    # replay: fresh checkpoint, batch ids live in the index -> the
+    # within-batch screen (deterministic routing) + batch-id exclusion
+    # reproduce the accepts exactly
+    got.clear()
+    _run(
+        spark, in_dir, tmp_path / "ck_replay", idx.storage.uri, sink,
+        threshold=1.0, add_survivors=True, screen_within_batch=True,
+    )
+    assert got[0][0] == {50, 53} and got[1][0] == set()

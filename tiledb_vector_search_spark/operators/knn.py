@@ -337,9 +337,17 @@ def knn_join(
         parts = partitions or default_partitions(n)
         sample_n = default_training_sample_size(n, parts)
         frac = min(1.0, (1.2 * sample_n) / max(n, 1))
+        # hash-ordered take, not a bare limit(): limit() keeps whichever
+        # tasks finish first, so the training sample — and every routing
+        # decision downstream — would drift run to run (the same
+        # nondeterminism the ingest trainers' hash-ordered takes
+        # prevent).  Deterministic routing is what lets callers composing
+        # knn_join (e.g. the streaming screen's within-batch mode) replay
+        # a batch bit-identically.
         rows = (
-            right.select(vector_col)
+            right.select(F.col(vector_col).alias("__v"))
             .sample(fraction=frac, seed=seed)
+            .orderBy(F.xxhash64("__v"))
             .limit(sample_n)
             .collect()
         )

@@ -30,13 +30,24 @@ asserts it per batch with a corpus-scan probe — an integration-time
 check, OFF by default because the probe costs one base-id scan per
 batch (the screen itself stays ∝ increment).
 
-Within-batch duplicates: two near-copies arriving in the same
-micro-batch both survive (same documented hole, and the same manual
-workaround, as ``stream_crawl_loop`` without ``screen_within_batch`` —
-run ``semantic_dedup``/``embedding_near_duplicates_lsh`` on the batch
-first).  ``k`` is the fetch depth per candidate: batch-id matches are
-discarded AFTER the query, so on heavy-self-duplication streams raise
-``k`` so a true corpus duplicate cannot hide below k batch-mates.
+Within-batch duplicates: by default two near-copies arriving in the
+same micro-batch both survive (the index can't see either until the
+batch commits).  ``screen_within_batch=True`` closes this the way the
+lexical crawl loop does: the batch first collapses to one CANONICAL
+(min-id) survivor per intra-batch near-dup group — pairs from a
+``knn_join`` self-join in the INDEX's own metric at the same
+threshold, transitive closure via ``connected_components`` — and only
+canonicals face the index screen.  The intra rejections are reported
+in ``matches`` alongside index rejections (oriented new_id = dropped
+doc).  The self-join routes through batch-trained IVF cells (cost ∝
+batch · nprobe, never batch²); routing is deterministic (hash-ordered
+centroid sample), so replay still reproduces the accept set exactly —
+but routing is approximate: an intra pair split across non-probed
+cells can slip through (raise ``within_batch_nprobe`` to trade cost
+for completeness).  ``k`` is the fetch depth per candidate against the
+index: batch-id matches are discarded AFTER the query, so on
+heavy-self-duplication streams raise ``k`` so a true corpus duplicate
+cannot hide below k batch-mates.
 
 Scale posture: per batch = ONE index query (cost ∝ batch × probed
 partitions — the same plan the batch query path runs), one broadcast
@@ -124,6 +135,79 @@ def embedding_screen_batch(
     return accepted, matches
 
 
+def _collapse_within_batch(
+    idx: Any,
+    batch_df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vector_col: str,
+    nprobe: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(canonical-only batch, intra matches): one min-id survivor per
+    intra-batch near-dup group, in the index's own metric + threshold.
+
+    ``knn_join`` self-join (batch-trained deterministic IVF routing,
+    cost ∝ batch · nprobe) → threshold filter → transitive closure →
+    drop non-canonicals.  Matches derive from BOTH pair orientations
+    filtered to dropped ids — the raw (a, b) orientation misses docs
+    whose only verified pairs have them on the left (the lexical crawl
+    loop's wave-1 lesson)."""
+    from tiledb_vector_search_spark.operators.dedup import (
+        connected_components,
+    )
+    from tiledb_vector_search_spark.operators.knn import knn_join
+
+    vecs = batch_df.select(
+        integral_id_col(
+            batch_df, id_col, "stream_embedding_screen within-batch"
+        ).alias("__wid"),
+        F.col(vector_col).cast("array<float>").alias("__wvec"),
+    ).localCheckpoint(eager=True)
+    kj = knn_join(
+        vecs.select(F.col("__wid").alias(QUERY_ID_COL), F.col("__wvec").alias(VECTOR_COL)),
+        vecs.select(F.col("__wid").alias(ID_COL), F.col("__wvec").alias(VECTOR_COL)),
+        k=4,
+        nprobe=nprobe,
+        metric=idx.metric,
+    )
+    cond = (
+        F.col("distance") <= threshold
+        if idx.metric.ascending
+        else F.col("distance") >= threshold
+    )
+    pairs = (
+        kj.where(cond & (F.col(QUERY_ID_COL) != F.col(ID_COL)))
+        .select(
+            F.col(QUERY_ID_COL).alias("id_a"),
+            F.col(ID_COL).alias("id_b"),
+            "distance",
+        )
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    dropped = comp.where("doc_id != canonical_id").select(
+        F.col("doc_id").alias("__wid")
+    )
+    kept = batch_df.join(
+        F.broadcast(dropped.select(F.col("__wid").alias(id_col))),
+        id_col,
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    sym = pairs.select(
+        F.col("id_a").alias("new_id"), F.col("id_b").alias("ref_id"), "distance"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("new_id"), F.col("id_a").alias("ref_id"), "distance"
+        )
+    )
+    intra = sym.join(
+        F.broadcast(dropped.select(F.col("__wid").alias("new_id"))),
+        "new_id",
+        "left_semi",
+    ).localCheckpoint(eager=True)
+    return kept, intra
+
+
 def stream_embedding_screen(
     stream: DataFrame,
     index_uri: str,
@@ -134,6 +218,8 @@ def stream_embedding_screen(
     vector_col: str = VECTOR_COL,
     add_survivors: bool = False,
     check_fresh_ids: bool = False,
+    screen_within_batch: bool = False,
+    within_batch_nprobe: int = 4,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     query_kwargs: dict[str, Any] | None = None,
@@ -186,10 +272,18 @@ def stream_embedding_screen(
                     "upstream, or pass check_fresh_ids=False if the "
                     "collision is intentional."
                 )
+        intra = None
+        if screen_within_batch:
+            batch_df, intra = _collapse_within_batch(
+                idx, batch_df, threshold, id_col, vector_col,
+                within_batch_nprobe,
+            )
         accepted, matches = embedding_screen_batch(
             idx, batch_df, threshold, k=k,
             id_col=id_col, vector_col=vector_col, query_kwargs=qkw,
         )
+        if intra is not None:
+            matches = matches.unionByName(intra)
         if add_survivors and not accepted.isEmpty():
             idx.merge_batch(
                 accepted.select(
