@@ -46,7 +46,10 @@ def test_driver_window_curated():
         "object_filtered_search",
         "multimodal_binary_meta",
         "multimodal_frame_sample",
-        "doc_similarity_topk",
+        # doc_similarity_topk demoted to the pytest twin (exact n-gram
+        # jaccard stays gated via dedup_ngram_jaccard) when the semantic
+        # crawl screen took its slot
+        "embedding_screen_accepts",
         "ivf_index_recall_gate",
         "ivf_pq_index_recall_gate",
         "vamana_index_recall_gate",

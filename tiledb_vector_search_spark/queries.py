@@ -2295,6 +2295,10 @@ SELECT query_doc, similar_doc, jaccard, rank FROM (
     PARTITION BY query_doc ORDER BY jaccard DESC, similar_doc) AS rank
   FROM pairs) WHERE rank <= 3
 """,
+    # demoted to the pytest twin when embedding_screen_accepts took
+    # the window slot: exact n-gram jaccard stays driver-gated via
+    # dedup_ngram_jaccard; this is its similar-docs presentation twin
+    driver=False,
 )
 def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most-similar documents per query doc by shingle Jaccard, via
@@ -3411,7 +3415,6 @@ m AS (
 )
 SELECT external_id FROM m WHERE mind > 0.25 ORDER BY external_id
 """,
-    driver=False,
 )
 def embedding_screen_accepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The semantic crawl screen's accept decision
