@@ -163,3 +163,63 @@ def test_lifecycle_under_lease_unchanged(spark, docs, tmp_path):
     q = spark.createDataFrame([(1, "added later")], "qid long, qt string")
     hits = idx.query(q, k=3, query_id_col="qid", query_text_col="qt").collect()
     assert 400 in {int(r["doc_id"]) for r in hits}
+
+
+def test_true_concurrent_writers_no_silent_loss(spark, docs, tmp_path):
+    """Two threads mutate one artifact SIMULTANEOUSLY (separate handles,
+    barrier start).  Outcomes may serialize (both succeed) or collide
+    (the loser raises) — but in every case the committed corpus must
+    equal the seed plus exactly the batches whose calls RETURNED
+    SUCCESS: the silent-batch-drop failure mode cannot occur."""
+    import threading
+
+    from tiledb_vector_search_spark.operators.retrieval import BM25Index
+
+    uri = str(tmp_path / "bmc")
+    idx = _bm25(spark, docs, uri)
+
+    batches = {
+        "a": [(100 + i, f"thread a text {i} alpha") for i in range(5)],
+        "b": [(200 + i, f"thread b text {i} bravo") for i in range(5)],
+    }
+    barrier = threading.Barrier(2)
+    results: dict[str, Exception | None] = {}
+
+    def writer(tag: str) -> None:
+        handle = BM25Index(spark, uri)
+        df = spark.createDataFrame(batches[tag], "doc_id long, text string")
+        barrier.wait()
+        try:
+            handle.add_documents(df)
+            results[tag] = None
+        except ConcurrentWriterError as exc:
+            results[tag] = exc
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert set(results) == {"a", "b"}
+    succeeded = [t for t, e in results.items() if e is None]
+    assert succeeded, results  # at least one writer lands
+
+    final = BM25Index(spark, uri)
+    expect = 40 + 5 * len(succeeded)
+    assert final.n_docs == expect, (final.n_docs, results)
+    # every successful batch is queryable; every failed one is absent
+    for tag in ("a", "b"):
+        q = spark.createDataFrame(
+            [(1, "alpha" if tag == "a" else "bravo")], "qid long, qt string"
+        )
+        hits = {
+            int(r["doc_id"])
+            for r in final.query(
+                q, k=10, query_id_col="qid", query_text_col="qt"
+            ).collect()
+        }
+        planted = {i for i, _ in batches[tag]}
+        if results[tag] is None:
+            assert planted & hits, (tag, hits)
+        else:
+            assert not (planted & hits), (tag, hits)
