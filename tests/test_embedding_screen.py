@@ -224,3 +224,57 @@ def test_screen_within_batch_canonicals(spark, tmp_path):
         threshold=1.0, add_survivors=True, screen_within_batch=True,
     )
     assert got[0][0] == {50, 53} and got[1][0] == set()
+
+
+def test_screen_composes_with_recall_target_and_u8(spark, tmp_path):
+    """The measured-operating-point knob flows through query_kwargs
+    (resolved per batch from the snapshot), and a packed byte-dtype
+    corpus screens with float candidates."""
+    from tiledb_vector_search_spark.indexes import FlatIndex, IVFFlatIndex
+
+    # recall_target through an IVF index with a persisted curve
+    rows = [
+        (i, [float(i % 13), float((i * 7) % 11), float(i % 5), 1.0])
+        for i in range(120)
+    ]
+    src = spark.createDataFrame(rows, SCHEMA)
+    ivf = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "ivf"), src, partitions=4, timestamp=1000,
+        recall_curve=True,
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch = [
+        (500, [1.0, 0.0, 1.0, 1.0]),       # collides with corpus region
+        (501, [100.0, 100.0, 100.0, 1.0]), # far away
+    ]
+    spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(
+        str(in_dir / "b.parquet")
+    )
+    got = {}
+
+    def sink(acc, matches, bid):
+        got[bid] = {r.external_id for r in acc.collect()}
+
+    _run(
+        spark, in_dir, tmp_path / "ck", str(tmp_path / "ivf"), sink,
+        threshold=2.0, query_kwargs={"recall_target": 1.0},
+    )
+    assert got[0] == {501}
+
+    # packed u8 corpus, float candidates
+    u8src = spark.createDataFrame(
+        [(0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0, 0.0])], SCHEMA
+    )
+    u8 = FlatIndex.ingest(
+        spark, str(tmp_path / "u8"), u8src, vector_dtype="uint8",
+        timestamp=1000,
+    )
+    in2 = tmp_path / "in2"
+    in2.mkdir()
+    spark.createDataFrame(
+        [(600, [10.0, 0.0, 0.0, 0.0]), (601, [3.0, 3.0, 3.0, 3.0])], SCHEMA
+    ).coalesce(1).write.parquet(str(in2 / "b.parquet"))
+    got.clear()
+    _run(spark, in2, tmp_path / "ck2", str(tmp_path / "u8"), sink, threshold=1.0)
+    assert got[0] == {601}
