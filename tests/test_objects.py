@@ -1168,3 +1168,30 @@ def test_mjpeg_split_accepts_fill_bytes(spark):
     assert len(frames) == 2
     for f in frames:
         assert decode_jpeg(f) is not None
+
+
+def test_module_level_create_parity(spark, tmp_path):
+    """Reference ``object_api.create(uri, index_type, object_reader,
+    embedding, ...)`` import-parity shim delegates to ObjectIndex.create."""
+    from tiledb_vector_search_spark.objects import create
+    from tiledb_vector_search_spark.objects.embeddings import (
+        HashingTextEmbedding,
+    )
+    from tiledb_vector_search_spark.objects.readers import (
+        DataFrameObjectReader,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document {i} about topic {i % 3}") for i in range(12)],
+        "external_id long, text string",
+    )
+    reader = DataFrameObjectReader(df=docs, payload_cols=["text"])
+    oi = create(
+        spark, str(tmp_path / "oi"), "FLAT", reader,
+        HashingTextEmbedding(dims=16), timestamp=1000,
+    )
+    res = oi.query(
+        spark.createDataFrame([(0, "document 3")], "query_id long, text string"),
+        k=3,
+    )
+    assert res.count() == 3

@@ -29,7 +29,10 @@ from tiledb_vector_search_spark.objects.embeddings import (
 from tiledb_vector_search_spark.objects.embeddings_ingestion import (
     ingest_embeddings_with_driver,
 )
-from tiledb_vector_search_spark.objects.object_index import ObjectIndex
+from tiledb_vector_search_spark.objects.object_index import (
+    ObjectIndex,
+    create,
+)
 from tiledb_vector_search_spark.objects.readers import (
     DataFrameObjectReader,
     DirectoryImageReader,
@@ -53,5 +56,6 @@ __all__ = [
     "RandomEmbedding",
     "SentenceTransformersEmbedding",
     "ObjectIndex",
+    "create",
     "ingest_embeddings_with_driver",
 ]

@@ -637,3 +637,26 @@ class ObjectIndex:
             )
         )
         return fuse_multi_vector_scores(scored, k)
+
+
+def create(
+    spark: SparkSession,
+    uri: str,
+    index_type: str,
+    object_reader: ObjectReader,
+    embedding: ObjectEmbedding,
+    **kwargs: Any,
+) -> ObjectIndex:
+    """Module-level creation shim for reference import parity
+    (``object_api/object_index.py:914-923`` exports ``create(uri,
+    index_type, object_reader, embedding, ...)`` alongside the class);
+    a SparkSession replaces the reference's TileDB config mapping.
+    Delegates to :meth:`ObjectIndex.create`."""
+    return ObjectIndex.create(
+        spark,
+        uri,
+        reader=object_reader,
+        embedding=embedding,
+        index_type=index_type,
+        **kwargs,
+    )
