@@ -115,3 +115,13 @@ def test_describe_operational_snapshot(spark, sf_dir, tmp_path):
     assert idx.describe()["pending_update_batches"] == 1
     idx.update(987655, [0.0] * 64, timestamp=3000)
     assert idx.describe()["pending_update_batches"] == 2
+
+
+def test_get_dimensions_reference_parity(spark, tmp_path):
+    from tiledb_vector_search_spark.indexes import FlatIndex
+
+    src = spark.createDataFrame(
+        [(0, [0.0, 1.0, 2.0])], "external_id long, vector array<float>"
+    )
+    idx = FlatIndex.ingest(spark, str(tmp_path / "d"), src, timestamp=1000)
+    assert idx.get_dimensions() == idx.dimensions == 3

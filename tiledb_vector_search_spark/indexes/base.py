@@ -79,6 +79,11 @@ class Index:
     def dimensions(self) -> int:
         return int(self.meta["dimensions"])
 
+    def get_dimensions(self) -> int:
+        """Reference method-name parity (``index.py`` exposes
+        ``get_dimensions()`` on every index class)."""
+        return self.dimensions
+
     @property
     def vector_dtype(self) -> str:
         """Stored vector element type: float32 (array column) or uint8/int8
