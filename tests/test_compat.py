@@ -161,3 +161,42 @@ def test_ivf_index_tdb_from_stored_fvecs(spark, tmp_path):
     )
     res = idx.query(q, k=1, nprobe=4).collect()
     assert res[0].external_id == 7
+
+
+def test_ingest_reference_kwargs_migration(spark, tmp_path):
+    """Reference ingest() call shapes migrate: index_uri/index_timestamp
+    alias uri/timestamp, scheduler knobs are accepted no-ops, and
+    semantic reference kwargs raise with the Spark-native redirect
+    instead of a bare TypeError."""
+    import pytest as _pytest
+
+    from tiledb_vector_search_spark import ingest
+    from tiledb_vector_search_spark.compat import Mode
+
+    src = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)],
+        "external_id long, vector array<float>",
+    )
+    idx = ingest(
+        spark,
+        source=src,
+        index_type="FLAT",
+        index_uri=str(tmp_path / "mig"),
+        index_timestamp=1000,
+        mode=Mode.LOCAL,
+        config={"sm.x": "y"},
+        workers=8,
+        verbose=True,
+        ingest_resources={"cpu": "4"},
+    )
+    assert idx.base_ts == 1000
+    q = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "query_id long, vector array<float>"
+    )
+    assert idx.query(q, k=1).count() == 1
+    with _pytest.raises(TypeError, match="source_uri"):
+        ingest(spark, str(tmp_path / "x"), src, source_uri="/data/v.fvecs")
+    with _pytest.raises(TypeError, match="limit"):
+        ingest(spark, str(tmp_path / "x"), src, size=100)
+    with _pytest.raises(ValueError, match="not both"):
+        ingest(spark, str(tmp_path / "a"), src, index_uri=str(tmp_path / "b"))
