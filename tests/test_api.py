@@ -125,3 +125,22 @@ def test_get_dimensions_reference_parity(spark, tmp_path):
     )
     idx = FlatIndex.ingest(spark, str(tmp_path / "d"), src, timestamp=1000)
     assert idx.get_dimensions() == idx.dimensions == 3
+
+
+def test_query_refuses_unknown_kwargs(spark, tmp_path):
+    """A typo'd query knob raises instead of silently changing nothing;
+    cross-type and reference driver knobs stay tolerated no-ops."""
+    from tiledb_vector_search_spark.indexes import FlatIndex
+
+    src = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])],
+        "external_id long, vector array<float>",
+    )
+    idx = FlatIndex.ingest(spark, str(tmp_path / "kw"), src, timestamp=1000)
+    q = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "query_id long, vector array<float>"
+    )
+    with pytest.raises(TypeError, match="nprobee"):
+        idx.query(q, k=1, nprobee=4)
+    # cross-type (nprobe on FLAT) and reference driver knobs: no-ops
+    assert idx.query(q, k=1, nprobe=4, driver_mode=None, nthreads=8).count() == 1

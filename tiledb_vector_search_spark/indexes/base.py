@@ -39,6 +39,34 @@ from tiledb_vector_search_spark.session import small_df
 MAX_UPDATE_BATCHES = 10
 
 
+
+# Query kwargs some OTHER index type names (cross-type tolerance: the
+# streaming search, the screen, and ObjectIndex forward one query_kwargs
+# dict to whatever index type the uri holds, so FLAT must absorb nprobe
+# and IVF must absorb l_search as no-ops) plus the reference's
+# driver-scheduling knobs (no-ops on Spark — its scheduler replaces the
+# cloud DAG).  Anything OUTSIDE this set is a typo, and silently
+# swallowing it means a knob the caller thinks they set changed nothing.
+QUERY_KWARG_TOLERANCE = {
+    "nprobe", "k_factor", "l_search", "memory_budget_mb", "strategy",
+    "pad", "allowed_ids", "recall_target",
+    "nthreads", "mode", "resources", "num_workers", "num_partitions",
+    "driver_mode", "driver_resource_class", "driver_resources",
+    "driver_access_credentials_name", "use_nuv_implementation",
+}
+
+
+def check_query_kwargs(kw: dict, context: str) -> None:
+    unknown = set(kw) - QUERY_KWARG_TOLERANCE
+    if unknown:
+        raise TypeError(
+            f"{context}: unknown query kwarg(s) {sorted(unknown)} — "
+            "unrecognized knobs are refused rather than silently "
+            "ignored; tolerated cross-type/no-op kwargs: "
+            f"{sorted(QUERY_KWARG_TOLERANCE)}"
+        )
+
+
 class Index:
     """Base class; concrete indexes implement ``_ingest`` and ``query``."""
 
@@ -383,9 +411,19 @@ class Index:
 
         return resolve_curve_point(entry.get("recall_curve"), recall_target)
 
-    def _validate_queries(self, queries: DataFrame, k: int | None = None) -> None:
+    def _validate_queries(
+        self,
+        queries: DataFrame,
+        k: int | None = None,
+        kw: dict | None = None,
+    ) -> None:
         """Mirror reference validation (``index.py:298-312``): schema shape
-        AND query dimensionality vs the index's stored dimensions."""
+        AND query dimensionality vs the index's stored dimensions; ``kw``
+        (the query method's absorbed ``**kw``) is screened against
+        :data:`QUERY_KWARG_TOLERANCE` so a typo'd knob raises instead of
+        silently changing nothing."""
+        if kw:
+            check_query_kwargs(kw, f"{type(self).__name__}.query")
         if k is not None and k < 1:
             raise ValueError(f"k must be >= 1; got {k}")
         cols = dict(queries.dtypes)

@@ -143,6 +143,7 @@ class FlatIndex(Index):
     ) -> DataFrame:
         """Exact top-k: (query_id, external_id, distance, rank).
 
+
         ``recall_target`` is accepted for interface parity with the
         probe-routed types and is a no-op: a FLAT scan is exact, so
         every target ≤ 1.0 is already met at the only operating point.
@@ -166,7 +167,7 @@ class FlatIndex(Index):
             unpack_vectors,
         )
 
-        self._validate_queries(queries, k)
+        self._validate_queries(queries, k, kw)
         if recall_target is not None and recall_target > 1.0:
             # match the probe-routed types' ceiling contract
             raise ValueError(

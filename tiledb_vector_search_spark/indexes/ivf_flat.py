@@ -461,6 +461,7 @@ class IVFFlatIndex(Index):
     ) -> DataFrame:
         """Probe-routed top-k (reference ``ivf_flat_index.py:262-525``).
 
+
         Default nprobe = √partitions — the reference's "accuracy close to
          100%" rule of thumb (``ivf_flat_index.py:215``).
         ``recall_target`` replaces the folklore with measurement: the
@@ -491,7 +492,7 @@ class IVFFlatIndex(Index):
         heuristic.  Un-hinted semi-join: AQE broadcasts small allowed
         sets, shuffles large ones.
         """
-        self._validate_queries(queries, k)
+        self._validate_queries(queries, k, kw)
         if recall_target is not None:
             if nprobe is not None:
                 raise ValueError(

@@ -883,7 +883,7 @@ class IVFPQIndex(Index):
         collect — large batches), ``auto`` (kernel below LARGE_NQ, join
         above).
         """
-        self._validate_queries(queries, k)
+        self._validate_queries(queries, k, kw)
         if recall_target is not None:
             if nprobe is not None or k_factor != 1.0:
                 raise ValueError(

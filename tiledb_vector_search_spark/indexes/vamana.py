@@ -639,6 +639,7 @@ class VamanaIndex(Index):
     ) -> DataFrame:
         """Route to nprobe shards → per-shard graph walk → merge top-k.
 
+
         ``recall_target`` resolves ``nprobe`` from this snapshot's
         measured recall curve (``Index.measure_recall_curve``) — the
         cheapest setting that cleared the target; mutually exclusive
@@ -653,7 +654,7 @@ class VamanaIndex(Index):
         join + shard⨝queries cogroup, no driver collect — large batches),
         ``auto`` (kernel below LARGE_NQ, join above).
         """
-        self._validate_queries(queries, k)
+        self._validate_queries(queries, k, kw)
         if recall_target is not None:
             if nprobe is not None or l_search is not None:
                 raise ValueError(
