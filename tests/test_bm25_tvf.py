@@ -179,3 +179,22 @@ def test_bm25_tvf_respects_deletes_and_consolidation(spark, docs, tmp_path):
 
     idx.consolidate()
     assert sql_key() == want  # generation pointers resolve identically
+
+
+def test_tvf_refuses_string_keyed_index(spark, tmp_path):
+    """The TVF's declared schema is doc_id long; a string-keyed index
+    (first-class in the DataFrame API) gets a clear boundary error
+    instead of an opaque pyarrow crash."""
+    import pytest as _pytest
+
+    from tiledb_vector_search_spark.operators.retrieval import BM25Index
+    from tiledb_vector_search_spark.sql.bm25_tvf import search_bm25_files
+
+    docs = spark.createDataFrame(
+        [("u-1", "alpha beta"), ("u-2", "beta gamma")],
+        "doc_id string, text string",
+    )
+    uri = str(tmp_path / "sbm")
+    BM25Index.build(spark, uri, docs, id_col="doc_id", text_col="text")
+    with _pytest.raises(ValueError, match="string"):
+        search_bm25_files(uri, [1], ["beta"], k=5)

@@ -402,6 +402,10 @@ class BM25Index:
                     "n_docs": int(stats["n"] or 0),
                     "sum_dl": int(stats["sumdl"] or 0),
                     "id_col": id_col,
+                    # recorded so the SQL TVF's fixed `doc_id long`
+                    # schema can refuse string-keyed indexes with a
+                    # clear error instead of an opaque pyarrow crash
+                    "doc_id_type": dict(docs.dtypes)[id_col],
                     "text_col": text_col,
                     "batches": [],
                 }

@@ -150,6 +150,18 @@ def search_bm25_files(
     """Batched artifact search for one task's query slice; returns
     (query_id, doc_id, score, rank) rows."""
     meta = _read_json_file(posixpath.join(uri, "_bm25_meta.json"))
+    # the TVF's output schema is FIXED at `doc_id long` (SQL table
+    # functions declare their schema up front); a string-keyed index
+    # queries via the DataFrame API (BM25Index.query supports string
+    # doc ids end to end).  Pre-doc_id_type artifacts default to the
+    # long contract they were built under.
+    id_type = meta.get("doc_id_type", "bigint")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"bm25_search TVF: this index is keyed by {id_type} doc ids, "
+            "but the TVF's declared schema is doc_id long — query "
+            "string-keyed indexes through BM25Index.query"
+        )
     n = int(meta["n_docs"])
     sumdl = int(meta["sum_dl"])
     if n == 0:
