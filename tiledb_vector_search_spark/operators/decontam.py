@@ -79,3 +79,76 @@ def ngram_overlap(
             (F.col("n_overlap") >= threshold).alias("contaminated"),
         )
     )
+
+
+def embedding_overlap(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    max_distance: float,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    metric: str = "sum_of_squares",
+    nprobe: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """SEMANTIC decontamination: flag training rows whose embedding sits
+    within ``max_distance`` of ANY eval-set embedding — the companion of
+    :func:`ngram_overlap` for paraphrased/translated eval leakage that
+    shares no surface n-grams (the reason modern decontamination runs an
+    embedding pass beside the lexical one).
+
+    Returns ``(id_col, eval_id, distance, contaminated)`` — one row per
+    flagged training doc with its NEAREST offending eval row
+    (deterministic (distance, id) tie-break).
+
+    Scale posture (100 TB train, MB-scale eval): a ``knn_join`` with the
+    EVAL side as the right/indexed table — centroids train on the tiny
+    eval set (bounded driver k-means, hash-ordered so results are
+    reproducible), the training corpus routes through broadcast
+    centroids and cogroups against eval members, so the only train-side
+    shuffle is the nprobe-way routed repartition; no corpus pairs, no
+    index build.  Routing is approximate: a leak routed to an unprobed
+    cell can slip through; raise ``nprobe`` (up to the eval partition
+    count) for exhaustiveness — the eval side is small enough that even
+    full probe is one broadcast matmul per train batch.
+    """
+    from tiledb_vector_search_spark.functions.distance import DistanceMetric
+    from tiledb_vector_search_spark.operators.knn import knn_join
+    from tiledb_vector_search_spark.schemas import integral_id_col
+
+    m = DistanceMetric(metric)
+    train = train_df.select(
+        integral_id_col(train_df, id_col, "embedding_overlap").alias(
+            "__tid"
+        ),
+        F.col(vector_col).alias("__v"),
+    )
+    ev = eval_df.select(
+        integral_id_col(eval_df, id_col, "embedding_overlap eval").alias(
+            "__eid"
+        ),
+        F.col(vector_col).alias("__v"),
+    )
+    nearest = knn_join(
+        train,
+        ev,
+        k=1,
+        nprobe=nprobe,
+        partitions=partitions,
+        metric=m,
+        left_id_col="__tid",
+        right_id_col="__eid",
+        vector_col="__v",
+        strategy="expr",
+    )
+    cond = (
+        F.col("distance") <= max_distance
+        if m.ascending
+        else F.col("distance") >= max_distance
+    )
+    return nearest.where(cond).select(
+        F.col("__tid").alias(id_col),
+        F.col("__eid").alias("eval_id"),
+        "distance",
+        F.lit(True).alias("contaminated"),
+    )

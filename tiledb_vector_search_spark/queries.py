@@ -3456,3 +3456,67 @@ def embedding_screen_accepts(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_kwargs={"strategy": "expr"},
     )
     return accepted.select("external_id").orderBy("external_id")
+
+
+_EDC_DIST = duckdb_distance_sql(
+    "t.embedding", "e.ev", DistanceMetric.SUM_OF_SQUARES
+)
+
+
+@register(
+    "embedding_decontaminate",
+    f"""
+WITH ev AS (
+  SELECT vec_id + 1000000 AS eval_id, embedding AS ev
+  FROM embeddings WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id + 2000000 AS eval_id,
+         list_transform(embedding, x -> x + 1000.0) AS ev
+  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+),
+scored AS (
+  SELECT t.vec_id, e.eval_id, {_EDC_DIST} AS distance,
+         row_number() OVER (PARTITION BY t.vec_id
+                            ORDER BY {_EDC_DIST}, e.eval_id) AS rn
+  FROM embeddings t CROSS JOIN ev e
+)
+SELECT vec_id, eval_id, distance, TRUE AS contaminated
+FROM scored WHERE rn = 1 AND distance <= 0.000000001
+ORDER BY vec_id
+""",
+    driver=False,
+)
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (``operators/decontam.py:
+    embedding_overlap``): training rows whose embedding near-duplicates
+    an eval-set row are flagged with their nearest offending eval id.
+    Eval set = 10 exact copies of training rows under remapped ids (the
+    planted leaks — every one must flag) + 10 far-shifted rows (must
+    flag nothing).  Full probe over the tiny eval side keeps the routed
+    join exact, and the expr strategy keeps distances bit-identical to
+    the oracle's cross-join argmin."""
+    from tiledb_vector_search_spark.operators.decontam import (
+        embedding_overlap,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = (
+        emb.where("vec_id < 10")
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.where("vec_id >= 10 AND vec_id < 20").select(
+                (F.col("vec_id") + 2_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x + F.lit(1000.0)
+                ).alias("embedding"),
+            )
+        )
+    )
+    out = embedding_overlap(
+        emb.select("vec_id", "embedding"),
+        ev,
+        max_distance=1e-9,
+        nprobe=4,
+        partitions=4,
+    )
+    return out.orderBy("vec_id")
