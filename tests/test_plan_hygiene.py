@@ -115,6 +115,10 @@ ALLOWED_BROADCAST_NLJ = {
     # constant-size centroid table (≤10k rows) broadcast for routing —
     # same shape as centroid_assign / ivf_partition_search
     "embedding_knn_join",
+    # the same knn_join routing crossJoin (train rows × the eval-trained
+    # centroid broadcast) — the corpus side streams, the broadcast side
+    # is bounded by the tiny eval set's partition count
+    "embedding_decontaminate",
     # contains the bm25 branch and its one-row (N, avgdl) broadcast
     "hybrid_rrf_retrieval",
 }
