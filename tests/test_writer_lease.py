@@ -223,3 +223,45 @@ def test_true_concurrent_writers_no_silent_loss(spark, docs, tmp_path):
             assert planted & hits, (tag, hits)
         else:
             assert not (planted & hits), (tag, hits)
+
+
+def test_lease_stress_mutual_exclusion(spark, tmp_path):
+    """8 threads × 15 attempts hammer one lock with small sleeps inside
+    the hold: no two threads are ever inside the critical section at
+    once, losers always raise ConcurrentWriterError, and the lock is
+    clean at the end."""
+    import threading
+    import time
+
+    d = str(tmp_path)
+    fs = HadoopFS(spark, d)
+    inside: list[str] = []
+    guard = threading.Lock()
+    violations: list[int] = []
+    acquired = [0]
+
+    def worker(tag: str) -> None:
+        for _ in range(15):
+            try:
+                with writer_lease(fs, d):
+                    with guard:
+                        inside.append(tag)
+                        if len(inside) > 1:
+                            violations.append(len(inside))
+                    time.sleep(0.002)
+                    with guard:
+                        inside.remove(tag)
+                        acquired[0] += 1
+            except ConcurrentWriterError:
+                time.sleep(0.001)
+
+    threads = [
+        threading.Thread(target=worker, args=(f"t{i}",)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not violations, violations
+    assert acquired[0] > 0
+    assert not fs.exists(posixpath.join(d, WRITER_LOCK_FILE))
