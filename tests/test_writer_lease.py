@@ -1,5 +1,11 @@
 """Writer lease: mutual exclusion for artifact mutations (wave 6).
 
+Round 10: the lease became re-entrant PER THREAD (one writer nests —
+``consolidate_updates`` measuring the recall curve mid-fold — while two
+threads still exclude each other), so every "another writer holds it"
+scenario here models the contender in a separate thread, which is what
+a concurrent writer IS in one process.
+
 VERDICT r8/r9 adjudicated the meta fence's residual gap honestly: a
 symmetric sub-second interleave (a full competing commit inside one
 writer's pre-check→rename window) could still lose a batch silently,
@@ -35,6 +41,32 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def _in_thread(fn):
+    """Run ``fn`` in a worker thread (a DISTINCT writer under the
+    per-thread lease) and re-raise whatever it raised."""
+    import threading
+
+    out: dict = {}
+
+    def run():
+        try:
+            out["value"] = fn()
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            out["exc"] = exc
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join()
+    if "exc" in out:
+        raise out["exc"]
+    return out.get("value")
+
+
+def _enter_lease(fs, uri):
+    with writer_lease(fs, uri):
+        pass
+
+
 def _bm25(spark, docs, uri):
     from tiledb_vector_search_spark.operators.retrieval import BM25Index
 
@@ -50,12 +82,50 @@ def test_lease_excludes_and_releases(spark, tmp_path):
     with writer_lease(fs, d):
         assert fs.exists(posixpath.join(d, WRITER_LOCK_FILE))
         with pytest.raises(ConcurrentWriterError, match="holds the mutation"):
-            with writer_lease(fs, d):
-                pass
+            _in_thread(lambda: _enter_lease(fs, d))
     # released: re-acquire works
     assert not fs.exists(posixpath.join(d, WRITER_LOCK_FILE))
     with writer_lease(fs, d):
         pass
+
+
+def test_lease_reentrant_within_one_writer(spark, tmp_path):
+    """One writer (thread) nests freely — the consolidate-measures-
+    recall-curve path — and the lock releases only at the OUTER exit."""
+    d = str(tmp_path)
+    fs = HadoopFS(spark, d)
+    with writer_lease(fs, d) as outer:
+        with writer_lease(fs, d) as inner:
+            assert inner is outer  # the same held lease, not a re-claim
+            assert fs.exists(posixpath.join(d, WRITER_LOCK_FILE))
+        assert fs.exists(posixpath.join(d, WRITER_LOCK_FILE))
+    assert not fs.exists(posixpath.join(d, WRITER_LOCK_FILE))
+
+
+def test_lease_renew_extends_and_detects_takeover(spark, tmp_path):
+    """renew() re-stamps acquired_ms under the held nonce; after a
+    takeover (foreign nonce) it raises instead of silently extending."""
+    d = str(tmp_path)
+    fs = HadoopFS(spark, d)
+    lock = posixpath.join(d, WRITER_LOCK_FILE)
+    with writer_lease(fs, d) as lease:
+        before = json.loads(fs.read_text(lock))["acquired_ms"]
+        import time as _t
+        _t.sleep(0.01)
+        lease.renew()
+        after = json.loads(fs.read_text(lock))
+        assert after["acquired_ms"] >= before
+        assert after["nonce"] == lease.nonce
+        # a takeover replaced the lock: renew must refuse
+        fs.write_text_atomic(
+            lock,
+            json.dumps({"nonce": "thief", "acquired_ms": 1, "ttl_ms": 9}),
+        )
+        with pytest.raises(ConcurrentWriterError, match="taken over"):
+            lease.renew()
+    # release saw the foreign nonce and left the thief's lock intact
+    assert json.loads(fs.read_text(lock))["nonce"] == "thief"
+    fs.delete(lock, recursive=False)
 
 
 def test_lease_stale_takeover(spark, tmp_path):
@@ -100,13 +170,15 @@ def test_bm25_mutation_blocked_while_lease_held(spark, docs, tmp_path):
     more = spark.createDataFrame([(100, "fresh text")], "doc_id long, text string")
     with writer_lease(fs, uri):
         with pytest.raises(ConcurrentWriterError, match="lease"):
-            idx.add_documents(more)
+            _in_thread(lambda: idx.add_documents(more))
         with pytest.raises(ConcurrentWriterError, match="lease"):
-            idx.remove_documents(
-                spark.createDataFrame([(1,)], "doc_id long")
+            _in_thread(
+                lambda: idx.remove_documents(
+                    spark.createDataFrame([(1,)], "doc_id long")
+                )
             )
         with pytest.raises(ConcurrentWriterError, match="lease"):
-            idx.vacuum_orphans()
+            _in_thread(lambda: idx.vacuum_orphans())
     # lease released: the same mutations now succeed
     idx.add_documents(more)
     assert idx.n_docs == 41
@@ -125,9 +197,9 @@ def test_minhash_mutation_blocked_while_lease_held(spark, docs, tmp_path):
     )
     with writer_lease(fs, uri):
         with pytest.raises(ConcurrentWriterError, match="lease"):
-            ref.add_documents(more)
+            _in_thread(lambda: ref.add_documents(more))
         with pytest.raises(ConcurrentWriterError, match="lease"):
-            ref.consolidate()
+            _in_thread(lambda: ref.consolidate())
     ref.add_documents(more)  # released → works
 
 

@@ -31,7 +31,12 @@ from tiledb_vector_search_spark.schemas import (
     VECTOR_COL,
     integral_id_col,
 )
-from tiledb_vector_search_spark.storage import IndexStorage, now_ms
+from tiledb_vector_search_spark.storage import (
+    LONG_LEASE_TTL_MS,
+    IndexStorage,
+    locked_mutation,
+    now_ms,
+)
 from tiledb_vector_search_spark.session import small_df
 
 # Consolidate the updates log automatically once it accumulates this many
@@ -272,6 +277,7 @@ class Index:
             "(exact index types answer every query exactly)"
         )
 
+    @locked_mutation
     def measure_recall_curve(
         self,
         k: int = 10,
@@ -389,8 +395,7 @@ class Index:
             if e["ts"] == self.base_ts:
                 e["recall_curve"] = curve
                 break
-        self.storage.write_meta(meta)
-        self.meta = meta
+        self.meta = self.storage.commit_meta(meta)
         return points
 
     def resolve_recall_target(self, recall_target: float) -> dict:
@@ -469,6 +474,7 @@ class Index:
     ) -> None:
         self.update_batch([(external_id, vector)], timestamp)
 
+    @locked_mutation
     def update_batch(
         self,
         rows: list[tuple[int, list[float]]] | DataFrame,
@@ -495,6 +501,7 @@ class Index:
         self.storage.append_updates(df, ts)
         self._maybe_auto_consolidate_log()
 
+    @locked_mutation
     def merge_batch(self, rows: DataFrame, timestamp: int | None = None) -> None:
         """MERGE-style mixed upsert/tombstone batch — fully distributed.
 
@@ -529,6 +536,7 @@ class Index:
     def delete(self, external_id: int, timestamp: int | None = None) -> None:
         self.delete_batch([external_id], timestamp)
 
+    @locked_mutation
     def delete_batch(
         self, external_ids: list[int], timestamp: int | None = None
     ) -> None:
@@ -563,6 +571,7 @@ class Index:
 
     # -- consolidation (reference index.py:503-577) ---------------------------
 
+    @locked_mutation(ttl_ms=LONG_LEASE_TTL_MS)
     def consolidate_updates(
         self,
         timestamp: int | None = None,
@@ -626,9 +635,11 @@ class Index:
 
     # -- history -------------------------------------------------------------
 
+    @locked_mutation
     def vacuum(self, keep_latest: int = 1) -> list[int]:
         return self.storage.vacuum(keep_latest)
 
+    @locked_mutation(ttl_ms=LONG_LEASE_TTL_MS)
     def clear_history(self, timestamp: int) -> None:
         """Drop base snapshots and update batches at or before ``timestamp``
         (reference ``index.py:626-735``), keeping at least the newest base."""

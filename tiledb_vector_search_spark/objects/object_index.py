@@ -42,7 +42,12 @@ from tiledb_vector_search_spark.schemas import (
     VECTOR_COL,
 )
 from tiledb_vector_search_spark.session import small_df
-from tiledb_vector_search_spark.storage import HadoopFS, now_ms
+from tiledb_vector_search_spark.storage import (
+    LONG_LEASE_TTL_MS,
+    HadoopFS,
+    locked_mutation,
+    now_ms,
+)
 
 # the reference's full ObjectIndex family (object_index.py:951-994):
 # FLAT / IVF_FLAT / VAMANA / IVF_PQ
@@ -244,6 +249,7 @@ class ObjectIndex:
 
     # -- DML -------------------------------------------------------------------
 
+    @locked_mutation
     def update_objects(self, objects: DataFrame, timestamp: int | None = None) -> None:
         """Embed and upsert objects into the updates log (reference
         ``update_index`` incremental path) — INCLUDING their metadata,
@@ -256,6 +262,7 @@ class ObjectIndex:
         self.index.update_batch(vectors, ts)
         self._append_metadata_updates(objects, ts, is_delete=False)
 
+    @locked_mutation
     def delete_objects(self, external_ids: list[int], timestamp: int | None = None) -> None:
         ts = timestamp if timestamp is not None else now_ms()
         self.index.delete_batch(external_ids, ts)
@@ -292,6 +299,7 @@ class ObjectIndex:
             posixpath.join(self.uri, METADATA_UPDATES_DIR)
         )
 
+    @locked_mutation(ttl_ms=LONG_LEASE_TTL_MS)
     def consolidate_updates(self, **kw: Any) -> None:
         """Compact BOTH layers: fold the vector index's updates log into
         a new base snapshot (``Index.consolidate_updates``) and then fold
@@ -311,6 +319,7 @@ class ObjectIndex:
         self.index.consolidate_updates(**kw)
         self.consolidate_object_metadata()
 
+    @locked_mutation(ttl_ms=LONG_LEASE_TTL_MS)
     def consolidate_object_metadata(self) -> None:
         """Fold the metadata updates log into the base table (the
         copy-on-write compaction; one distributed rewrite, then the log

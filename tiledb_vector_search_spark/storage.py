@@ -35,6 +35,7 @@ from __future__ import annotations
 import functools
 import json
 import posixpath
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -52,11 +53,17 @@ STORAGE_VERSION = "spark-0.3"
 class ConcurrentWriterError(RuntimeError):
     """Another writer flipped an artifact's meta pointer mid-mutation.
 
-    The persisted artifacts (``BM25Index``, ``MinHashReference``) are
-    SINGLE-WRITER: every mutation is a read-modify-write of the meta
-    pointer, so two interleaved writers can mint the same batch id and
-    the later flip silently drops the earlier batch.  The fence turns
-    that silent data loss into this error on the losing side.
+    The persisted artifacts (``BM25Index``, ``MinHashReference``) AND
+    every ANN index (``IndexStorage`` meta) are SINGLE-WRITER: every
+    mutation is a read-modify-write of the meta pointer, so two
+    interleaved writers can silently drop each other's committed batch
+    — and because index reads filter to the meta-committed batch list,
+    a dropped ``update_batches`` entry leaves that batch's parquet rows
+    permanently invisible.  The fence (:func:`fenced_meta_flip`, used
+    by every ``IndexStorage.commit_meta``) turns that silent data loss
+    into this error on the losing side; the lease
+    (:func:`writer_lease`, held by every mutation method) prevents the
+    overlap from starting at all.
     """
 
 
@@ -139,16 +146,57 @@ WRITER_LOCK_FILE = "_writer_lock"
 # not the common case.  The meta fence stays underneath as the
 # backstop for anything the lease misses.
 DEFAULT_LEASE_TTL_MS = 10 * 60 * 1000
+# consolidation-class mutations (full corpus rewrites whose Spark jobs
+# can legitimately run long): sized so a live fold is never exposed to
+# takeover.  Holders can also renew() mid-mutation.
+LONG_LEASE_TTL_MS = 60 * 60 * 1000
+
+# leases held by THIS thread, keyed by artifact uri — makes the lease
+# re-entrant within one writer (e.g. ``consolidate_updates`` measuring
+# the recall curve on the fresh handle mid-fold), while two THREADS in
+# one process still exclude each other like any two writers.
+_held_leases = threading.local()
+
+
+class LeaseHandle:
+    """The held lease: long-running mutations call :meth:`renew`
+    periodically so a live hold never crosses its TTL (takeover
+    eligibility is ``now - acquired_ms > ttl_ms``; renewal re-stamps
+    ``acquired_ms`` under the held nonce)."""
+
+    def __init__(self, fs: "HadoopFS", path: str, nonce: str, ttl_ms: int):
+        self._fs = fs
+        self.path = path
+        self.nonce = nonce
+        self.ttl_ms = int(ttl_ms)
+
+    def renew(self) -> None:
+        try:
+            held = json.loads(self._fs.read_text(self.path))
+        except Exception as exc:
+            raise ConcurrentWriterError(
+                f"lease at {self.path} disappeared mid-mutation "
+                "(taken over or externally deleted) — this writer no "
+                "longer holds it"
+            ) from exc
+        if held.get("nonce") != self.nonce:
+            raise ConcurrentWriterError(
+                f"lease at {self.path} was taken over mid-mutation "
+                "(nonce changed) — this writer no longer holds it"
+            )
+        held["acquired_ms"] = now_ms()
+        self._fs.write_text_atomic(self.path, json.dumps(held))
 
 
 @contextmanager
 def writer_lease(
     fs: "HadoopFS", artifact_uri: str, ttl_ms: int = DEFAULT_LEASE_TTL_MS
 ):
-    """Mutual exclusion for artifact mutations: an atomic-create lock
-    file — the store-CAS approximation that closes the meta fence's
-    documented symmetric-interleave window on stores with an atomic
-    create (POSIX O_EXCL locally, HDFS create-no-overwrite).
+    """Mutual exclusion for artifact mutations: an atomic
+    claim-with-payload lock file — the store-CAS approximation that
+    closes the meta fence's documented symmetric-interleave window on
+    stores with an atomic namespace operation (hard link locally,
+    no-overwrite rename on HDFS; see ``HadoopFS.create_exclusive``).
 
     The fence (:func:`fenced_meta_flip`) detects a competing commit at
     the flip; this lease PREVENTS two writers from being inside a
@@ -157,17 +205,39 @@ def writer_lease(
     mutations — without it, a vacuum racing an in-flight add could
     reclaim the add's staged dirs moments before their commit.
 
-    Protocol: atomically create ``_writer_lock`` (nonce + acquire time
-    + TTL).  If it exists: a FRESH holder raises
-    ``ConcurrentWriterError``; a STALE one (older than its TTL — a
-    crashed writer, which cannot release) is deleted and re-claimed,
-    where the atomic create arbitrates concurrent takeovers (both
-    delete, exactly one create wins).  Release deletes the lock only if
-    it still carries our nonce.  On object stores without an atomic
-    create the lock degrades to advisory and the meta fence remains
-    the guarantee — same honesty boundary as before, now one layer
-    narrower.
+    Protocol: atomically materialize ``_writer_lock`` WITH its payload
+    (nonce + acquire time + TTL) in one namespace op — there is no
+    window where the lock exists empty, so a contender can never judge
+    a live claim "corrupt therefore stale".  If it exists: a FRESH
+    holder raises ``ConcurrentWriterError``; a STALE one (older than
+    its TTL — a crashed writer, which cannot release) is taken over by
+    RENAMING it aside to a contender-unique name — rename's
+    source-must-exist semantics arbitrate concurrent takeovers to a
+    single winner (no delete→create→delete→create interleave can mint
+    two holders) — after which the winner verifies the displaced lock
+    is the one it judged stale (a live claim that replaced it in
+    between is restored and the takeover abandoned) and claims fresh.
+    Release re-verifies the held nonce immediately before the delete.
+
+    Re-entrant per THREAD (a writer already holding ``artifact_uri``
+    nests without re-claiming); two threads still mutually exclude.
+    Yields a :class:`LeaseHandle` — long mutations ``renew()`` it so a
+    live hold never crosses its TTL.  On object stores without an
+    atomic claim the lock degrades to advisory and the meta fence
+    remains the guarantee (closable per-deployment via
+    :func:`register_cas_store`).
     """
+    key = artifact_uri.rstrip("/")
+    held_map = getattr(_held_leases, "uris", None)
+    if held_map is None:
+        held_map = _held_leases.uris = {}
+    if key in held_map:
+        held_map[key]["depth"] += 1
+        try:
+            yield held_map[key]["handle"]
+        finally:
+            held_map[key]["depth"] -= 1
+        return
     path = posixpath.join(artifact_uri, WRITER_LOCK_FILE)
     nonce = uuid.uuid4().hex
     payload = json.dumps(
@@ -175,9 +245,20 @@ def writer_lease(
     )
     if not fs.create_exclusive(path, payload):
         try:
-            held = json.loads(fs.read_text(path))
+            raw = fs.read_text(path)
         except Exception:
-            held = {}  # empty/corrupt lock (crash mid-claim) = stale
+            # the lock vanished between our failed claim and this read —
+            # the holder RELEASED.  That is contention resolving, not
+            # staleness: treating it as stale would displace whoever
+            # claims next.  Raise; the caller may simply retry.
+            raise ConcurrentWriterError(
+                f"lost a lease claim race on {artifact_uri}: the prior "
+                "holder released mid-arbitration — retry the mutation."
+            )
+        try:
+            held = json.loads(raw)
+        except Exception:
+            held = {}  # present-but-corrupt lock (legacy crash artifact) = stale
         age = now_ms() - int(held.get("acquired_ms", 0))
         if held and age <= int(held.get("ttl_ms", ttl_ms)):
             raise ConcurrentWriterError(
@@ -188,16 +269,23 @@ def writer_lease(
                 "or wait for the holder to finish.  A crashed holder's "
                 "lease expires after its TTL."
             )
-        fs.delete(path, recursive=False)
+        _take_over_stale_lock(fs, artifact_uri, path, held, nonce)
         if not fs.create_exclusive(path, payload):
             raise ConcurrentWriterError(
                 f"lost the lease takeover race on {artifact_uri}: "
                 "another writer re-claimed the expired lock first."
             )
+    handle = LeaseHandle(fs, path, nonce, ttl_ms)
+    held_map[key] = {"handle": handle, "depth": 1}
     try:
-        yield
+        yield handle
     finally:
+        del held_map[key]
         try:
+            # re-verify the nonce immediately before the delete: a
+            # takeover (only possible if this hold crossed its TTL
+            # without renewing) must not have ITS fresh lock deleted
+            # by the old holder's release
             held = json.loads(fs.read_text(path))
             if held.get("nonce") == nonce:
                 fs.delete(path, recursive=False)
@@ -205,18 +293,61 @@ def writer_lease(
             pass  # lock already gone or taken over — nothing to release
 
 
-def locked_mutation(fn):
+def _take_over_stale_lock(
+    fs: "HadoopFS",
+    artifact_uri: str,
+    path: str,
+    observed: dict[str, Any],
+    contender_nonce: str,
+) -> None:
+    """Displace a stale lock with a SINGLE winner: rename it aside to a
+    contender-unique name (exactly one concurrent rename finds the
+    source), then verify the displaced payload is the one this
+    contender judged stale — if a live claim replaced it in between,
+    restore it and abandon.  The old delete+create takeover lost this
+    arbitration under a delete→create→delete→create interleave (the
+    second delete removed the first winner's fresh lock)."""
+    aside = f"{path}.stale.{contender_nonce}"
+    if not fs.rename_if_exists(path, aside):
+        raise ConcurrentWriterError(
+            f"lost the lease takeover race on {artifact_uri}: "
+            "another contender displaced the expired lock first."
+        )
+    try:
+        displaced = json.loads(fs.read_text(aside))
+    except Exception:
+        displaced = {}
+    if displaced.get("nonce") != observed.get("nonce"):
+        # we displaced a LIVE lock that replaced the stale one between
+        # our staleness read and our rename — put it back and yield
+        if not fs.exists(path):
+            fs.rename_if_exists(aside, path)
+        raise ConcurrentWriterError(
+            f"lost the lease takeover race on {artifact_uri}: the "
+            "expired lock was already re-claimed by another writer."
+        )
+    fs.delete(aside, recursive=False)
+
+
+def locked_mutation(fn=None, *, ttl_ms: int = DEFAULT_LEASE_TTL_MS):
     """Decorator serializing an artifact mutation method under
     :func:`writer_lease`.  The instance must expose ``spark`` and
-    ``uri`` (the ``BM25Index`` / ``MinHashReference`` contract)."""
+    ``uri`` (the ``BM25Index`` / ``MinHashReference`` / ``Index``
+    contract).  ``ttl_ms`` sizes the lease to the operation
+    (consolidation-class rewrites pass :data:`LONG_LEASE_TTL_MS`); an
+    instance attribute ``lease_ttl_ms`` overrides both."""
 
-    @functools.wraps(fn)
-    def wrapper(self, *args: Any, **kwargs: Any):
-        fs = HadoopFS(self.spark, self.uri)
-        with writer_lease(fs, self.uri):
-            return fn(self, *args, **kwargs)
+    def deco(f):
+        @functools.wraps(f)
+        def wrapper(self, *args: Any, **kwargs: Any):
+            fs = HadoopFS(self.spark, self.uri)
+            ttl = getattr(self, "lease_ttl_ms", None)
+            with writer_lease(fs, self.uri, ttl_ms=ttl if ttl else ttl_ms):
+                return f(self, *args, **kwargs)
 
-    return wrapper
+        return wrapper
+
+    return deco(fn) if fn is not None else deco
 
 
 # every layout this reader understands (reference analogue:
@@ -231,6 +362,49 @@ SUPPORTED_STORAGE_VERSIONS = {"spark-0.1", "spark-0.2", "spark-0.3"}
 
 def now_ms() -> int:
     return int(time.time() * 1000)
+
+
+def _java_exc_is(exc: Exception, class_suffix: str) -> bool:
+    """True when a py4j-raised exception wraps a Java exception whose
+    class name (or any cause in its chain) ends with ``class_suffix``."""
+    j = getattr(exc, "java_exception", None)
+    seen = 0
+    while j is not None and seen < 8:
+        try:
+            if str(j.getClass().getName()).endswith(class_suffix):
+                return True
+            j = j.getCause()
+        except Exception:
+            return False
+        seen += 1
+    return False
+
+
+class CasStore:
+    """Extension point for stores with a native compare-and-swap /
+    conditional-create (e.g. S3 conditional PUT ``If-None-Match: *``,
+    GCS ``ifGenerationMatch=0``, Azure ``If-None-Match: *``): implement
+    ``create_exclusive`` as ONE conditional write and register it for
+    the URI scheme — the writer lease then holds its full guarantee on
+    that store with no library change.  In-tree, local (hard link) and
+    HDFS (no-overwrite rename) are handled natively by
+    ``HadoopFS.create_exclusive``; this seam exists for object stores
+    whose Hadoop connector does not surface the conditional write."""
+
+    def create_exclusive(self, fs: "HadoopFS", path: str, content: str) -> bool:
+        raise NotImplementedError
+
+
+_CAS_STORES: dict[str, CasStore] = {}
+
+
+def register_cas_store(scheme: str, store: CasStore | None) -> None:
+    """Register (or, with ``None``, remove) a :class:`CasStore` for a
+    URI scheme; ``HadoopFS.create_exclusive`` consults it first."""
+    if store is None:
+        _CAS_STORES.pop(scheme, None)
+    else:
+        _CAS_STORES[scheme] = store
 
 
 class HadoopFS:
@@ -306,37 +480,84 @@ class HadoopFS:
             raise IOError(f"rename {tmp} -> {path} failed")
 
     def create_exclusive(self, path: str, content: str) -> bool:
-        """Create ``path`` IF ABSENT; False when it already exists.
+        """Create ``path`` WITH ``content`` if absent, in ONE atomic
+        namespace operation; False when it already exists.
 
-        Atomic where the store supports it: local paths go through
-        ``java.nio.Files.createFile`` (O_CREAT|O_EXCL — Hadoop's
-        RawLocalFileSystem check-then-create is NOT atomic); other
-        schemes use ``FileSystem.create(overwrite=false)``, a single
-        namespace op on HDFS.  The content lands after the claim, so a
-        crash between the two leaves an EMPTY lock — readers treat
-        empty/corrupt as stale by construction.
+        The payload travels with the claim — there is no window where
+        the file exists empty (the old claim-then-write protocol let a
+        contender read the empty lock, judge it corrupt-therefore-
+        stale, and displace a LIVE claimant).  Mechanism per store:
+
+        - a deployment-registered CAS store for this scheme
+          (:func:`register_cas_store` — e.g. S3 conditional PUT
+          ``If-None-Match: *``) takes priority;
+        - local paths: write a temp file, then ``java.nio
+          Files.createLink`` (hard link: atomic, fails if the target
+          exists — the classic POSIX lockfile primitive; Hadoop's
+          RawLocalFileSystem check-then-create is NOT atomic);
+        - other schemes: write a temp file, then ``FileContext.rename``
+          WITHOUT overwrite — a single namespace op on HDFS that fails
+          if the destination exists;
+        - last resort (FS supports neither): ``FileSystem.create
+          (overwrite=false)`` then write — the legacy two-step, kept
+          only as the advisory-degradation fallback.
         """
+        store = _CAS_STORES.get(self._fs.getUri().getScheme() or "file")
+        if store is not None:
+            return store.create_exclusive(self, path, content)
         p = self._p(path)
+        tmp = f"{path}.claim.{uuid.uuid4().hex}"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
         scheme = self._fs.getUri().getScheme()
         if scheme in (None, "file"):
             jnio = self._jvm.java.nio.file
+            jfile = self._jvm.java.io.File
             try:
-                # java.io.File(...).toPath() avoids the Paths.get varargs
-                jnio.Files.createFile(
-                    self._jvm.java.io.File(p.toUri().getPath()).toPath(),
-                    self._gateway.new_array(
-                        self._jvm.java.nio.file.attribute.FileAttribute, 0
-                    ),
+                jnio.Files.createLink(
+                    jfile(p.toUri().getPath()).toPath(),
+                    jfile(self._p(tmp).toUri().getPath()).toPath(),
                 )
-            except Exception:
+                return True
+            except Exception as exc:
+                if _java_exc_is(exc, "FileAlreadyExistsException"):
+                    return False
+                # hard links unsupported on this mount — legacy fallback
+                return self._create_exclusive_fallback(p, content)
+            finally:
+                self._fs.delete(self._p(tmp), False)
+        try:
+            jvm = self._jvm
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._fs.getUri(), self._conf
+            )
+            opts = self._gateway.new_array(
+                jvm.org.apache.hadoop.fs.Options.Rename, 1
+            )
+            opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.NONE
+            fc.rename(self._p(tmp), p, opts)
+            return True
+        except Exception as exc:
+            self._fs.delete(self._p(tmp), False)
+            if _java_exc_is(exc, "FileAlreadyExistsException"):
                 return False
-        else:
-            try:
-                out = self._fs.create(p, False)
-                out.close()
-            except Exception:
-                return False
-        # claimed: write the payload in place (we own the file)
+            return self._create_exclusive_fallback(p, content)
+
+    def _create_exclusive_fallback(self, p, content: str) -> bool:
+        """Legacy two-step claim (create-no-overwrite, then write the
+        payload): NOT atomic claim-with-payload — a crash between the
+        two leaves an empty lock that readers treat as stale.  Reached
+        only on stores with neither hard links nor a no-overwrite
+        rename; there the lease is advisory and the meta fence is the
+        remaining guarantee."""
+        try:
+            out = self._fs.create(p, False)
+            out.close()
+        except Exception:
+            return False
         out = self._fs.create(p, True)
         try:
             out.write(bytearray(content.encode("utf-8")))
@@ -365,6 +586,16 @@ class HadoopFS:
             self._fs.delete(dst_p, True)
         if not self._fs.rename(self._p(src), dst_p):
             raise IOError(f"rename {src} -> {dst} failed")
+
+    def rename_if_exists(self, src: str, dst: str) -> bool:
+        """Plain namespace rename: False when ``src`` is already gone
+        (the arbitration primitive for stale-lock takeover — exactly
+        one concurrent rename finds the source).  Never deletes an
+        existing ``dst``; callers pass unique destinations."""
+        try:
+            return bool(self._fs.rename(self._p(src), self._p(dst)))
+        except Exception:
+            return False
 
     def listdir(self, path: str) -> list[str]:
         if not self.exists(path):
@@ -422,6 +653,21 @@ class IndexStorage:
             self.meta_path, json.dumps(meta, indent=2, sort_keys=True)
         )
 
+    def commit_meta(self, meta: dict[str, Any]) -> dict[str, Any]:
+        """Commit a MUTATED meta through the writer fence
+        (:func:`fenced_meta_flip`): ``meta`` must be the dict as read
+        by this mutation (it carries the ``meta_version`` the writer
+        observed), so a competing commit in the read-modify-write
+        window raises ``ConcurrentWriterError`` on the losing side
+        instead of silently dropping the winner's entry.  The index's
+        committed-batch read filter (``read_updates_raw``) makes an
+        unfenced loss WORSE than pre-filter behavior — a dropped
+        ``update_batches`` entry turns that batch's parquet rows
+        permanently invisible — so every meta mutation commits through
+        here.  Legacy metas without ``meta_version`` fence from 0."""
+        expected = int(meta.get("meta_version", 0))
+        return fenced_meta_flip(self.fs, self.meta_path, meta, expected)
+
     def init_meta(self, **fields: Any) -> dict[str, Any]:
         meta = {
             "storage_version": STORAGE_VERSION,
@@ -460,7 +706,7 @@ class IndexStorage:
         entry = {"ts": ts, "base_size": base_size, **(extra_meta or {})}
         meta["ingestions"].append(entry)
         meta["ingestions"].sort(key=lambda e: e["ts"])
-        self.write_meta(meta)
+        self.commit_meta(meta)
 
     def read_base(self, ts: int) -> DataFrame:
         return self.spark.read.parquet(self.base_path(ts))
@@ -489,9 +735,13 @@ class IndexStorage:
             "is_delete", F.col("is_delete").cast("boolean")
         )
         df.write.mode("append").parquet(self.updates_path)
+        # the meta flip is the COMMIT POINT (readers filter to the
+        # committed list) and this is a read-modify-write — fence it:
+        # a concurrent writer's flip in the window would silently drop
+        # this batch's ts and its rows would stay invisible forever
         meta = self.read_meta()
         meta["update_batches"].append(ts)
-        self.write_meta(meta)
+        self.commit_meta(meta)
 
     def has_updates(self, lo_exclusive: int | None, hi_inclusive: int | None) -> bool:
         return any(
@@ -570,7 +820,7 @@ class IndexStorage:
         self.fs.rename(tmp, self.updates_path)
         meta = self.read_meta()
         meta["log_compacted_batches"] = len(meta["update_batches"])
-        self.write_meta(meta)
+        self.commit_meta(meta)
 
     def clear_updates_through(self, ts: int) -> None:
         """Drop consolidated updates ≤ ts (rewrite the log without them)."""
@@ -591,7 +841,7 @@ class IndexStorage:
             keep.unpersist()
         meta["update_batches"] = remaining
         meta["log_compacted_batches"] = 0
-        self.write_meta(meta)
+        self.commit_meta(meta)
 
     # -- history management --------------------------------------------------
 
@@ -612,7 +862,7 @@ class IndexStorage:
             for name in aux_names:
                 self.fs.delete(self.aux_path(name, e["ts"]))
         meta["ingestions"] = meta["ingestions"][-keep_latest:]
-        self.write_meta(meta)
+        self.commit_meta(meta)
         return [e["ts"] for e in drop]
 
     def delete_index(self) -> None:
