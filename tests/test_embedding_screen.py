@@ -278,3 +278,106 @@ def test_screen_composes_with_recall_target_and_u8(spark, tmp_path):
     got.clear()
     _run(spark, in2, tmp_path / "ck2", str(tmp_path / "u8"), sink, threshold=1.0)
     assert got[0] == {601}
+
+
+def test_crash_replay_with_batchmates_in_index_reproduces_accepts(
+    spark, tmp_path
+):
+    """The ADVICE r9 replay hole, closed by the excluded_ids PUSHDOWN:
+    a driver that crashed after merge_batch but before the checkpoint
+    commit re-delivers the batch to an index that now CONTAINS the
+    accepted batch-mates.  Candidate 100 has k batch-mates nearer than
+    its true corpus duplicate (id 0); were batch ids merely filtered
+    AFTER top-k, the batch-mates would crowd out the duplicate on
+    replay and flip the original rejection into an acceptance."""
+    from tiledb_vector_search_spark.indexes import FlatIndex
+    from tiledb_vector_search_spark.streaming.embedding_screen import (
+        embedding_screen_batch,
+    )
+
+    idx = _seed_index(spark, str(tmp_path / "idx"))
+    k = 2
+    threshold = 0.5
+    # candidate 100 duplicates corpus id 0 (within threshold); its k
+    # batch-mates 101/102 are NEARER to 100 than id 0 is, but far from
+    # the corpus (the 5.0 in dim 2), so they are accepted
+    batch = spark.createDataFrame(
+        [
+            (100, [10.01, 0.0, 0.0, 0.0]),      # corpus dup of id 0
+            (101, [10.0101, 0.0, 5.0, 0.0]),    # near 100 in 2 dims, off-corpus
+            (102, [10.0102, 0.0, 5.0, 0.0]),
+        ],
+        SCHEMA,
+    )
+    import pyspark.sql.functions as F
+
+    accepted1, matches1 = embedding_screen_batch(idx, batch, threshold, k=k)
+    a1 = {int(r["external_id"]) for r in accepted1.collect()}
+    assert a1 == {101, 102}  # 100 rejected by its corpus duplicate
+    # crash AFTER the survivors merged, BEFORE the checkpoint commit
+    idx.merge_batch(
+        accepted1.select("external_id", "vector").withColumn(
+            "is_delete", F.lit(False)
+        ),
+        timestamp=2000,
+    )
+    replay_idx = FlatIndex(spark, idx.uri)
+    accepted2, _ = embedding_screen_batch(replay_idx, batch, threshold, k=k)
+    a2 = {int(r["external_id"]) for r in accepted2.collect()}
+    assert a2 == a1  # replay reproduces the accept set exactly
+
+
+def test_excluded_ids_pushdown_all_index_types(spark, tmp_path):
+    """excluded_ids removes ids BEFORE top-k on every index type: with
+    the two nearest neighbors excluded, the k=1 result is the THIRD
+    nearest — a post-filter would return an empty/shorter result."""
+    import pyspark.sql.functions as F
+
+    from tiledb_vector_search_spark.indexes import (
+        FlatIndex,
+        IVFFlatIndex,
+        IVFPQIndex,
+        VamanaIndex,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    q_rows = src.where("external_id = 0").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    # exact truth: 3rd nearest once the top-2 are excluded
+    flat = FlatIndex.ingest(spark, str(tmp_path / "f"), src, timestamp=1000)
+    top3 = flat.query(q_rows, 3).orderBy("rank").collect()
+    excl = spark.createDataFrame(
+        [(int(top3[0]["external_id"]),), (int(top3[1]["external_id"]),)],
+        "external_id long",
+    )
+    want = int(top3[2]["external_id"])
+
+    got_flat = flat.query(q_rows, 1, excluded_ids=excl).collect()
+    assert [int(r["external_id"]) for r in got_flat] == [want]
+
+    ivf = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "i"), src, partitions=8, timestamp=1000
+    )
+    got = ivf.query(q_rows, 1, nprobe=8, excluded_ids=excl).collect()
+    assert [int(r["external_id"]) for r in got] == [want]
+    got = ivf.query(
+        q_rows, 1, nprobe=8, strategy="join", excluded_ids=excl
+    ).collect()
+    assert [int(r["external_id"]) for r in got] == [want]
+
+    pq = IVFPQIndex.ingest(
+        spark, str(tmp_path / "p"), src, partitions=8, timestamp=1000
+    )
+    got = pq.query(
+        q_rows, 1, nprobe=8, k_factor=4.0, excluded_ids=excl
+    ).collect()
+    assert [int(r["external_id"]) for r in got] == [want]
+
+    vam = VamanaIndex.ingest(
+        spark, str(tmp_path / "v"), src, shards=4, timestamp=1000
+    )
+    got = vam.query(q_rows, 1, nprobe=4, excluded_ids=excl).collect()
+    assert [int(r["external_id"]) for r in got] == [want]

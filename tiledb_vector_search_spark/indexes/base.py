@@ -54,7 +54,7 @@ MAX_UPDATE_BATCHES = 10
 # swallowing it means a knob the caller thinks they set changed nothing.
 QUERY_KWARG_TOLERANCE = {
     "nprobe", "k_factor", "l_search", "memory_budget_mb", "strategy",
-    "pad", "allowed_ids", "recall_target",
+    "pad", "allowed_ids", "excluded_ids", "recall_target",
     "nthreads", "mode", "resources", "num_workers", "num_partitions",
     "driver_mode", "driver_resource_class", "driver_resources",
     "driver_access_credentials_name", "use_nuv_implementation",

@@ -138,6 +138,7 @@ class FlatIndex(Index):
         strategy: str = "kernel",
         pad: bool = False,
         allowed_ids: DataFrame | None = None,
+        excluded_ids: DataFrame | None = None,
         recall_target: float | None = None,
         **kw: Any,
     ) -> DataFrame:
@@ -161,6 +162,13 @@ class FlatIndex(Index):
         reference's ``fetch_k`` heuristic, ``object_index.py:451-453``).
         The semi-join is un-hinted so AQE broadcasts a small allowed set
         and shuffles a large one.
+
+        ``excluded_ids`` (same shape) removes ids from the searchable
+        set BEFORE top-k — the anti-join twin.  A post-hoc filter on the
+        result would let excluded rows occupy top-k slots and push true
+        neighbors below k (the streaming embedding screen's replay
+        hazard); the pushdown keeps the result exact among the
+        non-excluded set with no over-fetch heuristic.
         """
         from tiledb_vector_search_spark.functions.dtypes import (
             is_byte_dtype,
@@ -184,6 +192,16 @@ class FlatIndex(Index):
                 ),
                 ID_COL,
                 "left_semi",
+            )
+        if excluded_ids is not None:
+            vecs = vecs.join(
+                excluded_ids.select(
+                    integral_id_col(
+                        excluded_ids, ID_COL, "FlatIndex.query excluded_ids"
+                    ).alias(ID_COL)
+                ),
+                ID_COL,
+                "left_anti",
             )
         # the effective set is float-typed when updates promoted it; packed
         # binary only on the no-updates fast path

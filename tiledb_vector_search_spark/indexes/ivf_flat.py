@@ -456,6 +456,7 @@ class IVFFlatIndex(Index):
         pad: bool = False,
         memory_budget_mb: int | None = None,
         allowed_ids: DataFrame | None = None,
+        excluded_ids: DataFrame | None = None,
         recall_target: float | None = None,
         **kw: Any,
     ) -> DataFrame:
@@ -491,6 +492,11 @@ class IVFFlatIndex(Index):
         the allowed vectors in the probed partitions — no over-fetch
         heuristic.  Un-hinted semi-join: AQE broadcasts small allowed
         sets, shuffles large ones.
+
+        ``excluded_ids`` (same shape) removes ids BEFORE top-k — the
+        anti-join twin (the streaming embedding screen's batch-mate
+        exclusion).  Exact among non-excluded vectors in the probed
+        partitions; no over-fetch heuristic.
         """
         self._validate_queries(queries, k, kw)
         if recall_target is not None:
@@ -507,6 +513,12 @@ class IVFFlatIndex(Index):
                     allowed_ids, ID_COL, "IVFFlatIndex.query allowed_ids"
                 ).alias(ID_COL)
             )
+        if excluded_ids is not None:
+            excluded_ids = excluded_ids.select(
+                integral_id_col(
+                    excluded_ids, ID_COL, "IVFFlatIndex.query excluded_ids"
+                ).alias(ID_COL)
+            )
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)))
         metric = self.metric
 
@@ -518,12 +530,14 @@ class IVFFlatIndex(Index):
             q_rows = q.limit(self.LARGE_NQ + 1).collect()
             if len(q_rows) > self.LARGE_NQ:
                 return self._query_join(
-                    q, k, nprobe, metric, pad, queries, allowed_ids
+                    q, k, nprobe, metric, pad, queries, allowed_ids,
+                    excluded_ids,
                 )
             strategy = "kernel"
         elif strategy == "join":
             return self._query_join(
-                q, k, nprobe, metric, pad, queries, allowed_ids
+                q, k, nprobe, metric, pad, queries, allowed_ids,
+                excluded_ids,
             )
         else:
             q_rows = q.collect()
@@ -560,6 +574,8 @@ class IVFFlatIndex(Index):
                 )
             if allowed_ids is not None:
                 base = base.join(allowed_ids, ID_COL, "left_semi")
+            if excluded_ids is not None:
+                base = base.join(excluded_ids, ID_COL, "left_anti")
             if strategy == "expr":
                 routing = small_df(
                     self.spark, pairs, f"{QUERY_ID_COL} long, {PARTITION_COL} int"
@@ -596,6 +612,8 @@ class IVFFlatIndex(Index):
             additions = self._additions()
             if allowed_ids is not None:
                 additions = additions.join(allowed_ids, ID_COL, "left_semi")
+            if excluded_ids is not None:
+                additions = additions.join(excluded_ids, ID_COL, "left_anti")
             add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             base_topk = base_topk.unionByName(add_scored)
 
@@ -664,6 +682,7 @@ class IVFFlatIndex(Index):
         pad: bool,
         queries: DataFrame,
         allowed_ids: DataFrame | None = None,
+        excluded_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Fully distributed query plan: no driver materialization.
 
@@ -706,6 +725,8 @@ class IVFFlatIndex(Index):
             base = base.join(F.broadcast(self._updated_ids()), ID_COL, "left_anti")
         if allowed_ids is not None:
             base = base.join(allowed_ids, ID_COL, "left_semi")
+        if excluded_ids is not None:
+            base = base.join(excluded_ids, ID_COL, "left_anti")
         scored = (
             base.select(PARTITION_COL, ID_COL, VECTOR_COL)
             .join(routing, PARTITION_COL)
@@ -723,6 +744,8 @@ class IVFFlatIndex(Index):
             additions = self._additions()
             if allowed_ids is not None:
                 additions = additions.join(allowed_ids, ID_COL, "left_semi")
+            if excluded_ids is not None:
+                additions = additions.join(excluded_ids, ID_COL, "left_anti")
             add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             scored = scored.unionByName(add_scored)
         if overlay is not None:

@@ -541,6 +541,7 @@ class IVFPQIndex(Index):
         k: int,
         metric: DistanceMetric,
         allowed_ids: DataFrame | None,
+        excluded_ids: DataFrame | None = None,
     ) -> DataFrame | None:
         """Exact per-query top-k over the bridge set, in the FINAL
         distance domain — union-ready against the re-ranked / sqrt-ed
@@ -560,7 +561,11 @@ class IVFPQIndex(Index):
         overlay = self._overlay_frame()
         if overlay is None:
             return None
-        if self._has_updates() or allowed_ids is not None:
+        if (
+            self._has_updates()
+            or allowed_ids is not None
+            or excluded_ids is not None
+        ):
             # the bridge set must honor the call's tombstone/filter view
             ov = overlay.select(ID_COL, VECTOR_COL)
             if self._has_updates():
@@ -569,6 +574,8 @@ class IVFPQIndex(Index):
                 )
             if allowed_ids is not None:
                 ov = ov.join(allowed_ids, ID_COL, "left_semi")
+            if excluded_ids is not None:
+                ov = ov.join(excluded_ids, ID_COL, "left_anti")
             ov_rows = self._float_vectors(ov).collect()
             if not ov_rows:
                 return None
@@ -856,6 +863,7 @@ class IVFPQIndex(Index):
         pad: bool = False,
         strategy: str = "auto",
         allowed_ids: DataFrame | None = None,
+        excluded_ids: DataFrame | None = None,
         recall_target: float | None = None,
         **kw: Any,
     ) -> DataFrame:
@@ -872,6 +880,9 @@ class IVFPQIndex(Index):
         allowed set BEFORE ADC scoring, so coarse candidates (and the
         re-rank) never leave the filter — same contract as IVF_FLAT;
         safe here because scoring is a partition scan, not a graph walk.
+        ``excluded_ids`` is the anti-join twin: ids removed BEFORE the
+        coarse top-k, so excluded rows never crowd candidate slots (the
+        streaming embedding screen's batch-mate exclusion).
 
         ``k_factor=1`` returns ADC (approximate) distances, like the
         reference; ``k_factor>1`` fetches ``k_factor·k`` coarse candidates
@@ -903,11 +914,13 @@ class IVFPQIndex(Index):
             q_rows = q.limit(self.LARGE_NQ + 1).collect()
             if len(q_rows) > self.LARGE_NQ:
                 return self._query_join(
-                    q, k, nprobe, k_factor, pad, queries, allowed_ids
+                    q, k, nprobe, k_factor, pad, queries, allowed_ids,
+                    excluded_ids,
                 )
         elif strategy == "join":
             return self._query_join(
-                q, k, nprobe, k_factor, pad, queries, allowed_ids
+                q, k, nprobe, k_factor, pad, queries, allowed_ids,
+                excluded_ids,
             )
         elif strategy == "kernel":
             q_rows = q.collect()
@@ -930,6 +943,13 @@ class IVFPQIndex(Index):
                 ).alias(ID_COL)
             )
             base = base.join(allowed_ids, ID_COL, "left_semi")
+        if excluded_ids is not None:
+            excluded_ids = excluded_ids.select(
+                integral_id_col(
+                    excluded_ids, ID_COL, "IVFPQIndex.query excluded_ids"
+                ).alias(ID_COL)
+            )
+            base = base.join(excluded_ids, ID_COL, "left_anti")
 
         coarse = self._adc_scores(base, qids, qmat, pairs, coarse_k)
         order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
@@ -969,10 +989,12 @@ class IVFPQIndex(Index):
             additions = self._additions()
             if allowed_ids is not None:
                 additions = additions.join(allowed_ids, ID_COL, "left_semi")
+            if excluded_ids is not None:
+                additions = additions.join(excluded_ids, ID_COL, "left_anti")
             add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             result = result.unionByName(add_scored)
 
-        ov_scored = self._overlay_scored(q, k, metric, allowed_ids)
+        ov_scored = self._overlay_scored(q, k, metric, allowed_ids, excluded_ids)
         if ov_scored is not None:
             # an overlay member whose home partition was also probed
             # appears twice — exact vs ADC (or exact vs exact after a
@@ -999,6 +1021,7 @@ class IVFPQIndex(Index):
         pad: bool,
         queries: DataFrame,
         allowed_ids: DataFrame | None = None,
+        excluded_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Fully distributed ADC query plan: no driver materialization.
 
@@ -1031,6 +1054,13 @@ class IVFPQIndex(Index):
                 ).alias(ID_COL)
             )
             base = base.join(allowed_ids, ID_COL, "left_semi")
+        if excluded_ids is not None:
+            excluded_ids = excluded_ids.select(
+                integral_id_col(
+                    excluded_ids, ID_COL, "IVFPQIndex.query excluded_ids"
+                ).alias(ID_COL)
+            )
+            base = base.join(excluded_ids, ID_COL, "left_anti")
 
         bc = self.spark.sparkContext.broadcast(
             (
@@ -1118,10 +1148,12 @@ class IVFPQIndex(Index):
             additions = self._additions()
             if allowed_ids is not None:
                 additions = additions.join(allowed_ids, ID_COL, "left_semi")
+            if excluded_ids is not None:
+                additions = additions.join(excluded_ids, ID_COL, "left_anti")
             result = result.unionByName(
                 knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             )
-        ov_scored = self._overlay_scored(q, k, metric, allowed_ids)
+        ov_scored = self._overlay_scored(q, k, metric, allowed_ids, excluded_ids)
         if ov_scored is not None:
             # dedup (query, id) pairs that the probe and the overlay both
             # produced — see the kernel path's comment

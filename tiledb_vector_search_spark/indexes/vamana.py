@@ -605,21 +605,37 @@ class VamanaIndex(Index):
     # a driver collect (same contract as IVFFlatIndex.LARGE_NQ)
     LARGE_NQ = 4096
 
-    def _shard_tombstone_counts(self) -> dict[int, int]:
-        """partition_id → #superseded base ids, via a SMALL aggregate.
+    def _shard_masked_counts(
+        self, excluded_ids: DataFrame | None = None
+    ) -> dict[int, int]:
+        """partition_id → #base ids masked from results (superseded by
+        updates and/or caller-excluded), via a SMALL aggregate.
 
-        The updates log itself is never collected (with heavy churn it can
-        be millions of rows — a driver-memory bound); only one count per
-        shard reaches the driver.  The walk over-fetches by exactly that
-        count, and its results are tombstone-filtered with a distributed
-        anti-join (the ``ivf_pq.py`` base-side anti-join pattern, applied
-        RESULT-side here because graph connectivity needs tombstoned nodes
-        present during the walk — DiskANN deletes work the same way).
+        The masked sets themselves are never collected (with heavy churn
+        the updates log can be millions of rows — a driver-memory
+        bound); only one count per shard reaches the driver.  The walk
+        over-fetches by exactly that count, and its results are
+        filtered with a distributed anti-join (the ``ivf_pq.py``
+        base-side anti-join pattern, applied RESULT-side here because
+        graph connectivity needs masked nodes present during the walk —
+        DiskANN deletes work the same way; caller ``excluded_ids`` ride
+        the identical mechanism).
         """
+        masked = None
+        if self._has_updates():
+            masked = self._updated_ids()
+        if excluded_ids is not None:
+            masked = (
+                excluded_ids
+                if masked is None
+                else masked.unionByName(excluded_ids).distinct()
+            )
+        if masked is None:
+            return {}
         rows = (
             self._base_vectors()
             .select(PARTITION_COL, ID_COL)
-            .join(self._updated_ids(), ID_COL, "left_semi")
+            .join(masked, ID_COL, "left_semi")
             .groupBy(PARTITION_COL)
             .count()
             .collect()
@@ -634,10 +650,18 @@ class VamanaIndex(Index):
         l_search: int | None = None,
         pad: bool = False,
         strategy: str = "auto",
+        excluded_ids: DataFrame | None = None,
         recall_target: float | None = None,
         **kw: Any,
     ) -> DataFrame:
         """Route to nprobe shards → per-shard graph walk → merge top-k.
+
+        ``excluded_ids`` (DataFrame with ``external_id``) removes ids
+        from the result BEFORE top-k.  Graph connectivity needs the
+        excluded nodes present DURING the walk, so they ride the
+        tombstone mechanism: the walk over-fetches by the per-shard
+        excluded count and the results are anti-joined distributively —
+        excluded rows can never crowd true neighbors out of the k slots.
 
 
         ``recall_target`` resolves ``nprobe`` from this snapshot's
@@ -667,6 +691,12 @@ class VamanaIndex(Index):
         nprobe = nprobe or max(1, int(np.sqrt(self.partitions)) + 1)
         l_search = l_search or max(2 * k, 50)
         metric = self.metric
+        if excluded_ids is not None:
+            excluded_ids = excluded_ids.select(
+                integral_id_col(
+                    excluded_ids, ID_COL, "VamanaIndex.query excluded_ids"
+                ).alias(ID_COL)
+            )
 
         q = queries.select(QUERY_ID_COL, VECTOR_COL)
         if metric is DistanceMetric.COSINE:
@@ -675,9 +705,13 @@ class VamanaIndex(Index):
             # one job: the bounded collect doubles as the small-batch fetch
             q_rows = q.limit(self.LARGE_NQ + 1).collect()
             if len(q_rows) > self.LARGE_NQ:
-                return self._query_join(q, k, nprobe, l_search, metric, pad, queries)
+                return self._query_join(
+                    q, k, nprobe, l_search, metric, pad, queries, excluded_ids
+                )
         elif strategy == "join":
-            return self._query_join(q, k, nprobe, l_search, metric, pad, queries)
+            return self._query_join(
+                q, k, nprobe, l_search, metric, pad, queries, excluded_ids
+            )
         elif strategy == "kernel":
             q_rows = q.collect()
         else:
@@ -701,9 +735,14 @@ class VamanaIndex(Index):
             ).unionByName(overlay)
             route_map[OVERLAY_PID] = [int(q) for q in qids]
         qpos = {int(qid): i for i, qid in enumerate(qids)}
-        # tombstones are never collected — the walk over-fetches by the
-        # per-shard tombstone COUNT and the results are anti-joined below
-        tombs = self._shard_tombstone_counts() if self._has_updates() else {}
+        # masked ids (tombstones + caller-excluded) are never collected —
+        # the walk over-fetches by the per-shard COUNT and the results
+        # are anti-joined below
+        tombs = (
+            self._shard_masked_counts(excluded_ids)
+            if self._has_updates() or excluded_ids is not None
+            else {}
+        )
         if overlay is not None and tombs:
             # overlay rows duplicate base rows, so its tombstone exposure is
             # bounded by the total across shards
@@ -807,8 +846,12 @@ class VamanaIndex(Index):
             # when the updates log is small
             scored = scored.join(self._updated_ids(), ID_COL, "left_anti")
             additions = self._additions()
+            if excluded_ids is not None:
+                additions = additions.join(excluded_ids, ID_COL, "left_anti")
             add_scored = knn_bruteforce_expr(additions, q, k, metric).drop("rank")
             scored = scored.unionByName(add_scored)
+        if excluded_ids is not None:
+            scored = scored.join(excluded_ids, ID_COL, "left_anti")
         order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
         res = topk_window(scored, [QUERY_ID_COL], order, k)
         if pad:
@@ -826,6 +869,7 @@ class VamanaIndex(Index):
         metric: DistanceMetric,
         pad: bool,
         queries: DataFrame,
+        excluded_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Fully distributed graph query: no driver materialization.
 
@@ -858,7 +902,11 @@ class VamanaIndex(Index):
                 )
             )
 
-        tombs = self._shard_tombstone_counts() if self._has_updates() else {}
+        tombs = (
+            self._shard_masked_counts(excluded_ids)
+            if self._has_updates() or excluded_ids is not None
+            else {}
+        )
         if overlay is not None and tombs:
             tombs[OVERLAY_PID] = sum(tombs.values())
         medoids = self.medoids()
@@ -944,10 +992,15 @@ class VamanaIndex(Index):
         if self._has_updates():
             # distributed tombstone filter before the additions overlay
             scored = scored.join(self._updated_ids(), ID_COL, "left_anti")
-            add_scored = knn_bruteforce_expr(self._additions(), q, k, metric).drop(
+            additions = self._additions()
+            if excluded_ids is not None:
+                additions = additions.join(excluded_ids, ID_COL, "left_anti")
+            add_scored = knn_bruteforce_expr(additions, q, k, metric).drop(
                 "rank"
             )
             scored = scored.unionByName(add_scored)
+        if excluded_ids is not None:
+            scored = scored.join(excluded_ids, ID_COL, "left_anti")
         order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
         res = topk_window(scored, [QUERY_ID_COL], order, k)
         if pad:

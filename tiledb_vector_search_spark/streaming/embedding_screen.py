@@ -15,14 +15,21 @@ Snapshot discipline (the family contract): the index is RE-OPENED per
 micro-batch through its meta pointer — concurrent DML or consolidation
 lands at the next batch boundary, never mid-batch.
 
-Replay determinism WITHOUT an ids record: matches against the batch's
-OWN ids are excluded from the rejection decision (a doc is never a
-duplicate of itself, and batch-mates couldn't have rejected each other
-on the original delivery — the index didn't hold them yet).  Because
-``merge_batch`` upserts are latest-wins on id, a re-delivered batch
-re-writes identical rows, and the screen — a deterministic function of
-(batch, index state restricted to NON-batch ids) — reproduces the
-original accept set exactly.  Candidate ids must therefore be FRESH
+Replay determinism WITHOUT an ids record: the batch's OWN ids are
+excluded from the index search itself (``Index.query(excluded_ids=...)``
+— an anti-join BEFORE top-k, so a batch-mate can never even occupy a
+candidate slot: a doc is never a duplicate of itself, and batch-mates
+couldn't have rejected each other on the original delivery — the index
+didn't hold them yet).  Because ``merge_batch`` upserts are
+latest-wins on id, a re-delivered batch re-writes identical rows, and
+the screen — a deterministic function of (batch, index state
+restricted to NON-batch ids) — reproduces the original accept set
+exactly.  The pushdown matters on the crash-replay path specifically:
+with ``add_survivors=True`` a driver that crashed after ``merge_batch``
+but before the streaming checkpoint committed re-delivers the batch to
+an index that now CONTAINS the accepted batch-mates; were they merely
+filtered AFTER a top-k, they could push a true corpus duplicate below
+k and flip a rejection into an acceptance on replay.  Candidate ids must therefore be FRESH
 (never collide with pre-existing index ids): an upsert onto an existing
 id would overwrite the vector the replay screens against.  This is the
 standard crawl contract (new crawl = new ids); ``check_fresh_ids=True``
@@ -45,9 +52,9 @@ centroid sample), so replay still reproduces the accept set exactly —
 but routing is approximate: an intra pair split across non-probed
 cells can slip through (raise ``within_batch_nprobe`` to trade cost
 for completeness).  ``k`` is the fetch depth per candidate against the
-index: batch-id matches are discarded AFTER the query, so on
-heavy-self-duplication streams raise ``k`` so a true corpus duplicate
-cannot hide below k batch-mates.
+index: batch ids are excluded BEFORE the top-k selection, so all k
+slots hold genuine non-batch corpus neighbors even on
+heavy-self-duplication streams.
 
 Scale posture: per batch = ONE index query (cost ∝ batch × probed
 partitions — the same plan the batch query path runs), one broadcast
@@ -99,24 +106,23 @@ def embedding_screen_batch(
     ids = batch_df.select(
         integral_id_col(
             batch_df, id_col, "embedding_screen_batch"
-        ).alias("__batch_id")
+        ).alias(ID_COL)
     ).localCheckpoint(eager=True)
     q = batch_df.select(
         F.col(id_col).cast("long").alias(QUERY_ID_COL),
         F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
     )
-    res = idx.query(q, k, **qkw).where(F.col("distance").isNotNull())
-    # batch-mates never reject each other (self-pairs included): this
-    # keeps the decision a pure function of the NON-batch index state,
-    # which is what makes streaming replay reproduce the accept set
-    # exactly (see module docstring)
+    # batch-mates never reject each other (self-pairs included): the
+    # excluded_ids PUSHDOWN removes them before the index's top-k, so
+    # every returned neighbor is a genuine non-batch corpus row — the
+    # decision is a pure function of the NON-batch index state even
+    # when a crash-replayed batch queries an index that already holds
+    # its accepted batch-mates (see module docstring)
+    res = idx.query(q, k, excluded_ids=ids, **qkw).where(
+        F.col("distance").isNotNull()
+    )
     dup = (
-        res.join(
-            F.broadcast(ids),
-            res["external_id"] == F.col("__batch_id"),
-            "left_anti",
-        )
-        .where(
+        res.where(
             F.col("distance") <= threshold
             if idx.metric.ascending
             else F.col("distance") >= threshold
