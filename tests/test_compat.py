@@ -194,6 +194,27 @@ def test_ingest_reference_kwargs_migration(spark, tmp_path):
         [(0, [0.0, 0.0])], "query_id long, vector array<float>"
     )
     assert idx.query(q, k=1).count() == 1
+    # conflicting timestamp aliases raise (mirrors the uri/index_uri
+    # pair) — a silent overwrite would stamp the ingestion elsewhere
+    with _pytest.raises(ValueError, match="timestamp or index_timestamp"):
+        ingest(
+            spark,
+            source=src,
+            index_type="FLAT",
+            index_uri=str(tmp_path / "x"),
+            timestamp=1000,
+            index_timestamp=2000,
+        )
+    # equal values are NOT a conflict
+    idx_eq = ingest(
+        spark,
+        source=src,
+        index_type="FLAT",
+        index_uri=str(tmp_path / "eq"),
+        timestamp=1500,
+        index_timestamp=1500,
+    )
+    assert idx_eq.base_ts == 1500
     with _pytest.raises(TypeError, match="source_uri"):
         ingest(spark, str(tmp_path / "x"), src, source_uri="/data/v.fvecs")
     with _pytest.raises(TypeError, match="limit"):

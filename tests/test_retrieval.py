@@ -573,3 +573,21 @@ def test_kernel_id_dtype_gates(spark, docs, queries, tmp_path):
     # auto on the fractional batch keeps the join plan and preserves ids
     frac_rows = idx.query(frac_q, k=5).collect()
     assert {r.query_id for r in frac_rows} <= {i + 0.5 for i in range(10)}
+
+
+def test_remove_documents_rejects_unparseable_ids(spark, docs, tmp_path):
+    """ADVICE r9: on a bigint-keyed index, a string ids frame whose
+    values don't parse casts to NULL and the delete silently NO-OPs —
+    the same data-retention class as the string-keyed bug fixed in r9,
+    from the other direction.  Must raise; numeric strings (lossless
+    casts) still work."""
+    idx = BM25Index.build(spark, str(tmp_path / "bi"), docs)
+    n0 = idx.n_docs
+    bad = spark.createDataFrame([("doc-1",), ("doc-2",)], "doc_id string")
+    with pytest.raises(TypeError, match="do not convert"):
+        idx.remove_documents(bad)
+    assert BM25Index(spark, idx.uri).n_docs == n0  # nothing half-applied
+    # lossless string→bigint ids are accepted (a convenience, not a trap)
+    ok = spark.createDataFrame([("1",), ("3",)], "doc_id string")
+    idx.remove_documents(ok)
+    assert BM25Index(spark, idx.uri).n_docs == n0 - 2

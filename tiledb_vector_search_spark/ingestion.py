@@ -113,7 +113,17 @@ def ingest(
             "sources.vecs.read_vectors(spark, source_uri)"
         )
     if "index_timestamp" in kwargs:
-        kwargs["timestamp"] = kwargs.pop("index_timestamp")
+        alias_ts = kwargs.pop("index_timestamp")
+        # mirror the uri/index_uri pair: a silent overwrite of an
+        # explicit timestamp would stamp the ingestion somewhere the
+        # caller did not ask for
+        if kwargs.get("timestamp") is not None and kwargs["timestamp"] != alias_ts:
+            raise ValueError(
+                "pass either timestamp or index_timestamp, not both "
+                f"(got timestamp={kwargs['timestamp']}, "
+                f"index_timestamp={alias_ts})"
+            )
+        kwargs["timestamp"] = alias_ts
     for k in _SCHEDULER_NOOP_KWARGS & kwargs.keys():
         kwargs.pop(k)
     redirected = sorted(_REDIRECT_KWARGS.keys() & kwargs.keys())

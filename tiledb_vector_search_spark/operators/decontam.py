@@ -88,7 +88,7 @@ def embedding_overlap(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     metric: str = "sum_of_squares",
-    nprobe: int = 4,
+    nprobe: int | None = None,
     partitions: int | None = None,
 ) -> DataFrame:
     """SEMANTIC decontamination: flag training rows whose embedding sits
@@ -107,10 +107,15 @@ def embedding_overlap(
     reproducible), the training corpus routes through broadcast
     centroids and cogroups against eval members, so the only train-side
     shuffle is the nprobe-way routed repartition; no corpus pairs, no
-    index build.  Routing is approximate: a leak routed to an unprobed
-    cell can slip through; raise ``nprobe`` (up to the eval partition
-    count) for exhaustiveness — the eval side is small enough that even
-    full probe is one broadcast matmul per train batch.
+    index build.
+
+    DEFAULT = EXHAUSTIVE probing (``nprobe=None`` → every eval cell):
+    decontamination is a hygiene step whose one failure mode is the
+    silent false negative, and a leak routed to an unprobed cell is
+    exactly that — so approximation is OPT-IN (pass a small ``nprobe``
+    to trade exhaustiveness for routed-scan cost).  The eval side is
+    MB-scale, so even full probe is one broadcast matmul per train
+    batch; the train-side shuffle grows with the probe count.
     """
     from tiledb_vector_search_spark.functions.distance import DistanceMetric
     from tiledb_vector_search_spark.operators.knn import knn_join
@@ -129,6 +134,9 @@ def embedding_overlap(
         ),
         F.col(vector_col).alias("__v"),
     )
+    if nprobe is None:
+        # exhaustive: knn_join clamps nprobe to the trained cell count
+        nprobe = 2**31 - 1
     nearest = knn_join(
         train,
         ev,

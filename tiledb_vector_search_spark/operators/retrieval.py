@@ -708,10 +708,27 @@ class BM25Index:
         # the delete silently NO-OP'd (the caller saw success while the
         # docs stayed searchable — a data-retention bug)
         doc_id_type = dict(post.dtypes)["doc_id"]
-        del_ids = (
-            ids.select(
-                F.col(ids.columns[0]).cast(doc_id_type).alias("doc_id")
+        raw = F.col(ids.columns[0])
+        # an id that does not CONVERT to the index's doc-id type must
+        # raise, not be filtered: the isNotNull() below would drop
+        # every such id and the delete would report success while the
+        # docs stayed searchable — the same data-retention bug class as
+        # the string-keyed no-op fixed in r9, from the other direction.
+        # try_cast (not cast) because ANSI mode makes a failed cast
+        # throw an opaque executor error instead of yielding NULL.
+        unparseable = ids.where(
+            raw.isNotNull() & raw.try_cast(doc_id_type).isNull()
+        )
+        if not unparseable.isEmpty():
+            sample = [r[0] for r in unparseable.limit(3).collect()]
+            raise TypeError(
+                f"remove_documents: id column {ids.columns[0]!r} has "
+                f"values that do not convert to the index's doc_id type "
+                f"{doc_id_type!r} (e.g. {sample}) — deleting would "
+                "silently skip them.  Pass ids of the index's key type."
             )
+        del_ids = (
+            ids.select(raw.try_cast(doc_id_type).alias("doc_id"))
             .where(F.col("doc_id").isNotNull())
             .distinct()
         )

@@ -3516,7 +3516,6 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding"),
         ev,
         max_distance=1e-9,
-        nprobe=4,
-        partitions=4,
+        partitions=4,  # default nprobe = exhaustive (every eval cell)
     )
     return out.orderBy("vec_id")
