@@ -442,17 +442,30 @@ class ObjectIndex:
         return_objects: bool = False,
         return_metadata: bool = True,
         filter_pushdown: bool = False,
+        recall_target: float | None = None,
         **query_kw: Any,
     ) -> DataFrame:
         """Embed → (over-fetched) kNN → metadata filter → top-k → attach.
+
+        ``recall_target`` forwards to the backing index, which resolves
+        the CHEAPEST measured operating point clearing the target from
+        its persisted per-snapshot recall curve
+        (``Index.measure_recall_curve``) — first-class here so object
+        callers get the measured-recall contract without reaching into
+        ``query_kwargs``.  Mutually exclusive with an explicit
+        ``nprobe``/``k_factor``/``l_search`` (the index raises).  With
+        ``filter_pushdown=True`` a recall_target takes precedence over
+        pushdown's full-probe default (the curve point was measured
+        unfiltered; under a very selective filter prefer the full-probe
+        default or an explicit nprobe).
 
         ``metadata_array_cond`` is a SQL-WHERE-subset predicate over the
         metadata columns (reference TileDB query-condition grammar);
         ``metadata_df_filter_fn`` an arbitrary pandas row predicate.
 
         ``filter_pushdown=True`` evaluates the metadata predicate on the
-        metadata table FIRST and restricts the index scan to the allowed
-        ids (semi-join before scoring), instead of the reference's
+        metadata table FIRST and restricts the index scan to the
+        allowed ids (semi-join before scoring), instead of the reference's
         ``fetch_k = 50·k`` over-fetch (``object_index.py:451-453``),
         which silently returns fewer than k rows when the filter keeps
         less than ~1/50 of the neighborhood.  On FLAT this is exact
@@ -466,6 +479,8 @@ class ObjectIndex:
         A graph walk (VAMANA) changes recall semantics under a
         pre-filter, so it keeps over-fetch.
         """
+        if recall_target is not None:
+            query_kw = {**query_kw, "recall_target": recall_target}
         md_table = self.metadata()  # ONE resolution per query call
         if self.embedding.multi_vector:
             # the fusion path has no filtered variant yet: refusing is
@@ -525,6 +540,7 @@ class ObjectIndex:
             if (
                 self.index.index_type in ("IVF_FLAT", "IVF_PQ")
                 and "nprobe" not in query_kw
+                and "recall_target" not in query_kw
             ):
                 # default to full probe so the "exact among the filtered
                 # set" contract holds even when the filter's survivors

@@ -262,10 +262,10 @@ def _cell_splits(
 
 def knn_join(
     left: DataFrame,
-    right: DataFrame,
+    right: DataFrame | None,
     k: int,
     centroids: np.ndarray | None = None,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     partitions: int | None = None,
     metric: DistanceMetric | str = DistanceMetric.SUM_OF_SQUARES,
     left_id_col: str = QUERY_ID_COL,
@@ -274,6 +274,8 @@ def knn_join(
     seed: int = 42,
     strategy: str = "kernel",
     max_cell_rows: int | None = 100_000,
+    right_index: "Any | None" = None,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """Approximate kNN JOIN of two LARGE vector tables — no index build,
     neither side broadcast, no driver-side query collect.
@@ -324,8 +326,41 @@ def knn_join(
     sides (and train centroids on normalized vectors) so nearest-by-sos
     routing agrees with the scoring metric — the same normalize-on-write
     discipline the cosine index types apply at ingest.
+
+    ``right_index``: a built probe-routed index (``IVFFlatIndex`` /
+    ``IVFPQIndex``) standing in for the right side — its trained
+    centroids route the join (no re-training), ``right`` defaults to
+    its effective vector set, and ``recall_target`` resolves ``nprobe``
+    from the index's persisted measured recall curve
+    (``Index.measure_recall_curve``) instead of a hand-picked knob.
+    Honesty note: the curve was measured on the index's own query
+    plan; it transfers here because the join's routing (same centroids,
+    same nprobe, nearest-by-sos) makes the same probe decisions — but
+    it speaks for THIS right side only when ``right`` is the index's
+    own corpus (the default).
     """
     metric = DistanceMetric(metric)
+    if recall_target is not None:
+        if right_index is None:
+            raise ValueError(
+                "recall_target needs right_index= (a built index with a "
+                "measured recall curve; see Index.measure_recall_curve)"
+            )
+        if nprobe is not None:
+            raise ValueError("pass either nprobe or recall_target, not both")
+        nprobe = int(right_index.resolve_recall_target(recall_target)["nprobe"])
+    if right_index is not None:
+        if centroids is None:
+            centroids = right_index.centroids()
+        if right is None:
+            right = right_index.effective_vectors().select(
+                F.col("external_id").alias(right_id_col),
+                F.col("vector").alias(vector_col),
+            )
+    if right is None:
+        raise ValueError("knn_join needs right= (or right_index=)")
+    if nprobe is None:
+        nprobe = 4
     if centroids is None:
         from tiledb_vector_search_spark.ml.kmeans import (
             default_partitions,
