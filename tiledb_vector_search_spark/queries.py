@@ -906,9 +906,50 @@ def _recall_gate(recall_df: DataFrame, gate: float) -> DataFrame:
 _GATE_ORACLE = "SELECT CAST(10 AS BIGINT) AS num_queries, true AS recall_ok"
 
 
-@register("ivf_index_recall_gate", _GATE_ORACLE)
+# driver=False since r10: subsumed by ``ivf_recall_target_search`` below,
+# which builds the same real IVF index but verifies the HEADLINE feature
+# (measured curve + recall_target resolution) under the strongest gate
+# (value hash vs the brute-force oracle, not a boolean); this boolean
+# gate stays in the pytest sweep
+@register("ivf_index_recall_gate", _GATE_ORACLE, driver=False)
 def ivf_index_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(ivf_index_recall(spark, sf_dir), 0.85)
+
+
+@register("ivf_recall_target_search", _KNN_ORACLE.format(dist=_SSQ, dir="ASC"))
+def ivf_recall_target_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured-recall-curve feature end-to-end under the strongest
+    driver gate: build a real IVF index, MEASURE its recall curve on the
+    caller's query distribution (``Index.measure_recall_curve``), then
+    ``query(recall_target=1.0)`` — the resolver picks the cheapest
+    measured setting whose recall on those queries is 1.0, so the
+    result must equal exact brute-force top-10 and the DuckDB
+    brute-force oracle verifies rows + schema + VALUE HASH.  Resolution
+    cost (``sec``) is runtime-noisy, so two runs may resolve different
+    gated nprobe values — but every gated point returns the exact set
+    on these queries, so the output is deterministic.  Replaces the
+    boolean ``ivf_index_recall_gate`` in the driver window (that gate
+    stays in the pytest sweep); the reference's comparable surface is
+    the nprobe=√partitions folklore (``ivf_flat_index.py:215``)."""
+    from tiledb_vector_search_spark.indexes import IVFFlatIndex
+
+    uri = _scratch("ivf_rt") + "/idx"
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    idx = IVFFlatIndex.ingest(spark, uri, src, partitions=8, timestamp=1000)
+    queries = src.where("external_id < 10").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    idx.measure_recall_curve(k=10, queries=queries)
+    res = idx.query(queries, 10, recall_target=1.0, strategy="expr")
+    return res.select(
+        "query_id",
+        "external_id",
+        "distance",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @register("ivf_pq_index_recall_gate", _GATE_ORACLE)
