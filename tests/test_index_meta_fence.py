@@ -301,3 +301,36 @@ def test_registered_cas_store_is_consulted(spark, source, tmp_path):
     # seam removed: back to the native primitive
     idx.update_batch([(777_001, V_B)], timestamp=3000)
     assert 777_001 in _query_of(FlatIndex(spark, uri), V_B)
+
+
+def test_many_batch_read_filter_uses_join_not_in_list(spark, source, tmp_path):
+    """A long-running streaming ingest commits thousands of update
+    batches between consolidations; the committed-batch read filter
+    must not inline them as an IN-list (plan size grows with the
+    literal count).  Above the threshold the filter becomes a broadcast
+    semi-join with identical semantics — including still hiding
+    orphan rows whose meta commit never landed."""
+    uri = str(tmp_path / "flat")
+    idx = _flat(spark, source, uri)
+    storage = IndexStorage(spark, uri)
+    # forge a meta with 300 committed batch ts and parquet rows for a
+    # subset (cheaper than 300 real appends; semantics identical)
+    rows = [(100_000 + i, [float(i)] * 64, False, 2000 + i) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "external_id long, vector array<float>, is_delete boolean, ts long"
+    )
+    df.write.mode("append").parquet(storage.updates_path)
+    # orphan rows: parquet present, ts NOT in the committed list
+    spark.createDataFrame(
+        [(999_999, [9.9] * 64, False, 777_777)],
+        "external_id long, vector array<float>, is_delete boolean, ts long",
+    ).write.mode("append").parquet(storage.updates_path)
+    meta = storage.read_meta()
+    meta["update_batches"] = [2000 + i for i in range(300)]
+    storage.commit_meta(meta)
+    got = storage.read_updates_raw()
+    assert "Join LeftSemi" in got._jdf.queryExecution().toString() or (
+        "LeftSemi" in got._jdf.queryExecution().executedPlan().toString()
+    )
+    ids = {int(r["external_id"]) for r in got.collect()}
+    assert ids == {100_000 + i for i in range(8)}  # orphan hidden

@@ -801,9 +801,21 @@ class IndexStorage:
         # without this filter, readers applied updates the metadata
         # says do not exist).  Orphan rows get dropped for good at the
         # next clear_updates_through rewrite.
-        return self.spark.read.parquet(self.updates_path).where(
-            F.col("ts").isin([int(t) for t in batches])
+        raw = self.spark.read.parquet(self.updates_path)
+        ts_list = [int(t) for t in batches]
+        if len(ts_list) <= 256:
+            return raw.where(F.col("ts").isin(ts_list))
+        # a long-running streaming ingest commits thousands of batches
+        # between consolidations; an IN-list that size bloats the plan
+        # (analysis + codegen cost grows with the literal count), so
+        # filter via a broadcast semi-join on a tiny batches frame —
+        # same semantics, O(1) plan size
+        from tiledb_vector_search_spark.session import small_df
+
+        committed = small_df(
+            self.spark, [(t,) for t in ts_list], "ts long"
         )
+        return raw.join(F.broadcast(committed), "ts", "left_semi")
 
     def read_updates(
         self, lo_exclusive: int | None, hi_inclusive: int | None
