@@ -1,0 +1,170 @@
+"""Hot-cell splitting at consolidation + partition skew surface (r10).
+
+IVF cells grow unevenly under upsert-heavy churn (new data clusters
+where the corpus is growing, not where the centroids were trained); a
+hot cell is a hot probe AND a hot cogroup task.  The reference's answer
+is a full re-ingest (``partition_history``, ``index.py:678-695``);
+``consolidate_updates(split_hot_cells=True)`` is the surgical twin —
+only cells over the cap retrain, cold centroids survive byte-identical,
+and one final full re-assign keeps the assignment-is-argmin invariant
+probe routing relies on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiledb_vector_search_spark.indexes import IVFFlatIndex
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    # one mega-cluster: 1500 rows at 100·e0
+    for i in range(1500):
+        v = rng.normal(0, 0.5, DIM)
+        v[0] += 100.0
+        rows.append((i, [float(x) for x in v]))
+    # three small clusters of 100 on other axes
+    for c in range(1, 4):
+        for j in range(100):
+            v = rng.normal(0, 0.5, DIM)
+            v[c] += 100.0
+            rows.append((10_000 * c + j, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "external_id long, vector array<float>"
+    )
+
+
+def _exact(idx, src, q, k):
+    from tiledb_vector_search_spark.operators.knn import knn_bruteforce_expr
+
+    return knn_bruteforce_expr(src, q, k).select(
+        "query_id", "external_id"
+    ).collect()
+
+
+def test_split_hot_cells_rebalances_and_stays_exact(spark, skewed, tmp_path):
+    idx = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "ivf"), skewed, partitions=4, timestamp=1000
+    )
+    stats0 = {
+        int(r["partition_id"]): int(r["rows"])
+        for r in idx.partition_stats().collect()
+    }
+    hot0 = max(stats0.values())
+    assert hot0 >= 1200  # the mega-cluster landed in one cell
+    assert idx.partition_history == [4]
+
+    idx2 = idx.consolidate_updates(
+        timestamp=2000, split_hot_cells=True, cell_cap=400
+    )
+    stats1 = {
+        int(r["partition_id"]): int(r["rows"])
+        for r in idx2.partition_stats().collect()
+    }
+    # the hot cell split into ~ceil(1500/400)=4 sub-cells; cold cells kept
+    assert idx2.partitions > 4
+    assert sum(stats1.values()) == sum(stats0.values())
+    assert max(stats1.values()) < hot0
+    assert idx2.partition_history == [4, idx2.partitions]
+
+    # assignment-is-argmin invariant: stored pid == nearest centroid
+    from tiledb_vector_search_spark.ml.kmeans import assign_partitions_expr
+
+    base = idx2._base_vectors().select("external_id", "vector", "partition_id")
+    re = assign_partitions_expr(
+        base.select("external_id", "vector"), idx2.centroids()
+    ).withColumnRenamed("partition_id", "re_pid")
+    mismatch = (
+        base.join(re, "external_id")
+        .where(F.col("partition_id") != F.col("re_pid"))
+        .count()
+    )
+    assert mismatch == 0
+
+    # exactness: full probe == brute force, before and after
+    q = skewed.where("external_id IN (0, 10000, 20000)").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    want = sorted(
+        (int(r["query_id"]), int(r["external_id"]))
+        for r in _exact(idx2, skewed, q, 5)
+    )
+    got = sorted(
+        (int(r["query_id"]), int(r["external_id"]))
+        for r in idx2.query(q, 5, nprobe=idx2.partitions).collect()
+    )
+    assert got == want
+
+
+def test_split_noop_when_nothing_hot(spark, skewed, tmp_path):
+    """split_hot_cells with a generous cap: no cell splits, the first
+    assignment pass is reused (no second corpus scan), result unchanged."""
+    idx = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "ivf"), skewed, partitions=4, timestamp=1000
+    )
+    idx2 = idx.consolidate_updates(
+        timestamp=2000, split_hot_cells=True, cell_cap=10_000
+    )
+    assert idx2.partitions == 4
+    assert idx2.partition_history == [4, 4]
+
+
+def test_split_deterministic(spark, skewed, tmp_path):
+    """Hash-ordered sampling + fixed seed: two consolidations of the
+    same tree split to the same centroid count and identical
+    assignments."""
+    outs = []
+    for tag in ("a", "b"):
+        idx = IVFFlatIndex.ingest(
+            spark, str(tmp_path / tag), skewed, partitions=4, timestamp=1000
+        )
+        idx2 = idx.consolidate_updates(
+            timestamp=2000, split_hot_cells=True, cell_cap=400
+        )
+        outs.append(
+            (
+                idx2.partitions,
+                sorted(
+                    (int(r["external_id"]), int(r["partition_id"]))
+                    for r in idx2._base_vectors()
+                    .select("external_id", "partition_id")
+                    .collect()
+                ),
+            )
+        )
+    assert outs[0] == outs[1]
+
+
+def test_split_after_update_churn(spark, skewed, tmp_path):
+    """The motivating scenario: churn concentrates in one region, the
+    updates fold makes a cell hot, the next consolidation splits it —
+    and the folded updates stay queryable."""
+    idx = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "ivf"), skewed, partitions=4, timestamp=1000
+    )
+    rng = np.random.default_rng(5)
+    add = []
+    for j in range(400):
+        v = rng.normal(0, 0.5, DIM)
+        v[0] += 100.0  # more growth in the already-hot region
+        add.append((50_000 + j, [float(x) for x in v]))
+    idx.update_batch(add, timestamp=1500)
+    idx2 = idx.consolidate_updates(
+        timestamp=2000, split_hot_cells=True, cell_cap=400
+    )
+    assert idx2.partitions > 4
+    q = spark.createDataFrame(
+        [(0, add[0][1])], "query_id long, vector array<float>"
+    )
+    hits = {
+        int(r["external_id"])
+        for r in idx2.query(q, 1, nprobe=idx2.partitions).collect()
+    }
+    assert hits == {50_000}

@@ -236,6 +236,19 @@ class Index:
     def size(self) -> int:
         return self.effective_vectors().count()
 
+    @property
+    def partition_history(self) -> "list[int]":
+        """Partition count per retained ingestion, oldest first — the
+        reference's ``partition_history`` group meta
+        (``index.py:678-695``), derived here from the per-ingestion
+        entries instead of a parallel list that can drift.  Empty for
+        index types without partitions (FLAT)."""
+        return [
+            int(e["partitions"])
+            for e in self.meta.get("ingestions", [])
+            if e.get("partitions") is not None
+        ]
+
     # -- query ---------------------------------------------------------------
 
     def query(self, queries: DataFrame, k: int, **kw: Any) -> DataFrame:

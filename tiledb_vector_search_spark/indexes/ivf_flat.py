@@ -315,11 +315,48 @@ class IVFFlatIndex(Index):
             .write.parquet(storage.aux_path(OVERLAY_AUX, ts))
         )
 
+    def partition_stats(self) -> DataFrame:
+        """(partition_id, rows) of the current base snapshot — the skew
+        report.  IVF cells grow unevenly under upsert-heavy churn (new
+        data clusters where the corpus is growing, not where the
+        centroids were trained), and a hot cell is a hot probe: every
+        query routed there scans the whole cell, and the kernel
+        cogroup's task unit is one cell.  Feed the result to
+        ``consolidate_updates(split_hot_cells=True)`` — or just look at
+        it; max(rows)/mean(rows) is the skew factor."""
+        return (
+            self._base_vectors()
+            .groupBy(PARTITION_COL)
+            .agg(F.count("*").alias("rows"))
+        )
+
     def _write_consolidated(
-        self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
+        self,
+        vectors: DataFrame,
+        ts: int,
+        retrain_index: bool = False,
+        split_hot_cells: bool = False,
+        cell_cap: int | None = None,
+        **kw: Any,
     ) -> None:
         """``consolidate_updates(retrain_index=...)`` (``index.py:503-577``):
-        keep centroids and only re-assign unless retrain requested."""
+        keep centroids and only re-assign unless retrain requested.
+
+        ``split_hot_cells=True`` is the SURGICAL alternative to a full
+        retrain for skewed growth: cells whose row count exceeds
+        ``cell_cap`` (default 4× the mean) are split in place — each
+        hot cell's members train ``ceil(rows/cap)`` sub-centroids on a
+        bounded hash-ordered sample (driver numpy, one sampling job for
+        ALL hot cells), the cold centroids survive untouched, and the
+        corpus re-assigns once against the final set so the
+        assignment-is-argmin invariant (what probe routing relies on)
+        holds exactly.  Cost: one extra assignment scan + one bounded
+        count when any cell is hot; zero extra scans when none is.
+        The reference's answer to drift is a full re-ingest
+        (``partition_history`` tracks the count per ingestion,
+        ``index.py:678-695``); splitting keeps the 99% of cells that
+        are fine and bounds consolidation cost by the skew, not the
+        corpus."""
         if retrain_index:
             from tiledb_vector_search_spark.functions.dtypes import (
                 is_byte_dtype as _is_byte,
@@ -347,11 +384,37 @@ class IVFFlatIndex(Index):
             VECTOR_COL, ""
         ).startswith("array"):
             vectors = pack_vectors(vectors, self.vector_dtype, VECTOR_COL)
+        first_pass = None
+        if split_hot_cells and not retrain_index:
+            first_pass = assign_partitions_expr(
+                vectors, centroids, vector_dtype=self.vector_dtype
+            )
+            counts = {
+                int(r[PARTITION_COL]): int(r["rows"])
+                for r in first_pass.groupBy(PARTITION_COL)
+                .agg(F.count("*").alias("rows"))
+                .collect()
+            }
+            total = sum(counts.values())
+            cap = cell_cap or max(
+                1, 4 * total // max(len(centroids), 1)
+            )
+            hot = {p: n for p, n in counts.items() if n > cap}
+            if hot:
+                centroids = self._split_hot_centroids(
+                    first_pass, centroids, hot, cap
+                )
+                first_pass = None  # ids changed: re-assign below
         build_overlay = self.has_overlay and centroids.shape[0] > 1
-        assigned = assign_partitions_expr(
-            vectors, centroids, vector_dtype=self.vector_dtype,
-            with_margins=build_overlay,
-        )
+        if first_pass is not None and not build_overlay:
+            # split requested but nothing hot: the first pass IS the
+            # final assignment — no second corpus scan
+            assigned = first_pass
+        else:
+            assigned = assign_partitions_expr(
+                vectors, centroids, vector_dtype=self.vector_dtype,
+                with_margins=build_overlay,
+            )
         if build_overlay:
             from pyspark import StorageLevel
 
@@ -384,6 +447,73 @@ class IVFFlatIndex(Index):
         finally:
             if build_overlay:
                 assigned.unpersist()
+
+    # bound the driver k-means work per consolidation: only the
+    # hottest cells split in one fold (the next fold picks up the rest
+    # — consolidation is periodic), and each cell trains on a bounded
+    # hash-ordered sample
+    MAX_SPLIT_CELLS = 64
+    SPLIT_SAMPLE_PER_SUB = 256
+    SPLIT_SAMPLE_MAX = 20_000
+
+    def _split_hot_centroids(
+        self,
+        assigned: DataFrame,
+        centroids: np.ndarray,
+        hot: "dict[int, int]",
+        cap: int,
+        seed: int = 42,
+    ) -> np.ndarray:
+        """Replace each hot cell's centroid with ``ceil(rows/cap)``
+        sub-centroids trained on a bounded hash-ordered sample of that
+        cell's own members — ONE sampling job covers every splitting
+        cell (a rank-per-cell window, not a per-cell collect loop).
+        Cold centroids survive byte-identical; new partition ids are a
+        deterministic renumbering (cold cells first in original order,
+        then sub-centroids grouped by their source cell).  Hash-ordered
+        sampling + fixed seed keep the split bit-reproducible."""
+        from pyspark.sql import Window
+
+        from tiledb_vector_search_spark.functions.dtypes import decode_matrix
+        from tiledb_vector_search_spark.ml.kmeans import kmeans_numpy
+
+        split = dict(
+            sorted(hot.items(), key=lambda kv: -kv[1])[: self.MAX_SPLIT_CELLS]
+        )
+        targets = {
+            p: min(
+                n,
+                min(
+                    self.SPLIT_SAMPLE_PER_SUB * (-(-n // cap)),
+                    self.SPLIT_SAMPLE_MAX,
+                ),
+            )
+            for p, n in split.items()
+        }
+        w = Window.partitionBy(PARTITION_COL).orderBy(
+            F.xxhash64(F.col(ID_COL)), F.col(ID_COL)
+        )
+        rows = (
+            assigned.where(F.col(PARTITION_COL).isin(list(split)))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max(targets.values()))
+            .select(PARTITION_COL, "__rn", VECTOR_COL)
+            .collect()
+        )
+        import pandas as pd
+
+        by_cell: dict[int, list] = {p: [] for p in split}
+        for r in rows:
+            if r["__rn"] <= targets[int(r[PARTITION_COL])]:
+                by_cell[int(r[PARTITION_COL])].append(r[VECTOR_COL])
+        out = [
+            c for i, c in enumerate(centroids) if int(i) not in split
+        ]
+        for p in sorted(split):
+            x = decode_matrix(pd.Series(by_cell[p]), self.vector_dtype)
+            k_i = min(-(-split[p] // cap), len(x))
+            out.extend(kmeans_numpy(np.asarray(x, dtype=np.float64), k_i, seed=seed))
+        return np.array(out, dtype=np.float64)
 
     # -- access ---------------------------------------------------------------
 
