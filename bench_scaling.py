@@ -367,6 +367,42 @@ def _queries(spark):
         )
         return n_acc
 
+    def ivf_split_consolidate(sf_dir):
+        # hot-cell splitting at corpus scale (r10): a planted tight
+        # cluster sized ~30% of the corpus lands in one cell; the
+        # split-fold retrains ONLY that cell's sub-centroids on a
+        # BOUNDED sample (driver work constant in corpus size) and the
+        # one full re-assign + rewrite is corpus-linear — so the row
+        # must track the plain consolidate family, never multiply
+        # with the number of hot rows beyond the linear rewrite
+        import shutil
+
+        from tiledb_vector_search_spark.indexes import IVFFlatIndex
+
+        uri = f"/tmp/tvs_scaling_ivfsplit_{abs(hash(sf_dir))}"
+        shutil.rmtree(uri, ignore_errors=True)
+        vectors = _vectors(sf_dir)
+        hot = vectors.sample(0.43, seed=7).select(
+            (F.col("external_id") + 930_000_000_000).alias("external_id"),
+            F.transform(
+                "vector", lambda e: e * F.lit(0.01) + F.lit(500.0)
+            ).cast("array<float>").alias("vector"),
+        )
+        corpus = vectors.unionByName(hot).localCheckpoint(eager=True)
+        n = corpus.count()
+        idx = IVFFlatIndex.ingest(
+            spark, f"{uri}/idx", corpus, partitions=8, timestamp=1000
+        )
+        folded = idx.consolidate_updates(
+            timestamp=2000, split_hot_cells=True, cell_cap=max(1, n // 8)
+        )
+        assert folded.partitions > 8, folded.partitions
+        stats = folded.partition_stats().agg(
+            F.max("rows").alias("mx")
+        ).first()
+        assert int(stats["mx"]) <= max(1, n // 8), stats
+        return folded.partitions
+
     def ivf_recall_curve_measure(sf_dir):
         # the auto-operating-point measurement at corpus scale: ONE
         # corpus-linear brute-force truth job + a CONSTANT number of
@@ -436,6 +472,7 @@ def _queries(spark):
         "bm25_ingest_batch_1000": bm25_ingest_batch,
         "ivf_overlay_build": ivf_overlay_build,
         "ivf_consolidate_with_overlay": ivf_consolidate_with_overlay,
+        "ivf_split_consolidate": ivf_split_consolidate,
         "ivf_recall_curve_measure": ivf_recall_curve_measure,
         "embedding_screen_batch_1000": embedding_screen_batch_1000,
         "minhash_ref_build": minhash_ref_build,

@@ -50,7 +50,11 @@ def test_driver_window_curated():
         # jaccard stays gated via dedup_ngram_jaccard) when the semantic
         # crawl screen took its slot
         "embedding_screen_accepts",
-        "ivf_index_recall_gate",
+        # ivf_index_recall_gate demoted to the pytest twin in r10 when
+        # ivf_recall_target_search took its slot (same real IVF build,
+        # but the headline measured-curve feature under a value-hash
+        # oracle instead of a boolean gate)
+        "ivf_recall_target_search",
         "ivf_pq_index_recall_gate",
         "vamana_index_recall_gate",
         "dedup_minhash_lsh",
