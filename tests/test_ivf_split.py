@@ -168,3 +168,31 @@ def test_split_after_update_churn(spark, skewed, tmp_path):
         for r in idx2.query(q, 1, nprobe=idx2.partitions).collect()
     }
     assert hits == {50_000}
+
+
+def test_consolidate_refuses_unknown_kwargs(spark, skewed, tmp_path):
+    """A consolidation knob the index type does not honor is refused BY
+    NAME (the query-kwarg contract applied to the DML surface): a typo
+    or a cross-type knob must never silently change nothing."""
+    from tiledb_vector_search_spark.indexes import (
+        FlatIndex,
+        IVFPQIndex,
+    )
+
+    ivf = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "i"), skewed, partitions=4, timestamp=1000
+    )
+    with pytest.raises(TypeError, match="retrian_index"):
+        ivf.consolidate_updates(timestamp=2000, retrian_index=True)
+    flat = FlatIndex.ingest(
+        spark, str(tmp_path / "f"), skewed, timestamp=1000
+    )
+    with pytest.raises(TypeError, match="split_hot_cells"):
+        flat.consolidate_updates(timestamp=2000, split_hot_cells=True)
+    pq = IVFPQIndex.ingest(
+        spark, str(tmp_path / "p"), skewed, partitions=4, timestamp=1000
+    )
+    # splitting a PQ coarse cell would stale its residual codes — the
+    # supported rebalance is retrain_index; split is refused, not ignored
+    with pytest.raises(TypeError, match="split_hot_cells"):
+        pq.consolidate_updates(timestamp=2000, split_hot_cells=True)

@@ -76,6 +76,12 @@ class Index:
     """Base class; concrete indexes implement ``_ingest`` and ``query``."""
 
     index_type = "BASE"
+    # consolidation knobs this index type honors; anything else passed to
+    # consolidate_updates is refused BY NAME — the same contract as query
+    # kwargs (a knob the caller thinks they set must never silently
+    # change nothing).  recall_curve/timestamp are handled before the
+    # subclass sees kwargs.
+    CONSOLIDATE_KWARGS: frozenset = frozenset()
     # True for index types that store vectors pre-normalized for COSINE
     # (reference IVFFlatIndex normalizes updates before writing,
     # ``ivf_flat_index.py:313-325``); FLAT stores raw and scores cosine at
@@ -603,6 +609,15 @@ class Index:
         ``query(recall_target=...)`` working straight through a fold.
         """
         ts = timestamp if timestamp is not None else now_ms()
+        unknown = set(kw) - set(self.CONSOLIDATE_KWARGS)
+        if unknown:
+            raise TypeError(
+                f"{type(self).__name__}.consolidate_updates: unknown "
+                f"kwarg(s) {sorted(unknown)} — this index type honors "
+                f"{sorted(self.CONSOLIDATE_KWARGS) or ['(none)']}; "
+                "unrecognized knobs are refused rather than silently "
+                "ignored"
+            )
         # the fold reads exactly this handle's updates window
         # (base_ts, hi]; clearing past it would DESTROY updates the fold
         # never saw.  Two ways a batch can sit beyond the window: a

@@ -315,6 +315,10 @@ class IVFFlatIndex(Index):
             .write.parquet(storage.aux_path(OVERLAY_AUX, ts))
         )
 
+    CONSOLIDATE_KWARGS = frozenset(
+        {"retrain_index", "partitions", "split_hot_cells", "cell_cap"}
+    )
+
     def partition_stats(self) -> DataFrame:
         """(partition_id, rows) of the current base snapshot — the skew
         report.  IVF cells grow unevenly under upsert-heavy churn (new

@@ -687,6 +687,12 @@ class IVFPQIndex(Index):
             spark, rows, "subspace int, code int, centroid array<double>"
         ).write.parquet(storage.aux_path(PQ_CODEBOOK_AUX, ts))
 
+    # no split_hot_cells here: splitting a coarse cell moves its members'
+    # residual targets, so their PQ codes must re-encode — that is what
+    # retrain_index=True does; a partial variant would silently serve
+    # stale codes.  Refused by name via the base-class kwarg check.
+    CONSOLIDATE_KWARGS = frozenset({"retrain_index", "partitions"})
+
     def _write_consolidated(
         self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
     ) -> None:

@@ -438,6 +438,10 @@ class VamanaIndex(Index):
         )
         return handle.drop("is_medoid"), medoids, handle
 
+    # re-sharding a graph index = rebuilding shard graphs; that is
+    # retrain_index/shards, not a surgical split
+    CONSOLIDATE_KWARGS = frozenset({"retrain_index", "shards"})
+
     def _write_consolidated(
         self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
     ) -> None:
