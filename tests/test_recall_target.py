@@ -355,3 +355,38 @@ def test_object_index_query_forwards_recall_target(spark, sf_dir, tmp_path):
     assert key(exact) == key(want) and len(exact) > 0
     with pytest.raises(ValueError, match="not both"):
         oi.query(q, k=3, recall_target=1.0, nprobe=2)
+
+
+def test_knn_join_right_index_byte_dtype(spark, tmp_path):
+    """A byte-dtype right_index stores packed binary on the no-updates
+    fast path; knn_join must unpack before the float join kernels (it
+    crashed in the Arrow decode otherwise).  Full-probe resolution must
+    equal the index's own exact query, distances included."""
+    from tiledb_vector_search_spark.indexes import IVFFlatIndex
+    from tiledb_vector_search_spark.operators.knn import knn_join
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("external_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.least(F.lit(255.0), F.round(F.abs(x) * F.lit(50), 0)).cast(
+                "float"
+            ),
+        ).alias("vector"),
+    )
+    idx = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "u8"), src, partitions=4,
+        vector_dtype="uint8", timestamp=1000, recall_curve=True,
+    )
+    left = src.where("external_id < 2").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    got = sorted(
+        (int(r["query_id"]), int(r["external_id"]), round(r["distance"], 4))
+        for r in knn_join(left, None, k=2, right_index=idx, recall_target=1.0).collect()
+    )
+    want = sorted(
+        (int(r["query_id"]), int(r["external_id"]), round(r["distance"], 4))
+        for r in idx.query(left, 2, nprobe=idx.partitions, strategy="expr").collect()
+    )
+    assert got == want

@@ -353,7 +353,23 @@ def knn_join(
         if centroids is None:
             centroids = right_index.centroids()
         if right is None:
-            right = right_index.effective_vectors().select(
+            right = right_index.effective_vectors()
+            from tiledb_vector_search_spark.functions.dtypes import (
+                is_byte_dtype,
+                unpack_vectors,
+            )
+
+            if (
+                is_byte_dtype(getattr(right_index, "vector_dtype", "float32"))
+                and dict(right.dtypes).get(VECTOR_COL) == "binary"
+            ):
+                # byte-dtype indexes store packed binary on the
+                # no-updates fast path; the join kernels score float
+                # arrays (u8/i8 values are exactly representable)
+                right = unpack_vectors(
+                    right, right_index.vector_dtype, VECTOR_COL
+                )
+            right = right.select(
                 F.col("external_id").alias(right_id_col),
                 F.col("vector").alias(vector_col),
             )
