@@ -196,3 +196,30 @@ def test_consolidate_refuses_unknown_kwargs(spark, skewed, tmp_path):
     # supported rebalance is retrain_index; split is refused, not ignored
     with pytest.raises(TypeError, match="split_hot_cells"):
         pq.consolidate_updates(timestamp=2000, split_hot_cells=True)
+
+
+def test_snapshot_artifact_cache_exact_across_reingest(spark, skewed, tmp_path):
+    """The process-wide centroid cache is keyed on snapshot_nonce: two
+    handles of ONE snapshot share the loaded array (streaming re-opens
+    stop paying a collect per batch), while delete_index + re-ingest at
+    the SAME uri and timestamp — a different snapshot with identical
+    (uri, ts) — must NOT serve the old centroids."""
+    from tiledb_vector_search_spark.indexes import IVFFlatIndex
+
+    uri = str(tmp_path / "ivf")
+    IVFFlatIndex.ingest(spark, uri, skewed, partitions=4, timestamp=1000)
+    a = IVFFlatIndex(spark, uri).centroids()
+    b = IVFFlatIndex(spark, uri).centroids()
+    assert a is b  # same snapshot → same cached object, no re-collect
+
+    IVFFlatIndex.delete_index(spark, uri)
+    other = skewed.select(
+        "external_id",
+        F.transform("vector", lambda x: x * F.lit(2.0) + F.lit(7.0)).cast(
+            "array<float>"
+        ).alias("vector"),
+    )
+    IVFFlatIndex.ingest(spark, uri, other, partitions=4, timestamp=1000)
+    c = IVFFlatIndex(spark, uri).centroids()
+    assert c is not a
+    assert not np.allclose(c, a)  # fresh snapshot's own centroids

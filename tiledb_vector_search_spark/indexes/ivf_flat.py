@@ -52,7 +52,11 @@ from tiledb_vector_search_spark.schemas import (
     VECTOR_COL,
     integral_id_col,
 )
-from tiledb_vector_search_spark.storage import IndexStorage, now_ms
+from tiledb_vector_search_spark.storage import (
+    IndexStorage,
+    cached_snapshot_artifact,
+    now_ms,
+)
 from tiledb_vector_search_spark.session import small_df
 
 _SUPPORTED = {
@@ -522,18 +526,31 @@ class IVFFlatIndex(Index):
     # -- access ---------------------------------------------------------------
 
     def centroids(self) -> np.ndarray:
-        # memoized per open: centroids are immutable for a given base_ts
+        # memoized per open AND process-wide per snapshot_nonce:
+        # streaming loops re-open the index every micro-batch (snapshot
+        # discipline), and without the shared cache each re-open paid
+        # one Spark collect job for an immutable artifact
         cached = getattr(self, "_centroids_cache", None)
         if cached is not None:
             return cached
-        rows = (
-            self.spark.read.parquet(self.storage.centroids_path(self.base_ts))
-            .orderBy(PARTITION_COL)
-            .collect()
-        )
-        self._centroids_cache = np.array(
-            [r["centroid"] for r in rows], dtype=np.float64
-        )
+
+        def load():
+            rows = (
+                self.spark.read.parquet(
+                    self.storage.centroids_path(self.base_ts)
+                )
+                .orderBy(PARTITION_COL)
+                .collect()
+            )
+            return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+        nonce = self._base_entry().get("snapshot_nonce")
+        if nonce is None:  # legacy meta: per-handle memo only
+            self._centroids_cache = load()
+        else:
+            self._centroids_cache = cached_snapshot_artifact(
+                ("centroids", self.uri, self.base_ts, nonce), load
+            )
         return self._centroids_cache
 
     @property

@@ -64,7 +64,11 @@ from tiledb_vector_search_spark.schemas import (
     VECTOR_COL,
     integral_id_col,
 )
-from tiledb_vector_search_spark.storage import IndexStorage, now_ms
+from tiledb_vector_search_spark.storage import (
+    IndexStorage,
+    cached_snapshot_artifact,
+    now_ms,
+)
 from tiledb_vector_search_spark.session import small_df
 
 _SUPPORTED = {DistanceMetric.SUM_OF_SQUARES, DistanceMetric.L2}
@@ -793,40 +797,64 @@ class IVFPQIndex(Index):
         return bool(self.meta.get("pq_residual", False))
 
     def centroids(self) -> np.ndarray:
-        # memoized per open: centroids are immutable for a given base_ts
+        # memoized per open AND process-wide per snapshot_nonce:
+        # streaming loops re-open the index every micro-batch (snapshot
+        # discipline), and without the shared cache each re-open paid
+        # one Spark collect job for an immutable artifact
         cached = getattr(self, "_centroids_cache", None)
         if cached is not None:
             return cached
-        rows = (
-            self.spark.read.parquet(self.storage.centroids_path(self.base_ts))
-            .orderBy(PARTITION_COL)
-            .collect()
-        )
-        self._centroids_cache = np.array(
-            [r["centroid"] for r in rows], dtype=np.float64
-        )
+
+        def load():
+            rows = (
+                self.spark.read.parquet(
+                    self.storage.centroids_path(self.base_ts)
+                )
+                .orderBy(PARTITION_COL)
+                .collect()
+            )
+            return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+        nonce = self._base_entry().get("snapshot_nonce")
+        if nonce is None:  # legacy meta: per-handle memo only
+            self._centroids_cache = load()
+        else:
+            self._centroids_cache = cached_snapshot_artifact(
+                ("centroids", self.uri, self.base_ts, nonce), load
+            )
         return self._centroids_cache
 
     def codebooks(self) -> np.ndarray:
-        """(num_subspaces, 256, sub_dim) from the aux table (memoized)."""
+        """(num_subspaces, 256, sub_dim) from the aux table (memoized
+        per open and process-wide per snapshot — see centroids())."""
         cached = getattr(self, "_codebooks_cache", None)
         if cached is not None:
             return cached
-        rows = (
-            self.spark.read.parquet(
-                self.storage.aux_path(PQ_CODEBOOK_AUX, self.base_ts)
+
+        def load():
+            rows = (
+                self.spark.read.parquet(
+                    self.storage.aux_path(PQ_CODEBOOK_AUX, self.base_ts)
+                )
+                .orderBy("subspace", "code")
+                .collect()
             )
-            .orderBy("subspace", "code")
-            .collect()
-        )
-        m = self.num_subspaces
-        n_codes = len(rows) // m
-        sub_dim = len(rows[0]["centroid"])
-        out = np.empty((m, n_codes, sub_dim), dtype=np.float64)
-        for r in rows:
-            out[r["subspace"], r["code"]] = r["centroid"]
-        self._codebooks_cache = out
-        return out
+            m = self.num_subspaces
+            n_codes = len(rows) // m
+            sub_dim = len(rows[0]["centroid"])
+            out = np.empty((m, n_codes, sub_dim), dtype=np.float64)
+            for r in rows:
+                out[r["subspace"], r["code"]] = r["centroid"]
+            return out
+
+        nonce = self._base_entry().get("snapshot_nonce")
+        if nonce is None:
+            self._codebooks_cache = load()
+        else:
+            self._codebooks_cache = cached_snapshot_artifact(
+                ("pq_codebooks", self.uri, self.base_ts, nonce), load
+            )
+        return self._codebooks_cache
 
     @property
     def partitions(self) -> int:

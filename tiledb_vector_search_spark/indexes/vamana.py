@@ -58,7 +58,11 @@ from tiledb_vector_search_spark.schemas import (
     VECTOR_COL,
     integral_id_col,
 )
-from tiledb_vector_search_spark.storage import IndexStorage, now_ms
+from tiledb_vector_search_spark.storage import (
+    IndexStorage,
+    cached_snapshot_artifact,
+    now_ms,
+)
 from tiledb_vector_search_spark.session import small_df
 
 _SUPPORTED = {
@@ -534,30 +538,53 @@ class VamanaIndex(Index):
     # -- access ---------------------------------------------------------------
 
     def centroids(self) -> np.ndarray:
-        # memoized per open: centroids are immutable for a given base_ts
+        # memoized per open AND process-wide per snapshot_nonce:
+        # streaming loops re-open the index every micro-batch (snapshot
+        # discipline), and without the shared cache each re-open paid
+        # one Spark collect job for an immutable artifact
         cached = getattr(self, "_centroids_cache", None)
         if cached is not None:
             return cached
-        rows = (
-            self.spark.read.parquet(self.storage.centroids_path(self.base_ts))
-            .orderBy(PARTITION_COL)
-            .collect()
-        )
-        self._centroids_cache = np.array(
-            [r["centroid"] for r in rows], dtype=np.float64
-        )
+
+        def load():
+            rows = (
+                self.spark.read.parquet(
+                    self.storage.centroids_path(self.base_ts)
+                )
+                .orderBy(PARTITION_COL)
+                .collect()
+            )
+            return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+        nonce = self._base_entry().get("snapshot_nonce")
+        if nonce is None:  # legacy meta: per-handle memo only
+            self._centroids_cache = load()
+        else:
+            self._centroids_cache = cached_snapshot_artifact(
+                ("centroids", self.uri, self.base_ts, nonce), load
+            )
         return self._centroids_cache
 
     def medoids(self) -> dict[int, int]:
         cached = getattr(self, "_medoids_cache", None)
         if cached is not None:
             return cached
-        rows = self.spark.read.parquet(
-            self.storage.aux_path(MEDOID_AUX, self.base_ts)
-        ).collect()
-        self._medoids_cache = {
-            int(r[PARTITION_COL]): int(r["medoid_id"]) for r in rows
-        }
+
+        def load():
+            rows = self.spark.read.parquet(
+                self.storage.aux_path(MEDOID_AUX, self.base_ts)
+            ).collect()
+            return {
+                int(r[PARTITION_COL]): int(r["medoid_id"]) for r in rows
+            }
+
+        nonce = self._base_entry().get("snapshot_nonce")
+        if nonce is None:
+            self._medoids_cache = load()
+        else:
+            self._medoids_cache = cached_snapshot_artifact(
+                ("medoids", self.uri, self.base_ts, nonce), load
+            )
         return self._medoids_cache
 
     @property

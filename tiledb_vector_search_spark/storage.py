@@ -448,6 +448,35 @@ def register_cas_store(scheme: str, store: CasStore | None) -> None:
         _CAS_STORES[scheme] = store
 
 
+# process-wide LRU for small immutable per-snapshot driver artifacts
+# (centroids, PQ codebooks, Vamana medoids).  Handles memoize per open,
+# but streaming loops RE-OPEN the index every micro-batch (the snapshot
+# discipline) and paid one Spark collect per artifact per batch; keyed
+# on the ingestion entry's snapshot_nonce the cache is exact — unique
+# per ingest, immutable for the snapshot's lifetime, and already in the
+# meta the handle read (zero extra FS round-trips).  Legacy entries
+# without a nonce skip the cache.  Bounded: a few hundred KB per entry
+# (≤10k centroids × dims float64), 64 entries max.
+_SNAPSHOT_ARTIFACTS: "dict[tuple, Any]" = {}
+_SNAPSHOT_ARTIFACTS_LOCK = threading.Lock()
+SNAPSHOT_ARTIFACT_CACHE_MAX = 64
+
+
+def cached_snapshot_artifact(key: tuple, loader):
+    """Return the cached artifact for ``key`` (must embed the snapshot
+    nonce), loading and inserting on miss.  Plain FIFO eviction — the
+    workload is a handful of live snapshots, not a scan."""
+    with _SNAPSHOT_ARTIFACTS_LOCK:
+        if key in _SNAPSHOT_ARTIFACTS:
+            return _SNAPSHOT_ARTIFACTS[key]
+    val = loader()
+    with _SNAPSHOT_ARTIFACTS_LOCK:
+        _SNAPSHOT_ARTIFACTS[key] = val
+        while len(_SNAPSHOT_ARTIFACTS) > SNAPSHOT_ARTIFACT_CACHE_MAX:
+            _SNAPSHOT_ARTIFACTS.pop(next(iter(_SNAPSHOT_ARTIFACTS)))
+    return val
+
+
 class HadoopFS:
     """Thin wrapper over org.apache.hadoop.fs.FileSystem for one base URI."""
 
@@ -744,7 +773,17 @@ class IndexStorage:
             writer = writer.partitionBy(partition_by)
         writer.parquet(self.base_path(ts))
         meta = self.read_meta()
-        entry = {"ts": ts, "base_size": base_size, **(extra_meta or {})}
+        # snapshot_nonce: a unique immutable identity for this ingestion
+        # — the cache key for per-snapshot driver artifacts (centroids,
+        # codebooks, medoids).  base_ts alone is NOT an identity:
+        # delete_index + re-ingest at the same timestamp is a different
+        # snapshot with the same (uri, ts).
+        entry = {
+            "ts": ts,
+            "base_size": base_size,
+            "snapshot_nonce": uuid.uuid4().hex,
+            **(extra_meta or {}),
+        }
         meta["ingestions"].append(entry)
         meta["ingestions"].sort(key=lambda e: e["ts"])
         self.commit_meta(meta)
