@@ -334,3 +334,25 @@ def test_many_batch_read_filter_uses_join_not_in_list(spark, source, tmp_path):
     )
     ids = {int(r["external_id"]) for r in got.collect()}
     assert ids == {100_000 + i for i in range(8)}  # orphan hidden
+
+
+def test_writer_session_transaction_boundary(spark, source, tmp_path):
+    """writer_session holds the lease across multiple mutations: the
+    holder's own calls nest (re-entrant per thread) while another
+    writer is excluded for the whole span — and a long session can
+    renew() the lease mid-flight."""
+    uri = str(tmp_path / "flat")
+    idx = _flat(spark, source, uri)
+    with idx.writer_session() as lease:
+        idx.update_batch([(777_000, V_A)], timestamp=2000)
+        with pytest.raises(ConcurrentWriterError, match="lease"):
+            _in_thread(lambda: idx.delete_batch([1], 2500))
+        lease.renew()
+        idx.delete_batch([777_000], timestamp=3000)
+    # released: outside writers work again, and the session's mutations
+    # are all committed
+    fresh = FlatIndex(spark, uri)
+    assert fresh.storage.read_meta()["update_batches"] == [2000, 3000]
+    assert 777_000 not in _query_of(fresh, V_A)
+    fresh.update_batch([(777_001, V_B)], timestamp=4000)
+    assert 777_001 in _query_of(fresh, V_B)

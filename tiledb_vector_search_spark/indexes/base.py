@@ -242,6 +242,36 @@ class Index:
     def size(self) -> int:
         return self.effective_vectors().count()
 
+    def writer_session(self, ttl_ms: int | None = None):
+        """Hold the writer lease across MULTIPLE mutations — a
+        transaction boundary against other writers::
+
+            with idx.writer_session() as lease:
+                idx.delete_batch(stale_ids)
+                idx.update_batch(fresh_rows)
+                lease.renew()          # long sessions: re-stamp the TTL
+                idx.consolidate_updates()
+
+        No other writer can interleave between the calls (the lease is
+        re-entrant per thread, so each mutation's own lease nests
+        inside this one).  NOT atomicity: each mutation still commits
+        its own fenced meta flip, so a crash mid-session leaves the
+        already-committed prefix — what it prevents is another writer
+        mutating BETWEEN your calls.  ``ttl_ms`` sizes the lease to the
+        whole session (default 10 min; consolidations inside the
+        session re-enter, so size for the total)."""
+        from tiledb_vector_search_spark.storage import (
+            DEFAULT_LEASE_TTL_MS,
+            HadoopFS,
+            writer_lease,
+        )
+
+        return writer_lease(
+            HadoopFS(self.spark, self.uri),
+            self.uri,
+            ttl_ms=ttl_ms or DEFAULT_LEASE_TTL_MS,
+        )
+
     @property
     def partition_history(self) -> "list[int]":
         """Partition count per retained ingestion, oldest first — the

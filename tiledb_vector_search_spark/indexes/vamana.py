@@ -127,6 +127,16 @@ class VamanaIndex(Index):
         overlay_boost_max: int = 0,
         recall_curve: bool = False,
     ) -> "VamanaIndex":
+        if not overlay and (
+            overlay_max != DEFAULT_OVERLAY_MAX
+            or overlay_audit_nprobe is not None
+            or overlay_boost_max != 0
+        ):
+            raise ValueError(
+                "overlay_max/overlay_audit_nprobe/overlay_boost_max were "
+                "set but overlay=False — they would be silently ignored; "
+                "pass overlay=True to build the bridge set"
+            )
         from tiledb_vector_search_spark.functions.dtypes import (
             ensure_packed,
             is_byte_dtype,
