@@ -952,6 +952,41 @@ def ivf_recall_target_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivf_split_rebalanced_search",
+    _KNN_ORACLE.format(dist=_SSQ, dir="ASC"),
+    driver=False,  # pytest oracle twin for the r10 hot-cell split
+)
+def ivf_split_rebalanced_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell splitting under the value-hash oracle: build IVF at 4
+    cells, consolidate with split_hot_cells at a cap that forces splits,
+    then query FULL PROBE — rebalancing must preserve exactness bit-for-
+    bit (assignment-is-argmin + full probe ⇒ identical to brute force),
+    so the DuckDB brute-force oracle verifies rows + schema + hash."""
+    from tiledb_vector_search_spark.indexes import IVFFlatIndex
+
+    uri = _scratch("ivf_split") + "/idx"
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    idx = IVFFlatIndex.ingest(spark, uri, src, partitions=4, timestamp=1000)
+    n = src.count()
+    idx2 = idx.consolidate_updates(
+        timestamp=2000, split_hot_cells=True, cell_cap=max(1, n // 8)
+    )
+    queries = src.where("external_id < 10").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    res = idx2.query(queries, 10, nprobe=idx2.partitions, strategy="expr")
+    return res.select(
+        "query_id",
+        "external_id",
+        "distance",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @register("ivf_pq_index_recall_gate", _GATE_ORACLE)
 def ivf_pq_index_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(ivf_pq_index_recall(spark, sf_dir), 0.75)
