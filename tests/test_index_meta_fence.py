@@ -356,3 +356,21 @@ def test_writer_session_transaction_boundary(spark, source, tmp_path):
     assert 777_000 not in _query_of(fresh, V_A)
     fresh.update_batch([(777_001, V_B)], timestamp=4000)
     assert 777_001 in _query_of(fresh, V_B)
+
+
+def test_update_batch_refuses_tombstone_frames(spark, source, tmp_path):
+    """update_batch treats every row as an upsert; handed a frame WITH
+    an is_delete column it used to drop the column silently — a
+    tombstone row became a NULL-vector upsert.  Refused with a redirect
+    to merge_batch."""
+    idx = _flat(spark, source, str(tmp_path / "flat"))
+    mixed = spark.createDataFrame(
+        [(777_000, V_A, False), (1, None, True)],
+        "external_id long, vector array<float>, is_delete boolean",
+    )
+    with pytest.raises(ValueError, match="merge_batch"):
+        idx.update_batch(mixed, timestamp=2000)
+    assert idx.storage.read_meta()["update_batches"] == []
+    idx.merge_batch(mixed, timestamp=2000)  # the right call works
+    fresh = FlatIndex(spark, idx.uri)
+    assert 777_000 in _query_of(fresh, V_A)

@@ -531,6 +531,16 @@ class Index:
     ) -> None:
         ts = timestamp if timestamp is not None else now_ms()
         if isinstance(rows, DataFrame):
+            if "is_delete" in rows.columns:
+                # a mixed upsert/tombstone frame belongs to merge_batch;
+                # silently dropping the column here would upsert every
+                # tombstone row (a NULL-vector upsert) instead of
+                # deleting it — refuse and redirect
+                raise ValueError(
+                    "update_batch received a DataFrame with an "
+                    "'is_delete' column — every row here is an UPSERT. "
+                    "Use merge_batch for mixed upsert/tombstone batches."
+                )
             df = rows.select(
                 integral_id_col(rows, ID_COL, "update_batch").alias(ID_COL),
                 F.col(VECTOR_COL).cast("array<float>"),
