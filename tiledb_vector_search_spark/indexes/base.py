@@ -242,6 +242,23 @@ class Index:
     def size(self) -> int:
         return self.effective_vectors().count()
 
+    def partition_stats(self) -> DataFrame:
+        """(partition_id, rows) of the current base snapshot — the skew
+        report for every partitioned index type (IVF_FLAT / IVF_PQ /
+        VAMANA shards).  Cells grow unevenly under upsert-heavy churn
+        (new data clusters where the corpus is growing, not where the
+        centroids were trained), and a hot cell is a hot probe AND a
+        hot cogroup task.  ``max(rows)/mean(rows)`` is the skew factor;
+        on IVF_FLAT feed the result to
+        ``consolidate_updates(split_hot_cells=True)``."""
+        base = self._base_vectors()
+        if "partition_id" not in base.columns:
+            raise NotImplementedError(
+                f"{type(self).__name__} has no partitions "
+                "(exact index types scan the whole corpus)"
+            )
+        return base.groupBy("partition_id").agg(F.count("*").alias("rows"))
+
     def writer_session(self, ttl_ms: int | None = None):
         """Hold the writer lease across MULTIPLE mutations — a
         transaction boundary against other writers::

@@ -333,21 +333,6 @@ class IVFFlatIndex(Index):
         {"retrain_index", "partitions", "split_hot_cells", "cell_cap"}
     )
 
-    def partition_stats(self) -> DataFrame:
-        """(partition_id, rows) of the current base snapshot — the skew
-        report.  IVF cells grow unevenly under upsert-heavy churn (new
-        data clusters where the corpus is growing, not where the
-        centroids were trained), and a hot cell is a hot probe: every
-        query routed there scans the whole cell, and the kernel
-        cogroup's task unit is one cell.  Feed the result to
-        ``consolidate_updates(split_hot_cells=True)`` — or just look at
-        it; max(rows)/mean(rows) is the skew factor."""
-        return (
-            self._base_vectors()
-            .groupBy(PARTITION_COL)
-            .agg(F.count("*").alias("rows"))
-        )
-
     def _write_consolidated(
         self,
         vectors: DataFrame,
