@@ -337,3 +337,191 @@ def test_lease_stress_mutual_exclusion(spark, tmp_path):
     assert not violations, violations
     assert acquired[0] > 0
     assert not fs.exists(posixpath.join(d, WRITER_LOCK_FILE))
+
+
+# -- round-11 hardening (ADVICE r10 lows) ------------------------------------
+
+
+def test_renew_refuses_after_ttl_expiry(spark, tmp_path):
+    """A hold that already crossed its TTL is takeover-eligible: a late
+    renew() must raise instead of re-stamping (the re-stamp could
+    overwrite a contender's fresh claim with the stale nonce — two
+    writers both believing they hold the lease)."""
+    import time as _t
+
+    d = str(tmp_path)
+    fs = HadoopFS(spark, d)
+    with pytest.raises(ConcurrentWriterError, match="expired before renew"):
+        with writer_lease(fs, d, ttl_ms=10) as lease:
+            _t.sleep(0.05)
+            lease.renew()
+    # and the expired hold's release left no lock behind (nonce still
+    # matched — no takeover actually happened)
+    assert not fs.exists(posixpath.join(d, WRITER_LOCK_FILE))
+
+
+def test_nested_longer_ttl_widens_the_held_lease(spark, tmp_path):
+    """A nested acquire requesting a LONGER lease (a LONG-TTL
+    consolidation inside a default writer_session) widens the held
+    lease on disk — the long fold must not become takeover-eligible
+    under the outer, shorter TTL."""
+    from tiledb_vector_search_spark.storage import LONG_LEASE_TTL_MS
+
+    d = str(tmp_path)
+    fs = HadoopFS(spark, d)
+    lock = posixpath.join(d, WRITER_LOCK_FILE)
+    with writer_lease(fs, d, ttl_ms=5000) as outer:
+        assert json.loads(fs.read_text(lock))["ttl_ms"] == 5000
+        with writer_lease(fs, d, ttl_ms=LONG_LEASE_TTL_MS) as inner:
+            assert inner is outer  # still the same re-entrant hold
+            assert outer.ttl_ms == LONG_LEASE_TTL_MS
+            on_disk = json.loads(fs.read_text(lock))
+            assert on_disk["ttl_ms"] == LONG_LEASE_TTL_MS
+            assert on_disk["nonce"] == outer.nonce
+        # a nested SHORTER request never narrows the widened lease
+        with writer_lease(fs, d, ttl_ms=100):
+            assert json.loads(fs.read_text(lock))["ttl_ms"] == LONG_LEASE_TTL_MS
+
+
+def test_takeover_abandon_restores_live_lock_and_leaves_no_aside(
+    spark, tmp_path
+):
+    """Mismatch branch of the stale-lock takeover: the displaced lock
+    turns out to be a LIVE claim that replaced the stale one — it is
+    restored and no .stale.<nonce> aside file is left behind."""
+    from tiledb_vector_search_spark.storage import _take_over_stale_lock, now_ms
+
+    d = str(tmp_path)
+    fs = HadoopFS(spark, d)
+    lock = posixpath.join(d, WRITER_LOCK_FILE)
+    live = {"nonce": "live", "acquired_ms": now_ms(), "ttl_ms": 60_000}
+    fs.write_text_atomic(lock, json.dumps(live))
+    observed_stale = {"nonce": "dead", "acquired_ms": 1, "ttl_ms": 5}
+    with pytest.raises(ConcurrentWriterError, match="re-claimed"):
+        _take_over_stale_lock(fs, d, lock, observed_stale, "contender1")
+    assert json.loads(fs.read_text(lock))["nonce"] == "live"  # restored
+    leaked = [n for n in fs.listdir(d) if ".stale." in n]
+    assert leaked == []
+
+
+def test_takeover_abandon_third_contender_never_strands_the_aside(
+    spark, tmp_path
+):
+    """If a THIRD contender claims the lock between the rename-aside
+    and the restore, the displaced live lock cannot be put back: the
+    aside must be deleted (not stranded) so the displaced holder's next
+    renew fails loudly on the foreign nonce instead of silently reading
+    a leaked file."""
+    from tiledb_vector_search_spark.storage import _take_over_stale_lock, now_ms
+
+    d = str(tmp_path)
+    fs = HadoopFS(spark, d)
+    lock = posixpath.join(d, WRITER_LOCK_FILE)
+    live = {"nonce": "live", "acquired_ms": now_ms(), "ttl_ms": 60_000}
+    fs.write_text_atomic(lock, json.dumps(live))
+
+    class ThirdContenderInjector:
+        """Delegates to the real fs, but the aside read doubles as the
+        moment a third contender claims the freed lock."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def read_text(self, path):
+            text = self._inner.read_text(path)
+            if ".stale." in path and not self._inner.exists(lock):
+                self._inner.write_text_atomic(
+                    lock,
+                    json.dumps(
+                        {
+                            "nonce": "third",
+                            "acquired_ms": now_ms(),
+                            "ttl_ms": 60_000,
+                        }
+                    ),
+                )
+            return text
+
+    observed_stale = {"nonce": "dead", "acquired_ms": 1, "ttl_ms": 5}
+    with pytest.raises(ConcurrentWriterError, match="re-claimed"):
+        _take_over_stale_lock(
+            ThirdContenderInjector(fs), d, lock, observed_stale, "contender2"
+        )
+    assert json.loads(fs.read_text(lock))["nonce"] == "third"  # untouched
+    leaked = [n for n in fs.listdir(d) if ".stale." in n]
+    assert leaked == []  # deleted, not stranded
+
+
+def test_stale_takeover_sweeps_leaked_claim_files(spark, tmp_path):
+    """A crashed claimant leaks `_writer_lock.claim.<uuid>`; the next
+    takeover sweeps ones older than the TTL while leaving fresh claims
+    (a live claim's temp, milliseconds old) alone."""
+    import os
+
+    d = str(tmp_path)
+    fs = HadoopFS(spark, d)
+    lock = posixpath.join(d, WRITER_LOCK_FILE)
+    old_claim = f"{lock}.claim.deadbeef"
+    fresh_claim = f"{lock}.claim.cafebabe"
+    fs.write_text_atomic(old_claim, "leak")
+    fs.write_text_atomic(fresh_claim, "in flight")
+    os.utime(old_claim, (1, 1))  # ancient mtime: definitely past any TTL
+    # an expired lock triggers the takeover (which hosts the sweep)
+    fs.write_text_atomic(
+        lock, json.dumps({"nonce": "dead", "acquired_ms": 1, "ttl_ms": 5})
+    )
+    with writer_lease(fs, d):
+        pass
+    assert not fs.exists(old_claim)
+    assert fs.exists(fresh_claim)  # too young to judge leaked
+    fs.delete(fresh_claim, recursive=False)
+
+
+def test_vacuum_sweeps_leaked_lock_siblings(spark, tmp_path):
+    """vacuum is the operator's reclaim-space verb: leaked .claim/.stale
+    lock-protocol files older than the lease TTL go with it."""
+    import os
+
+    from tiledb_vector_search_spark.storage import IndexStorage
+
+    uri = str(tmp_path / "idx")
+    storage = IndexStorage(spark, uri)
+    storage.init_meta(index_type="FLAT", dimensions=2)
+    lock = posixpath.join(uri, WRITER_LOCK_FILE)
+    for leaked in (f"{lock}.claim.feed", f"{lock}.stale.f00d"):
+        storage.fs.write_text_atomic(leaked, "leak")
+        os.utime(leaked, (1, 1))
+    storage.vacuum()
+    names = storage.fs.listdir(uri)
+    assert not any(".claim." in n or ".stale." in n for n in names), names
+
+
+def test_cached_snapshot_artifact_is_frozen(spark):
+    """The snapshot-artifact cache hands the SAME object to every
+    handle: in-place mutation must raise, not silently poison other
+    opens of the snapshot."""
+    import uuid as _uuid
+
+    import numpy as np
+
+    from tiledb_vector_search_spark.storage import cached_snapshot_artifact
+
+    key_a = ("test-frozen", _uuid.uuid4().hex)
+    arr = cached_snapshot_artifact(key_a, lambda: np.zeros((2, 2)))
+    assert arr.flags.writeable is False
+    with pytest.raises(ValueError):
+        arr[0, 0] = 1.0
+
+    key_b = ("test-frozen-dict", _uuid.uuid4().hex)
+    medoids = cached_snapshot_artifact(
+        key_b, lambda: {0: 7, 1: np.arange(3)}
+    )
+    with pytest.raises(TypeError):
+        medoids[0] = 99
+    assert medoids[1].flags.writeable is False
+    # cache hit returns the same frozen object
+    again = cached_snapshot_artifact(key_a, lambda: np.ones((2, 2)))
+    assert again is arr

@@ -212,8 +212,32 @@ class LeaseHandle:
                 f"lease at {self.path} was taken over mid-mutation "
                 "(nonce changed) — this writer no longer holds it"
             )
+        # a hold that already crossed its TTL is takeover-ELIGIBLE: a
+        # contender may be mid-takeover right now, and a late re-stamp
+        # would overwrite its fresh lock with this stale nonce — two
+        # writers both believing they hold the lease.  While the hold
+        # is still fresh no legitimate takeover can start, so refusing
+        # here closes the read-verify-overwrite race (renew must run
+        # strictly before expiry; size ttl_ms for the mutation).
+        if now_ms() - int(held.get("acquired_ms", 0)) > self.ttl_ms:
+            raise ConcurrentWriterError(
+                f"lease at {self.path} expired before renew() — the "
+                "hold is takeover-eligible and a late re-stamp could "
+                "clobber a contender's fresh claim.  Renew before the "
+                "TTL elapses (or size ttl_ms for the mutation)."
+            )
         held["acquired_ms"] = now_ms()
+        held["ttl_ms"] = self.ttl_ms
         self._fs.write_text_atomic(self.path, json.dumps(held))
+        # post-write verify: if a takeover still interleaved (clock
+        # skew, pathological pause), fail loudly on this side rather
+        # than both writers proceeding
+        check = json.loads(self._fs.read_text(self.path))
+        if check.get("nonce") != self.nonce:
+            raise ConcurrentWriterError(
+                f"lease at {self.path} was taken over during renew() "
+                "— this writer no longer holds it"
+            )
 
 
 @contextmanager
@@ -260,9 +284,20 @@ def writer_lease(
     if held_map is None:
         held_map = _held_leases.uris = {}
     if key in held_map:
+        handle: LeaseHandle = held_map[key]["handle"]
+        if int(ttl_ms) > handle.ttl_ms:
+            # nested acquire asking for a LONGER lease (e.g. a
+            # LONG-TTL consolidation inside a default
+            # writer_session()): widen the held lease and write the
+            # new TTL through, or the long fold becomes
+            # takeover-eligible mid-mutation under the outer TTL —
+            # exactly what LONG_LEASE_TTL_MS exists to prevent
+            handle.ttl_ms = int(ttl_ms)
+            with _timed_enforcement():
+                handle.renew()
         held_map[key]["depth"] += 1
         try:
-            yield held_map[key]["handle"]
+            yield handle
         finally:
             held_map[key]["depth"] -= 1
         return
@@ -360,14 +395,41 @@ def _take_over_stale_lock(
         displaced = {}
     if displaced.get("nonce") != observed.get("nonce"):
         # we displaced a LIVE lock that replaced the stale one between
-        # our staleness read and our rename — put it back and yield
+        # our staleness read and our rename — put it back and yield.
+        # If a THIRD contender claimed in that window the restore
+        # fails; the displaced holder is stranded (its next renew or
+        # release fails loudly on the foreign nonce) — delete the
+        # aside on that path too, so no .stale.<nonce> file leaks.
+        restored = False
         if not fs.exists(path):
-            fs.rename_if_exists(aside, path)
+            restored = fs.rename_if_exists(aside, path)
+        if not restored:
+            fs.delete(aside, recursive=False)
         raise ConcurrentWriterError(
             f"lost the lease takeover race on {artifact_uri}: the "
             "expired lock was already re-claimed by another writer."
+            + (
+                ""
+                if restored
+                else "  A live claim that displaced the expired lock "
+                "could not be restored (a third contender claimed in "
+                "between); that holder's next renew/release will fail "
+                "loudly on the nonce check."
+            )
         )
     fs.delete(aside, recursive=False)
+    # housekeeping while we already won an arbitration on this lock:
+    # crashed claimants can leak `<lock>.claim.<uuid>` temp files (a
+    # crash between the temp write and the link/rename) and, before
+    # this round, abandon paths could leak `.stale.<nonce>` asides —
+    # sweep anything older than the lease TTL (safe: a live claim's
+    # temp exists for milliseconds).  Floor at the DEFAULT TTL — a
+    # lock carrying a custom tiny TTL must not make the sweeper judge
+    # a seconds-old in-flight claim "leaked".
+    fs.sweep_stale_lock_siblings(
+        path,
+        max(int(observed.get("ttl_ms", 0)), DEFAULT_LEASE_TTL_MS),
+    )
 
 
 def locked_mutation(fn=None, *, ttl_ms: int = DEFAULT_LEASE_TTL_MS):
@@ -462,14 +524,39 @@ _SNAPSHOT_ARTIFACTS_LOCK = threading.Lock()
 SNAPSHOT_ARTIFACT_CACHE_MAX = 64
 
 
+def _freeze_artifact(val):
+    """Make a cached artifact read-only before it is shared across
+    handles: the cache returns the SAME object to every open of a
+    snapshot, so an in-place mutation by one caller would silently
+    poison all others.  ndarrays get ``writeable=False`` (mutation
+    raises), dicts become ``MappingProxyType``, lists become tuples;
+    scalars/strings are immutable already."""
+    import numpy as np
+
+    if isinstance(val, np.ndarray):
+        val.setflags(write=False)
+        return val
+    if isinstance(val, dict):
+        from types import MappingProxyType
+
+        return MappingProxyType(
+            {k: _freeze_artifact(v) for k, v in val.items()}
+        )
+    if isinstance(val, (list, tuple)):
+        return tuple(_freeze_artifact(v) for v in val)
+    return val
+
+
 def cached_snapshot_artifact(key: tuple, loader):
     """Return the cached artifact for ``key`` (must embed the snapshot
     nonce), loading and inserting on miss.  Plain FIFO eviction — the
-    workload is a handful of live snapshots, not a scan."""
+    workload is a handful of live snapshots, not a scan.  Values are
+    frozen (:func:`_freeze_artifact`) before insertion: every handle
+    shares one object, so it must be immutable."""
     with _SNAPSHOT_ARTIFACTS_LOCK:
         if key in _SNAPSHOT_ARTIFACTS:
             return _SNAPSHOT_ARTIFACTS[key]
-    val = loader()
+    val = _freeze_artifact(loader())
     with _SNAPSHOT_ARTIFACTS_LOCK:
         _SNAPSHOT_ARTIFACTS[key] = val
         while len(_SNAPSHOT_ARTIFACTS) > SNAPSHOT_ARTIFACT_CACHE_MAX:
@@ -666,6 +753,34 @@ class HadoopFS:
             return bool(self._fs.rename(self._p(src), self._p(dst)))
         except Exception:
             return False
+
+    def sweep_stale_lock_siblings(self, lock_path: str, ttl_ms: int) -> int:
+        """Delete leaked lock-protocol temp files next to ``lock_path``:
+        ``<lock>.claim.<uuid>`` (a claimant crashed between its temp
+        write and the atomic link/rename) and ``<lock>.stale.<nonce>``
+        (a takeover abandon path interrupted before cleanup).  Only
+        files older than ``ttl_ms`` are touched — a live claim's temp
+        exists for milliseconds, so age == leak.  Returns the count.
+        Called from lease takeover and from ``IndexStorage.vacuum``;
+        never on the hot path."""
+        parent = posixpath.dirname(lock_path)
+        base = posixpath.basename(lock_path)
+        if not self.exists(parent):
+            return 0
+        cutoff_ms = now_ms() - int(ttl_ms)
+        swept = 0
+        for st in self._fs.listStatus(self._p(parent)):
+            name = st.getPath().getName()
+            if not (
+                name.startswith(base + ".claim.")
+                or name.startswith(base + ".stale.")
+            ):
+                continue
+            if int(st.getModificationTime()) >= cutoff_ms:
+                continue
+            if self.delete(posixpath.join(parent, name), recursive=False):
+                swept += 1
+        return swept
 
     def listdir(self, path: str) -> list[str]:
         if not self.exists(path):
@@ -943,6 +1058,13 @@ class IndexStorage:
         Reference: fragment consolidation + vacuum (``index.py:579-598``,
         ``ingestion.py:3014-3063``).
         """
+        # housekeeping: reclaim leaked lock-protocol temp files (crashed
+        # claimants' `.claim.<uuid>`, interrupted takeovers' `.stale.*`)
+        # alongside the snapshots — vacuum is the operator's "reclaim
+        # space" verb and these files have no other collector
+        self.fs.sweep_stale_lock_siblings(
+            posixpath.join(self.uri, WRITER_LOCK_FILE), DEFAULT_LEASE_TTL_MS
+        )
         meta = self.read_meta()
         if len(meta["ingestions"]) <= keep_latest:
             return []
