@@ -403,6 +403,76 @@ def _queries(spark):
         assert int(stats["mx"]) <= max(1, n // 8), stats
         return folded.partitions
 
+    def ivf_pq_split_consolidate(sf_dir):
+        # r11: the PQ coarse-level split — same planted hot cluster as
+        # the IVF family; the fold's full assign+re-encode pass is
+        # corpus-linear (and runs on EVERY consolidation anyway), the
+        # split itself adds one bounded-sample driver k-means + one
+        # counts aggregate, so the row must track the corpus, never
+        # the hot-cell size beyond the linear rewrite
+        import shutil
+
+        from tiledb_vector_search_spark.indexes import IVFPQIndex
+
+        uri = f"/tmp/tvs_scaling_pqsplit_{abs(hash(sf_dir))}"
+        shutil.rmtree(uri, ignore_errors=True)
+        vectors = _vectors(sf_dir)
+        hot = vectors.sample(0.43, seed=7).select(
+            (F.col("external_id") + 940_000_000_000).alias("external_id"),
+            F.transform(
+                "vector", lambda e: e * F.lit(0.01) + F.lit(500.0)
+            ).cast("array<float>").alias("vector"),
+        )
+        corpus = vectors.unionByName(hot).localCheckpoint(eager=True)
+        n = corpus.count()
+        idx = IVFPQIndex.ingest(
+            spark, f"{uri}/idx", corpus, partitions=8, timestamp=1000,
+            num_subspaces=4,
+        )
+        folded = idx.consolidate_updates(
+            timestamp=2000, split_hot_cells=True, cell_cap=max(1, n // 8)
+        )
+        assert folded.partitions > 8, folded.partitions
+        stats = folded.partition_stats().agg(
+            F.max("rows").alias("mx")
+        ).first()
+        assert int(stats["mx"]) <= max(1, n // 8), stats
+        return folded.partitions
+
+    def vamana_split_consolidate(sf_dir):
+        # r11: the shard-level split — on a graph index the hot shard
+        # is a sequential straggler task (per-shard O(n·l·d) build in
+        # one applyInPandas group), so splitting should scale BETTER
+        # than linear on skewed growth; the gate still only requires
+        # the family to track the corpus
+        import shutil
+
+        from tiledb_vector_search_spark.indexes import VamanaIndex
+
+        uri = f"/tmp/tvs_scaling_vamsplit_{abs(hash(sf_dir))}"
+        shutil.rmtree(uri, ignore_errors=True)
+        vectors = _vectors(sf_dir)
+        hot = vectors.sample(0.43, seed=7).select(
+            (F.col("external_id") + 950_000_000_000).alias("external_id"),
+            F.transform(
+                "vector", lambda e: e * F.lit(0.01) + F.lit(500.0)
+            ).cast("array<float>").alias("vector"),
+        )
+        corpus = vectors.unionByName(hot).localCheckpoint(eager=True)
+        n = corpus.count()
+        idx = VamanaIndex.ingest(
+            spark, f"{uri}/idx", corpus, shards=8, timestamp=1000
+        )
+        folded = idx.consolidate_updates(
+            timestamp=2000, split_hot_cells=True, cell_cap=max(1, n // 8)
+        )
+        assert folded.partitions > 8, folded.partitions
+        stats = folded.partition_stats().agg(
+            F.max("rows").alias("mx")
+        ).first()
+        assert int(stats["mx"]) <= max(1, n // 8), stats
+        return folded.partitions
+
     def ivf_recall_curve_measure(sf_dir):
         # the auto-operating-point measurement at corpus scale: ONE
         # corpus-linear brute-force truth job + a CONSTANT number of
@@ -473,6 +543,8 @@ def _queries(spark):
         "ivf_overlay_build": ivf_overlay_build,
         "ivf_consolidate_with_overlay": ivf_consolidate_with_overlay,
         "ivf_split_consolidate": ivf_split_consolidate,
+        "ivf_pq_split_consolidate": ivf_pq_split_consolidate,
+        "vamana_split_consolidate": vamana_split_consolidate,
         "ivf_recall_curve_measure": ivf_recall_curve_measure,
         "embedding_screen_batch_1000": embedding_screen_batch_1000,
         "minhash_ref_build": minhash_ref_build,

@@ -59,6 +59,10 @@ def test_driver_window_curated():
         "vamana_index_recall_gate",
         "dedup_minhash_lsh",
         "corpus_clean_pipeline",
+        # customers_with_events demoted to the pytest twin in r11 when
+        # the r10 headline hot-cell split took its slot under the
+        # brute-force value-hash oracle (full probe after a split-fold)
+        "ivf_split_rebalanced_search",
     }
     assert flagships <= set(q), f"flagships outside window: {flagships - set(q)}"
 

@@ -192,10 +192,19 @@ def test_consolidate_refuses_unknown_kwargs(spark, skewed, tmp_path):
     pq = IVFPQIndex.ingest(
         spark, str(tmp_path / "p"), skewed, partitions=4, timestamp=1000
     )
-    # splitting a PQ coarse cell would stale its residual codes — the
-    # supported rebalance is retrain_index; split is refused, not ignored
-    with pytest.raises(TypeError, match="split_hot_cells"):
-        pq.consolidate_updates(timestamp=2000, split_hot_cells=True)
+    # cross-type knob: `shards` is Vamana's; PQ refuses it by name
+    with pytest.raises(TypeError, match="shards"):
+        pq.consolidate_updates(timestamp=2000, shards=8)
+    # retrain already re-trains everything — combining it with a
+    # surgical split is ambiguous and refused, not silently resolved
+    with pytest.raises(ValueError, match="ambiguous"):
+        pq.consolidate_updates(
+            timestamp=2000, retrain_index=True, split_hot_cells=True
+        )
+    with pytest.raises(ValueError, match="ambiguous"):
+        ivf.consolidate_updates(
+            timestamp=2000, retrain_index=True, split_hot_cells=True
+        )
 
 
 def test_snapshot_artifact_cache_exact_across_reingest(spark, skewed, tmp_path):
@@ -223,3 +232,178 @@ def test_snapshot_artifact_cache_exact_across_reingest(spark, skewed, tmp_path):
     c = IVFFlatIndex(spark, uri).centroids()
     assert c is not a
     assert not np.allclose(c, a)  # fresh snapshot's own centroids
+
+
+# -- round 11: splitting on IVF_PQ (coarse cells) and VAMANA (shards) --------
+
+
+def test_pq_split_rebalances_and_rerank_stays_exact(spark, skewed, tmp_path):
+    """IVF_PQ hot-cell split: coarse cells over the cap split, cold
+    centroids survive, and full probe + exhaustive exact re-rank
+    (k·k_factor ≥ corpus) still equals brute force — the fold re-encodes
+    residuals against the final centroid set, so rebalancing is
+    invisible to exact-rerank results."""
+    from tiledb_vector_search_spark.indexes import IVFPQIndex
+
+    idx = IVFPQIndex.ingest(
+        spark, str(tmp_path / "pq"), skewed, partitions=4, timestamp=1000,
+        num_subspaces=4,
+    )
+    stats0 = {
+        int(r["partition_id"]): int(r["rows"])
+        for r in idx.partition_stats().collect()
+    }
+    assert max(stats0.values()) >= 1200
+    idx2 = idx.consolidate_updates(
+        timestamp=2000, split_hot_cells=True, cell_cap=400
+    )
+    stats1 = {
+        int(r["partition_id"]): int(r["rows"])
+        for r in idx2.partition_stats().collect()
+    }
+    assert idx2.partitions > 4
+    assert sum(stats1.values()) == sum(stats0.values())
+    assert max(stats1.values()) < max(stats0.values())
+    assert idx2.partition_history == [4, idx2.partitions]
+
+    # assignment-is-argmin on the split snapshot
+    from tiledb_vector_search_spark.ml.kmeans import assign_partitions_expr
+
+    base = idx2._base_vectors().select("external_id", "vector", "partition_id")
+    re = assign_partitions_expr(
+        base.select("external_id", "vector"), idx2.centroids()
+    ).withColumnRenamed("partition_id", "re_pid")
+    assert (
+        base.join(re, "external_id")
+        .where(F.col("partition_id") != F.col("re_pid"))
+        .count()
+        == 0
+    )
+
+    # exactness through the rebalance: full probe, exhaustive re-rank
+    n = skewed.count()
+    q = skewed.where("external_id IN (0, 10000, 20000)").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    want = sorted(
+        (int(r["query_id"]), int(r["external_id"]))
+        for r in _exact(idx2, skewed, q, 5)
+    )
+    got = sorted(
+        (int(r["query_id"]), int(r["external_id"]))
+        for r in idx2.query(
+            q, 5, nprobe=idx2.partitions, k_factor=float(-(-n // 5))
+        ).collect()
+    )
+    assert got == want
+
+
+def test_pq_split_cold_cell_codes_byte_identical(spark, skewed, tmp_path):
+    """The surgical invariant on PQ: rows that stay assigned to a cold
+    (unsplit) centroid keep byte-identical residual codes through the
+    split-fold — same centroid, same codebooks, deterministic kernel."""
+    import numpy as np
+
+    from tiledb_vector_search_spark.indexes import IVFPQIndex
+
+    idx = IVFPQIndex.ingest(
+        spark, str(tmp_path / "pq"), skewed, partitions=4, timestamp=1000,
+        num_subspaces=4,
+    )
+    old_centroids = idx.centroids()
+    old = {
+        int(r["external_id"]): (int(r["partition_id"]), bytes(r["code"]))
+        for r in idx._base_vectors()
+        .select("external_id", "partition_id", "code")
+        .collect()
+    }
+    idx2 = idx.consolidate_updates(
+        timestamp=2000, split_hot_cells=True, cell_cap=400
+    )
+    new_centroids = idx2.centroids()
+    # cold old pid -> new pid by exact centroid identity
+    cold_map = {}
+    for i, c in enumerate(old_centroids):
+        hits = np.where((new_centroids == c).all(axis=1))[0]
+        if len(hits) == 1:
+            cold_map[i] = int(hits[0])
+    assert cold_map, "some centroids must survive the split untouched"
+    new = {
+        int(r["external_id"]): (int(r["partition_id"]), bytes(r["code"]))
+        for r in idx2._base_vectors()
+        .select("external_id", "partition_id", "code")
+        .collect()
+    }
+    checked = 0
+    for ext, (opid, ocode) in old.items():
+        if opid not in cold_map:
+            continue
+        npid, ncode = new[ext]
+        if npid == cold_map[opid]:  # stayed on the same cold centroid
+            assert ncode == ocode, ext
+            checked += 1
+    assert checked >= 250  # the three cold clusters stay put
+
+
+def test_vamana_split_rebalances_shards(spark, skewed, tmp_path):
+    """VAMANA shard split: the over-cap shard (a sequential graph-build
+    straggler) splits into sub-shards, cold shard centroids survive,
+    and self-search still finds every planted probe after the fold."""
+    from tiledb_vector_search_spark.indexes import VamanaIndex
+
+    idx = VamanaIndex.ingest(
+        spark, str(tmp_path / "vam"), skewed, shards=4, timestamp=1000
+    )
+    stats0 = {
+        int(r["partition_id"]): int(r["rows"])
+        for r in idx.partition_stats().collect()
+    }
+    assert max(stats0.values()) >= 1200
+    idx2 = idx.consolidate_updates(
+        timestamp=2000, split_hot_cells=True, cell_cap=400
+    )
+    stats1 = {
+        int(r["partition_id"]): int(r["rows"])
+        for r in idx2.partition_stats().collect()
+    }
+    assert idx2.partitions > 4
+    assert sum(stats1.values()) == sum(stats0.values())
+    assert max(stats1.values()) < max(stats0.values())
+    assert idx2.partition_history == [4, idx2.partitions]
+
+    # self-search: each probed vector finds itself at rank 1 across the
+    # split shards (routing + per-shard walk agree with the new layout)
+    q = skewed.where(
+        "external_id IN (0, 7, 10000, 20000, 30000)"
+    ).select(F.col("external_id").alias("query_id"), "vector")
+    hits = idx2.query(q, 1, nprobe=idx2.partitions, l_search=50).collect()
+    assert {int(r["query_id"]) for r in hits} == {0, 7, 10000, 20000, 30000}
+    for r in hits:
+        assert int(r["external_id"]) == int(r["query_id"])
+
+
+def test_vamana_split_noop_reuses_first_pass(spark, skewed, tmp_path):
+    from tiledb_vector_search_spark.indexes import VamanaIndex
+
+    idx = VamanaIndex.ingest(
+        spark, str(tmp_path / "vam"), skewed, shards=4, timestamp=1000
+    )
+    idx2 = idx.consolidate_updates(
+        timestamp=2000, split_hot_cells=True, cell_cap=10_000
+    )
+    assert idx2.partitions == 4
+    assert idx2.partition_history == [4, 4]
+
+
+def test_pq_split_noop_when_nothing_hot(spark, skewed, tmp_path):
+    from tiledb_vector_search_spark.indexes import IVFPQIndex
+
+    idx = IVFPQIndex.ingest(
+        spark, str(tmp_path / "pq"), skewed, partitions=4, timestamp=1000,
+        num_subspaces=4,
+    )
+    idx2 = idx.consolidate_updates(
+        timestamp=2000, split_hot_cells=True, cell_cap=10_000
+    )
+    assert idx2.partitions == 4
+    assert idx2.partition_history == [4, 4]

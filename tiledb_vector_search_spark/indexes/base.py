@@ -249,7 +249,8 @@ class Index:
         (new data clusters where the corpus is growing, not where the
         centroids were trained), and a hot cell is a hot probe AND a
         hot cogroup task.  ``max(rows)/mean(rows)`` is the skew factor;
-        on IVF_FLAT feed the result to
+        on every partitioned type (IVF_FLAT / IVF_PQ / VAMANA, r11)
+        feed the result to
         ``consolidate_updates(split_hot_cells=True)``."""
         base = self._base_vectors()
         if "partition_id" not in base.columns:
@@ -258,6 +259,128 @@ class Index:
                 "(exact index types scan the whole corpus)"
             )
         return base.groupBy("partition_id").agg(F.count("*").alias("rows"))
+
+    # bound the driver k-means work per consolidation: only the
+    # hottest cells split in one fold (the next fold picks up the rest
+    # — consolidation is periodic), and each cell trains on a bounded
+    # hash-ordered sample.  Shared by every partitioned index type
+    # (IVF_FLAT cells, IVF_PQ coarse cells, VAMANA shards).
+    MAX_SPLIT_CELLS = 64
+    SPLIT_SAMPLE_PER_SUB = 256
+    SPLIT_SAMPLE_MAX = 20_000
+
+    def _split_pass(
+        self,
+        vectors: DataFrame,
+        centroids: "np.ndarray",
+        cell_cap: int | None,
+    ) -> "tuple[np.ndarray, DataFrame | None]":
+        """First-pass assignment + hot-cell split, the shared front half
+        of ``consolidate_updates(split_hot_cells=True)`` on every
+        partitioned type.  Assigns ``vectors`` against ``centroids``,
+        counts rows per cell, and replaces each over-cap cell's
+        centroid with sub-centroids (:meth:`_split_hot_centroids`).
+
+        Returns ``(centroids, first_pass)``: when nothing was hot the
+        input centroids come back unchanged WITH the assignment frame
+        (reusable — no second corpus scan); when cells split, the new
+        centroid set comes back with ``None`` (partition ids changed,
+        the caller re-assigns)."""
+        import numpy as np  # noqa: F811 — typing alias above
+
+        from tiledb_vector_search_spark.ml.kmeans import (
+            assign_partitions_expr,
+        )
+        from tiledb_vector_search_spark.schemas import PARTITION_COL
+
+        first_pass = assign_partitions_expr(
+            vectors, centroids, vector_dtype=self.vector_dtype
+        )
+        counts = {
+            int(r[PARTITION_COL]): int(r["rows"])
+            for r in first_pass.groupBy(PARTITION_COL)
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        }
+        total = sum(counts.values())
+        cap = cell_cap or max(1, 4 * total // max(len(centroids), 1))
+        hot = {p: n for p, n in counts.items() if n > cap}
+        if not hot:
+            return centroids, first_pass
+        return (
+            self._split_hot_centroids(first_pass, centroids, hot, cap),
+            None,
+        )
+
+    def _split_hot_centroids(
+        self,
+        assigned: DataFrame,
+        centroids: "np.ndarray",
+        hot: "dict[int, int]",
+        cap: int,
+        seed: int = 42,
+    ) -> "np.ndarray":
+        """Replace each hot cell's centroid with ``ceil(rows/cap)``
+        sub-centroids trained on a bounded hash-ordered sample of that
+        cell's own members — ONE sampling job covers every splitting
+        cell (a rank-per-cell window, not a per-cell collect loop).
+        Cold centroids survive byte-identical; new partition ids are a
+        deterministic renumbering (cold cells first in original order,
+        then sub-centroids grouped by their source cell).  Hash-ordered
+        sampling + fixed seed keep the split bit-reproducible."""
+        import numpy as np  # noqa: F811
+
+        from pyspark.sql import Window
+
+        from tiledb_vector_search_spark.functions.dtypes import decode_matrix
+        from tiledb_vector_search_spark.ml.kmeans import kmeans_numpy
+        from tiledb_vector_search_spark.schemas import PARTITION_COL
+
+        split = dict(
+            sorted(hot.items(), key=lambda kv: -kv[1])[: self.MAX_SPLIT_CELLS]
+        )
+        targets = {
+            p: min(
+                n,
+                min(
+                    self.SPLIT_SAMPLE_PER_SUB * (-(-n // cap)),
+                    self.SPLIT_SAMPLE_MAX,
+                ),
+            )
+            for p, n in split.items()
+        }
+        w = Window.partitionBy(PARTITION_COL).orderBy(
+            F.xxhash64(F.col(ID_COL)), F.col(ID_COL)
+        )
+        # Arrow transfer (toPandas), not a Row collect: the sample is
+        # bounded (≤64 cells × 20k rows) but at d≥512 embeddings the
+        # same frame as py4j-serialized Row objects is multi-GB;
+        # Arrow moves it columnar at ~10× less driver cost for
+        # identical semantics.  The explicit (partition, __rn) sort
+        # pins the sample order the k-means init sees — collect order
+        # out of a shuffle is not a contract.
+        pdf = (
+            assigned.where(F.col(PARTITION_COL).isin(list(split)))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max(targets.values()))
+            .select(PARTITION_COL, "__rn", VECTOR_COL)
+            .toPandas()
+            .sort_values([PARTITION_COL, "__rn"], kind="mergesort")
+        )
+        out = [
+            c for i, c in enumerate(centroids) if int(i) not in split
+        ]
+        for p in sorted(split):
+            cell = pdf[pdf[PARTITION_COL] == p]
+            cell = cell[cell["__rn"] <= targets[p]]
+            x = decode_matrix(
+                cell[VECTOR_COL].reset_index(drop=True), self.vector_dtype
+            )
+            k_i = min(-(-split[p] // cap), len(x))
+            out.extend(
+                kmeans_numpy(np.asarray(x, dtype=np.float64), k_i, seed=seed)
+            )
+        return np.array(out, dtype=np.float64)
 
     def writer_session(self, ttl_ms: int | None = None):
         """Hold the writer lease across MULTIPLE mutations — a

@@ -360,6 +360,12 @@ class IVFFlatIndex(Index):
         ``index.py:678-695``); splitting keeps the 99% of cells that
         are fine and bounds consolidation cost by the skew, not the
         corpus."""
+        if retrain_index and split_hot_cells:
+            raise ValueError(
+                "retrain_index=True already re-trains every centroid — "
+                "combining it with split_hot_cells is ambiguous (which "
+                "wins?); pass exactly one"
+            )
         if retrain_index:
             from tiledb_vector_search_spark.functions.dtypes import (
                 is_byte_dtype as _is_byte,
@@ -389,25 +395,9 @@ class IVFFlatIndex(Index):
             vectors = pack_vectors(vectors, self.vector_dtype, VECTOR_COL)
         first_pass = None
         if split_hot_cells and not retrain_index:
-            first_pass = assign_partitions_expr(
-                vectors, centroids, vector_dtype=self.vector_dtype
+            centroids, first_pass = self._split_pass(
+                vectors, centroids, cell_cap
             )
-            counts = {
-                int(r[PARTITION_COL]): int(r["rows"])
-                for r in first_pass.groupBy(PARTITION_COL)
-                .agg(F.count("*").alias("rows"))
-                .collect()
-            }
-            total = sum(counts.values())
-            cap = cell_cap or max(
-                1, 4 * total // max(len(centroids), 1)
-            )
-            hot = {p: n for p, n in counts.items() if n > cap}
-            if hot:
-                centroids = self._split_hot_centroids(
-                    first_pass, centroids, hot, cap
-                )
-                first_pass = None  # ids changed: re-assign below
         build_overlay = self.has_overlay and centroids.shape[0] > 1
         if first_pass is not None and not build_overlay:
             # split requested but nothing hot: the first pass IS the
@@ -450,79 +440,6 @@ class IVFFlatIndex(Index):
         finally:
             if build_overlay:
                 assigned.unpersist()
-
-    # bound the driver k-means work per consolidation: only the
-    # hottest cells split in one fold (the next fold picks up the rest
-    # — consolidation is periodic), and each cell trains on a bounded
-    # hash-ordered sample
-    MAX_SPLIT_CELLS = 64
-    SPLIT_SAMPLE_PER_SUB = 256
-    SPLIT_SAMPLE_MAX = 20_000
-
-    def _split_hot_centroids(
-        self,
-        assigned: DataFrame,
-        centroids: np.ndarray,
-        hot: "dict[int, int]",
-        cap: int,
-        seed: int = 42,
-    ) -> np.ndarray:
-        """Replace each hot cell's centroid with ``ceil(rows/cap)``
-        sub-centroids trained on a bounded hash-ordered sample of that
-        cell's own members — ONE sampling job covers every splitting
-        cell (a rank-per-cell window, not a per-cell collect loop).
-        Cold centroids survive byte-identical; new partition ids are a
-        deterministic renumbering (cold cells first in original order,
-        then sub-centroids grouped by their source cell).  Hash-ordered
-        sampling + fixed seed keep the split bit-reproducible."""
-        from pyspark.sql import Window
-
-        from tiledb_vector_search_spark.functions.dtypes import decode_matrix
-        from tiledb_vector_search_spark.ml.kmeans import kmeans_numpy
-
-        split = dict(
-            sorted(hot.items(), key=lambda kv: -kv[1])[: self.MAX_SPLIT_CELLS]
-        )
-        targets = {
-            p: min(
-                n,
-                min(
-                    self.SPLIT_SAMPLE_PER_SUB * (-(-n // cap)),
-                    self.SPLIT_SAMPLE_MAX,
-                ),
-            )
-            for p, n in split.items()
-        }
-        w = Window.partitionBy(PARTITION_COL).orderBy(
-            F.xxhash64(F.col(ID_COL)), F.col(ID_COL)
-        )
-        # Arrow transfer (toPandas), not a Row collect: the sample is
-        # bounded (≤64 cells × 20k rows) but at d≥512 embeddings the
-        # same frame as py4j-serialized Row objects is multi-GB;
-        # Arrow moves it columnar at ~10× less driver cost for
-        # identical semantics.  The explicit (partition, __rn) sort
-        # pins the sample order the k-means init sees — collect order
-        # out of a shuffle is not a contract.
-        pdf = (
-            assigned.where(F.col(PARTITION_COL).isin(list(split)))
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= max(targets.values()))
-            .select(PARTITION_COL, "__rn", VECTOR_COL)
-            .toPandas()
-            .sort_values([PARTITION_COL, "__rn"], kind="mergesort")
-        )
-        out = [
-            c for i, c in enumerate(centroids) if int(i) not in split
-        ]
-        for p in sorted(split):
-            cell = pdf[pdf[PARTITION_COL] == p]
-            cell = cell[cell["__rn"] <= targets[p]]
-            x = decode_matrix(
-                cell[VECTOR_COL].reset_index(drop=True), self.vector_dtype
-            )
-            k_i = min(-(-split[p] // cap), len(x))
-            out.extend(kmeans_numpy(np.asarray(x, dtype=np.float64), k_i, seed=seed))
-        return np.array(out, dtype=np.float64)
 
     # -- access ---------------------------------------------------------------
 

@@ -701,16 +701,41 @@ class IVFPQIndex(Index):
             spark, rows, "subspace int, code int, centroid array<double>"
         ).write.parquet(storage.aux_path(PQ_CODEBOOK_AUX, ts))
 
-    # no split_hot_cells here: splitting a coarse cell moves its members'
-    # residual targets, so their PQ codes must re-encode — that is what
-    # retrain_index=True does; a partial variant would silently serve
-    # stale codes.  Refused by name via the base-class kwarg check.
-    CONSOLIDATE_KWARGS = frozenset({"retrain_index", "partitions"})
+    CONSOLIDATE_KWARGS = frozenset(
+        {"retrain_index", "partitions", "split_hot_cells", "cell_cap"}
+    )
 
     def _write_consolidated(
-        self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
+        self,
+        vectors: DataFrame,
+        ts: int,
+        retrain_index: bool = False,
+        split_hot_cells: bool = False,
+        cell_cap: int | None = None,
+        **kw: Any,
     ) -> None:
-        """Re-assign + re-encode; reuse centroids/codebooks unless retrain."""
+        """Re-assign + re-encode; reuse centroids/codebooks unless retrain.
+
+        ``split_hot_cells=True`` (r11): the surgical skew remedy on the
+        PQ coarse level, same contract as IVF_FLAT — over-cap cells
+        split into sub-centroids, cold centroids survive byte-identical.
+        This is SAFE for the residual codes because every consolidation
+        already re-encodes the whole corpus through
+        ``assign_and_encode_kernel`` (residual = vector − assigned
+        centroid, computed fresh per fold): split-cell members encode
+        against their NEW sub-centroids in the same pass, and cold
+        cells' codes come out byte-identical (same centroid, same
+        codebooks, deterministic kernel).  The CODEBOOKS stay as
+        trained — sub-centroids only shrink the residual magnitudes
+        they quantize, which tightens (never widens) quantization
+        error; re-fitting them to the new residual distribution is what
+        ``retrain_index=True`` is for."""
+        if retrain_index and split_hot_cells:
+            raise ValueError(
+                "retrain_index=True already re-trains every centroid — "
+                "combining it with split_hot_cells is ambiguous (which "
+                "wins?); pass exactly one"
+            )
         from tiledb_vector_search_spark.functions.dtypes import (
             is_byte_dtype,
             pack_vectors,
@@ -750,6 +775,13 @@ class IVFPQIndex(Index):
         else:
             centroids = self.centroids()
             codebooks = self.codebooks()
+            if split_hot_cells:
+                # the first-pass assignment is count-only here (the
+                # final pass must run assign_and_encode_kernel anyway),
+                # so discard it either way
+                centroids, _ = self._split_pass(
+                    vectors.select(ID_COL, VECTOR_COL), centroids, cell_cap
+                )
         build_overlay = self.has_overlay and centroids.shape[0] > 1
         encoded = assign_and_encode_kernel(
             vectors.select(ID_COL, VECTOR_COL),

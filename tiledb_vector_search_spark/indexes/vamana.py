@@ -452,18 +452,46 @@ class VamanaIndex(Index):
         )
         return handle.drop("is_medoid"), medoids, handle
 
-    # re-sharding a graph index = rebuilding shard graphs; that is
-    # retrain_index/shards, not a surgical split
-    CONSOLIDATE_KWARGS = frozenset({"retrain_index", "shards"})
+    CONSOLIDATE_KWARGS = frozenset(
+        {"retrain_index", "shards", "split_hot_cells", "cell_cap"}
+    )
 
     def _write_consolidated(
-        self, vectors: DataFrame, ts: int, retrain_index: bool = False, **kw: Any
+        self,
+        vectors: DataFrame,
+        ts: int,
+        retrain_index: bool = False,
+        split_hot_cells: bool = False,
+        cell_cap: int | None = None,
+        **kw: Any,
     ) -> None:
+        """Re-assign + per-shard graph rebuild; reuse shard centroids
+        unless retrain.
+
+        ``split_hot_cells=True`` (r11): the surgical skew remedy on the
+        shard level, same contract as IVF_FLAT — over-cap shards split
+        into sub-shards, cold shard centroids survive byte-identical.
+        On a graph index the hot shard is worse than a hot probe: the
+        per-shard Vamana build is SEQUENTIAL Python inside one
+        ``applyInPandas`` task (O(n·l·d) per shard), so a 10×-grown
+        shard is a 10× straggler on every consolidation.  Splitting
+        caps the longest build task.  Every fold already rebuilds each
+        shard's graph from its membership (deterministically — sorted
+        ids, fixed seed), so cold shards whose membership is unchanged
+        rebuild byte-identical graphs, and split shards get fresh
+        well-sized ones in the same pass."""
         from tiledb_vector_search_spark.functions.dtypes import (
             is_byte_dtype,
             pack_vectors,
             unpack_vectors,
         )
+
+        if retrain_index and split_hot_cells:
+            raise ValueError(
+                "retrain_index=True already re-trains every shard "
+                "centroid — combining it with split_hot_cells is "
+                "ambiguous (which wins?); pass exactly one"
+            )
 
         # consolidation may arrive float-promoted (updates overlay); re-pack
         # so the snapshot keeps the declared storage dtype
@@ -482,7 +510,16 @@ class VamanaIndex(Index):
             )
         else:
             centroids = self.centroids()
-        if centroids.shape[0] == 1:
+        first_pass = None
+        if split_hot_cells and not retrain_index:
+            centroids, first_pass = self._split_pass(
+                vectors.select(ID_COL, VECTOR_COL), centroids, cell_cap
+            )
+        if first_pass is not None and not self.has_overlay:
+            # split requested but nothing hot: the counting pass IS the
+            # final assignment — no second corpus scan
+            assigned = first_pass
+        elif centroids.shape[0] == 1:
             assigned = vectors.select(ID_COL, VECTOR_COL).withColumn(
                 PARTITION_COL, F.lit(0)
             )

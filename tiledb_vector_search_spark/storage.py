@@ -524,12 +524,32 @@ _SNAPSHOT_ARTIFACTS_LOCK = threading.Lock()
 SNAPSHOT_ARTIFACT_CACHE_MAX = 64
 
 
+class _FrozenDict(dict):
+    """A dict whose mutators raise: cached snapshot artifacts are
+    shared across handles, so in-place mutation must fail loudly.
+    Unlike ``MappingProxyType`` it PICKLES (as a plain dict) — frozen
+    medoid maps ride Spark broadcasts into executors, where the
+    deserialized copy is private and mutation is harmless."""
+
+    def _readonly(self, *args, **kwargs):
+        raise TypeError(
+            "cached snapshot artifact is read-only (shared across "
+            "handles) — copy with dict(...) before mutating"
+        )
+
+    __setitem__ = __delitem__ = _readonly
+    pop = popitem = clear = update = setdefault = _readonly
+
+    def __reduce__(self):
+        return (dict, (list(self.items()),))
+
+
 def _freeze_artifact(val):
     """Make a cached artifact read-only before it is shared across
     handles: the cache returns the SAME object to every open of a
     snapshot, so an in-place mutation by one caller would silently
     poison all others.  ndarrays get ``writeable=False`` (mutation
-    raises), dicts become ``MappingProxyType``, lists become tuples;
+    raises), dicts become :class:`_FrozenDict`, lists become tuples;
     scalars/strings are immutable already."""
     import numpy as np
 
@@ -537,9 +557,7 @@ def _freeze_artifact(val):
         val.setflags(write=False)
         return val
     if isinstance(val, dict):
-        from types import MappingProxyType
-
-        return MappingProxyType(
+        return _FrozenDict(
             {k: _freeze_artifact(v) for k, v in val.items()}
         )
     if isinstance(val, (list, tuple)):
