@@ -308,10 +308,15 @@ def _bench_queries(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(_sbi_state["in_glob"])
         )
-        sq = stream_bm25_ingest(
-            stream, uri, checkpoint_dir=f"{work}/ckpt"
-        )
-        sq.awaitTermination()
+        from tiledb_vector_search_spark.storage import HadoopFS, writer_lease
+
+        # r11: one writer session across the stream (batches renew it)
+        # instead of a claim/release round-trip per micro-batch
+        with writer_lease(HadoopFS(spark, uri), uri) as session:
+            sq = stream_bm25_ingest(
+                stream, uri, checkpoint_dir=f"{work}/ckpt", session=session
+            )
+            sq.awaitTermination()
         n_docs = BM25Index(spark, uri).n_docs
         shutil.rmtree(work, ignore_errors=True)
         assert n_docs == docs.count(), n_docs
@@ -362,14 +367,18 @@ def _bench_queries(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(_scl_state["in_glob"])
         )
-        sq = stream_crawl_loop(
-            stream,
-            uri,
-            lambda acc, m, bid: stats.append((acc.count(), m.count())),
-            threshold=0.8,
-            checkpoint_dir=f"{work}/ckpt",
-        )
-        sq.awaitTermination()
+        from tiledb_vector_search_spark.storage import HadoopFS, writer_lease
+
+        with writer_lease(HadoopFS(spark, uri), uri) as session:
+            sq = stream_crawl_loop(
+                stream,
+                uri,
+                lambda acc, m, bid: stats.append((acc.count(), m.count())),
+                threshold=0.8,
+                checkpoint_dir=f"{work}/ckpt",
+                session=session,
+            )
+            sq.awaitTermination()
         shutil.rmtree(work, ignore_errors=True)
         assert len(stats) == 2 and all(
             a > 0 and m > 0 for a, m in stats

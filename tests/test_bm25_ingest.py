@@ -221,3 +221,114 @@ def test_stream_bm25_search_e2e(spark, docs, queries, tmp_path):
             spark, str(tmp_path / "seed_only"), seed
         ).query(q1_df, k=10).collect()
     )
+
+
+def test_stream_bm25_ingest_with_session(spark, docs, queries, tmp_path):
+    """session=: the stream's batches renew ONE writer lease instead of
+    claiming/releasing per batch (r11 amortization).  Results equal the
+    fresh build; while the session is open other writers are excluded;
+    the lease releases with the session, not with a batch."""
+    import posixpath
+
+    from tiledb_vector_search_spark.storage import (
+        ConcurrentWriterError,
+        HadoopFS,
+        WRITER_LOCK_FILE,
+        writer_lease,
+    )
+
+    seed = docs.where("doc_id % 2 = 0")
+    b0 = docs.where("doc_id % 4 = 1")
+    b1 = docs.where("doc_id % 4 = 3")
+    uri = str(tmp_path / "idx")
+    BM25Index.build(spark, uri, seed)
+    in_dir = tmp_path / "in"
+    b0.coalesce(1).write.parquet(str(in_dir / "batch=0"))
+    b1.coalesce(1).write.parquet(str(in_dir / "batch=1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "batch=*"))
+    )
+    fs = HadoopFS(spark, uri)
+    lock = posixpath.join(uri, WRITER_LOCK_FILE)
+    with writer_lease(fs, uri) as session:
+        sq = stream_bm25_ingest(
+            stream, uri, checkpoint_dir=str(tmp_path / "ckpt"),
+            session=session,
+        )
+        sq.awaitTermination()
+        # the session lease survived both batches under OUR nonce
+        held = json.loads(fs.read_text(lock))
+        assert held["nonce"] == session.nonce
+        # and other writers are still excluded mid-session
+        import threading
+
+        err = []
+
+        def compete():
+            try:
+                BM25Index(spark, uri).add_documents(
+                    spark.createDataFrame(
+                        [(999, "intruder")], "doc_id long, text string"
+                    )
+                )
+            except ConcurrentWriterError as exc:
+                err.append(exc)
+
+        t = threading.Thread(target=compete)
+        t.start()
+        t.join()
+        assert err, "competing writer must be excluded during the session"
+    assert not fs.exists(lock)  # released with the session
+    idx = BM25Index(spark, uri)
+    fresh = BM25Index.build(
+        spark, str(tmp_path / "fresh"),
+        seed.unionByName(b0).unionByName(b1),
+    )
+    assert _topk(idx, queries) == _topk(fresh, queries)
+    assert len(idx.meta.get("applied_keys", [])) == 2
+
+
+def test_stream_session_zombie_fails_loudly(spark, docs, tmp_path):
+    """A session whose lease was taken over (zombie stream) must fail
+    its next batch BEFORE writing — the r10 zombie contract holds under
+    the amortized session too."""
+    import posixpath
+
+    from tiledb_vector_search_spark.storage import (
+        HadoopFS,
+        WRITER_LOCK_FILE,
+        writer_lease,
+    )
+
+    seed = docs.where("doc_id % 2 = 0")
+    b0 = docs.where("doc_id % 4 = 1")
+    uri = str(tmp_path / "idx")
+    BM25Index.build(spark, uri, seed)
+    in_dir = tmp_path / "in"
+    b0.coalesce(1).write.parquet(str(in_dir / "batch=0"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "batch=*"))
+    )
+    fs = HadoopFS(spark, uri)
+    lock = posixpath.join(uri, WRITER_LOCK_FILE)
+    with writer_lease(fs, uri) as session:
+        meta_before = dict(BM25Index(spark, uri).meta)
+        # takeover while the zombie sleeps: a contender holds a fresh lock
+        fs.write_text_atomic(
+            lock,
+            json.dumps(
+                {"nonce": "contender", "acquired_ms": 1, "ttl_ms": 10**9}
+            ),
+        )
+        sq = stream_bm25_ingest(
+            stream, uri, checkpoint_dir=str(tmp_path / "ckpt"),
+            session=session,
+        )
+        with pytest.raises(Exception, match="taken over"):
+            sq.awaitTermination()
+        assert dict(BM25Index(spark, uri).meta) == meta_before
+    fs.delete(lock, recursive=False)

@@ -525,3 +525,94 @@ def test_cached_snapshot_artifact_is_frozen(spark):
     # cache hit returns the same frozen object
     again = cached_snapshot_artifact(key_a, lambda: np.ones((2, 2)))
     assert again is arr
+
+
+# -- adopted sessions (r11: amortized streaming lease) ------------------------
+
+
+def test_adopted_lease_mutates_across_threads_without_reclaiming(
+    spark, docs, tmp_path
+):
+    """A foreachBatch callback may run on a different thread per
+    micro-batch; adopting the stream's one writer_session lets those
+    mutations renew it instead of colliding with it (thread-local
+    re-entrancy alone would raise 'another writer holds')."""
+    import json as _json
+
+    from tiledb_vector_search_spark.storage import adopt_writer_session
+
+    uri = str(tmp_path / "bm")
+    idx = _bm25(spark, docs, uri)
+    fs = HadoopFS(spark, uri)
+    lock = posixpath.join(uri, WRITER_LOCK_FILE)
+    more = spark.createDataFrame(
+        [(500, "adopted text")], "doc_id long, text string"
+    )
+    with writer_lease(fs, uri) as lease:
+        # un-adopted, a mutation from another thread is a competing writer
+        with pytest.raises(ConcurrentWriterError, match="lease"):
+            _in_thread(lambda: idx.add_documents(more))
+        adopt_writer_session(idx, lease)
+        before = _json.loads(fs.read_text(lock))
+        import time as _t
+
+        _t.sleep(0.01)
+        _in_thread(lambda: idx.add_documents(more))  # renew + mutate
+        after = _json.loads(fs.read_text(lock))
+        assert after["nonce"] == lease.nonce == before["nonce"]  # no re-claim
+        assert after["acquired_ms"] > before["acquired_ms"]  # renewed
+        adopt_writer_session(idx, None)  # detach
+        with pytest.raises(ConcurrentWriterError, match="lease"):
+            _in_thread(lambda: idx.add_documents(more))
+    assert BM25Index_n_docs(spark, uri) == 41
+
+
+def BM25Index_n_docs(spark, uri):
+    from tiledb_vector_search_spark.operators.retrieval import BM25Index
+
+    return BM25Index(spark, uri).n_docs
+
+
+def test_adopted_lease_fails_loudly_after_takeover(spark, docs, tmp_path):
+    """The session must not outlive a takeover: once the lock carries a
+    foreign nonce, every adopted mutation raises BEFORE writing."""
+    from tiledb_vector_search_spark.storage import adopt_writer_session
+
+    uri = str(tmp_path / "bm")
+    idx = _bm25(spark, docs, uri)
+    fs = HadoopFS(spark, uri)
+    lock = posixpath.join(uri, WRITER_LOCK_FILE)
+    more = spark.createDataFrame(
+        [(600, "zombie text")], "doc_id long, text string"
+    )
+    with writer_lease(fs, uri) as lease:
+        adopt_writer_session(idx, lease)
+        meta_before = dict(idx.meta)
+        fs.write_text_atomic(
+            lock,
+            json.dumps({"nonce": "thief", "acquired_ms": 1, "ttl_ms": 9}),
+        )
+        with pytest.raises(ConcurrentWriterError, match="taken over"):
+            idx.add_documents(more)
+        assert dict(idx.meta) == meta_before  # nothing committed
+    fs.delete(lock, recursive=False)  # thief's lock; clean up
+
+
+def test_adopted_lease_widens_for_long_mutations(spark, docs, tmp_path):
+    """A mutation whose decorator wants a longer TTL than the adopted
+    session carries widens the held lease, like nested acquisition does
+    (here: default-TTL consolidate under a 5 s session)."""
+    from tiledb_vector_search_spark.storage import (
+        DEFAULT_LEASE_TTL_MS,
+        adopt_writer_session,
+    )
+
+    uri = str(tmp_path / "bm")
+    idx = _bm25(spark, docs, uri)
+    fs = HadoopFS(spark, uri)
+    lock = posixpath.join(uri, WRITER_LOCK_FILE)
+    with writer_lease(fs, uri, ttl_ms=5000) as lease:
+        adopt_writer_session(idx, lease)
+        idx.consolidate()
+        assert lease.ttl_ms == DEFAULT_LEASE_TTL_MS
+        assert json.loads(fs.read_text(lock))["ttl_ms"] == DEFAULT_LEASE_TTL_MS

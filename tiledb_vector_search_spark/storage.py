@@ -432,20 +432,68 @@ def _take_over_stale_lock(
     )
 
 
+def adopt_writer_session(artifact, lease: "LeaseHandle | None") -> None:
+    """Route ``artifact``'s ``@locked_mutation`` methods through an
+    externally-held lease instead of claiming per call.
+
+    The lease's thread-local re-entrancy covers one writer THREAD, but
+    a streaming ingest loop's ``foreachBatch`` callbacks may run on a
+    different thread per micro-batch — all of them ONE logical writer
+    holding one session across the stream.  An adopted lease makes
+    that explicit: each mutation ``renew()``s the held lease (which
+    raises if it expired or was taken over — a zombie driver's batch
+    still fails loudly) and proceeds without a claim/release
+    round-trip, cutting the measured ~0.2 s/batch enforcement cost to
+    one renew read-modify-write.
+
+    The caller owns acquisition and release (``writer_lease`` /
+    ``Index.writer_session``); pass ``None`` to detach.  Single-writer
+    responsibility is unchanged: adopting one lease into two artifacts
+    or two concurrent streams is the same contract violation as two
+    plain writers, and the fence remains the backstop."""
+    artifact._adopted_lease = lease
+
+
 def locked_mutation(fn=None, *, ttl_ms: int = DEFAULT_LEASE_TTL_MS):
     """Decorator serializing an artifact mutation method under
     :func:`writer_lease`.  The instance must expose ``spark`` and
     ``uri`` (the ``BM25Index`` / ``MinHashReference`` / ``Index``
     contract).  ``ttl_ms`` sizes the lease to the operation
     (consolidation-class rewrites pass :data:`LONG_LEASE_TTL_MS`); an
-    instance attribute ``lease_ttl_ms`` overrides both."""
+    instance attribute ``lease_ttl_ms`` overrides both.  An adopted
+    lease (:func:`adopt_writer_session`) replaces the claim with a
+    ``renew()`` of the externally-held lease."""
 
     def deco(f):
         @functools.wraps(f)
         def wrapper(self, *args: Any, **kwargs: Any):
+            ttl = getattr(self, "lease_ttl_ms", None) or ttl_ms
+            adopted: LeaseHandle | None = getattr(
+                self, "_adopted_lease", None
+            )
+            if adopted is not None:
+                if int(ttl) > adopted.ttl_ms:
+                    adopted.ttl_ms = int(ttl)
+                with _timed_enforcement():
+                    adopted.renew()  # raises on expiry/takeover: a
+                    # zombie stream's batch fails loudly, never writes
+                key = self.uri.rstrip("/")
+                held_map = getattr(_held_leases, "uris", None)
+                if held_map is None:
+                    held_map = _held_leases.uris = {}
+                if key in held_map:
+                    # this thread already nests under the same lease
+                    return f(self, *args, **kwargs)
+                # register for the call so nested writer_lease uses on
+                # THIS thread (fresh handles opened inside folds) nest
+                # instead of colliding with our own held lock
+                held_map[key] = {"handle": adopted, "depth": 1}
+                try:
+                    return f(self, *args, **kwargs)
+                finally:
+                    del held_map[key]
             fs = HadoopFS(self.spark, self.uri)
-            ttl = getattr(self, "lease_ttl_ms", None)
-            with writer_lease(fs, self.uri, ttl_ms=ttl if ttl else ttl_ms):
+            with writer_lease(fs, self.uri, ttl_ms=ttl):
                 return f(self, *args, **kwargs)
 
         return wrapper

@@ -39,6 +39,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from tiledb_vector_search_spark.storage import adopt_writer_session
+
 
 def stream_bm25_ingest(
     stream: DataFrame,
@@ -47,6 +49,7 @@ def stream_bm25_ingest(
     consolidate_every: int | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    session: Any = None,
     **trigger_kw: Any,
 ) -> StreamingQuery:
     """Fold each document micro-batch into the BM25 artifact at
@@ -63,6 +66,12 @@ def stream_bm25_ingest(
     ingest several sources, union them upstream into one stream, or
     run the streams strictly one at a time.  Readers (queries, the
     search twin) are unlimited and never block.
+    
+    ``session``: an externally-held :class:`~tiledb_vector_search_spark.
+    storage.LeaseHandle` (from ``writer_lease`` around the stream) —
+    batches then RENEW the one session lease instead of claiming and
+    releasing per micro-batch (~0.2 s/batch measured), and a takeover
+    mid-stream still fails the next batch loudly before it writes.
     """
     if not stream.isStreaming:
         raise ValueError("stream_bm25_ingest needs a streaming DataFrame")
@@ -76,6 +85,8 @@ def stream_bm25_ingest(
         # batches (deletes, a consolidate — sequenced with this writer,
         # per the single-writer contract) resolves at this boundary
         idx = BM25Index(batch_df.sparkSession, index_uri)
+        if session is not None:
+            adopt_writer_session(idx, session)
         idx.add_documents(
             batch_df, idempotency_key=f"{stream_id}:{batch_id}"
         )

@@ -54,6 +54,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from tiledb_vector_search_spark.storage import adopt_writer_session
+
 
 def stream_crawl_loop(
     stream: DataFrame,
@@ -65,6 +67,7 @@ def stream_crawl_loop(
     consolidate_every: int | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    session: Any = None,
     **trigger_kw: Any,
 ) -> StreamingQuery:
     """``foreachBatch`` screen-and-ingest of each candidate micro-batch.
@@ -78,6 +81,12 @@ def stream_crawl_loop(
     reference at ``reference_uri`` must already exist
     (``MinHashReference.build`` the seed corpus first); the stream's
     columns must include the artifact's ``id_col`` and ``text_col``.
+    
+    ``session``: an externally-held :class:`~tiledb_vector_search_spark.
+    storage.LeaseHandle` (from ``writer_lease`` around the stream) —
+    batches then RENEW the one session lease instead of claiming and
+    releasing per micro-batch (~0.2 s/batch measured), and a takeover
+    mid-stream still fails the next batch loudly before it writes.
     """
     if not stream.isStreaming:
         raise ValueError("stream_crawl_loop needs a streaming DataFrame")
@@ -92,6 +101,8 @@ def stream_crawl_loop(
         )
 
         ref = MinHashReference(batch_df.sparkSession, reference_uri)
+        if session is not None:
+            adopt_writer_session(ref, session)
         id_col = ref.meta["id_col"]
         key = f"{stream_id}:{batch_id}"
         replay = key in ref.meta.get("applied_keys", [])

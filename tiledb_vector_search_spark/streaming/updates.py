@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from tiledb_vector_search_spark.storage import adopt_writer_session
+
 from tiledb_vector_search_spark.schemas import (
     ID_COL,
     VECTOR_COL,
@@ -34,6 +36,7 @@ def stream_updates_to_index(
     vector_col: str = VECTOR_COL,
     delete_col: str | None = None,
     available_now: bool = True,
+    session: Any = None,
     **trigger_kw: Any,
 ) -> StreamingQuery:
     """``writeStream.foreachBatch`` → upserts/tombstones into the index.
@@ -46,6 +49,12 @@ def stream_updates_to_index(
     ``available_now=True`` drains the available input then stops — the
     incremental-batch pattern; pass ``processingTime='...'`` via
     ``trigger_kw`` for continuous micro-batching.
+    
+    ``session``: an externally-held :class:`~tiledb_vector_search_spark.
+    storage.LeaseHandle` (from ``writer_lease`` around the stream) —
+    batches then RENEW the one session lease instead of claiming and
+    releasing per micro-batch (~0.2 s/batch measured), and a takeover
+    mid-stream still fails the next batch loudly before it writes.
     """
     if not stream.isStreaming:
         raise ValueError("stream_updates_to_index needs a streaming DataFrame")
@@ -54,6 +63,8 @@ def stream_updates_to_index(
         from tiledb_vector_search_spark.indexes import open_index
 
         idx = open_index(batch_df.sparkSession, index_uri)
+        if session is not None:
+            adopt_writer_session(idx, session)
         # ONE mixed upsert/tombstone updates batch per micro-batch, written
         # distributed via merge_batch — no driver collect of delete ids
         if delete_col is not None:
