@@ -37,6 +37,15 @@ WORK = os.environ.get("SPARK_GRAFT_SCALING_WORK", "/tmp/tvs_scaling")
 OUT = os.environ.get("SPARK_GRAFT_SCALING_OUT", "SCALING.json")
 # (label, multiplier of the base table)
 SCALES = [("1x", 1), ("5x", 5), ("10x", 10)]
+# one extra decade of evidence where the 10x ratios are largest
+# (VERDICT r10 item 8): confirms those shuffle curves are linear, not
+# quadratic-with-small-constant.  Only the heaviest families pay it.
+DEEP_SCALES = [("30x", 30)]
+DEEP_FAMILIES = (
+    "video_fingerprint_band_join",
+    "dedup_minhash_lsh_full",
+    "dedup_ngram_jaccard_full",
+)
 ID_STRIDE = 10_000_000
 # linear growth x this per-unit allowance per decade of data
 DRIFT_ALLOWANCE = 1.3
@@ -628,9 +637,38 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # the heaviest families additionally run one decade deeper (30x):
+    # where the 10x ratios are largest, one more point distinguishes a
+    # linear curve from a quadratic with a small constant
+    for label, mult in DEEP_SCALES:
+        sf_dir = ensure_scale_dir(spark, mult)
+        for name in DEEP_FAMILIES:
+            fn = queries[name]
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            before = _stage_metrics(spark)
+            t0 = time.perf_counter()
+            fn(sf_dir)
+            sec = time.perf_counter() - t0
+            shuffle, inp = _delta_bytes(before, _stage_metrics(spark))
+            results[name][label] = {
+                "sec": round(sec, 3),
+                "shuffle_mb": round(shuffle / 1e6, 2),
+                "input_mb": round(inp / 1e6, 2),
+            }
+            print(
+                f"{label:>4} {name}: {sec:.2f}s "
+                f"shuffle={shuffle/1e6:.1f}MB input={inp/1e6:.1f}MB",
+                file=sys.stderr,
+            )
+
     # gate: growth from 1x to 10x must be <= linear x allowance, on both
     # wall time and shuffle volume (floors keep a near-zero base point
-    # from fabricating a ratio)
+    # from fabricating a ratio).  Deep (30x) points gate at
+    # mult x allowance^log10(mult) — the same <=1.3x-per-decade drift
+    # bar extended 1.477 decades.
+    import math
+
     decade = SCALES[-1][1] / SCALES[0][1]
     limit = decade * DRIFT_ALLOWANCE
     gates = {}
@@ -648,6 +686,22 @@ def main() -> None:
             "limit": limit,
             "ok": t_ratio <= limit and s_ratio <= limit,
         }
+        for label, mult in DEEP_SCALES:
+            if label not in per_scale:
+                continue
+            deep_limit = mult * DRIFT_ALLOWANCE ** math.log10(mult)
+            dt = per_scale[label]["sec"] / max(
+                per_scale["1x"]["sec"], TIME_FLOOR_SEC
+            )
+            ds = (per_scale[label]["shuffle_mb"] * 1e6) / max(
+                per_scale["1x"]["shuffle_mb"] * 1e6, BYTES_FLOOR
+            )
+            gates[name][f"time_ratio_{label}"] = round(dt, 2)
+            gates[name][f"shuffle_ratio_{label}"] = round(ds, 2)
+            gates[name][f"limit_{label}"] = round(deep_limit, 2)
+            gates[name]["ok"] = (
+                gates[name]["ok"] and dt <= deep_limit and ds <= deep_limit
+            )
         if not gates[name]["ok"]:
             failures.append((name, round(t_ratio, 2), round(s_ratio, 2)))
 
