@@ -169,6 +169,49 @@ def test_consolidate_updates(spark, tmp_path, source, queries, embeddings_np):
     )
 
 
+def test_time_travel_between_base_and_fold_survives_consolidation(
+    spark, tmp_path, source, queries, embeddings_np
+):
+    """r11 parity fix: consolidation must NOT destroy the updates log.
+    A time-traveled open BETWEEN the old base and the fold reads the
+    old base + the update batches in its window; the reference keeps
+    that history until vacuum (index.py:579-735).  Before the fix,
+    consolidate_updates cleared the folded batches and open(t=1600)
+    silently regressed to the pre-update corpus."""
+    ids, mat = embeddings_np
+    uri = str(tmp_path / "flat")
+    idx = FlatIndex.ingest(spark, uri, source, timestamp=1000)
+    idx.delete(0, timestamp=1500)
+    want = {
+        (r.query_id, r.rank): r.external_id
+        for r in open_index(spark, uri, timestamp=1600).query(
+            queries, K
+        ).collect()
+    }
+    idx2 = open_index(spark, uri).consolidate_updates(timestamp=2000)
+    # the same time-traveled open reads identically after the fold
+    got = {
+        (r.query_id, r.rank): r.external_id
+        for r in open_index(spark, uri, timestamp=1600).query(
+            queries, K
+        ).collect()
+    }
+    assert got == want
+    # the folded batch is retained in the log but OUT of the latest
+    # window (<= new base ts)
+    assert open_index(spark, uri).storage.read_meta()["update_batches"] == [
+        1500
+    ]
+    assert not idx2._has_updates()
+    # vacuum is where history dies: the old base goes, and with it the
+    # now-unreachable batch
+    idx2.vacuum()
+    meta = open_index(spark, uri).storage.read_meta()
+    assert meta["update_batches"] == []
+    with pytest.raises(ValueError):
+        open_index(spark, uri, timestamp=1600)  # vacuumed away
+
+
 def test_vacuum_and_delete(spark, tmp_path, source):
     uri = str(tmp_path / "flat")
     idx = FlatIndex.ingest(spark, uri, source, timestamp=1000)

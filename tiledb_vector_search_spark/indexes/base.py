@@ -823,7 +823,13 @@ class Index:
                 "timestamp at or after the newest update batch)"
             )
         self._write_consolidated(self.effective_vectors(), ts, **kw)
-        self.storage.clear_updates_through(fold_hi)
+        # the folded batches STAY in the log (r11 parity fix): readers
+        # at the new snapshot exclude them by window (ts <= new base),
+        # but a time-traveled open BETWEEN the old base and this fold
+        # still needs them — the reference's consolidate keeps history
+        # and only vacuum/clear_history destroys it (index.py:579-735).
+        # Clearing here regressed exactly that window: open(timestamp=t)
+        # with old_base < t < fold returned pre-update rows.
         fresh = type(self)(self.spark, self.uri)
         if recall_curve:
             try:

@@ -1143,6 +1143,15 @@ class IndexStorage:
                 self.fs.delete(self.aux_path(name, e["ts"]))
         meta["ingestions"] = meta["ingestions"][-keep_latest:]
         self.commit_meta(meta)
+        # update batches at or before the oldest RETAINED base are now
+        # unreachable (every remaining readable timestamp resolves to a
+        # base >= it, and windows are exclusive of the base ts) — this
+        # is where folded history gets destroyed, NOT at consolidation
+        # (r11 parity: reference consolidate keeps history; vacuum
+        # reclaims it, index.py:579-735)
+        oldest_kept = int(meta["ingestions"][0]["ts"])
+        if any(int(t) <= oldest_kept for t in meta["update_batches"]):
+            self.clear_updates_through(oldest_kept)
         return [e["ts"] for e in drop]
 
     def delete_index(self) -> None:
