@@ -134,6 +134,11 @@ _INDEX_BACKED = {
     "ivf_pq_index_recall_gate",
     "vamana_index_recall",
     "vamana_index_recall_gate",
+    # r11 split twins: build + split-fold an index (and the Vamana gate
+    # runs the same recall harness as vamana_index_recall_gate, whose
+    # brute-force truth join is the allowed bounded-query-side NLJ)
+    "ivf_pq_split_rebalanced_search",
+    "vamana_split_recall_gate",
     "pq_adc_rerank",
     "object_filtered_search",
     "knn_flat_u8",
