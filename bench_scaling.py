@@ -615,9 +615,20 @@ def main() -> None:
     for name, fn in queries.items():
         fn(dirs["1x"])
 
+    def _size_shuffle(mult: int) -> None:
+        # a real cluster sizes shuffle partitions to the data (README:
+        # "size spark.sql.shuffle.partitions so partitions fit in
+        # executor memory at the target SF"); a fixed 32 at 30x hands
+        # each hash build 30x the rows and OOMs the fixed-memory local
+        # box.  1x/5x/10x keep the historical 32 (round-comparable).
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(32 * max(1, -(-mult // 10)))
+        )
+
     results: dict[str, dict] = {name: {} for name in queries}
     for label, mult in SCALES:
         sf_dir = dirs[label]
+        _size_shuffle(mult)
         for name, fn in queries.items():
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
@@ -642,6 +653,7 @@ def main() -> None:
     # linear curve from a quadratic with a small constant
     for label, mult in DEEP_SCALES:
         sf_dir = ensure_scale_dir(spark, mult)
+        _size_shuffle(mult)
         for name in DEEP_FAMILIES:
             fn = queries[name]
             spark.catalog.clearCache()
