@@ -226,6 +226,70 @@ def test_vacuum_and_delete(spark, tmp_path, source):
         open_index(spark, uri)
 
 
+def test_clear_history_drops_bases_and_batches_before_ts(
+    spark, tmp_path, source, queries
+):
+    """clear_history(t): bases ≤ t vacuumed, folded batches ≤ t reclaimed,
+    everything after t (including post-fold batches) intact (reference
+    ``index.py:626-735``)."""
+    uri = str(tmp_path / "flat")
+    idx = FlatIndex.ingest(spark, uri, source, timestamp=1000)
+    idx.delete(0, timestamp=1500)
+    idx2 = open_index(spark, uri).consolidate_updates(timestamp=2000)
+    idx2.delete(1, timestamp=2500)
+    open_index(spark, uri).clear_history(1700)
+    meta = open_index(spark, uri).storage.read_meta()
+    assert [e["ts"] for e in meta["ingestions"]] == [2000]
+    # the folded 1500 batch died with its base; the reachable 2500 lives
+    assert meta["update_batches"] == [2500]
+    with pytest.raises(ValueError):
+        open_index(spark, uri, timestamp=1600)  # history cleared
+    got = {
+        r.external_id
+        for r in open_index(spark, uri).query(queries, K).collect()
+    }
+    assert 0 not in got and 1 not in got  # both deletes still in force
+
+
+def test_clear_history_at_or_after_newest_base_keeps_reachable_updates(
+    spark, tmp_path, source, queries
+):
+    """Clamp edge: clear_history(t) with t ≥ the newest base must NOT
+    delete update batches still reachable from the kept snapshot — an
+    unclamped clear stranded the base without its updates (latest reads
+    silently regressed).  Deliberate divergence from the reference's
+    reset-to-empty-sentinel: latest reads stay byte-identical and
+    delete_index is the destroy verb (see Index.clear_history)."""
+    uri = str(tmp_path / "flat")
+    idx = FlatIndex.ingest(spark, uri, source, timestamp=1000)
+    idx.delete(0, timestamp=1500)
+    open_index(spark, uri).clear_history(9999)
+    meta = open_index(spark, uri).storage.read_meta()
+    assert [e["ts"] for e in meta["ingestions"]] == [1000]
+    assert meta["update_batches"] == [1500]  # reachable: survives
+    got = {
+        r.external_id
+        for r in open_index(spark, uri).query(queries, K).collect()
+    }
+    assert 0 not in got  # the delete is still in force at latest
+
+
+def test_clear_history_reclaims_stray_batches_below_every_base(
+    spark, tmp_path, source
+):
+    """A batch written with an explicit timestamp below every base sits in
+    no read window (windows are (base, t]); clear_history is its only
+    collector — vacuum never drops a snapshot here, so the trailing
+    clamped clear must reclaim it."""
+    uri = str(tmp_path / "flat")
+    idx = FlatIndex.ingest(spark, uri, source, timestamp=1000)
+    idx.update(1, [0.0] * 64, timestamp=500)  # stray: below the base
+    open_index(spark, uri).clear_history(700)
+    meta = open_index(spark, uri).storage.read_meta()
+    assert [e["ts"] for e in meta["ingestions"]] == [1000]
+    assert meta["update_batches"] == []
+
+
 def test_query_validation(spark, tmp_path, source):
     idx = FlatIndex.ingest(spark, str(tmp_path / "flat"), source, timestamp=1000)
     bad = source.limit(1)  # wrong columns

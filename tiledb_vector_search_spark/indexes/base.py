@@ -856,12 +856,31 @@ class Index:
     @locked_mutation(ttl_ms=LONG_LEASE_TTL_MS)
     def clear_history(self, timestamp: int) -> None:
         """Drop base snapshots and update batches at or before ``timestamp``
-        (reference ``index.py:626-735``), keeping at least the newest base."""
+        (reference ``index.py:626-735``), keeping at least the newest base.
+
+        Deliberate divergence when ``timestamp`` is at or after the newest
+        base: the reference resets the index to an empty sentinel
+        (``ingestion_timestamps=[0]``) — one over-large argument destroys
+        the whole corpus.  This engine keeps the index readable at its
+        latest snapshot and clamps the update-batch clear to the oldest
+        RETAINED base, so batches still reachable from that snapshot
+        (ts in ``(base, now]``) survive and latest reads are unchanged;
+        ``delete_index`` is the destroy verb.  An UNclamped clear here
+        would strand the kept base without its reachable updates — a
+        state the reference can never reach."""
         meta = self.storage.read_meta()
         keep = [e for e in meta["ingestions"] if e["ts"] > timestamp]
         n_keep = max(1, len(keep))
         self.storage.vacuum(keep_latest=n_keep)
-        self.storage.clear_updates_through(timestamp)
+        # vacuum already cleared batches ≤ the oldest retained base when
+        # it dropped snapshots; this pass additionally reclaims dead
+        # batches ≤ timestamp when NO snapshot was dropped (e.g. strays
+        # written with an explicit timestamp below every base — never in
+        # any read window), still clamped to keep reachable history.
+        after = self.storage.read_meta()
+        bound = min(int(timestamp), int(after["ingestions"][0]["ts"]))
+        if any(int(t) <= bound for t in after["update_batches"]):
+            self.storage.clear_updates_through(bound)
 
     @staticmethod
     def delete_index(spark: SparkSession, uri: str) -> None:
