@@ -103,8 +103,11 @@ def test_lease_reentrant_within_one_writer(spark, tmp_path):
 
 
 def test_lease_renew_extends_and_detects_takeover(spark, tmp_path):
-    """renew() re-stamps acquired_ms under the held nonce; after a
-    takeover (foreign nonce) it raises instead of silently extending."""
+    """A DISK renew re-stamps acquired_ms under the held nonce; after a
+    takeover (foreign nonce) it raises instead of silently extending.
+    force=True pins the disk path — an unforced renew within the
+    freshness window is a deliberate in-memory no-op (see
+    test_renew_freshness_window_skips_disk)."""
     d = str(tmp_path)
     fs = HadoopFS(spark, d)
     lock = posixpath.join(d, WRITER_LOCK_FILE)
@@ -112,20 +115,42 @@ def test_lease_renew_extends_and_detects_takeover(spark, tmp_path):
         before = json.loads(fs.read_text(lock))["acquired_ms"]
         import time as _t
         _t.sleep(0.01)
-        lease.renew()
+        lease.renew(force=True)
         after = json.loads(fs.read_text(lock))
         assert after["acquired_ms"] >= before
         assert after["nonce"] == lease.nonce
-        # a takeover replaced the lock: renew must refuse
+        # a takeover replaced the lock: the disk renew must refuse
         fs.write_text_atomic(
             lock,
             json.dumps({"nonce": "thief", "acquired_ms": 1, "ttl_ms": 9}),
         )
         with pytest.raises(ConcurrentWriterError, match="taken over"):
-            lease.renew()
+            lease.renew(force=True)
     # release saw the foreign nonce and left the thief's lock intact
     assert json.loads(fs.read_text(lock))["nonce"] == "thief"
     fs.delete(lock, recursive=False)
+
+
+def test_renew_freshness_window_skips_disk(spark, tmp_path):
+    """A renew while the last disk stamp is < ¼-TTL-capped-2s fresh is
+    an in-memory no-op: no legal takeover can begin before the stamp
+    crosses its FULL TTL, so there is nothing a disk round-trip could
+    learn — and per-mutation renews in a streaming micro-batch must
+    cost a clock read, not 3 FS round-trips (measured 0.16→0.38 s/run
+    when every mutation paid the disk renew).  Aging the stamp past
+    the window restores the disk path."""
+    d = str(tmp_path)
+    fs = HadoopFS(spark, d)
+    lock = posixpath.join(d, WRITER_LOCK_FILE)
+    with writer_lease(fs, d) as lease:
+        stamped = json.loads(fs.read_text(lock))["acquired_ms"]
+        lease.renew()  # fresh: skips the disk
+        assert json.loads(fs.read_text(lock))["acquired_ms"] == stamped
+        # age the in-memory stamp past the freshness window (but well
+        # inside the TTL): the next renew round-trips the disk
+        lease._stamped_at -= 3.0
+        lease.renew()
+        assert json.loads(fs.read_text(lock))["acquired_ms"] > stamped
 
 
 def test_lease_stale_takeover(spark, tmp_path):
@@ -557,14 +582,29 @@ def test_adopted_lease_mutates_across_threads_without_reclaiming(
         import time as _t
 
         _t.sleep(0.01)
-        _in_thread(lambda: idx.add_documents(more))  # renew + mutate
+        _in_thread(lambda: idx.add_documents(more))  # adopted: mutates
         after = _json.loads(fs.read_text(lock))
         assert after["nonce"] == lease.nonce == before["nonce"]  # no re-claim
-        assert after["acquired_ms"] > before["acquired_ms"]  # renewed
+        # within the freshness window the adopted renew is an in-memory
+        # no-op — per-mutation disk round-trips are exactly the cost the
+        # fast path removes
+        assert after["acquired_ms"] == before["acquired_ms"]
+        # aged past the window, the next adopted mutation re-stamps
+        lease._stamped_at -= 3.0
+        _in_thread(
+            lambda: idx.add_documents(
+                spark.createDataFrame(
+                    [(501, "second adopted text")], "doc_id long, text string"
+                )
+            )
+        )
+        after2 = _json.loads(fs.read_text(lock))
+        assert after2["nonce"] == lease.nonce
+        assert after2["acquired_ms"] > before["acquired_ms"]  # renewed
         adopt_writer_session(idx, None)  # detach
         with pytest.raises(ConcurrentWriterError, match="lease"):
             _in_thread(lambda: idx.add_documents(more))
-    assert BM25Index_n_docs(spark, uri) == 41
+    assert BM25Index_n_docs(spark, uri) == 42
 
 
 def BM25Index_n_docs(spark, uri):
@@ -575,7 +615,11 @@ def BM25Index_n_docs(spark, uri):
 
 def test_adopted_lease_fails_loudly_after_takeover(spark, docs, tmp_path):
     """The session must not outlive a takeover: once the lock carries a
-    foreign nonce, every adopted mutation raises BEFORE writing."""
+    foreign nonce, the next adopted DISK renew raises BEFORE writing.
+    A real zombie (a driver paused long enough for a legal takeover)
+    is by definition past the freshness window — modeled by aging the
+    in-memory stamp — so its first post-pause mutation round-trips the
+    disk and fails loudly."""
     from tiledb_vector_search_spark.storage import adopt_writer_session
 
     uri = str(tmp_path / "bm")
@@ -592,10 +636,57 @@ def test_adopted_lease_fails_loudly_after_takeover(spark, docs, tmp_path):
             lock,
             json.dumps({"nonce": "thief", "acquired_ms": 1, "ttl_ms": 9}),
         )
+        lease._stamped_at -= 5.0  # the pause that let the thief in
         with pytest.raises(ConcurrentWriterError, match="taken over"):
             idx.add_documents(more)
         assert dict(idx.meta) == meta_before  # nothing committed
     fs.delete(lock, recursive=False)  # thief's lock; clean up
+
+
+def test_thief_inside_freshness_window_is_caught_by_the_fence(
+    spark, docs, tmp_path
+):
+    """A PROTOCOL-VIOLATING thief — one that overwrites a provably
+    fresh lock — can slip past the in-memory renew, but the moment it
+    also COMMITS, the victim's next fenced meta flip fails loudly: the
+    fence, not the lease, is the silent-loss backstop (and a thief
+    that never commits costs nothing)."""
+    from tiledb_vector_search_spark.storage import adopt_writer_session
+
+    uri = str(tmp_path / "bm")
+    idx = _bm25(spark, docs, uri)
+    fs = HadoopFS(spark, uri)
+    lock = posixpath.join(uri, WRITER_LOCK_FILE)
+    from tiledb_vector_search_spark.operators.retrieval import BM25Index
+
+    n0 = len(idx._add_batches())
+    with writer_lease(fs, uri) as lease:
+        adopt_writer_session(idx, lease)
+        # the thief plants a backdated lock over the victim's FRESH one
+        # (protocol violation), then commits a competing batch — its own
+        # claim takes over the stale-looking lock it planted
+        fs.write_text_atomic(
+            lock,
+            json.dumps({"nonce": "thief", "acquired_ms": 1, "ttl_ms": 9}),
+        )
+        _in_thread(
+            lambda: BM25Index(spark, uri).add_documents(
+                spark.createDataFrame(
+                    [(600, "thief text")], "doc_id long, text string"
+                )
+            )
+        )
+        # the victim's adopted renew is inside the freshness window — no
+        # disk read — so it is the FENCE that fails the mutation loudly
+        # at the flip (competing commit moved meta_version)
+        with pytest.raises(ConcurrentWriterError, match="committed in between"):
+            idx.add_documents(
+                spark.createDataFrame(
+                    [(601, "victim text")], "doc_id long, text string"
+                )
+            )
+    # the thief's committed batch survives; the victim's did not land
+    assert len(BM25Index(spark, uri)._add_batches()) == n0 + 1
 
 
 def test_adopted_lease_widens_for_long_mutations(spark, docs, tmp_path):

@@ -88,7 +88,12 @@ class Index:
     # query time, so it stays False.
     normalize_on_write = False
 
-    def __init__(self, spark: SparkSession, uri: str, timestamp: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        uri: str,
+        timestamp: "int | tuple[int | None, int | None] | None" = None,
+    ):
         self.spark = spark
         self.storage = IndexStorage(spark, uri)
         if not self.storage.exists():
@@ -99,7 +104,38 @@ class Index:
                 f"index at {uri} is {self.meta.get('index_type')}, "
                 f"not {self.index_type}"
             )
-        self.timestamp = timestamp
+        # Range open (reference ``index.py:117-150``):
+        # ``timestamp=(start, end)`` reads the index over a WINDOW.
+        # With ``start`` past the first ingestion the base is excluded
+        # entirely (reference ``query_base_array=False``) and the
+        # logical set is the update batches in [start, end] — "what
+        # changed in this window".  Otherwise the range covers the
+        # corpus from its beginning and is fold-equivalent to an int
+        # open at ``end``: the reference resolves to the FIRST base +
+        # every update through ``end`` (``index.py:132-149``); the
+        # newest base ≤ end + its own window is the same logical row
+        # set (a consolidated base IS its predecessor plus the folded
+        # batches) and stays readable after that first base is
+        # vacuumed.
+        self.query_base_array = True
+        self.range_lo: int | None = None
+        if isinstance(timestamp, (tuple, list)):
+            if len(timestamp) != 2:
+                raise ValueError(
+                    "'timestamp' tuple expects (start, end), ints or None "
+                    f"— got {timestamp!r}"
+                )
+            start, end = timestamp
+            first_ts = int(self.meta["ingestions"][0]["ts"])
+            self.timestamp = int(end) if end is not None else None
+            if start is not None and int(start) > first_ts:
+                self.query_base_array = False
+                self.range_lo = int(start)
+                self.base_ts = None
+                return
+            timestamp = self.timestamp
+        else:
+            self.timestamp = timestamp
         self.base_ts = self.storage.resolve_base_ts(timestamp)
         if self.base_ts is None:
             raise ValueError(f"no ingestion at or before timestamp={timestamp}")
@@ -190,9 +226,21 @@ class Index:
     # -- effective vector set (base ⊖ updated ⊕ additions) --------------------
 
     def _base_vectors(self) -> DataFrame:
+        if not self.query_base_array:
+            raise ValueError(
+                "this handle is an updates-only range open "
+                "(timestamp=(start, end) with start past the first "
+                "ingestion) — it has no base snapshot.  Open with an "
+                "int timestamp for base-backed operations."
+            )
         return self.storage.read_base(self.base_ts)
 
     def _updates_window(self) -> tuple[int | None, int | None]:
+        if self.range_lo is not None:
+            # the storage convention is (lo exclusive, hi inclusive];
+            # the reference passes the tuple straight to a TileDB array
+            # open whose bounds are inclusive — lo-1 makes [start, end]
+            return (self.range_lo - 1, self.timestamp)
         return (self.base_ts, self.timestamp)
 
     def _has_updates(self) -> bool:
@@ -224,7 +272,14 @@ class Index:
         ``array<float>`` so it unions with the float-typed updates log (u8/
         i8 values are exactly representable); without updates the packed
         binary column flows straight to the byte-aware kernels.
+
+        An updates-only range open (``timestamp=(start, end)`` with
+        ``start`` past the first ingestion) excludes the base entirely —
+        the logical set is the non-deleted latest updates in the window
+        (reference ``query_base_array=False``, ``index.py:125-131``).
         """
+        if not self.query_base_array:
+            return self._additions()
         base = self._base_vectors().select(ID_COL, VECTOR_COL)
         if not self._has_updates():
             return base
@@ -430,6 +485,35 @@ class Index:
     def query(self, queries: DataFrame, k: int, **kw: Any) -> DataFrame:
         raise NotImplementedError
 
+    def _updates_only_query(
+        self,
+        queries: DataFrame,
+        k: int,
+        pad: bool = False,
+        allowed_ids: "DataFrame | None" = None,
+        excluded_ids: "DataFrame | None" = None,
+    ) -> DataFrame:
+        """Query path for updates-only range opens (``timestamp=(start,
+        end)`` past the first ingestion): exact brute-force over the
+        window's additions.  The reference itself always brute-forces
+        the updates overlay (``_query_additions``,
+        ``index.py:353-366``) — and a window of update batches is
+        increment-sized by construction, so the exact scan IS the right
+        plan at any corpus scale; centroids/codebooks/graphs describe a
+        base this handle excludes.  Probe knobs (nprobe / k_factor /
+        l_search / strategy / memory_budget) are therefore ignored by
+        the partitioned types' intercepts."""
+        from tiledb_vector_search_spark.indexes.flat import FlatIndex
+
+        return FlatIndex.query(
+            self,
+            queries,
+            k,
+            pad=pad,
+            allowed_ids=allowed_ids,
+            excluded_ids=excluded_ids,
+        )
+
     # -- measured recall curve / auto operating point --------------------------
     #
     # The engine ships three probe-routed index types × overlay ×
@@ -496,6 +580,13 @@ class Index:
             knn_bruteforce_kernel,
         )
 
+        if not self.query_base_array:
+            raise ValueError(
+                "measure_recall_curve on an updates-only range open has "
+                "no snapshot meta entry to persist into (and a windowed "
+                "log scan has no probe knobs to sweep) — open with an "
+                "int timestamp."
+            )
         nq = nq or self.RECALL_CURVE_NQ
         vectors = self.effective_vectors()
         packed = dict(vectors.dtypes).get(VECTOR_COL) == "binary"
@@ -788,6 +879,14 @@ class Index:
         rows, so the old measurements don't transfer) — keeps
         ``query(recall_target=...)`` working straight through a fold.
         """
+        if not self.query_base_array:
+            raise ValueError(
+                "consolidate_updates on an updates-only range open would "
+                "fold WITHOUT the base — the new snapshot would contain "
+                "only the window's update batches and every other vector "
+                "would be lost.  Open with an int timestamp (or latest) "
+                "to consolidate."
+            )
         ts = timestamp if timestamp is not None else now_ms()
         unknown = set(kw) - set(self.CONSOLIDATE_KWARGS)
         if unknown:

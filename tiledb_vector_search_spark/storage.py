@@ -190,15 +190,52 @@ class LeaseHandle:
     """The held lease: long-running mutations call :meth:`renew`
     periodically so a live hold never crosses its TTL (takeover
     eligibility is ``now - acquired_ms > ttl_ms``; renewal re-stamps
-    ``acquired_ms`` under the held nonce)."""
+    ``acquired_ms`` under the held nonce).  A renew while the last
+    disk stamp is provably fresh (< ¼ TTL, capped at 2 s) is an
+    in-memory no-op — see :data:`RENEW_FRESH_WINDOW_MS_CAP`;
+    ``renew(force=True)`` always round-trips the disk."""
+
+    # a renew within this window of the last DISK stamp is a no-op: a
+    # LEGAL takeover requires the stamp to cross its full TTL first, so
+    # while the stamp is provably fresh there is nothing a disk
+    # round-trip could learn (the ≤½-TTL margin absorbs clock-rate
+    # skew).  A PROTOCOL-VIOLATING thief (overwriting a fresh lock) is
+    # caught at the next disk stamp — bounded by this window — or, for
+    # any commit in between, by the meta fence, which remains the
+    # silent-loss backstop.  Sized so per-mutation renews inside one
+    # streaming micro-batch cost a clock read, not 3 FS round-trips
+    # (measured 0.16→0.38 s/run enforcement when every mutation paid
+    # the hardened read+write+verify renew).
+    RENEW_FRESH_WINDOW_MS_CAP = 2000.0
 
     def __init__(self, fs: "HadoopFS", path: str, nonce: str, ttl_ms: int):
         self._fs = fs
         self.path = path
         self.nonce = nonce
         self.ttl_ms = int(ttl_ms)
+        # the claim that minted this handle just stamped the lock
+        self._stamped_at = time.monotonic()
+        self._stamped_ttl_ms = int(ttl_ms)
 
-    def renew(self) -> None:
+    def renew(self, force: bool = False) -> None:
+        elapsed_ms = (time.monotonic() - self._stamped_at) * 1000.0
+        # the expiry refusal runs BEFORE the freshness short-circuit: a
+        # hold past its TTL is takeover-eligible and must fail here
+        # regardless of disk state (the in-memory stamp only ever LAGS
+        # the disk stamp, so this check is conservative)
+        if elapsed_ms > self.ttl_ms:
+            raise ConcurrentWriterError(
+                f"lease at {self.path} expired before renew() — the "
+                "hold is takeover-eligible and a late re-stamp could "
+                "clobber a contender's fresh claim.  Renew before the "
+                "TTL elapses (or size ttl_ms for the mutation)."
+            )
+        if (
+            not force
+            and int(self.ttl_ms) == self._stamped_ttl_ms
+            and elapsed_ms < min(self.ttl_ms / 4.0, self.RENEW_FRESH_WINDOW_MS_CAP)
+        ):
+            return
         try:
             held = json.loads(self._fs.read_text(self.path))
         except Exception as exc:
@@ -212,20 +249,10 @@ class LeaseHandle:
                 f"lease at {self.path} was taken over mid-mutation "
                 "(nonce changed) — this writer no longer holds it"
             )
-        # a hold that already crossed its TTL is takeover-ELIGIBLE: a
-        # contender may be mid-takeover right now, and a late re-stamp
-        # would overwrite its fresh lock with this stale nonce — two
-        # writers both believing they hold the lease.  While the hold
-        # is still fresh no legitimate takeover can start, so refusing
-        # here closes the read-verify-overwrite race (renew must run
-        # strictly before expiry; size ttl_ms for the mutation).
-        if now_ms() - int(held.get("acquired_ms", 0)) > self.ttl_ms:
-            raise ConcurrentWriterError(
-                f"lease at {self.path} expired before renew() — the "
-                "hold is takeover-eligible and a late re-stamp could "
-                "clobber a contender's fresh claim.  Renew before the "
-                "TTL elapses (or size ttl_ms for the mutation)."
-            )
+        # (the expiry refusal already ran against the in-memory stamp,
+        # which only ever lags the disk stamp — a hold that crossed its
+        # TTL is takeover-eligible and a late re-stamp could overwrite
+        # a contender's fresh lock with this stale nonce)
         held["acquired_ms"] = now_ms()
         held["ttl_ms"] = self.ttl_ms
         self._fs.write_text_atomic(self.path, json.dumps(held))
@@ -238,6 +265,8 @@ class LeaseHandle:
                 f"lease at {self.path} was taken over during renew() "
                 "— this writer no longer holds it"
             )
+        self._stamped_at = time.monotonic()
+        self._stamped_ttl_ms = int(self.ttl_ms)
 
 
 @contextmanager
