@@ -142,6 +142,9 @@ _INDEX_BACKED = {
     "pq_adc_rerank",
     "object_filtered_search",
     "knn_flat_u8",
+    # r11 range open: builds a FLAT index, applies an update history,
+    # queries an updates-only (start, end) window
+    "range_open_changed_vectors",
     "ann_search_sql_tvf",
     # artifact-backed SQL TVF: its plan is one BatchEvalPythonUDTF node
     # by design (the embedded-read model, same as ann_search)

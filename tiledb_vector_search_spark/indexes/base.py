@@ -1090,9 +1090,20 @@ def check_reingest_meta(
         )
 
 
-def open_index(spark: SparkSession, uri: str, timestamp: int | None = None) -> Index:
+def open_index(
+    spark: SparkSession,
+    uri: str,
+    timestamp: "int | tuple[int | None, int | None] | None" = None,
+) -> Index:
     """Factory dispatching on stored ``index_type`` — reference
-    ``index.py:922-994`` ``open()``."""
+    ``index.py:922-994`` ``open()``.
+
+    ``timestamp`` accepts an int (the index as of that time), None
+    (latest), or a ``(start, end)`` tuple — a RANGE open (reference
+    ``index.py:117-150``): with ``start`` past the first ingestion the
+    handle reads ONLY the update batches in ``[start, end]`` ("what
+    changed in this window" — no base scan); otherwise it is
+    fold-equivalent to opening at ``end``."""
     from tiledb_vector_search_spark.indexes.flat import FlatIndex
     from tiledb_vector_search_spark.indexes.ivf_flat import IVFFlatIndex
     from tiledb_vector_search_spark.indexes.ivf_pq import IVFPQIndex

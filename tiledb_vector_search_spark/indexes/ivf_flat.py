@@ -567,6 +567,13 @@ class IVFFlatIndex(Index):
         exclusion).  Exact among non-excluded vectors in the probed
         partitions; no over-fetch heuristic.
         """
+        if not self.query_base_array:
+            # updates-only range open: no base, no centroids to probe —
+            # exact scan over the window's additions (Index doc)
+            return self._updates_only_query(
+                queries, k, pad=pad,
+                allowed_ids=allowed_ids, excluded_ids=excluded_ids,
+            )
         self._validate_queries(queries, k, kw)
         if recall_target is not None:
             if nprobe is not None:

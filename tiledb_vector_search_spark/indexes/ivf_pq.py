@@ -970,6 +970,13 @@ class IVFPQIndex(Index):
         collect — large batches), ``auto`` (kernel below LARGE_NQ, join
         above).
         """
+        if not self.query_base_array:
+            # updates-only range open: no base, no codes to ADC-scan —
+            # exact scan over the window's additions (Index doc)
+            return self._updates_only_query(
+                queries, k, pad=pad,
+                allowed_ids=allowed_ids, excluded_ids=excluded_ids,
+            )
         self._validate_queries(queries, k, kw)
         if recall_target is not None:
             if nprobe is not None or k_factor != 1.0:

@@ -756,6 +756,12 @@ class VamanaIndex(Index):
         join + shard⨝queries cogroup, no driver collect — large batches),
         ``auto`` (kernel below LARGE_NQ, join above).
         """
+        if not self.query_base_array:
+            # updates-only range open: no base, no graph to walk —
+            # exact scan over the window's additions (Index doc)
+            return self._updates_only_query(
+                queries, k, pad=pad, excluded_ids=excluded_ids
+            )
         self._validate_queries(queries, k, kw)
         if recall_target is not None:
             if nprobe is not None or l_search is not None:

@@ -2821,6 +2821,66 @@ def flat_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "range_open_changed_vectors",
+    """
+WITH w AS (
+  SELECT 1000002 AS external_id,
+         (SELECT embedding FROM embeddings WHERE vec_id = 3) AS v
+),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid AS query_id, w.external_id, """
+    + duckdb_distance_sql("q.qv", "w.v", DistanceMetric.SUM_OF_SQUARES)
+    + """ AS distance
+  FROM q CROSS JOIN w
+)
+SELECT query_id, external_id, distance, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance, external_id) AS rank
+  FROM scored) WHERE rank <= 3
+""",
+    driver=False,  # pytest oracle sweep; driver window stays the curated 50
+)
+def range_open_changed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range open (reference ``index.py:117-150``): ``timestamp=(start,
+    end)`` past the first ingestion reads ONLY the update batches in the
+    window — "what changed".  History: upserts at 1500, a delete + a
+    re-upsert at 2000, an upsert at 3000.  The window [1500, 2500] sees
+    exactly one live vector — id 1000002 at its LATEST in-window value
+    (embedding 3, not the 1500 original) — the 2000 delete excludes
+    1000001 and the 3000 upsert is outside.  The oracle reproduces that
+    one-row logical set literally; the engine must window, last-writer-
+    win, and drop tombstones to match."""
+    from tiledb_vector_search_spark.indexes import FlatIndex, open_index
+
+    uri = _scratch("range_open") + "/idx"
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("external_id"), F.col("embedding").alias("vector")
+    )
+    idx = FlatIndex.ingest(spark, uri, src, timestamp=1000)
+    vec = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.where("vec_id IN (1, 2, 3, 4)").collect()
+    }
+    idx.update_batch(
+        [(1_000_001, vec[1]), (1_000_002, vec[2])], timestamp=1500
+    )
+    idx.delete(1_000_001, timestamp=2000)
+    idx.update(1_000_002, vec[3], timestamp=2000)
+    idx.update(1_000_003, vec[4], timestamp=3000)
+    ranged = open_index(spark, uri, timestamp=(1500, 2500))
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    res = ranged.query(queries, 3, strategy="expr")
+    return res.select(
+        "query_id", "external_id", "distance",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @register("ivf_index_recall", driver=False)  # pytest-only; driver gate: ivf_index_recall_gate
 def ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a real (Spark ML KMeans) IVF_FLAT index and report per-query
