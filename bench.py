@@ -862,6 +862,16 @@ def main() -> None:
 
     env_start = _env_signals()
     queries = _bench_queries(spark, sf_dir)
+    # iteration aid: SPARK_GRAFT_BENCH_ROWS=a,b,c runs a subset (unset =
+    # the full official row set; subset runs are for chasing one row's
+    # delta on a quiet box, not for the committed record)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ROWS")
+    if only:
+        pick = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = pick - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown bench rows: {sorted(unknown)}")
+        queries = {n: f for n, f in queries.items() if n in pick}
 
     from tiledb_vector_search_spark.storage import ENFORCEMENT_COUNTERS
 
@@ -991,6 +1001,9 @@ def main() -> None:
         if sampling == "interleaved"
         else f"BENCH_DETAIL_{sampling}.json"
     )
+    if only:
+        # a row-subset run must never overwrite the official record
+        detail_name = detail_name.replace(".json", "_subset.json")
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )

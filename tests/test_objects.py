@@ -279,6 +279,38 @@ def test_object_index_update_delete(spark, sf_dir, tmp_path):
     assert res2[0].external_id == qid
 
 
+def test_object_index_range_open_passthrough(spark, sf_dir, tmp_path):
+    """timestamp=(start, end) flows through ObjectIndex to the vector
+    index: a range past the create reads ONLY the objects updated in the
+    window, with metadata at the range end (ids are stable)."""
+    uri = str(tmp_path / "obj3")
+    reader = DataFrameObjectReader(
+        path=f"{sf_dir}/documents.parquet",
+        id_col="doc_id",
+        payload_cols=["text"],
+        metadata_cols=["lang"],
+    )
+    ObjectIndex.create(
+        spark, uri, reader, HashingTextEmbedding(dims=16),
+        index_type="FLAT", timestamp=1000,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    some_id = int(docs.limit(1).collect()[0].doc_id)
+    upd = spark.createDataFrame(
+        [(some_id, "range open payload text")], "external_id long, text string"
+    )
+    ObjectIndex(spark, uri).update_objects(upd, timestamp=2000)
+    ranged = ObjectIndex(spark, uri, timestamp=(1500, None))
+    assert not ranged.index.query_base_array
+    assert ranged.index.size() == 1
+    res = ranged.query(
+        pd.DataFrame({"query_id": [0], "text": ["range open payload text"]}),
+        k=3,
+        strategy="expr",
+    ).collect()
+    assert {int(r.external_id) for r in res} == {some_id}
+
+
 def test_random_embedding_pipeline(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, f"obj {i}") for i in range(50)], "external_id long, text string"

@@ -119,7 +119,17 @@ def _write_object_group(
 class ObjectIndex:
     """create/open/query an object index (reference ``object_index.py``)."""
 
-    def __init__(self, spark: SparkSession, uri: str, timestamp: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        uri: str,
+        timestamp: "int | tuple[int | None, int | None] | None" = None,
+    ):
+        """``timestamp`` passes through to the vector index untouched —
+        including ``(start, end)`` range opens (see ``open_index``); the
+        metadata side keys its fold check on the range END (the metadata
+        view a windowed read attaches is the one as of its upper
+        bound)."""
         self.spark = spark
         self.uri = uri.rstrip("/")
         self._open_ts = timestamp
@@ -193,22 +203,28 @@ class ObjectIndex:
                 path = backup
             else:
                 return None
-        if self._open_ts is not None:
+        open_hi = (
+            self._open_ts[1]
+            if isinstance(self._open_ts, (tuple, list))
+            else self._open_ts
+        )
+        if open_hi is not None:
             # a consolidation folds log history into the base in place:
             # metadata as of an EARLIER timestamp is no longer
             # reconstructible (the log rows are gone) — raise instead of
             # silently returning post-fold values the vector side's
-            # time-traveled snapshot diverges from
+            # time-traveled snapshot diverges from.  For a range open
+            # the bound is the range END (None = latest, no check).
             marker = posixpath.join(self.uri, "_object_metadata_meta.json")
             if fs.exists(marker):
                 folded = int(
                     json.loads(fs.read_text(marker)).get("folded_through", 0)
                 )
-                if int(self._open_ts) < folded:
+                if int(open_hi) < folded:
                     raise ValueError(
                         f"metadata history through ts={folded} was folded "
                         "by consolidate_object_metadata; a handle opened "
-                        f"at ts={int(self._open_ts)} cannot reconstruct "
+                        f"at ts={int(open_hi)} cannot reconstruct "
                         "its metadata view (same contract as a vacuumed "
                         "vector snapshot) — reopen at latest"
                     )
@@ -217,8 +233,11 @@ class ObjectIndex:
         if not fs.exists(upath):
             return base
         upd = self.spark.read.parquet(upath)
-        if self._open_ts is not None:
-            upd = upd.where(F.col("ts") <= F.lit(int(self._open_ts)))
+        if open_hi is not None:
+            # range opens window the metadata at the range END: the
+            # metadata a windowed vector read attaches is the view as of
+            # its upper bound (ids are stable; values travel with time)
+            upd = upd.where(F.col("ts") <= F.lit(int(open_hi)))
         w = Window.partitionBy(ID_COL).orderBy(
             F.col("ts").desc(), F.col("is_delete").asc()
         )
