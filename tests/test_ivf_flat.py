@@ -145,6 +145,64 @@ def test_copy_centroids(spark, tmp_path, source):
     np.testing.assert_allclose(idx.centroids(), c)
 
 
+def test_training_source_trains_on_separate_vectors(spark, tmp_path, source):
+    """training_source (reference training_input_vectors /
+    training_source_uri, ingestion.py:64-150): centroids train on the
+    provided vectors, not a corpus sample — a training set of near-
+    duplicate rows at two poles must yield centroids at those poles,
+    and the full corpus still assigns + queries correctly."""
+    train = spark.createDataFrame(
+        [([0.0] * 64,) for _ in range(20)] + [([10.0] * 64,) for _ in range(20)],
+        "vector array<float>",
+    )
+    uri = str(tmp_path / "ts")
+    idx = IVFFlatIndex.ingest(
+        spark, uri, source, partitions=2, training_source=train, timestamp=1000
+    )
+    assert idx.partitions == 2
+    got = np.sort(idx.centroids().mean(axis=1))
+    np.testing.assert_allclose(got, [0.0, 10.0], atol=1e-9)
+    assert idx.size() == source.count()
+    # exactness unaffected: full-probe == brute force
+    queries = source.where("external_id < 3").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    res = idx.query(queries, 3, nprobe=2).collect()
+    flat = FlatIndex.ingest(spark, str(tmp_path / "fl"), source, timestamp=1000)
+    want = flat.query(queries, 3).collect()
+    assert {(r.query_id, r.rank, r.external_id) for r in res} == {
+        (r.query_id, r.rank, r.external_id) for r in want
+    }
+
+
+def test_training_source_refusals(spark, tmp_path, source):
+    train = source.select("vector").limit(50)
+    with pytest.raises(ValueError, match="not both"):
+        IVFFlatIndex.ingest(
+            spark, str(tmp_path / "a"), source, partitions=2,
+            training_source=train,
+            copy_centroids_from=np.zeros((2, 64)), timestamp=1000,
+        )
+    with pytest.raises(ValueError, match="training set"):
+        IVFFlatIndex.ingest(
+            spark, str(tmp_path / "b"), source, partitions=2,
+            training_source=train, training_sample_size=10, timestamp=1000,
+        )
+    with pytest.raises(ValueError, match="at least"):
+        IVFFlatIndex.ingest(
+            spark, str(tmp_path / "c"), source, partitions=8,
+            training_source=train.limit(3), timestamp=1000,
+        )
+    bad_dims = spark.createDataFrame(
+        [([1.0] * 32,) for _ in range(10)], "vector array<float>"
+    )
+    with pytest.raises(ValueError, match="dimensionality"):
+        IVFFlatIndex.ingest(
+            spark, str(tmp_path / "d"), source, partitions=2,
+            training_source=bad_dims, timestamp=1000,
+        )
+
+
 def test_partition_pruning_in_plan(spark, ivf_uri, queries):
     """The probe-routed scan must prune to the routed partition directories:
     the FileScan's PartitionFilters — the Spark analogue of the reference's

@@ -117,6 +117,36 @@ def test_open_dispatch_and_meta(spark, pq_index):
     assert idx.metric is DistanceMetric.SUM_OF_SQUARES
 
 
+def test_training_source_trains_coarse_and_codebooks(spark, source, tmp_path):
+    """training_source parity on IVF_PQ: both the coarse centroids and
+    the PQ codebooks train on the provided vectors; with the training
+    set = the corpus itself the index stays full-quality (recall gate at
+    full probe + exact re-rank)."""
+    train = source.select("vector")
+    uri = str(tmp_path / "pqts")
+    idx = IVFPQIndex.ingest(
+        spark, uri, source, partitions=4, num_subspaces=8,
+        training_source=train, timestamp=1000,
+    )
+    queries = source.where("external_id < 5").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    res = idx.query(queries, 5, nprobe=4, k_factor=4.0).select(
+        "query_id", "external_id"
+    )
+    want = knn_bruteforce_expr(
+        source.select("external_id", "vector"), queries, 5
+    ).select("query_id", "external_id")
+    hits = res.intersect(want).count()
+    assert hits / want.count() >= 0.85
+    with pytest.raises(ValueError, match="training set"):
+        IVFPQIndex.ingest(
+            spark, str(tmp_path / "pqbad"), source, partitions=4,
+            num_subspaces=8, training_source=train,
+            training_sample_size=10, timestamp=1000,
+        )
+
+
 def test_unsupported_metric(spark, source, tmp_path):
     with pytest.raises(ValueError, match="does not support"):
         IVFPQIndex.ingest(

@@ -95,6 +95,7 @@ class IVFFlatIndex(Index):
         metric: DistanceMetric | str = DistanceMetric.SUM_OF_SQUARES,
         partitions: int | None = None,
         training_sample_size: int | None = None,
+        training_source: DataFrame | None = None,
         copy_centroids_from: np.ndarray | None = None,
         timestamp: int | None = None,
         id_col: str = ID_COL,
@@ -111,6 +112,16 @@ class IVFFlatIndex(Index):
 
         ``copy_centroids_from`` mirrors ``copy_centroids_uri``
         (``ingestion.py:1081-1100``): skip training, reuse given centroids.
+
+        ``training_source`` mirrors ``training_input_vectors`` /
+        ``training_source_uri`` (``ingestion.py:64-150``): train the
+        centroids on a SEPARATE vector DataFrame — a curated or held-out
+        sample — instead of sampling the corpus; the provided vectors
+        ARE the training set (pre-sample upstream if needed), so
+        ``training_sample_size`` is refused alongside it, as the
+        reference refuses the pair.  At 100 TB this is the knob that
+        decouples one bounded training read from the corpus-wide assign
+        scan.
 
         ``vector_dtype="uint8"|"int8"`` stores packed ``binary`` vectors
         (reference u8/i8 dispatch ``module.py:114-121``); centroids train on
@@ -179,9 +190,46 @@ class IVFFlatIndex(Index):
             )
         k = partitions or default_partitions(n)
 
+        if training_source is not None:
+            if copy_centroids_from is not None:
+                raise ValueError(
+                    "pass either training_source (train on these vectors) "
+                    "or copy_centroids_from (skip training), not both"
+                )
+            if training_sample_size is not None:
+                raise ValueError(
+                    "training_sample_size sizes the CORPUS sample; with "
+                    "training_source the provided vectors ARE the "
+                    "training set — pre-sample it upstream instead "
+                    "(the reference refuses the pair too, "
+                    "ingestion.py:145-150)"
+                )
         if copy_centroids_from is not None:
             centroids = np.asarray(copy_centroids_from, dtype=np.float64)
             k = centroids.shape[0]
+        elif training_source is not None:
+            tvecs = training_source.select(
+                F.col(vector_col).cast("array<float>").alias(VECTOR_COL)
+            )
+            if metric is DistanceMetric.COSINE:
+                # centroids must live in the same normalized space the
+                # corpus is stored in
+                tvecs = tvecs.withColumn(
+                    VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
+                )
+            n_t, d_t = count_and_dims(tvecs)
+            if int(d_t) != int(dims):
+                raise ValueError(
+                    f"training_source dimensionality {d_t} != corpus "
+                    f"dimensionality {dims}"
+                )
+            if n_t < k:
+                raise ValueError(
+                    f"training_source has {n_t} vectors but {k} "
+                    "partitions were requested — k-means needs at least "
+                    "k training points"
+                )
+            centroids = train_centroids_ml(tvecs, k, n_t, n_t, seed=seed)
         else:
             sample_size = training_sample_size or default_training_sample_size(n, k)
             if byte_vectors:

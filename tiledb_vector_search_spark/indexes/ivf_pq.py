@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from tiledb_vector_search_spark.functions.distance import (
     DistanceMetric,
     distance_expr,
+    normalize_expr,
 )
 from tiledb_vector_search_spark.indexes.base import Index, count_and_dims
 from tiledb_vector_search_spark.ml.kmeans import (
@@ -282,6 +283,7 @@ class IVFPQIndex(Index):
         partitions: int | None = None,
         num_subspaces: int | None = None,
         training_sample_size: int | None = None,
+        training_source: DataFrame | None = None,
         copy_centroids_from: np.ndarray | None = None,
         timestamp: int | None = None,
         id_col: str = ID_COL,
@@ -390,21 +392,74 @@ class IVFPQIndex(Index):
         # not id-ordered — see train_centroids_ml: an id order would
         # exclude the highest-id tail of the oversampled pool from
         # training on append-ordered corpora.
-        frac = min(1.0, (PQ_TRAIN_MAX * 1.2) / max(n, 1))
-        srows = (
-            (vectors.sample(fraction=frac, seed=seed) if frac < 1.0 else vectors)
-            .orderBy(F.xxhash64(ID_COL), F.col(ID_COL))
-            .limit(PQ_TRAIN_MAX)
-            .collect()
-        )
-        if is_byte_dtype(vector_dtype):
-            sample = decode_matrix([r[VECTOR_COL] for r in srows], vector_dtype)
-        else:
+        if training_source is not None:
+            # training_input_vectors / training_source_uri parity
+            # (reference ``ingestion.py:64-150``): the provided vectors
+            # train BOTH the coarse centroids and the PQ codebooks — one
+            # curated training read, decoupled from the corpus scan.
+            # Refusals match IVF_FLAT (and the reference refuses the
+            # training_sample_size pair).
+            if copy_centroids_from is not None:
+                raise ValueError(
+                    "pass either training_source (train on these "
+                    "vectors) or copy_centroids_from (skip coarse "
+                    "training), not both"
+                )
+            if training_sample_size is not None:
+                raise ValueError(
+                    "training_sample_size sizes the CORPUS sample; with "
+                    "training_source the provided vectors ARE the "
+                    "training set — pre-sample it upstream instead "
+                    "(the reference refuses the pair too, "
+                    "ingestion.py:145-150)"
+                )
+            tvecs = training_source.select(
+                F.col(vector_col).cast("array<float>").alias(VECTOR_COL)
+            )
+            if metric is DistanceMetric.COSINE:
+                tvecs = tvecs.withColumn(
+                    VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
+                )
+            # bounded deterministic take (hash of the vector — no id
+            # required); a training set larger than PQ_TRAIN_MAX trains
+            # on a deterministic subset of that size
+            srows = (
+                tvecs.orderBy(F.xxhash64(F.col(VECTOR_COL)))
+                .limit(PQ_TRAIN_MAX)
+                .collect()
+            )
             sample = np.array([r[VECTOR_COL] for r in srows], dtype=np.float64)
+            if sample.size and sample.shape[1] != dims:
+                raise ValueError(
+                    f"training_source dimensionality {sample.shape[1]} "
+                    f"!= corpus dimensionality {dims}"
+                )
+            if len(sample) < k:
+                raise ValueError(
+                    f"training_source has {len(sample)} vectors but {k} "
+                    "partitions were requested — k-means needs at least "
+                    "k training points"
+                )
+        else:
+            frac = min(1.0, (PQ_TRAIN_MAX * 1.2) / max(n, 1))
+            srows = (
+                (vectors.sample(fraction=frac, seed=seed) if frac < 1.0 else vectors)
+                .orderBy(F.xxhash64(ID_COL), F.col(ID_COL))
+                .limit(PQ_TRAIN_MAX)
+                .collect()
+            )
+            if is_byte_dtype(vector_dtype):
+                sample = decode_matrix([r[VECTOR_COL] for r in srows], vector_dtype)
+            else:
+                sample = np.array([r[VECTOR_COL] for r in srows], dtype=np.float64)
 
         if copy_centroids_from is not None:
             centroids = np.asarray(copy_centroids_from, dtype=np.float64)
             k = centroids.shape[0]
+        elif training_source is not None:
+            centroids = kmeans_numpy(
+                sample, k, max_iter=10, seed=seed, init="k-means++"
+            )
         else:
             sample_size = training_sample_size or default_training_sample_size(n, k)
             if (
