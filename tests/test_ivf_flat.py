@@ -203,6 +203,68 @@ def test_training_source_refusals(spark, tmp_path, source):
         )
 
 
+def test_training_sampling_policy_first_n_vs_random(spark, tmp_path):
+    """FIRST_N (reference TrainingSamplingPolicy, ingestion.py:34-36)
+    trains on the id-ordered corpus head — on this two-pole corpus the
+    head is ALL pole A, so the centroids never see pole B (exactly the
+    append-ordered-corpus bias the default seeded-random avoids)."""
+    rows = [(i, [0.0] * 64 if i < 50 else [10.0] * 64) for i in range(100)]
+    src = spark.createDataFrame(rows, "external_id long, vector array<float>")
+    idx = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "fn"), src, partitions=2,
+        training_sample_size=50, training_sampling_policy="first_n",
+        timestamp=1000,
+    )
+    np.testing.assert_allclose(idx.centroids(), 0.0, atol=1e-12)
+    idx2 = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "rnd"), src, partitions=2,
+        training_sample_size=50, timestamp=1000,
+    )
+    np.testing.assert_allclose(
+        np.sort(idx2.centroids().mean(axis=1)), [0.0, 10.0], atol=1e-9
+    )
+    with pytest.raises(ValueError, match="sampling_policy"):
+        IVFFlatIndex.ingest(
+            spark, str(tmp_path / "bad"), src, partitions=2,
+            training_sampling_policy="newest_n", timestamp=1000,
+        )
+
+
+def test_normalized_skips_cosine_ingest_normalization(spark, tmp_path, source):
+    """normalized=True (reference ingestion.py:91,1331) declares the
+    source pre-normalized under COSINE and skips the per-row pass; on a
+    pre-normalized source the two paths store identical vectors and
+    query identically.  Under a metric that never normalizes the flag is
+    refused instead of silently ignored."""
+    from tiledb_vector_search_spark.functions.distance import normalize_expr
+    from tiledb_vector_search_spark.schemas import VECTOR_COL
+
+    pre = source.withColumn(
+        VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
+    )
+    a = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "n1"), pre, partitions=4, metric="cosine",
+        normalized=True, timestamp=1000,
+    )
+    b = IVFFlatIndex.ingest(
+        spark, str(tmp_path / "n2"), pre, partitions=4, metric="cosine",
+        timestamp=1000,
+    )
+    q = source.where("external_id < 5").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    ra = {(r.query_id, r.rank, r.external_id)
+          for r in a.query(q, 5, nprobe=4).collect()}
+    rb = {(r.query_id, r.rank, r.external_id)
+          for r in b.query(q, 5, nprobe=4).collect()}
+    assert ra == rb
+    with pytest.raises(ValueError, match="nothing to skip"):
+        IVFFlatIndex.ingest(
+            spark, str(tmp_path / "n3"), source, partitions=4,
+            normalized=True, timestamp=1000,
+        )
+
+
 def test_partition_pruning_in_plan(spark, ivf_uri, queries):
     """The probe-routed scan must prune to the routed partition directories:
     the FileScan's PartitionFilters — the Spark analogue of the reference's

@@ -147,6 +147,30 @@ def test_training_source_trains_coarse_and_codebooks(spark, source, tmp_path):
         )
 
 
+def test_training_sampling_policy_first_n_pq(spark, tmp_path, monkeypatch):
+    """FIRST_N on IVF_PQ: the id-ordered corpus head trains codebooks
+    AND coarse centroids — with the training cap at 50, an all-pole-A
+    head yields pole-A coarse centroids (the newest pole is invisible
+    to training, exactly the FIRST_N bias the default avoids)."""
+    from tiledb_vector_search_spark.indexes import ivf_pq as pq_mod
+
+    monkeypatch.setattr(pq_mod, "PQ_TRAIN_MAX", 50)
+    rows = [(i, [0.0] * 64 if i < 50 else [10.0] * 64) for i in range(100)]
+    src = spark.createDataFrame(rows, "external_id long, vector array<float>")
+    idx = IVFPQIndex.ingest(
+        spark, str(tmp_path / "pqfn"), src, partitions=2, num_subspaces=8,
+        training_sample_size=50, training_sampling_policy="first_n",
+        timestamp=1000,
+    )
+    np.testing.assert_allclose(idx.centroids(), 0.0, atol=1e-12)
+    with pytest.raises(ValueError, match="sampling_policy"):
+        IVFPQIndex.ingest(
+            spark, str(tmp_path / "pqbadpol"), src, partitions=2,
+            num_subspaces=8, training_sampling_policy="newest_n",
+            timestamp=1000,
+        )
+
+
 def test_unsupported_metric(spark, source, tmp_path):
     with pytest.raises(ValueError, match="does not support"):
         IVFPQIndex.ingest(

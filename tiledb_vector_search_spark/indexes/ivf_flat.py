@@ -95,6 +95,7 @@ class IVFFlatIndex(Index):
         metric: DistanceMetric | str = DistanceMetric.SUM_OF_SQUARES,
         partitions: int | None = None,
         training_sample_size: int | None = None,
+        training_sampling_policy: str = "random",
         training_source: DataFrame | None = None,
         copy_centroids_from: np.ndarray | None = None,
         timestamp: int | None = None,
@@ -102,6 +103,7 @@ class IVFFlatIndex(Index):
         vector_col: str = VECTOR_COL,
         seed: int = 42,
         vector_dtype: str = "float32",
+        normalized: bool = False,
         overlay: bool = False,
         overlay_max: int = DEFAULT_OVERLAY_MAX,
         overlay_audit_nprobe: int | None = None,
@@ -176,8 +178,17 @@ class IVFFlatIndex(Index):
                 integral_id_col(source, id_col, "IVFFlatIndex.ingest").alias(ID_COL),
                 F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
             )
-        if metric is DistanceMetric.COSINE:
-            # normalize at ingest (reference ivf_flat_index.py:254-255)
+        if normalized and metric is not DistanceMetric.COSINE:
+            raise ValueError(
+                "normalized=True declares pre-normalized vectors to skip "
+                f"the COSINE ingest normalization; metric {metric.value} "
+                "never normalizes, so there is nothing to skip"
+            )
+        if metric is DistanceMetric.COSINE and not normalized:
+            # normalize at ingest (reference ivf_flat_index.py:254-255);
+            # ``normalized=True`` (reference ``ingestion.py:91,1331``)
+            # declares the source already unit-norm and skips the
+            # per-row pass — the caller owns the invariant
             vectors = vectors.withColumn(
                 VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
             )
@@ -203,6 +214,12 @@ class IVFFlatIndex(Index):
                     "training set — pre-sample it upstream instead "
                     "(the reference refuses the pair too, "
                     "ingestion.py:145-150)"
+                )
+            if training_sampling_policy != "random":
+                raise ValueError(
+                    "training_sampling_policy governs the CORPUS sample; "
+                    "with training_source no corpus sampling happens — "
+                    "order the provided frame upstream instead"
                 )
         if copy_centroids_from is not None:
             centroids = np.asarray(copy_centroids_from, dtype=np.float64)
@@ -235,15 +252,24 @@ class IVFFlatIndex(Index):
             if byte_vectors:
                 # sample the PACKED column first (cheap scan), decode only
                 # the sampled rows for training
-                frac = min(1.0, (sample_size * 1.2) / max(n, 1))
-                pre = vectors if frac >= 1.0 else vectors.sample(fraction=frac, seed=seed)
+                if training_sampling_policy == "first_n":
+                    pre = vectors.orderBy(F.col(ID_COL)).limit(sample_size)
+                else:
+                    frac = min(1.0, (sample_size * 1.2) / max(n, 1))
+                    pre = (
+                        vectors
+                        if frac >= 1.0
+                        else vectors.sample(fraction=frac, seed=seed)
+                    )
                 centroids = train_centroids_ml(
                     unpack_vectors(pre, vector_dtype, VECTOR_COL),
                     k, sample_size, sample_size, seed=seed,
+                    sampling_policy=training_sampling_policy,
                 )
             else:
                 centroids = train_centroids_ml(
-                    vectors, k, sample_size, n, seed=seed
+                    vectors, k, sample_size, n, seed=seed,
+                    sampling_policy=training_sampling_policy,
                 )
 
         # with an overlay coming, the assign kernel also emits the

@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 from tiledb_vector_search_spark.functions.distance import (
     DistanceMetric,
     distance_expr,
-    normalize_expr,
 )
 from tiledb_vector_search_spark.indexes.base import Index, count_and_dims
 from tiledb_vector_search_spark.ml.kmeans import (
@@ -283,6 +282,7 @@ class IVFPQIndex(Index):
         partitions: int | None = None,
         num_subspaces: int | None = None,
         training_sample_size: int | None = None,
+        training_sampling_policy: str = "random",
         training_source: DataFrame | None = None,
         copy_centroids_from: np.ndarray | None = None,
         timestamp: int | None = None,
@@ -413,13 +413,16 @@ class IVFPQIndex(Index):
                     "(the reference refuses the pair too, "
                     "ingestion.py:145-150)"
                 )
+            if training_sampling_policy != "random":
+                raise ValueError(
+                    "training_sampling_policy governs the CORPUS sample; "
+                    "with training_source no corpus sampling happens — "
+                    "order the provided frame upstream instead"
+                )
             tvecs = training_source.select(
                 F.col(vector_col).cast("array<float>").alias(VECTOR_COL)
             )
-            if metric is DistanceMetric.COSINE:
-                tvecs = tvecs.withColumn(
-                    VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
-                )
+            # (no cosine branch: IVF_PQ refuses COSINE outright above)
             # bounded deterministic take (hash of the vector — no id
             # required); a training set larger than PQ_TRAIN_MAX trains
             # on a deterministic subset of that size
@@ -441,13 +444,25 @@ class IVFPQIndex(Index):
                     "k training points"
                 )
         else:
-            frac = min(1.0, (PQ_TRAIN_MAX * 1.2) / max(n, 1))
-            srows = (
-                (vectors.sample(fraction=frac, seed=seed) if frac < 1.0 else vectors)
-                .orderBy(F.xxhash64(ID_COL), F.col(ID_COL))
-                .limit(PQ_TRAIN_MAX)
-                .collect()
-            )
+            if training_sampling_policy == "first_n":
+                # reference FIRST_N (ingestion.py:34-36): the corpus head
+                # in id order trains both codebooks and coarse centroids
+                srows = (
+                    vectors.orderBy(F.col(ID_COL)).limit(PQ_TRAIN_MAX).collect()
+                )
+            elif training_sampling_policy != "random":
+                raise ValueError(
+                    f"unknown training_sampling_policy "
+                    f"{training_sampling_policy!r} — 'random' or 'first_n'"
+                )
+            else:
+                frac = min(1.0, (PQ_TRAIN_MAX * 1.2) / max(n, 1))
+                srows = (
+                    (vectors.sample(fraction=frac, seed=seed) if frac < 1.0 else vectors)
+                    .orderBy(F.xxhash64(ID_COL), F.col(ID_COL))
+                    .limit(PQ_TRAIN_MAX)
+                    .collect()
+                )
             if is_byte_dtype(vector_dtype):
                 sample = decode_matrix([r[VECTOR_COL] for r in srows], vector_dtype)
             else:
@@ -473,7 +488,8 @@ class IVFPQIndex(Index):
                 )
             else:
                 centroids = train_centroids_ml(
-                    vectors, k, sample_size, n, seed=seed
+                    vectors, k, sample_size, n, seed=seed,
+                    sampling_policy=training_sampling_policy,
                 )
 
         # the encoding flavor is an INDEX-WIDE invariant: a fresh index

@@ -121,6 +121,7 @@ class VamanaIndex(Index):
         vector_col: str = VECTOR_COL,
         seed: int = 42,
         vector_dtype: str = "float32",
+        normalized: bool = False,
         overlay: bool = False,
         overlay_max: int = DEFAULT_OVERLAY_MAX,
         overlay_audit_nprobe: int | None = None,
@@ -167,7 +168,16 @@ class VamanaIndex(Index):
                 integral_id_col(source, id_col, "VamanaIndex.ingest").alias(ID_COL),
                 F.col(vector_col).cast("array<float>").alias(VECTOR_COL),
             )
-        if metric is DistanceMetric.COSINE:
+        if normalized and metric is not DistanceMetric.COSINE:
+            raise ValueError(
+                "normalized=True declares pre-normalized vectors to skip "
+                f"the COSINE ingest normalization; metric {metric.value} "
+                "never normalizes, so there is nothing to skip"
+            )
+        if metric is DistanceMetric.COSINE and not normalized:
+            # ``normalized=True`` (reference ``ingestion.py:91,1331``)
+            # declares the source already unit-norm — skip the per-row
+            # pass; the caller owns the invariant
             vectors = vectors.withColumn(
                 VECTOR_COL, normalize_expr(VECTOR_COL).cast("array<float>")
             )

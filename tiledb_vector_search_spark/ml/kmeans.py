@@ -53,6 +53,7 @@ def train_centroids_ml(
     vector_col: str = VECTOR_COL,
     max_iter: int = 10,
     seed: int = 42,
+    sampling_policy: str = "random",
 ) -> np.ndarray:
     """KMeans on a sample → (k, d) float64 centroid matrix.
 
@@ -60,7 +61,48 @@ def train_centroids_ml(
     k-means++ on the driver — exactly the reference's centralized path; the
     distributed Spark ML form kicks in beyond that.  maxIter=10 matches the
     reference's sklearn call (``ingestion.py:1384-1391``).
+
+    ``sampling_policy`` mirrors the reference's ``TrainingSamplingPolicy``
+    (``ingestion.py:34-36``): ``"random"`` (default) is the seeded
+    deterministic uniform pick (hash-ordered take — same distribution as
+    the reference's RANDOM, reproducible across runs); ``"first_n"``
+    takes the first ``sample_size`` rows in id order — the reference's
+    FIRST_N reads the array's first N positions, and on append-ordered
+    corpora that means training NEVER sees the newest data, which is why
+    it is not the default here.
     """
+    if sampling_policy not in ("random", "first_n"):
+        raise ValueError(
+            f"unknown sampling_policy {sampling_policy!r} — "
+            "'random' (seeded uniform) or 'first_n' (reference FIRST_N)"
+        )
+    if sampling_policy == "first_n":
+        from tiledb_vector_search_spark.schemas import ID_COL
+
+        ordered = (
+            vectors.orderBy(F.col(ID_COL))
+            if ID_COL in vectors.columns
+            # no id column: "first" = storage order (the reference's
+            # FIRST_N is exactly the array's physical head)
+            else vectors
+        )
+        sample = ordered.limit(sample_size)
+        if sample_size <= CENTRALIZED_SAMPLE_MAX and k <= CENTRALIZED_K_MAX:
+            x = np.array(
+                [r[0] for r in sample.select(F.col(vector_col)).collect()],
+                dtype=np.float64,
+            )
+            return kmeans_numpy(x, k, max_iter=max_iter, seed=seed, init="k-means++")
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = sample.select(
+            array_to_vector(F.col(vector_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(
+            k=k, maxIter=max_iter, seed=seed, initMode="k-means||"
+        ).fit(feats)
+        return np.array(model.clusterCenters(), dtype=np.float64)
     frac = min(1.0, (sample_size * 1.2) / max(total, 1))
     sample = vectors if frac >= 1.0 else vectors.sample(fraction=frac, seed=seed)
 
