@@ -63,6 +63,11 @@ def test_driver_window_curated():
         # the r10 headline hot-cell split took its slot under the
         # brute-force value-hash oracle (full probe after a split-fold)
         "ivf_split_rebalanced_search",
+        # text_repetition_scores demoted to the pytest twin in r11 when
+        # the range-open feature took its slot (the text family keeps 4
+        # driver rows); the windowed what-changed read is gated under a
+        # literal one-row oracle (lww + tombstone + window semantics)
+        "range_open_changed_vectors",
     }
     assert flagships <= set(q), f"flagships outside window: {flagships - set(q)}"
 

@@ -2332,6 +2332,10 @@ def _repetition_cols_sql() -> str:
 SELECT doc_id, {_repetition_cols_sql()}
 FROM documents WHERE doc_id < 500
 """,
+    # demoted to the pytest twin in r11 when range_open_changed_vectors
+    # took its slot (text family keeps 4 driver rows: quality, unigram,
+    # tfidf, fingerprint); the oracle gate still runs in the pytest sweep
+    driver=False,
 )
 def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition filters: most-frequent-2-gram
@@ -2840,7 +2844,6 @@ SELECT query_id, external_id, distance, rank FROM (
     PARTITION BY query_id ORDER BY distance, external_id) AS rank
   FROM scored) WHERE rank <= 3
 """,
-    driver=False,  # pytest oracle sweep; driver window stays the curated 50
 )
 def range_open_changed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range open (reference ``index.py:117-150``): ``timestamp=(start,
