@@ -440,6 +440,148 @@ def _st_available():
         return False
 
 
+def test_langchain_embedding_dispatch_and_contract(monkeypatch):
+    """LangChainEmbedding resolves the class from langchain_openai first,
+    then langchain.embeddings (reference module order,
+    embeddings/langchain_embedding.py); embeds through embed_documents;
+    pickles without the live client; declared-dims mismatch raises."""
+    import pickle
+    import sys
+    import types
+
+    from tiledb_vector_search_spark.objects import LangChainEmbedding
+
+    calls = []
+
+    class FakeEmb:
+        def __init__(self, scale=1.0):
+            self.scale = scale
+
+        def embed_documents(self, texts):
+            calls.append(list(texts))
+            return [[self.scale * (i + 1)] * 4 for i in range(len(texts))]
+
+    fake = types.ModuleType("langchain_openai")
+    fake.FakeEmb = FakeEmb
+    monkeypatch.setitem(sys.modules, "langchain_openai", fake)
+
+    emb = LangChainEmbedding(4, "FakeEmb", {"scale": 2.0})
+    out = emb.embed(pd.DataFrame({"text": ["a", "b", "c"]}))
+    assert out.shape == (3, 4) and out.dtype == np.float32
+    np.testing.assert_allclose(out[1], [4.0] * 4)
+    assert calls == [["a", "b", "c"]]
+    # the live client never rides the pickle; a fresh load() rebuilds it
+    clone = pickle.loads(pickle.dumps(emb))
+    assert clone._client is None
+    assert clone.embed(pd.DataFrame({"text": ["d"]})).shape == (1, 4)
+    # fallback module order: absent langchain_openai, langchain.embeddings
+    monkeypatch.delitem(sys.modules, "langchain_openai")
+    lc = types.ModuleType("langchain")
+    lc_emb = types.ModuleType("langchain.embeddings")
+    lc_emb.FakeEmb = FakeEmb
+    lc.embeddings = lc_emb
+    monkeypatch.setitem(sys.modules, "langchain", lc)
+    monkeypatch.setitem(sys.modules, "langchain.embeddings", lc_emb)
+    emb2 = LangChainEmbedding(4, "FakeEmb")
+    emb2.load()
+    assert isinstance(emb2._client, FakeEmb)
+    # declared dims are enforced, not trusted
+    bad = LangChainEmbedding(16, "FakeEmb")
+    with pytest.raises(ValueError, match="dimensions"):
+        bad.embed(pd.DataFrame({"text": ["x"]}))
+
+
+def test_langchain_embedding_import_error_without_dep():
+    from tiledb_vector_search_spark.objects import LangChainEmbedding
+
+    with pytest.raises(ImportError, match="HashingTextEmbedding"):
+        LangChainEmbedding(4, "OpenAIEmbeddings").load()
+
+
+def test_huggingface_image_embedding_fake_transformers(monkeypatch):
+    """The HF image adapter's Spark-side contract — pickle without
+    weights, per-worker load, flat-pixels+shape batch layout, CLS-token
+    pooling, batch_size chunking — driven with a fake transformers
+    module (the real dep is absent in this environment)."""
+    import pickle
+    import sys
+    import types
+
+    from tiledb_vector_search_spark.objects import (
+        HuggingFaceAutoImageEmbedding,
+    )
+
+    class FakeTensor:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def __getitem__(self, key):
+            return FakeTensor(self.arr[key])
+
+        def detach(self):
+            return self
+
+        def cpu(self):
+            return self
+
+        def numpy(self):
+            return self.arr
+
+    class FakeOut:
+        def __init__(self, arr):
+            self.last_hidden_state = FakeTensor(arr)
+
+    seen_batches = []
+
+    class FakeModel:
+        @staticmethod
+        def from_pretrained(name):
+            return FakeModel()
+
+        def __call__(self, pixel_sums=None):
+            n = len(pixel_sums)
+            seen_batches.append(n)
+            # (batch, tokens, dims): CLS token = mean pixel value per img
+            arr = np.zeros((n, 3, 8), dtype=np.float32)
+            for i, s in enumerate(pixel_sums):
+                arr[i, 0, :] = s
+            return FakeOut(arr)
+
+    class FakeProcessor:
+        @staticmethod
+        def from_pretrained(name):
+            return FakeProcessor()
+
+        def __call__(self, images, return_tensors):
+            assert return_tensors == "pt"
+            assert all(img.ndim == 3 for img in images)
+            return {"pixel_sums": [float(img.mean()) for img in images]}
+
+    fake = types.ModuleType("transformers")
+    fake.AutoImageProcessor = FakeProcessor
+    fake.AutoModel = FakeModel
+    monkeypatch.setitem(sys.modules, "transformers", fake)
+
+    emb = HuggingFaceAutoImageEmbedding("fake/model", dimensions=8, batch_size=2)
+    clone = pickle.loads(pickle.dumps(emb))  # ships config only
+    assert clone._model is None and clone._processor is None
+    flat = [np.full(12, v, dtype=np.uint8) for v in (10, 20, 30)]
+    pdf = pd.DataFrame({"image": flat, "shape": [[2, 2, 3]] * 3})
+    out = clone.embed(pdf)
+    assert out.shape == (3, 8) and out.dtype == np.float32
+    np.testing.assert_allclose(out[:, 0], [10.0, 20.0, 30.0])
+    assert seen_batches == [2, 1]  # batch_size chunking
+
+
+def test_huggingface_image_embedding_import_error_without_dep():
+    from tiledb_vector_search_spark.objects import (
+        HuggingFaceAutoImageEmbedding,
+    )
+
+    with pytest.raises(ImportError, match="LumaGridEmbedding"):
+        HuggingFaceAutoImageEmbedding("m", dimensions=8).load()
+
+
 def test_sentence_transformers_pickles_without_weights():
     """The executor-shipping contract: cloudpickle carries config only; the
     model loads lazily per worker.  Runs with or without the optional dep."""

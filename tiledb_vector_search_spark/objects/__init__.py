@@ -20,7 +20,9 @@ from tiledb_vector_search_spark.objects.domain_readers import (
 from tiledb_vector_search_spark.objects.embeddings import (
     BytesHistogramEmbedding,
     HashingTextEmbedding,
+    HuggingFaceAutoImageEmbedding,
     IdentityEmbedding,
+    LangChainEmbedding,
     LumaGridEmbedding,
     ObjectEmbedding,
     RandomEmbedding,
@@ -55,6 +57,8 @@ __all__ = [
     "LumaGridEmbedding",
     "RandomEmbedding",
     "SentenceTransformersEmbedding",
+    "LangChainEmbedding",
+    "HuggingFaceAutoImageEmbedding",
     "ObjectIndex",
     "create",
     "ingest_embeddings_with_driver",

@@ -135,6 +135,160 @@ class SentenceTransformersEmbedding(ObjectEmbedding):
         return state
 
 
+class LangChainEmbedding(ObjectEmbedding):
+    """Adapter for any LangChain embeddings class (optional dep).
+
+    Mirrors the reference ``LangChainEmbedding``
+    (``embeddings/langchain_embedding.py``): the embedding CLASS NAME and
+    its kwargs are pickled, the live client object is not — :meth:`load`
+    resolves the class lazily per executor worker, trying
+    ``langchain_openai`` first and ``langchain.embeddings`` second
+    (the reference's module order), and the batch embeds through the
+    LangChain ``embed_documents`` contract.  When neither module is
+    installed, :meth:`load` raises ImportError with the install hint.
+    """
+
+    def __init__(
+        self,
+        dimensions: int,
+        embedding_class: str = "OpenAIEmbeddings",
+        embedding_kwargs: dict | None = None,
+        text_col: str = "text",
+    ):
+        self._dims = int(dimensions)
+        self.embedding_class = embedding_class
+        self.embedding_kwargs = dict(embedding_kwargs or {})
+        self.text_col = text_col
+        self._client = None
+
+    def dimensions(self) -> int:
+        return self._dims
+
+    def load(self) -> None:
+        if self._client is not None:
+            return
+        import importlib
+
+        last: Exception | None = None
+        for module in ("langchain_openai", "langchain.embeddings"):
+            try:
+                mod = importlib.import_module(module)
+            except ImportError as exc:
+                last = exc
+                continue
+            cls = getattr(mod, self.embedding_class, None)
+            if cls is not None:
+                self._client = cls(**self.embedding_kwargs)
+                return
+            last = AttributeError(
+                f"{module} has no class {self.embedding_class!r}"
+            )
+        raise ImportError(
+            "LangChainEmbedding requires the optional 'langchain-openai' "
+            "or 'langchain' package exposing "
+            f"{self.embedding_class!r}; use HashingTextEmbedding as a "
+            "deterministic offline stand-in"
+        ) from last
+
+    def embed(self, objects: pd.DataFrame) -> np.ndarray:
+        if self._client is None:
+            self.load()
+        out = np.asarray(
+            self._client.embed_documents(
+                [str(t) for t in objects[self.text_col]]
+            ),
+            dtype=np.float32,
+        )
+        if out.ndim != 2 or out.shape[1] != self._dims:
+            raise ValueError(
+                f"{self.embedding_class} returned shape {out.shape}, "
+                f"declared dimensions={self._dims}"
+            )
+        return out
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_client"] = None  # clients may hold sockets/keys — re-load()
+        return state
+
+
+class HuggingFaceAutoImageEmbedding(ObjectEmbedding):
+    """CLS-token image embedding via transformers AutoModel (optional dep).
+
+    Mirrors the reference ``HuggingFaceAutoImageEmbedding``
+    (``embeddings/huggingface_auto_image_embedding.py``): pickles only
+    the model NAME; :meth:`load` builds ``AutoImageProcessor`` +
+    ``AutoModel`` per worker; :meth:`embed` consumes decoded pixel rows
+    (a flat ``image`` array + its ``shape``, the reference's object
+    layout), batches them through the processor, and takes the
+    last-hidden-state CLS token.  transformers/PIL are absent in this
+    environment — the ImportError names the deterministic
+    :class:`LumaGridEmbedding` as the offline stand-in, and the Spark
+    plumbing (pickle round-trip, per-worker load, batch shapes) is
+    tested with a fake transformers module.
+    """
+
+    def __init__(
+        self,
+        model_name_or_path: str,
+        dimensions: int,
+        batch_size: int = 64,
+        image_col: str = "image",
+        shape_col: str = "shape",
+    ):
+        self.model_name_or_path = model_name_or_path
+        self._dims = int(dimensions)
+        self.batch_size = int(batch_size)
+        self.image_col = image_col
+        self.shape_col = shape_col
+        self._processor = None
+        self._model = None
+
+    def dimensions(self) -> int:
+        return self._dims
+
+    def load(self) -> None:
+        if self._model is not None:
+            return
+        try:
+            from transformers import AutoImageProcessor, AutoModel  # type: ignore
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "HuggingFaceAutoImageEmbedding requires the optional "
+                "'transformers' package; use LumaGridEmbedding as a "
+                "deterministic offline stand-in"
+            ) from exc
+        self._processor = AutoImageProcessor.from_pretrained(
+            self.model_name_or_path
+        )
+        self._model = AutoModel.from_pretrained(self.model_name_or_path)
+
+    def embed(self, objects: pd.DataFrame) -> np.ndarray:
+        if self._model is None:
+            self.load()
+        images = [
+            np.asarray(img, dtype=np.uint8).reshape(list(shape))
+            for img, shape in zip(
+                objects[self.image_col], objects[self.shape_col]
+            )
+        ]
+        out = np.zeros((len(images), self._dims), dtype=np.float32)
+        for lo in range(0, len(images), self.batch_size):
+            chunk = images[lo : lo + self.batch_size]
+            inputs = self._processor(images=chunk, return_tensors="pt")
+            hidden = self._model(**inputs).last_hidden_state
+            out[lo : lo + len(chunk)] = (
+                hidden[:, 0].detach().cpu().numpy().astype(np.float32)
+            )
+        return out
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_processor"] = None
+        state["_model"] = None  # weights never ride the pickle
+        return state
+
+
 class HashingTextEmbedding(ObjectEmbedding):
     """Deterministic feature-hashing text embedding (no model weights).
 
