@@ -290,6 +290,32 @@ def test_clear_history_reclaims_stray_batches_below_every_base(
     assert meta["update_batches"] == []
 
 
+def test_query_np_reference_contract(spark, tmp_path, source, embeddings_np):
+    """query_np: numpy in, (distances, ids) out — row q holds query q's
+    top-k ascending; slots past the result count carry the reference's
+    MAX_FLOAT32/MAX_UINT64 sentinels (index.py:244-416)."""
+    ids, mat = embeddings_np
+    idx = FlatIndex.ingest(spark, str(tmp_path / "flat"), source, timestamp=1000)
+    d, got_ids = idx.query_np(mat[:NQ], K)
+    assert d.shape == (NQ, K) and got_ids.shape == (NQ, K)
+    assert d.dtype == np.float32 and got_ids.dtype == np.uint64
+    oracle = numpy_topk(mat[:NQ], ids, mat, K)
+    for q in range(NQ):
+        assert [int(x) for x in got_ids[q]] == [o[0] for o in oracle[q]]
+        np.testing.assert_allclose(
+            d[q], [o[1] for o in oracle[q]], rtol=1e-6, atol=1e-6
+        )
+    # sentinel padding: an updates-only window with ONE vector fills
+    # slots 2..k with MAX sentinels
+    idx.update(900_001, [0.5] * 64, timestamp=2000)
+    ranged = open_index(spark, idx.uri, timestamp=(1500, None))
+    d2, ids2 = ranged.query_np(mat[0], K)
+    assert ids2.shape == (1, K)
+    assert int(ids2[0, 0]) == 900_001
+    assert (ids2[0, 1:] == np.iinfo(np.uint64).max).all()
+    assert (d2[0, 1:] == np.finfo(np.float32).max).all()
+
+
 def test_query_validation(spark, tmp_path, source):
     idx = FlatIndex.ingest(spark, str(tmp_path / "flat"), source, timestamp=1000)
     bad = source.limit(1)  # wrong columns

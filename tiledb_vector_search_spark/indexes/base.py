@@ -485,6 +485,38 @@ class Index:
     def query(self, queries: DataFrame, k: int, **kw: Any) -> DataFrame:
         raise NotImplementedError
 
+    def query_np(
+        self, queries: "np.ndarray", k: int, **kw: Any
+    ) -> "tuple[np.ndarray, np.ndarray]":
+        """Reference-signature convenience: numpy queries in,
+        ``(distances, external_ids)`` arrays out — the reference's
+        ``Index.query`` contract (``index.py:244-416``): row ``q`` holds
+        query ``q``'s top-k ascending, padded with MAX_FLOAT32 /
+        MAX_UINT64 sentinels where fewer than k results exist.  A
+        driver-side shim over the DataFrame plan (the distributed path
+        is :meth:`query`); distances follow this engine's DataFrame
+        convention (inner product already flipped to a distance)."""
+        import numpy as np  # noqa: F811 — typing alias above
+
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.ndim != 2:
+            raise ValueError(f"queries must be (nq, dims); got {q.shape}")
+        df = self.spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(q)],
+            "query_id long, vector array<float>",
+        )
+        res = self.query(df, k, **kw).collect()
+        d = np.full((len(q), k), np.finfo(np.float32).max, dtype=np.float32)
+        ids = np.full((len(q), k), np.iinfo(np.uint64).max, dtype=np.uint64)
+        for r in res:
+            if r.external_id is None:
+                continue
+            d[r.query_id, r.rank - 1] = r.distance
+            ids[r.query_id, r.rank - 1] = r.external_id
+        return d, ids
+
     def _updates_only_query(
         self,
         queries: DataFrame,
