@@ -296,6 +296,60 @@ def test_tvf_time_travel(spark, source, tmp_path_factory):
     assert merged == folded
 
 
+def test_tvf_range_window_matches_dataframe_range_open(
+    spark, source, tmp_path_factory
+):
+    """start_timestamp => the SQL twin of open_index(uri, (start, end)):
+    an updates-only window returns exactly the window's live additions,
+    matching the DataFrame range-open path row for row."""
+    from tiledb_vector_search_spark.indexes import open_index
+
+    uri = str(tmp_path_factory.mktemp("tvfrange") / "idx")
+    idx = IVFFlatIndex.ingest(
+        spark, uri, source.where("external_id < 50"),
+        partitions=4, timestamp=1000,
+    )
+    idx.update_batch(
+        [(900_001, [1.0] * 64), (900_002, [2.0] * 64)], timestamp=1500
+    )
+    idx.delete(900_001, timestamp=2000)
+    idx.update(900_003, [3.0] * 64, timestamp=2500)
+    source.where("external_id < 3").select(
+        F.col("external_id").alias("query_id"), "vector"
+    ).createOrReplaceTempView("tvf_qr")
+    register_ann_search(spark)
+    got = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in spark.sql(
+            "SELECT * FROM ann_search(TABLE(SELECT * FROM tvf_qr),"
+            f" '{uri}', 5, 1, CAST(1.0 AS DOUBLE), 2200,"
+            " NULL, NULL, 1200)"
+        ).collect()
+    }
+    q = source.where("external_id < 3").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    ranged = open_index(spark, uri, timestamp=(1200, 2200))
+    want = {
+        (r.query_id, r.rank, r.external_id, round(r.distance, 9))
+        for r in ranged.query(q, 5).collect()
+    }
+    assert got == want
+    # only 900_002 is live in [1200, 2200]
+    assert {e for _, _, e, _ in got} == {900_002}
+    # a range covering the corpus start falls through to the plain
+    # timestamp read (fold-equivalent mode)
+    full = spark.sql(
+        "SELECT * FROM ann_search(TABLE(SELECT * FROM tvf_qr),"
+        f" '{uri}', 5, 4, CAST(1.0 AS DOUBLE), 2200, NULL, NULL, 500)"
+    ).collect()
+    plain = spark.sql(
+        "SELECT * FROM ann_search(TABLE(SELECT * FROM tvf_qr),"
+        f" '{uri}', 5, 4, CAST(1.0 AS DOUBLE), 2200)"
+    ).collect()
+    assert {tuple(r) for r in full} == {tuple(r) for r in plain}
+
+
 def test_tvf_k_factor_rejected_for_ivf_flat(spark, source, ivf_uri):
     source.limit(2).select(
         F.col("external_id").alias("query_id"), "vector"

@@ -445,6 +445,7 @@ def search_index_files(
     timestamp: int | None = None,
     allowed_ids_path: str | None = None,
     recall_target: float | None = None,
+    start_timestamp: int | None = None,
 ) -> list[tuple[int, int, float, int]]:
     """Index top-k over the on-disk index via pyarrow — no SparkSession.
 
@@ -458,7 +459,46 @@ def search_index_files(
     snapshot's persisted recall curve — identical pick to the DataFrame
     path's ``query(recall_target=...)``; pass ``nprobe=0`` (the
     "resolve for me" sentinel) and leave ``k_factor`` at 1.0.
+
+    ``start_timestamp`` makes the pair (start_timestamp, timestamp) a
+    RANGE read — the SQL twin of ``open_index(uri, timestamp=(start,
+    end))``.  With ``start_timestamp`` past the first ingestion the base
+    is excluded entirely and the result is the exact scan over the
+    window's update batches (reference ``query_base_array=False``,
+    ``index.py:125-131``); probe knobs / recall_target don't apply (no
+    base, no centroids) and are ignored, mirroring the DataFrame
+    intercept.  A range covering the corpus start is fold-equivalent to
+    the plain ``timestamp`` read and falls through.
     """
+    if start_timestamp is not None:
+        meta0, _lts, metric0, _vd, _p = _open_index_meta(uri, None)
+        if int(start_timestamp) > int(meta0["ingestions"][0]["ts"]):
+            tomb, add_ids, add_mat = _load_updates(
+                uri,
+                int(start_timestamp) - 1,  # (lo exclusive] → [start, end]
+                timestamp,
+                committed_ts=[
+                    int(t) for t in meta0.get("update_batches", [])
+                ],
+            )
+            if allowed_ids_path is not None and add_mat is not None:
+                keep = np.isin(add_ids, _load_allowed(allowed_ids_path))
+                add_ids, add_mat = add_ids[keep], add_mat[keep]
+            if add_mat is None or len(add_ids) == 0:
+                return []
+            dm = _pairwise_distances(qmat, add_mat, metric0)
+            keep_n = min(k, dm.shape[1])
+            out: dict[int, list[tuple[float, int]]] = {}
+            for qi in range(len(qids)):
+                order = np.lexsort((add_ids, dm[qi]))[:keep_n]
+                out[qi] = [
+                    (float(dm[qi, j]), int(add_ids[j])) for j in order
+                ]
+            return _finalize(
+                qids, out, k,
+                sqrt=metric0 == "l2",
+                negate=metric0 == "inner_product",
+            )
     meta, ts, metric, vector_dtype, pending = _open_index_meta(uri, timestamp)
     if recall_target is not None:
         if nprobe != 0 or k_factor != 1.0:
@@ -964,6 +1004,7 @@ class AnnSearchUDTF:
         timestamp: int | None = None,
         allowed_ids_path: str | None = None,
         recall_target: float | None = None,
+        start_timestamp: int | None = None,
     ):
         self._qids.append(int(row.query_id))
         self._qvecs.append(list(row.vector))
@@ -976,6 +1017,7 @@ class AnnSearchUDTF:
                 None if timestamp is None else int(timestamp),
                 allowed_ids_path,
                 None if recall_target is None else float(recall_target),
+                None if start_timestamp is None else int(start_timestamp),
             )
 
     def terminate(self):
@@ -983,13 +1025,13 @@ class AnnSearchUDTF:
             return
         (
             uri, k, nprobe, k_factor, timestamp, allowed_ids_path,
-            recall_target,
+            recall_target, start_timestamp,
         ) = self._args
         qids = np.asarray(self._qids, dtype=np.int64)
         qmat = np.asarray(self._qvecs, dtype=np.float64)
         yield from search_index_files(
             uri, qids, qmat, k, nprobe, k_factor, timestamp,
-            allowed_ids_path, recall_target,
+            allowed_ids_path, recall_target, start_timestamp,
         )
 
 
