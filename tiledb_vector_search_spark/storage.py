@@ -1143,6 +1143,13 @@ class IndexStorage:
             keep.unpersist()
         meta["update_batches"] = remaining
         meta["log_compacted_batches"] = 0
+        # authoritative reclamation floor: every batch ≤ this ts is gone
+        # (or never existed).  Readers that REPLAY log history — the
+        # index_changes CDC source — compare their window against it to
+        # fail loudly instead of silently emitting a partial replay.
+        meta["updates_cleared_through"] = max(
+            int(ts), int(meta.get("updates_cleared_through", 0))
+        )
         self.commit_meta(meta)
 
     # -- history management --------------------------------------------------

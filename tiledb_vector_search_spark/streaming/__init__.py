@@ -9,6 +9,9 @@ from tiledb_vector_search_spark.streaming.embedding_screen import (
 from tiledb_vector_search_spark.streaming.dedup_against import (
     stream_dedup_against,
 )
+from tiledb_vector_search_spark.streaming.index_changes import (
+    register_index_changes,
+)
 from tiledb_vector_search_spark.streaming.minhash_ingest import (
     stream_minhash_ingest,
 )
@@ -32,4 +35,5 @@ __all__ = [
     "stream_crawl_loop",
     "stream_embedding_screen",
     "embedding_screen_batch",
+    "register_index_changes",
 ]
