@@ -81,6 +81,66 @@ def test_cdc_start_timestamp_option(spark, tiny_source, tmp_path):
     assert {(r.external_id, r.ts) for r in rows} == {(101, 2000)}
 
 
+def test_index_mirror_replicates_state_and_history(
+    spark, tiny_source, tmp_path
+):
+    """CDC → merge_batch mirror: after draining, the target answers
+    queries identically to the source at LATEST and at every
+    time-travel point the mirror passed (timestamp-faithful: events
+    re-apply at their source batch ts)."""
+    from tiledb_vector_search_spark.streaming.index_changes import (
+        stream_index_mirror,
+    )
+
+    src_uri = str(tmp_path / "src")
+    dst_uri = str(tmp_path / "dst")
+    FlatIndex.ingest(spark, src_uri, tiny_source, timestamp=1000)
+    FlatIndex.ingest(spark, dst_uri, tiny_source, timestamp=1000)
+    src = open_index(spark, src_uri)
+    src.update_batch([(100, V_A), (101, V_B)], timestamp=1500)
+    src.delete(5, timestamp=2000)
+    src.update(100, V_B, timestamp=2500)
+
+    q = stream_index_mirror(
+        spark, src_uri, dst_uri, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    queries = tiny_source.where("external_id < 3").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    for ts in (None, 1700, 2200):
+        a = {
+            (r.query_id, r.rank, r.external_id)
+            for r in open_index(spark, src_uri, timestamp=ts)
+            .query(queries, 5)
+            .collect()
+        }
+        b = {
+            (r.query_id, r.rank, r.external_id)
+            for r in open_index(spark, dst_uri, timestamp=ts)
+            .query(queries, 5)
+            .collect()
+        }
+        assert a == b, f"diverged at timestamp={ts}"
+    # the mirror's log IS the source's log (same batch timestamps)
+    assert (
+        open_index(spark, dst_uri).storage.read_meta()["update_batches"]
+        == open_index(spark, src_uri).storage.read_meta()["update_batches"]
+    )
+    # incremental: one more source batch, one more drain
+    src.delete(101, timestamp=3000)
+    q2 = stream_index_mirror(
+        spark, src_uri, dst_uri, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination()
+    got = {
+        r.external_id
+        for r in open_index(spark, dst_uri).query(queries, 20).collect()
+    }
+    assert 101 not in got
+
+
 def test_cdc_replay_below_reclamation_floor_fails_loudly(
     spark, tiny_source, tmp_path
 ):

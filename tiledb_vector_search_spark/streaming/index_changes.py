@@ -172,3 +172,67 @@ def register_index_changes(spark) -> None:
     ``spark.readStream.format("index_changes").option("uri", u).load()``
     streams the index's committed update batches."""
     spark.dataSource.register(IndexChangesDataSource)
+
+
+def stream_index_mirror(
+    spark,
+    source_uri: str,
+    target_uri: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    session=None,
+):
+    """Replicate ``source_uri``'s DML onto ``target_uri`` — CDC source →
+    ``merge_batch`` sink, TIMESTAMP-FAITHFUL: each micro-batch's events
+    group by their source batch ts and apply at that same ts, so the
+    mirror converges to the identical logical state AND the identical
+    time-travel history (an ``open_index(target, timestamp=t)`` answers
+    like the source for every t the mirror has passed).
+
+    The target must start from the same base snapshot (same ingest or a
+    file copy) — CDC carries the update log, not the corpus.  ``session``
+    adopts an externally-held writer lease on the target
+    (``adopt_writer_session`` semantics: one lease across the stream,
+    renewed per batch).  Returns the StreamingQuery.
+
+    The per-ts apply loop is driver-side ONLY in its grouping (a ts is a
+    handful of values per trigger); each ``merge_batch`` is a fully
+    distributed append of that ts-slice — no event rows ever collect to
+    the driver."""
+    from pyspark.sql import functions as F
+
+    from tiledb_vector_search_spark.indexes import open_index
+    from tiledb_vector_search_spark.storage import adopt_writer_session
+
+    register_index_changes(spark)
+
+    def apply(df, _bid):
+        tss = [int(r.ts) for r in df.select("ts").distinct().collect()]
+        if not tss:
+            return
+        idx = open_index(spark, target_uri)
+        if session is not None:
+            adopt_writer_session(idx, session)
+        try:
+            for ts in sorted(tss):
+                idx.merge_batch(
+                    df.where(F.col("ts") == ts).select(
+                        "external_id", "vector", "is_delete"
+                    ),
+                    timestamp=ts,
+                )
+        finally:
+            if session is not None:
+                adopt_writer_session(idx, None)
+
+    stream = (
+        spark.readStream.format("index_changes")
+        .option("uri", source_uri)
+        .load()
+    )
+    writer = stream.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
