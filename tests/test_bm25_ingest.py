@@ -324,6 +324,12 @@ def test_stream_session_zombie_fails_loudly(spark, docs, tmp_path):
                 {"nonce": "contender", "acquired_ms": 1, "ttl_ms": 10**9}
             ),
         )
+        # a real zombie paused long enough for a takeover is past the
+        # renew freshness window by definition — age the stamp so the
+        # next adopted renew round-trips the disk (the fence remains the
+        # backstop for an inside-window protocol-violating thief; see
+        # test_thief_inside_freshness_window_is_caught_by_the_fence)
+        session._stamped_at -= 5.0
         sq = stream_bm25_ingest(
             stream, uri, checkpoint_dir=str(tmp_path / "ckpt"),
             session=session,
