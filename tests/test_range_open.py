@@ -158,6 +158,18 @@ def test_updates_only_refuses_base_backed_operations(
         idx.partition_stats()
 
 
+def test_updates_only_describe_reports_the_window(spark, tmp_path, source):
+    """describe() on an updates-only handle must not touch the base
+    (partition balance / overlay extras crash without one) — it reports
+    the window instead."""
+    uri = str(tmp_path / "ivf")
+    _history(IVFFlatIndex, spark, uri, source, partitions=4)
+    d = open_index(spark, uri, timestamp=(1200, 2600)).describe()
+    assert d["range_open"] == [1200, 2600]
+    assert d["size"] == 2  # 777_002 + 777_003 live in the window
+    assert "partition_rows_max" not in d and "partitions" not in d
+
+
 def test_range_open_validation(spark, tmp_path, source):
     uri = str(tmp_path / "flat")
     _history(FlatIndex, spark, uri, source)

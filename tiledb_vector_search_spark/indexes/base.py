@@ -193,6 +193,11 @@ class Index:
             "size": self.size(),
             "pending_update_batches": len(pending),
         }
+        if not self.query_base_array:
+            # updates-only range open: no base → no partition balance /
+            # overlay extras to report; say what the handle IS instead
+            out["range_open"] = [self.range_lo, self.timestamp]
+            return out
         out.update(self._describe_extra())
         return out
 
