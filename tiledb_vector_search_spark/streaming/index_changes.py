@@ -112,10 +112,21 @@ class IndexChangesStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "index_changes requires .option('uri', <index uri>)"
             )
-        self.start_ts = int(options.get("startTimestamp", 0))
+        raw = options.get("startTimestamp")
+        self._explicit_start = raw is not None
+        self.start_ts = int(raw) if raw is not None else 0
 
     def initialOffset(self) -> dict:
-        return {"ts": self.start_ts}
+        if self._explicit_start:
+            # an explicit start names specific history; if part of it was
+            # reclaimed, partitions() raises rather than emitting a
+            # partial window
+            return {"ts": self.start_ts}
+        # default = earliest RETAINED history (the Kafka
+        # earliest-available stance): a fresh consumer on an index whose
+        # older batches were vacuumed starts at the reclamation floor
+        # instead of dying on it
+        return {"ts": int(_meta(self.uri).get("updates_cleared_through", 0))}
 
     def latestOffset(self) -> dict:
         committed = _committed(self.uri)
