@@ -700,6 +700,8 @@ def main() -> None:
         sf_dir = ensure_scale_dir(spark, mult)
         _size_shuffle(mult)
         for name in DEEP_FAMILIES:
+            if name not in queries:
+                continue  # family-subset run without this deep family
             fn = queries[name]
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
