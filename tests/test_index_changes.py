@@ -141,6 +141,28 @@ def test_index_mirror_replicates_state_and_history(
     assert 101 not in got
 
 
+def test_cdc_fresh_consumer_on_vacuumed_index_starts_at_floor(
+    spark, tiny_source, tmp_path
+):
+    """Default start = earliest RETAINED history (Kafka's
+    earliest-available stance): a FRESH consumer on an index whose older
+    batches were vacuumed begins at the reclamation floor instead of
+    dying on it; an EXPLICIT startTimestamp below the floor still fails
+    loudly (it names specific history that is gone)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    uri = str(tmp_path / "idx")
+    idx = FlatIndex.ingest(spark, uri, tiny_source, timestamp=1000)
+    idx.update(100, V_A, timestamp=1500)
+    idx2 = open_index(spark, uri).consolidate_updates(timestamp=2000)
+    idx2.vacuum()  # reclaims the 1500 batch; floor = 2000
+    idx2.update(103, V_B, timestamp=3000)
+    rows = _drain(spark, uri, str(tmp_path / "ck1"))
+    assert {(r.external_id, r.ts) for r in rows} == {(103, 3000)}
+    with pytest.raises(StreamingQueryException, match="reclamation floor"):
+        _drain(spark, uri, str(tmp_path / "ck2"), startTimestamp="1200")
+
+
 def test_cdc_replay_below_reclamation_floor_fails_loudly(
     spark, tiny_source, tmp_path
 ):
