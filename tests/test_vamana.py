@@ -174,6 +174,39 @@ def test_delete_update_consolidate(spark, source, tmp_path):
     assert "neighbors" in base.columns
 
 
+def test_training_source_picks_shard_layout(spark, tmp_path):
+    """training_source on VAMANA (same contract as IVF_FLAT/IVF_PQ):
+    the provided vectors pick the shard layout — a two-pole training
+    set yields pole shard centroids, and recall stays gated (graph
+    search is per-shard; the layout is a routing choice)."""
+    rows = [(i, [0.0] * 64 if i % 2 == 0 else [10.0] * 64) for i in range(60)]
+    src = spark.createDataFrame(rows, "external_id long, vector array<float>")
+    train = spark.createDataFrame(
+        [([0.0] * 64,) for _ in range(10)] + [([10.0] * 64,) for _ in range(10)],
+        "vector array<float>",
+    )
+    uri = str(tmp_path / "vts")
+    idx = VamanaIndex.ingest(
+        spark, uri, src, shards=2, training_source=train, timestamp=1000
+    )
+    np.testing.assert_allclose(
+        np.sort(idx.centroids().mean(axis=1)), [0.0, 10.0], atol=1e-9
+    )
+    q = src.where("external_id < 4").select(
+        F.col("external_id").alias("query_id"), "vector"
+    )
+    res = idx.query(q, 5, nprobe=2).collect()
+    # every query finds an exact copy at rank 1 (pole corpora are
+    # all-ties: the DETERMINISTIC winner is the lowest id of the pole)
+    top = {r.query_id: (r.external_id, r.distance) for r in res if r.rank == 1}
+    assert top == {0: (0, 0.0), 1: (1, 0.0), 2: (0, 0.0), 3: (1, 0.0)}
+    with pytest.raises(ValueError, match="at least"):
+        VamanaIndex.ingest(
+            spark, str(tmp_path / "vbad"), src, shards=8,
+            training_source=train.limit(3), timestamp=1000,
+        )
+
+
 def test_unsupported_metric(spark, source, tmp_path):
     with pytest.raises(ValueError, match="does not support"):
         VamanaIndex.ingest(

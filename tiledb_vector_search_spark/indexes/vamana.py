@@ -113,6 +113,7 @@ class VamanaIndex(Index):
         source: DataFrame,
         metric: DistanceMetric | str = DistanceMetric.SUM_OF_SQUARES,
         shards: int | None = None,
+        training_source: DataFrame | None = None,
         r_max_degree: int = DEFAULT_R_MAX,
         l_build: int = DEFAULT_L_BUILD,
         alpha: float = DEFAULT_ALPHA,
@@ -194,7 +195,34 @@ class VamanaIndex(Index):
             centroids = np.zeros((1, dims))
             assigned = vectors.withColumn(PARTITION_COL, F.lit(0))
         else:
-            if byte_vectors:
+            if training_source is not None:
+                # same contract as IVF_FLAT/IVF_PQ (reference
+                # training_input_vectors / training_source_uri,
+                # ingestion.py:64-150): the provided vectors ARE the
+                # training set — here they pick the SHARD layout, which
+                # bounds every per-shard graph-build task
+                tvecs = training_source.select(
+                    F.col(vector_col).cast("array<float>").alias(VECTOR_COL)
+                )
+                if metric is DistanceMetric.COSINE:
+                    tvecs = tvecs.withColumn(
+                        VECTOR_COL,
+                        normalize_expr(VECTOR_COL).cast("array<float>"),
+                    )
+                n_t, d_t = count_and_dims(tvecs)
+                if int(d_t) != int(dims):
+                    raise ValueError(
+                        f"training_source dimensionality {d_t} != corpus "
+                        f"dimensionality {dims}"
+                    )
+                if n_t < k:
+                    raise ValueError(
+                        f"training_source has {n_t} vectors but {k} "
+                        "shards were requested — k-means needs at least "
+                        "k training points"
+                    )
+                centroids = train_centroids_ml(tvecs, k, n_t, n_t, seed=seed)
+            elif byte_vectors:
                 # sample the PACKED column first, decode only sampled rows
                 sample_size = default_training_sample_size(n, k)
                 frac = min(1.0, (sample_size * 1.2) / max(n, 1))
