@@ -59,15 +59,13 @@ def test_driver_window_curated():
         "vamana_index_recall_gate",
         "dedup_minhash_lsh",
         "corpus_clean_pipeline",
-        # customers_with_events demoted to the pytest twin in r11 when
-        # the r10 headline hot-cell split took its slot under the
-        # brute-force value-hash oracle (full probe after a split-fold)
-        "ivf_split_rebalanced_search",
-        # text_repetition_scores demoted to the pytest twin in r11 when
-        # the range-open feature took its slot (the text family keeps 4
-        # driver rows); the windowed what-changed read is gated under a
-        # literal one-row oracle (lww + tombstone + window semantics)
-        "range_open_changed_vectors",
+        # r11 optimization round: the mid-build window swap (hot-cell
+        # split + range-open promotions) was never driver-verified, so
+        # the window is pinned back to CORRECTNESS_r10's exact 50 keys;
+        # ivf_split_rebalanced_search / range_open_changed_vectors keep
+        # their identical oracle gates in the pytest sweep
+        "customers_with_events",
+        "text_repetition_scores",
     }
     assert flagships <= set(q), f"flagships outside window: {flagships - set(q)}"
 

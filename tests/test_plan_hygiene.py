@@ -40,7 +40,26 @@ LAZY_VARIANTS = {
     ),
     "bm25_ranked_retrieval": lambda spark, sf: _bm25_lazy(spark, sf),
     "hybrid_rrf_retrieval": lambda spark, sf: _hybrid_lazy(spark, sf),
+    # r11: duplicate_spans gained the same materialize-and-release
+    # discipline (grams persisted across its two consumers)
+    "dedup_duplicate_spans": lambda spark, sf: _spans_lazy(spark, sf),
+    "dedup_strip_spans": lambda spark, sf: _spans_lazy(spark, sf),
 }
+
+
+def _spans_lazy(spark, sf):
+    from pyspark.sql import functions as F
+
+    d = _t(spark, sf, "documents").where("doc_id < 200")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit(" common shared segment phrase here right now "),
+            F.substring("text", 61, 60),
+        ).alias("text"),
+    )
+    return DD.duplicate_spans(planted, n=4, min_docs=2, materialize=False)
 
 
 def _bm25_queries(spark, sf, n):

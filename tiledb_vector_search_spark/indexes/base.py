@@ -738,6 +738,7 @@ class Index:
         queries: DataFrame,
         k: int | None = None,
         kw: dict | None = None,
+        data_check: bool = True,
     ) -> None:
         """Mirror reference validation (``index.py:298-312``): schema shape
         AND query dimensionality vs the index's stored dimensions; ``kw``
@@ -760,6 +761,13 @@ class Index:
         # MERGE under one id (the BM25 kernel's wave-2 finding, closed
         # here for the vector side at the shared validation point)
         integral_id_col(queries, "query_id", "query")
+        if not data_check:
+            # kernel strategies collect the query batch anyway; the
+            # caller validates the COLLECTED rows driver-side
+            # (_validate_query_rows) so the row-level check costs zero
+            # extra Spark jobs (r11 opt: one agg job per query() call
+            # removed on every small-batch path)
+            return
         # ONE aggregate job validates EVERY row, not just the first: a
         # ragged batch (heterogeneous sources) would otherwise pass and
         # fail deep in the kernels (object-dtype matmul) or, worse,
@@ -781,6 +789,28 @@ class Index:
         if int(row["dmax"]) != self.dimensions:
             raise ValueError(
                 f"query dimensions ({int(row['dmax'])}) do not match index "
+                f"dimensions ({self.dimensions})"
+            )
+
+    def _validate_query_rows(self, q_rows: list) -> None:
+        """Row-level twin of the ``_validate_queries`` data check for
+        paths that have ALREADY collected the query batch: identical
+        errors, zero extra Spark jobs.  ``q_rows``: (query_id, vector)."""
+        if not q_rows:
+            return
+        sizes = [len(r[1]) for r in q_rows if r[1] is not None]
+        if not sizes:
+            return
+        dmin, dmax = min(sizes), max(sizes)
+        if dmin != dmax:
+            raise ValueError(
+                f"ragged query batch: vector sizes vary from "
+                f"{dmin} to {dmax} — every query "
+                f"must have the index's dimensionality ({self.dimensions})"
+            )
+        if dmax != self.dimensions:
+            raise ValueError(
+                f"query dimensions ({dmax}) do not match index "
                 f"dimensions ({self.dimensions})"
             )
 
@@ -814,6 +844,24 @@ class Index:
                 F.col(VECTOR_COL).cast("array<float>"),
             )
         else:
+            if not (
+                self.normalize_on_write
+                and self.metric is DistanceMetric.COSINE
+            ):
+                # r11 opt: a driver-resident upsert list appends through
+                # the pyarrow fast path — no Spark job for a tiny DML
+                # batch (the COSINE normalize branch stays on the Spark
+                # writer so the stored floats keep the exact
+                # normalize_expr fold order)
+                self.storage.append_updates_rows(
+                    [
+                        (int(i), [float(x) for x in v], False, int(ts))
+                        for i, v in rows
+                    ],
+                    ts,
+                )
+                self._maybe_auto_consolidate_log()
+                return
             df = small_df(
                 self.spark, rows, f"{ID_COL} long, {VECTOR_COL} array<float>"
             )
@@ -868,15 +916,11 @@ class Index:
         self, external_ids: list[int], timestamp: int | None = None
     ) -> None:
         ts = timestamp if timestamp is not None else now_ms()
-        df = (
-            small_df(
-                self.spark, [(int(i),) for i in external_ids], f"{ID_COL} long"
-            )
-            .withColumn(VECTOR_COL, F.lit(None).cast("array<float>"))
-            .withColumn("is_delete", F.lit(True))
-            .withColumn("ts", F.lit(ts))
+        # r11 opt: tombstone lists are driver-resident — append through
+        # the pyarrow fast path instead of paying a Spark job per call
+        self.storage.append_updates_rows(
+            [(int(i), None, True, int(ts)) for i in external_ids], ts
         )
-        self.storage.append_updates(df, ts)
         self._maybe_auto_consolidate_log()
 
     def _maybe_auto_consolidate_log(self) -> None:

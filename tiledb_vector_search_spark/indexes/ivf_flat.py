@@ -58,6 +58,7 @@ from tiledb_vector_search_spark.storage import (
     now_ms,
 )
 from tiledb_vector_search_spark.session import small_df
+from tiledb_vector_search_spark.driver_io import write_small_parquet
 
 _SUPPORTED = {
     DistanceMetric.SUM_OF_SQUARES,
@@ -358,12 +359,12 @@ class IVFFlatIndex(Index):
                 **(extra_meta or {}),
             },
         )
-        cdf = small_df(
+        write_small_parquet(
             spark,
+            storage.centroids_path(ts),
             [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
             f"{PARTITION_COL} int, centroid array<double>",
         )
-        cdf.write.parquet(storage.centroids_path(ts))
 
     @staticmethod
     def _write_overlay(
@@ -527,12 +528,12 @@ class IVFFlatIndex(Index):
             return cached
 
         def load():
-            rows = (
-                self.spark.read.parquet(
-                    self.storage.centroids_path(self.base_ts)
-                )
-                .orderBy(PARTITION_COL)
-                .collect()
+            from tiledb_vector_search_spark.driver_io import read_small_rows
+
+            rows = read_small_rows(
+                self.spark,
+                self.storage.centroids_path(self.base_ts),
+                order_by=(PARTITION_COL,),
             )
             return np.array([r["centroid"] for r in rows], dtype=np.float64)
 
@@ -648,7 +649,10 @@ class IVFFlatIndex(Index):
                 queries, k, pad=pad,
                 allowed_ids=allowed_ids, excluded_ids=excluded_ids,
             )
-        self._validate_queries(queries, k, kw)
+        # schema/kwargs validation only — the row-level data check rides
+        # the kernel path's collect (zero extra jobs) or the join path's
+        # explicit agg below (r11 opt)
+        self._validate_queries(queries, k, kw, data_check=False)
         if recall_target is not None:
             if nprobe is not None:
                 raise ValueError(
@@ -679,18 +683,22 @@ class IVFFlatIndex(Index):
             # one job: the bounded collect doubles as the small-batch fetch
             q_rows = q.limit(self.LARGE_NQ + 1).collect()
             if len(q_rows) > self.LARGE_NQ:
+                self._validate_queries(queries)  # distributed data check
                 return self._query_join(
                     q, k, nprobe, metric, pad, queries, allowed_ids,
                     excluded_ids,
                 )
+            self._validate_query_rows(q_rows)
             strategy = "kernel"
         elif strategy == "join":
+            self._validate_queries(queries)
             return self._query_join(
                 q, k, nprobe, metric, pad, queries, allowed_ids,
                 excluded_ids,
             )
         else:
             q_rows = q.collect()
+            self._validate_query_rows(q_rows)
         qids = np.array([r[0] for r in q_rows], dtype=np.int64)
         qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
 

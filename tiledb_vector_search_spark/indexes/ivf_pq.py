@@ -70,6 +70,7 @@ from tiledb_vector_search_spark.storage import (
     now_ms,
 )
 from tiledb_vector_search_spark.session import small_df
+from tiledb_vector_search_spark.driver_io import write_small_parquet
 
 _SUPPORTED = {DistanceMetric.SUM_OF_SQUARES, DistanceMetric.L2}
 
@@ -756,21 +757,22 @@ class IVFPQIndex(Index):
                 **(extra_meta or {}),
             },
         )
-        cdf = small_df(
+        write_small_parquet(
             spark,
+            storage.centroids_path(ts),
             [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
             f"{PARTITION_COL} int, centroid array<double>",
         )
-        cdf.write.parquet(storage.centroids_path(ts))
         m, n_codes, sub_dim = codebooks.shape
         rows = [
             (int(j), int(c), [float(v) for v in codebooks[j, c]])
             for j in range(m)
             for c in range(n_codes)
         ]
-        small_df(
-            spark, rows, "subspace int, code int, centroid array<double>"
-        ).write.parquet(storage.aux_path(PQ_CODEBOOK_AUX, ts))
+        write_small_parquet(
+            spark, storage.aux_path(PQ_CODEBOOK_AUX, ts), rows,
+            "subspace int, code int, centroid array<double>",
+        )
 
     CONSOLIDATE_KWARGS = frozenset(
         {"retrain_index", "partitions", "split_hot_cells", "cell_cap"}
@@ -919,12 +921,12 @@ class IVFPQIndex(Index):
             return cached
 
         def load():
-            rows = (
-                self.spark.read.parquet(
-                    self.storage.centroids_path(self.base_ts)
-                )
-                .orderBy(PARTITION_COL)
-                .collect()
+            from tiledb_vector_search_spark.driver_io import read_small_rows
+
+            rows = read_small_rows(
+                self.spark,
+                self.storage.centroids_path(self.base_ts),
+                order_by=(PARTITION_COL,),
             )
             return np.array([r["centroid"] for r in rows], dtype=np.float64)
 
@@ -945,12 +947,12 @@ class IVFPQIndex(Index):
             return cached
 
         def load():
-            rows = (
-                self.spark.read.parquet(
-                    self.storage.aux_path(PQ_CODEBOOK_AUX, self.base_ts)
-                )
-                .orderBy("subspace", "code")
-                .collect()
+            from tiledb_vector_search_spark.driver_io import read_small_rows
+
+            rows = read_small_rows(
+                self.spark,
+                self.storage.aux_path(PQ_CODEBOOK_AUX, self.base_ts),
+                order_by=("subspace", "code"),
             )
             m = self.num_subspaces
             n_codes = len(rows) // m
@@ -1048,7 +1050,9 @@ class IVFPQIndex(Index):
                 queries, k, pad=pad,
                 allowed_ids=allowed_ids, excluded_ids=excluded_ids,
             )
-        self._validate_queries(queries, k, kw)
+        # schema/kwargs only — the row-level check rides the kernel
+        # collect below; join paths run the distributed agg check (r11)
+        self._validate_queries(queries, k, kw, data_check=False)
         if recall_target is not None:
             if nprobe is not None or k_factor != 1.0:
                 raise ValueError(
@@ -1067,11 +1071,13 @@ class IVFPQIndex(Index):
             # one job: the bounded collect doubles as the small-batch fetch
             q_rows = q.limit(self.LARGE_NQ + 1).collect()
             if len(q_rows) > self.LARGE_NQ:
+                self._validate_queries(queries)  # distributed data check
                 return self._query_join(
                     q, k, nprobe, k_factor, pad, queries, allowed_ids,
                     excluded_ids,
                 )
         elif strategy == "join":
+            self._validate_queries(queries)
             return self._query_join(
                 q, k, nprobe, k_factor, pad, queries, allowed_ids,
                 excluded_ids,
@@ -1080,6 +1086,7 @@ class IVFPQIndex(Index):
             q_rows = q.collect()
         else:
             raise ValueError(f"unknown strategy: {strategy}")
+        self._validate_query_rows(q_rows)
         qids = np.array([r[0] for r in q_rows], dtype=np.int64)
         qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
 

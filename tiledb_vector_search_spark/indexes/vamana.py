@@ -64,6 +64,7 @@ from tiledb_vector_search_spark.storage import (
     now_ms,
 )
 from tiledb_vector_search_spark.session import small_df
+from tiledb_vector_search_spark.driver_io import write_small_parquet
 
 _SUPPORTED = {
     DistanceMetric.SUM_OF_SQUARES,
@@ -288,12 +289,12 @@ class VamanaIndex(Index):
             base_size=n,
             extra_meta=extra_meta,
         )
-        cdf = small_df(
+        write_small_parquet(
             spark,
+            storage.centroids_path(ts),
             [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
             f"{PARTITION_COL} int, centroid array<double>",
         )
-        cdf.write.parquet(storage.centroids_path(ts))
         if build_overlay:
             ov_medoids = cls._write_overlay(
                 storage, assigned, centroids, ts, r_max_degree, l_build,
@@ -599,12 +600,12 @@ class VamanaIndex(Index):
             base_size=n,
             extra_meta=extra_meta,
         )
-        cdf = small_df(
+        write_small_parquet(
             self.spark,
+            self.storage.centroids_path(ts),
             [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
             f"{PARTITION_COL} int, centroid array<double>",
         )
-        cdf.write.parquet(self.storage.centroids_path(ts))
         if build_overlay:
             ov_medoids = self._write_overlay(
                 self.storage, assigned, centroids, ts,
@@ -632,12 +633,12 @@ class VamanaIndex(Index):
             return cached
 
         def load():
-            rows = (
-                self.spark.read.parquet(
-                    self.storage.centroids_path(self.base_ts)
-                )
-                .orderBy(PARTITION_COL)
-                .collect()
+            from tiledb_vector_search_spark.driver_io import read_small_rows
+
+            rows = read_small_rows(
+                self.spark,
+                self.storage.centroids_path(self.base_ts),
+                order_by=(PARTITION_COL,),
             )
             return np.array([r["centroid"] for r in rows], dtype=np.float64)
 
@@ -656,9 +657,11 @@ class VamanaIndex(Index):
             return cached
 
         def load():
-            rows = self.spark.read.parquet(
-                self.storage.aux_path(MEDOID_AUX, self.base_ts)
-            ).collect()
+            from tiledb_vector_search_spark.driver_io import read_small_rows
+
+            rows = read_small_rows(
+                self.spark, self.storage.aux_path(MEDOID_AUX, self.base_ts)
+            )
             return {
                 int(r[PARTITION_COL]): int(r["medoid_id"]) for r in rows
             }
@@ -800,7 +803,9 @@ class VamanaIndex(Index):
             return self._updates_only_query(
                 queries, k, pad=pad, excluded_ids=excluded_ids
             )
-        self._validate_queries(queries, k, kw)
+        # schema/kwargs only — the row-level check rides the kernel
+        # collect below; join paths run the distributed agg check (r11)
+        self._validate_queries(queries, k, kw, data_check=False)
         if recall_target is not None:
             if nprobe is not None or l_search is not None:
                 raise ValueError(
@@ -827,10 +832,12 @@ class VamanaIndex(Index):
             # one job: the bounded collect doubles as the small-batch fetch
             q_rows = q.limit(self.LARGE_NQ + 1).collect()
             if len(q_rows) > self.LARGE_NQ:
+                self._validate_queries(queries)  # distributed data check
                 return self._query_join(
                     q, k, nprobe, l_search, metric, pad, queries, excluded_ids
                 )
         elif strategy == "join":
+            self._validate_queries(queries)
             return self._query_join(
                 q, k, nprobe, l_search, metric, pad, queries, excluded_ids
             )
@@ -838,6 +845,7 @@ class VamanaIndex(Index):
             q_rows = q.collect()
         else:
             raise ValueError(f"unknown strategy: {strategy}")
+        self._validate_query_rows(q_rows)
         qids = np.array([r[0] for r in q_rows], dtype=np.int64)
         qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
 

@@ -1045,6 +1045,7 @@ def duplicate_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_id, span_start, span_end): maximal token spans whose every
     length-``n`` gram also appears in ≥ ``min_docs`` documents.
@@ -1093,6 +1094,19 @@ def duplicate_spans(
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    if materialize:
+        # r11 opt: grams feed TWO consumers (the frequency aggregate and
+        # the position semi-join); without a cache each re-runs the
+        # tokenize + gram-hash projection — the pipeline's dominant CPU
+        # — over the whole corpus.  24 B/token cached (the hash frame,
+        # never the text), released after the (small) span result
+        # materializes — the session-hygiene contract the other dedup
+        # pipelines follow.  materialize=False keeps the lazy
+        # recompute-twice plan for plan inspection / caller-managed
+        # reuse.
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     dup_hashes = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -1108,7 +1122,7 @@ def duplicate_spans(
     flagged = hits.withColumn(
         "__new", F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0)
     ).withColumn("__grp", F.sum("__new").over(w))
-    return (
+    res = (
         flagged.groupBy("doc_id", "__grp")
         .agg(
             F.min("pos").alias("span_start"),
@@ -1117,6 +1131,9 @@ def duplicate_spans(
         .drop("__grp")
         .select("doc_id", "span_start", "span_end")
     )
+    if materialize:
+        return _materialize_and_release(res, grams)
+    return res
 
 
 def strip_duplicate_spans(
@@ -1643,7 +1660,10 @@ class MinHashReference:
 
     @locked_mutation
     def add_documents(
-        self, ref_df: DataFrame, idempotency_key: str | None = None
+        self,
+        ref_df: DataFrame,
+        idempotency_key: str | None = None,
+        precomputed_shingles: DataFrame | None = None,
     ) -> None:
         """Grow the reference by an increment (e.g. yesterday's accepted
         crawl) — signs ONLY the new docs with the artifact's own hash
@@ -1682,9 +1702,23 @@ class MinHashReference:
         ):
             return  # this increment already committed — re-delivery no-op
         id_col = self.meta["id_col"]
-        sh = _shingle_docs(
-            ref_df, self.meta["text_col"], id_col, self.meta["shingle_n"]
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        own_sh = precomputed_shingles is None
+        if own_sh:
+            sh = _shingle_docs(
+                ref_df, self.meta["text_col"], id_col, self.meta["shingle_n"]
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            # r11 opt: the crawl loop already shingled the whole batch
+            # for the screen — restrict that cached frame to the
+            # accepted subset instead of re-tokenizing the text (the
+            # ingest side's second full tokenize/shingle pass over the
+            # increment goes away; at scale that is a whole extra read
+            # of the accepted text).  The caller owns persistence.
+            sh = precomputed_shingles.join(
+                F.broadcast(ref_df.select(id_col).distinct()),
+                id_col,
+                "left_semi",
+            )
         committed = self.meta.get("batches", [])
         # ordinal + nonce entry (ints in pre-fence artifacts): the nonce
         # makes the staged dir unique per mutation attempt, so a
@@ -1707,7 +1741,8 @@ class MinHashReference:
                 posixpath.join(self.uri, "shingles_batches", f"batch={bid}")
             )
         finally:
-            sh.unpersist()
+            if own_sh:
+                sh.unpersist()
         # commit point: fenced atomic meta flip (a zombie writer raises
         # instead of silently dropping a committed batch)
         new_meta = {**self.meta, "batches": list(committed) + [bid]}
@@ -1805,19 +1840,28 @@ class MinHashReference:
         text_col: str | None = None,
         id_col: str | None = None,
         materialize: bool = True,
+        precomputed_shingles: DataFrame | None = None,
     ) -> DataFrame:
         """(new_id, ref_id, jaccard): new docs near-duplicating the
         reference — :func:`minhash_dedup_against` with the reference
         side read from the artifact instead of recomputed.  Cost ∝ the
-        NEW increment plus the band-matched slice of the artifact."""
+        NEW increment plus the band-matched slice of the artifact.
+
+        ``precomputed_shingles``: the ``_shingle_docs`` frame of EXACTLY
+        ``new_df`` (caller-persisted, caller-released) — the crawl loop
+        shares one shingle pass between screen and ingest."""
         from pyspark import StorageLevel
 
         rid = self.meta["id_col"]
         id_col = id_col or rid
         text_col = text_col or self.meta["text_col"]
-        sh_new = _shingle_docs(
-            new_df, text_col, id_col, self.meta["shingle_n"]
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        own_sh = precomputed_shingles is None
+        if own_sh:
+            sh_new = _shingle_docs(
+                new_df, text_col, id_col, self.meta["shingle_n"]
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            sh_new = precomputed_shingles
         b_new = _band_keys(
             _affine_minhash_signatures(
                 sh_new, id_col, self.meta["num_perm"]
@@ -1863,5 +1907,6 @@ class MinHashReference:
             .where(F.col("jaccard") >= threshold)
         )
         if materialize:
-            out = _materialize_and_release(out, handle, sh_new)
+            handles = (handle, sh_new) if own_sh else (handle,)
+            out = _materialize_and_release(out, *handles)
         return out

@@ -955,11 +955,12 @@ def ivf_recall_target_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ivf_split_rebalanced_search",
     _KNN_ORACLE.format(dist=_SSQ, dir="ASC"),
-    # promoted into the driver window in r11 (VERDICT r10 item 7): the
-    # headline hot-cell-split feature graduates from pytest twin to the
-    # driver's own value-hash gate; customers_with_events (a semi-join
-    # shape object_filtered_search also exercises) vacated the slot and
-    # stays in the pytest sweep
+    # r11 OPTIMIZATION round: the interrupted build session promoted this
+    # into the driver window in place of customers_with_events, but that
+    # swap was never driver-verified; the optimization round restores the
+    # last VERIFIED window (CORRECTNESS_r10's 50 keys) exactly — this
+    # entry keeps its identical oracle gate in the pytest sweep.
+    driver=False,
 )
 def ivf_split_rebalanced_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-cell splitting under the value-hash oracle: build IVF at 4
@@ -1239,9 +1240,9 @@ SELECT c_mktsegment, count(*) AS n FROM customer c
 WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
 GROUP BY c_mktsegment
 """,
-    driver=False,  # r11: vacated its window slot for the hot-cell-split
-    # twin; the semi-join shape stays exercised by object_filtered_search
-    # in the window and by this entry in the pytest sweep
+    # restored to the driver window in the r11 optimization round: the
+    # mid-build swap that demoted it was never driver-verified, and the
+    # round contract pins the declared set to CORRECTNESS_r10's 50 keys
 )
 def customers_with_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left semi-join (reference: lookup-objects-by-id shape, §2.3)."""
@@ -2332,10 +2333,9 @@ def _repetition_cols_sql() -> str:
 SELECT doc_id, {_repetition_cols_sql()}
 FROM documents WHERE doc_id < 500
 """,
-    # demoted to the pytest twin in r11 when range_open_changed_vectors
-    # took its slot (text family keeps 4 driver rows: quality, unigram,
-    # tfidf, fingerprint); the oracle gate still runs in the pytest sweep
-    driver=False,
+    # restored to the driver window in the r11 optimization round (the
+    # mid-build demotion in favor of range_open_changed_vectors was never
+    # driver-verified; the declared set stays CORRECTNESS_r10's 50 keys)
 )
 def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition filters: most-frequent-2-gram
@@ -2844,6 +2844,10 @@ SELECT query_id, external_id, distance, rank FROM (
     PARTITION BY query_id ORDER BY distance, external_id) AS rank
   FROM scored) WHERE rank <= 3
 """,
+    # r11 optimization round: window restored to CORRECTNESS_r10's 50 keys
+    # (the mid-build promotion was never driver-verified); oracle-gated in
+    # the pytest sweep instead.
+    driver=False,
 )
 def range_open_changed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range open (reference ``index.py:117-150``): ``timestamp=(start,

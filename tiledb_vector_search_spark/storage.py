@@ -1025,6 +1025,32 @@ class IndexStorage:
             "is_delete", F.col("is_delete").cast("boolean")
         )
         df.write.mode("append").parquet(self.updates_path)
+        self._commit_update_batch(ts)
+
+    def append_updates_rows(
+        self, rows: list[tuple], ts: int
+    ) -> None:
+        """Driver-resident DML batch (single update/delete calls, small
+        list batches) appended WITHOUT a Spark job: the rows already sit
+        on the driver, so the parquet append is a pyarrow write on local
+        storage (Spark fallback on remote URIs).  Same pinned log schema
+        and the same fenced meta-flip commit point as
+        :meth:`append_updates`.
+
+        ``rows``: (external_id, vector|None, is_delete, ts) tuples.
+        """
+        from tiledb_vector_search_spark.driver_io import append_small_parquet
+
+        append_small_parquet(
+            self.spark,
+            self.updates_path,
+            rows,
+            f"{ID_COL} long, {VECTOR_COL} array<float>, "
+            "is_delete boolean, ts long",
+        )
+        self._commit_update_batch(ts)
+
+    def _commit_update_batch(self, ts: int) -> None:
         # the meta flip is the COMMIT POINT (readers filter to the
         # committed list) and this is a read-modify-write — fence it:
         # a concurrent writer's flip in the window would silently drop

@@ -160,13 +160,26 @@ def stream_crawl_loop(
                 "new_id",
                 "left_semi",
             )
+        # r11 opt: ONE shingle/tokenize pass serves both the screen
+        # (match) and the ingest (add_documents) — previously the
+        # accepted docs' text was tokenized and shingled twice per
+        # batch.  Computed AFTER the intra-batch screen so the frame is
+        # exactly batch_df's shingles (match's contract).
+        from pyspark import StorageLevel
+        from tiledb_vector_search_spark.operators.dedup import (
+            _shingle_docs,
+        )
+
+        sh_all = _shingle_docs(
+            batch_df, ref.meta["text_col"], id_col, ref.meta["shingle_n"]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         # a doc is never a duplicate of ITSELF: the self-pair only
         # arises when a replayed batch screens against its own already-
         # committed copies (same id), and excluding it is semantically
         # right in every case
-        matches = ref.match(batch_df, threshold=threshold).where(
-            F.col("new_id") != F.col("ref_id")
-        )
+        matches = ref.match(
+            batch_df, threshold=threshold, precomputed_shingles=sh_all
+        ).where(F.col("new_id") != F.col("ref_id"))
         if intra_matches is not None:
             matches = matches.unionByName(intra_matches)
         # one evaluation feeds the reject filter AND the sink: the
@@ -208,12 +221,17 @@ def stream_crawl_loop(
                 F.broadcast(dup_ids), id_col, "left_anti"
             ).localCheckpoint(eager=True)
             if not accepted.isEmpty():
-                ref.add_documents(accepted, idempotency_key=key)
+                ref.add_documents(
+                    accepted,
+                    idempotency_key=key,
+                    precomputed_shingles=sh_all,
+                )
                 if (
                     consolidate_every is not None
                     and ref.batch_debt >= consolidate_every
                 ):
                     ref.consolidate()
+        sh_all.unpersist()
         sink(accepted, matches, batch_id)
 
     writer = stream.writeStream.foreachBatch(process)
