@@ -175,7 +175,13 @@ class FlatIndex(Index):
             unpack_vectors,
         )
 
-        self._validate_queries(queries, k, kw)
+        # kernel strategy collects the query batch anyway — the kernel
+        # validates the collected rows (expected_dims) so the separate
+        # validation aggregate job is skipped (r11 opt); other
+        # strategies keep the distributed data check
+        self._validate_queries(
+            queries, k, kw, data_check=(strategy != "kernel")
+        )
         if recall_target is not None and recall_target > 1.0:
             # match the probe-routed types' ceiling contract
             raise ValueError(
@@ -210,12 +216,20 @@ class FlatIndex(Index):
             res = knn_bruteforce(
                 vecs, queries, k, self.metric, strategy="kernel",
                 vector_dtype=self.vector_dtype,
+                expected_dims=self.dimensions,
             )
         else:
             if stored_is_binary:
                 # expr path needs an array column — explicit promotion
                 vecs = unpack_vectors(vecs, self.vector_dtype, VECTOR_COL)
-            res = knn_bruteforce(vecs, queries, k, self.metric, strategy=strategy)
+            res = knn_bruteforce(
+                vecs, queries, k, self.metric, strategy=strategy,
+                **(
+                    {"expected_dims": self.dimensions}
+                    if strategy == "kernel"
+                    else {}
+                ),
+            )
         if pad:
             from tiledb_vector_search_spark.operators.topk import pad_to_k
 

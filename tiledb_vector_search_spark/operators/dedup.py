@@ -1664,6 +1664,7 @@ class MinHashReference:
         ref_df: DataFrame,
         idempotency_key: str | None = None,
         precomputed_shingles: DataFrame | None = None,
+        precomputed_bands: DataFrame | None = None,
     ) -> None:
         """Grow the reference by an increment (e.g. yesterday's accepted
         crawl) — signs ONLY the new docs with the artifact's own hash
@@ -1728,16 +1729,47 @@ class MinHashReference:
             max([0] + [int(str(e).split("-")[0]) for e in committed]) + 1
         )
         bid = f"{ordinal}-{_uuid.uuid4().hex[:8]}"
-        try:
-            _band_keys(
+        if precomputed_bands is not None:
+            # band keys of the accepted subset = the batch-wide band
+            # frame restricted by id (band keys are per-doc) — the
+            # screen's signature pass is reused, not re-run
+            bands_out = precomputed_bands.join(
+                F.broadcast(ref_df.select(id_col).distinct()),
+                id_col,
+                "left_semi",
+            )
+        else:
+            bands_out = _band_keys(
                 _affine_minhash_signatures(
                     sh, id_col, self.meta["num_perm"]
                 ),
                 id_col, self.meta["num_perm"], self.meta["bands"],
-            ).write.mode("overwrite").parquet(
+            )
+        # r11 opt (guide §6 small files): batch dirs sized by the
+        # INCREMENT, not the core count — a small micro-batch previously
+        # left defaultParallelism near-empty files per dir, and every
+        # later match() scans all batch dirs.  ~100k docs per file;
+        # large increments keep full write parallelism.
+        parts = max(
+            1,
+            min(
+                self.spark.sparkContext.defaultParallelism,
+                ref_df.count() // 100_000 + 1,
+            ),
+        )
+        if precomputed_bands is None:
+            # a coalesce here would fold into the signature aggregation
+            # and serialize its CPU; an increment-sized exchange after
+            # the agg is the cheap way to keep sign parallelism AND the
+            # small file count
+            bands_out = bands_out.repartition(parts)
+        else:
+            bands_out = bands_out.coalesce(parts)
+        try:
+            bands_out.write.mode("overwrite").parquet(
                 posixpath.join(self.uri, "bands_batches", f"batch={bid}")
             )
-            sh.write.mode("overwrite").parquet(
+            sh.coalesce(parts).write.mode("overwrite").parquet(
                 posixpath.join(self.uri, "shingles_batches", f"batch={bid}")
             )
         finally:
@@ -1841,15 +1873,18 @@ class MinHashReference:
         id_col: str | None = None,
         materialize: bool = True,
         precomputed_shingles: DataFrame | None = None,
+        precomputed_bands: DataFrame | None = None,
     ) -> DataFrame:
         """(new_id, ref_id, jaccard): new docs near-duplicating the
         reference — :func:`minhash_dedup_against` with the reference
         side read from the artifact instead of recomputed.  Cost ∝ the
         NEW increment plus the band-matched slice of the artifact.
 
-        ``precomputed_shingles``: the ``_shingle_docs`` frame of EXACTLY
-        ``new_df`` (caller-persisted, caller-released) — the crawl loop
-        shares one shingle pass between screen and ingest."""
+        ``precomputed_shingles`` / ``precomputed_bands``: the
+        ``_shingle_docs`` / ``_band_keys`` frames of EXACTLY ``new_df``
+        (caller-persisted, caller-released, signed with the artifact's
+        own family) — the crawl loop shares one shingle pass and one
+        signature pass between screen and ingest."""
         from pyspark import StorageLevel
 
         rid = self.meta["id_col"]
@@ -1862,12 +1897,17 @@ class MinHashReference:
             ).persist(StorageLevel.MEMORY_AND_DISK)
         else:
             sh_new = precomputed_shingles
-        b_new = _band_keys(
-            _affine_minhash_signatures(
-                sh_new, id_col, self.meta["num_perm"]
-            ),
-            id_col, self.meta["num_perm"], self.meta["bands"],
-        ).select(F.col(id_col).alias("new_id"), "band", "bucket")
+        if precomputed_bands is not None:
+            b_new = precomputed_bands.select(
+                F.col(id_col).alias("new_id"), "band", "bucket"
+            )
+        else:
+            b_new = _band_keys(
+                _affine_minhash_signatures(
+                    sh_new, id_col, self.meta["num_perm"]
+                ),
+                id_col, self.meta["num_perm"], self.meta["bands"],
+            ).select(F.col(id_col).alias("new_id"), "band", "bucket")
         b_ref = self.spark.read.parquet(*self._dirs("bands")).select(
             F.col(rid).alias("ref_id"), "band", "bucket"
         )

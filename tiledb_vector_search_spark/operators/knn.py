@@ -136,8 +136,14 @@ def knn_bruteforce_kernel(
     id_col: str = ID_COL,
     vector_col: str = VECTOR_COL,
     vector_dtype: str = "float32",
+    expected_dims: int | None = None,
 ) -> DataFrame:
     """Scale-path brute-force k-NN: numpy kernel + partial top-k per batch.
+
+    ``expected_dims``: validate the collected query batch driver-side
+    (raggedness + dimensionality) with index-style errors — callers that
+    know their corpus dims (FlatIndex.query) pass it instead of paying a
+    separate validation aggregate job (r11 opt).
 
     The queries (small by contract — same asymmetry the reference exploits
     by holding them in registers, ``detail/flat/qv.h``) are collected and
@@ -192,6 +198,19 @@ def knn_bruteforce_kernel(
             .astype(np.float64)
         )
     else:
+        if expected_dims is not None:
+            sizes = [len(r[1]) for r in q_rows if r[1] is not None]
+            if sizes and min(sizes) != max(sizes):
+                raise ValueError(
+                    f"ragged query batch: vector sizes vary from "
+                    f"{min(sizes)} to {max(sizes)} — every query "
+                    f"must have the index's dimensionality ({expected_dims})"
+                )
+            if sizes and sizes[0] != expected_dims:
+                raise ValueError(
+                    f"query dimensions ({sizes[0]}) do not match index "
+                    f"dimensions ({expected_dims})"
+                )
         qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast((qids, qmat))

@@ -613,16 +613,31 @@ class BM25Index:
         ).first()
         committed = self.meta.get("batches", [])
         bid = self._next_batch_id()
+        # r11 opt (guide §6 small files): size the batch dir's file count
+        # by the INCREMENT, not the core count — a small micro-batch
+        # previously wrote defaultParallelism (e.g. 32) near-empty files
+        # per batch, and every subsequent query/match pays the per-file
+        # open cost across all batch dirs.  ~2M postings rows per file
+        # (the stats job already computed the increment's token count,
+        # so this costs no extra job); large increments keep full write
+        # parallelism up to defaultParallelism.
+        parts = max(
+            1,
+            min(
+                self.spark.sparkContext.defaultParallelism,
+                int(stats["sumdl"] or 0) // 2_000_000 + 1,
+            ),
+        )
         tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl").repartition(
-            self.spark.sparkContext.defaultParallelism, "term"
+            parts, "term"
         ).write.mode("overwrite").parquet(
             posixpath.join(
                 self.uri, BM25_POSTINGS_BATCHES_DIR, f"batch={bid}"
             )
         )
-        tf.groupBy("term").agg(F.count("*").alias("df")).write.mode(
-            "overwrite"
-        ).parquet(
+        tf.groupBy("term").agg(F.count("*").alias("df")).coalesce(
+            parts
+        ).write.mode("overwrite").parquet(
             posixpath.join(self.uri, BM25_DFREQ_BATCHES_DIR, f"batch={bid}")
         )
         # commit point: one atomic meta flip makes the batch visible and
@@ -1084,7 +1099,6 @@ def bm25_topk(
     stats = dl.agg(
         F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl")
     )
-    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
 
     qterms = _explode_query_terms(queries, query_id_col, query_text_col)
 
@@ -1098,10 +1112,23 @@ def bm25_topk(
     # instead of a forced-broadcast OOM (the dedup candidate-gate
     # lesson).  Only the one-row stats frame is hinted.
     qt_distinct = qterms.select("__t").distinct()
+    # df only matters for MATCHED terms: restrict the postings to the
+    # query vocabulary BEFORE the per-term aggregate instead of
+    # aggregating the full corpus vocabulary and joining afterwards —
+    # Catalyst does not push a join below an aggregation, so without
+    # this the df pass shuffles every distinct term in the corpus to
+    # count rows the join then discards (guide §2.3: shuffle fewer
+    # bytes).  Identical result: df(term) counts over the whole cached
+    # postings frame, term-restricted only.
+    dfreq = (
+        tf.join(qt_distinct, "__t")
+        .groupBy("__t")
+        .agg(F.count("*").alias("__df"))
+    )
     post = (
         tf.join(qt_distinct, "__t")
         .join(dl, id_col)
-        .join(dfreq.join(qt_distinct, "__t"), "__t")
+        .join(dfreq, "__t")
         .crossJoin(F.broadcast(stats))
     )
     res = _score_matched_postings(

@@ -55,6 +55,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
     )
     builder = builder.master(master or f"local[{cpus}]")
+    # deployment overrides without code edits (cluster-scale shuffle
+    # sizing, AQE knobs, memory):  SPARK_GRAFT_SPARK_CONF is a
+    # ';'-separated list of key=value pairs applied before extra_conf.
+    env_conf = os.environ.get("SPARK_GRAFT_SPARK_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

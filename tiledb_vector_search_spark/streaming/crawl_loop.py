@@ -160,25 +160,36 @@ def stream_crawl_loop(
                 "new_id",
                 "left_semi",
             )
-        # r11 opt: ONE shingle/tokenize pass serves both the screen
-        # (match) and the ingest (add_documents) — previously the
-        # accepted docs' text was tokenized and shingled twice per
-        # batch.  Computed AFTER the intra-batch screen so the frame is
-        # exactly batch_df's shingles (match's contract).
+        # r11 opt: ONE shingle/tokenize pass AND one signature/band pass
+        # serve both the screen (match) and the ingest (add_documents) —
+        # previously the accepted docs' text was re-tokenized AND
+        # re-signed per batch.  Computed AFTER the intra-batch screen so
+        # the frames are exactly batch_df's (match's contract).
         from pyspark import StorageLevel
         from tiledb_vector_search_spark.operators.dedup import (
+            _affine_minhash_signatures,
+            _band_keys,
             _shingle_docs,
         )
 
         sh_all = _shingle_docs(
             batch_df, ref.meta["text_col"], id_col, ref.meta["shingle_n"]
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        bands_all = _band_keys(
+            _affine_minhash_signatures(
+                sh_all, id_col, ref.meta["num_perm"]
+            ),
+            id_col, ref.meta["num_perm"], ref.meta["bands"],
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         # a doc is never a duplicate of ITSELF: the self-pair only
         # arises when a replayed batch screens against its own already-
         # committed copies (same id), and excluding it is semantically
         # right in every case
         matches = ref.match(
-            batch_df, threshold=threshold, precomputed_shingles=sh_all
+            batch_df,
+            threshold=threshold,
+            precomputed_shingles=sh_all,
+            precomputed_bands=bands_all,
         ).where(F.col("new_id") != F.col("ref_id"))
         if intra_matches is not None:
             matches = matches.unionByName(intra_matches)
@@ -225,12 +236,14 @@ def stream_crawl_loop(
                     accepted,
                     idempotency_key=key,
                     precomputed_shingles=sh_all,
+                    precomputed_bands=bands_all,
                 )
                 if (
                     consolidate_every is not None
                     and ref.batch_debt >= consolidate_every
                 ):
                     ref.consolidate()
+        bands_all.unpersist()
         sh_all.unpersist()
         sink(accepted, matches, batch_id)
 
