@@ -34,6 +34,7 @@ from tiledb_vector_search_spark.schemas import (
 from tiledb_vector_search_spark.storage import (
     LONG_LEASE_TTL_MS,
     IndexStorage,
+    cached_snapshot_artifact,
     locked_mutation,
     now_ms,
 )
@@ -238,7 +239,106 @@ class Index:
                 "ingestion) — it has no base snapshot.  Open with an "
                 "int timestamp for base-backed operations."
             )
-        return self.storage.read_base(self.base_ts)
+        # one parquet-reader resolution (file listing + schema) per
+        # SNAPSHOT per session, not per query: resolving the reader costs
+        # ~0.1 s of driver/py4j round-trips, and streaming re-opens the
+        # handle every micro-batch.  The base layout under a snapshot is
+        # immutable (nonce-keyed), so the resolved plan stays valid.
+        cached = getattr(self, "_base_df_cache", None)
+        if cached is not None:
+            return cached
+        nonce = self._snapshot_nonce()
+        spark_key = id(self.spark)
+        if nonce is None:  # legacy meta: per-handle memo only
+            self._base_df_cache = self.storage.read_base(self.base_ts)
+        else:
+            self._base_df_cache = cached_snapshot_artifact(
+                ("base_df", spark_key, self.uri, self.base_ts, nonce),
+                lambda: self.storage.read_base(self.base_ts),
+            )
+        return self._base_df_cache
+
+    def _snapshot_nonce(self) -> "str | None":
+        for e in reversed(self.meta.get("ingestions", [])):
+            if e["ts"] == self.base_ts:
+                return e.get("snapshot_nonce")
+        return None
+
+    def _partition_bytes(self) -> dict:
+        """On-disk bytes per base partition, one FS walk per snapshot.
+
+        Used to right-size pruned kernel scans (``_kernel_scan_tasks``)
+        and the finite-RAM partition groups without a per-query listing
+        — the layout under ``base_path(base_ts)`` is immutable, so the
+        map is cached under the snapshot nonce like the centroids."""
+        from tiledb_vector_search_spark.schemas import PARTITION_COL
+
+        cached = getattr(self, "_part_bytes_cache", None)
+        if cached is not None:
+            return cached
+
+        def load():
+            fs = self.storage.fs
+            base = self.storage.base_path(self.base_ts)
+            sizes: dict[int, int] = {}
+            if fs.exists(base):
+                prefix = f"{PARTITION_COL}="
+                it = fs._fs.listFiles(fs._p(base), True)
+                while it.hasNext():
+                    f = it.next()
+                    for seg in f.getPath().toString().split("/"):
+                        if seg.startswith(prefix):
+                            try:
+                                pid = int(seg[len(prefix):])
+                            except ValueError:
+                                break
+                            sizes[pid] = sizes.get(pid, 0) + int(f.getLen())
+                            break
+            return sizes
+
+        nonce = self._snapshot_nonce()
+        if nonce is None:  # legacy meta: per-handle memo only
+            self._part_bytes_cache = load()
+        else:
+            self._part_bytes_cache = cached_snapshot_artifact(
+                ("part_bytes", self.uri, self.base_ts, nonce), load
+            )
+        return self._part_bytes_cache
+
+    # per-task scoring budget for the kernel scan, in bytes·queries:
+    # scoring CPU ∝ probed bytes × routed queries, and ~8e8 byte·query
+    # products ≈ 0.1-0.3 s of numpy per task — small enough to stay
+    # latency-shaped, large enough that the fixed Arrow/Python worker
+    # round-trip (~10 ms) is noise
+    KERNEL_TASK_BYTE_QUERIES = 8e8
+
+    def _kernel_scan_tasks(self, group: list, nq: int = 128) -> int:
+        """Task count for a pruned kernel scan: ``ceil(bytes/split)`` —
+        the arithmetic Spark itself uses for LARGE scans.  Spark floors
+        the split count of a small scan at ``spark.sql.files.
+        minPartitionNum`` (= default parallelism), so a few-MB probed
+        read explodes into one task per core, each paying the fixed
+        Arrow/Python worker round-trip for a handful of rows (measured
+        ~10 s task time for 0.2 s of scoring on the streaming-search
+        row).  ``coalesce`` to the byte-derived count: at 100 TB the
+        count exceeds the scan's natural split count and coalesce is a
+        no-op, so the behavior is scale-adaptive, not a local[32] tune
+        (guide §2.2/§6).  ``spark.tvs.kernelSplitBytes`` overrides the
+        per-task target (default 32 MB of packed vectors ≈ 0.1-0.3 s of
+        kernel CPU per task at 100-query batches)."""
+        try:
+            target = int(
+                self.spark.conf.get("spark.tvs.kernelSplitBytes", "")
+            )
+        except (TypeError, ValueError):
+            target = 32 * 1024 * 1024
+        pbytes = self._partition_bytes()
+        gbytes = sum(pbytes.get(int(p), 0) for p in group)
+        by_bytes = -(-gbytes // max(target, 1))
+        # scoring CPU scales with queries too: a 4096-query batch over a
+        # few-MB scan must NOT collapse to one task
+        by_cpu = int(gbytes * max(nq, 1) // self.KERNEL_TASK_BYTE_QUERIES)
+        return max(1, by_bytes, by_cpu)
 
     def _updates_window(self) -> tuple[int | None, int | None]:
         if self.range_lo is not None:

@@ -571,13 +571,26 @@ class IVFFlatIndex(Index):
         was built without an overlay."""
         if hasattr(self, "_overlay_cache"):
             return self._overlay_cache
-        path = self.storage.aux_path(OVERLAY_AUX, self.base_ts)
-        if not self.storage.fs.exists(path):
-            self._overlay_cache = None
-            return None
-        self._overlay_cache = self.spark.read.parquet(path).select(
-            PARTITION_COL, ID_COL, VECTOR_COL
-        )
+
+        def load():
+            path = self.storage.aux_path(OVERLAY_AUX, self.base_ts)
+            if not self.storage.fs.exists(path):
+                return None
+            return self.spark.read.parquet(path).select(
+                PARTITION_COL, ID_COL, VECTOR_COL
+            )
+
+        # overlay existence + layout are immutable per snapshot: resolve
+        # the reader (exists + listing + schema) once per session, not
+        # per re-open — streaming re-opens the handle every micro-batch
+        nonce = self._base_entry().get("snapshot_nonce")
+        if nonce is None:
+            self._overlay_cache = load()
+        else:
+            self._overlay_cache = cached_snapshot_artifact(
+                ("overlay_df", id(self.spark), self.uri, self.base_ts, nonce),
+                load,
+            )
         return self._overlay_cache
 
     @property
@@ -757,7 +770,10 @@ class IVFFlatIndex(Index):
                     )
                 )
             elif strategy == "kernel":
-                scored = self._kernel_scores(base, qids, qmat, pairs, k, metric)
+                scored = self._kernel_scores(
+                    base, qids, qmat, pairs, k, metric,
+                    scan_tasks=self._kernel_scan_tasks(group, len(qids)),
+                )
             else:
                 raise ValueError(f"unknown strategy: {strategy}")
             group_topks.append(scored)
@@ -804,14 +820,12 @@ class IVFFlatIndex(Index):
         if memory_budget_mb is None:
             return [parts]
         budget = memory_budget_mb * 1024 * 1024
-        fs = self.storage.fs
-        base = self.storage.base_path(self.base_ts)
+        pbytes = self._partition_bytes()
         groups: list[list[int]] = []
         cur: list[int] = []
         cur_bytes = 0
         for p in parts:
-            pdir = f"{base}/{PARTITION_COL}={p}"
-            size = self._dir_bytes(fs, pdir)
+            size = pbytes.get(int(p), 0)
             if cur and cur_bytes + size > budget:
                 groups.append(cur)
                 cur, cur_bytes = [], 0
@@ -928,6 +942,7 @@ class IVFFlatIndex(Index):
         pairs: list[tuple[int, int]],
         k: int,
         metric: DistanceMetric,
+        scan_tasks: int | None = None,
     ) -> DataFrame:
         """Per-partition scoring of only the queries routed to it.
 
@@ -976,6 +991,11 @@ class IVFFlatIndex(Index):
                         }
                     )
 
-        return base.select(PARTITION_COL, ID_COL, VECTOR_COL).mapInPandas(
+        sel = base.select(PARTITION_COL, ID_COL, VECTOR_COL)
+        if scan_tasks is not None:
+            # byte-derived task count (see _kernel_scan_tasks) — a
+            # no-op whenever the scan already has fewer splits
+            sel = sel.coalesce(scan_tasks)
+        return sel.mapInPandas(
             score, schema=f"{QUERY_ID_COL} long, {ID_COL} long, {DISTANCE_COL} double"
         )

@@ -608,13 +608,25 @@ class IVFPQIndex(Index):
         index was built without an overlay."""
         if hasattr(self, "_overlay_cache"):
             return self._overlay_cache
-        path = self.storage.aux_path(OVERLAY_AUX, self.base_ts)
-        if not self.storage.fs.exists(path):
-            self._overlay_cache = None
-            return None
-        self._overlay_cache = self.spark.read.parquet(path).select(
-            PARTITION_COL, ID_COL, VECTOR_COL
-        )
+
+        def load():
+            path = self.storage.aux_path(OVERLAY_AUX, self.base_ts)
+            if not self.storage.fs.exists(path):
+                return None
+            return self.spark.read.parquet(path).select(
+                PARTITION_COL, ID_COL, VECTOR_COL
+            )
+
+        # immutable per snapshot: resolve the reader (exists + listing +
+        # schema, ~0.1 s of driver round-trips) once per session
+        nonce = self._snapshot_nonce()
+        if nonce is None:
+            self._overlay_cache = load()
+        else:
+            self._overlay_cache = cached_snapshot_artifact(
+                ("overlay_df", id(self.spark), self.uri, self.base_ts, nonce),
+                load,
+            )
         return self._overlay_cache
 
     @property
@@ -1112,7 +1124,10 @@ class IVFPQIndex(Index):
             )
             base = base.join(excluded_ids, ID_COL, "left_anti")
 
-        coarse = self._adc_scores(base, qids, qmat, pairs, coarse_k)
+        coarse = self._adc_scores(
+            base, qids, qmat, pairs, coarse_k,
+            scan_tasks=self._kernel_scan_tasks(parts, len(qids)),
+        )
         order = [F.col(DISTANCE_COL).asc(), F.col(ID_COL).asc()]
         coarse_topk = topk_window(coarse, [QUERY_ID_COL], order, coarse_k).drop(
             "rank"
@@ -1349,6 +1364,7 @@ class IVFPQIndex(Index):
         qmat: np.ndarray,
         pairs: list[tuple[int, int]],
         coarse_k: int,
+        scan_tasks: int | None = None,
     ) -> DataFrame:
         """Asymmetric-distance scan: per-query lookup tables over codes.
 
@@ -1445,7 +1461,12 @@ class IVFPQIndex(Index):
                         }
                     )
 
-        return base.select(PARTITION_COL, ID_COL, CODE_COL).mapInPandas(
+        sel = base.select(PARTITION_COL, ID_COL, CODE_COL)
+        if scan_tasks is not None:
+            # byte-derived task count (Index._kernel_scan_tasks) — a
+            # no-op whenever the scan already has fewer splits
+            sel = sel.coalesce(scan_tasks)
+        return sel.mapInPandas(
             score,
             schema=f"{QUERY_ID_COL} long, {ID_COL} long, {DISTANCE_COL} double",
         )

@@ -705,13 +705,25 @@ class VamanaIndex(Index):
         the index was built without an overlay."""
         if hasattr(self, "_overlay_cache"):
             return self._overlay_cache
-        path = self.storage.aux_path(OVERLAY_AUX, self.base_ts)
-        if not self.storage.fs.exists(path):
-            self._overlay_cache = None
-            return None
-        self._overlay_cache = self.spark.read.parquet(path).select(
-            PARTITION_COL, ID_COL, VECTOR_COL, "neighbors"
-        )
+
+        def load():
+            path = self.storage.aux_path(OVERLAY_AUX, self.base_ts)
+            if not self.storage.fs.exists(path):
+                return None
+            return self.spark.read.parquet(path).select(
+                PARTITION_COL, ID_COL, VECTOR_COL, "neighbors"
+            )
+
+        # immutable per snapshot: resolve the reader (exists + listing +
+        # schema, ~0.1 s of driver round-trips) once per session
+        nonce = self._snapshot_nonce()
+        if nonce is None:
+            self._overlay_cache = load()
+        else:
+            self._overlay_cache = cached_snapshot_artifact(
+                ("overlay_df", id(self.spark), self.uri, self.base_ts, nonce),
+                load,
+            )
         return self._overlay_cache
 
     @property

@@ -92,14 +92,20 @@ def minhash_signatures(
     sh = _shingle_docs(df, text_col, id_col, shingle_n).select(
         F.col(id_col), F.explode("__sh").alias("__s")
     )
+    # one py4j round-trip per aggregate (SQL string = stable_hash64's
+    # exact expression tree) instead of ~6 per permutation — plan
+    # construction is pure driver latency, re-paid per micro-batch
     mins = [
-        F.min(stable_hash64(F.col("__s"), salt=f"#p{p}")).alias(f"h{p}")
+        F.expr(
+            "min(CAST(conv(substring(md5(concat(`__s`, '#p"
+            f"{p}')), 1, 15), 16, 10) AS BIGINT)) AS h{p}"
+        )
         for p in range(num_perm)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
+    arr = ", ".join(f"`h{p}`" for p in range(num_perm))
     return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("minhash"),
+        F.col(id_col), F.expr(f"array({arr})").alias("minhash")
     )
 
 
@@ -127,45 +133,47 @@ def _affine_minhash_signatures(
     sh = shingled.select(F.col(id_col), F.explode("__sh").alias("__s"))
     h = F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P))
     sh = sh.select(F.col(id_col), h.alias("__h"))
+    # one py4j round-trip per permutation instead of ~7 (identical
+    # Catalyst tree; BIGINT literals match F.lit's LongType) — this
+    # builder runs per micro-batch in the streaming screens
     mins = [
-        F.min(
-            F.pmod(F.lit(int(a[p])) * F.col("__h") + F.lit(int(b[p])), F.lit(_MERSENNE_P))
-        ).alias(f"h{p}")
+        F.expr(
+            f"min(pmod({int(a[p])}L * `__h` + {int(b[p])}L, "
+            f"{_MERSENNE_P}L)) AS h{p}"
+        )
         for p in range(num_perm)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
+    arr = ", ".join(f"`h{p}`" for p in range(num_perm))
     return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("minhash"),
+        F.col(id_col), F.expr(f"array({arr})").alias("minhash")
     )
 
 
 def _band_keys(
     signatures: DataFrame, id_col: str, num_perm: int, bands: int
 ) -> DataFrame:
-    """(id, band, bucket): md5 bucket key per signature band slice."""
+    """(id, band, bucket): md5 bucket key per signature band slice.
+
+    The band structs are composed as ONE SQL string parsed JVM-side in
+    a single ``F.expr`` round-trip: built Column-by-Column they are
+    ~bands × (rows_per_band + 5) py4j calls of pure driver latency per
+    invocation (and streaming screens re-build this plan every
+    micro-batch) for the identical Catalyst tree."""
     rows_per_band = num_perm // bands
+    structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {elems})) AS bucket)".format(
+            b=b,
+            elems=", ".join(
+                f"element_at(`minhash`, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return signatures.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("minhash", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({structs}))").alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
 
@@ -675,19 +683,24 @@ def simhash(
         )
     else:
         tok = tok.withColumn("__h", stable_hash64(F.col("__w")))
+    # one py4j round-trip per bit (and one for the reassembly) instead
+    # of ~12 — identical Catalyst trees, parsed JVM-side; plan
+    # construction is pure driver latency (guide §1.2 step 2)
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(`__h`, {b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS b{b}"
+        )
         for b in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    sim = " + ".join(
+        f"(CASE WHEN `b{b}` > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return agg.select(
+        F.col(id_col), F.expr(f"CAST(({sim}) AS BIGINT)").alias("simhash")
+    )
 
 
 def simhash_near_duplicates(
@@ -1556,6 +1569,25 @@ class MinHashReference:
             )
         return dirs
 
+    def _read_tree(self, base: str) -> DataFrame:
+        """Reader over generation dir + batch dirs for ``base``
+        (``bands``/``shingles``), with the resolved reader (listing +
+        schema, ~0.1 s of driver round-trips per call with many batch
+        dirs) memoized per committed-batch state — a streaming screen
+        re-opens the handle every micro-batch against an unchanged
+        artifact."""
+        from tiledb_vector_search_spark.storage import (
+            cached_snapshot_artifact,
+        )
+
+        dirs = self._dirs(base)
+        key = (
+            "mh_tree_df", id(self.spark), self.uri, base, tuple(dirs),
+        )
+        return cached_snapshot_artifact(
+            key, lambda: self.spark.read.parquet(*dirs)
+        )
+
     @property
     def batch_debt(self) -> int:
         """Un-consolidated increment dirs — the signal to run
@@ -1703,6 +1735,15 @@ class MinHashReference:
         ):
             return  # this increment already committed — re-delivery no-op
         id_col = self.meta["id_col"]
+        # the accepted-id set feeds up to three consumers (two semi-join
+        # broadcasts + the replay-ids record): evaluate it ONCE and let
+        # its count double as the file-sizing row count — previously each
+        # consumer re-ran the distinct and a separate count() job sized
+        # the files
+        ids = ref_df.select(id_col).distinct().persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_new = ids.count()
         own_sh = precomputed_shingles is None
         if own_sh:
             sh = _shingle_docs(
@@ -1716,9 +1757,7 @@ class MinHashReference:
             # increment goes away; at scale that is a whole extra read
             # of the accepted text).  The caller owns persistence.
             sh = precomputed_shingles.join(
-                F.broadcast(ref_df.select(id_col).distinct()),
-                id_col,
-                "left_semi",
+                F.broadcast(ids), id_col, "left_semi"
             )
         committed = self.meta.get("batches", [])
         # ordinal + nonce entry (ints in pre-fence artifacts): the nonce
@@ -1734,9 +1773,7 @@ class MinHashReference:
             # frame restricted by id (band keys are per-doc) — the
             # screen's signature pass is reused, not re-run
             bands_out = precomputed_bands.join(
-                F.broadcast(ref_df.select(id_col).distinct()),
-                id_col,
-                "left_semi",
+                F.broadcast(ids), id_col, "left_semi"
             )
         else:
             bands_out = _band_keys(
@@ -1754,7 +1791,7 @@ class MinHashReference:
             1,
             min(
                 self.spark.sparkContext.defaultParallelism,
-                ref_df.count() // 100_000 + 1,
+                n_new // 100_000 + 1,
             ),
         )
         if precomputed_bands is None:
@@ -1765,28 +1802,47 @@ class MinHashReference:
             bands_out = bands_out.repartition(parts)
         else:
             bands_out = bands_out.coalesce(parts)
-        try:
+        # the batch writes are independent small jobs on disjoint output
+        # dirs — submit them from driver threads so the second job's
+        # tasks back-fill the first's tail (guide §2.6) instead of
+        # paying two full job latencies back to back
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_bands():
             bands_out.write.mode("overwrite").parquet(
                 posixpath.join(self.uri, "bands_batches", f"batch={bid}")
             )
+
+        def _w_sh():
             sh.coalesce(parts).write.mode("overwrite").parquet(
                 posixpath.join(self.uri, "shingles_batches", f"batch={bid}")
             )
+
+        writes = [_w_bands, _w_sh]
+        if idempotency_key is not None:
+            # increment-sized replay record: the exact ids this key
+            # commits, readable later without touching the shingle tree
+            def _w_ids():
+                ids.coalesce(1).write.mode("overwrite").parquet(
+                    posixpath.join(self.uri, "ids_batches", f"batch={bid}")
+                )
+
+            writes.append(_w_ids)
+        try:
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                for _ in pool.map(lambda w: w(), writes):
+                    pass
         finally:
             if own_sh:
                 sh.unpersist()
+            ids.unpersist()
         # commit point: fenced atomic meta flip (a zombie writer raises
         # instead of silently dropping a committed batch)
         new_meta = {**self.meta, "batches": list(committed) + [bid]}
         dropped_ids_dirs: list[str] = []
         if idempotency_key is not None:
-            # increment-sized replay record: the exact ids this key
-            # commits, readable later without touching the shingle tree
-            ref_df.select(id_col).distinct().coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(
-                posixpath.join(self.uri, "ids_batches", f"batch={bid}")
-            )
+            # (the ids record itself was written above, concurrently
+            # with the bands/shingles batch dirs)
             new_meta["applied_keys"] = (
                 list(self.meta.get("applied_keys", [])) + [idempotency_key]
             )[-1024:]
@@ -1908,7 +1964,7 @@ class MinHashReference:
                 ),
                 id_col, self.meta["num_perm"], self.meta["bands"],
             ).select(F.col(id_col).alias("new_id"), "band", "bucket")
-        b_ref = self.spark.read.parquet(*self._dirs("bands")).select(
+        b_ref = self._read_tree("bands").select(
             F.col(rid).alias("ref_id"), "band", "bucket"
         )
         cand = (
@@ -1924,7 +1980,7 @@ class MinHashReference:
         a = sh_new.select(
             F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")
         )
-        b = self.spark.read.parquet(*self._dirs("shingles")).select(
+        b = self._read_tree("shingles").select(
             F.col(rid).alias("id_b"), F.col("__sh").alias("sh_b")
         )
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

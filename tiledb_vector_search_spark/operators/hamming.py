@@ -46,10 +46,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def combination_band_structs(
+def combination_band_sql(
     hash_col: str, bits: int, max_hamming: int
-) -> list[Column]:
-    """``struct(band, key)`` columns for the combination pigeonhole:
+) -> list[tuple[int, str]]:
+    """``(band, key_sql)`` per band of the combination pigeonhole:
     one per pair of the ``max_hamming + 2`` blocks; explode them and
     equi-join on (band, key).
 
@@ -62,30 +62,41 @@ def combination_band_structs(
 
     Degenerate small-``bits`` cases stay sound: blocks shifted past the
     hash are constant 0 on both sides (clean), which only ADDS
-    candidate pairs (the verify rejects them)."""
+    candidate pairs (the verify rejects them).
+
+    SQL snippets, not Columns: the C(max_hamming+2, 2) band trees are
+    ~500 py4j round-trips when built expression-by-expression (~1.5 s
+    of pure driver time per call at radius 8); composed into ONE
+    ``F.expr`` string they parse JVM-side in one round-trip for an
+    identical Catalyst tree."""
     blocks = max_hamming + 2
     block_bits = max(1, bits // blocks)
+    h = f"`{hash_col}`"
+    mask = (1 << block_bits) - 1
 
-    def block(c: int) -> Column:
+    def block(c: int) -> str:
         # blocks >= 3 (max_hamming >= 1 here), so block_bits <= 21 and
         # the mask / shifted pair key never overflow LongType; the
         # arithmetic shiftright's sign-extension is masked off
-        shifted = (
-            F.col(hash_col)
-            if c == 0
-            else F.shiftright(F.col(hash_col), c * block_bits)
-        )
-        return shifted.bitwiseAND(F.lit((1 << block_bits) - 1))
+        shifted = h if c == 0 else f"shiftright({h}, {c * block_bits})"
+        return f"({shifted} & {mask})"
 
     out = []
     for band, (c1, c2) in enumerate(combinations(range(blocks), 2)):
-        key = block(c1).bitwiseXOR(
-            F.shiftleft(block(c2), block_bits)
-        )
-        out.append(
-            F.struct(F.lit(band).alias("band"), key.alias("key"))
-        )
+        key = f"({block(c1)} ^ shiftleft({block(c2)}, {block_bits}))"
+        out.append((band, key))
     return out
+
+
+def combination_band_structs(
+    hash_col: str, bits: int, max_hamming: int
+) -> list[Column]:
+    """Column view of :func:`combination_band_sql` (one ``struct(band,
+    key)`` per band) for callers composing bands with other fields."""
+    return [
+        F.expr(f"struct({band} AS band, {key} AS key)")
+        for band, key in combination_band_sql(hash_col, bits, max_hamming)
+    ]
 
 
 def hamming_near_pairs(
@@ -114,12 +125,15 @@ def hamming_near_pairs(
             )
             .orderBy("id_a", "id_b")
         )
+    # one F.expr round-trip instead of ~500 (combination_band_sql doc)
+    structs = ", ".join(
+        f"struct({band} AS band, {key} AS key)"
+        for band, key in combination_band_sql(hash_col, bits, max_hamming)
+    )
     banded = hashes.select(
         id_col,
         F.col(hash_col).alias("__h"),
-        F.explode(
-            F.array(*combination_band_structs(hash_col, bits, max_hamming))
-        ).alias("bk"),
+        F.expr(f"explode(array({structs}))").alias("bk"),
     ).select(id_col, "__h", F.col("bk.band"), F.col("bk.key"))
     # Catalyst's size estimate ignores the ~45x explode, so it would
     # broadcast the build side at sizes where that's gigabytes; force a

@@ -186,31 +186,27 @@ def video_fingerprint_near_duplicates(
     collapse in the distinct; the final aggregate is keyed on the
     video pair."""
     from tiledb_vector_search_spark.operators.hamming import (
-        combination_band_structs,
+        combination_band_sql,
     )
 
-    hash_bands = combination_band_structs(
-        hash_col, PHASH_BITS, max_hamming
-    )
     fw = temporal_drift + 1
-    fbucket = F.floor(F.col(frame_col) / fw).cast("long")
+    # ONE F.expr round-trip for the ~90 band-struct trees: built
+    # Column-by-Column these are ~1000 py4j calls (~5 s of driver time
+    # per invocation); the SQL string parses JVM-side to the identical
+    # Catalyst tree (hamming.combination_band_sql doc)
+    fbucket = f"CAST(FLOOR(`{frame_col}` / {fw}) AS BIGINT)"
+    structs = ", ".join(
+        f"struct({band} AS band, {key} AS key, ({fbucket} + {off}) AS fb)"
+        for band, key in combination_band_sql(
+            hash_col, PHASH_BITS, max_hamming
+        )
+        for off in (0, 1)
+    )
     banded = fp.select(
         F.col(id_col).alias("vid"),
         F.col(frame_col).alias("f"),
         F.col(hash_col).alias("h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        bk["band"].alias("band"),
-                        bk["key"].alias("key"),
-                        (fbucket + off).alias("fb"),
-                    )
-                    for bk in hash_bands
-                    for off in (0, 1)
-                ]
-            )
-        ).alias("cc"),
+        F.expr(f"explode(array({structs}))").alias("cc"),
     ).select(
         "vid", "f", "h",
         F.col("cc.band"), F.col("cc.key"), F.col("cc.fb"),
