@@ -463,6 +463,22 @@ class BM25Index:
             for b in self._delete_batches()
         ]
 
+    def _read_dirs(self, dirs: list[str]) -> DataFrame:
+        """Reader over a committed dir set with the RESOLUTION (file
+        listing + schema inference, ~0.1 s of driver round-trips per
+        call once an index carries batch dirs) memoized per committed
+        state: the dir tuple embeds the generation pointer and every
+        batch nonce, so any mutation changes the key.  A reader/plan
+        cache, not a result cache — each action still reads parquet."""
+        from tiledb_vector_search_spark.storage import (
+            cached_snapshot_artifact,
+        )
+
+        key = ("bm25_tree_df", id(self.spark), self.uri, tuple(dirs))
+        return cached_snapshot_artifact(
+            key, lambda: self.spark.read.parquet(*dirs)
+        )
+
     def _tombstones(self) -> DataFrame | None:
         """Deleted doc ids across all committed delete batches, or None
         when the index has no deletes (keeps clean-index query plans
@@ -470,7 +486,7 @@ class BM25Index:
         dirs = self._tombstone_dirs()
         if not dirs:
             return None
-        return self.spark.read.parquet(*dirs).select("doc_id").distinct()
+        return self._read_dirs(dirs).select("doc_id").distinct()
 
     @property
     def n_docs(self) -> int:
@@ -929,7 +945,7 @@ class BM25Index:
         id_col = self.meta["id_col"]
         qterms = _explode_query_terms(queries, query_id_col, query_text_col)
         qt_distinct = qterms.select("__t").distinct()
-        raw = self.spark.read.parquet(*self._postings_dirs())
+        raw = self._read_dirs(self._postings_dirs())
         tomb = self._tombstones()
         if tomb is not None:
             # deletes are tombstones, not rewrites: mask deleted docs'
@@ -945,7 +961,7 @@ class BM25Index:
         # df rows per term (a vocab-sized aggregate; one row per term on a
         # never-updated index)
         dfreq = (
-            self.spark.read.parquet(*self._dfreq_dirs())
+            self._read_dirs(self._dfreq_dirs())
             .groupBy(F.col("term").alias("__t"))
             .agg(F.sum("df").alias("__df"))
         )
