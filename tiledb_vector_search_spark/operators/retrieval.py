@@ -387,12 +387,25 @@ class BM25Index:
             # fan-out keeps the scan parallel at any corpus size.
             nparts = num_partitions or spark.sparkContext.defaultParallelism
             postings = postings.repartition(nparts, "term")
-            postings.write.mode("overwrite").parquet(
-                posixpath.join(uri, BM25_POSTINGS_DIR)
-            )
-            tf.groupBy("term").agg(F.count("*").alias("df")).write.mode(
-                "overwrite"
-            ).parquet(posixpath.join(uri, BM25_DFREQ_DIR))
+            # independent writes on disjoint dirs over the persisted tf
+            # (materialized by the stats job above) — overlap them so the
+            # df job's tasks back-fill the postings write's tail
+            # (guide §2.6)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _w_postings():
+                postings.write.mode("overwrite").parquet(
+                    posixpath.join(uri, BM25_POSTINGS_DIR)
+                )
+
+            def _w_dfreq():
+                tf.groupBy("term").agg(F.count("*").alias("df")).write.mode(
+                    "overwrite"
+                ).parquet(posixpath.join(uri, BM25_DFREQ_DIR))
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for f in [pool.submit(_w_postings), pool.submit(_w_dfreq)]:
+                    f.result()
         finally:
             tf.unpersist()
         HadoopFS(spark, uri).write_text_atomic(
@@ -644,18 +657,36 @@ class BM25Index:
                 int(stats["sumdl"] or 0) // 2_000_000 + 1,
             ),
         )
-        tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl").repartition(
-            parts, "term"
-        ).write.mode("overwrite").parquet(
-            posixpath.join(
-                self.uri, BM25_POSTINGS_BATCHES_DIR, f"batch={bid}"
+        # the two batch writes are independent jobs on disjoint staged
+        # dirs over the SAME persisted tf frame — submit them from driver
+        # threads so the second job's tasks back-fill the first's tail
+        # (guide §2.6; the MinHashReference ingest uses the identical
+        # pattern).  The stats job above already materialized the cache,
+        # so neither thread races the tokenize lineage.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_postings():
+            tf.join(dl, "doc_id").select(
+                "term", "doc_id", "tf", "dl"
+            ).repartition(parts, "term").write.mode("overwrite").parquet(
+                posixpath.join(
+                    self.uri, BM25_POSTINGS_BATCHES_DIR, f"batch={bid}"
+                )
             )
-        )
-        tf.groupBy("term").agg(F.count("*").alias("df")).coalesce(
-            parts
-        ).write.mode("overwrite").parquet(
-            posixpath.join(self.uri, BM25_DFREQ_BATCHES_DIR, f"batch={bid}")
-        )
+
+        def _w_dfreq():
+            tf.groupBy("term").agg(F.count("*").alias("df")).coalesce(
+                parts
+            ).write.mode("overwrite").parquet(
+                posixpath.join(
+                    self.uri, BM25_DFREQ_BATCHES_DIR, f"batch={bid}"
+                )
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_w_postings), pool.submit(_w_dfreq)]
+            for f in futs:
+                f.result()
         # commit point: one atomic meta flip makes the batch visible and
         # the corpus stats consistent with it — FENCED against concurrent
         # writers (a zombie stream's stale handle raises instead of
@@ -779,16 +810,29 @@ class BM25Index:
             if n_del == 0:
                 return  # nothing to delete: index byte-identical
             bid = self._next_batch_id()
-            del_post.groupBy("term").agg(
-                (-F.count("*")).cast("long").alias("df")
-            ).write.mode("overwrite").parquet(
-                posixpath.join(
-                    self.uri, BM25_DFREQ_BATCHES_DIR, f"batch={bid}"
+            # same §2.6 overlap as add_documents: two independent staged
+            # writes over the persisted del_post frame
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _w_dfreq():
+                del_post.groupBy("term").agg(
+                    (-F.count("*")).cast("long").alias("df")
+                ).write.mode("overwrite").parquet(
+                    posixpath.join(
+                        self.uri, BM25_DFREQ_BATCHES_DIR, f"batch={bid}"
+                    )
                 )
-            )
-            doc_dl.select("doc_id").write.mode("overwrite").parquet(
-                posixpath.join(self.uri, BM25_TOMBSTONES_DIR, f"batch={bid}")
-            )
+
+            def _w_tomb():
+                doc_dl.select("doc_id").write.mode("overwrite").parquet(
+                    posixpath.join(
+                        self.uri, BM25_TOMBSTONES_DIR, f"batch={bid}"
+                    )
+                )
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for f in [pool.submit(_w_dfreq), pool.submit(_w_tomb)]:
+                    f.result()
         finally:
             del_post.unpersist()
         # commit point: one atomic meta flip, fenced like add_documents
