@@ -1015,105 +1015,133 @@ class BM25Index:
             .withColumn("__n", F.lit(self.n_docs))
             .withColumn("__sumdl", F.lit(self.sum_dl))
         )
-        if strategy not in ("auto", "join", "kernel"):
-            raise ValueError(f"unknown strategy: {strategy}")
-        integral = ("bigint", "int", "smallint", "tinyint")
-        use_kernel = strategy == "kernel"
-        qid_type = dict(queries.dtypes).get(query_id_col, "")
-        doc_type = dict(raw.dtypes).get("doc_id", "")
-        if strategy == "auto":
-            # BOTH id axes must be integral for the kernel: it rides an
-            # int64 Arrow schema, so a string doc-id corpus would crash
-            # every task and a fractional query id would truncate —
-            # auto quietly keeps the join plan instead
-            use_kernel = qid_type in integral and doc_type in integral
-        if use_kernel and strategy == "kernel":
-            # explicit kernel: probe each cap with its own bounded job so
-            # the error names the axis that broke (perf is secondary on
-            # the explicit path — the caller asked for this plan)
-            if qid_type not in integral:
-                raise ValueError(
-                    f"kernel strategy needs an integral {query_id_col} "
-                    f"column (got {qid_type or 'missing'}): int() on a "
-                    "fractional id would silently merge queries; use "
-                    "strategy='join' or cast the ids"
-                )
-            if doc_type not in integral:
-                raise ValueError(
-                    "kernel strategy needs an integral doc-id column in "
-                    f"the index (got {doc_type or 'missing'}): the "
-                    "kernel's Arrow schema is int64; use strategy='join'"
-                )
-            probe = (
-                queries.select(query_id_col)
-                .distinct()
-                .limit(BM25_KERNEL_MAX_NQ + 1)
-                .count()
+        return _dispatch_matched_scoring(
+            post, qterms, qt_distinct, k, k1, b, id_col, query_id_col,
+            strategy,
+            dict(queries.dtypes).get(query_id_col, ""),
+            dict(raw.dtypes).get("doc_id", ""),
+            queries_df=queries,
+        )
+
+
+def _dispatch_matched_scoring(
+    post: DataFrame,
+    qterms: DataFrame,
+    qt_distinct: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    query_id_col: str,
+    strategy: str,
+    qid_type: str,
+    doc_type: str,
+    queries_df: DataFrame | None = None,
+) -> DataFrame:
+    """Scoring-tail dispatch over a matched-postings frame, shared by
+    the artifact query path (``BM25Index.query``) and the one-shot
+    :func:`bm25_topk`: the exact int64 doc-partitioned kernel for
+    bounded integral-id batches, the (query, term, doc) expansion join
+    plan otherwise.  Both tails are BIT-IDENTICAL in output (pinned by
+    test); only the physical plan differs."""
+    if strategy not in ("auto", "join", "kernel"):
+        raise ValueError(f"unknown strategy: {strategy}")
+    integral = ("bigint", "int", "smallint", "tinyint")
+    use_kernel = strategy == "kernel"
+    if strategy == "auto":
+        # BOTH id axes must be integral for the kernel: it rides an
+        # int64 Arrow schema, so a string doc-id corpus would crash
+        # every task and a fractional query id would truncate —
+        # auto quietly keeps the join plan instead
+        use_kernel = qid_type in integral and doc_type in integral
+    if use_kernel and strategy == "kernel":
+        # explicit kernel: probe each cap with its own bounded job so
+        # the error names the axis that broke (perf is secondary on
+        # the explicit path — the caller asked for this plan)
+        if qid_type not in integral:
+            raise ValueError(
+                f"kernel strategy needs an integral {query_id_col} "
+                f"column (got {qid_type or 'missing'}): int() on a "
+                "fractional id would silently merge queries; use "
+                "strategy='join' or cast the ids"
             )
-            if probe > BM25_KERNEL_MAX_NQ:
-                raise ValueError(
-                    f"kernel strategy caps at {BM25_KERNEL_MAX_NQ} "
-                    f"queries (got > {BM25_KERNEL_MAX_NQ}); use "
-                    "strategy='join'"
-                )
-            if (
-                qt_distinct.limit(BM25_KERNEL_MAX_TERMS + 1).count()
-                > BM25_KERNEL_MAX_TERMS
-            ):
-                raise ValueError(
-                    "kernel strategy caps at "
-                    f"{BM25_KERNEL_MAX_TERMS} distinct query terms "
-                    "(the broadcast indicator matrix and dense "
-                    "per-task planes grow with the batch "
-                    "vocabulary); use strategy='join'"
-                )
-            # the axis caps passed — honor the explicit request even if
-            # the PAIR count exceeds auto's fallback bar (the caller
-            # owns the driver-memory trade)
+        if doc_type not in integral:
+            raise ValueError(
+                "kernel strategy needs an integral doc-id column in "
+                f"the index (got {doc_type or 'missing'}): the "
+                "kernel's Arrow schema is int64; use strategy='join'"
+            )
+        probe = (
+            (queries_df if queries_df is not None else qterms)
+            .select(query_id_col)
+            .distinct()
+            .limit(BM25_KERNEL_MAX_NQ + 1)
+            .count()
+        )
+        if probe > BM25_KERNEL_MAX_NQ:
+            raise ValueError(
+                f"kernel strategy caps at {BM25_KERNEL_MAX_NQ} "
+                f"queries (got > {BM25_KERNEL_MAX_NQ}); use "
+                "strategy='join'"
+            )
+        if (
+            qt_distinct.limit(BM25_KERNEL_MAX_TERMS + 1).count()
+            > BM25_KERNEL_MAX_TERMS
+        ):
+            raise ValueError(
+                "kernel strategy caps at "
+                f"{BM25_KERNEL_MAX_TERMS} distinct query terms "
+                "(the broadcast indicator matrix and dense "
+                "per-task planes grow with the batch "
+                "vocabulary); use strategy='join'"
+            )
+        # the axis caps passed — honor the explicit request even if
+        # the PAIR count exceeds auto's fallback bar (the caller
+        # owns the driver-memory trade)
+        qterm_rows = [
+            (int(r[query_id_col]), r["__t"]) for r in qterms.collect()
+        ]
+        if qterm_rows:
+            return _score_matched_postings_kernel(
+                _partial_nanos(post, k1, b, id_col),
+                qterm_rows, k, id_col, query_id_col,
+                query_id_type=qid_type or "long",
+                doc_id_type=doc_type or "long",
+            )
+        use_kernel = False  # all-empty query texts: join plan
+    if use_kernel:
+        # ONE bounded job probes BOTH broadcast axes AND fetches the
+        # pairs the kernel needs: a limit-collect of the exploded
+        # (query, term) frame.  A huge integral-id batch (too many
+        # queries) or a decontamination-style batch of
+        # document-length queries (too many distinct terms →
+        # multi-GB indicator matrix and dense per-task planes) blows
+        # the pair cap or an axis cap and falls back to the join
+        # plan — the driver transfer stays ≤ the pair cap either way
+        rows = qterms.limit(BM25_KERNEL_MAX_PAIRS + 1).collect()
+        if len(rows) > BM25_KERNEL_MAX_PAIRS:
+            use_kernel = False  # bigger than any legit kernel batch
+        else:
             qterm_rows = [
-                (int(r[query_id_col]), r["__t"]) for r in qterms.collect()
+                (int(r[query_id_col]), r["__t"]) for r in rows
             ]
-            if qterm_rows:
+            nq = len({q for q, _ in qterm_rows})
+            nt = len({t for _, t in qterm_rows})
+            if (
+                qterm_rows
+                and nq <= BM25_KERNEL_MAX_NQ
+                and nt <= BM25_KERNEL_MAX_TERMS
+            ):
                 return _score_matched_postings_kernel(
                     _partial_nanos(post, k1, b, id_col),
                     qterm_rows, k, id_col, query_id_col,
                     query_id_type=qid_type or "long",
                     doc_id_type=doc_type or "long",
                 )
-            use_kernel = False  # all-empty query texts: join plan
-        if use_kernel:
-            # ONE bounded job probes BOTH broadcast axes AND fetches the
-            # pairs the kernel needs: a limit-collect of the exploded
-            # (query, term) frame.  A huge integral-id batch (too many
-            # queries) or a decontamination-style batch of
-            # document-length queries (too many distinct terms →
-            # multi-GB indicator matrix and dense per-task planes) blows
-            # the pair cap or an axis cap and falls back to the join
-            # plan — the driver transfer stays ≤ the pair cap either way
-            rows = qterms.limit(BM25_KERNEL_MAX_PAIRS + 1).collect()
-            if len(rows) > BM25_KERNEL_MAX_PAIRS:
-                use_kernel = False  # bigger than any legit kernel batch
-            else:
-                qterm_rows = [
-                    (int(r[query_id_col]), r["__t"]) for r in rows
-                ]
-                nq = len({q for q, _ in qterm_rows})
-                nt = len({t for _, t in qterm_rows})
-                if (
-                    qterm_rows
-                    and nq <= BM25_KERNEL_MAX_NQ
-                    and nt <= BM25_KERNEL_MAX_TERMS
-                ):
-                    return _score_matched_postings_kernel(
-                        _partial_nanos(post, k1, b, id_col),
-                        qterm_rows, k, id_col, query_id_col,
-                        query_id_type=qid_type or "long",
-                        doc_id_type=doc_type or "long",
-                    )
-                use_kernel = False  # over an axis cap / empty texts
-        return _score_matched_postings(
-            post, qterms, k, k1, b, id_col, query_id_col
-        )
+            use_kernel = False  # over an axis cap / empty texts
+    return _score_matched_postings(
+        post, qterms, k, k1, b, id_col, query_id_col
+    )
 
 
 def bm25_topk(
@@ -1191,8 +1219,19 @@ def bm25_topk(
         .join(dfreq, "__t")
         .crossJoin(F.broadcast(stats))
     )
-    res = _score_matched_postings(
-        post, qterms, k, k1, b, id_col, query_id_col
+    # the scoring tail dispatches exactly like the artifact path: the
+    # int64 doc-partitioned kernel for bounded integral-id batches (the
+    # (query, term, doc) expansion never materializes in the JVM —
+    # measured as the dominant CPU of this pipeline: a 100-query batch
+    # over a dense-vocabulary corpus expanded to ~16M aggregate-input
+    # rows under the join plan), the expansion join plan otherwise.
+    # Output is bit-identical either way (pinned by test).
+    res = _dispatch_matched_scoring(
+        post, qterms, qt_distinct, k, k1, b, id_col, query_id_col,
+        "auto",
+        dict(queries.dtypes).get(query_id_col, ""),
+        dict(docs.dtypes).get(id_col, ""),
+        queries_df=queries,
     )
     if materialize:
         from tiledb_vector_search_spark.operators.dedup import (
