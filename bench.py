@@ -695,8 +695,11 @@ def _bench_queries(spark, sf_dir):
 
     def duplicate_spans_full():
         """Substring-level dedup over the full documents table: per-token
-        gram explode -> frequency agg -> semi-join -> window merge."""
-        return DD.duplicate_spans(docs, n=8, min_docs=2).collect()
+        gram explode -> frequency agg -> semi-join -> window merge.
+        Same one-file-fixture spread as text_quality_full: the sf corpus
+        is a single small parquet file -> single-task scan, so the
+        tokenize+gram-hash projection would run on one core."""
+        return DD.duplicate_spans(docs.repartition(32), n=8, min_docs=2).collect()
 
     # ORDERED light -> heavy: the cheap relational/text queries run BEFORE
     # the index builds and dedup pipelines, so their numbers never inherit

@@ -1126,6 +1126,17 @@ def duplicate_spans(
         .where(F.col("nd") >= min_docs)
         .select("h")
     )
+    if materialize:
+        # eager: under one lazy action AQE submits the two consumers'
+        # exchange stages CONCURRENTLY (this frequency aggregate and
+        # the join-side window exchange); on a cold cache both
+        # recompute — or block-lock-serialize on — the tokenize+
+        # gram-hash projection (measured: two overlapping jobs each
+        # paying the full single-pass CPU).  Materializing the (small)
+        # frequent-gram set first populates the grams cache as a side
+        # effect, so the main action's stages all read blocks — same
+        # pass count as the lazy plan, no duplicated projection.
+        dup_hashes = dup_hashes.localCheckpoint(eager=True)
     hits = grams.join(dup_hashes, "h", "left_semi")
 
     w = Window.partitionBy("doc_id").orderBy("pos")
