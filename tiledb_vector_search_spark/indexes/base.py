@@ -17,6 +17,7 @@ branches of one DAG).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -278,11 +279,34 @@ class Index:
             return cached
 
         def load():
-            fs = self.storage.fs
             base = self.storage.base_path(self.base_ts)
+            prefix = f"{PARTITION_COL}="
             sizes: dict[int, int] = {}
+            # local layouts walk with os.scandir — the JVM RemoteIterator
+            # costs ~4 py4j round-trips PER FILE (measured 0.7 s on a
+            # 32-partition snapshot, paid on the first query of every
+            # fresh index); remote URIs keep the Hadoop walk
+            local = base if not base.startswith("file:") else base[5:]
+            if "://" not in base and os.path.isdir(local):
+                with os.scandir(local) as dirs:
+                    for d in dirs:
+                        if not d.name.startswith(prefix):
+                            continue
+                        try:
+                            pid = int(d.name[len(prefix):])
+                        except ValueError:
+                            continue
+                        total = 0
+                        for root, _dn, files in os.walk(d.path):
+                            for fname in files:
+                                if not fname.startswith((".", "_")):
+                                    total += os.path.getsize(
+                                        os.path.join(root, fname)
+                                    )
+                        sizes[pid] = total
+                return sizes
+            fs = self.storage.fs
             if fs.exists(base):
-                prefix = f"{PARTITION_COL}="
                 it = fs._fs.listFiles(fs._p(base), True)
                 while it.hasNext():
                     f = it.next()

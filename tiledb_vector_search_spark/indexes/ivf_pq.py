@@ -550,7 +550,7 @@ class IVFPQIndex(Index):
                 cls._write_overlay(
                     storage, encoded, centroids, ts, vector_dtype,
                     overlay_max, audit_nprobe=overlay_audit_nprobe,
-                    boost_max=overlay_boost_max,
+                    boost_max=overlay_boost_max, n_total=int(n),
                 )
         finally:
             if build_overlay:
@@ -573,6 +573,7 @@ class IVFPQIndex(Index):
         overlay_max: int,
         audit_nprobe: int | None = None,
         boost_max: int = 0,
+        n_total: int | None = None,
     ) -> None:
         """Write the partial-probe bridge set as aux pseudo-partition
         ``OVERLAY_PID`` with RAW vectors (not codes) — members duplicate
@@ -590,6 +591,7 @@ class IVFPQIndex(Index):
         picked_id_list = select_overlay_ids(
             assigned, centroids, vector_dtype, overlay_max,
             boost_max=boost_max, audit_nprobe=audit_nprobe,
+            n_total=n_total,
         )
         picked_ids = small_df(
             spark, [(int(i),) for i in picked_id_list], f"{ID_COL} long"

@@ -249,6 +249,7 @@ def select_overlay_ids(
     overlay_max: int,
     boost_max: int = 0,
     audit_nprobe: "int | None" = None,
+    n_total: "int | None" = None,
 ) -> "list[int]":
     """Pick the overlay member ids (≤ ``overlay_max + boost_max``) for a
     partition-routed index — module docstring has the selection design.
@@ -326,35 +327,60 @@ def select_overlay_ids(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     try:
-        # bounded driver work: ≤ partitions² (pair, count) rows
-        pair_counts = {
-            (int(r[PARTITION_COL]), int(r["__second"])): int(r["cnt"])
-            for r in margined.groupBy(PARTITION_COL, "__second")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
-        n_total = sum(pair_counts.values())
         k_cells = centroids.shape[0]
         if audit_nprobe is None:
             # the query path's default probe budget
             audit_nprobe = max(1, int(np.sqrt(k_cells)) + 1)
 
-        total_budget = overlay_max + boost_max
-        miss_rows: list = []
-        if k_cells > audit_nprobe:
+        def _pair_counts() -> dict:
+            # bounded driver work: ≤ partitions² (pair, count) rows
+            return {
+                (int(r[PARTITION_COL]), int(r["__second"])): int(r["cnt"])
+                for r in margined.groupBy(PARTITION_COL, "__second")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+
+        def _audit(nt: int) -> list:
             miss_ids_df = audit_missed_ids(
                 assigned, margined, centroids, vdtype, audit_nprobe,
                 # the boost tranche is pure-audit by design: it exists
                 # for the cheapest probe settings, which only the
                 # level-weighted audit can see
-                overlay_max // 2 + boost_max, n_total,
+                overlay_max // 2 + boost_max, nt,
                 # score the cheap probe settings too: the overlay must
                 # carry nprobe=1/2 (where a 100 TB operator actually
                 # runs), not only the declared audit point
                 levels=sorted({1, 2, audit_nprobe}),
             )
             # bounded: ≤ overlay_max // 2 + boost_max rows
-            miss_rows = miss_ids_df.collect()
+            return miss_ids_df.collect()
+
+        total_budget = overlay_max + boost_max
+        miss_rows: list = []
+        if k_cells > audit_nprobe and n_total is not None:
+            # guide §2.6: the pair-count aggregate and the audit chain
+            # are independent jobs over the persisted margin frame —
+            # submit both from driver threads so the audit's stages
+            # back-fill the aggregate's tail instead of queueing after
+            # it.  Possible only when the caller supplies the corpus
+            # row count (ingest already counted it); the value is
+            # identical to the sum of the pair counts, so the audit's
+            # sample fraction — and therefore overlay membership — is
+            # byte-identical to the sequential path.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_pairs = pool.submit(_pair_counts)
+                f_miss = pool.submit(_audit, int(n_total))
+                pair_counts = f_pairs.result()
+                miss_rows = f_miss.result()
+        else:
+            pair_counts = _pair_counts()
+            if n_total is None:
+                n_total = sum(pair_counts.values())
+            if k_cells > audit_nprobe:
+                miss_rows = _audit(int(n_total))
         miss_id_set = {int(r[ID_COL]) for r in miss_rows}
         for r in miss_rows:
             pair = (int(r[PARTITION_COL]), int(r["__second"]))

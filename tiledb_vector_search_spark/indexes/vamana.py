@@ -300,7 +300,7 @@ class VamanaIndex(Index):
                 storage, assigned, centroids, ts, r_max_degree, l_build,
                 alpha, seed, vector_dtype, overlay_max,
                 audit_nprobe=overlay_audit_nprobe,
-                boost_max=overlay_boost_max,
+                boost_max=overlay_boost_max, n_total=int(n),
             )
             medoids = medoids.unionByName(ov_medoids)
         medoids.coalesce(1).write.parquet(storage.aux_path(MEDOID_AUX, ts))
@@ -367,6 +367,7 @@ class VamanaIndex(Index):
         overlay_max: int,
         audit_nprobe: int | None = None,
         boost_max: int = 0,
+        n_total: int | None = None,
     ) -> DataFrame:
         """Cross-shard edge overlay: one bounded bridge set over the rows
         partial-probe queries are most likely to miss.
@@ -423,6 +424,7 @@ class VamanaIndex(Index):
         picked_id_list = select_overlay_ids(
             assigned, centroids, vector_dtype, overlay_max,
             boost_max=boost_max, audit_nprobe=audit_nprobe,
+            n_total=n_total,
         )
         picked_ids = small_df(
             spark,
@@ -614,6 +616,7 @@ class VamanaIndex(Index):
                 int(extra_meta.get("overlay_max", DEFAULT_OVERLAY_MAX)),
                 audit_nprobe=extra_meta.get("overlay_audit_nprobe"),
                 boost_max=int(extra_meta.get("overlay_boost_max", 0)),
+                n_total=int(n),
             )
             medoids = medoids.unionByName(ov_medoids)
         medoids.coalesce(1).write.parquet(self.storage.aux_path(MEDOID_AUX, ts))
