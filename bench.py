@@ -696,10 +696,11 @@ def _bench_queries(spark, sf_dir):
     def duplicate_spans_full():
         """Substring-level dedup over the full documents table: per-token
         gram explode -> frequency agg -> semi-join -> window merge.
-        Same one-file-fixture spread as text_quality_full: the sf corpus
-        is a single small parquet file -> single-task scan, so the
-        tokenize+gram-hash projection would run on one core."""
-        return DD.duplicate_spans(docs.repartition(32), n=8, min_docs=2).collect()
+        Pure caller (r12): the one-file-fixture spread lives inside the
+        operator now (scale-adaptive — a no-op once the input arrives
+        already split), so this row measures the library, not the
+        harness."""
+        return DD.duplicate_spans(docs, n=8, min_docs=2).collect()
 
     # ORDERED light -> heavy: the cheap relational/text queries run BEFORE
     # the index builds and dedup pipelines, so their numbers never inherit
@@ -1028,15 +1029,18 @@ def main() -> None:
             indent=1,
         )
         f.write("\n")
-    # the machine-parsed record is the FINAL stdout line and stays compact
-    # (BENCH_r05's spread-laden line outgrew the driver's tail capture →
-    # parsed:null); spreads/samples/env live in BENCH_DETAIL.json
+    # the machine-parsed record is the FINAL stdout line and MUST fit the
+    # driver's 2000-char tail window (r11 PERF could not line up rounds
+    # because the r10 line, carrying both the median and min dicts,
+    # outgrew the tail and the front of the JSON was cut off).  One
+    # per-query dict (the medians the driver compares), compact
+    # separators; the min dict and every raw sample stay in
+    # BENCH_DETAIL.json (nothing is dropped from the committed record).
     record = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_min": mins,
         "sampling": sampling,
         "stat": "median",
         "runs_per_query": runs,
@@ -1045,7 +1049,12 @@ def main() -> None:
     }
     if load_gate.get("polluted"):
         record["polluted"] = True
-    print(json.dumps(record))
+    line = json.dumps(record, separators=(",", ":"))
+    assert len(line) < 1900, (
+        f"one-line record is {len(line)} chars — would outgrow the "
+        "driver's 2000-char tail window; slim it before adding rows"
+    )
+    print(line)
     spark.stop()
 
 
